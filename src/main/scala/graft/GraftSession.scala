@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * One place that encodes the engine's execution posture (SURVEY.md §4):
+  * rely on Catalyst + AQE for plan optimization; pin UTC for oracle
+  * parity; size shuffle partitions for the local[32] test harness while
+  * keeping every operator shuffle/broadcast-correct for a real cluster
+  * (the same builder is what a cluster deploy would tune via spark-submit
+  * conf, so nothing here hard-codes single-node assumptions into the
+  * operators themselves).
+  */
+object GraftSession {
+
+  /** Apply graft's standard configuration to a builder. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    .config("spark.sql.parquet.filterPushdown", "true")
+    .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.ui.enabled", "false")
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    // reader rejects; read as long nanos, Tables.events converts to
+    // microsecond timestamps (same truncation DuckDB applies).
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  /** Local session for tests / ad-hoc runs. */
+  def local(threads: Int = 4): SparkSession = {
+    val s = configure(
+      SparkSession.builder()
+        .master(s"local[$threads]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", threads.toString)
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
