@@ -1,0 +1,326 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data text operators over `documents` (BASELINE.json north
+  * star): exact + near-duplicate detection, text analysis, fingerprinting.
+  *
+  * Hash parity strategy: every hash in these pipelines is md5 (identical
+  * hex output in Spark and DuckDB), and min-hash minima are taken over the
+  * md5 *strings* (lexicographic order is total and engine-independent).
+  * This keeps the whole MinHash/SimHash pipeline oracle-checkable
+  * hash-for-hash — no implementation-specific hash function anywhere.
+  *
+  * Scale posture: everything is explode → hash → groupBy/join — embarrass-
+  * ingly parallel, shuffles keyed on doc_id or (seed, hash) buckets. The
+  * LSH candidate join is the 100 TB path: candidates come from equi-joins
+  * on band buckets, never from all-pairs comparison; the exact-Jaccard
+  * verification only touches candidate pairs.
+  */
+object TextQueries {
+
+  /** Word 3-shingles of `text`, distinct, as a (doc_id, shingle) relation.
+    * Shared by the minhash pipeline and its oracle twin (SQL form below).
+    */
+  private def shingles(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(
+          |  sequence(1, greatest(size(toks) - 2, 0)),
+          |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))""".stripMargin))
+        .as("sh"))
+  }
+
+  // DuckDB twin of the shingle relation (toks is 1-indexed there; range(a,b)
+  // is exclusive of b, giving positions 1..len-2).
+  private val shinglesSql =
+    """SELECT doc_id, unnest(list_distinct(sh)) AS sh FROM (
+      |  SELECT doc_id, list_transform(range(1, greatest(len(toks) - 1, 1)),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin
+
+  def all: Seq[Q] = Seq(
+
+    // ------------------------------------------------------- text analysis
+    Q("text_tokens",
+      """SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS INT) AS n_unique,
+        |  round(CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks), 4) AS avg_tok_len
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents) t
+        |ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_unique"),
+          round((length(col("text")) - size(col("toks")) + 1).cast("double") /
+            size(col("toks")), 4).as("avg_tok_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality scoring: length/stopword-ratio heuristics (the shape of a
+    // training-data quality filter).
+    Q("text_quality",
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_chars,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS INT) AS n_stop,
+        |  round(CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        |        / len(toks), 4) AS stop_ratio,
+        |  round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) *
+        |        (1.0 - CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        |               / len(toks)), 4) AS quality
+        |FROM t
+        |ORDER BY doc_id""") { (s, d) =>
+      val stop = "x IN ('the', 'a', 'of', 'and', 'to')"
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_stop", expr(s"size(filter(toks, x -> $stop))"))
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars"),
+          size(col("toks")).as("n_tokens"),
+          col("n_stop"),
+          round(col("n_stop").cast("double") / size(col("toks")), 4).as("stop_ratio"),
+          round(least(size(col("toks")).cast("double") / 100.0, lit(1.0)) *
+            (lit(1.0) - col("n_stop").cast("double") / size(col("toks"))), 4)
+            .as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Language-ID: n-gram/marker-token heuristic. Deterministic scoring —
+    // marker hit counts per language, argmax with fixed tie order.
+    Q("text_langid",
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  len(list_filter(toks, x -> x IN ('the', 'a', 'key', 'row'))) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('der', 'und', 'wert', 'tabelle'))) AS s_de,
+        |  len(list_filter(toks, x -> x IN ('le', 'et', 'valeur'))) AS s_fr
+        |FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang,
+        |  CAST(s_en AS INT) AS s_en, CAST(s_de AS INT) AS s_de, CAST(s_fr AS INT) AS s_fr
+        |FROM s
+        |ORDER BY doc_id""") { (s, d) =>
+      val t = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("s_en", expr("size(filter(toks, x -> x IN ('the', 'a', 'key', 'row')))"))
+        .withColumn("s_de", expr("size(filter(toks, x -> x IN ('der', 'und', 'wert', 'tabelle')))"))
+        .withColumn("s_fr", expr("size(filter(toks, x -> x IN ('le', 'et', 'valeur')))"))
+      t.select(col("doc_id"), col("lang"),
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr").as("pred_lang"),
+        col("s_en"), col("s_de"), col("s_fr"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Document fingerprinting: content hashes of the normalized text.
+    Q("text_fingerprint",
+      """SELECT doc_id,
+        |  md5(lower(trim(text))) AS fp_md5,
+        |  sha256(lower(trim(text))) AS fp_sha
+        |FROM documents
+        |ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(lower(trim(col("text")))).as("fp_md5"),
+          sha2(lower(trim(col("text"))).cast("binary"), 256).as("fp_sha"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Word-bigram profile per document.
+    Q("text_ngrams",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(greatest(len(toks) - 1, 0) AS INT) AS n_bigrams,
+        |  CAST(len(list_distinct(list_transform(range(1, greatest(len(toks), 1)),
+        |    i -> toks[i] || ' ' || toks[i+1]))) AS INT) AS n_unique_bigrams
+        |FROM t
+        |ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          greatest(size(col("toks")) - 1, lit(0)).as("n_bigrams"),
+          expr("""CAST(size(array_distinct(transform(
+            |  sequence(1, greatest(size(toks) - 1, 0)),
+            |  i -> concat_ws(' ', toks[i-1], toks[i])))) AS INT)""".stripMargin)
+            .as("n_unique_bigrams"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------- dedup
+    // Exact dedup: hash of normalized text → keeper per hash group. The
+    // 100 TB form: one shuffle on the 32-byte hash, min-combiner map-side.
+    Q("dedup_exact",
+      """SELECT md5(lower(trim(text))) AS h,
+        |  CAST(min(doc_id) AS BIGINT) AS keeper,
+        |  CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY keeper""") { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(lower(trim(col("text")))).as("h"))
+        .agg(min(col("doc_id")).as("keeper"),
+          count(lit(1)).as("n_copies"))
+        .orderBy(col("keeper"))
+    },
+
+    // MinHash signatures: 8 permutations simulated by seeded md5; the
+    // signature component for (doc, seed) is the lexicographic min digest.
+    Q("dedup_minhash_sig",
+      s"""WITH sh AS ($shinglesSql),
+         |h AS (SELECT doc_id, CAST(r.seed AS INT) AS seed,
+         |        min(md5(CAST(r.seed AS VARCHAR) || '|' || sh)) AS mh
+         |      FROM sh, range(0, 8) r(seed)
+         |      GROUP BY doc_id, r.seed)
+         |SELECT doc_id, seed, mh FROM h
+         |ORDER BY doc_id, seed""") { (s, d) =>
+      val sh = shingles(s, d)
+      sh.crossJoin(broadcast(
+          s.range(0, 8).select(col("id").cast("int").as("seed"))))
+        .select(col("doc_id"), col("seed"),
+          md5(concat(col("seed").cast("string"), lit("|"), col("sh"))).as("hv"))
+        .groupBy(col("doc_id"), col("seed"))
+        .agg(min(col("hv")).as("mh"))
+        .orderBy(col("doc_id"), col("seed"))
+    },
+
+    // MinHash LSH near-dup candidates + exact-Jaccard verification.
+    // Candidates: pairs agreeing on ≥1 of 8 single-row bands (equi-join on
+    // (seed, digest) — never all-pairs). Verification: exact shingle
+    // Jaccard computed relationally on the candidate pairs only.
+    Q("dedup_minhash_pairs",
+      s"""WITH sh AS ($shinglesSql),
+         |h AS (SELECT doc_id, r.seed AS seed,
+         |        min(md5(CAST(r.seed AS VARCHAR) || '|' || sh)) AS mh
+         |      FROM sh, range(0, 8) r(seed)
+         |      GROUP BY doc_id, r.seed),
+         |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |           CAST(count(*) AS INT) AS n_bands
+         |         FROM h a JOIN h b ON a.seed = b.seed AND a.mh = b.mh
+         |           AND a.doc_id < b.doc_id
+         |         GROUP BY a.doc_id, b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ni
+         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT c.d1, c.d2, c.n_bands,
+         |  round(c.n_bands / 8.0, 4) AS est_j,
+         |  round(CAST(coalesce(i.ni, 0) AS DOUBLE) /
+         |        (s1.n + s2.n - coalesce(i.ni, 0)), 4) AS exact_j
+         |FROM cand c
+         |JOIN sizes s1 ON s1.doc_id = c.d1
+         |JOIN sizes s2 ON s2.doc_id = c.d2
+         |LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+         |ORDER BY c.d1, c.d2""") { (s, d) =>
+      val sh = shingles(s, d).cache()
+      val seeds = broadcast(s.range(0, 8).select(col("id").cast("int").as("seed")))
+      val h = sh.crossJoin(seeds)
+        .select(col("doc_id"), col("seed"),
+          md5(concat(col("seed").cast("string"), lit("|"), col("sh"))).as("hv"))
+        .groupBy(col("doc_id"), col("seed"))
+        .agg(min(col("hv")).as("mh"))
+      val cand = h.as("a").join(h.as("b"),
+          col("a.seed") === col("b.seed") && col("a.mh") === col("b.mh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).cast("int").as("n_bands"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.as("x").join(sh.as("y"),
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .agg(count(lit(1)).as("ni"))
+      cand
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+        .join(inter, Seq("d1", "d2"), "left_outer")
+        .select(col("d1"), col("d2"), col("n_bands"),
+          round(col("n_bands") / 8.0, 4).as("est_j"),
+          round(coalesce(col("ni"), lit(0L)).cast("double") /
+            (col("n1") + col("n2") - coalesce(col("ni"), lit(0L))), 4).as("exact_j"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    // SimHash: 16-bit signature from per-token md5 bits, majority vote per
+    // bit. Pure integer arithmetic on md5 hex — engine-independent.
+    Q("dedup_simhash",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |hv AS (SELECT doc_id, tok,
+        |  (strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 4096 +
+        |  (strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) * 256 +
+        |  (strpos('0123456789abcdef', substring(md5(tok), 3, 1)) - 1) * 16 +
+        |  (strpos('0123456789abcdef', substring(md5(tok), 4, 1)) - 1) AS v
+        |FROM tok),
+        |bits AS (SELECT doc_id, b.bit AS bit,
+        |    sum(CASE WHEN (v // CAST(pow(2, b.bit) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM hv, range(0, 16) b(bit)
+        |  GROUP BY doc_id, b.bit)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits
+        |GROUP BY doc_id
+        |ORDER BY doc_id""") { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val hv = tok.withColumn("v", expr(
+        """(instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 4096 +
+          |(instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) * 256 +
+          |(instr('0123456789abcdef', substring(md5(tok), 3, 1)) - 1) * 16 +
+          |(instr('0123456789abcdef', substring(md5(tok), 4, 1)) - 1)""".stripMargin))
+      val bits = hv.crossJoin(broadcast(
+          s.range(0, 16).select(col("id").cast("int").as("bit"))))
+        .groupBy(col("doc_id"), col("bit"))
+        .agg(sum(when(expr("(v div CAST(pow(2, bit) AS BIGINT)) % 2 = 1"), 1)
+          .otherwise(-1)).as("s"))
+      bits.groupBy(col("doc_id"))
+        .agg(sum(when(col("s") > 0, expr("CAST(pow(2, bit) AS BIGINT)"))
+          .otherwise(0L)).cast("bigint").as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Character 4-gram Jaccard similarity over a bounded doc subset —
+    // the n-gram flavor of near-dup scoring.
+    Q("dedup_ngram_jaccard",
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(length(text) - 2, 1)),
+        |    i -> substring(text, CAST(i AS INT), 4)))) AS gram
+        |  FROM documents WHERE doc_id < 60),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) ni
+        |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |  round(CAST(ni AS DOUBLE) / (s1.n + s2.n - ni), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes s1 ON s1.doc_id = d1
+        |JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE CAST(ni AS DOUBLE) / (s1.n + s2.n - ni) >= 0.15
+        |ORDER BY d1, d2""") { (s, d) =>
+      val g = Tables.documents(s, d)
+        .filter(col("doc_id") < 60)
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(
+            |  sequence(1, greatest(length(text) - 3, 1)),
+            |  i -> substring(text, i, 4)))""".stripMargin)).as("gram"))
+      val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = g.as("a").join(g.as("b"),
+          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("ni"))
+      inter
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+        .withColumn("jaccard",
+          round(col("ni").cast("double") / (col("n1") + col("n2") - col("ni")), 4))
+        .filter(col("ni").cast("double") / (col("n1") + col("n2") - col("ni")) >= 0.15)
+        .select(col("d1"), col("d2"), col("jaccard"))
+        .orderBy(col("d1"), col("d2"))
+    })
+}

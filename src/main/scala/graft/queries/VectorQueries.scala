@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (array<float>, dim 64).
+  *
+  * Numeric parity: elements are cast to double BEFORE any arithmetic in
+  * both engines (float×float then widen would differ); sums of 64 products
+  * leave ~1e-15 noise which round(4) absorbs.
+  *
+  * Scale posture: the brute-force form is the correctness baseline — a
+  * broadcast of the (small) query set against a full scan of the corpus,
+  * one shuffle for the per-query top-k. The LSH/IVF form is the 100 TB
+  * path: a sign-bit bucket key turns all-pairs into an equi-join, after
+  * which only same-bucket pairs are scored. Bucketing the corpus by that
+  * key (or Spark bucketed tables) makes the probe side shuffle-free.
+  */
+object VectorQueries {
+
+  // dot product of two double-cast float arrays — Spark side
+  private val dotSpark =
+    "aggregate(zip_with(qe, e, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+  private val normSpark =
+    "sqrt(aggregate(transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+
+  def all: Seq[Q] = Seq(
+
+    // Per-vector L2 norm — the shared building block, checked on its own.
+    Q("sim_norms",
+      """SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2,
+        |  CAST(len(embedding) AS INT) AS dim
+        |FROM embeddings
+        |ORDER BY vec_id""") { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          round(expr("sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"), 4).as("l2"),
+          size(col("embedding")).as("dim"))
+        .orderBy(col("vec_id"))
+    },
+
+    // Brute-force cosine top-k: 8 query vectors against the whole corpus.
+    Q("sim_knn_brute",
+      """WITH v AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM v WHERE vec_id < 8),
+        |p AS (SELECT q.qid, v.vec_id AS vid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(q.qe[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))) / (q.qn * v.nrm) AS cos
+        |  FROM q, v WHERE q.qid <> v.vec_id),
+        |r AS (SELECT qid, vid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+        |  FROM p)
+        |SELECT qid, vid, CAST(rk AS INT) AS rk, round(cos, 4) AS cosine
+        |FROM r WHERE rk <= 5
+        |ORDER BY qid, rk""") { (s, d) =>
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("e"))
+        .withColumn("nrm", expr(normSpark))
+      val q = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+      val pairs = v.crossJoin(broadcast(q))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("cos", expr(dotSpark) / (col("qn") * col("nrm")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      pairs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("vec_id").as("vid"), col("rk").cast("int").as("rk"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy(col("qid"), col("rk"))
+    },
+
+    // LSH/IVF-style bucketed ANN: sign bits of the first 8 dims form a
+    // 256-cell bucket key; neighbors are scored within the query's bucket
+    // only (equi-join on the bucket key — the scalable candidate cut).
+    Q("sim_knn_lsh",
+      """WITH v AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      i -> CASE WHEN embedding[i] > 0 THEN CAST(pow(2, i - 1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn, bucket FROM v WHERE vec_id < 50),
+        |p AS (SELECT q.qid, v.vec_id AS vid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(q.qe[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))) / (q.qn * v.nrm) AS cos
+        |  FROM q JOIN v ON q.bucket = v.bucket AND q.qid <> v.vec_id),
+        |r AS (SELECT qid, vid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+        |  FROM p)
+        |SELECT qid, vid, CAST(rk AS INT) AS rk, round(cos, 4) AS cosine
+        |FROM r WHERE rk <= 3
+        |ORDER BY qid, rk""") { (s, d) =>
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("e"))
+        .withColumn("nrm", expr(normSpark))
+        .withColumn("bucket", expr(
+          """CAST(aggregate(transform(sequence(1, 8),
+            |  i -> CASE WHEN e[i-1] > CAST(0.0 AS FLOAT) THEN CAST(pow(2, i - 1) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+            |  CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)""".stripMargin))
+      val q = v.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("nrm").as("qn"), col("bucket").as("qbucket"))
+      val pairs = v.join(broadcast(q),
+          col("qbucket") === col("bucket") && col("qid") =!= col("vec_id"))
+        .withColumn("cos", expr(dotSpark) / (col("qn") * col("nrm")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      pairs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("vec_id").as("vid"), col("rk").cast("int").as("rk"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy(col("qid"), col("rk"))
+    },
+
+    // Centroid distance per label (embedding aggregation — the IVF
+    // "train" step shape: one shuffle keyed by label, array-wise mean).
+    Q("sim_label_centroid_dist",
+      """WITH ex AS (SELECT vec_id, label,
+        |    CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |c AS (SELECT label, dim, avg(x) AS cx FROM ex GROUP BY label, dim),
+        |d AS (SELECT vec_id, ex.label AS label,
+        |    sqrt(sum((x - cx) * (x - cx))) AS dist
+        |  FROM ex JOIN c ON ex.label = c.label AND ex.dim = c.dim
+        |  GROUP BY vec_id, ex.label)
+        |SELECT vec_id, label, round(dist, 4) AS dist
+        |FROM d
+        |ORDER BY vec_id""") { (s, d) =>
+      // Mean per dimension: explode to (label, dim, value) — the shape that
+      // scales (no array-of-structs carried through the shuffle).
+      val e = Tables.embeddings(s, d)
+      val exploded = e.select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("x", col("x").cast("double"))
+      val centroids = exploded.groupBy(col("label"), col("dim"))
+        .agg(avg(col("x")).as("cx"))
+      exploded.join(centroids, Seq("label", "dim"))
+        .withColumn("sq", (col("x") - col("cx")) * (col("x") - col("cx")))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(round(sqrt(sum(col("sq"))), 4).as("dist"))
+        .orderBy(col("vec_id"))
+    })
+}
