@@ -14,7 +14,9 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Apply graft's standard configuration to a builder. */
+  /** Graft's standard configuration. NOTE: later .config calls win, so
+    * callers apply their own overrides (shuffle partitions, master) AFTER
+    * configure(...) — never before. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
@@ -29,17 +31,21 @@ object GraftSession {
     // reader rejects; read as long nanos, Tables.events converts to
     // microsecond timestamps (same truncation DuckDB applies).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Spark 4.1's checkpoint file-checksum manager stalls waiting on its
+    // async checksum writes on the local filesystem (observed with both
+    // HDFS-backed and RocksDB state stores) — disable locally.
+    .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+  // State store: default HDFS-backed provider locally. A cluster deploy
+  // sets spark.sql.streaming.stateStore.providerClass to
+  // RocksDBStateStoreProvider for large keyed state (the 100 TB posture).
 
   /** Local session for tests / ad-hoc runs. */
   def local(threads: Int = 4): SparkSession = {
-    val s = configure(
-      SparkSession.builder()
-        .master(s"local[$threads]")
-        .appName("graft")
-        .config("spark.sql.shuffle.partitions", threads.toString)
-    ).getOrCreate()
+    val s = configure(SparkSession.builder())
+      .master(s"local[$threads]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", threads.toString)
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

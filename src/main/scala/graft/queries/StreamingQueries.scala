@@ -1,0 +1,177 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming operator surface (SURVEY.md §2.2 streaming table), validated
+  * by final-state equivalence: each query REALLY runs Structured
+  * Streaming (file-replay source → transform → memory sink,
+  * processAllAvailable), and the oracle checks the completed result
+  * against the equivalent batch SQL (DuckDB cannot stream — §5.2).
+  * Incremental multi-batch behavior (late data, watermark advancement,
+  * versioned state) is covered by the ScalaTest specs instead.
+  *
+  * Window starts are emitted as epoch seconds (integer) — engine- and
+  * timezone-independent.
+  */
+object StreamingQueries {
+
+  /** events.parquet as a streaming source. The file stores TIMESTAMP
+    * (NANOS) so the declared schema carries ts as long nanos (matching
+    * spark.sql.legacy.parquet.nanosAsLong) and converts to a microsecond
+    * timestamp exactly like the batch loader. */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // The file source needs a directory; testdata is read-only, so stage
+    // the single parquet file into a local replay dir once per sf.
+    val src = java.nio.file.Paths.get(Tables.path(d, "events"))
+    val dir = java.nio.file.Paths.get(
+      "/tmp/graft-replay-" + math.abs(d.hashCode).toString)
+    val dst = dir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(dst)) {
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.copy(src, dst)
+    }
+    s.readStream.schema(raw).parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run `build(source)` as a streaming query into a memory sink, block
+    * until the replay completes, return the materialized table. */
+  private def runToTable(s: SparkSession, d: String, mode: String)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val name = "st_" + math.abs(scala.util.Random.nextLong()).toString
+    val q = build(eventsStream(s, d)).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    s.table(name)
+  }
+
+  private def decSum(c: String): String =
+    s"CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"
+
+  def all: Seq[Q] = Seq(
+
+    // Tumbling 1-hour window aggregation per event type.
+    Q("stream_tumble",
+      s"""SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS ws,
+         |  event_type,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  ${decSum("value")} AS val_sum
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY ws, event_type""") { (s, d) =>
+      runToTable(s, d, "complete") { src =>
+        src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            expr(decSum("value")).as("val_sum"))
+      }.select(unix_timestamp(col("window.start")).as("ws"),
+          col("event_type"), col("cnt"), col("val_sum"))
+        .orderBy(col("ws"), col("event_type"))
+    },
+
+    // Sliding window: 2-hour length, 1-hour slide — every event lands in
+    // two windows.
+    Q("stream_slide",
+      """SELECT ws, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT CAST((floor(epoch(ts) / 3600) - r.i) * 3600 AS BIGINT) AS ws
+        |  FROM events, range(0, 2) r(i))
+        |GROUP BY ws
+        |ORDER BY ws""") { (s, d) =>
+      runToTable(s, d, "complete") { src =>
+        src.groupBy(window(col("ts"), "2 hours", "1 hour"))
+          .agg(count(lit(1)).as("cnt"))
+      }.select(unix_timestamp(col("window.start")).as("ws"), col("cnt"))
+        .orderBy(col("ws"))
+    },
+
+    // Streaming dedup (D1 analog): distinct (user_id, event_type) keys
+    // emitted on first arrival.
+    Q("stream_dedup",
+      """SELECT DISTINCT user_id, event_type
+        |FROM events
+        |ORDER BY user_id, event_type""") { (s, d) =>
+      runToTable(s, d, "append") { src =>
+        src.select(col("user_id"), col("event_type"))
+          .dropDuplicates(Seq("user_id", "event_type"))
+      }.orderBy(col("user_id"), col("event_type"))
+    },
+
+    // Stream-static enrichment join (E1/E2 analog): the event stream
+    // left-joined to the customer dimension, aggregated per segment.
+    Q("stream_enrich",
+      s"""SELECT c_mktsegment AS segment,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  ${decSum("value")} AS val_sum
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY 1
+         |ORDER BY segment""") { (s, d) =>
+      val dim = Tables.customer(s, d)
+      runToTable(s, d, "complete") { src =>
+        src.join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("cnt"),
+            expr(decSum("value")).as("val_sum"))
+      }.orderBy(col("segment"))
+    },
+
+    // Stream-stream join: purchases within 30 minutes after a click by
+    // the same user. Both sides watermarked; inner joins emit eagerly.
+    Q("stream_stream_join",
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""") { (s, d) =>
+      val name = "st_" + math.abs(scala.util.Random.nextLong()).toString
+      val clicks = eventsStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTE"))
+      val q = joined.select(col("click_id"), col("purchase_id"), col("user_id"))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table(name).orderBy(col("click_id"), col("purchase_id"))
+    },
+
+    // Session windows (5-hour inactivity gap) per user — batch form of
+    // session_window; the oracle is the gaps-and-islands rewrite.
+    Q("sess_window_batch",
+      """WITH m AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch(ts) - epoch(lag(ts) OVER w) > 18000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM g
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "5 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("session_start"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    })
+}

@@ -1,0 +1,40 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Batch-windowed NDJSON sink — the W1/W2/K1/K2 tail of the reference
+  * pipeline (SURVEY.md §2.1).
+  *
+  * Semantics reproduced:
+  *  - W2: one JSON object per line (Spark's json sink is NDJSON natively;
+  *    we serialize explicitly with to_json to control the payload).
+  *  - W1 count cap: a micro-batch with n records is split into
+  *    ceil(n / batchSize) files, so no file exceeds batchSize records
+  *    (the count half of the count-or-time window; the time half is the
+  *    streaming trigger interval). Round-robin repartition bounds every
+  *    partition at ceil(n/files) ≤ batchSize.
+  *  - K1/K2 naming: <dir>/<uid>_<batchId>/part-*.log[.gz]; gzip via the
+  *    standard codec (streams straight into the file, no intermediates).
+  *  - Batch id comes from foreachBatch (monotonic), not wall-clock nanos —
+  *    a deliberate divergence from io/batch.go:8-10 (restart-safe).
+  *
+  * At scale: writers are one task per file, no driver materialization;
+  * the only coordination is the count() to size the file set.
+  */
+object NdjsonSink {
+
+  /** Write one micro-batch (or one batch DataFrame) as count-capped
+    * NDJSON files. Returns the number of files written. */
+  def write(batch: DataFrame, dir: String, uid: String, batchId: Long,
+      batchSize: Int, gzip: Boolean = false): Int = {
+    val lines = batch.select(to_json(struct(batch.columns.map(col): _*)).as("value"))
+    val n = lines.count()
+    if (n == 0) return 0
+    val files = math.max(1, math.ceil(n.toDouble / batchSize).toInt)
+    val writer = lines.repartition(files).write.mode("overwrite")
+    val target = s"$dir/${uid}_$batchId"
+    (if (gzip) writer.option("compression", "gzip") else writer).text(target)
+    files
+  }
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.k8s._
+import graft.sinks.NdjsonSink
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Streaming assembly of the k8stream dataflow (SURVEY.md §3.1 Spark
+  * shape): source → eligibility filters → watermarked dedup →
+  * stream-static enrichment → L9 projection → count-capped NDJSON sink
+  * via foreachBatch.
+  *
+  * Delivery contract preserved from the reference: at-least-once, sink
+  * write happens before state commit (micro-batch N+1 does not start
+  * until N's sink completes — the reference's backpressure semantic,
+  * flush.go:15-27, is Spark's micro-batch serialization for free).
+  */
+object StreamPipeline {
+
+  /** D1 streaming: drop duplicate event UIDs within the watermark horizon
+    * — the TTL'd dedup table (3600 s ≈ watermark delay; reference
+    * handler.go:142-151, flush.go:57-62). */
+  def dedupStream(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("creationTimestamp", watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("uid"))
+
+  /** Versioned-dedup state for D2. */
+  final case class VersionState(maxVersion: Long)
+
+  /** D2 streaming: per-service-UID "pass only strictly newer
+    * resourceVersion" via arbitrary stateful processing (reference
+    * handler.go:95-115; versions compared numerically — documented
+    * divergence from the reference's lexical compare).
+    *
+    * `ttl = Some(...)` arms a processing-time timeout reproducing the
+    * reference's 3600 s cache expiry; with a timeout armed the query
+    * fires on EVERY trigger (even data-less), so pick a real trigger
+    * interval. `ttl = None` keeps state forever (NoTimeout) — the right
+    * mode when the dedup horizon is handled upstream. */
+  def dedupServicesVersioned(services: Dataset[KubeService],
+      ttl: Option[String] = Some("3600 seconds"))(
+      implicit spark: SparkSession): Dataset[KubeService] = {
+    import spark.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    services
+      .groupByKey(_.uid)
+      .flatMapGroupsWithState[VersionState, KubeService](
+        OutputMode.Append, timeoutConf) {
+        (_: String, rows: Iterator[KubeService], state: GroupState[VersionState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var maxSeen = state.getOption.map(_.maxVersion).getOrElse(Long.MinValue)
+            val out = rows.toSeq.sortBy(_.resource_version.toLong).flatMap { s =>
+              val v = s.resource_version.toLong
+              if (v > maxSeen) { maxSeen = v; Some(s) } else None
+            }
+            state.update(VersionState(maxSeen))
+            ttl.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
+  /** The full event-side streaming query: returns the started query.
+    * `objects`/`nodes` are static dimensions re-read per micro-batch
+    * (stream-static join = the TTL'd lookup cache, SURVEY.md §2.1 E1/E2).
+    */
+  def run(stream: DataFrame, objects: DataFrame, nodes: DataFrame,
+      conf: GraftConfig, checkpoint: String,
+      triggerMs: Long = 1000): StreamingQuery = {
+    val filtered = EventPipeline.eligible(stream, conf)
+    val deduped = dedupStream(filtered)
+    deduped.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // E1/E2/P1-P3 run inside the batch (dimensions current per batch),
+        // then W1/W2/K1-K3: count-capped NDJSON files named by batch id.
+        val l9 = EventPipeline.projectL9(
+          EventPipeline.enrich(batch, objects, nodes))
+        NdjsonSink.write(l9.toDF(), conf.fileSinkDir, conf.uid, batchId,
+          conf.batchSize, conf.gzip)
+        ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.k8s._
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Incremental streaming behavior that final-state equivalence can't see
+  * (SURVEY.md §5.2 item 4): per-micro-batch dedup, versioned state (D2),
+  * watermark late-data drop. */
+class StreamPipelineSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+  implicit val sp: org.apache.spark.sql.SparkSession = spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("D1 streaming: duplicate uid across micro-batches emits once") {
+    val in = MemoryStream[(String, Timestamp)]
+    val df = in.toDF().toDF("uid", "creationTimestamp")
+    val q = StreamPipeline.dedupStream(df, "1 hour")
+      .writeStream.format("memory").queryName("d1out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(("a", ts("2024-01-01 10:00:00")), ("b", ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      in.addData(("a", ts("2024-01-01 10:02:00")), ("c", ts("2024-01-01 10:03:00")))
+      q.processAllAvailable()
+      val got = spark.table("d1out").select("uid").as[String].collect().sorted
+      assert(got.toSeq == Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+
+  test("D2 streaming: only strictly newer resourceVersions pass (numeric)") {
+    val in = MemoryStream[KubeService]
+    // NoTimeout here: an armed processing-time TTL makes the query fire on
+    // every trigger (even data-less), which in this environment costs
+    // dozens of chmod forks per empty batch (no native Hadoop lib →
+    // Shell fallback) — pathological for a unit test. The TTL path is
+    // production configuration; the version-compare logic is identical.
+    val out = StreamPipeline.dedupServicesVersioned(in.toDS(), ttl = None)
+    val q = out.writeStream.format("memory").queryName("d2out")
+      .outputMode(OutputMode.Append).start()
+    def svc(v: String) = KubeService("s1", v, "svc", "default", Map(), Map(), Map())
+    try {
+      in.addData(svc("2"))
+      q.processAllAvailable()
+      in.addData(svc("1"))          // stale → dropped
+      q.processAllAvailable()
+      in.addData(svc("10"))         // numerically newer ("10" < "2" lexically!)
+      q.processAllAvailable()
+      in.addData(svc("10"))         // equal → dropped
+      q.processAllAvailable()
+      val got = spark.table("d2out").select("resource_version").as[String].collect()
+      assert(got.toSeq == Seq("2", "10"))
+    } finally q.stop()
+  }
+
+  test("watermark: late data beyond the delay is dropped from window aggs") {
+    val in = MemoryStream[(String, Timestamp)]
+    val df = in.toDF().toDF("k", "ts")
+    val agg = df.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("wmout")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(("a", ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // advance watermark far past the 10:00 window
+      in.addData(("b", ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      // late arrival for the 10:00 window — watermark is 11:50, dropped
+      in.addData(("late", ts("2024-01-01 10:06:00")))
+      q.processAllAvailable()
+      val rows = spark.table("wmout")
+        .groupBy("ws").agg(max("n").as("n"))
+        .as[(Timestamp, Long)].collect().toMap
+      assert(rows(ts("2024-01-01 10:00:00")) == 1)  // late row NOT counted
+    } finally q.stop()
+  }
+
+  test("full pipeline: filter → dedup → enrich → project → NDJSON sink") {
+    val tmp = java.nio.file.Files.createTempDirectory("pipe").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val in = MemoryStream[KubeEvent]
+    val objects = Seq(KubeObject("o1", "Pod", "default", "w",
+      Map("app" -> "w"), Map(),
+      """{"uid":"o1","name":"w","namespace":"default","start_time":"2024-01-01T09:00:00","ip":"1.2.3.4","host_ip":"5.6.7.8"}""")).toDF()
+    val nodes = Seq(KubeNode("n1", Seq("5.6.7.8"))).toDF()
+    val conf = GraftConfig(uid = "pipe", batchSize = 2, fileSinkDir = tmp)
+    val q = StreamPipeline.run(in.toDF(), objects, nodes, conf, ckpt, triggerMs = 100)
+    def ev(uid: String, ns: String) = KubeEvent(uid, ts("2024-01-01 10:00:00"),
+      uid, ns, "Scheduled", s"m-$uid", "Normal", Some(1),
+      ObjectRef("v1", "Pod", "w", ns, "1", "o1"), EventSource("kubelet", "n1"))
+    try {
+      in.addData(ev("a", "default"), ev("b", "default"), ev("c", "kube-system"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val written = spark.read.json(s"$tmp/pipe_*")
+    assert(written.count() == 2)  // c filtered out
+    val cols = written.columns.toSet
+    assert(Set("id", "timestamp", "labels", "address", "pod", "version").subsetOf(cols))
+    val a = written.filter(col("id") === "a")
+      .select("labels.app", "address", "version").collect().head
+    assert(a.getString(0) == "w")
+    assert(a.getSeq[String](1) == Seq("5.6.7.8"))
+    assert(a.getString(2) == L9Event.Version)
+  }
+}
