@@ -15,7 +15,8 @@ object SparkEntry {
   private def modules: Seq[Q] =
     RelationalQueries.all ++ ScalarQueries.all ++
       TextQueries.all ++ VectorQueries.all ++
-      K8sQueries.all ++ StreamingQueries.all
+      K8sQueries.all ++ StreamingQueries.all ++
+      ExtensionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Predicate}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions (SURVEY.md §4.3): the two places the
+  * engine's semantics justify dropping below the built-in surface, both
+  * with whole-stage codegen (`doGenCode`) so they stay inside the
+  * generated loop — no UDF boxing, no codegen fence.
+  */
+
+/** `map_contains_all(labels, selector)` — true iff every (k,v) entry of
+  * `selector` appears in `labels`. The selector-containment predicate of
+  * the reference's service→pod join (E3, k8sclient.go:76-89). The engine's
+  * default E3 plan is the explode+equi-join (scalable); this expression is
+  * the predicate form for broadcast-size dimensions. Empty selector ⇒
+  * false, matching the reference (labels.Set{} selects nothing here —
+  * guarded by the caller filtering empty selectors).
+  */
+case class MapContainsAll(left: Expression, right: Expression)
+    extends BinaryExpression with Predicate {
+  // inputs must both be map<string,string> (no ExpectsInputTypes — its
+  // AbstractDataType is private[sql]; misuse fails at runtime cast)
+
+  override def nullSafeEval(labels: Any, selector: Any): Any = {
+    val l = labels.asInstanceOf[MapData]
+    val s = selector.asInstanceOf[MapData]
+    if (s.numElements() == 0) return false
+    val lk = l.keyArray(); val lv = l.valueArray()
+    val sk = s.keyArray(); val sv = s.valueArray()
+    var i = 0
+    while (i < s.numElements()) {
+      val k = sk.getUTF8String(i)
+      val v = sv.getUTF8String(i)
+      var found = false
+      var j = 0
+      while (!found && j < l.numElements()) {
+        if (lk.getUTF8String(j).equals(k) && lv.getUTF8String(j).equals(v))
+          found = true
+        j += 1
+      }
+      if (!found) return false
+      i += 1
+    }
+    true
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, s) => {
+      val lk = ctx.freshName("lk"); val lv = ctx.freshName("lv")
+      val sk = ctx.freshName("sk"); val sv = ctx.freshName("sv")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val k = ctx.freshName("k"); val v = ctx.freshName("v")
+      val found = ctx.freshName("found")
+      s"""
+         |${ev.value} = $s.numElements() > 0;
+         |org.apache.spark.sql.catalyst.util.ArrayData $lk = $l.keyArray();
+         |org.apache.spark.sql.catalyst.util.ArrayData $lv = $l.valueArray();
+         |org.apache.spark.sql.catalyst.util.ArrayData $sk = $s.keyArray();
+         |org.apache.spark.sql.catalyst.util.ArrayData $sv = $s.valueArray();
+         |for (int $i = 0; ${ev.value} && $i < $s.numElements(); $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $k = $sk.getUTF8String($i);
+         |  org.apache.spark.unsafe.types.UTF8String $v = $sv.getUTF8String($i);
+         |  boolean $found = false;
+         |  for (int $j = 0; !$found && $j < $l.numElements(); $j++) {
+         |    $found = $lk.getUTF8String($j).equals($k) && $lv.getUTF8String($j).equals($v);
+         |  }
+         |  ${ev.value} = $found;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `dot_f(a, b)` — dot product of two float vectors, accumulated in
+  * double, sequential in element order. The similarity-search hot path
+  * (embedding dim × corpus size multiplications) as a single codegen'd
+  * loop instead of the zip_with/aggregate higher-order-function chain. */
+case class DotProductFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // inputs must both be array<float>
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+  import ColumnBridge.{column, expression}
+
+  def map_contains_all(labels: Column, selector: Column): Column =
+    column(MapContainsAll(expression(labels), expression(selector)))
+
+  def dot_f(a: Column, b: Column): Column =
+    column(DotProductFloat(expression(a), expression(b)))
+
+  /** Register SQL names (`map_contains_all`, `dot_f`). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("map_contains_all",
+      exprs => MapContainsAll(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_f",
+      exprs => DotProductFloat(exprs(0), exprs(1)), "built-in")
+  }
+}

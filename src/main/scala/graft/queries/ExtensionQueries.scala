@@ -1,0 +1,199 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.{ArgMaxAggregator, GraftFunctions}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Queries exercising the engine's extension points (SURVEY.md §2.2 UDF
+  * table + §4.3): the codegen'd custom expressions, the exemplar typed
+  * UDAF, grouping sets, the multimodal decode path, and file-format
+  * source/sink round-trips (NDJSON+gzip, CSV, partitioned parquet —
+  * the K1/K2 sink family as batch operators).
+  */
+object ExtensionQueries {
+
+  private def tmpDir(tag: String, d: String): String =
+    s"/tmp/graft-rt-$tag-${math.abs(d.hashCode)}"
+
+  def all: Seq[Q] = Seq(
+
+    // Typed UDAF arg-max per group (deterministic tie-break: smaller key).
+    Q("udaf_argmax",
+      """SELECT o_orderpriority,
+        |  CAST(k AS BIGINT) AS top_order
+        |FROM (SELECT o_orderpriority, o_orderkey AS k,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn = 1
+        |ORDER BY o_orderpriority""") { (s, d) =>
+      val argmax = udaf(ArgMaxAggregator)
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(argmax(col("o_orderkey"), col("o_totalprice")).as("top_order"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Custom codegen expression on the similarity hot path: identical
+    // semantics to sim_knn_brute (same oracle shape), dot product as one
+    // generated loop.
+    Q("sim_knn_expr",
+      """WITH v AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM v WHERE vec_id >= 8 AND vec_id < 12),
+        |p AS (SELECT q.qid, v.vec_id AS vid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(q.qe[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))) / (q.qn * v.nrm) AS cos
+        |  FROM q, v WHERE q.qid <> v.vec_id),
+        |r AS (SELECT qid, vid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+        |  FROM p)
+        |SELECT qid, vid, CAST(rk AS INT) AS rk, round(cos, 4) AS cosine
+        |FROM r WHERE rk <= 5
+        |ORDER BY qid, rk""") { (s, d) =>
+      import graft.functions.GraftFunctions.dot_f
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("e"))
+        .withColumn("nrm", sqrt(dot_f(col("e"), col("e"))))
+      val q = v.filter(col("vec_id") >= 8 && col("vec_id") < 12)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      v.crossJoin(broadcast(q))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("cos", dot_f(col("qe"), col("e")) / (col("qn") * col("nrm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("vec_id").as("vid"), col("rk").cast("int").as("rk"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy(col("qid"), col("rk"))
+    },
+
+    // GROUPING SETS (beyond rollup/cube): one Expand + single shuffle.
+    Q("agg_groupingsets",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)").as("qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // Multimodal decode path: binary payload + metadata → mapPartitions
+    // feature extraction (stubbed decode — features derived from bytes;
+    // corpus is ASCII so the oracle can recompute them from codepoints).
+    Q("mm_decode",
+      """WITH f AS (SELECT doc_id AS media_id,
+        |    octet_length(text::BLOB) AS n_bytes,
+        |    list_sum(list_transform(range(1, length(text) + 1),
+        |      i -> ord(substring(text, CAST(i AS INT), 1)))) AS byte_sum
+        |  FROM documents)
+        |SELECT media_id,
+        |  CAST(n_bytes AS INT) AS n_bytes,
+        |  CAST(byte_sum AS BIGINT) AS byte_sum,
+        |  round(CAST(byte_sum AS DOUBLE) / n_bytes, 4) AS mean_byte,
+        |  CAST(greatest(1, n_bytes // 64) AS INT) AS frames
+        |FROM f
+        |ORDER BY media_id""") { (s, d) =>
+      import s.implicits._
+      val media = Multimodal.attachPayload(Tables.documents(s, d))
+        .as[Multimodal.MediaRecord]
+      Multimodal.decodeStub(media).toDF()
+        .select(col("media_id"), col("n_bytes"), col("byte_sum"),
+          round(col("mean_byte"), 4).as("mean_byte"), col("frames"))
+        .orderBy(col("media_id"))
+    },
+
+    // Binary-column fingerprints (hash features over the payload itself).
+    Q("mm_features",
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(text::BLOB) AS INT) AS n_bytes,
+        |  sha256(text) AS payload_sha,
+        |  lower(hex(substring(text, 1, 8)::BLOB)) AS head_hex
+        |FROM documents
+        |ORDER BY media_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          octet_length(col("text").cast("binary")).as("n_bytes"),
+          sha2(col("text").cast("binary"), 256).as("payload_sha"),
+          lower(hex(substring(col("text"), 1, 8).cast("binary"))).as("head_hex"))
+        .orderBy(col("media_id"))
+    },
+
+    // NDJSON + gzip sink → schema'd NDJSON source round-trip (K1/K2/W2 as
+    // batch operators); oracle computes the same aggregate off parquet.
+    Q("src_ndjson_roundtrip",
+      s"""SELECT event_type,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS val_sum,
+         |  CAST(sum(ts_us) AS BIGINT) AS ts_sum
+         |FROM (SELECT event_type, "value", epoch_us(ts) AS ts_us
+         |      FROM events WHERE event_id < 5000)
+         |GROUP BY event_type
+         |ORDER BY event_type""") { (s, d) =>
+      val dir = tmpDir("ndjson", d)
+      Tables.events(s, d)
+        .filter(col("event_id") < 5000)
+        .select(col("event_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("ts_us"))
+        .write.mode("overwrite").option("compression", "gzip").json(dir)
+      s.read.schema("event_id BIGINT, event_type STRING, value DOUBLE, ts_us BIGINT")
+        .json(dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          expr("CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)").as("val_sum"),
+          sum(col("ts_us")).as("ts_sum"))
+        .orderBy(col("event_type"))
+    },
+
+    // CSV sink → schema'd CSV source round-trip.
+    Q("src_csv_roundtrip",
+      """SELECT p_brand,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(p_size) AS BIGINT) AS size_sum
+        |FROM part
+        |GROUP BY p_brand
+        |ORDER BY p_brand""") { (s, d) =>
+      val dir = tmpDir("csv", d)
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        .write.mode("overwrite").option("header", "true").csv(dir)
+      s.read.schema("p_partkey BIGINT, p_brand STRING, p_size INT")
+        .option("header", "true").csv(dir)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("p_size")).as("size_sum"))
+        .orderBy(col("p_brand"))
+    },
+
+    // Partitioned parquet write → partition-pruned read-back. The scan of
+    // one partition must prune at the directory level (the partitioned-
+    // sink row of §2.2's source/sink table).
+    Q("sink_partitioned",
+      """SELECT o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderstatus IN ('F', 'O')
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""") { (s, d) =>
+      val dir = tmpDir("part", d)
+      Tables.orders(s, d)
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("o_orderstatus").isin("F", "O"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)").as("total"))
+        .orderBy(col("o_orderstatus"))
+    })
+}

@@ -207,9 +207,11 @@ object TextQueries {
          |           AND a.doc_id < b.doc_id
          |         GROUP BY a.doc_id, b.doc_id),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ni
-         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |          GROUP BY a.doc_id, b.doc_id)
+         |inter AS (SELECT c.d1, c.d2, count(*) AS ni
+         |          FROM cand c
+         |          JOIN sh a ON a.doc_id = c.d1
+         |          JOIN sh b ON b.doc_id = c.d2 AND b.sh = a.sh
+         |          GROUP BY c.d1, c.d2)
          |SELECT c.d1, c.d2, c.n_bands,
          |  round(c.n_bands / 8.0, 4) AS est_j,
          |  round(CAST(coalesce(i.ni, 0) AS DOUBLE) /
@@ -232,9 +234,12 @@ object TextQueries {
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).cast("int").as("n_bands"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = sh.as("x").join(sh.as("y"),
-          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      // Exact Jaccard only for LSH candidates (never the all-pairs shingle
+      // self-join — at scale the candidate cut is what keeps this linear).
+      val inter = cand.select(col("d1"), col("d2"))
+        .join(sh.select(col("doc_id").as("d1"), col("sh")), Seq("d1"))
+        .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
+        .groupBy(col("d1"), col("d2"))
         .agg(count(lit(1)).as("ni"))
       cand
         .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
