@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan inspector: prints the formatted physical plan for the named
+  * queries (or a pushdown/codegen summary for all).
+  *
+  *   runMain graft.Explain <sfDir> [query ...]
+  *   runMain graft.Explain <sfDir> --summary
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val rest = args.drop(1).toSeq
+    val spark = GraftSession.configure(SparkSession.builder())
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    if (rest.contains("--summary")) {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        if (!name.startsWith("stream_")) {
+          try {
+            val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+            val pushed = plan.contains("PushedFilters: [") &&
+              !plan.split("PushedFilters: ").tail.forall(_.startsWith("[]"))
+            val codegen = plan.contains("WholeStageCodegen")
+            val bhj = plan.contains("BroadcastHashJoin")
+            val smj = plan.contains("SortMergeJoin")
+            println(f"$name%-28s codegen=$codegen%-5s pushed=$pushed%-5s bhj=$bhj%-5s smj=$smj")
+          } catch { case e: Throwable => println(s"$name ERROR ${e.getMessage}") }
+        }
+      }
+    } else {
+      rest.foreach { name =>
+        println(s"===== $name =====")
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      }
+    }
+    spark.stop()
+  }
+}

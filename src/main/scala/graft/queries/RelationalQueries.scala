@@ -206,16 +206,18 @@ object RelationalQueries {
     },
 
     // Right outer join (nation side preserved even with zero suppliers).
-    // nation is tiny → broadcast; Spark plans a broadcast right-outer.
+    // Spark can't broadcast the PRESERVED side of an outer join, so the
+    // plan broadcasts the supplier (stream) side of the equivalent
+    // nation-left-outer form — same RIGHT JOIN semantics, broadcastable.
     Q("join_right",
       """SELECT n_nationkey, n_name,
         |  CAST(count(s_suppkey) AS BIGINT) AS n_suppliers
         |FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_nationkey, n_name
         |ORDER BY n_nationkey""") { (s, d) =>
-      Tables.supplier(s, d)
-        .join(broadcast(Tables.nation(s, d)),
-          col("s_nationkey") === col("n_nationkey"), "right_outer")
+      Tables.nation(s, d)
+        .join(broadcast(Tables.supplier(s, d)),
+          col("s_nationkey") === col("n_nationkey"), "left_outer")
         .groupBy(col("n_nationkey"), col("n_name"))
         .agg(count(col("s_suppkey")).as("n_suppliers"))
         .orderBy(col("n_nationkey"))

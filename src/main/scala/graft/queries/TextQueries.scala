@@ -228,11 +228,14 @@ object TextQueries {
           md5(concat(col("seed").cast("string"), lit("|"), col("sh"))).as("hv"))
         .groupBy(col("doc_id"), col("seed"))
         .agg(min(col("hv")).as("mh"))
+      // cand is consumed twice (output + the candidate-restricted exact-
+      // Jaccard join) — cache it so the signature pipeline runs once.
       val cand = h.as("a").join(h.as("b"),
           col("a.seed") === col("b.seed") && col("a.mh") === col("b.mh") &&
             col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).cast("int").as("n_bands"))
+        .cache()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       // Exact Jaccard only for LSH candidates (never the all-pairs shingle
       // self-join — at scale the candidate cut is what keeps this linear).

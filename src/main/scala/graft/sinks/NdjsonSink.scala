@@ -25,14 +25,34 @@ import org.apache.spark.sql.functions._
 object NdjsonSink {
 
   /** Write one micro-batch (or one batch DataFrame) as count-capped
-    * NDJSON files. Returns the number of files written. */
+    * NDJSON files. Returns the number of files written.
+    *
+    * Chunk routing is EXACT: rows get a global index (zipWithIndex — one
+    * extra lightweight job) and chunk k = index / batchSize maps to
+    * partition k via an identity partitioner. A plain round-robin
+    * `repartition(files)` does NOT guarantee the cap — each source
+    * partition round-robins from a random offset, so target partitions
+    * can exceed batchSize (caught by the batch-partitioning property
+    * test). */
   def write(batch: DataFrame, dir: String, uid: String, batchId: Long,
       batchSize: Int, gzip: Boolean = false): Int = {
+    val spark = batch.sparkSession
     val lines = batch.select(to_json(struct(batch.columns.map(col): _*)).as("value"))
     val n = lines.count()
     if (n == 0) return 0
     val files = math.max(1, math.ceil(n.toDouble / batchSize).toInt)
-    val writer = lines.repartition(files).write.mode("overwrite")
+    val routed = lines.toDF().rdd
+      .map(_.getString(0))
+      .zipWithIndex()
+      .map { case (s, i) => ((i / batchSize).toInt, s) }
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = files
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .values
+    import spark.implicits._
+    val writer = spark.createDataset(routed).toDF("value")
+      .write.mode("overwrite")
     val target = s"$dir/${uid}_$batchId"
     (if (gzip) writer.option("compression", "gzip") else writer).text(target)
     files
