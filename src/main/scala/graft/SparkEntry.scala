@@ -16,7 +16,7 @@ object SparkEntry {
     RelationalQueries.all ++ ScalarQueries.all ++
       TextQueries.all ++ VectorQueries.all ++
       K8sQueries.all ++ StreamingQueries.all ++
-      ExtensionQueries.all
+      ExtensionQueries.all ++ ScaleQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

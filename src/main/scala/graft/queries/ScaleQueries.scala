@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scale-technique exemplars (SURVEY.md §2.2 joins row + BASELINE 100 TB
+  * posture): each query demonstrates a cluster-scale pattern while
+  * remaining hash-checkable against the plain relational oracle — the
+  * technique must not change the answer.
+  */
+object ScaleQueries {
+
+  private def tmpDir(tag: String, d: String): String =
+    s"/tmp/graft-rt-$tag-${math.abs(d.hashCode)}"
+
+  def all: Seq[Q] = Seq(
+
+    // Skew mitigation by salting: the big side gets a salt from a stable
+    // row attribute; the dimension side is exploded across all salts, so
+    // one hot key spreads over N partitions. Same answer as the plain
+    // join (the oracle IS the plain join).
+    Q("join_salted",
+      s"""SELECT c_mktsegment AS segment,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY 1
+         |ORDER BY segment""") { (s, d) =>
+      val salts = 8
+      val big = Tables.events(s, d)
+        .withColumn("__salt", pmod(col("event_id"), lit(salts)).cast("int"))
+      val dim = Tables.customer(s, d)
+        .crossJoin(broadcast(s.range(0, salts)
+          .select(col("id").cast("int").as("__salt"))))
+      big.join(dim,
+          big("user_id") === dim("c_custkey") && big("__salt") === dim("__salt"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("cnt"),
+          expr("CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)").as("val_sum"))
+        .orderBy(col("segment"))
+    },
+
+    // Co-located join via bucketing: both sides bucketed 8 ways on the
+    // join key → the join needs NO shuffle (no Exchange above the scans;
+    // check with graft.Explain). This is the 100 TB fact-fact join
+    // strategy: pay the shuffle once at write time, never per query.
+    Q("join_bucketed",
+      s"""SELECT o_orderpriority,
+         |  CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""") { (s, d) =>
+      val dir = tmpDir("bucket", d)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$dir/li").saveAsTable("graft_li_bucketed")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$dir/ord").saveAsTable("graft_ord_bucketed")
+      // merge hint: at this SF the planner would broadcast the small
+      // side; the point of the exemplar is the bucketed sort-merge join
+      // with NO Exchange below it (the 100 TB fact-fact path).
+      s.table("graft_li_bucketed")
+        .hint("merge")
+        .join(s.table("graft_ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)").as("qty"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // (Streaming session windows only support append mode, whose
+    // emission depends on watermark-boundary semantics unsuitable for a
+    // final-state oracle over a finite replay — the batch form is
+    // sess_window_batch and the incremental behavior is covered by
+    // StreamPipelineSpec's controlled MemoryStream session test.)
+    )
+}

@@ -42,7 +42,11 @@ object StreamingQueries {
   }
 
   /** Run `build(source)` as a streaming query into a memory sink, block
-    * until the replay completes, return the materialized table. */
+    * until the replay completes, return the materialized table. Shared
+    * with other modules via [[runEventsStream]]. */
+  private[queries] def runEventsStream(s: SparkSession, d: String, mode: String)(
+      build: DataFrame => DataFrame): DataFrame = runToTable(s, d, mode)(build)
+
   private def runToTable(s: SparkSession, d: String, mode: String)(
       build: DataFrame => DataFrame): DataFrame = {
     val name = "st_" + math.abs(scala.util.Random.nextLong()).toString

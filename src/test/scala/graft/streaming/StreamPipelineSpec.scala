@@ -83,6 +83,28 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows: merged sessions emit once the watermark passes") {
+    val in = MemoryStream[(Long, Timestamp)]
+    val agg = in.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("sessout")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // session A: two events 10 min apart (merge); then a far-future
+      // event pushes the watermark past A's end → A emits
+      in.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      in.addData((1L, ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("sessout")
+        .as[(Long, Timestamp, Long)].collect()
+      assert(rows.toSeq == Seq((1L, ts("2024-01-01 10:00:00"), 2L)))
+    } finally q.stop()
+  }
+
   test("full pipeline: filter → dedup → enrich → project → NDJSON sink") {
     val tmp = java.nio.file.Files.createTempDirectory("pipe").toString
     val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
