@@ -120,6 +120,30 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // BPE-ish regex tokenization (subword-style pre-tokenizer classes:
+    // space-prefixed word / number / symbol runs) — the token-counting
+    // shape an LLM-data pipeline budgets with.
+    Q("text_bpe_tokens",
+      """WITH t AS (SELECT doc_id, text,
+        |    regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_bpe_tokens,
+        |  CAST(len(list_distinct(toks)) AS INT) AS n_unique,
+        |  round(CAST(length(text) AS DOUBLE) / len(toks), 4) AS chars_per_token
+        |FROM t
+        |ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks",
+          expr("regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+', 0)"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_bpe_tokens"),
+          size(array_distinct(col("toks"))).as("n_unique"),
+          round(length(col("text")).cast("double") / size(col("toks")), 4)
+            .as("chars_per_token"))
+        .orderBy(col("doc_id"))
+    },
+
     // Document fingerprinting: content hashes of the normalized text.
     Q("text_fingerprint",
       """SELECT doc_id,

@@ -116,6 +116,44 @@ object VectorQueries {
         .orderBy(col("qid"), col("rk"))
     },
 
+    // Embedding-cosine near-duplicate pairs: candidates from the sign-bit
+    // bucket equi-join (the LSH cut — never all-pairs), scored and
+    // thresholded. This corpus has no planted vector near-dups (max
+    // pairwise cosine ≈0.51), so the threshold sits where same-bucket
+    // structure shows; the operator is the same at 0.95.
+    Q("dedup_cos_neardup",
+      """WITH v AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      i -> CASE WHEN embedding[i] > 0 THEN CAST(pow(2, i - 1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) AS cos
+        |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT v1, v2, round(cos, 4) AS cosine
+        |FROM p WHERE cos >= 0.4
+        |ORDER BY v1, v2""") { (s, d) =>
+      import graft.functions.GraftFunctions.dot_f
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("e"))
+        .withColumn("nrm", sqrt(expr(normSpark)))
+        .withColumn("bucket", expr(
+          """CAST(aggregate(transform(sequence(1, 8),
+            |  i -> CASE WHEN e[i-1] > CAST(0.0 AS FLOAT) THEN CAST(pow(2, i - 1) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+            |  CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)""".stripMargin))
+      val a = v.select(col("vec_id").as("v1"), col("e").as("e1"),
+        col("nrm").as("n1"), col("bucket"))
+      val b = v.select(col("vec_id").as("v2"), col("e").as("e2"),
+        col("nrm").as("n2"), col("bucket"))
+      a.join(b, Seq("bucket"))
+        .filter(col("v1") < col("v2"))
+        .withColumn("cos", dot_f(col("e1"), col("e2")) / (col("n1") * col("n2")))
+        .filter(col("cos") >= 0.4)
+        .select(col("v1"), col("v2"), round(col("cos"), 4).as("cosine"))
+        .orderBy(col("v1"), col("v2"))
+    },
+
     // Centroid distance per label (embedding aggregation — the IVF
     // "train" step shape: one shuffle keyed by label, array-wise mean).
     Q("sim_label_centroid_dist",
