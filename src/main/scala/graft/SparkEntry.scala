@@ -13,7 +13,7 @@ import graft.queries._
 object SparkEntry {
 
   private def modules: Seq[Q] =
-    RelationalQueries.all ++ ScalarQueries.all ++
+    RelationalQueries.all ++ ScalarQueries.all ++ ScalarQueries2.all ++
       TextQueries.all ++ VectorQueries.all ++
       K8sQueries.all ++ StreamingQueries.all ++
       ExtensionQueries.all ++ ScaleQueries.all

@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Second-wave scalar/analytic coverage (SURVEY.md §2.2): bitwise ops,
+  * trig/log families, RANGE window frames, FILTER-clause aggregates,
+  * correlated scalar subqueries, string/date/array function breadth.
+  */
+object ScalarQueries2 {
+
+  def all: Seq[Q] = Seq(
+
+    Q("str_funcs2",
+      """SELECT p_partkey,
+        |  reverse(p_name) AS rev,
+        |  repeat(p_brand, 2) AS rep,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS caps_vowels,
+        |  left(p_name, 3) AS l3,
+        |  right(p_name, 3) AS r3,
+        |  contains(p_name, 'ring') AS has_ring,
+        |  starts_with(p_name, 'small') AS sm,
+        |  ends_with(p_type, 'Y') AS endy
+        |FROM part
+        |ORDER BY p_partkey""") { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          reverse(col("p_name")).as("rev"),
+          expr("repeat(p_brand, 2)").as("rep"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("caps_vowels"),
+          expr("left(p_name, 3)").as("l3"),
+          expr("right(p_name, 3)").as("r3"),
+          col("p_name").contains("ring").as("has_ring"),
+          col("p_name").startsWith("small").as("sm"),
+          col("p_type").endsWith("Y").as("endy"))
+        .orderBy(col("p_partkey"))
+    },
+
+    Q("math_funcs2",
+      """SELECT o_orderkey,
+        |  round(log10(o_totalprice), 4) AS l10,
+        |  round(log2(o_totalprice), 4) AS l2,
+        |  round(sin(CAST(o_orderkey % 7 AS DOUBLE)), 4) AS sn,
+        |  round(cos(CAST(o_orderkey % 7 AS DOUBLE)), 4) AS cs,
+        |  round(atan2(CAST(o_orderkey % 5 AS DOUBLE), 2.0), 4) AS at2,
+        |  round(radians(CAST(o_orderkey % 360 AS DOUBLE)), 4) AS rad,
+        |  round(degrees(1.0), 4) AS deg,
+        |  CAST(o_orderkey & 255 AS BIGINT) AS band,
+        |  CAST(o_orderkey | 4096 AS BIGINT) AS bor,
+        |  CAST(xor(o_orderkey, 129) AS BIGINT) AS bxor,
+        |  CAST((o_orderkey % 16) << 2 AS BIGINT) AS shl,
+        |  CAST(o_orderkey >> 3 AS BIGINT) AS shr
+        |FROM orders
+        |ORDER BY o_orderkey""") { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          round(log10(col("o_totalprice")), 4).as("l10"),
+          round(log2(col("o_totalprice")), 4).as("l2"),
+          round(sin((col("o_orderkey") % 7).cast("double")), 4).as("sn"),
+          round(cos((col("o_orderkey") % 7).cast("double")), 4).as("cs"),
+          round(atan2((col("o_orderkey") % 5).cast("double"), lit(2.0)), 4).as("at2"),
+          round(radians((col("o_orderkey") % 360).cast("double")), 4).as("rad"),
+          round(degrees(lit(1.0)), 4).as("deg"),
+          expr("CAST(o_orderkey & 255 AS BIGINT)").as("band"),
+          expr("CAST(o_orderkey | 4096 AS BIGINT)").as("bor"),
+          expr("CAST(o_orderkey ^ 129 AS BIGINT)").as("bxor"),
+          expr("CAST(shiftleft(o_orderkey % 16, 2) AS BIGINT)").as("shl"),
+          expr("CAST(shiftright(o_orderkey, 3) AS BIGINT)").as("shr"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    Q("dt_funcs2",
+      """SELECT o_orderkey,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS woy,
+        |  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        |  strftime(strptime('2024-0' || CAST(o_orderkey % 9 + 1 AS VARCHAR) || '-15',
+        |           '%Y-%m-%d'), '%Y-%m-%d') AS parsed
+        |FROM orders
+        |ORDER BY o_orderkey""") { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          weekofyear(col("o_orderdate")).as("woy"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          date_format(to_date(
+            concat(lit("2024-0"), (col("o_orderkey") % 9 + 1).cast("string"), lit("-15")),
+            "yyyy-MM-dd"), "yyyy-MM-dd").as("parsed"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    Q("arr_funcs2",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(coalesce(list_position(toks, 'spark'), 0) AS BIGINT) AS spark_pos,
+        |  CAST(len(flatten([list_slice(toks, 1, 2), list_slice(toks, 3, 4)])) AS INT) AS flat4,
+        |  array_to_string(list_reverse(list_slice(toks, 1, 3)), ',') AS rev3
+        |FROM t
+        |ORDER BY doc_id""") { (s, d) =>
+      // Spark array_position returns 0 when absent; DuckDB list_position
+      // returns NULL — the oracle coalesces.
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          array_position(col("toks"), "spark").as("spark_pos"),
+          size(flatten(array(slice(col("toks"), 1, 2), slice(col("toks"), 3, 2))))
+            .as("flat4"),
+          array_join(reverse(slice(col("toks"), 1, 3)), ",").as("rev3"))
+        .orderBy(col("doc_id"))
+    },
+
+    // FILTER-clause aggregates: per-group conditional aggregation without
+    // self-joins — one pass, partial+final like plain aggregates.
+    Q("agg_filtered",
+      """SELECT l_linestatus,
+        |  CAST(count(*) FILTER (WHERE l_returnflag = 'A') AS BIGINT) AS n_a,
+        |  CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n_r,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS qty_disc
+        |FROM lineitem
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .agg(
+          expr("count(*) FILTER (WHERE l_returnflag = 'A')").as("n_a"),
+          expr("count(*) FILTER (WHERE l_returnflag = 'R')").as("n_r"),
+          expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_discount > 0.05) AS DOUBLE)").as("qty_disc"))
+        .orderBy(col("l_linestatus"))
+    },
+
+    // RANGE frame: value-based window (peers included by value distance,
+    // so tie order between engines cannot matter).
+    Q("win_range_frame",
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |    RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum
+        |FROM orders
+        |WHERE o_custkey < 100
+        |ORDER BY o_orderkey""") { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 100)
+        .select(col("o_orderkey"),
+          expr("""CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+            |PARTITION BY o_orderpriority ORDER BY o_totalprice
+            |RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS DOUBLE)""".stripMargin)
+            .as("near_sum"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // Correlated scalar subquery: order price vs that customer's own avg.
+    // DataFrame form: the correlation is a window over the correlation
+    // key — one shuffle, no join.
+    Q("sub_corr_scalar",
+      """SELECT o_orderkey, round(o_totalprice, 4) AS price
+        |FROM orders o
+        |WHERE o_totalprice > 1.9 * (SELECT avg(o2.o_totalprice)
+        |                            FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""") { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+      Tables.orders(s, d)
+        .withColumn("cust_avg", avg(col("o_totalprice")).over(w))
+        .filter(col("o_totalprice") > col("cust_avg") * 1.9)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("price"))
+        .orderBy(col("o_orderkey"))
+    })
+}
