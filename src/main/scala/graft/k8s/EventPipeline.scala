@@ -132,20 +132,24 @@ object EventPipeline {
   // ------------------------------------------- service side (§3.2, P4/E3)
 
   /** E3: selector join — pods whose labels contain every (k,v) of the
-    * service's selector. Composed from built-ins as an explode + equi-join
-    * + group-count (SURVEY.md §2.1 E3): scalable (shuffles on label
-    * entries, no theta join), and empty selectors match nothing, matching
-    * the reference's labels.Set(...).AsSelector() semantics. */
+    * service's selector, scoped to the service's own namespace (reference
+    * k8sclient.go:76-81 lists Pods(namespace) with the selector — a
+    * same-labeled pod in another namespace must NOT match). Composed from
+    * built-ins as an explode + equi-join + group-count (SURVEY.md §2.1
+    * E3): scalable (shuffles on (namespace, label) entries, no theta
+    * join), and empty selectors match nothing, matching the reference's
+    * labels.Set(...).AsSelector() semantics. */
   def servicePods(services: DataFrame, pods: DataFrame): DataFrame = {
     val sel = services
-      .select(col("uid").as("service_uid"), col("selector"))
+      .select(col("uid").as("service_uid"), col("namespace").as("__ns"), col("selector"))
       .withColumn("__n_sel", size(col("selector")))
       .filter(col("__n_sel") > 0)
-      .select(col("service_uid"), col("__n_sel"),
+      .select(col("service_uid"), col("__ns"), col("__n_sel"),
         explode(col("selector")).as(Seq("__k", "__v")))
     val podLab = pods
-      .select(col("uid").as("pod_uid"), explode(col("labels")).as(Seq("__k", "__v")))
-    sel.join(podLab, Seq("__k", "__v"))
+      .select(col("uid").as("pod_uid"), col("namespace").as("__ns"),
+        explode(col("labels")).as(Seq("__k", "__v")))
+    sel.join(podLab, Seq("__ns", "__k", "__v"))
       .groupBy(col("service_uid"), col("pod_uid"), col("__n_sel"))
       .agg(count(lit(1)).as("__matched"))
       .filter(col("__matched") === col("__n_sel"))

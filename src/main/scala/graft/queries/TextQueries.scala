@@ -23,13 +23,16 @@ object TextQueries {
 
   /** Word 3-shingles of `text`, distinct, as a (doc_id, shingle) relation.
     * Shared by the minhash pipeline and its oracle twin (SQL form below).
-    */
+    * Docs with <3 tokens yield an EMPTY set: Spark's sequence(1, 0)
+    * descends to [1, 0] (step defaults to -1 when start > stop), so the
+    * degenerate case must be guarded explicitly to match DuckDB's empty
+    * range(1, 1) — and to avoid toks[-1] under ANSI mode. */
   private def shingles(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(
-          |  sequence(1, greatest(size(toks) - 2, 0)),
+          |  if(size(toks) >= 3, sequence(1, size(toks) - 2), array()),
           |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))""".stripMargin))
         .as("sh"))
   }
@@ -172,7 +175,7 @@ object TextQueries {
         .select(col("doc_id"),
           greatest(size(col("toks")) - 1, lit(0)).as("n_bigrams"),
           expr("""CAST(size(array_distinct(transform(
-            |  sequence(1, greatest(size(toks) - 1, 0)),
+            |  if(size(toks) >= 2, sequence(1, size(toks) - 1), array()),
             |  i -> concat_ws(' ', toks[i-1], toks[i])))) AS INT)""".stripMargin)
             .as("n_unique_bigrams"))
         .orderBy(col("doc_id"))
@@ -340,7 +343,7 @@ object TextQueries {
         .filter(col("doc_id") < 60)
         .select(col("doc_id"), explode(expr(
           """array_distinct(transform(
-            |  sequence(1, greatest(length(text) - 3, 1)),
+            |  if(length(text) >= 4, sequence(1, length(text) - 3), array()),
             |  i -> substring(text, i, 4)))""".stripMargin)).as("gram"))
       val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = g.as("a").join(g.as("b"),

@@ -202,7 +202,7 @@ object VectorQueries {
       import graft.functions.GraftFunctions.dot_f
       val v = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").as("e"))
-        .withColumn("nrm", sqrt(expr(normSpark)))
+        .withColumn("nrm", expr(normSpark))
         .withColumn("bucket", expr(
           """CAST(aggregate(transform(sequence(1, 8),
             |  i -> CASE WHEN e[i-1] > CAST(0.0 AS FLOAT) THEN CAST(pow(2, i - 1) AS BIGINT) ELSE CAST(0 AS BIGINT) END),

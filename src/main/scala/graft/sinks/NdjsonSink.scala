@@ -38,23 +38,31 @@ object NdjsonSink {
       batchSize: Int, gzip: Boolean = false): Int = {
     val spark = batch.sparkSession
     val lines = batch.select(to_json(struct(batch.columns.map(col): _*)).as("value"))
-    val n = lines.count()
-    if (n == 0) return 0
-    val files = math.max(1, math.ceil(n.toDouble / batchSize).toInt)
-    val routed = lines.toDF().rdd
-      .map(_.getString(0))
-      .zipWithIndex()
-      .map { case (s, i) => ((i / batchSize).toInt, s) }
-      .partitionBy(new org.apache.spark.Partitioner {
-        override def numPartitions: Int = files
-        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
-      })
-      .values
-    import spark.implicits._
-    val writer = spark.createDataset(routed).toDF("value")
-      .write.mode("overwrite")
-    val target = s"$dir/${uid}_$batchId"
-    (if (gzip) writer.option("compression", "gzip") else writer).text(target)
-    files
+    // Persist BEFORE counting: the count and the routing pass below must
+    // see the same rows. Without the pin, a non-deterministic input (a
+    // sample, an unordered limit, a changed source) could produce more
+    // rows on re-execution than n, yielding chunk keys ≥ files and a
+    // failed job — and every batch would pay the lineage twice.
+    val strs = lines.toDF().rdd.map(_.getString(0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = strs.count()
+      if (n == 0) return 0
+      val files = math.max(1, math.ceil(n.toDouble / batchSize).toInt)
+      val routed = strs
+        .zipWithIndex()
+        .map { case (s, i) => ((i / batchSize).toInt, s) }
+        .partitionBy(new org.apache.spark.Partitioner {
+          override def numPartitions: Int = files
+          override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+        })
+        .values
+      import spark.implicits._
+      val writer = spark.createDataset(routed).toDF("value")
+        .write.mode("overwrite")
+      val target = s"$dir/${uid}_$batchId"
+      (if (gzip) writer.option("compression", "gzip") else writer).text(target)
+      files
+    } finally strs.unpersist(blocking = false)
   }
 }

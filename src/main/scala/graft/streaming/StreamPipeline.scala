@@ -70,16 +70,22 @@ object StreamPipeline {
   /** The full event-side streaming query: returns the started query.
     * `objects`/`nodes` are static dimensions re-read per micro-batch
     * (stream-static join = the TTL'd lookup cache, SURVEY.md §2.1 E1/E2).
-    */
+    *
+    * Config twins honored here: the dedup horizon is
+    * `conf.dedupTtlSec` (the reference's 3600 s objectCacheExpiry,
+    * flush.go:57-62) and the trigger interval is `conf.batchIntervalSec`
+    * (the count-or-time window's time half, io/batch.go:15-37).
+    * `triggerMs` overrides the trigger for tests only. */
   def run(stream: DataFrame, objects: DataFrame, nodes: DataFrame,
       conf: GraftConfig, checkpoint: String,
-      triggerMs: Long = 1000): StreamingQuery = {
+      triggerMs: Option[Long] = None): StreamingQuery = {
     val filtered = EventPipeline.eligible(stream, conf)
-    val deduped = dedupStream(filtered)
+    val deduped = dedupStream(filtered, s"${conf.dedupTtlSec} seconds")
+    val trigger = triggerMs.getOrElse(conf.batchIntervalSec * 1000L)
     deduped.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.ProcessingTime(triggerMs))
+      .trigger(Trigger.ProcessingTime(trigger))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // E1/E2/P1-P3 run inside the batch (dimensions current per batch),
         // then W1/W2/K1-K3: count-capped NDJSON files named by batch id.

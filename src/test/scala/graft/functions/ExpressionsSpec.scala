@@ -17,10 +17,16 @@ class ExpressionsSpec extends SparkSpec {
     val pods = Seq(
       KubePod("p1", "x", "d", Map("app" -> "web", "z" -> "1"), null, "", ""),
       KubePod("p2", "y", "d", Map("app" -> "db", "env" -> "stage"), null, "", ""),
-      KubePod("p3", "z", "d", Map("app" -> "db", "env" -> "prod"), null, "", ""))
-    // predicate-form join via the custom expression
-    val viaExpr = services.toDF().select(col("uid").as("suid"), col("selector"))
-      .crossJoin(pods.toDF().select(col("uid").as("puid"), col("labels")))
+      KubePod("p3", "z", "d", Map("app" -> "db", "env" -> "prod"), null, "", ""),
+      // same labels, other namespace: must not match (k8sclient.go:76-81
+      // scopes the pod list to the service's namespace)
+      KubePod("p4", "x2", "other", Map("app" -> "web", "z" -> "1"), null, "", ""))
+    // predicate-form join via the custom expression (+ namespace scope)
+    val viaExpr = services.toDF()
+      .select(col("uid").as("suid"), col("namespace").as("sns"), col("selector"))
+      .join(pods.toDF().select(col("uid").as("puid"),
+          col("namespace").as("pns"), col("labels")),
+        col("sns") === col("pns"), "inner")
       .filter(GraftFunctions.map_contains_all(col("labels"), col("selector")))
       .select(col("suid"), col("puid"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
@@ -34,7 +40,8 @@ class ExpressionsSpec extends SparkSpec {
     pods.toDF().createOrReplaceTempView("pod_t")
     val viaSql = spark.sql(
       """SELECT s.uid, p.uid FROM svc_t s JOIN pod_t p
-        |ON map_contains_all(p.labels, s.selector)""".stripMargin)
+        |ON s.namespace = p.namespace
+        |AND map_contains_all(p.labels, s.selector)""".stripMargin)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(viaSql == viaExpr)
   }

@@ -137,6 +137,29 @@ class EventPipelineSpec extends SparkSpec {
     assert(out("none-svc").pod.isEmpty)  // empty selector matches nothing
   }
 
+  test("E3 is namespace-scoped: same-labeled pods elsewhere never match") {
+    // Reference k8sclient.go:76-81 lists Pods(namespace) with the selector;
+    // a same-labeled pod in another namespace (the normal multi-namespace
+    // case) must not match, and duplicate pod NAMES across namespaces must
+    // not collide in the P4 pod map.
+    val svcs = Seq(
+      KubeService("svc-d", "1", "web-svc", "default", Map(), Map(), Map("app" -> "web")),
+      KubeService("svc-p", "1", "web-svc", "prod", Map(), Map(), Map("app" -> "web")))
+    val ps = Seq(
+      KubePod("pd", "web-a", "default", Map("app" -> "web"),
+        ts("2024-01-01 08:00:00"), "10.0.0.5", "192.168.0.2"),
+      KubePod("pp", "web-a", "prod", Map("app" -> "web"),
+        ts("2024-01-01 08:01:00"), "10.0.1.5", "192.168.1.2"))
+    val m = EventPipeline.servicePods(svcs.toDF(), ps.toDF())
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(m == Set("svc-d" -> "pd", "svc-p" -> "pp"))
+    // P4 must not throw on the duplicate "web-a" name (one per service now)
+    val out = EventPipeline.serviceEvents(svcs.toDF(), ps.toDF(), "addedService")
+      .collect().map(e => e.namespace -> e).toMap
+    assert(out("default").pod("web-a").contains("\"ip\":\"10.0.0.5\""))
+    assert(out("prod").pod("web-a").contains("\"ip\":\"10.0.1.5\""))
+  }
+
   test("D2 batch form keeps the numerically-newest resourceVersion") {
     val versioned = Seq(
       KubeService("s", "9", "svc", "default", Map(), Map(), Map()),

@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input regression tests for the text operators: documents
+  * with 0-2 tokens (or <4 chars) must yield EMPTY shingle / bigram /
+  * 4-gram sets, not a descending sequence(1, 0) = [1, 0] that indexes
+  * toks[-1] (an INVALID_ARRAY_INDEX under ANSI mode) or fabricates a
+  * bogus short gram the DuckDB oracle doesn't emit. */
+class TextQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // A documents table full of degenerate rows (every fixture doc is long,
+  // which is exactly why these paths were unexercised).
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("shortdocs").toString
+    Seq(
+      (1L, "a", "en", "short", 1L),
+      (2L, "a b", "en", "short", 3L),
+      (3L, "ab", "en", "short", 2L),
+      (4L, "the of and x", "en", "short", 12L),
+      (5L, "abcd", "en", "short", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("shingle pipeline yields no shingles for docs with <3 tokens") {
+    val sig = run("dedup_minhash_sig").collect()
+    // only doc 4 has >=3 tokens → 8 signature rows for it, none for 1/2/3/5
+    assert(sig.map(_.getLong(0)).distinct.toSeq == Seq(4L))
+    assert(sig.length == 8)
+  }
+
+  test("bigram count is 0 for single-token docs (no toks[-1] access)") {
+    val rows = run("text_ngrams").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(rows(1L) == ((0, 0)))   // one token: zero bigrams both ways
+    assert(rows(2L) == ((1, 1)))
+    assert(rows(4L) == ((3, 3)))
+  }
+
+  test("char 4-grams are empty for texts shorter than 4 chars") {
+    // dedup_ngram_jaccard explodes 4-grams for doc_id < 60; docs 1/2/3
+    // (len 1/3/2) must contribute no grams, so no pair involves them
+    // except via genuinely shared 4-grams (none here).
+    val pairs = run("dedup_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.forall { case (a, b) => a >= 4L && b >= 4L })
+  }
+}

@@ -114,7 +114,7 @@ class StreamPipelineSpec extends SparkSpec {
       """{"uid":"o1","name":"w","namespace":"default","start_time":"2024-01-01T09:00:00","ip":"1.2.3.4","host_ip":"5.6.7.8"}""")).toDF()
     val nodes = Seq(KubeNode("n1", Seq("5.6.7.8"))).toDF()
     val conf = GraftConfig(uid = "pipe", batchSize = 2, fileSinkDir = tmp)
-    val q = StreamPipeline.run(in.toDF(), objects, nodes, conf, ckpt, triggerMs = 100)
+    val q = StreamPipeline.run(in.toDF(), objects, nodes, conf, ckpt, triggerMs = Some(100))
     def ev(uid: String, ns: String) = KubeEvent(uid, ts("2024-01-01 10:00:00"),
       uid, ns, "Scheduled", s"m-$uid", "Normal", Some(1),
       ObjectRef("v1", "Pod", "w", ns, "1", "o1"), EventSource("kubelet", "n1"))
