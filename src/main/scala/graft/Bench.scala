@@ -16,6 +16,16 @@ object Bench {
     // Warm the JVM/codegen once on the smallest SF so per-query times
     // measure the engine, not first-query class loading.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Warm the bench SF itself: file listing, parquet footers, and the OS
+    // page cache for every table, so the first timed query that touches a
+    // table isn't charged for one-time IO the others get for free.
+    Tables.names.foreach { n =>
+      try {
+        val df = if (n == "events") Tables.events(spark, sfDir)
+                 else Tables.load(spark, sfDir, n)
+        df.count()
+      } catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -16,7 +16,8 @@ object SparkEntry {
     RelationalQueries.all ++ ScalarQueries.all ++ ScalarQueries2.all ++
       TextQueries.all ++ VectorQueries.all ++
       K8sQueries.all ++ StreamingQueries.all ++
-      ExtensionQueries.all ++ ScaleQueries.all
+      ExtensionQueries.all ++ ScaleQueries.all ++
+      TemporalQueries.all ++ ClusterQueries.all ++ AnalyticQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,166 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Third-wave analytic surface: pivot/unpivot reshaping, statistical
+  * aggregates, exact percentiles, distribution window functions, and
+  * deterministic (hash-based) stratified sampling.
+  *
+  * Determinism notes: hash sampling uses an md5 nibble (identical hex in
+  * both engines) rather than engine RNG — reproducible sampling is also
+  * what a 100 TB pipeline wants (re-runs select the same rows, samples
+  * are join-stable across tables). Covariance is exercised on the
+  * small-magnitude pair (discount, tax): both engines stream co-moments
+  * in different orders, and on ~1e5-magnitude pairs the float noise
+  * reaches the 4th decimal; on ~1e-3 magnitudes it cannot.
+  */
+object AnalyticQueries {
+
+  private val years = 1995 to 2001
+
+  def all: Seq[Q] = Seq(
+
+    // PIVOT: order counts per priority × order-year. Spark's pivot with
+    // explicit values keeps the plan a single partial+final aggregate
+    // (no per-year scans); explicit values also make it streaming-safe
+    // and schema-stable — at 100 TB you never want a distinct-scan to
+    // discover pivot columns.
+    Q("pivot_year",
+      s"""SELECT o_orderpriority,
+         |${years.map(y =>
+             s"  CAST(count(*) FILTER (WHERE year(o_orderdate) = $y) AS BIGINT) AS y$y")
+           .mkString(",\n")}
+         |FROM orders
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""") { (s, d) =>
+      val piv = Tables.orders(s, d)
+        .withColumn("yr", year(col("o_orderdate")))
+        .groupBy(col("o_orderpriority"))
+        .pivot("yr", years.map(Integer.valueOf))
+        .agg(count(lit(1)))
+      years.foldLeft(piv) { (df, y) =>
+        df.withColumn(s"y$y", coalesce(col(s"`$y`"), lit(0L))).drop(y.toString)
+      }.orderBy(col("o_orderpriority"))
+    },
+
+    // UNPIVOT: the four lineitem measures melted to (metric, value) rows
+    // then re-aggregated — the long-form reshape feature pipelines use
+    // before per-metric normalization. Spark's unpivot is a zero-shuffle
+    // Expand (each input row emits 4), so the only shuffle is the
+    // 4-group aggregate.
+    Q("unpivot_measures",
+      """SELECT metric,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  round(avg(value), 4) AS mean,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |GROUP BY metric
+        |ORDER BY metric""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .unpivot(Array.empty,
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .groupBy(col("metric"))
+        .agg(
+          expr("CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)").as("total"),
+          round(avg(col("value")), 4).as("mean"),
+          count(lit(1)).as("n"))
+        .orderBy(col("metric"))
+    },
+
+    // Statistical aggregates: sample stddev/variance, correlation,
+    // covariance — single-pass co-moment aggregates, partial+final like
+    // any sum.
+    Q("agg_stats",
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price,
+        |  round(covar_samp(l_discount, l_tax), 4) + 0.0 AS cov_disc_tax
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          // + 0.0 collapses IEEE -0.0 (a rounded tiny negative) to 0.0
+          // identically in both engines
+          (round(corr(col("l_quantity"), col("l_extendedprice")), 4) + 0.0).as("corr_qty_price"),
+          (round(covar_samp(col("l_discount"), col("l_tax")), 4) + 0.0).as("cov_disc_tax"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Exact percentiles with linear interpolation (Spark `percentile` ==
+    // DuckDB `quantile_cont`). Exact quantiles need a per-group sort; at
+    // 100 TB swap in approx_percentile (t-digest) — declared rows-only
+    // next to agg_approx_distinct for the same reason (sketch internals
+    // are implementation-specific).
+    Q("agg_percentiles",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+        |  round(median(l_extendedprice), 4) AS med_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+          round(expr("median(l_extendedprice)"), 4).as("med_price"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Distribution window functions: percent_rank, cume_dist, nth_value.
+    // The window orders by (acctbal, custkey) — a unique composite, so
+    // RANGE vs ROWS framing cannot diverge between engines.
+    Q("win_percent_cume",
+      """SELECT c_custkey, c_mktsegment,
+        |  round(percent_rank() OVER w, 4) AS pr,
+        |  round(cume_dist() OVER w, 4) AS cd,
+        |  round(nth_value(c_acctbal, 3) OVER w, 4) AS third_bal
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""") { (s, d) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(percent_rank().over(w), 4).as("pr"),
+          round(cume_dist().over(w), 4).as("cd"),
+          round(nth_value(col("c_acctbal"), 3).over(w), 4).as("third_bal"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Deterministic stratified sample: per-stratum rates driven by an
+    // md5 nibble of the key — 4/16 of BUILDING customers, 2/16 of every
+    // other segment. Reproducible, cluster-size-independent, and
+    // join-stable (sampling customer and its orders by the same key
+    // keeps referential integrity — the property pipelines need).
+    Q("sample_stratified",
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE (strpos('0123456789abcdef',
+        |         substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1)) - 1)
+        |      < CASE WHEN c_mktsegment = 'BUILDING' THEN 4 ELSE 2 END
+        |ORDER BY c_custkey""") { (s, d) =>
+      Tables.customer(s, d)
+        .filter(
+          (expr("instr('0123456789abcdef', substring(md5(CAST(c_custkey AS STRING)), 1, 1))") - 1)
+            < when(col("c_mktsegment") === "BUILDING", 4).otherwise(2))
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    })
+}

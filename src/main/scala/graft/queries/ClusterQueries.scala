@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
+
+/** Dedup-cluster resolution and corpus statistics — the step AFTER
+  * near-dup pair detection in a training-data pipeline: candidate pairs
+  * form a graph; each connected component is "one document", represented
+  * by its minimum doc_id; every other member is a drop candidate.
+  *
+  * Spark-first strategy: iterative min-label propagation over the edge
+  * relation (each round = one equi-join + one keyed min-aggregation,
+  * both plain shuffles). Rounds needed = the longest min-label path in
+  * the graph — near-dup clusters are shallow (dup groups, not social
+  * graphs), so a handful of rounds; the 100 TB upgrade is the
+  * large-star/small-star variant of exactly these two relational steps
+  * (same join shapes, provably O(log n) rounds), not a different engine.
+  * Convergence is detected distributively (a count of changed labels —
+  * a 1-row action per round, no data on the driver).
+  */
+object ClusterQueries {
+
+  /** 8-seed MinHash signature relation (doc_id, seed, mh) — the same
+    * signature pipeline dedup_minhash_sig declares, shared here to build
+    * the candidate-pair graph. */
+  private def minhashSigs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    TextQueries.shingles(s, d)
+      .crossJoin(broadcast(s.range(0, 8).select(col("id").cast("int").as("seed"))))
+      .select(col("doc_id"), col("seed"),
+        md5(concat(col("seed").cast("string"), lit("|"), col("sh"))).as("hv"))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(col("hv")).as("mh"))
+
+  def all: Seq[Q] = Seq(
+
+    // Connected components over the MinHash LSH candidate graph: every
+    // document labeled with the minimum doc_id reachable through
+    // near-dup candidate edges (singletons label themselves). The
+    // DuckDB oracle computes the same fixpoint as a recursive
+    // transitive closure — a completely different evaluation strategy
+    // reaching the same labeling.
+    Q("dedup_cluster_cc",
+      s"""WITH RECURSIVE
+         |sh AS (${TextQueries.shinglesSql}),
+         |h AS (SELECT doc_id, r.seed AS seed,
+         |        min(md5(CAST(r.seed AS VARCHAR) || '|' || sh)) AS mh
+         |      FROM sh, range(0, 8) r(seed)
+         |      GROUP BY doc_id, r.seed),
+         |e AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+         |      FROM h a JOIN h b ON a.seed = b.seed AND a.mh = b.mh
+         |        AND a.doc_id < b.doc_id),
+         |sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+         |reach(u, v) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+         |SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS cluster_rep,
+         |  CAST(count(*) AS BIGINT) AS n_reachable
+         |FROM reach GROUP BY u
+         |ORDER BY doc_id""") { (s, d) =>
+      val h = minhashSigs(s, d)
+        .persist(StorageLevel.MEMORY_AND_DISK) // self-joined below
+      val e = h.as("a").join(h.as("b"),
+          col("a.seed") === col("b.seed") && col("a.mh") === col("b.mh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
+        .distinct()
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      sym.count() // materialize once; h no longer needed after this
+      h.unpersist(blocking = false)
+      // n_reachable (component size via closure in the oracle) is
+      // recovered relationally at the end: members per final label.
+      //
+      // Each round ends in an EAGER localCheckpoint: without it the
+      // logical plan nests the previous round's plan (twice — the join
+      // and the convergence check), growing exponentially until plan
+      // analysis itself dies around round 20. Checkpointing resets the
+      // plan to the materialized RDD — the standard Spark shape for
+      // iterative algorithms (on a cluster, reliable checkpoints to the
+      // checkpoint dir serve the same role with fault tolerance).
+      var labels = Tables.documents(s, d)
+        .select(col("doc_id"), col("doc_id").as("rep"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 50) {
+        val viaNbr = sym
+          .join(labels.select(col("doc_id").as("v"), col("rep")), Seq("v"))
+          .groupBy(col("u").as("doc_id"))
+          .agg(min(col("rep")).as("nbr_rep"))
+        val next = labels
+          .join(viaNbr, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+          .localCheckpoint(true)
+        changed = next.join(labels.select(col("doc_id"), col("rep").as("old")),
+            Seq("doc_id"))
+          .filter(col("rep") =!= col("old")).count()
+        labels = next
+        rounds += 1
+      }
+      val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("n_reachable"))
+      labels
+        .join(sizes, Seq("rep"))
+        .select(col("doc_id"), col("rep").as("cluster_rep"), col("n_reachable"))
+        .orderBy(col("doc_id"))
+    },
+
+    // TF-IDF top-3 terms per document. Ranking uses the integer order
+    // (tf DESC, df ASC, term) — the same order tf*ln(N/df) induces for a
+    // fixed doc except at mathematically-equal scores, where float
+    // ulp differences between engines could otherwise flip ranks; the
+    // integer sort is engine-independent by construction.
+    Q("text_tfidf",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |ranked AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rk
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  tfidf, CAST(rk AS INT) AS rk
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id, rk""") { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term"))
+      tf.join(df, Seq("term"))
+        .crossJoin(broadcast(n)) // 1-row scalar: broadcast, never a shuffle
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n").cast("double") / col("df")), 4))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("tfidf"), col("rk"))
+        .orderBy(col("doc_id"), col("rk"))
+    })
+}

@@ -13,6 +13,28 @@ object ScaleQueries {
   private def tmpDir(tag: String, d: String): String =
     s"/tmp/graft-rt-$tag-${math.abs(d.hashCode)}"
 
+  /** Idempotent bucketed-table materialization. First call per sf dir
+    * writes + registers; later calls (same JVM: catalog hit; new JVM:
+    * _SUCCESS present) just (re)register the external bucketed table —
+    * DDL carries the CLUSTERED/SORTED BY metadata a plain parquet read
+    * would lose. */
+  private def ensureBucketed(s: org.apache.spark.sql.SparkSession,
+      table: String, path: String, schema: String, key: String,
+      data: => org.apache.spark.sql.DataFrame): Unit = {
+    val written = new java.io.File(s"$path/_SUCCESS").exists
+    if (!written) {
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      data.write.mode("overwrite").format("parquet")
+        .bucketBy(8, key).sortBy(key)
+        .option("path", path).saveAsTable(table)
+    } else if (!s.catalog.tableExists(table)) {
+      s.sql(
+        s"""CREATE TABLE $table ($schema) USING parquet
+           |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+           |LOCATION '$path'""".stripMargin)
+    }
+  }
+
   def all: Seq[Q] = Seq(
 
     // Skew mitigation by salting: the big side gets a salt from a stable
@@ -43,7 +65,9 @@ object ScaleQueries {
     // Co-located join via bucketing: both sides bucketed 8 ways on the
     // join key → the join needs NO shuffle (no Exchange above the scans;
     // check with graft.Explain). This is the 100 TB fact-fact join
-    // strategy: pay the shuffle once at write time, never per query.
+    // strategy: pay the shuffle once at write time, never per query —
+    // which is why the bucketed copies are written at most once per sf
+    // dir (testdata is immutable) and re-registered from disk afterwards.
     Q("join_bucketed",
       s"""SELECT o_orderpriority,
          |  CAST(count(*) AS BIGINT) AS n_items,
@@ -52,16 +76,12 @@ object ScaleQueries {
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""") { (s, d) =>
       val dir = tmpDir("bucket", d)
-      Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_quantity"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$dir/li").saveAsTable("graft_li_bucketed")
-      Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_orderpriority"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$dir/ord").saveAsTable("graft_ord_bucketed")
+      ensureBucketed(s, "graft_li_bucketed", s"$dir/li",
+        "l_orderkey BIGINT, l_quantity DOUBLE", "l_orderkey",
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")))
+      ensureBucketed(s, "graft_ord_bucketed", s"$dir/ord",
+        "o_orderkey BIGINT, o_orderpriority STRING", "o_orderkey",
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")))
       // merge hint: at this SF the planner would broadcast the small
       // side; the point of the exemplar is the bucketed sort-merge join
       // with NO Exchange below it (the 100 TB fact-fact path).

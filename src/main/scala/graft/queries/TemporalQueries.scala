@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Temporal join operators the reference's event model implies but no
+  * Spark built-in expresses directly — chiefly the AS-OF join ("enrich
+  * each event with the most recent prior state"), the time-series twin
+  * of the reference's lookup-cache join (k8sclient.go:124-159 resolves
+  * each event against the object state current AT THAT MOMENT; the cache
+  * approximates as-of with a TTL).
+  *
+  * Spark-first strategy: NOT a range join (quadratic candidates, ~no
+  * pushdown). Both sides are tagged, unioned, and swept with one
+  * `last(..., ignoreNulls)` window over (key, time) — a single shuffle
+  * on the key, one sort, one linear pass. This is the shape that
+  * survives 100 TB: shuffle width = key cardinality, no pair blow-up,
+  * and AQE handles key skew as for any other keyed sort.
+  */
+object TemporalQueries {
+
+  def all: Seq[Q] = Seq(
+
+    // AS-OF join: each purchase picks the latest click by the same user
+    // at-or-before the purchase time (ties on ts broken by highest
+    // event_id — both engines pin the same winner). LEFT semantics:
+    // purchases with no prior click keep nulls.
+    Q("join_asof",
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     b AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |       l.click_id, l.click_ts, l.click_value
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT b.event_id AS click_id, b.ts AS click_ts,
+        |         round(b.value, 4) AS click_value
+        |  FROM b WHERE b.user_id = p.user_id AND b.ts <= p.ts
+        |  ORDER BY b.ts DESC, b.event_id DESC LIMIT 1
+        |) l ON true
+        |ORDER BY p.event_id""") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("side"),
+          col("event_id").as("src_id"), col("value").as("src_value"))
+      val build = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          col("event_id").as("src_id"), col("value").as("src_value"))
+      // side=0 sorts before side=1 at equal ts: an equal-timestamp click
+      // is visible to the purchase (inclusive as-of, b.ts <= p.ts).
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"), col("src_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      build.unionByName(probe)
+        .withColumn("b", when(col("side") === 0,
+          struct(col("ts").as("click_ts"), col("src_id").as("click_id"),
+            col("src_value").as("click_value"))))
+        .withColumn("asof", last(col("b"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("src_id").as("event_id"), col("user_id"), col("ts"),
+          col("asof.click_id").as("click_id"),
+          col("asof.click_ts").as("click_ts"),
+          round(col("asof.click_value"), 4).as("click_value"))
+        .orderBy(col("event_id"))
+    },
+
+    // AS-OF with tolerance: same sweep, but a match older than 6 hours
+    // is discarded (the reference's TTL'd cache analog: stale state is a
+    // miss, k8sclient.go TTL 3600s). Demonstrates that the window sweep
+    // composes with a post-predicate instead of needing a range join.
+    Q("join_asof_tolerance",
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     b AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id, l.signup_id
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT b.event_id AS signup_id
+        |  FROM b WHERE b.user_id = p.user_id AND b.ts <= p.ts
+        |    AND b.ts >= p.ts - INTERVAL 6 HOUR
+        |  ORDER BY b.ts DESC, b.event_id DESC LIMIT 1
+        |) l ON true
+        |ORDER BY p.event_id""") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("side"), col("event_id").as("src_id"))
+      val build = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), lit(0).as("side"), col("event_id").as("src_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"), col("src_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      build.unionByName(probe)
+        .withColumn("b", when(col("side") === 0,
+          struct(col("ts").as("b_ts"), col("src_id").as("b_id"))))
+        .withColumn("asof", last(col("b"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("src_id").as("event_id"), col("user_id"),
+          when(col("asof.b_ts") >= col("ts") - expr("INTERVAL 6 HOUR"),
+            col("asof.b_id")).as("signup_id"))
+        .orderBy(col("event_id"))
+    })
+}

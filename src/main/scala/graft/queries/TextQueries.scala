@@ -27,7 +27,7 @@ object TextQueries {
     * descends to [1, 0] (step defaults to -1 when start > stop), so the
     * degenerate case must be guarded explicitly to match DuckDB's empty
     * range(1, 1) — and to avoid toks[-1] under ANSI mode. */
-  private def shingles(s: SparkSession, d: String): DataFrame = {
+  private[queries] def shingles(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(
@@ -39,7 +39,7 @@ object TextQueries {
 
   // DuckDB twin of the shingle relation (toks is 1-indexed there; range(a,b)
   // is exclusive of b, giving positions 1..len-2).
-  private val shinglesSql =
+  private[queries] val shinglesSql =
     """SELECT doc_id, unnest(list_distinct(sh)) AS sh FROM (
       |  SELECT doc_id, list_transform(range(1, greatest(len(toks) - 1, 1)),
       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh

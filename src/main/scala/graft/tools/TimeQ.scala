@@ -1,0 +1,33 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+import org.apache.spark.sql.SparkSession
+
+/** Repeat-timing harness for individual queries:
+  *   runMain graft.tools.TimeQ <sfDir> <reps> <query> [query ...]
+  * Prints per-rep wall seconds — separates genuine cost from first-run
+  * JIT/IO warm-up that Bench's single pass can't distinguish.
+  */
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val reps = args(1).toInt
+    val names = args.drop(2).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(SparkSession.builder())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-24s ${times.map(t => f"$t%.2f").mkString(" ")}")
+    }
+    spark.stop()
+  }
+}
