@@ -96,12 +96,22 @@ object ClusterQueries {
           .join(viaNbr, Seq("doc_id"), "left_outer")
           .select(col("doc_id"),
             least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+        // Pointer jump (path halving): rep ← rep(rep). Labels only ever
+        // shrink within the component, so the jump preserves the fixpoint
+        // while letting labels travel 2^round hops instead of `round` —
+        // the cheap half of the large-star/small-star O(log n) bound.
+        val jumped = next
+          .join(next.select(col("doc_id").as("rep"), col("rep").as("rep2")),
+            Seq("rep"))
+          .select(col("doc_id"), col("rep2").as("rep"))
           .localCheckpoint(true)
-        changed = next.join(labels.select(col("doc_id"), col("rep").as("old")),
+        changed = jumped.join(labels.select(col("doc_id"), col("rep").as("old")),
             Seq("doc_id"))
           .filter(col("rep") =!= col("old")).count()
-        labels = next
+        labels = jumped
         rounds += 1
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          println(s"[cc] round $rounds changed=$changed")
       }
       val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("n_reachable"))
       labels
