@@ -177,5 +177,43 @@ object StreamingQueries {
           unix_timestamp(col("session_window.start")).as("session_start"),
           col("n_events"))
         .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // Arbitrary stateful processing on the v2 state API
+    // (transformWithState + RocksDB state store): per-user monotone
+    // high-water filter — emit events whose value strictly exceeds all
+    // prior values. Final state over the replay equals the batch
+    // running-max window query (the oracle); incremental/TTL behavior
+    // of the same API is pinned by VersionedDedupProcessorSpec.
+    Q("stream_monotone_tws",
+      """SELECT event_id, user_id, round(value, 4) AS value FROM (
+        |  SELECT event_id, user_id, value,
+        |    max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+        |  FROM events)
+        |WHERE prior_max IS NULL OR value > prior_max
+        |ORDER BY event_id""") { (s, d) =>
+      import graft.streaming.{EventRec, RunningMaxProcessor}
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        runToTable(s, d, "append") { src =>
+          src.select(col("event_id"), col("ts"), col("user_id"), col("value"))
+            .as[EventRec]
+            .groupByKey(_.user_id)
+            .transformWithState(new RunningMaxProcessor,
+              TimeMode.None(), OutputMode.Append())
+            .toDF()
+        }.select(col("event_id"), col("user_id"),
+          round(col("value"), 4).as("value"))
+          .orderBy(col("event_id"))
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
     })
 }
