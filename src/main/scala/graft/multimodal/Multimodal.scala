@@ -65,4 +65,24 @@ object Multimodal {
       it.map(fakeDecode)
     }
   }
+
+  /** Frame sampling: metadata-driven expansion of a media payload into
+    * evenly-spaced frame rows — up to `maxSamples` frames of
+    * `frameBytes` each, with a per-frame content hash. Fully relational
+    * (sequence + explode + byte-slice), so it runs inside whole-stage
+    * codegen and scales like any generator: no payload ever leaves its
+    * partition, rows out = O(maxSamples) per media. The byte-slice
+    * stands in for a real frame decode (same shape: offset + length
+    * into the payload). */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 64,
+      maxSamples: Int = 4): DataFrame =
+    media
+      .withColumn("frames",
+        expr(s"greatest(1, CAST(octet_length(payload) div $frameBytes AS INT))"))
+      .withColumn("frame_idx",
+        explode(expr(s"sequence(0, frames - 1, greatest(1, frames div $maxSamples))")))
+      .select(col("media_id"),
+        col("frame_idx").cast("int").as("frame_idx"),
+        md5(expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
+          .as("frame_hash"))
 }

@@ -129,6 +129,28 @@ object ExtensionQueries {
         .orderBy(col("media_id"))
     },
 
+    // Frame sampling: metadata-driven explode of each payload into up
+    // to 4 evenly-spaced 64-byte "frames" with per-frame hashes — the
+    // video-frame-sampling shape (decode stays stubbed as a byte slice;
+    // the relational plumbing is the real part). Oracle slices the same
+    // ASCII text (byte == char here, both engines md5 the same bytes).
+    Q("mm_framesample",
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |    greatest(1, length(text) // 64) AS frames
+        |  FROM documents),
+        |x AS (SELECT media_id, text,
+        |    unnest(range(0, frames, greatest(1, frames // 4))) AS frame_idx
+        |  FROM m)
+        |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  md5(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_hash
+        |FROM x
+        |ORDER BY media_id, frame_idx""") { (s, d) =>
+      Multimodal.sampleFrames(
+          Multimodal.attachPayload(Tables.documents(s, d)),
+          frameBytes = 64, maxSamples = 4)
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+
     // NDJSON + gzip sink → schema'd NDJSON source round-trip (K1/K2/W2 as
     // batch operators); oracle computes the same aggregate off parquet.
     Q("src_ndjson_roundtrip",

@@ -95,6 +95,41 @@ object ScaleQueries {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Pure interval join (NO equi key) made scalable by banding: each
+    // interval is exploded to the fixed-width bands it overlaps, the
+    // probe row maps to exactly one band, and the join is an EQUI join
+    // on band with the exact range predicate as a residual filter. The
+    // naive form is a cross-ish BroadcastNestedLoopJoin (quadratic at
+    // scale); the banded form shuffles on band keys — candidates are
+    // only same-band pairs, which is the standard range-join
+    // optimization. Intervals OVERLAP (width 60, stride 40), so a value
+    // can match two intervals — a genuine interval join, not a
+    // partitioning.
+    Q("join_range_banded",
+      """WITH iv AS (SELECT CAST(i AS INT) AS iv_id,
+        |    i * 40.0 AS lo, i * 40.0 + 60.0 AS hi
+        |  FROM range(0, 12) t(i))
+        |SELECT iv_id,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
+        |FROM events JOIN iv ON "value" >= lo AND "value" < hi
+        |GROUP BY iv_id
+        |ORDER BY iv_id""") { (s, d) =>
+      val bandW = 20
+      val iv = s.range(0, 12).select(col("id").cast("int").as("iv_id"),
+        (col("id") * 40.0).as("lo"), (col("id") * 40.0 + 60.0).as("hi"))
+      val ivBands = iv.withColumn("__band",
+        explode(expr(s"sequence(CAST(floor(lo / $bandW) AS INT), CAST(floor(hi / $bandW) AS INT))")))
+      val ev = Tables.events(s, d)
+        .select(col("value"), floor(col("value") / bandW).cast("int").as("__band"))
+      ev.join(ivBands, Seq("__band"))
+        .filter(col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("iv_id"))
+        .agg(count(lit(1)).as("cnt"),
+          expr("CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)").as("val_sum"))
+        .orderBy(col("iv_id"))
+    },
+
     // (Streaming session windows only support append mode, whose
     // emission depends on watermark-boundary semantics unsuitable for a
     // final-state oracle over a finite replay — the batch form is
