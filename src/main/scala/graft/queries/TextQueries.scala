@@ -181,6 +181,34 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Sequence packing / document chunking: fixed 32-token windows with
+    // 8-token overlap (stride 24) — the chunking step that feeds a
+    // training tokenizer. Pure generator shape (sequence of starts +
+    // explode + slice): rows out = O(n_tokens/stride) per doc, no
+    // shuffle until the final sort, everything inside codegen.
+    Q("text_chunk",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |    unnest(range(0, len(toks), 24)) AS start,
+        |    toks
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(start // 24 AS INT) AS chunk_idx,
+        |  CAST(len(list_slice(toks, start + 1, start + 32)) AS INT) AS n_chunk_tokens,
+        |  md5(array_to_string(list_slice(toks, start + 1, start + 32), ' ')) AS chunk_hash
+        |FROM c
+        |ORDER BY doc_id, chunk_idx""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(0, size(toks) - 1, 24)")).as("start"))
+        .select(col("doc_id"),
+          expr("CAST(start div 24 AS INT)").as("chunk_idx"),
+          expr("size(slice(toks, start + 1, 32))").as("n_chunk_tokens"),
+          md5(expr("concat_ws(' ', slice(toks, start + 1, 32))")).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // ------------------------------------------------------------- dedup
     // Exact dedup: hash of normalized text → keeper per hash group. The
     // 100 TB form: one shuffle on the 32-byte hash, min-combiner map-side.

@@ -247,5 +247,40 @@ object VectorQueries {
         .groupBy(col("vec_id"), col("label"))
         .agg(round(sqrt(sum(col("sq"))), 4).as("dist"))
         .orderBy(col("vec_id"))
+    },
+
+    // Scalar int8 quantization — the embedding-compression step of a
+    // 100 TB vector pipeline (4× smaller, SIMD-friendly dot products):
+    // per-vector symmetric scale = max|x|/127, q = ⌊x/scale + 0.5⌋
+    // (floor-form in BOTH engines — engine round() tie rules differ),
+    // with the reconstruction error as the quality metric. Elementwise
+    // higher-order functions only: no shuffle at all before the output
+    // sort.
+    Q("sim_quantize_int8",
+      """SELECT vec_id,
+        |  round(scale, 6) AS scale,
+        |  CAST(list_max(list_transform(embedding,
+        |    x -> abs(CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)))) AS BIGINT) AS max_q,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |    x -> pow(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale, 2)))), 4) AS recon_err
+        |FROM (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings)
+        |ORDER BY vec_id""") { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("e"))
+        .withColumn("scale",
+          expr("array_max(transform(e, x -> abs(CAST(x AS DOUBLE)))) / 127.0"))
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale"),
+          expr("""CAST(array_max(transform(e,
+            |  x -> abs(CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)))) AS BIGINT)""".stripMargin)
+            .as("max_q"),
+          round(expr("""sqrt(aggregate(transform(e,
+            |  x -> pow(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale, 2)),
+            |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))""".stripMargin), 4)
+            .as("recon_err"))
+        .orderBy(col("vec_id"))
     })
 }
