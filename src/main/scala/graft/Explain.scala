@@ -21,10 +21,13 @@ object Explain {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!name.startsWith("stream_")) {
           try {
-            val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+            // explainString, not executedPlan.toString: AQE's top node
+            // hides the subtree until the final plan materializes.
+            val plan = fn(spark, sfDir).queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
             val pushed = plan.contains("PushedFilters: [") &&
               !plan.split("PushedFilters: ").tail.forall(_.startsWith("[]"))
-            val codegen = plan.contains("WholeStageCodegen")
+            val codegen = plan.contains("codegen id")
             val bhj = plan.contains("BroadcastHashJoin")
             val smj = plan.contains("SortMergeJoin")
             println(f"$name%-28s codegen=$codegen%-5s pushed=$pushed%-5s bhj=$bhj%-5s smj=$smj")
