@@ -120,6 +120,60 @@ object ClusterQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The full corpus-preparation pipeline as ONE declarative DAG —
+    // quality filter → language filter → exact dedup (keep min doc_id
+    // per content hash) → 32-token/8-overlap chunking. Each stage is
+    // the oracle-checked operator declared elsewhere (text_quality,
+    // text_langid, dedup_exact, text_chunk); the composition shows the
+    // engine end-to-end: filters fuse into the scan, dedup is one
+    // window over the content hash, chunking is a generator — a single
+    // job, no driver loops. (Near-dup removal composes the same way by
+    // semi-joining dedup_cluster_cc's reps; kept out of the oracle to
+    // avoid doubling the recursive-CTE cost.)
+    Q("pipeline_corpus",
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |q AS (SELECT * FROM t WHERE len(toks) >= 20
+        |  AND CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        |      / len(toks) <= 0.5),
+        |l AS (SELECT * FROM q
+        |  WHERE len(list_filter(toks, x -> x IN ('the', 'a', 'key', 'row')))
+        |        >= len(list_filter(toks, x -> x IN ('der', 'und', 'wert', 'tabelle')))
+        |    AND len(list_filter(toks, x -> x IN ('the', 'a', 'key', 'row')))
+        |        >= len(list_filter(toks, x -> x IN ('le', 'et', 'valeur')))),
+        |k AS (SELECT doc_id, toks,
+        |    row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+        |  FROM l),
+        |c AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start
+        |  FROM k WHERE rn = 1)
+        |SELECT doc_id,
+        |  CAST(start // 24 AS INT) AS chunk_idx,
+        |  CAST(len(list_slice(toks, start + 1, start + 32)) AS INT) AS n_chunk_tokens,
+        |  md5(array_to_string(list_slice(toks, start + 1, start + 32), ' ')) AS chunk_hash
+        |FROM c
+        |ORDER BY doc_id, chunk_idx""") { (s, d) =>
+      val stop = "x IN ('the', 'a', 'of', 'and', 'to')"
+      val t = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")))
+      val q = t.filter(col("n_tokens") >= 20 &&
+        expr(s"size(filter(toks, x -> $stop))").cast("double") / col("n_tokens") <= 0.5)
+      val l = q
+        .withColumn("s_en", expr("size(filter(toks, x -> x IN ('the', 'a', 'key', 'row')))"))
+        .withColumn("s_de", expr("size(filter(toks, x -> x IN ('der', 'und', 'wert', 'tabelle')))"))
+        .withColumn("s_fr", expr("size(filter(toks, x -> x IN ('le', 'et', 'valeur')))"))
+        .filter(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"))
+      val w = Window.partitionBy(md5(lower(trim(col("text"))))).orderBy(col("doc_id"))
+      l.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(0, size(toks) - 1, 24)")).as("start"))
+        .select(col("doc_id"),
+          expr("CAST(start div 24 AS INT)").as("chunk_idx"),
+          expr("size(slice(toks, start + 1, 32))").as("n_chunk_tokens"),
+          md5(expr("concat_ws(' ', slice(toks, start + 1, 32))")).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // TF-IDF top-3 terms per document. Ranking uses the integer order
     // (tf DESC, df ASC, term) — the same order tf*ln(N/df) induces for a
     // fixed doc except at mathematically-equal scores, where float
