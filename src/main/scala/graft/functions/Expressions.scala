@@ -118,6 +118,50 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `shingle_gen(text, n)` — custom Generator (UDTF): emits the word
+  * n-shingles of `text` as rows, one UTF8String per shingle, straight
+  * from the tokenizer — no intermediate array-of-strings column like
+  * the transform+sequence+explode composition builds. Completes the
+  * engine's extension-point triad (scalar Expression / UDAF /
+  * Generator, SURVEY.md §2.2 UDF table). Generators run in GenerateExec
+  * (CodegenFallback here — only collection explodes have a codegen
+  * path); rows out = O(tokens) per input row, nothing driver-side. */
+case class ShingleGenerator(child: Expression, n: Expression)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def children: Seq[Expression] = Seq(child, n)
+
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("sh", StringType)))
+
+  private lazy val space = UTF8String.fromString(" ")
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val s = child.eval(input)
+    val kv = n.eval(input)
+    if (s == null || kv == null) return Nil
+    val k = kv.asInstanceOf[Int]
+    if (k <= 0) return Nil
+    val toks = s.asInstanceOf[UTF8String].split(space, -1)
+    if (toks.length < k) Nil
+    else (0 to toks.length - k).iterator.map { i =>
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = toks(i + j); j += 1 }
+      new GenericInternalRow(Array[Any](UTF8String.concatWs(space, parts: _*)))
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), n = newChildren(1))
+}
+
 object GraftFunctions {
   import ColumnBridge.{column, expression}
 
@@ -127,12 +171,17 @@ object GraftFunctions {
   def dot_f(a: Column, b: Column): Column =
     column(DotProductFloat(expression(a), expression(b)))
 
-  /** Register SQL names (`map_contains_all`, `dot_f`). */
+  def shingle_gen(text: Column, n: Column): Column =
+    column(ShingleGenerator(expression(text), expression(n)))
+
+  /** Register SQL names (`map_contains_all`, `dot_f`, `shingle_gen`). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("map_contains_all",
       exprs => MapContainsAll(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_f",
       exprs => DotProductFloat(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("shingle_gen",
+      exprs => ShingleGenerator(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -71,6 +71,33 @@ object ExtensionQueries {
         .orderBy(col("qid"), col("rk"))
     },
 
+    // Custom Generator (UDTF): word 3-shingles emitted directly as rows
+    // by ShingleGenerator — the third extension-point kind next to the
+    // codegen scalar expressions and the typed UDAF. Oracle recomputes
+    // the same (non-distinct) shingle multiset relationally.
+    Q("udtf_shingles",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(count(DISTINCT sh) AS BIGINT) AS n_unique,
+        |  min(sh) AS first_shingle
+        |FROM s
+        |GROUP BY doc_id
+        |ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          GraftFunctions.shingle_gen(col("text"), lit(3)).as("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          countDistinct(col("sh")).as("n_unique"),
+          min(col("sh")).as("first_shingle"))
+        .orderBy(col("doc_id"))
+    },
+
     // GROUPING SETS (beyond rollup/cube): one Expand + single shuffle.
     Q("agg_groupingsets",
       s"""SELECT l_returnflag, l_linestatus,

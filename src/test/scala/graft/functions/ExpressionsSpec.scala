@@ -66,6 +66,21 @@ class ExpressionsSpec extends SparkSpec {
     assert(got == Map("g" -> 2L, "h" -> 4L))
   }
 
+  test("ShingleGenerator matches split-based shingles; short inputs empty") {
+    GraftFunctions.register(spark)
+    val df = Seq((1L, "a b c d"), (2L, "x y"), (3L, "solo"), (4L, null: String))
+      .toDF("id", "txt")
+    val got = df.select(col("id"), GraftFunctions.shingle_gen(col("txt"), lit(3)).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(got.toSeq == Seq(1L -> "a b c", 1L -> "b c d"))  // 2,3: too short; 4: null
+    // SQL form via LATERAL VIEW with the registered generator
+    df.createOrReplaceTempView("sg_t")
+    val viaSql = spark.sql(
+      "SELECT id, s.sh FROM sg_t LATERAL VIEW shingle_gen(txt, 3) s AS sh")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(viaSql.toSeq == got.toSeq)
+  }
+
   test("multimodal decode stub: deterministic features, partition-shaped") {
     val media = Seq(
       Multimodal.MediaRecord(1L, "abcd".getBytes("UTF-8"), "fake/raw", 64, 64),
