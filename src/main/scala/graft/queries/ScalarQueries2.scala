@@ -11,6 +11,30 @@ object ScalarQueries2 {
 
   def all: Seq[Q] = Seq(
 
+    // Third string wave: edit distance (the fuzzy-matching primitive a
+    // dedup pipeline reaches for at record-linkage granularity),
+    // padding, printf formatting, codepoint round-trips.
+    Q("str_funcs3",
+      """SELECT p_partkey,
+        |  CAST(levenshtein(p_brand, p_type) AS INT) AS brand_type_dist,
+        |  CAST(levenshtein(p_name, reverse(p_name)) AS INT) AS palindrome_dist,
+        |  rpad(p_brand, 12, '.') AS rpadded,
+        |  printf('%s#%d', p_brand, p_size) AS tagged,
+        |  CAST(ascii(p_name) AS INT) AS first_cp,
+        |  chr(CAST(65 + p_partkey % 26 AS INT)) AS cycle_chr
+        |FROM part
+        |ORDER BY p_partkey""") { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          levenshtein(col("p_brand"), col("p_type")).as("brand_type_dist"),
+          levenshtein(col("p_name"), reverse(col("p_name"))).as("palindrome_dist"),
+          rpad(col("p_brand"), 12, ".").as("rpadded"),
+          format_string("%s#%d", col("p_brand"), col("p_size")).as("tagged"),
+          ascii(col("p_name")).as("first_cp"),
+          expr("char(65 + p_partkey % 26)").as("cycle_chr"))
+        .orderBy(col("p_partkey"))
+    },
+
     Q("str_funcs2",
       """SELECT p_partkey,
         |  reverse(p_name) AS rev,
