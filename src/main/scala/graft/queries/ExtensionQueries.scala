@@ -224,6 +224,29 @@ object ExtensionQueries {
         .orderBy(col("p_brand"))
     },
 
+    // ORC sink → source round-trip (the third columnar/batch format next
+    // to parquet and CSV; ORC is Spark-built-in — predicate pushdown and
+    // column pruning apply to its scans exactly like parquet's). DuckDB
+    // cannot read ORC, so the oracle recomputes off the parquet table —
+    // the round-trip itself is what the Spark side proves.
+    Q("src_orc_roundtrip",
+      """SELECT n_nationkey, n_name,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_nationkey, n_name
+        |ORDER BY n_nationkey""") { (s, d) =>
+      val dir = tmpDir("orc", d)
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_nationkey"), col("n_name"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("n_nationkey"))
+    },
+
     // Partitioned parquet write → partition-pruned read-back. The scan of
     // one partition must prune at the directory level (the partitioned-
     // sink row of §2.2's source/sink table).
