@@ -35,6 +35,50 @@ object ScalarQueries2 {
         .orderBy(col("p_partkey"))
     },
 
+    // Array quantifiers + extrema (exists / forall / overlap): the
+    // higher-order predicates the first array waves didn't cover.
+    Q("arr_funcs3",
+      """WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part)
+        |SELECT p_partkey,
+        |  list_has_any(toks, ['spring', 'small']) AS has_common,
+        |  len(list_filter(toks, x -> length(x) > 12)) = 0 AS all_short,
+        |  len(list_filter(toks, x -> x = 'green')) > 0 AS any_green,
+        |  list_min(toks) AS amin,
+        |  list_max(toks) AS amax,
+        |  list_sort(toks, 'DESC')[1] AS desc_first
+        |FROM t
+        |ORDER BY p_partkey""") { (s, d) =>
+      Tables.part(s, d)
+        .withColumn("toks", split(col("p_name"), " "))
+        .select(col("p_partkey"),
+          arrays_overlap(col("toks"),
+            array(lit("spring"), lit("small"))).as("has_common"),
+          expr("forall(toks, x -> length(x) <= 12)").as("all_short"),
+          expr("exists(toks, x -> x = 'green')").as("any_green"),
+          array_min(col("toks")).as("amin"),
+          array_max(col("toks")).as("amax"),
+          expr("sort_array(toks, false)[0]").as("desc_first"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // Boolean/conditional aggregates: count_if, bool_and, bool_or.
+    Q("agg_bool",
+      """SELECT o_orderpriority,
+        |  CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big,
+        |  bool_and(o_totalprice > 0) AS all_pos,
+        |  bool_or(o_totalprice > 400000) AS any_huge
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""") { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count_if(col("o_totalprice") > 200000).as("n_big"),
+          bool_and(col("o_totalprice") > 0).as("all_pos"),
+          bool_or(col("o_totalprice") > 400000).as("any_huge"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     Q("str_funcs2",
       """SELECT p_partkey,
         |  reverse(p_name) AS rev,
