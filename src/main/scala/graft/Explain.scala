@@ -30,7 +30,10 @@ object Explain {
             val codegen = plan.contains("codegen id")
             val bhj = plan.contains("BroadcastHashJoin")
             val smj = plan.contains("SortMergeJoin")
-            println(f"$name%-28s codegen=$codegen%-5s pushed=$pushed%-5s bhj=$bhj%-5s smj=$smj")
+            // nested-loop joins are the quadratic trap — only join_cross
+            // (a deliberate bounded cross) should ever show nlj=true
+            val nlj = plan.contains("NestedLoop")
+            println(f"$name%-28s codegen=$codegen%-5s pushed=$pushed%-5s bhj=$bhj%-5s smj=$smj%-5s nlj=$nlj")
           } catch { case e: Throwable => println(s"$name ERROR ${e.getMessage}") }
         }
       }

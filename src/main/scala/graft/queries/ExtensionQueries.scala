@@ -178,6 +178,34 @@ object ExtensionQueries {
         .orderBy(col("media_id"), col("frame_idx"))
     },
 
+    // Resize planning: aspect-preserving fit of each media's (width,
+    // height) metadata into a 224×224 budget — the preprocessing step
+    // before a real decoder resize. Pure integer arithmetic on the
+    // metadata struct (the payload is untouched): scale = min over
+    // axes, floor to pixels, never upscale. At 100 TB this runs in the
+    // scan projection; the actual pixel work happens in the partition-
+    // wise decode stage (Multimodal.decodeStub's slot).
+    Q("mm_resize",
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    CAST(64 + doc_id % 64 AS INT) AS width,
+        |    CAST(64 + doc_id % 32 AS INT) AS height
+        |  FROM documents)
+        |SELECT media_id, width, height,
+        |  CAST(floor(width * least(least(224.0 / width, 224.0 / height), 1.0)) AS INT) AS out_w,
+        |  CAST(floor(height * least(least(224.0 / width, 224.0 / height), 1.0)) AS INT) AS out_h,
+        |  (width * height > 224 * 224) AS oversized
+        |FROM m
+        |ORDER BY media_id""") { (s, d) =>
+      Multimodal.attachPayload(Tables.documents(s, d))
+        .withColumn("__scale",
+          least(least(lit(224.0) / col("width"), lit(224.0) / col("height")), lit(1.0)))
+        .select(col("media_id"), col("width"), col("height"),
+          floor(col("width") * col("__scale")).cast("int").as("out_w"),
+          floor(col("height") * col("__scale")).cast("int").as("out_h"),
+          (col("width") * col("height") > 224 * 224).as("oversized"))
+        .orderBy(col("media_id"))
+    },
+
     // NDJSON + gzip sink → schema'd NDJSON source round-trip (K1/K2/W2 as
     // batch operators); oracle computes the same aggregate off parquet.
     Q("src_ndjson_roundtrip",
