@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProductFloat, MapContainsAll}
+import graft.functions.{DotProductFloat, MapContainsAll, ShingleGenerator}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_f"),
       new ExpressionInfo(classOf[DotProductFloat].getName, "dot_f"),
       (exprs: Seq[Expression]) => DotProductFloat(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("shingle_gen"),
+      new ExpressionInfo(classOf[ShingleGenerator].getName, "shingle_gen"),
+      (exprs: Seq[Expression]) => ShingleGenerator(exprs(0), exprs(1))))
   }
 }
