@@ -160,6 +160,25 @@ class EventPipelineSpec extends SparkSpec {
     assert(out("prod").pod("web-a").contains("\"ip\":\"10.0.1.5\""))
   }
 
+  test("E5 service→deployments: the selector join is object-kind-agnostic") {
+    // The reference declared-but-disabled deployments lookup
+    // (event_service.go:39-69 dead code, k8sclient.go:62-74); the engine
+    // ships it enabled: servicePods only needs (uid, namespace, labels),
+    // so a deployment-shaped relation drops straight in.
+    val svcs = Seq(
+      KubeService("svc-1", "1", "web-svc", "default", Map(), Map(), Map("app" -> "web")))
+    val deployments = Seq(
+      KubePod("dep-1", "web-deploy", "default", Map("app" -> "web", "tier" -> "fe"),
+        ts("2024-01-01 08:00:00"), "", ""),
+      KubePod("dep-2", "db-deploy", "default", Map("app" -> "db"),
+        ts("2024-01-01 08:00:00"), "", ""),
+      KubePod("dep-3", "web-other-ns", "prod", Map("app" -> "web"),
+        ts("2024-01-01 08:00:00"), "", ""))
+    val m = EventPipeline.servicePods(svcs.toDF(), deployments.toDF())
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(m == Set("svc-1" -> "dep-1"))
+  }
+
   test("D2 batch form keeps the numerically-newest resourceVersion") {
     val versioned = Seq(
       KubeService("s", "9", "svc", "default", Map(), Map(), Map()),
