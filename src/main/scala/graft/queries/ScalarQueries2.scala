@@ -61,6 +61,30 @@ object ScalarQueries2 {
         .orderBy(col("p_partkey"))
     },
 
+    // Map higher-order functions: transform_values and map_filter (the
+    // map-typed HOFs the first map wave didn't cover). Outputs reduce
+    // to scalars/sorted strings — raw map values hash differently
+    // across engines (entry order is unspecified in both).
+    Q("map_funcs2",
+      """WITH t AS (SELECT p_partkey,
+        |    map(['brand', 'type'], [p_brand, p_type]) AS m
+        |  FROM part)
+        |SELECT p_partkey,
+        |  CAST(len(list_filter(map_entries(m), e -> length(e.value) > 10)) AS INT) AS n_long,
+        |  array_to_string(list_sort(list_transform(map_values(m), v -> upper(v))), '|') AS vals_upper,
+        |  array_to_string(list_sort(map_keys(m)), ',') AS keys_cat
+        |FROM t
+        |ORDER BY p_partkey""") { (s, d) =>
+      Tables.part(s, d)
+        .withColumn("m", expr("map('brand', p_brand, 'type', p_type)"))
+        .select(col("p_partkey"),
+          expr("CAST(size(map_filter(m, (k, v) -> length(v) > 10)) AS INT)").as("n_long"),
+          expr("array_join(array_sort(map_values(transform_values(m, (k, v) -> upper(v)))), '|')")
+            .as("vals_upper"),
+          expr("array_join(array_sort(map_keys(m)), ',')").as("keys_cat"))
+        .orderBy(col("p_partkey"))
+    },
+
     // Boolean/conditional aggregates: count_if, bool_and, bool_or.
     Q("agg_bool",
       """SELECT o_orderpriority,
