@@ -123,6 +123,21 @@ object AnalyticQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // The 100 TB percentile path: approx_percentile's mergeable sketch
+    // needs no per-group sort. Sketch internals are implementation-
+    // specific → rows-only check (like agg_approx_distinct); the exact
+    // twin above is the accuracy reference.
+    Q.noOracle("agg_approx_percentiles") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)")
+            .as("approx_q"),
+          round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 4)
+            .as("approx_med_price"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Distribution window functions: percent_rank, cume_dist, nth_value.
     // The window orders by (acctbal, custkey) — a unique composite, so
     // RANGE vs ROWS framing cannot diverge between engines.
