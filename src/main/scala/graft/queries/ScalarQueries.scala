@@ -250,6 +250,30 @@ object ScalarQueries {
         .orderBy(col("event_id"))
     },
 
+    // json_tuple: the multi-field JSON extractor (a Generator under the
+    // hood — one parse per row for N fields, vs N parses with repeated
+    // get_json_object). Round-trips a constructed document so several
+    // fields and types are exercised.
+    Q("json_tuple_funcs",
+      """WITH j AS (SELECT event_id,
+        |    to_json(struct_pack(a := event_id, b := user_id, c := event_type))::VARCHAR AS doc
+        |  FROM events WHERE event_id < 1000)
+        |SELECT event_id,
+        |  json_extract_string(doc, '$.a') AS a,
+        |  json_extract_string(doc, '$.b') AS b,
+        |  json_extract_string(doc, '$.c') AS c
+        |FROM j
+        |ORDER BY event_id""") { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") < 1000)
+        .withColumn("doc", to_json(struct(
+          col("event_id").as("a"), col("user_id").as("b"), col("event_type").as("c"))))
+        .select(col("event_id"),
+          json_tuple(col("doc"), "a", "b", "c"))
+        .toDF("event_id", "a", "b", "c")
+        .orderBy(col("event_id"))
+    },
+
     // from_json with an explicit schema, then aggregate over the parsed
     // field — the L9Event `pod` column pattern (SURVEY.md §1.2 / P3).
     Q("json_agg",
