@@ -37,10 +37,32 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = "%.3f".format(v)
+    // Full per-query detail goes to a file; the stdout line must stay
+    // SHORT — the driver captures only a tail window of the run output,
+    // and a 4 KB line with all ~110 queries gets truncated mid-line and
+    // fails to parse (BENCH_r01/r02 both show parsed:null).
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val detailJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$detail,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detailJson + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    // Headline subset: one exemplar per operator family, <1 KB total.
+    val headline = Seq(
+      "agg_pricing", "agg_rollup", "join_star", "join_bucketed", "join_asof",
+      "join_salted", "win_topk_per_group", "topk_global", "sub_corr_scalar",
+      "setop_except", "sample_stratified", "dedup_exact",
+      "dedup_minhash_pairs", "dedup_cluster_cc", "sim_knn_brute",
+      "sim_knn_ivf", "text_tfidf", "text_chunk", "pipeline_corpus",
+      "stream_tumble", "stream_dedup", "sess_window_batch")
+    val rmap = results.toMap
+    val qs = headline.flatMap(k => rmap.get(k).map(v => "\"" + k + "\":" + fmt(v)))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

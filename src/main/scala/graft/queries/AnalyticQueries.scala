@@ -127,14 +127,19 @@ object AnalyticQueries {
     // needs no per-group sort. Sketch internals are implementation-
     // specific → rows-only check (like agg_approx_distinct); the exact
     // twin above is the accuracy reference.
+    // Scalar columns only: the driver's rows-only check still loads the
+    // result into pandas, and an array<double> column is unhashable there
+    // (r02 err) — element_at flattens the sketch output to plain doubles.
     Q.noOracle("agg_approx_percentiles") { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
           expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)")
-            .as("approx_q"),
-          round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 4)
-            .as("approx_med_price"))
+            .as("aq"))
+        .select(col("l_returnflag"),
+          round(element_at(col("aq"), 1), 4).as("approx_q25"),
+          round(element_at(col("aq"), 2), 4).as("approx_q50"),
+          round(element_at(col("aq"), 3), 4).as("approx_q75"))
         .orderBy(col("l_returnflag"))
     },
 
