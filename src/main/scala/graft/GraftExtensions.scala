@@ -8,12 +8,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 /** SparkSessionExtensions wiring (SURVEY.md §4.3): registers graft's
   * custom expressions so any session built with
   * `spark.sql.extensions=graft.GraftExtensions` (set by GraftSession)
-  * resolves them in SQL text without per-session registration calls.
-  * Optimizer-rule / planner-strategy hooks intentionally stay empty in
-  * v1 — Catalyst covers the engine (SURVEY.md §4.2 policy).
+  * resolves them in SQL text without per-session registration calls,
+  * plus the whole-operator extension (TopKPerGroup): its planner
+  * strategy and its filter-pushdown optimizer rule. Everything else
+  * stays Catalyst-native (SURVEY.md §4.2 policy).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughTopK)
     e.injectFunction((
       FunctionIdentifier("map_contains_all"),
       new ExpressionInfo(classOf[MapContainsAll].getName, "map_contains_all"),

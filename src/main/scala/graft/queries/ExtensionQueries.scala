@@ -98,6 +98,27 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Whole-operator extension point: the custom TopKPerGroup logical
+    // node (strategy-planned partial+final bounded-heap execs, filter
+    // pushdown rule — graft.plans). Same answer as the row_number window
+    // form, but the shuffle carries ≤ k rows per group per input
+    // partition instead of the whole table (TopKSpec proves both).
+    Q("topk_custom_plan",
+      """SELECT c_nationkey, c_custkey, round(c_acctbal, 4) AS bal
+        |FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+        |        row_number() OVER (PARTITION BY c_nationkey
+        |          ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |      FROM customer)
+        |WHERE rn <= 3
+        |ORDER BY c_nationkey, c_custkey""") { (s, d) =>
+      graft.plans.TopK.perGroup(
+          Tables.customer(s, d).select(col("c_nationkey"), col("c_custkey"), col("c_acctbal")),
+          Seq(col("c_nationkey")),
+          Seq(col("c_acctbal").desc, col("c_custkey")), 3)
+        .select(col("c_nationkey"), col("c_custkey"), round(col("c_acctbal"), 4).as("bal"))
+        .orderBy(col("c_nationkey"), col("c_custkey"))
+    },
+
     // GROUPING SETS (beyond rollup/cube): one Expand + single shuffle.
     Q("agg_groupingsets",
       s"""SELECT l_returnflag, l_linestatus,
