@@ -182,5 +182,99 @@ object AnalyticQueries {
             < when(col("c_mktsegment") === "BUILDING", 4).otherwise(2))
         .select(col("c_custkey"), col("c_mktsegment"))
         .orderBy(col("c_custkey"))
+    },
+
+    // Ordered string aggregation (LISTAGG WITHIN GROUP — Spark 4 native).
+    // The ORDER BY inside the aggregate is what makes the result
+    // deterministic and therefore distributable: without it the
+    // concatenation order would be partition-arrival order.
+    Q("agg_string_agg",
+      """SELECT c_nationkey,
+        |  string_agg(c_name, '|' ORDER BY c_custkey) AS names,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM customer
+        |WHERE c_custkey < 300
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""") { (s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_custkey") < 300)
+        .groupBy(col("c_nationkey"))
+        .agg(
+          expr("listagg(c_name, '|') WITHIN GROUP (ORDER BY c_custkey)").as("names"),
+          count(lit(1)).as("n"))
+        .orderBy(col("c_nationkey"))
+    },
+
+    // Bitwise aggregates (bit_and / bit_or / bit_xor) — set-membership
+    // and parity rollups over integer keys; all three are partial-
+    // aggregable (associative + commutative), so the plan is the same
+    // partial+final shape as sum().
+    Q("agg_bitwise",
+      """SELECT l_returnflag,
+        |  CAST(bit_and(l_partkey) AS BIGINT) AS ba,
+        |  CAST(bit_or(l_partkey) AS BIGINT) AS bo,
+        |  CAST(bit_xor(l_partkey) AS BIGINT) AS bx
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("bit_and(l_partkey)").as("ba"),
+          expr("bit_or(l_partkey)").as("bo"),
+          expr("bit_xor(l_partkey)").as("bx"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Equi-width histogram via width_bucket. Prices are quantized to
+    // integer cents first so bucket boundaries are exact in both
+    // engines (the DuckDB twin computes the same bucket arithmetically:
+    // identical integer math, no float-boundary ties). Fixed [900.00,
+    // 105000.00) domain, 20 buckets of 5205.00 — constants, not a
+    // min/max pre-scan, so the histogram is one aggregate pass and
+    // stable across scale factors.
+    Q("agg_histogram",
+      """WITH b AS (SELECT
+        |    1 + CAST(least(greatest((CAST(round(l_extendedprice * 100) AS BIGINT) - 90000)
+        |          // 520500, 0), 19) AS INT) AS bucket
+        |  FROM lineitem)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
+        |FROM b GROUP BY bucket
+        |ORDER BY bucket""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(expr(
+          """width_bucket(CAST(round(l_extendedprice * 100) AS BIGINT),
+            |  90000D, 10500000D, 20)""".stripMargin).cast("int").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("bucket"))
+    },
+
+    // IGNORE NULLS window navigation: forward-fill (last non-null value
+    // so far) and group-first backstop — the gap-filling idiom for
+    // sparse telemetry. Every third event carries a reading; the rest
+    // inherit the latest prior one.
+    Q("win_ignore_nulls",
+      """WITH r AS (SELECT event_id, event_type,
+        |    CASE WHEN event_id % 3 = 0 THEN round(value, 4) END AS reading
+        |  FROM events WHERE event_id < 20000)
+        |SELECT event_id, event_type, reading,
+        |  last_value(reading IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        |  first_value(reading IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_seen
+        |FROM r
+        |ORDER BY event_id""") { (s, d) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .filter(col("event_id") < 20000)
+        .withColumn("reading",
+          when(col("event_id") % 3 === 0, round(col("value"), 4)))
+        .select(col("event_id"), col("event_type"), col("reading"),
+          last(col("reading"), ignoreNulls = true).over(w).as("filled"),
+          first(col("reading"), ignoreNulls = true).over(w).as("first_seen"))
+        .orderBy(col("event_id"))
     })
 }

@@ -589,5 +589,26 @@ object RelationalQueries {
         .join(used, col("p_partkey") === col("l_partkey"), "left_anti")
         .select(col("p_partkey"))
         .orderBy(col("p_partkey"))
+    },
+
+    // LATERAL correlated subquery with per-row ORDER BY + LIMIT (the
+    // top-n-per-outer-row join form; same SQL text runs in both
+    // engines). Catalyst rewrites the correlation with a domain join —
+    // no driver-side iteration, and the inner scan stays prunable.
+    Q("join_lateral",
+      """SELECT n_nationkey, t.s_suppkey, t.s_name
+        |FROM nation, LATERAL (
+        |  SELECT s_suppkey, s_name FROM supplier
+        |  WHERE s_nationkey = n_nationkey
+        |  ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
+        |ORDER BY n_nationkey, t.s_suppkey""") { (s, d) =>
+      Tables.nation(s, d).createOrReplaceTempView("nation_lat")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_lat")
+      s.sql("""SELECT n_nationkey, t.s_suppkey, t.s_name
+        FROM nation_lat, LATERAL (
+          SELECT s_suppkey, s_name FROM supplier_lat
+          WHERE s_nationkey = n_nationkey
+          ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
+        ORDER BY n_nationkey, t.s_suppkey""")
     })
 }

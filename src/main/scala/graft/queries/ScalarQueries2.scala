@@ -253,5 +253,31 @@ object ScalarQueries2 {
         .filter(col("o_totalprice") > col("cust_avg") * 1.9)
         .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("price"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // Error-safe scalar family (try_*): division by zero, bad casts, and
+    // out-of-range array access all yield NULL instead of failing the
+    // job — the posture a 100 TB pipeline needs (one malformed row must
+    // not kill a stage). DuckDB twins: NULLIF-guarded division,
+    // TRY_CAST, and its natively NULL-on-OOB list index.
+    Q("scalar_try",
+      """SELECT p_partkey,
+        |  round(p_retailprice / NULLIF(p_size - p_size, 0), 4) AS div0,
+        |  round(p_retailprice / NULLIF(p_size, 0), 4) AS divn,
+        |  TRY_CAST(p_type AS INT) AS bad_int,
+        |  TRY_CAST(p_size AS TINYINT) AS small_int,
+        |  string_split(p_name, ' ')[10] AS tok10
+        |FROM part
+        |WHERE p_partkey < 400
+        |ORDER BY p_partkey""") { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_partkey") < 400)
+        .select(col("p_partkey"),
+          round(expr("try_divide(p_retailprice, p_size - p_size)"), 4).as("div0"),
+          round(expr("try_divide(p_retailprice, p_size)"), 4).as("divn"),
+          expr("try_cast(p_type AS INT)").as("bad_int"),
+          expr("try_cast(p_size AS TINYINT)").as("small_int"),
+          expr("try_element_at(split(p_name, ' '), 10)").as("tok10"))
+        .orderBy(col("p_partkey"))
     })
 }

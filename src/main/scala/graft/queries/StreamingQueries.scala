@@ -179,6 +179,34 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("session_start"))
     },
 
+    // The same session windows ACTUALLY STREAMING: session_window over
+    // the replayed event stream (complete mode — sessions merge as late
+    // events arrive, final state equals the batch gaps-and-islands
+    // oracle above).
+    Q("stream_session",
+      """WITH m AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch(ts) - epoch(lag(ts) OVER w) > 18000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM g
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""") { (s, d) =>
+      runToTable(s, d, "complete") { src =>
+        src.groupBy(session_window(col("ts"), "5 hours"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+      }.select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("session_start"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
     // Arbitrary stateful processing on the v2 state API
     // (transformWithState + RocksDB state store): per-user monotone
     // high-water filter — emit events whose value strictly exceeds all

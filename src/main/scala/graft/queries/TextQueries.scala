@@ -386,5 +386,86 @@ object TextQueries {
         .filter(col("ni").cast("double") / (col("n1") + col("n2") - col("ni")) >= 0.15)
         .select(col("d1"), col("d2"), col("jaccard"))
         .orderBy(col("d1"), col("d2"))
+    },
+
+    // Intra-document repetition scoring (the C4/Gopher-style repetition
+    // cut): fraction of duplicate word 2-grams and 3-grams per doc, plus
+    // the filter verdict. Pure per-row higher-order functions — zero
+    // shuffles until the output sort; at 100 TB this runs entirely
+    // inside the scan stage.
+    Q("text_repetition",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]) ELSE [] END AS g2,
+        |    CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [] END AS g3
+        |  FROM t)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(g2) > 0
+        |    THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) ELSE 0 END, 4) AS dup2,
+        |  round(CASE WHEN len(g3) > 0
+        |    THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) ELSE 0 END, 4) AS dup3,
+        |  (CASE WHEN len(g2) > 0
+        |    THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) ELSE 0 END) > 0.5 AS repetitive
+        |FROM g
+        |ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("g2", expr(
+          """transform(if(size(toks) >= 2, sequence(1, size(toks) - 1), array()),
+            |  i -> concat_ws(' ', toks[i-1], toks[i]))""".stripMargin))
+        .withColumn("g3", expr(
+          """transform(if(size(toks) >= 3, sequence(1, size(toks) - 2), array()),
+            |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))""".stripMargin))
+        .withColumn("dup2raw", expr(
+          "CASE WHEN size(g2) > 0 THEN 1.0D - CAST(size(array_distinct(g2)) AS DOUBLE) / size(g2) ELSE 0D END"))
+        .withColumn("dup3raw", expr(
+          "CASE WHEN size(g3) > 0 THEN 1.0D - CAST(size(array_distinct(g3)) AS DOUBLE) / size(g3) ELSE 0D END"))
+        .select(col("doc_id"),
+          round(col("dup2raw"), 4).as("dup2"),
+          round(col("dup3raw"), 4).as("dup3"),
+          (col("dup2raw") > 0.5).as("repetitive"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Benchmark decontamination: which corpus docs share word 4-grams
+    // with a held-out "benchmark" slice (doc_id % 97 = 0 here)? The
+    // benchmark's distinct gram set is tiny → broadcast; the corpus
+    // side stays a scan + generator, so the plan is scan ⋈ broadcast
+    // with NO all-pairs stage, and grams travel as md5 digests (fixed
+    // 32 bytes) rather than raw text — the shape that survives 100 TB.
+    // (Real decontamination uses 8-13-grams; this corpus' vocabulary is
+    // so small that 4 is where overlap actually exists — the operator is
+    // gram-size-parametric either way.)
+    Q("text_contamination",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 4 THEN list_transform(range(1, len(toks) - 2),
+        |      i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |    ELSE [] END)) AS gh
+        |  FROM t),
+        |bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+        |hits AS (SELECT g.doc_id, count(*) AS n_shared
+        |  FROM g JOIN bench ON g.gh = bench.gh
+        |  WHERE g.doc_id % 97 <> 0
+        |  GROUP BY g.doc_id)
+        |SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared
+        |FROM hits
+        |ORDER BY doc_id""") { (s, d) =>
+      val grams = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(
+            |  if(size(toks) >= 4, sequence(1, size(toks) - 3), array()),
+            |  i -> md5(concat_ws(' ', toks[i-1], toks[i], toks[i+1], toks[i+2]))))""".stripMargin))
+          .as("gh"))
+      val bench = grams.filter(col("doc_id") % 97 === 0)
+        .select(col("gh")).distinct()
+      grams.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("gh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"))
     })
 }
