@@ -75,14 +75,27 @@ object ClusterQueries {
       // n_reachable (component size via closure in the oracle) is
       // recovered relationally at the end: members per final label.
       //
+      // Two iteration economies (they matter equally at sf0.001 and at
+      // 100 TB, where they cut per-round shuffle volume, not just job
+      // count):
+      //  - Only vertices that HAVE edges iterate. Singletons can never
+      //    change labels; they rejoin as rep=self at the end. In a real
+      //    near-dup graph the edge-touched set is a small fraction of
+      //    the corpus.
+      //  - The convergence signal rides INSIDE the round's checkpoint
+      //    as a boolean column, so counting changes is a scan of the
+      //    just-materialized RDD — not an extra join+shuffle job per
+      //    round (which is what the previous formulation paid).
+      //
       // Each round ends in an EAGER localCheckpoint: without it the
-      // logical plan nests the previous round's plan (twice — the join
-      // and the convergence check), growing exponentially until plan
-      // analysis itself dies around round 20. Checkpointing resets the
-      // plan to the materialized RDD — the standard Spark shape for
-      // iterative algorithms (on a cluster, reliable checkpoints to the
-      // checkpoint dir serve the same role with fault tolerance).
-      var labels = Tables.documents(s, d)
+      // logical plan nests the previous round's plan, growing
+      // exponentially until plan analysis itself dies around round 20.
+      // Checkpointing resets the plan to the materialized RDD — the
+      // standard Spark shape for iterative algorithms (on a cluster,
+      // reliable checkpoints to the checkpoint dir serve the same role
+      // with fault tolerance).
+      var labels = sym
+        .select(col("u").as("doc_id")).distinct()
         .select(col("doc_id"), col("doc_id").as("rep"))
         .localCheckpoint(true)
       var changed = 1L
@@ -94,7 +107,7 @@ object ClusterQueries {
           .agg(min(col("rep")).as("nbr_rep"))
         val next = labels
           .join(viaNbr, Seq("doc_id"), "left_outer")
-          .select(col("doc_id"),
+          .select(col("doc_id"), col("rep").as("old"),
             least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
         // Pointer jump (path halving): rep ← rep(rep). Labels only ever
         // shrink within the component, so the jump preserves the fixpoint
@@ -103,18 +116,20 @@ object ClusterQueries {
         val jumped = next
           .join(next.select(col("doc_id").as("rep"), col("rep").as("rep2")),
             Seq("rep"))
-          .select(col("doc_id"), col("rep2").as("rep"))
+          .select(col("doc_id"), col("rep2").as("rep"),
+            (col("rep2") =!= col("old")).as("chg"))
           .localCheckpoint(true)
-        changed = jumped.join(labels.select(col("doc_id"), col("rep").as("old")),
-            Seq("doc_id"))
-          .filter(col("rep") =!= col("old")).count()
-        labels = jumped
+        changed = jumped.filter(col("chg")).count()
+        labels = jumped.select(col("doc_id"), col("rep"))
         rounds += 1
         if (sys.env.contains("GRAFT_CC_DEBUG"))
           println(s"[cc] round $rounds changed=$changed")
       }
-      val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("n_reachable"))
-      labels
+      val all = Tables.documents(s, d).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+      val sizes = all.groupBy(col("rep")).agg(count(lit(1)).as("n_reachable"))
+      all
         .join(sizes, Seq("rep"))
         .select(col("doc_id"), col("rep").as("cluster_rep"), col("n_reachable"))
         .orderBy(col("doc_id"))

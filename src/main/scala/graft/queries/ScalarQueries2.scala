@@ -279,5 +279,51 @@ object ScalarQueries2 {
           expr("try_cast(p_size AS TINYINT)").as("small_int"),
           expr("try_element_at(split(p_name, ' '), 10)").as("tok10"))
         .orderBy(col("p_partkey"))
+    },
+
+    // Regexp family beyond extract/replace: occurrence counting,
+    // field splitting, boolean match.
+    Q("str_funcs4",
+      """SELECT p_partkey,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels,
+        |  split_part(p_name, ' ', 2) AS word2,
+        |  regexp_matches(p_name, '^(red|small)') AS starts_rs,
+        |  CAST(len(regexp_extract_all(p_type, '[A-Z]+')) AS INT) AS n_upper_runs
+        |FROM part
+        |WHERE p_partkey < 500
+        |ORDER BY p_partkey""") { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_partkey") < 500)
+        .select(col("p_partkey"),
+          expr("regexp_count(p_name, '[aeiou]')").as("n_vowels"),
+          expr("split_part(p_name, ' ', 2)").as("word2"),
+          expr("p_name rlike '^(red|small)'").as("starts_rs"),
+          expr("regexp_count(p_type, '[A-Z]+')").as("n_upper_runs"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // Date construction + calendar arithmetic: make_date/make_timestamp,
+    // quarter, and whole-month differences (both sides compare
+    // first-of-month dates, where DuckDB's boundary count and Spark's
+    // complete-month count agree by construction).
+    Q("dt_funcs3",
+      """SELECT o_orderkey,
+        |  make_date(year(o_orderdate), month(o_orderdate), 1) AS month_start,
+        |  make_timestamp(year(o_orderdate), month(o_orderdate), 1, 12, 0, 0) AS noon,
+        |  CAST(date_part('quarter', o_orderdate) AS INT) AS qtr,
+        |  CAST(date_diff('month', DATE '1995-01-01',
+        |    date_trunc('month', o_orderdate)) AS INT) AS months_since
+        |FROM orders
+        |WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""") { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          expr("make_date(year(o_orderdate), month(o_orderdate), 1)").as("month_start"),
+          expr("make_timestamp(year(o_orderdate), month(o_orderdate), 1, 12, 0, 0)").as("noon"),
+          quarter(col("o_orderdate")).cast("int").as("qtr"),
+          expr("timestampdiff(MONTH, DATE'1995-01-01', trunc(o_orderdate, 'MM'))")
+            .cast("int").as("months_since"))
+        .orderBy(col("o_orderkey"))
     })
 }
