@@ -325,5 +325,27 @@ object ScalarQueries2 {
           expr("timestampdiff(MONTH, DATE'1995-01-01', trunc(o_orderdate, 'MM'))")
             .cast("int").as("months_since"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // Generator family completion: INLINE explodes an array of structs
+    // directly into columns (one generator row per struct — the
+    // attribute-melt shape without an intermediate map). Twin: DuckDB
+    // unnest over struct_pack.
+    Q("gen_inline",
+      """SELECT p_partkey, u.k AS attr, u.v AS val
+        |FROM part, unnest([struct_pack(k := 'brand', v := p_brand),
+        |                   struct_pack(k := 'type', v := p_type),
+        |                   struct_pack(k := 'name', v := p_name)]) AS t(u)
+        |WHERE p_partkey < 300
+        |ORDER BY p_partkey, attr""") { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_partkey") < 300)
+        .select(col("p_partkey"), expr(
+          """inline(array(
+            |  named_struct('k', 'brand', 'v', p_brand),
+            |  named_struct('k', 'type',  'v', p_type),
+            |  named_struct('k', 'name',  'v', p_name)))""".stripMargin))
+        .toDF("p_partkey", "attr", "val")
+        .orderBy(col("p_partkey"), col("attr"))
     })
 }

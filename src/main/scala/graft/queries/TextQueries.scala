@@ -467,5 +467,28 @@ object TextQueries {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shared"))
         .orderBy(col("doc_id"))
+    },
+
+    // Keep-best-per-key dedup (one survivor per source, highest token
+    // count, doc_id tiebreak) — the canonical "pick the best duplicate"
+    // reduction, run through the custom TopKPerGroup operator with k=1:
+    // the partial phase reduces each input partition to one candidate
+    // per source BEFORE the shuffle, which is exactly the argmax
+    // shuffle-asymmetry a 100 TB keep-best pass needs.
+    Q("dedup_keep_best",
+      """SELECT source, doc_id, CAST(n AS INT) AS n_tokens
+        |FROM (SELECT source, doc_id, len(string_split(text, ' ')) AS n,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn = 1
+        |ORDER BY source""") { (s, d) =>
+      graft.plans.TopK.perGroup(
+          Tables.documents(s, d)
+            .select(col("source"), col("doc_id"),
+              size(split(col("text"), " ")).as("n_tokens")),
+          Seq(col("source")),
+          Seq(col("n_tokens").desc, col("doc_id")), 1)
+        .orderBy(col("source"))
     })
 }
