@@ -39,6 +39,13 @@ object Bench {
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     def fmt(v: Double): String = "%.3f".format(v)
+    // Streaming replay throughput (BASELINE.md §B target: ≥10k events/s
+    // through the windowed-aggregation pipeline).
+    val eps: Long =
+      try {
+        val (n, sec) = graft.queries.StreamingQueries.replayThroughput(spark, sfDir)
+        if (sec > 0) (n / sec).toLong else 0L
+      } catch { case _: Throwable => -1L }
     // Full per-query detail goes to a file; the stdout line must stay
     // SHORT — the driver captures only a tail window of the run output,
     // and a 4 KB line with all ~110 queries gets truncated mid-line and
@@ -46,7 +53,7 @@ object Bench {
     val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"stream_eps":$eps,"queries":$detail,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detailJson + "\n").getBytes("UTF-8"))
@@ -62,7 +69,7 @@ object Bench {
     val rmap = results.toMap
     val qs = headline.flatMap(k => rmap.get(k).map(v => "\"" + k + "\":" + fmt(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"stream_eps":$eps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

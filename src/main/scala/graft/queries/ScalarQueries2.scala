@@ -347,5 +347,57 @@ object ScalarQueries2 {
             |  named_struct('k', 'name',  'v', p_name)))""".stripMargin))
         .toDF("p_partkey", "attr", "val")
         .orderBy(col("p_partkey"), col("attr"))
+    },
+
+    // Map explosion (the §2.2 "explode of map" row): map → one row per
+    // entry. Twin: DuckDB unnests map_entries structs.
+    Q("gen_map_explode",
+      """SELECT p_partkey, e.key AS k, e.value AS v
+        |FROM (SELECT p_partkey,
+        |        unnest(map_entries(map(['brand', 'type'], [p_brand, p_type]))) AS e
+        |      FROM part)
+        |WHERE p_partkey < 300
+        |ORDER BY p_partkey, k""") { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_partkey") < 300)
+        .select(col("p_partkey"),
+          explode(expr("map('brand', p_brand, 'type', p_type)")).as(Seq("k", "v")))
+        .orderBy(col("p_partkey"), col("k"))
+    },
+
+    // Mergeable partial aggregation as an INCREMENTAL-UPDATE law: the
+    // merge of independently-aggregated halves (here: an "old" date
+    // range and a "new" one) equals the full recompute — sum/count/min/
+    // max re-aggregate associatively, avg derives from (sum, count).
+    // This is the materialized-view maintenance shape: at 100 TB you
+    // aggregate only the new partition and MERGE, never re-scan
+    // history. The oracle recomputes flat — equality IS the law.
+    Q("agg_incremental",
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS mean,
+        |  round(min(o_totalprice), 4) AS lo,
+        |  round(max(o_totalprice), 4) AS hi
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""") { (s, d) =>
+      val orders = Tables.orders(s, d)
+      def half(pred: org.apache.spark.sql.Column) = orders.filter(pred)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).as("total"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+      val cut = lit("1998-01-01").cast("date")
+      half(col("o_orderdate") < cut)
+        .unionByName(half(col("o_orderdate") >= cut))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("cnt")).as("cnt"),
+          sum(col("total")).cast("double").as("total"),
+          round(sum(col("total")).cast("double") / sum(col("cnt")), 4).as("mean"),
+          round(min(col("lo")), 4).as("lo"),
+          round(max(col("hi")), 4).as("hi"))
+        .orderBy(col("o_orderpriority"))
     })
 }
