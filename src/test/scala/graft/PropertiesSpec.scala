@@ -78,4 +78,29 @@ class PropertiesSpec extends SparkSpec {
       assert(out.length == evs.count(e => !EventPipeline.SkipNamespaces.contains(e.namespace)))
     }
   }
+
+  test("TopKPerGroup law: equals the row_number window form for arbitrary data, k, and partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val genRow = for {
+      g <- Gen.oneOf("a", "b", "c", "d")
+      v <- Gen.choose(0, 9) // small domain → plenty of ties; id breaks them
+    } yield (g, v)
+    for (seed <- 1L to 5L) {
+      val n = sample(Gen.choose(0, 60), seed)
+      val k = sample(Gen.choose(1, 5), seed + 100)
+      val parts = sample(Gen.choose(1, 6), seed + 200)
+      val rows = sample(Gen.listOfN(n, genRow), seed + 300)
+        .zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) }
+      val df = rows.toDF("g", "id", "v").repartition(parts)
+      val got = graft.plans.TopK
+        .perGroup(df, Seq(col("g")), Seq(col("v").desc, col("id")), k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+      val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .drop("rn")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want, s"seed=$seed n=$n k=$k parts=$parts")
+    }
+  }
 }
