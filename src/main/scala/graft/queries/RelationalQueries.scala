@@ -25,9 +25,22 @@ import org.apache.spark.sql.expressions.Window
 object RelationalQueries {
 
   /** Exact decimal sum of a double expression, rendered as double.
-    * The SQL fragment is valid in both Spark SQL and DuckDB. */
-  private def decSum(prod: String): String =
-    s"CAST(sum($prod) AS DOUBLE)"
+    * The SQL fragment is valid in both Spark SQL and DuckDB.
+    *
+    * The sum is re-quantized to ITS TRUE SCALE (4 for the 2dp×2dp
+    * revenue product — positions 5..8 of the scale-8 product sum are
+    * structurally zero) before the double cast. This is exact (no
+    * rounding), and it is what keeps the two engines' decimal→double
+    * conversions identical at large SF: a scale-8 sum of magnitude 6e9
+    * has an 18-digit unscaled mantissa (> 2^53), and DuckDB's
+    * int128→double-then-divide conversion can land one ulp away from
+    * the correctly-rounded conversion the JVM's BigDecimal does
+    * (observed at sf0.1: 5942933513.34680000 → …3.3468 in Spark,
+    * …3.346801 in DuckDB). At scale 4 the mantissa (~6e13) is exact in
+    * a double and the final division is a single correctly-rounded op
+    * in both engines. */
+  private def decSum(prod: String, scale: Int = 4): String =
+    s"CAST(CAST(sum($prod) AS DECIMAL(38,$scale)) AS DOUBLE)"
   private def dec(c: String): String = s"CAST($c AS DECIMAL(18,4))"
 
   // revenue item: extendedprice * (1 - discount), exact
@@ -54,7 +67,7 @@ object RelationalQueries {
          |  ${decSum(dec("l_quantity"))} AS sum_qty,
          |  ${decSum(dec("l_extendedprice"))} AS sum_base_price,
          |  ${decSum(revProd)} AS sum_disc_price,
-         |  ${decSum(chargeProd)} AS sum_charge,
+         |  ${decSum(chargeProd, 6)} AS sum_charge,
          |  round(avg(l_quantity), 4) AS avg_qty,
          |  round(avg(l_discount), 4) AS avg_disc,
          |  CAST(count(*) AS BIGINT) AS count_order
@@ -69,7 +82,7 @@ object RelationalQueries {
           expr(decSum(dec("l_quantity"))).as("sum_qty"),
           expr(decSum(dec("l_extendedprice"))).as("sum_base_price"),
           expr(decSum(revProd)).as("sum_disc_price"),
-          expr(decSum(chargeProd)).as("sum_charge"),
+          expr(decSum(chargeProd, 6)).as("sum_charge"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
