@@ -399,5 +399,74 @@ object ScalarQueries2 {
           round(min(col("lo")), 4).as("lo"),
           round(max(col("hi")), 4).as("hi"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    // Array set algebra: union / intersect / except (outputs sorted —
+    // Spark's first-seen element order is implementation detail).
+    Q("arr_funcs4",
+      """WITH t AS (SELECT p_partkey,
+        |    string_split(p_name, ' ') AS nt, string_split(p_type, ' ') AS tt
+        |  FROM part),
+        |r AS (SELECT p_partkey,
+        |    list_sort(list_distinct(list_cat(nt, tt))) AS uni,
+        |    list_sort(coalesce(list_intersect(nt,
+        |      ['red', 'small', 'blue', 'ring', 'bolt']), [])) AS inter,
+        |    list_sort(list_filter(list_distinct(nt),
+        |      x -> NOT list_contains(tt, x))) AS exc
+        |  FROM t)
+        |SELECT p_partkey,
+        |  coalesce(array_to_string(uni, '|'), '') AS uni,
+        |  coalesce(array_to_string(inter, '|'), '') AS inter,
+        |  coalesce(array_to_string(exc, '|'), '') AS exc
+        |FROM r
+        |WHERE p_partkey < 400
+        |ORDER BY p_partkey""") { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_partkey") < 400)
+        .withColumn("nt", split(col("p_name"), " "))
+        .withColumn("tt", split(col("p_type"), " "))
+        .select(col("p_partkey"),
+          array_join(array_sort(array_union(col("nt"), col("tt"))), "|").as("uni"),
+          array_join(array_sort(array_intersect(col("nt"),
+            expr("array('red', 'small', 'blue', 'ring', 'bolt')"))), "|").as("inter"),
+          array_join(array_sort(array_except(col("nt"), col("tt"))), "|").as("exc"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // JSON introspection: object keys and array lengths (built from the
+    // props payload so the parse path is exercised, not a literal).
+    Q("json_funcs2",
+      """SELECT event_id,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS ks,
+        |  CAST(json_array_length('[' || CAST(event_id AS VARCHAR) || ',' ||
+        |    CAST(user_id AS VARCHAR) || ']') AS INT) AS alen,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+        |FROM events
+        |WHERE event_id < 2000
+        |ORDER BY event_id""") { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"),
+          expr("array_join(array_sort(json_object_keys(props)), ',')").as("ks"),
+          expr("json_array_length(concat('[', CAST(event_id AS STRING), ',', CAST(user_id AS STRING), ']'))")
+            .cast("int").as("alen"),
+          get_json_object(col("props"), "$.k").cast("long").as("kv"))
+        .orderBy(col("event_id"))
+    },
+
+    // UNION BY NAME with missing columns → nulls (schema-evolution
+    // union: the shape that merges heterogeneous corpus shards).
+    Q("setop_union_byname",
+      """SELECT k, b, t
+        |FROM (SELECT p_partkey AS k, p_brand AS b FROM part WHERE p_partkey < 200
+        |      UNION ALL BY NAME
+        |      SELECT p_partkey AS k, p_type AS t FROM part WHERE p_partkey < 200)
+        |ORDER BY k, b NULLS FIRST""") { (s, d) =>
+      val a = Tables.part(s, d).filter(col("p_partkey") < 200)
+        .select(col("p_partkey").as("k"), col("p_brand").as("b"))
+      val b = Tables.part(s, d).filter(col("p_partkey") < 200)
+        .select(col("p_partkey").as("k"), col("p_type").as("t"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy(col("k"), asc_nulls_first("b"))
     })
 }
