@@ -38,7 +38,10 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    def fmt(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: a comma-decimal default locale would render 0,338
+    // and break the JSON on both stdout and the detail file.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Streaming replay throughput (BASELINE.md §B target: ≥10k events/s
     // through the windowed-aggregation pipeline).
     val eps: Long =

@@ -106,31 +106,54 @@ case class TopKPerGroupExec(
     val g = groupExprs
     val ord = order
     val kk = k
+    val isPartial = partial
+    val maxGroups = TopKPerGroupExec.partialMaxGroups
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(g, childOutput)
       val rowOrd: Ordering[InternalRow] = RowOrdering.create(ord, childOutput)
       // Max-heap per group keeps the k SMALLEST rows under the sort
       // order (rank 1 = first row of the frame, as row_number counts).
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      while (iter.hasNext) {
-        val row = iter.next()
+      // Memory bound for the PARTIAL phase: at most `maxGroups` heaps
+      // live; rows for keys beyond that stream straight through to the
+      // exchange un-reduced — pass-through is always CORRECT for a
+      // partial top-k (the final phase re-reduces), it just loses the
+      // reduction for the overflow keys, which is the right degradation
+      // for nearly-unique group keys. The FINAL phase cannot pass
+      // through, but it runs after the hash exchange, so its group count
+      // is total-groups / shuffle-partitions, the same bound a hash
+      // aggregate lives with.
+      val passThrough = iter.filter { row =>
         val key = keyProj(row)
         heaps.get(key) match {
           case Some(h) =>
             if (h.size < kk) h.enqueue(row.copy())
             else if (rowOrd.compare(row, h.head) < 0) { h.dequeue(); h.enqueue(row.copy()) }
+            false
           case None =>
-            val h = mutable.PriorityQueue.empty[InternalRow](rowOrd)
-            h.enqueue(row.copy())
-            heaps.put(key.copy(), h)
+            if (isPartial && heaps.size >= maxGroups) {
+              true // emit un-reduced
+            } else {
+              val h = mutable.PriorityQueue.empty[InternalRow](rowOrd)
+              h.enqueue(row.copy())
+              heaps.put(key.copy(), h)
+              false
+            }
         }
       }
       // Emit each group's survivors in rank order (dequeueAll is
-      // greatest-first off a max-heap).
-      heaps.valuesIterator.flatMap(h => h.dequeueAll.reverseIterator)
+      // greatest-first off a max-heap) AFTER the pass-through stream
+      // has been fully consumed (concat is lazy left-to-right).
+      passThrough ++ heaps.valuesIterator.flatMap(h => h.dequeueAll.reverseIterator)
     }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
+}
+
+object TopKPerGroupExec {
+  /** Partial-phase heap-map bound: ~2M retained rows worst case (heaps
+    * × k) before overflow keys bypass reduction. Overridable for tests. */
+  var partialMaxGroups: Int = 1 << 20
 }

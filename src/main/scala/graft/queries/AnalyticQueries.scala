@@ -240,10 +240,13 @@ object AnalyticQueries {
         |SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
         |FROM b GROUP BY bucket
         |ORDER BY bucket""") { (s, d) =>
+      // Clamped to 1..20 exactly like the oracle's arithmetic twin —
+      // width_bucket alone would emit 0/21 for out-of-domain values
+      // while the twin clamps, an asymmetry that in-domain data masks.
       Tables.lineitem(s, d)
         .select(expr(
-          """width_bucket(CAST(round(l_extendedprice * 100) AS BIGINT),
-            |  90000D, 10500000D, 20)""".stripMargin).cast("int").as("bucket"))
+          """least(greatest(width_bucket(CAST(round(l_extendedprice * 100) AS BIGINT),
+            |  90000D, 10500000D, 20), 1L), 20L)""".stripMargin).cast("int").as("bucket"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("bucket"))

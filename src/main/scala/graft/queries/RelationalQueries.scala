@@ -40,7 +40,19 @@ object RelationalQueries {
     * a double and the final division is a single correctly-rounded op
     * in both engines. */
   private def decSum(prod: String, scale: Int = 4): String =
-    s"CAST(CAST(sum($prod) AS DECIMAL(38,$scale)) AS DOUBLE)"
+    if (scale <= 4) s"CAST(CAST(sum($prod) AS DECIMAL(38,$scale)) AS DOUBLE)"
+    else {
+      // Scale > 4 (sum_charge at scale 6): even the true-scale mantissa
+      // outgrows 2^53 around sf0.15 (≈6e15 and climbing with SF), so
+      // convert via an int/frac split instead: the scale-0 rounding of
+      // the sum is the same decimal in both engines (both round half
+      // away from zero for positives) and fits a double exactly while
+      // |sum| < 2^53 ≈ 9e15 (≈ sf1e3 for these columns); the remainder
+      // is a |x| ≤ 0.5 decimal, also exact. One final correctly-rounded
+      // addition is then identical in both engines.
+      val t = s"CAST(sum($prod) AS DECIMAL(38,0))"
+      s"(CAST($t AS DOUBLE) + CAST(CAST(sum($prod) AS DECIMAL(38,$scale)) - $t AS DOUBLE))"
+    }
   private def dec(c: String): String = s"CAST($c AS DECIMAL(18,4))"
 
   // revenue item: extendedprice * (1 - discount), exact

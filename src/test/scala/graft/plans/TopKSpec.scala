@@ -92,4 +92,19 @@ class TopKSpec extends SparkSpec {
     assert(written.exists(w => w > 0 && w <= 24),
       s"shuffle carried $written rows; partial reduction not effective")
   } }
+
+  test("partial-phase group-cap overflow degrades to pass-through, stays correct") {
+    val saved = TopKPerGroupExec.partialMaxGroups
+    TopKPerGroupExec.partialMaxGroups = 2 // force overflow: >2 groups/partition
+    try {
+      val big = (1 to 400).map(i => (s"g${i % 20}", i.toLong, (i * 7 % 100).toDouble))
+        .toDF("g", "id", "v").repartition(3)
+      val got = TopK.perGroup(big, Seq($"g"), Seq($"v".desc, $"id"), 2)
+        .orderBy($"g", $"id").collect().toSeq
+      val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
+      val want = big.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+        .drop("rn").orderBy($"g", $"id").collect().toSeq
+      assert(got == want)
+    } finally TopKPerGroupExec.partialMaxGroups = saved
+  }
 }
