@@ -50,8 +50,19 @@ object StreamingQueries {
   private def runToTable(s: SparkSession, d: String, mode: String)(
       build: DataFrame => DataFrame): DataFrame = {
     val name = "st_" + math.abs(scala.util.Random.nextLong()).toString
-    val q = build(eventsStream(s, d)).writeStream
-      .format("memory").queryName(name).outputMode(mode).start()
+    // Stateful operators materialize one state-store instance PER
+    // shuffle partition per operator (the partition count is frozen
+    // into the checkpoint at query start). Size it to the stream's
+    // volume, not the batch default: these replays carry 10^4-10^6
+    // events, where 8 stores amortize far better than 32 — the same
+    // sizing decision a real deployment makes per stream. Batch conf is
+    // restored after the query starts (the stream captured its copy).
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      build(eventsStream(s, d)).writeStream
+        .format("memory").queryName(name).outputMode(mode).start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     try { q.processAllAvailable() } finally { q.stop() }
     s.table(name)
   }
@@ -162,8 +173,14 @@ object StreamingQueries {
         col("user_id") === col("p_user") &&
           col("p_ts") >= col("c_ts") &&
           col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTE"))
-      val q = joined.select(col("click_id"), col("purchase_id"), col("user_id"))
-        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      // Same state-store sizing as runToTable (stream-stream joins keep
+      // FOUR stores per partition — sizing matters twice as much here).
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = try {
+        joined.select(col("click_id"), col("purchase_id"), col("user_id"))
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
       try { q.processAllAvailable() } finally { q.stop() }
       s.table(name).orderBy(col("click_id"), col("purchase_id"))
     },
