@@ -252,6 +252,38 @@ object AnalyticQueries {
         .orderBy(col("bucket"))
     },
 
+    // Z-order locality key: bit-interleave of two join keys — the
+    // multi-dimensional clustering primitive behind data-skipping file
+    // layouts (write sorted by z → min/max stats prune BOTH dimensions).
+    // Pure integer bit math, identical in both engines; 6 bits per key
+    // under the filter makes the interleave bijective, so z alone is a
+    // unique ORDER BY key. At 100 TB this expression feeds
+    // write.sortWithinPartitions(z) — the compute is the operator, the
+    // layout win is the consequence.
+    Q("sort_zorder",
+      """WITH p AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |           WHERE l_partkey < 64 AND l_suppkey < 64),
+        |z AS (SELECT l_partkey, l_suppkey,
+        |    CAST(list_sum(list_transform(range(0, 6),
+        |      i -> ((l_partkey // CAST(pow(2, i) AS BIGINT)) % 2) * CAST(pow(4, i) AS BIGINT) * 2
+        |         + ((l_suppkey // CAST(pow(2, i) AS BIGINT)) % 2) * CAST(pow(4, i) AS BIGINT)))
+        |      AS BIGINT) AS zval
+        |  FROM p)
+        |SELECT zval, l_partkey, l_suppkey
+        |FROM z
+        |ORDER BY zval""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_partkey") < 64 && col("l_suppkey") < 64)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .withColumn("zval", expr(
+          """aggregate(transform(sequence(0, 5),
+            |  i -> shiftleft(shiftright(l_partkey, i) & 1, 2*i + 1)
+            |     + shiftleft(shiftright(l_suppkey, i) & 1, 2*i)),
+            |  0L, (acc, v) -> acc + v)""".stripMargin))
+        .select(col("zval"), col("l_partkey"), col("l_suppkey"))
+        .orderBy(col("zval"))
+    },
+
     // IGNORE NULLS window navigation: forward-fill (last non-null value
     // so far) and group-first backstop — the gap-filling idiom for
     // sparse telemetry. Every third event carries a reading; the rest
