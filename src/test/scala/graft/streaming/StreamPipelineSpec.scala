@@ -132,4 +132,39 @@ class StreamPipelineSpec extends SparkSpec {
     assert(a.getSeq[String](1) == Seq("5.6.7.8"))
     assert(a.getString(2) == L9Event.Version)
   }
+
+  test("checkpoint restart: dedup state survives stop/start (X1 recovery, no re-emit)") {
+    // File source + file sink: both are checkpoint-recoverable (the
+    // memory sink is not), so this exercises the real X1 story — state
+    // AND source progress recovered, duplicate seen after restart
+    // suppressed by the recovered dedup store.
+    val srcDir = java.nio.file.Files.createTempDirectory("rsrc").toString
+    val outDir = java.nio.file.Files.createTempDirectory("rout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("rckpt").toString
+    def writeBatch(tag: String, rows: Seq[(String, String)]): Unit = {
+      val lines = rows.map { case (u, t) => s"""{"uid":"$u","creationTimestamp":"$t"}""" }
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$srcDir/$tag.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    def startQuery() = {
+      val src = spark.readStream
+        .schema("uid STRING, creationTimestamp TIMESTAMP").json(srcDir)
+      StreamPipeline.dedupStream(src, "1 hour")
+        .writeStream.format("json").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+    }
+    writeBatch("b1", Seq("a" -> "2024-01-01T10:00:00", "b" -> "2024-01-01T10:01:00"))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // Restart from the same checkpoint; the new file replays uid "a".
+    writeBatch("b2", Seq("a" -> "2024-01-01T10:02:00", "c" -> "2024-01-01T10:03:00"))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val uids = spark.read
+      .schema("uid STRING, creationTimestamp TIMESTAMP").json(outDir)
+      .select("uid").as[String].collect().sorted.toSeq
+    assert(uids == Seq("a", "b", "c"),
+      s"expected the restarted query to suppress the replayed uid: $uids")
+  }
 }
