@@ -181,6 +181,71 @@ object VectorQueries {
         .orderBy(col("qid"), col("rk"))
     },
 
+    // IVF with nprobe=2: probe the TWO nearest cells per query instead
+    // of one — the recall/cost dial every IVF deployment tunes (cells
+    // are disjoint, so candidates never duplicate; the scored set just
+    // widens). Plan shape is identical: broadcast centroid assign,
+    // candidate equi-join on cell, rank on candidates only.
+    Q("sim_knn_ivf2",
+      """WITH ex AS (SELECT vec_id, label,
+        |    CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |c AS (SELECT label, dim, avg(x) AS cx FROM ex GROUP BY label, dim),
+        |v AS (SELECT vec_id, label, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |qa AS (SELECT e.vec_id AS qid, c.label AS cell,
+        |    sum((e.x - c.cx) * (e.x - c.cx)) AS d2
+        |  FROM ex e JOIN c ON e.dim = c.dim
+        |  WHERE e.vec_id < 10
+        |  GROUP BY e.vec_id, c.label),
+        |assign AS (SELECT qid, cell FROM (
+        |    SELECT qid, cell, row_number() OVER (PARTITION BY qid ORDER BY d2, cell) AS rn
+        |    FROM qa) WHERE rn <= 2),
+        |p AS (SELECT a.qid, v2.vec_id AS vid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(v2.embedding[i] AS DOUBLE))) / (q.nrm * v2.nrm) AS cos
+        |  FROM assign a
+        |  JOIN v q ON q.vec_id = a.qid
+        |  JOIN v v2 ON v2.label = a.cell AND v2.vec_id <> a.qid),
+        |r AS (SELECT qid, vid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+        |  FROM p)
+        |SELECT qid, vid, CAST(rk AS INT) AS rk, round(cos, 4) AS cosine
+        |FROM r WHERE rk <= 3
+        |ORDER BY qid, rk""") { (s, d) =>
+      import graft.functions.GraftFunctions.dot_f
+      val e = Tables.embeddings(s, d)
+      val exploded = e.select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("x", col("x").cast("double"))
+      val centroids = exploded.groupBy(col("label").as("cell"), col("dim"))
+        .agg(avg(col("x")).as("cx"))
+      val qa = exploded.filter(col("vec_id") < 10)
+        .join(broadcast(centroids), Seq("dim"))
+        .withColumn("sq", (col("x") - col("cx")) * (col("x") - col("cx")))
+        .groupBy(col("vec_id").as("qid"), col("cell"))
+        .agg(sum(col("sq")).as("d2"))
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("d2"), col("cell"))
+      val assign = qa.withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") <= 2).select(col("qid"), col("cell"))
+      val v = e.select(col("vec_id"), col("label"), col("embedding").as("ev"))
+        .withColumn("nrm", sqrt(dot_f(col("ev"), col("ev"))))
+      val q = assign.join(v.select(col("vec_id").as("qid"), col("ev").as("qe"),
+        col("nrm").as("qn")), Seq("qid"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      v.join(broadcast(q), col("label") === col("cell") && col("vec_id") =!= col("qid"))
+        .withColumn("cos", dot_f(col("qe"), col("ev")) / (col("qn") * col("nrm")))
+        .withColumn("rk", row_number().over(wRank))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("vec_id").as("vid"), col("rk").cast("int").as("rk"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy(col("qid"), col("rk"))
+    },
+
     // Embedding-cosine near-duplicate pairs: candidates from the sign-bit
     // bucket equi-join (the LSH cut — never all-pairs), scored and
     // thresholded. This corpus has no planted vector near-dups (max
