@@ -490,5 +490,33 @@ object TextQueries {
           Seq(col("source")),
           Seq(col("n_tokens").desc, col("doc_id")), 1)
         .orderBy(col("source"))
+    },
+
+    // Dataset profiling — the pre-flight data-quality scan every corpus
+    // ingest runs: per-language row count, null/empty checks, length
+    // distribution, distinct sources. One aggregate pass over the scan
+    // (all measures partial-aggregable).
+    Q("stat_profile",
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (WHERE text IS NULL OR text = '') AS BIGINT) AS n_empty,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""") { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("text").isNull || col("text") === "", 1)).as("n_empty"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
     })
 }
