@@ -68,7 +68,9 @@ object Bench {
       "setop_except", "sample_stratified", "dedup_exact",
       "dedup_minhash_pairs", "dedup_cluster_cc", "sim_knn_brute",
       "sim_knn_ivf", "text_tfidf", "text_chunk", "pipeline_corpus",
-      "stream_tumble", "stream_dedup", "sess_window_batch")
+      "stream_tumble", "stream_dedup", "sess_window_batch",
+      "topk_custom_plan", "text_contamination", "dedup_keep_best",
+      "stream_session")
     val rmap = results.toMap
     val qs = headline.flatMap(k => rmap.get(k).map(v => "\"" + k + "\":" + fmt(v)))
       .mkString("{", ",", "}")
