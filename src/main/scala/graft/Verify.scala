@@ -24,6 +24,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Queries are independent jobs: drop blocks this one pinned
+      // (caches, localCheckpoints) so the 130-query sweep doesn't
+      // accumulate storage-memory pressure in the shared JVM.
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

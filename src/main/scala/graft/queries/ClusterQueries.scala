@@ -125,6 +125,11 @@ object ClusterQueries {
         if (sys.env.contains("GRAFT_CC_DEBUG"))
           println(s"[cc] round $rounds changed=$changed")
       }
+      // The converged labels ride in their own checkpoint; the edge list
+      // is dead weight from here — release its blocks so a long-lived
+      // session (Bench runs 130+ queries in one JVM) doesn't accumulate
+      // storage-memory pressure from every CC invocation.
+      sym.unpersist(blocking = false)
       val all = Tables.documents(s, d).select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left_outer")
         .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))

@@ -24,7 +24,14 @@ object TimeQ {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Same per-query block release as Bench: reps must not compound
+        // the previous rep's pinned caches/checkpoints.
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        try spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        catch { case _: Throwable => () }
+        dt
       }
       println(f"$name%-24s ${times.map(t => f"$t%.2f").mkString(" ")}")
     }
