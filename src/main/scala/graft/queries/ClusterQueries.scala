@@ -24,15 +24,74 @@ import org.apache.spark.storage.StorageLevel
 object ClusterQueries {
 
   /** 8-seed MinHash signature relation (doc_id, seed, mh) — the same
-    * signature pipeline dedup_minhash_sig declares, shared here to build
-    * the candidate-pair graph. */
+    * signature pipeline dedup_minhash_sig declares (one md5 per shingle +
+    * the affine permutation family, TextQueries.mhMixSql), shared here to
+    * build the candidate-pair graph. */
   private def minhashSigs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     TextQueries.shingles(s, d)
+      .select(col("doc_id"), expr(TextQueries.shingleIntSpark).as("v"))
       .crossJoin(broadcast(s.range(0, 8).select(col("id").cast("int").as("seed"))))
       .select(col("doc_id"), col("seed"),
-        md5(concat(col("seed").cast("string"), lit("|"), col("sh"))).as("hv"))
+        expr(TextQueries.mhMixSql("v", "seed")).as("hv"))
       .groupBy(col("doc_id"), col("seed"))
       .agg(min(col("hv")).as("mh"))
+
+  /** MinHash LSH candidate-pair edges (u < v, distinct) — the graph both
+    * CC formulations resolve. Returned persisted + materialized (the
+    * signature relation it self-joins is released here); the caller owns
+    * unpersisting the result once its own derivation is materialized. */
+  private def candidateEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val h = minhashSigs(s, d)
+      .persist(StorageLevel.MEMORY_AND_DISK) // self-joined below
+    val e = h.as("a").join(h.as("b"),
+        col("a.seed") === col("b.seed") && col("a.mh") === col("b.mh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    h.unpersist(blocking = false)
+    e
+  }
+
+  /** Shared result tail: converged (doc_id, rep) labels over the
+    * edge-touched vertex set → full-corpus (doc_id, cluster_rep,
+    * n_reachable), singletons labeling themselves. */
+  private def labelsToResult(s: org.apache.spark.sql.SparkSession, d: String,
+      labels: DataFrame): DataFrame = {
+    val all = Tables.documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+    val sizes = all.groupBy(col("rep")).agg(count(lit(1)).as("n_reachable"))
+    all
+      .join(sizes, Seq("rep"))
+      .select(col("doc_id"), col("rep").as("cluster_rep"), col("n_reachable"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The recursive-transitive-closure oracle both CC queries share: a
+    * completely different evaluation strategy reaching the same
+    * labeling. */
+  private val ccOracleSql: String =
+    s"""WITH RECURSIVE
+       |sh AS (${TextQueries.shinglesSql}),
+       |sv AS (SELECT doc_id, ${TextQueries.shingleIntDuck} AS v FROM sh),
+       |h AS (SELECT doc_id, r.seed AS seed,
+       |        min(${TextQueries.mhMixSql("v", "r.seed")}) AS mh
+       |      FROM sv, range(0, 8) r(seed)
+       |      GROUP BY doc_id, r.seed),
+       |e AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+       |      FROM h a JOIN h b ON a.seed = b.seed AND a.mh = b.mh
+       |        AND a.doc_id < b.doc_id),
+       |sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+       |reach(u, v) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+       |SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS cluster_rep,
+       |  CAST(count(*) AS BIGINT) AS n_reachable
+       |FROM reach GROUP BY u
+       |ORDER BY doc_id""".stripMargin
 
   def all: Seq[Q] = Seq(
 
@@ -42,36 +101,12 @@ object ClusterQueries {
     // DuckDB oracle computes the same fixpoint as a recursive
     // transitive closure — a completely different evaluation strategy
     // reaching the same labeling.
-    Q("dedup_cluster_cc",
-      s"""WITH RECURSIVE
-         |sh AS (${TextQueries.shinglesSql}),
-         |h AS (SELECT doc_id, r.seed AS seed,
-         |        min(md5(CAST(r.seed AS VARCHAR) || '|' || sh)) AS mh
-         |      FROM sh, range(0, 8) r(seed)
-         |      GROUP BY doc_id, r.seed),
-         |e AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-         |      FROM h a JOIN h b ON a.seed = b.seed AND a.mh = b.mh
-         |        AND a.doc_id < b.doc_id),
-         |sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
-         |reach(u, v) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
-         |SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS cluster_rep,
-         |  CAST(count(*) AS BIGINT) AS n_reachable
-         |FROM reach GROUP BY u
-         |ORDER BY doc_id""") { (s, d) =>
-      val h = minhashSigs(s, d)
-        .persist(StorageLevel.MEMORY_AND_DISK) // self-joined below
-      val e = h.as("a").join(h.as("b"),
-          col("a.seed") === col("b.seed") && col("a.mh") === col("b.mh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
-        .distinct()
+    Q("dedup_cluster_cc", ccOracleSql) { (s, d) =>
+      val e = candidateEdges(s, d)
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      sym.count() // materialize once; h no longer needed after this
-      h.unpersist(blocking = false)
+      sym.count() // materialize once; edge pairs not needed after
+      e.unpersist(blocking = false)
       // n_reachable (component size via closure in the oracle) is
       // recovered relationally at the end: members per final label.
       //
@@ -130,14 +165,78 @@ object ClusterQueries {
       // session (Bench runs 130+ queries in one JVM) doesn't accumulate
       // storage-memory pressure from every CC invocation.
       sym.unpersist(blocking = false)
-      val all = Tables.documents(s, d).select(col("doc_id"))
-        .join(labels, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
-      val sizes = all.groupBy(col("rep")).agg(count(lit(1)).as("n_reachable"))
-      all
-        .join(sizes, Seq("rep"))
-        .select(col("doc_id"), col("rep").as("cluster_rep"), col("n_reachable"))
-        .orderBy(col("doc_id"))
+      labelsToResult(s, d, labels)
+    },
+
+    // The same labeling by the large-star/small-star algorithm (Kiveris
+    // et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+    // — the O(log n)-round formulation dedup_cluster_cc's scaladoc
+    // promises for 100 TB, shipped as a first-class operator against
+    // the same recursive-closure oracle. Each half-round is one window
+    // aggregation (keyed min — NO collect_list, so a hub vertex with
+    // millions of neighbors streams through a sort-based window rather
+    // than materializing its adjacency in one task) plus one distinct;
+    // both are plain keyed shuffles. Convergence when the edge set's
+    // (count, hash-sum) fingerprint stops moving — a 1-row action per
+    // round, no data on the driver. Label-propagation needs rounds ~
+    // graph diameter; star contraction needs O(log n) — on deep
+    // near-dup chains (doc A edits to B edits to C ...) this is the
+    // difference between a handful and hundreds of shuffles.
+    Q("dedup_cluster_cc2", ccOracleSql) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      // Orient larger → smaller so the invariant v < u holds everywhere.
+      val e0 = candidateEdges(s, d)
+      var edges = e0.select(col("v").as("u"), col("u").as("v"))
+        .localCheckpoint(true)
+      e0.unpersist(blocking = false)
+      // Edge-set fingerprint: (count, bit_xor of per-edge xxhash64) —
+      // order-insensitive, overflow-free under ANSI (a SUM of 2^63-range
+      // hashes would throw), and valid because the edge set is distinct
+      // (no duplicate edges to self-cancel under xor). Equality of
+      // consecutive fingerprints ⇒ the star contraction reached its
+      // fixpoint (stars map to themselves under both ops).
+      def fingerprint(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)).as("c"),
+          coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      var prev = (-1L, -1L)
+      var cur = fingerprint(edges)
+      var rounds = 0
+      while (cur != prev && rounds < 50) {
+        // Large-star: every edge lives in its SMALLER endpoint's group
+        // (sym carries both directions; the v > u half selects them);
+        // each strictly-larger neighbor re-attaches to the group's min.
+        val sym = edges.unionByName(
+          edges.select(col("v").as("u"), col("u").as("v")))
+        val ls = sym
+          .withColumn("m", least(col("u"), min(col("v")).over(Window.partitionBy("u"))))
+          .filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .filter(col("u") =!= col("v"))
+          .distinct()
+        // Small-star: group by the larger endpoint; smaller neighbors
+        // (all of them, b < a) re-attach to the min; the row that IS the
+        // min re-emits the center's own edge (a, m).
+        val ss = ls
+          .select(greatest(col("u"), col("v")).as("a"), least(col("u"), col("v")).as("b"))
+          .withColumn("m", min(col("b")).over(Window.partitionBy("a")))
+          .select(when(col("b") === col("m"), col("a")).otherwise(col("b")).as("u"),
+            col("m").as("v"))
+          .filter(col("u") =!= col("v"))
+          .distinct()
+          .localCheckpoint(true) // reset the plan; the loop grows it otherwise
+        prev = cur
+        cur = fingerprint(ss)
+        edges = ss
+        rounds += 1
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          println(s"[cc2] round $rounds fp=$cur")
+      }
+      // Fixpoint = disjoint stars centered at each component's min:
+      // every member carries exactly the edge (member, center).
+      val labels = edges.groupBy(col("u").as("doc_id")).agg(min(col("v")).as("rep"))
+      labelsToResult(s, d, labels)
     },
 
     // The full corpus-preparation pipeline as ONE declarative DAG —

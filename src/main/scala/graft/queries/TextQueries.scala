@@ -45,6 +45,27 @@ object TextQueries {
       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin
 
+  /** MinHash permutation family shared by the signature/LSH/CC queries:
+    * ONE md5 per shingle → 48-bit integer digest v (first 12 hex chars),
+    * then each of the 8 "permutations" is the affine map
+    * (a_s·v + b_s) mod P over the prime field Z_P, P = 2^48 − 59 —
+    * a genuine universal-hash permutation family, at 1 hash + 8
+    * multiplies per shingle instead of 8 seed-prefixed md5s (the md5 was
+    * ~the whole cost of every MinHash-derived operator). Multipliers stay
+    * < 2^15, so a·v + b < 2^63: no int64 overflow in either engine
+    * (Spark ANSI would throw; DuckDB would silently widen to HUGEINT and
+    * diverge), while products far exceed P so the mod genuinely permutes
+    * the ordering. Both engines evaluate the IDENTICAL expression text —
+    * the digest extraction is the only dialect split (conv vs ::BIGINT
+    * hex cast, twin-checked). */
+  private[queries] val mhPrime = "281474976710597" // 2^48 - 59, prime
+  private[queries] def mhMixSql(v: String, seed: String): String =
+    s"((10007 + 2 * $seed * 1301) * $v + $seed * 7919) % $mhPrime"
+  private[queries] val shingleIntSpark =
+    "CAST(conv(substr(md5(sh), 1, 12), 16, 10) AS BIGINT)"
+  private[queries] val shingleIntDuck =
+    "('0x' || substr(md5(sh), 1, 12))::BIGINT"
+
   def all: Seq[Q] = Seq(
 
     // ------------------------------------------------------- text analysis
@@ -226,21 +247,24 @@ object TextQueries {
         .orderBy(col("keeper"))
     },
 
-    // MinHash signatures: 8 permutations simulated by seeded md5; the
-    // signature component for (doc, seed) is the lexicographic min digest.
+    // MinHash signatures: 8 permutations from the shared affine family
+    // (mhMixSql scaladoc); the signature component for (doc, seed) is
+    // the minimum permuted digest.
     Q("dedup_minhash_sig",
       s"""WITH sh AS ($shinglesSql),
+         |sv AS (SELECT doc_id, $shingleIntDuck AS v FROM sh),
          |h AS (SELECT doc_id, CAST(r.seed AS INT) AS seed,
-         |        min(md5(CAST(r.seed AS VARCHAR) || '|' || sh)) AS mh
-         |      FROM sh, range(0, 8) r(seed)
+         |        min(${mhMixSql("v", "r.seed")}) AS mh
+         |      FROM sv, range(0, 8) r(seed)
          |      GROUP BY doc_id, r.seed)
          |SELECT doc_id, seed, mh FROM h
          |ORDER BY doc_id, seed""") { (s, d) =>
-      val sh = shingles(s, d)
-      sh.crossJoin(broadcast(
+      val sv = shingles(s, d)
+        .select(col("doc_id"), expr(shingleIntSpark).as("v"))
+      sv.crossJoin(broadcast(
           s.range(0, 8).select(col("id").cast("int").as("seed"))))
         .select(col("doc_id"), col("seed"),
-          md5(concat(col("seed").cast("string"), lit("|"), col("sh"))).as("hv"))
+          expr(mhMixSql("v", "seed")).as("hv"))
         .groupBy(col("doc_id"), col("seed"))
         .agg(min(col("hv")).as("mh"))
         .orderBy(col("doc_id"), col("seed"))
@@ -252,9 +276,10 @@ object TextQueries {
     // Jaccard computed relationally on the candidate pairs only.
     Q("dedup_minhash_pairs",
       s"""WITH sh AS ($shinglesSql),
+         |sv AS (SELECT doc_id, $shingleIntDuck AS v FROM sh),
          |h AS (SELECT doc_id, r.seed AS seed,
-         |        min(md5(CAST(r.seed AS VARCHAR) || '|' || sh)) AS mh
-         |      FROM sh, range(0, 8) r(seed)
+         |        min(${mhMixSql("v", "r.seed")}) AS mh
+         |      FROM sv, range(0, 8) r(seed)
          |      GROUP BY doc_id, r.seed),
          |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
          |           CAST(count(*) AS INT) AS n_bands
@@ -278,9 +303,10 @@ object TextQueries {
          |ORDER BY c.d1, c.d2""") { (s, d) =>
       val sh = shingles(s, d).cache()
       val seeds = broadcast(s.range(0, 8).select(col("id").cast("int").as("seed")))
-      val h = sh.crossJoin(seeds)
+      val h = sh.select(col("doc_id"), expr(shingleIntSpark).as("v"))
+        .crossJoin(seeds)
         .select(col("doc_id"), col("seed"),
-          md5(concat(col("seed").cast("string"), lit("|"), col("sh"))).as("hv"))
+          expr(mhMixSql("v", "seed")).as("hv"))
         .groupBy(col("doc_id"), col("seed"))
         .agg(min(col("hv")).as("mh"))
         .cache() // self-joined for cand — uncached, both sides re-hash

@@ -23,12 +23,38 @@ class ClusterQueriesSpec extends SparkSpec {
     d
   }
 
-  test("chain A-B-C collapses to one cluster; isolated doc stays alone") {
-    val out = SparkEntry.queries("dedup_cluster_cc")(spark, dir)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(out(1L) == ((1L, 3L)))  // rep = min id, component size 3
-    assert(out(2L) == ((1L, 3L)))
-    assert(out(3L) == ((1L, 3L)))  // 2 hops from its rep
-    assert(out(4L) == ((4L, 1L)))  // singleton labels itself
+  for (q <- Seq("dedup_cluster_cc", "dedup_cluster_cc2"))
+    test(s"$q: chain A-B-C collapses to one cluster; isolated doc stays alone") {
+      val out = SparkEntry.queries(q)(spark, dir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(out(1L) == ((1L, 3L)))  // rep = min id, component size 3
+      assert(out(2L) == ((1L, 3L)))
+      assert(out(3L) == ((1L, 3L)))  // 2 hops from its rep
+      assert(out(4L) == ((4L, 1L)))  // singleton labels itself
+    }
+
+  // A 8-deep edit chain doc1–doc2–…–doc8 (consecutive docs share half
+  // their shingles, non-consecutive share none): the worst case for
+  // per-hop label propagation and exactly where star contraction's
+  // O(log n) bound matters. Both formulations must agree with each
+  // other AND collapse the whole chain to rep=1.
+  private lazy val chainDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("deepchain").toString
+    val words = (1 to 9).map(i => (1 to 10).map(j => s"w${i}_$j"))
+    val docs = (1 to 8).map { i =>
+      (i.toLong, (words(i - 1) ++ words(i)).mkString(" "), "en", "t", 0L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("deep chain: both CC formulations agree and collapse to one cluster") {
+    val a = SparkEntry.queries("dedup_cluster_cc")(spark, chainDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val b = SparkEntry.queries("dedup_cluster_cc2")(spark, chainDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall { case (_, rep, n) => rep == 1L && n == 8L })
   }
 }
