@@ -184,6 +184,29 @@ object AnalyticQueries {
         .orderBy(col("c_custkey"))
     },
 
+    // Class-balanced downsampling: cap every language at 40 docs, chosen
+    // by rank over a content-independent hash of the key — the per-class
+    // twin of sample_stratified's per-row coin flip. Deterministic and
+    // join-stable (same 40 docs on any cluster size, rerun, or engine);
+    // the rank shuffles once on the class key, no engine RNG anywhere.
+    Q("sample_balanced",
+      """SELECT doc_id, lang, CAST(rk AS INT) AS rk
+        |FROM (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 40
+        |ORDER BY doc_id""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 40)
+        .select(col("doc_id"), col("lang"), col("rk").cast("int").as("rk"))
+        .orderBy(col("doc_id"))
+    },
+
     // Ordered string aggregation (LISTAGG WITHIN GROUP — Spark 4 native).
     // The ORDER BY inside the aggregate is what makes the result
     // deterministic and therefore distributable: without it the

@@ -544,5 +544,99 @@ object TextQueries {
           round(avg(col("n_chars")), 4).as("avg_chars"),
           sum(col("n_chars")).as("total_chars"))
         .orderBy(col("lang"))
+    },
+
+    // PII scrubbing — the redaction pass a corpus runs before training.
+    // The fixture text is synthetic-clean, so the query plants
+    // deterministic PII (an email, an IPv4, a phone) per doc, then
+    // scrubs it back out: the planted half makes the redaction counts
+    // provably nonzero and the patterns' hit behavior engine-checkable.
+    // Patterns stay in the Java∩RE2 common subset (no backrefs, no
+    // lookaround) so Spark and DuckDB agree; DuckDB needs the explicit
+    // 'g' flag where Spark's regexp_replace is global by default.
+    Q("text_pii_scrub",
+      """WITH p AS (SELECT doc_id,
+        |    text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com via 10.' ||
+        |    CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ||
+        |    ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents),
+        |s AS (SELECT doc_id, t,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS scrubbed
+        |  FROM p)
+        |SELECT doc_id,
+        |  md5(scrubbed) AS scrub_hash,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS INT) AS n_phone,
+        |  CAST(length(t) - length(scrubbed) AS INT) AS n_chars_redacted
+        |FROM s
+        |ORDER BY doc_id""") { (s, d) =>
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
+            lit("@mail.example.com via 10."), (col("doc_id") % 200).cast("string"),
+            lit(".0."), (col("doc_id") % 250).cast("string"),
+            lit(" or +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("t"))
+        .withColumn("scrubbed",
+          regexp_replace(regexp_replace(regexp_replace(col("t"),
+            emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>"),
+            ipRe, "<IP>"))
+        .select(col("doc_id"),
+          md5(col("scrubbed")).as("scrub_hash"),
+          regexp_count(col("t"), lit(emailRe)).cast("int").as("n_email"),
+          regexp_count(col("t"), lit(phoneRe)).cast("int").as("n_phone"),
+          (length(col("t")) - length(col("scrubbed"))).cast("int").as("n_chars_redacted"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Cross-corpus repeated-span removal, keep-first (the C4/RefinedWeb
+    // fine-grained dedup that exact-doc and near-doc dedup both miss):
+    // non-overlapping 8-token spans; every span occurrence after the
+    // corpus-wide first (by doc_id, then position) is dropped; documents
+    // are reassembled from their surviving spans in order. One shuffle
+    // keyed by span hash for the keep-first window, one keyed by doc for
+    // reassembly — grams travel as md5 digests, not text. The ordered
+    // reassembly (sort_array over (idx, span) structs) is what makes the
+    // result deterministic under any partitioning.
+    Q("dedup_span_keepfirst",
+      """WITH c AS (SELECT doc_id, CAST(i AS INT) AS idx,
+        |    array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' ') AS span
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |    unnest(range(0, (len(toks) + 7) // 8)) t(i)),
+        |k AS (SELECT doc_id, idx, span,
+        |    row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, idx) AS occ
+        |  FROM c)
+        |SELECT doc_id,
+        |  CAST(count(*) AS INT) AS n_spans,
+        |  CAST(count(*) FILTER (WHERE occ = 1) AS INT) AS n_kept,
+        |  md5(coalesce(string_agg(span, ' ' ORDER BY idx) FILTER (WHERE occ = 1), '')) AS clean_hash
+        |FROM k
+        |GROUP BY doc_id
+        |ORDER BY doc_id""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val spans = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          posexplode(expr(
+            """transform(sequence(0, CAST((size(toks) + 7) / 8 AS INT) - 1),
+              |  i -> concat_ws(' ', slice(toks, i * 8 + 1, 8)))""".stripMargin))
+            .as(Seq("idx", "span")))
+      val w = Window.partitionBy(md5(col("span"))).orderBy(col("doc_id"), col("idx"))
+      spans
+        .withColumn("occ", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_spans"),
+          count(when(col("occ") === 1, 1)).cast("int").as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(when(col("occ") === 1,
+              struct(col("idx"), col("span"))))),
+            x => x.getField("span")), " ")).as("clean_hash"))
+        .orderBy(col("doc_id"))
     })
 }
