@@ -86,7 +86,8 @@ object Bench {
       "sim_knn_ivf", "text_tfidf", "text_chunk", "pipeline_corpus",
       "stream_tumble", "stream_dedup", "sess_window_batch",
       "topk_custom_plan", "text_contamination", "dedup_keep_best",
-      "stream_session")
+      "stream_session", "dedup_cluster_cc2", "dedup_span_keepfirst",
+      "text_pii_scrub", "dedup_simhash_pairs", "sample_balanced")
     val rmap = results.toMap
     val qs = headline.flatMap(k => rmap.get(k).map(v => "\"" + k + "\":" + fmt(v)))
       .mkString("{", ",", "}")

@@ -66,6 +66,43 @@ object TextQueries {
   private[queries] val shingleIntDuck =
     "('0x' || substr(md5(sh), 1, 12))::BIGINT"
 
+  /** 16-bit SimHash relation (doc_id, simhash) — per-token md5 bits,
+    * frequency-weighted majority vote per bit; pure integer arithmetic on
+    * md5 hex, engine-independent. Shared by dedup_simhash and the
+    * hamming-ball pair search. */
+  private[queries] val simhashSql =
+    """SELECT doc_id,
+      |  CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM (SELECT doc_id, b.bit AS bit,
+      |    sum(CASE WHEN (v // CAST(pow(2, b.bit) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM (SELECT doc_id,
+      |      (strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 4096 +
+      |      (strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) * 256 +
+      |      (strpos('0123456789abcdef', substring(md5(tok), 3, 1)) - 1) * 16 +
+      |      (strpos('0123456789abcdef', substring(md5(tok), 4, 1)) - 1) AS v
+      |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+      |    range(0, 16) b(bit)
+      |  GROUP BY doc_id, b.bit)
+      |GROUP BY doc_id""".stripMargin
+
+  private[queries] def simhashDf(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val hv = tok.withColumn("v", expr(
+      """(instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 4096 +
+        |(instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) * 256 +
+        |(instr('0123456789abcdef', substring(md5(tok), 3, 1)) - 1) * 16 +
+        |(instr('0123456789abcdef', substring(md5(tok), 4, 1)) - 1)""".stripMargin))
+    val bits = hv.crossJoin(broadcast(
+        s.range(0, 16).select(col("id").cast("int").as("bit"))))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(when(expr("(v div CAST(pow(2, bit) AS BIGINT)) % 2 = 1"), 1)
+        .otherwise(-1)).as("s"))
+    bits.groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("CAST(pow(2, bit) AS BIGINT)"))
+        .otherwise(0L)).cast("bigint").as("simhash"))
+  }
+
   def all: Seq[Q] = Seq(
 
     // ------------------------------------------------------- text analysis
@@ -340,38 +377,44 @@ object TextQueries {
     // SimHash: 16-bit signature from per-token md5 bits, majority vote per
     // bit. Pure integer arithmetic on md5 hex — engine-independent.
     Q("dedup_simhash",
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |hv AS (SELECT doc_id, tok,
-        |  (strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 4096 +
-        |  (strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) * 256 +
-        |  (strpos('0123456789abcdef', substring(md5(tok), 3, 1)) - 1) * 16 +
-        |  (strpos('0123456789abcdef', substring(md5(tok), 4, 1)) - 1) AS v
-        |FROM tok),
-        |bits AS (SELECT doc_id, b.bit AS bit,
-        |    sum(CASE WHEN (v // CAST(pow(2, b.bit) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
-        |  FROM hv, range(0, 16) b(bit)
-        |  GROUP BY doc_id, b.bit)
-        |SELECT doc_id,
-        |  CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-        |FROM bits
-        |GROUP BY doc_id
-        |ORDER BY doc_id""") { (s, d) =>
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val hv = tok.withColumn("v", expr(
-        """(instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 4096 +
-          |(instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) * 256 +
-          |(instr('0123456789abcdef', substring(md5(tok), 3, 1)) - 1) * 16 +
-          |(instr('0123456789abcdef', substring(md5(tok), 4, 1)) - 1)""".stripMargin))
-      val bits = hv.crossJoin(broadcast(
-          s.range(0, 16).select(col("id").cast("int").as("bit"))))
-        .groupBy(col("doc_id"), col("bit"))
-        .agg(sum(when(expr("(v div CAST(pow(2, bit) AS BIGINT)) % 2 = 1"), 1)
-          .otherwise(-1)).as("s"))
-      bits.groupBy(col("doc_id"))
-        .agg(sum(when(col("s") > 0, expr("CAST(pow(2, bit) AS BIGINT)"))
-          .otherwise(0L)).cast("bigint").as("simhash"))
-        .orderBy(col("doc_id"))
+      s"""SELECT doc_id, simhash FROM ($simhashSql)
+         |ORDER BY doc_id""") { (s, d) =>
+      simhashDf(s, d).orderBy(col("doc_id"))
+    },
+
+    // SimHash hamming-ball near-dup pairs: candidates from 2 byte-bands
+    // (hi/lo 8 bits — pairs within hamming ≤ 1 of a band boundary
+    // necessarily agree on ≥1 band; wider radii trade recall, the
+    // standard banded-simhash dial), verified by exact popcount on the
+    // XOR. Candidates come from two equi-joins — never all-pairs — and
+    // signatures travel as one BIGINT per doc.
+    Q("dedup_simhash_pairs",
+      s"""WITH sh AS ($simhashSql),
+         |cand AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |         a.simhash AS h1, b.simhash AS h2
+         |  FROM sh a JOIN sh b
+         |    ON a.simhash // 256 = b.simhash // 256 AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+         |  FROM sh a JOIN sh b
+         |    ON a.simhash % 256 = b.simhash % 256 AND a.doc_id < b.doc_id)
+         |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(h1, h2)) <= 3
+         |ORDER BY d1, d2""") { (s, d) =>
+      val sh = simhashDf(s, d).cache()
+      val a = sh.select(col("doc_id").as("d1"), col("simhash").as("h1"))
+      val b = sh.select(col("doc_id").as("d2"), col("simhash").as("h2"))
+      val hi = a.join(b,
+        expr("h1 div 256") === expr("h2 div 256") && col("d1") < col("d2"))
+      val lo = a.join(b,
+        col("h1") % 256 === col("h2") % 256 && col("d1") < col("d2"))
+      hi.unionByName(lo).distinct()
+        .withColumn("hamming", expr("CAST(bit_count(h1 ^ h2) AS INT)"))
+        .filter(col("hamming") <= 3)
+        .select(col("d1"), col("d2"), col("hamming"))
+        .orderBy(col("d1"), col("d2"))
     },
 
     // Character 4-gram Jaccard similarity over a bounded doc subset —
