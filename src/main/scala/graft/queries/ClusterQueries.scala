@@ -136,14 +136,18 @@ object ClusterQueries {
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 50) {
-        val viaNbr = sym
+        // Neighbor reps and the node's own rep ride ONE union into ONE
+        // keyed min — no separate neighbor-min aggregation feeding a
+        // left-outer join back onto labels (that shape pays two shuffles
+        // where this pays one). The self row also carries the previous
+        // rep (`old`, exactly one such row per doc) so the convergence
+        // signal still needs no extra join.
+        val next = sym
           .join(labels.select(col("doc_id").as("v"), col("rep")), Seq("v"))
-          .groupBy(col("u").as("doc_id"))
-          .agg(min(col("rep")).as("nbr_rep"))
-        val next = labels
-          .join(viaNbr, Seq("doc_id"), "left_outer")
-          .select(col("doc_id"), col("rep").as("old"),
-            least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+          .select(col("u").as("doc_id"), col("rep"), lit(null).cast("long").as("old"))
+          .unionByName(labels.select(col("doc_id"), col("rep"), col("rep").as("old")))
+          .groupBy(col("doc_id"))
+          .agg(min(col("rep")).as("rep"), max(col("old")).as("old"))
         // Pointer jump (path halving): rep ← rep(rep). Labels only ever
         // shrink within the component, so the jump preserves the fixpoint
         // while letting labels travel 2^round hops instead of `round` —
