@@ -65,6 +65,11 @@ object Bench {
         val (n, sec) = graft.queries.StreamingQueries.replayThroughput(spark, sfDir)
         if (sec > 0) (n / sec).toLong else 0L
       } catch { case _: Throwable => -1L }
+    // End-to-end latency for one deploy-default batch through the full
+    // pipeline (BASELINE.md §B target: ≤ 30 s ingest → durable sink).
+    val latencySec: Double =
+      try graft.streaming.LatencyProbe.measure(spark)
+      catch { case _: Throwable => -1.0 }
     // Full per-query detail goes to a file; the stdout line must stay
     // SHORT — the driver captures only a tail window of the run output,
     // and a 4 KB line with all ~110 queries gets truncated mid-line and
@@ -72,7 +77,7 @@ object Bench {
     val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"stream_eps":$eps,"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"stream_eps":$eps,"batch_latency_sec":${fmt(latencySec)},"queries":$detail,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detailJson + "\n").getBytes("UTF-8"))
@@ -91,7 +96,7 @@ object Bench {
     val rmap = results.toMap
     val qs = headline.flatMap(k => rmap.get(k).map(v => "\"" + k + "\":" + fmt(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"stream_eps":$eps,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"stream_eps":$eps,"batch_latency_sec":${fmt(latencySec)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

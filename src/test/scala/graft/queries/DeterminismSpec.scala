@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Partition-count invariance for the round-4 operators: the same rows
+  * must come back at any `spark.sql.shuffle.partitions` — the law that
+  * makes a result valid on a laptop and a 1000-executor cluster alike.
+  * The fixture plants an EXACT duplicate doc so dedup_span_keepfirst
+  * exercises the all-spans-dropped path (clean_hash of the empty
+  * reassembly — md5('') in both engines, not NULL), and a 3-token doc so
+  * the degenerate-window guards stay covered. */
+class DeterminismSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("detdocs").toString
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    Seq(
+      (1L, base, "en", "t", 0L),
+      (2L, base, "en", "t", 0L), // exact dup: every span a later occurrence
+      (3L, (1 to 40).map(i => s"other$i").mkString(" "), "de", "t", 0L),
+      (4L, "a b c", "en", "t", 5L),
+      (5L, ((1 to 20).map(i => s"tok$i") ++ (1 to 20).map(i => s"mix$i")).mkString(" "), "fr", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def rowsAt(q: String, parts: Int): Seq[String] = {
+    val k = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(k)
+    spark.conf.set(k, parts.toString)
+    try SparkEntry.queries(q)(spark, dir).collect().map(_.toString).toSeq
+    finally spark.conf.set(k, saved)
+  }
+
+  for (q <- Seq("dedup_span_keepfirst", "sample_balanced", "dedup_simhash_pairs"))
+    test(s"$q: identical rows at 3 and 29 shuffle partitions") {
+      assert(rowsAt(q, 3) == rowsAt(q, 29))
+    }
+
+  test("dedup_span_keepfirst: exact-dup doc keeps zero spans, empty reassembly hash") {
+    val out = SparkEntry.queries("dedup_span_keepfirst")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getString(3))).toMap
+    assert(out(2L)._1 == 0)
+    // md5 of the empty string — what DuckDB's coalesce('') twin hashes too
+    assert(out(2L)._2 == "d41d8cd98f00b204e9800998ecf8427e")
+    assert(out(1L)._1 > 0)
+  }
+}
