@@ -70,6 +70,38 @@ object StreamingQueries {
   private def decSum(c: String): String =
     s"CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"
 
+  /** documents as a 4-file replay stream consumed one file per
+    * micro-batch — multi-batch on purpose, so stateful operators
+    * genuinely carry state across batch boundaries. Staged once per sf
+    * dir (testdata is immutable). */
+  private def documentsStream(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Paths.get(
+      "/tmp/graft-docreplay-" + math.abs(d.hashCode).toString)
+    if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+      Tables.documents(s, d).repartition(4)
+        .write.mode("overwrite").parquet(dir.toString)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+  }
+
+  private def runDocsStream(s: SparkSession, d: String)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val name = "st_" + math.abs(scala.util.Random.nextLong()).toString
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      build(documentsStream(s, d)).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    try { q.processAllAvailable() } finally { q.stop() }
+    s.table(name)
+  }
+
   /** End-to-end replay throughput probe for Bench: replays the sf's
     * events through watermark + tumbling-window aggregation (the
     * BASELINE.md §B "streaming pipeline throughput" shape) and returns
@@ -275,5 +307,68 @@ object StreamingQueries {
         case Some(v) => s.conf.set(key, v)
         case None    => s.conf.unset(key)
       }
+    },
+
+    // Continuous near-dup detection: MinHash/LSH candidate pairs found
+    // WHILE the corpus streams in — the shape a 100 TB ingest pipeline
+    // actually runs (dedup during ingestion, not as a nightly batch).
+    // The whole signature computation is per-row higher-order functions
+    // (shingle array → digest array → 8 band minima), so the stream
+    // stays aggregation-free until the single stateful hop: band buckets
+    // keyed (seed, mh), each holding the doc ids seen so far and
+    // emitting (old, new) pairs as documents arrive. The replay is
+    // forced through 4 micro-batches (maxFilesPerTrigger=1), so pairs
+    // genuinely form across batch boundaries via the state store; the
+    // completed pair set equals the batch LSH self-join regardless of
+    // arrival order (pairs are normalized d1 < d2 at emission).
+    Q("stream_lsh_candidates",
+      s"""WITH sh AS (${TextQueries.shinglesSql}),
+         |sv AS (SELECT doc_id, ${TextQueries.shingleIntDuck} AS v FROM sh),
+         |h AS (SELECT doc_id, r.seed AS seed,
+         |        min(${TextQueries.mhMixSql("v", "r.seed")}) AS mh
+         |      FROM sv, range(0, 8) r(seed)
+         |      GROUP BY doc_id, r.seed)
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |FROM h a JOIN h b
+         |  ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id
+         |ORDER BY d1, d2""") { (s, d) =>
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      import s.implicits._
+      val out = runDocsStream(s, d) { src =>
+        src.select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), expr(
+            """array_distinct(transform(
+              |  if(size(toks) >= 3, sequence(1, size(toks) - 2), array()),
+              |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))""".stripMargin).as("shs"))
+          .select(col("doc_id"), expr(
+            "transform(shs, sh -> CAST(conv(substr(md5(sh), 1, 12), 16, 10) AS BIGINT))").as("vs"))
+          .select(col("doc_id"), explode(expr(
+            s"""transform(sequence(0, 7), seed -> struct(
+               |  CAST(seed AS INT) AS seed,
+               |  array_min(transform(vs, v -> ${TextQueries.mhMixSql("v", "seed")})) AS mh))""".stripMargin)).as("e"))
+          .select(col("doc_id"), col("e.seed").as("seed"), col("e.mh").as("mh"))
+          .filter(col("mh").isNotNull) // shingle-less short docs sign nothing
+          .as[(Long, Int, Long)]
+          .groupByKey(r => (r._2, r._3))
+          .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (_: (Int, Long), rows: Iterator[(Long, Int, Long)],
+             state: GroupState[Seq[Long]]) =>
+              val prev = state.getOption.getOrElse(Seq.empty[Long])
+              val newIds = rows.map(_._1).toArray.distinct.sorted
+              val out = Seq.newBuilder[(Long, Long)]
+              var seen = prev
+              for (n <- newIds) {
+                seen.foreach(o => if (o != n)
+                  out += ((math.min(o, n), math.max(o, n))))
+                seen = seen :+ n
+              }
+              state.update(seen)
+              out.result().iterator
+          }
+          .toDF("d1", "d2")
+      }
+      // Multi-band agreements emit once per shared bucket; the batch
+      // oracle's DISTINCT is applied to the completed set the same way.
+      out.distinct().orderBy(col("d1"), col("d2"))
     })
 }

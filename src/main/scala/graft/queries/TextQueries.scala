@@ -27,15 +27,20 @@ object TextQueries {
     * descends to [1, 0] (step defaults to -1 when start > stop), so the
     * degenerate case must be guarded explicitly to match DuckDB's empty
     * range(1, 1) — and to avoid toks[-1] under ANSI mode. */
-  private[queries] def shingles(s: SparkSession, d: String): DataFrame = {
-    Tables.documents(s, d)
+  private[queries] def shingles(s: SparkSession, d: String): DataFrame =
+    shinglesOf(Tables.documents(s, d))
+
+  /** Same shingle relation over an arbitrary (doc_id, text, ...) frame —
+    * streaming-safe (pure projection + generator, no aggregation), so the
+    * continuous-dedup query can reuse it on a document stream. */
+  private[queries] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(
           |  if(size(toks) >= 3, sequence(1, size(toks) - 2), array()),
           |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))""".stripMargin))
         .as("sh"))
-  }
 
   // DuckDB twin of the shingle relation (toks is 1-indexed there; range(a,b)
   // is exclusive of b, giving positions 1..len-2).
