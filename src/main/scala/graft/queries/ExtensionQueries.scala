@@ -273,6 +273,35 @@ object ExtensionQueries {
         .orderBy(col("p_brand"))
     },
 
+    // Schema evolution across parquet file generations: an "old" writer
+    // (2 columns) and a "new" writer (3 columns) land in the same
+    // dataset; a mergeSchema read unions the schemas and back-fills the
+    // missing column with NULL — the shard-merge reality of any
+    // long-lived 100 TB dataset (the write path evolved, the read path
+    // must not care). The oracle recomputes the expected union from the
+    // canonical table; the evolution round-trip itself is what the
+    // Spark side proves.
+    Q("src_schema_evolution",
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment END AS c_mktsegment
+        |FROM customer
+        |ORDER BY c_custkey""") { (s, d) =>
+      val dir = tmpDir("evo", d)
+      val done = new java.io.File(s"$dir/v2/_SUCCESS").exists
+      if (!done) {
+        val c = Tables.customer(s, d)
+        c.filter(col("c_custkey") % 2 =!= 0)
+          .select(col("c_custkey"), col("c_name"))
+          .write.mode("overwrite").parquet(s"$dir/v1")
+        c.filter(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .write.mode("overwrite").parquet(s"$dir/v2")
+      }
+      s.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+
     // ORC sink → source round-trip (the third columnar/batch format next
     // to parquet and CSV; ORC is Spark-built-in — predicate pushdown and
     // column pruning apply to its scans exactly like parquet's). DuckDB
