@@ -16,6 +16,12 @@ object Bench {
     // Warm the JVM/codegen once on the smallest SF so per-query times
     // measure the engine, not first-query class loading.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Warm the shingle/md5/HOF codegen the whole dedup family shares —
+    // at the smallest SF, so the first alphabetical dedup query isn't
+    // charged the family's one-time JIT.
+    for (w <- Seq("dedup_minhash_sig", "dedup_simhash"))
+      try SparkEntry.queries(w)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
     // Warm the bench SF itself: file listing, parquet footers, and the OS
     // page cache for every table, so the first timed query that touches a
     // table isn't charged for one-time IO the others get for free.
