@@ -332,43 +332,51 @@ object StreamingQueries {
          |FROM h a JOIN h b
          |  ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id
          |ORDER BY d1, d2""") { (s, d) =>
-      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-      import s.implicits._
-      val out = runDocsStream(s, d) { src =>
-        src.select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .select(col("doc_id"), expr(
-            """array_distinct(transform(
-              |  if(size(toks) >= 3, sequence(1, size(toks) - 2), array()),
-              |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))""".stripMargin).as("shs"))
-          .select(col("doc_id"), expr(
-            "transform(shs, sh -> CAST(conv(substr(md5(sh), 1, 12), 16, 10) AS BIGINT))").as("vs"))
-          .select(col("doc_id"), explode(expr(
-            s"""transform(sequence(0, 7), seed -> struct(
-               |  CAST(seed AS INT) AS seed,
-               |  array_min(transform(vs, v -> ${TextQueries.mhMixSql("v", "seed")})) AS mh))""".stripMargin)).as("e"))
-          .select(col("doc_id"), col("e.seed").as("seed"), col("e.mh").as("mh"))
-          .filter(col("mh").isNotNull) // shingle-less short docs sign nothing
-          .as[(Long, Int, Long)]
-          .groupByKey(r => (r._2, r._3))
-          .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-            (_: (Int, Long), rows: Iterator[(Long, Int, Long)],
-             state: GroupState[Seq[Long]]) =>
-              val prev = state.getOption.getOrElse(Seq.empty[Long])
-              val newIds = rows.map(_._1).toArray.distinct.sorted
-              val out = Seq.newBuilder[(Long, Long)]
-              var seen = prev
-              for (n <- newIds) {
-                seen.foreach(o => if (o != n)
-                  out += ((math.min(o, n), math.max(o, n))))
-                seen = seen :+ n
-              }
-              state.update(seen)
-              out.result().iterator
-          }
-          .toDF("d1", "d2")
-      }
+      val out = runDocsStream(s, d)(src => lshCandidateStream(s, src))
       // Multi-band agreements emit once per shared bucket; the batch
       // oracle's DISTINCT is applied to the completed set the same way.
       out.distinct().orderBy(col("d1"), col("d2"))
     })
+
+  /** The stream_lsh_candidates transform, factored for the recovery
+    * spec: stateless per-row signatures into the single stateful
+    * band-bucket hop. Also runs on a BATCH frame (state empty, one
+    * invocation per bucket) where it degenerates to exactly the LSH
+    * self-join — the spec uses that as its expected set. */
+  private[graft] def lshCandidateStream(s: SparkSession,
+      src: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    src.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(
+          |  if(size(toks) >= 3, sequence(1, size(toks) - 2), array()),
+          |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))""".stripMargin).as("shs"))
+      .select(col("doc_id"), expr(
+        "transform(shs, sh -> CAST(conv(substr(md5(sh), 1, 12), 16, 10) AS BIGINT))").as("vs"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, 7), seed -> struct(
+           |  CAST(seed AS INT) AS seed,
+           |  array_min(transform(vs, v -> ${TextQueries.mhMixSql("v", "seed")})) AS mh))""".stripMargin)).as("e"))
+      .select(col("doc_id"), col("e.seed").as("seed"), col("e.mh").as("mh"))
+      .filter(col("mh").isNotNull) // shingle-less short docs sign nothing
+      .as[(Long, Int, Long)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[(Long, Int, Long)],
+         state: GroupState[Seq[Long]]) =>
+          val prev = state.getOption.getOrElse(Seq.empty[Long])
+          val newIds = rows.map(_._1).toArray.distinct.sorted
+          val out = Seq.newBuilder[(Long, Long)]
+          var seen = prev
+          for (n <- newIds) {
+            seen.foreach(o => if (o != n)
+              out += ((math.min(o, n), math.max(o, n))))
+            seen = seen :+ n
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+      .toDF("d1", "d2")
+  }
 }
