@@ -18,6 +18,41 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
+  private def tmpDir(tag: String, d: String): String =
+    s"/tmp/graft-rt-$tag-${math.abs(d.hashCode)}"
+
+  /** Shared oracle for the IVF nprobe=1 search (the materialized-index
+    * variant must return the identical answer). */
+  private val ivfOracleSql =
+    """WITH ex AS (SELECT vec_id, label,
+      |    CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |c AS (SELECT label, dim, avg(x) AS cx FROM ex GROUP BY label, dim),
+      |v AS (SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |qa AS (SELECT e.vec_id AS qid, c.label AS cell,
+      |    sum((e.x - c.cx) * (e.x - c.cx)) AS d2
+      |  FROM ex e JOIN c ON e.dim = c.dim
+      |  WHERE e.vec_id < 10
+      |  GROUP BY e.vec_id, c.label),
+      |assign AS (SELECT qid, cell FROM (
+      |    SELECT qid, cell, row_number() OVER (PARTITION BY qid ORDER BY d2, cell) AS rn
+      |    FROM qa) WHERE rn = 1),
+      |p AS (SELECT a.qid, v2.vec_id AS vid,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(v2.embedding[i] AS DOUBLE))) / (q.nrm * v2.nrm) AS cos
+      |  FROM assign a
+      |  JOIN v q ON q.vec_id = a.qid
+      |  JOIN v v2 ON v2.label = a.cell AND v2.vec_id <> a.qid),
+      |r AS (SELECT qid, vid, cos,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+      |  FROM p)
+      |SELECT qid, vid, CAST(rk AS INT) AS rk, round(cos, 4) AS cosine
+      |FROM r WHERE rk <= 3
+      |ORDER BY qid, rk""".stripMargin
+
   // dot product of two double-cast float arrays — Spark side
   private val dotSpark =
     "aggregate(zip_with(qe, e, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -121,35 +156,7 @@ object VectorQueries {
     // The scale path: the corpus is partitioned by cell once, a query
     // touches |corpus|/cells vectors. Assignment uses centroid L2;
     // in-cell ranking uses exact cosine on raw vectors.
-    Q("sim_knn_ivf",
-      """WITH ex AS (SELECT vec_id, label,
-        |    CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
-        |    CAST(unnest(embedding) AS DOUBLE) AS x
-        |  FROM embeddings),
-        |c AS (SELECT label, dim, avg(x) AS cx FROM ex GROUP BY label, dim),
-        |v AS (SELECT vec_id, label, embedding,
-        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings),
-        |qa AS (SELECT e.vec_id AS qid, c.label AS cell,
-        |    sum((e.x - c.cx) * (e.x - c.cx)) AS d2
-        |  FROM ex e JOIN c ON e.dim = c.dim
-        |  WHERE e.vec_id < 10
-        |  GROUP BY e.vec_id, c.label),
-        |assign AS (SELECT qid, cell FROM (
-        |    SELECT qid, cell, row_number() OVER (PARTITION BY qid ORDER BY d2, cell) AS rn
-        |    FROM qa) WHERE rn = 1),
-        |p AS (SELECT a.qid, v2.vec_id AS vid,
-        |    list_sum(list_transform(range(1, 65),
-        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(v2.embedding[i] AS DOUBLE))) / (q.nrm * v2.nrm) AS cos
-        |  FROM assign a
-        |  JOIN v q ON q.vec_id = a.qid
-        |  JOIN v v2 ON v2.label = a.cell AND v2.vec_id <> a.qid),
-        |r AS (SELECT qid, vid, cos,
-        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
-        |  FROM p)
-        |SELECT qid, vid, CAST(rk AS INT) AS rk, round(cos, 4) AS cosine
-        |FROM r WHERE rk <= 3
-        |ORDER BY qid, rk""") { (s, d) =>
+    Q("sim_knn_ivf", ivfOracleSql) { (s, d) =>
       import graft.functions.GraftFunctions.dot_f
       val e = Tables.embeddings(s, d)
       val exploded = e.select(col("vec_id"), col("label"),
@@ -347,5 +354,61 @@ object VectorQueries {
             |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))""".stripMargin), 4)
             .as("recon_err"))
         .orderBy(col("vec_id"))
+    },
+
+    // IVF with a MATERIALIZED index — the train-once/probe-many split
+    // every production ANN deployment runs. The index is two on-disk
+    // relations built at most once per corpus (testdata is immutable):
+    // centroids (tiny, broadcast at probe time) and posting lists
+    // written PARTITIONED BY cell, so probing a cell is a partition-
+    // pruned directory read, not a corpus scan — at 100 TB the probe
+    // reads ~1/n_cells of the data by layout alone. Query time does no
+    // training: assign the query to its nearest centroid, read that
+    // cell's postings, rank. Same answer as sim_knn_ivf (shared oracle),
+    // different physical strategy.
+    Q("sim_knn_ivf_indexed", ivfOracleSql) { (s, d) =>
+      import graft.functions.GraftFunctions.dot_f
+      val dir = tmpDir("ivfidx", d)
+      val built = new java.io.File(s"$dir/postings/_SUCCESS").exists
+      if (!built) {
+        val e = Tables.embeddings(s, d)
+        e.select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("dim", "x")))
+          .withColumn("x", col("x").cast("double"))
+          .groupBy(col("label").as("cell"), col("dim"))
+          .agg(avg(col("x")).as("cx"))
+          .write.mode("overwrite").parquet(s"$dir/centroids")
+        e.select(col("vec_id"), col("embedding").as("ev"),
+            sqrt(dot_f(col("embedding"), col("embedding"))).as("nrm"),
+            col("label").as("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
+      }
+      val centroids = s.read.parquet(s"$dir/centroids")
+      val post = s.read.parquet(s"$dir/postings")
+      // Probe: queries' own vectors come from the index too (qid < 10).
+      val qv = post.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("ev").as("qe"), col("nrm").as("qn"))
+      val qa = Tables.embeddings(s, d)
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("x", col("x").cast("double"))
+        .join(broadcast(centroids), Seq("dim"))
+        .withColumn("sq", (col("x") - col("cx")) * (col("x") - col("cx")))
+        .groupBy(col("vec_id").as("qid"), col("cell"))
+        .agg(sum(col("sq")).as("d2"))
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("d2"), col("cell"))
+      val assign = qa.withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1).select(col("qid"), col("cell"))
+      val q = assign.join(qv, Seq("qid"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      post.join(broadcast(q), post("cell") === q("cell") && col("vec_id") =!= col("qid"))
+        .withColumn("cos", dot_f(col("qe"), col("ev")) / (col("qn") * col("nrm")))
+        .withColumn("rk", row_number().over(wRank))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("vec_id").as("vid"), col("rk").cast("int").as("rk"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy(col("qid"), col("rk"))
     })
 }
