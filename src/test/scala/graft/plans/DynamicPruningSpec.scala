@@ -27,4 +27,13 @@ class DynamicPruningSpec extends SparkSpec {
     assert(executed.toLowerCase.contains("dynamicpruning"),
       s"expected a dynamic partition pruning filter on the fact scan:\n$executed")
   }
+
+  test("indexed-IVF probe prunes posting-list partitions dynamically") {
+    val plan = graft.SparkEntry.queries("sim_knn_ivf_indexed")(
+        spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected the cell-partitioned postings scan to carry a DPP filter:\n$plan")
+  }
 }
