@@ -102,6 +102,15 @@ object ClusterQueries {
     // transitive closure — a completely different evaluation strategy
     // reaching the same labeling.
     Q("dedup_cluster_cc", ccOracleSql) { (s, d) =>
+      // The iterative section runs DURING the builder (each round is an
+      // action), on edge-scale frames far below the session's shuffle
+      // sizing — 8 partitions cuts per-round task scheduling ~4× with
+      // identical results (DeterminismSpec's law). Restored before the
+      // (lazily-executed) result frame is returned. On a real cluster
+      // this is the same per-stage sizing call, just bigger numbers.
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       val e = candidateEdges(s, d)
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -170,6 +179,7 @@ object ClusterQueries {
       // storage-memory pressure from every CC invocation.
       sym.unpersist(blocking = false)
       labelsToResult(s, d, labels)
+      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
     },
 
     // The same labeling by the large-star/small-star algorithm (Kiveris
@@ -188,6 +198,10 @@ object ClusterQueries {
     // difference between a handful and hundreds of shuffles.
     Q("dedup_cluster_cc2", ccOracleSql) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
+      // Same loop-stage shuffle sizing as dedup_cluster_cc above.
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       // Orient larger → smaller so the invariant v < u holds everywhere.
       val e0 = candidateEdges(s, d)
       var edges = e0.select(col("v").as("u"), col("u").as("v"))
@@ -241,6 +255,7 @@ object ClusterQueries {
       // every member carries exactly the edge (member, center).
       val labels = edges.groupBy(col("u").as("doc_id")).agg(min(col("v")).as("rep"))
       labelsToResult(s, d, labels)
+      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
     },
 
     // The full corpus-preparation pipeline as ONE declarative DAG —
