@@ -36,23 +36,34 @@ object Bench {
         df.write.mode("overwrite").format("noop").save()
       } catch { case _: Throwable => () }
     }
-    // One-time setup cost, not query cost: the bucketed-table exemplar
-    // writes its bucketed copies on first touch of a fresh machine
-    // (pay-the-shuffle-once-at-write is the point of bucketing) — do
-    // that write here so the timed run measures the co-located join.
-    try SparkEntry.queries("join_bucketed")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // One-time setup cost, not query cost: exemplars that materialize a
+    // pay-once on-disk artifact (bucketed copies, the IVF index, the
+    // schema-evolution generations, the doc-replay staging) write it on
+    // first touch of a fresh machine — do that here so the timed run
+    // measures the query, not the build.
+    for (w <- Seq("join_bucketed", "sim_knn_ivf_indexed",
+        "src_schema_evolution", "stream_lsh_candidates"))
+      try SparkEntry.queries(w)(spark, sfDir).count()
+      catch { case _: Throwable => () }
     // Release blocks a query pinned for its own execution (minhash-side
     // caches, CC localCheckpoints). Queries are independent jobs; without
     // this the block manager accumulates every query's working set across
     // the whole run and later queries pay the GC bill (observed: a 0.6 s
-    // groupBy timed at 34 s late in a leaky run).
+    // groupBy timed at 34 s late in a leaky run). Memory-sink temp views
+    // (st_*) hold their full result on the driver — drop them too.
     def releaseLeakedBlocks(): Unit = {
       try spark.catalog.clearCache() catch { case _: Throwable => () }
       try spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       catch { case _: Throwable => () }
+      try spark.catalog.listTables().collect()
+        .filter(t => t.isTemporary && t.name.startsWith("st_"))
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      catch { case _: Throwable => () }
     }
+    // The warmups above pinned their own working sets; the first TIMED
+    // query must not be measured under that pressure.
+    releaseLeakedBlocks()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

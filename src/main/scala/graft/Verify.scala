@@ -25,11 +25,16 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Queries are independent jobs: drop blocks this one pinned
-      // (caches, localCheckpoints) so the 130-query sweep doesn't
-      // accumulate storage-memory pressure in the shared JVM.
+      // (caches, localCheckpoints, st_* memory-sink views) so the
+      // 140-query sweep doesn't accumulate storage or driver memory
+      // in the shared JVM.
       try spark.catalog.clearCache() catch { case _: Throwable => () }
       try spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () }
+      try spark.catalog.listTables().collect()
+        .filter(t => t.isTemporary && t.name.startsWith("st_"))
+        .foreach(t => spark.catalog.dropTempView(t.name))
       catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -54,6 +54,17 @@ object ClusterQueries {
     e
   }
 
+  /** Release the persisted RDD behind an eagerly-localCheckpoint'ed
+    * frame once the NEXT round's checkpoint has materialized — without
+    * this, every round of an iterative loop pins one obsolete edge-scale
+    * block set for the rest of the query (the within-query twin of the
+    * cross-query leak Bench/Verify sweep up). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+    catch { case _: Throwable => () }
+
   /** Shared result tail: converged (doc_id, rep) labels over the
     * edge-touched vertex set → full-corpus (doc_id, cluster_rep,
     * n_reachable), singletons labeling themselves. */
@@ -168,6 +179,7 @@ object ClusterQueries {
             (col("rep2") =!= col("old")).as("chg"))
           .localCheckpoint(true)
         changed = jumped.filter(col("chg")).count()
+        releaseCheckpoint(labels) // superseded by jumped's checkpoint
         labels = jumped.select(col("doc_id"), col("rep"))
         rounds += 1
         if (sys.env.contains("GRAFT_CC_DEBUG"))
@@ -246,6 +258,7 @@ object ClusterQueries {
           .localCheckpoint(true) // reset the plan; the loop grows it otherwise
         prev = cur
         cur = fingerprint(ss)
+        releaseCheckpoint(edges) // superseded by ss's checkpoint
         edges = ss
         rounds += 1
         if (sys.env.contains("GRAFT_CC_DEBUG"))

@@ -348,12 +348,11 @@ object StreamingQueries {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import s.implicits._
     src.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), expr(TextQueries.shingleArraySql).as("shs"))
+      // The digest expression is the family's shared constant; its
+      // lambda variable is already named `sh`.
       .select(col("doc_id"), expr(
-        """array_distinct(transform(
-          |  if(size(toks) >= 3, sequence(1, size(toks) - 2), array()),
-          |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))""".stripMargin).as("shs"))
-      .select(col("doc_id"), expr(
-        "transform(shs, sh -> CAST(conv(substr(md5(sh), 1, 12), 16, 10) AS BIGINT))").as("vs"))
+        s"transform(shs, sh -> ${TextQueries.shingleIntSpark})").as("vs"))
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, 7), seed -> struct(
            |  CAST(seed AS INT) AS seed,

@@ -30,17 +30,23 @@ object TextQueries {
   private[queries] def shingles(s: SparkSession, d: String): DataFrame =
     shinglesOf(Tables.documents(s, d))
 
+  /** Shingle ARRAY construction (pre-explode), the single source of
+    * truth for both the batch relation below and the streaming signature
+    * pipeline (which needs the array form — per-row minima, no
+    * aggregation). A definition change here reaches every MinHash
+    * consumer and its oracle twin at once. */
+  private[queries] val shingleArraySql =
+    """array_distinct(transform(
+      |  if(size(toks) >= 3, sequence(1, size(toks) - 2), array()),
+      |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))""".stripMargin
+
   /** Same shingle relation over an arbitrary (doc_id, text, ...) frame —
     * streaming-safe (pure projection + generator, no aggregation), so the
     * continuous-dedup query can reuse it on a document stream. */
   private[queries] def shinglesOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(
-          |  if(size(toks) >= 3, sequence(1, size(toks) - 2), array()),
-          |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))""".stripMargin))
-        .as("sh"))
+      .select(col("doc_id"), explode(expr(shingleArraySql)).as("sh"))
 
   // DuckDB twin of the shingle relation (toks is 1-indexed there; range(a,b)
   // is exclusive of b, giving positions 1..len-2).

@@ -26,10 +26,14 @@ object TimeQ {
         fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         // Same per-query block release as Bench: reps must not compound
-        // the previous rep's pinned caches/checkpoints.
+        // the previous rep's pinned caches/checkpoints/memory-sink views.
         try spark.catalog.clearCache() catch { case _: Throwable => () }
         try spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        catch { case _: Throwable => () }
+        try spark.catalog.listTables().collect()
+          .filter(t => t.isTemporary && t.name.startsWith("st_"))
+          .foreach(t => spark.catalog.dropTempView(t.name))
         catch { case _: Throwable => () }
         dt
       }

@@ -31,7 +31,14 @@ class DeterminismSpec extends SparkSpec {
     val saved = spark.conf.get(k)
     spark.conf.set(k, parts.toString)
     try SparkEntry.queries(q)(spark, dir).collect().map(_.toString).toSeq
-    finally spark.conf.set(k, saved)
+    finally {
+      spark.conf.set(k, saved)
+      // Builders cache intermediates (e.g. simhashDf); the CacheManager
+      // matches the second invocation's identical plan and would serve
+      // the FIRST partition count's result, making the comparison
+      // vacuous for everything above the cache point.
+      spark.catalog.clearCache()
+    }
   }
 
   for (q <- Seq("dedup_span_keepfirst", "sample_balanced", "dedup_simhash_pairs"))
