@@ -56,7 +56,9 @@ object TextQueries {
       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin
 
-  /** MinHash permutation family shared by the signature/LSH/CC queries:
+  /** MinHash permutation family (Broder, "On the resemblance and
+    * containment of documents", 1997; min-wise independent permutations)
+    * shared by the signature/LSH/CC queries:
     * ONE md5 per shingle → 48-bit integer digest v (first 12 hex chars),
     * then each of the 8 "permutations" is the affine map
     * (a_s·v + b_s) mod P over the prime field Z_P, P = 2^48 − 59 —
@@ -77,7 +79,8 @@ object TextQueries {
   private[queries] val shingleIntDuck =
     "('0x' || substr(md5(sh), 1, 12))::BIGINT"
 
-  /** 16-bit SimHash relation (doc_id, simhash) — per-token md5 bits,
+  /** 16-bit SimHash relation (Charikar, "Similarity estimation
+    * techniques from rounding algorithms", STOC 2002) — per-token md5 bits,
     * frequency-weighted majority vote per bit; pure integer arithmetic on
     * md5 hex, engine-independent. Shared by dedup_simhash and the
     * hamming-ball pair search. */
