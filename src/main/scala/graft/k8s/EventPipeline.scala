@@ -36,11 +36,16 @@ object EventPipeline {
 
   /** D1 batch form: exactly-one record per event UID. The reference keeps
     * the first arrival (handler.go:142-151); in batch there is no arrival
-    * order, so "first" is defined as the minimum creation timestamp —
-    * deterministic and idempotent. */
+    * order, so "first" is defined as the minimum creation timestamp.
+    * (creationTimestamp, message) is NOT a total order — duplicates can
+    * tie on both while differing elsewhere (count bumped, rv advanced on
+    * a re-delivery) — so the whole row serializes as the final
+    * tie-break: deterministic and idempotent under ANY partitioning, at
+    * the cost of one to_json per row in the dedup window. */
   def dedupEvents(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("uid"))
-      .orderBy(col("creationTimestamp"), col("message"))
+      .orderBy(col("creationTimestamp"), col("message"),
+        to_json(struct(events.columns.map(col): _*)))
     events.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }

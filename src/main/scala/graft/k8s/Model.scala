@@ -95,7 +95,9 @@ final case class KubePod(
   * (reference config.go:11-17, io/config.go:22-32). */
 final case class GraftConfig(
     uid: String,
-    sink: String = "memory",           // s3 | file | memory
+    sink: String = "file",             // s3 | file | memory (reference
+                                       // requires it; file matches the
+                                       // fileSinkDir default below)
     batchSize: Int = 10000,            // reference deploy default
     batchIntervalSec: Int = 30,
     namespaces: Seq[String] = Nil,     // whitelist; empty = all

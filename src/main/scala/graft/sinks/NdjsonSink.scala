@@ -62,6 +62,20 @@ object NdjsonSink {
         .write.mode("overwrite")
       val target = s"$dir/${uid}_$batchId"
       (if (gzip) writer.option("compression", "gzip") else writer).text(target)
+      // The text sink emits part-*.txt[.gz]; the documented K1/K2
+      // contract (reference io/flush_s3.go:45-84 `.log.gz` objects) is
+      // .log[.gz] — rename through the Hadoop FS API so the same code
+      // holds for file:// and s3a:// paths.
+      try {
+        val hPath = new org.apache.hadoop.fs.Path(target)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(hPath).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("part-") && n.contains(".txt"))
+            fs.rename(st.getPath,
+              new org.apache.hadoop.fs.Path(hPath, n.replace(".txt", ".log")))
+        }
+      } catch { case _: Throwable => () }
       files
     } finally strs.unpersist(blocking = false)
   }

@@ -40,8 +40,14 @@ class K8sEventSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     K8sEventSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new K8sEventTable(properties.get("path"))
+      properties: util.Map[String, String]): Table = {
+    // Fail at source construction, not with an NPE from Paths.get deep
+    // inside the first poll.
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "K8sEventSource requires .option(\"path\", <watch file>)")
+    new K8sEventTable(path)
+  }
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -114,19 +120,46 @@ object FileWatchClient {
     m
   }
 
-  /** Wire record (flat; ts = epoch seconds). */
+  /** Wire record (flat; ts = epoch MILLIS — seconds truncation destroyed
+    * sub-second ordering between duplicates on the round trip; count is
+    * nullable so an absent count survives as None instead of becoming
+    * Some(0)). */
   case class WireEvent(rv: Long, uid: String, ts: Long, name: String,
       namespace: String, reason: String, message: String, eventType: String,
-      count: Int, objApiVersion: String, objKind: String, objName: String,
-      objNamespace: String, objRv: String, objUid: String,
+      count: java.lang.Integer, objApiVersion: String, objKind: String,
+      objName: String, objNamespace: String, objRv: String, objUid: String,
       component: String, host: String)
+
+  // Parse cache keyed by (size, mtime): the watch file is append-only
+  // and latestOffset() polls every trigger — without the cache, each
+  // poll (and each fetch) re-parses the WHOLE history, making cumulative
+  // driver work quadratic in file length. Size is the discriminator for
+  // same-millisecond appends.
+  private val parsed =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Seq[WireEvent])]
+  private val warnedMissing = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def readAll(path: String): Seq[WireEvent] = {
     val f = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.exists(f)) Seq.empty
-    else java.nio.file.Files.readAllLines(f).asScala.toSeq
-      .filter(_.trim.nonEmpty)
-      .map(l => mapper.readValue(l, classOf[WireEvent]))
+    if (!java.nio.file.Files.exists(f)) {
+      // Legitimate for a watch file that appears later, but say so ONCE —
+      // a typo'd path otherwise streams nothing forever with no hint.
+      if (warnedMissing.add(path))
+        System.err.println(s"[graft] K8sEventSource: watch file not found (yet): $path")
+      Seq.empty
+    } else {
+      val size = java.nio.file.Files.size(f)
+      val mtime = java.nio.file.Files.getLastModifiedTime(f).toMillis
+      val cached = parsed.get(path)
+      if (cached != null && cached._1 == size && cached._2 == mtime) cached._3
+      else {
+        val events = java.nio.file.Files.readAllLines(f).asScala.toSeq
+          .filter(_.trim.nonEmpty)
+          .map(l => mapper.readValue(l, classOf[WireEvent]))
+        parsed.put(path, (size, mtime, events))
+        events
+      }
+    }
   }
 
   def latestRv(path: String): Long =
@@ -136,16 +169,19 @@ object FileWatchClient {
     readAll(path)
       .filter(e => e.rv > fromRv && e.rv <= toRv)
       .sortBy(_.rv)
-      .map(w => KubeEvent(w.uid, new Timestamp(w.ts * 1000), w.name,
-        w.namespace, w.reason, w.message, w.eventType, Some(w.count),
+      .map(w => KubeEvent(w.uid, new Timestamp(w.ts), w.name,
+        w.namespace, w.reason, w.message, w.eventType,
+        Option(w.count).map(_.intValue),
         ObjectRef(w.objApiVersion, w.objKind, w.objName, w.objNamespace,
           w.objRv, w.objUid),
         L9Source(w.component, w.host)))
 
-  /** Serialize an event as a watch line (fixture/test helper). */
+  /** Serialize an event as a watch line (fixture/test helper). The
+    * toLine → fetch round trip is LOSSLESS for every consumed field. */
   def toLine(rv: Long, e: KubeEvent): String = {
-    val w = WireEvent(rv, e.uid, e.creationTimestamp.getTime / 1000, e.name,
-      e.namespace, e.reason, e.message, e.eventType, e.count.getOrElse(0),
+    val w = WireEvent(rv, e.uid, e.creationTimestamp.getTime, e.name,
+      e.namespace, e.reason, e.message, e.eventType,
+      e.count.map(Int.box).orNull,
       e.involvedObject.apiVersion, e.involvedObject.kind, e.involvedObject.name,
       e.involvedObject.namespace, e.involvedObject.resourceVersion,
       e.involvedObject.uid, e.source.component, e.source.host)

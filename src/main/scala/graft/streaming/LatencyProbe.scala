@@ -37,6 +37,14 @@ object LatencyProbe {
     val q = StreamPipeline.run(in.toDF(), objects, nodes, conf, ckpt,
       triggerMs = Some(100))
     try q.processAllAvailable() finally q.stop()
-    (System.nanoTime() - t0) / 1e9
+    val dt = (System.nanoTime() - t0) / 1e9
+    // The probe's sink + checkpoint are measurement scratch — delete
+    // them, or every bench run leaks a 10k-line sink dir into /tmp.
+    for (d <- Seq(tmp, ckpt)) try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+    dt
   }
 }

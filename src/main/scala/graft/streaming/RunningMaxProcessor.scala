@@ -23,13 +23,27 @@ class RunningMaxProcessor extends StatefulProcessor[Long, EventRec, EventRec] {
     maxV = getHandle.getValueState[Double]("maxValue",
       Encoders.scalaDouble, TTLConfig.NONE)
 
+  /** Spark SQL's `>` over doubles, not Java's: NaN sorts above every
+    * other double (and equals itself), and -0.0 equals 0.0 — a NaN event
+    * must be emitted exactly once and a -0.0 after a 0.0 must not be,
+    * or the final state diverges from the batch window oracle. */
+  private def sqlGt(a: Double, b: Double): Boolean = {
+    def norm(x: Double) = if (x == 0.0) 0.0 else x // -0.0 == 0.0 in SQL
+    java.lang.Double.compare(norm(a), norm(b)) > 0
+  }
+
   override def handleInputRows(key: Long, rows: Iterator[EventRec],
       timerValues: TimerValues): Iterator[EventRec] = {
-    var cur = if (maxV.exists()) maxV.get() else Double.NegativeInfinity
+    var seen = maxV.exists()
+    var cur = if (seen) maxV.get() else 0.0
     val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).flatMap { r =>
-      if (r.value > cur) { cur = r.value; Some(r) } else None
+      // First row per key always emits (the oracle's prior_max IS NULL
+      // arm) — a guard of `value > -Infinity` would wrongly drop a first
+      // row that IS -Infinity.
+      if (!seen || sqlGt(r.value, cur)) { seen = true; cur = r.value; Some(r) }
+      else None
     }
-    if (cur != Double.NegativeInfinity) maxV.update(cur)
+    if (seen) maxV.update(cur)
     out.iterator
   }
 }

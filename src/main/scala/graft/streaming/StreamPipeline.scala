@@ -88,11 +88,20 @@ object StreamPipeline {
       .trigger(Trigger.ProcessingTime(trigger))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // E1/E2/P1-P3 run inside the batch (dimensions current per batch),
-        // then W1/W2/K1-K3: count-capped NDJSON files named by batch id.
+        // then W1/W2/K1-K3 dispatched on the config twin's `sink` knob
+        // (reference io/config.go:27 "s3 | file | memory"): file and s3
+        // share the NDJSON writer (an s3 deployment passes an s3a://
+        // fileSinkDir), memory is the driver-held test sink.
         val l9 = EventPipeline.projectL9(
           EventPipeline.enrich(batch, objects, nodes))
-        NdjsonSink.write(l9.toDF(), conf.fileSinkDir, conf.uid, batchId,
-          conf.batchSize, conf.gzip)
+        conf.sink match {
+          case "memory" =>
+            graft.sinks.MemoryBatchSink.append(conf.uid, batchId,
+              l9.toDF(), conf.batchSize)
+          case _ =>
+            NdjsonSink.write(l9.toDF(), conf.fileSinkDir, conf.uid, batchId,
+              conf.batchSize, conf.gzip)
+        }
         ()
       }
       .start()

@@ -131,6 +131,36 @@ class StreamPipelineSpec extends SparkSpec {
     assert(a.getString(0) == "w")
     assert(a.getSeq[String](1) == Seq("5.6.7.8"))
     assert(a.getString(2) == L9Event.Version)
+    // K1/K2 contract: the sink files carry the reference's .log
+    // extension, not the text sink's .txt default.
+    val names = new java.io.File(tmp).listFiles().flatMap(d =>
+      Option(d.listFiles()).getOrElse(Array.empty)).map(_.getName)
+    assert(names.exists(n => n.startsWith("part-") && n.endsWith(".log")),
+      s"expected part-*.log files, got ${names.mkString(",")}")
+  }
+
+  test("sink=memory dispatches batches to the driver-held memory sink (K3)") {
+    val ckpt = java.nio.file.Files.createTempDirectory("ckptm").toString
+    val in = MemoryStream[KubeEvent]
+    val objects = Seq(KubeObject("o1", "Pod", "default", "w",
+      Map("app" -> "w"), Map(), "{}")).toDF()
+    val nodes = Seq(KubeNode("n1", Seq("5.6.7.8"))).toDF()
+    val conf = GraftConfig(uid = "memuid", sink = "memory", batchSize = 2)
+    graft.sinks.MemoryBatchSink.clear("memuid")
+    val q = StreamPipeline.run(in.toDF(), objects, nodes, conf, ckpt, triggerMs = Some(100))
+    def ev(uid: String) = KubeEvent(uid, ts("2024-01-01 10:00:00"),
+      uid, "default", "Scheduled", s"m-$uid", "Normal", Some(1),
+      ObjectRef("v1", "Pod", "w", "default", "1", "o1"), EventSource("kubelet", "n1"))
+    try {
+      in.addData(ev("a"), ev("b"), ev("c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = graft.sinks.MemoryBatchSink.batches("memuid")
+    val lines = got.flatMap(_._2).flatten
+    assert(lines.size == 3, s"expected 3 NDJSON lines, got ${lines.size}")
+    // W1 count cap applies to the memory sink's chunks too.
+    assert(got.flatMap(_._2).forall(_.size <= 2))
+    assert(lines.forall(_.contains("\"version\":\"" + L9Event.Version + "\"")))
   }
 
   test("checkpoint restart: dedup state survives stop/start (X1 recovery, no re-emit)") {
