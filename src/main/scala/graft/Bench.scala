@@ -51,10 +51,14 @@ object Bench {
     // the whole run and later queries pay the GC bill (observed: a 0.6 s
     // groupBy timed at 34 s late in a leaky run). Memory-sink temp views
     // (st_*) hold their full result on the driver — drop them too.
+    // blocking=true: the sweep runs BETWEEN timed queries, so its cost is
+    // never attributed to a query — but an async unpersist that lags on a
+    // loaded host leaves the next query running under the previous one's
+    // memory pressure (the inflation pattern of the round-4 driver run).
     def releaseLeakedBlocks(): Unit = {
       try spark.catalog.clearCache() catch { case _: Throwable => () }
       try spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       catch { case _: Throwable => () }
       try spark.catalog.listTables().collect()
         .filter(t => t.isTemporary && t.name.startsWith("st_"))

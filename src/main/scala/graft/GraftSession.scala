@@ -28,6 +28,15 @@ object GraftSession {
     .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
     .config("spark.sql.shuffle.partitions", "32")
     .config("spark.ui.enabled", "false")
+    // The engine declares ~140 distinct query shapes; the default
+    // 100-entry codegen class cache (StaticSQLConf
+    // CODEGEN_CACHE_MAX_ENTRIES) thrashes across them, so every query
+    // pays Janino recompile + cold JIT for classes it compiled minutes
+    // earlier — single-threaded work that dominates wall time on a
+    // contended host. Static conf: must be set before the session
+    // exists, i.e. exactly here. ~4k entries ≈ a few hundred MB of
+    // metaspace worst-case, well inside the harness heap.
+    .config("spark.sql.codegen.cache.maxEntries", "4096")
     // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
     // reader rejects; read as long nanos, Tables.events converts to
     // microsecond timestamps (same truncation DuckDB applies).

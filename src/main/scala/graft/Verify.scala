@@ -30,7 +30,7 @@ object Verify {
       // in the shared JVM.
       try spark.catalog.clearCache() catch { case _: Throwable => () }
       try spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       catch { case _: Throwable => () }
       try spark.catalog.listTables().collect()
         .filter(t => t.isTemporary && t.name.startsWith("st_"))

@@ -28,13 +28,8 @@ object ClusterQueries {
     * the affine permutation family, TextQueries.mhMixSql), shared here to
     * build the candidate-pair graph. */
   private def minhashSigs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    TextQueries.shingles(s, d)
-      .select(col("doc_id"), expr(TextQueries.shingleIntSpark).as("v"))
-      .crossJoin(broadcast(s.range(0, 8).select(col("id").cast("int").as("seed"))))
-      .select(col("doc_id"), col("seed"),
-        expr(TextQueries.mhMixSql("v", "seed")).as("hv"))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(col("hv")).as("mh"))
+    TextQueries.minhashSigsOf(TextQueries.shingles(s, d)
+      .select(col("doc_id"), expr(TextQueries.shingleIntSpark).as("v")))
 
   /** MinHash LSH candidate-pair edges (u < v, distinct) — the graph both
     * CC formulations resolve. Returned persisted + materialized (the

@@ -48,6 +48,25 @@ object TextQueries {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(shingleArraySql)).as("sh"))
 
+  /** One-pass 8-seed MinHash signature relation (doc_id, seed, mh) over
+    * an already-built shingle frame: all 8 permutation minima are 8
+    * aggregate expressions in a SINGLE groupBy(doc_id) over the shingle
+    * relation, stacked back to rows with posexplode. Identical rows to
+    * the crossJoin(seeds) + groupBy(doc, seed) formulation (same minima,
+    * same types) at 1/8th of the rows through the hash aggregate — the
+    * signature build is the dominant stage of every MinHash-derived
+    * operator, so the 8× row cut is the family's scale lever. */
+  private[queries] def minhashSigsOf(sv: DataFrame): DataFrame = {
+    val mins = (0 until 8).map(k =>
+      min(expr(mhMixSql("v", k.toString))).as(s"m$k"))
+    sv.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until 8).map(k => col(s"m$k")): _*)))
+      .select(col("doc_id"), col("pos").cast("int").as("seed"),
+        col("col").as("mh"))
+  }
+
   // DuckDB twin of the shingle relation (toks is 1-indexed there; range(a,b)
   // is exclusive of b, giving positions 1..len-2).
   private[queries] val shinglesSql =
@@ -312,13 +331,7 @@ object TextQueries {
          |ORDER BY doc_id, seed""") { (s, d) =>
       val sv = shingles(s, d)
         .select(col("doc_id"), expr(shingleIntSpark).as("v"))
-      sv.crossJoin(broadcast(
-          s.range(0, 8).select(col("id").cast("int").as("seed"))))
-        .select(col("doc_id"), col("seed"),
-          expr(mhMixSql("v", "seed")).as("hv"))
-        .groupBy(col("doc_id"), col("seed"))
-        .agg(min(col("hv")).as("mh"))
-        .orderBy(col("doc_id"), col("seed"))
+      minhashSigsOf(sv).orderBy(col("doc_id"), col("seed"))
     },
 
     // MinHash LSH near-dup candidates + exact-Jaccard verification.
@@ -353,13 +366,7 @@ object TextQueries {
          |LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
          |ORDER BY c.d1, c.d2""") { (s, d) =>
       val sh = shingles(s, d).cache()
-      val seeds = broadcast(s.range(0, 8).select(col("id").cast("int").as("seed")))
-      val h = sh.select(col("doc_id"), expr(shingleIntSpark).as("v"))
-        .crossJoin(seeds)
-        .select(col("doc_id"), col("seed"),
-          expr(mhMixSql("v", "seed")).as("hv"))
-        .groupBy(col("doc_id"), col("seed"))
-        .agg(min(col("hv")).as("mh"))
+      val h = minhashSigsOf(sh.select(col("doc_id"), expr(shingleIntSpark).as("v")))
         .cache() // self-joined for cand — uncached, both sides re-hash
       // cand is consumed twice (output + the candidate-restricted exact-
       // Jaccard join) — cache it so the signature pipeline runs once.

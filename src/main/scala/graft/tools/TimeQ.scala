@@ -29,7 +29,7 @@ object TimeQ {
         // the previous rep's pinned caches/checkpoints/memory-sink views.
         try spark.catalog.clearCache() catch { case _: Throwable => () }
         try spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
         catch { case _: Throwable => () }
         try spark.catalog.listTables().collect()
           .filter(t => t.isTemporary && t.name.startsWith("st_"))
