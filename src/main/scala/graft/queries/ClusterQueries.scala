@@ -344,8 +344,12 @@ object ClusterQueries {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       val tf = tok.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy(col("term"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // feeds both df and the join
+      // tf is distinct on (doc_id, term), so df is a plain count over it —
+      // no second corpus explode, no count(DISTINCT) expansion; the whole
+      // query tokenizes the corpus exactly once.
+      val df = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("term"))
