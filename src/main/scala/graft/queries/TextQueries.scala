@@ -126,14 +126,18 @@ object TextQueries {
         |(instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) * 256 +
         |(instr('0123456789abcdef', substring(md5(tok), 3, 1)) - 1) * 16 +
         |(instr('0123456789abcdef', substring(md5(tok), 4, 1)) - 1)""".stripMargin))
-    val bits = hv.crossJoin(broadcast(
-        s.range(0, 16).select(col("id").cast("int").as("bit"))))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(when(expr("(v div CAST(pow(2, bit) AS BIGINT)) % 2 = 1"), 1)
-        .otherwise(-1)).as("s"))
-    bits.groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("CAST(pow(2, bit) AS BIGINT)"))
-        .otherwise(0L)).cast("bigint").as("simhash"))
+    // All 16 per-bit majority votes are 16 aggregate expressions in ONE
+    // groupBy(doc_id) over the token relation — same rows as the
+    // crossJoin(bits) + double groupBy formulation at 1/16th of the rows
+    // through the hash aggregate and one shuffle instead of two (the
+    // same one-pass shape minhashSigsOf uses for the 8 permutations).
+    val votes = (0 until 16).map(i =>
+      sum(when(expr(s"(v div ${1L << i}) % 2 = 1"), 1).otherwise(-1)).as(s"s$i"))
+    hv.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).cast("bigint").as("simhash"))
   }
 
   def all: Seq[Q] = Seq(
@@ -427,14 +431,19 @@ object TextQueries {
       val sh = simhashDf(s, d).cache()
       val a = sh.select(col("doc_id").as("d1"), col("simhash").as("h1"))
       val b = sh.select(col("doc_id").as("d2"), col("simhash").as("h2"))
-      val hi = a.join(b,
-        expr("h1 div 256") === expr("h2 div 256") && col("d1") < col("d2"))
-      val lo = a.join(b,
-        col("h1") % 256 === col("h2") % 256 && col("d1") < col("d2"))
-      hi.unionByName(lo).distinct()
+      // Verify INSIDE each band branch: the popcount filter runs on join
+      // output rows before they ever reach the union's distinct, so the
+      // dedup shuffle carries only verified pairs (~1% of candidates at
+      // sf0.1), not the full candidate set.
+      def verified(j: DataFrame): DataFrame = j
         .withColumn("hamming", expr("CAST(bit_count(h1 ^ h2) AS INT)"))
         .filter(col("hamming") <= 3)
         .select(col("d1"), col("d2"), col("hamming"))
+      val hi = verified(a.join(b,
+        expr("h1 div 256") === expr("h2 div 256") && col("d1") < col("d2")))
+      val lo = verified(a.join(b,
+        col("h1") % 256 === col("h2") % 256 && col("d1") < col("d2")))
+      hi.unionByName(lo).distinct()
         .orderBy(col("d1"), col("d2"))
     },
 
