@@ -17,7 +17,8 @@ object SparkEntry {
       TextQueries.all ++ VectorQueries.all ++
       K8sQueries.all ++ StreamingQueries.all ++
       ExtensionQueries.all ++ ScaleQueries.all ++
-      TemporalQueries.all ++ ClusterQueries.all ++ AnalyticQueries.all
+      TemporalQueries.all ++ ClusterQueries.all ++ AnalyticQueries.all ++
+      PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -60,6 +60,62 @@ object ClusterQueries {
     }.foreach(_.unpersist(blocking = false))
     catch { case _: Throwable => () }
 
+  /** Large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) over an oriented edge
+    * frame (u, v) with v < u everywhere, already eagerly checkpointed.
+    * Returns the converged (doc_id, rep) labels for every edge-touched
+    * vertex (singletons absent — the caller self-labels them). Each
+    * half-round is one window aggregation + one distinct (plain keyed
+    * shuffles, no adjacency materialization); convergence when the edge
+    * set's (count, bit_xor of per-edge xxhash64) fingerprint stops moving
+    * — order-insensitive, overflow-free under ANSI (a SUM of 2^63-range
+    * hashes would throw), and valid because the edge set is distinct. */
+  private def starLabels(edges0: DataFrame): DataFrame = {
+    var edges = edges0
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("c"),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = (-1L, -1L)
+    var cur = fingerprint(edges)
+    var rounds = 0
+    while (cur != prev && rounds < 50) {
+      // Large-star: every edge lives in its SMALLER endpoint's group
+      // (sym carries both directions; the v > u half selects them);
+      // each strictly-larger neighbor re-attaches to the group's min.
+      val sym = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val ls = sym
+        .withColumn("m", least(col("u"), min(col("v")).over(Window.partitionBy("u"))))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // Small-star: group by the larger endpoint; smaller neighbors
+      // (all of them, b < a) re-attach to the min; the row that IS the
+      // min re-emits the center's own edge (a, m).
+      val ss = ls
+        .select(greatest(col("u"), col("v")).as("a"), least(col("u"), col("v")).as("b"))
+        .withColumn("m", min(col("b")).over(Window.partitionBy("a")))
+        .select(when(col("b") === col("m"), col("a")).otherwise(col("b")).as("u"),
+          col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true) // reset the plan; the loop grows it otherwise
+      prev = cur
+      cur = fingerprint(ss)
+      releaseCheckpoint(edges) // superseded by ss's checkpoint
+      edges = ss
+      rounds += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc2] round $rounds fp=$cur")
+    }
+    // Fixpoint = disjoint stars centered at each component's min:
+    // every member carries exactly the edge (member, center).
+    edges.groupBy(col("u").as("doc_id")).agg(min(col("v")).as("rep"))
+  }
+
   /** Shared result tail: converged (doc_id, rep) labels over the
     * edge-touched vertex set → full-corpus (doc_id, cluster_rep,
     * n_reachable), singletons labeling themselves. */
@@ -204,65 +260,77 @@ object ClusterQueries {
     // near-dup chains (doc A edits to B edits to C ...) this is the
     // difference between a handful and hundreds of shuffles.
     Q("dedup_cluster_cc2", ccOracleSql) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       // Same loop-stage shuffle sizing as dedup_cluster_cc above.
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
       // Orient larger → smaller so the invariant v < u holds everywhere.
       val e0 = candidateEdges(s, d)
-      var edges = e0.select(col("v").as("u"), col("u").as("v"))
+      val edges = e0.select(col("v").as("u"), col("u").as("v"))
         .localCheckpoint(true)
       e0.unpersist(blocking = false)
-      // Edge-set fingerprint: (count, bit_xor of per-edge xxhash64) —
-      // order-insensitive, overflow-free under ANSI (a SUM of 2^63-range
-      // hashes would throw), and valid because the edge set is distinct
-      // (no duplicate edges to self-cancel under xor). Equality of
-      // consecutive fingerprints ⇒ the star contraction reached its
-      // fixpoint (stars map to themselves under both ops).
-      def fingerprint(df: DataFrame): (Long, Long) = {
-        val r = df.agg(count(lit(1)).as("c"),
-          coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).head()
-        (r.getLong(0), r.getLong(1))
-      }
-      var prev = (-1L, -1L)
-      var cur = fingerprint(edges)
-      var rounds = 0
-      while (cur != prev && rounds < 50) {
-        // Large-star: every edge lives in its SMALLER endpoint's group
-        // (sym carries both directions; the v > u half selects them);
-        // each strictly-larger neighbor re-attaches to the group's min.
-        val sym = edges.unionByName(
-          edges.select(col("v").as("u"), col("u").as("v")))
-        val ls = sym
-          .withColumn("m", least(col("u"), min(col("v")).over(Window.partitionBy("u"))))
-          .filter(col("v") > col("u"))
-          .select(col("v").as("u"), col("m").as("v"))
-          .filter(col("u") =!= col("v"))
-          .distinct()
-        // Small-star: group by the larger endpoint; smaller neighbors
-        // (all of them, b < a) re-attach to the min; the row that IS the
-        // min re-emits the center's own edge (a, m).
-        val ss = ls
-          .select(greatest(col("u"), col("v")).as("a"), least(col("u"), col("v")).as("b"))
-          .withColumn("m", min(col("b")).over(Window.partitionBy("a")))
-          .select(when(col("b") === col("m"), col("a")).otherwise(col("b")).as("u"),
-            col("m").as("v"))
-          .filter(col("u") =!= col("v"))
-          .distinct()
-          .localCheckpoint(true) // reset the plan; the loop grows it otherwise
-        prev = cur
-        cur = fingerprint(ss)
-        releaseCheckpoint(edges) // superseded by ss's checkpoint
-        edges = ss
-        rounds += 1
-        if (sys.env.contains("GRAFT_CC_DEBUG"))
-          println(s"[cc2] round $rounds fp=$cur")
-      }
-      // Fixpoint = disjoint stars centered at each component's min:
-      // every member carries exactly the edge (member, center).
-      val labels = edges.groupBy(col("u").as("doc_id")).agg(min(col("v")).as("rep"))
-      labelsToResult(s, d, labels)
+      labelsToResult(s, d, starLabels(edges))
+      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    },
+
+    // Semantic dedup-cluster resolution: the near-dup graph comes from
+    // EMBEDDING cosine similarity (sign-bucket LSH candidates ≥ 0.4, the
+    // dedup_cos_neardup edge relation) instead of MinHash shingles, and
+    // the same large-star/small-star contraction resolves the clusters —
+    // SemDeDup-style semantic dedup as one operator. The oracle reaches
+    // the identical labeling via a recursive transitive closure.
+    Q("dedup_semantic_cc",
+      """WITH RECURSIVE v AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      i -> CASE WHEN embedding[i] > 0 THEN CAST(pow(2, i - 1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) AS cos
+        |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |e AS (SELECT v1 AS u, v2 AS v FROM p WHERE cos >= 0.4),
+        |sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+        |reach(u, v) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+        |SELECT u AS vec_id, CAST(min(v) AS BIGINT) AS cluster_rep,
+        |  CAST(count(*) AS BIGINT) AS n_members
+        |FROM reach GROUP BY u
+        |ORDER BY vec_id""") { (s, d) =>
+      import graft.functions.GraftFunctions.dot_f
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+      // dedup_cos_neardup's edge relation: sign-bucket LSH candidates
+      // (equi-join, never all-pairs) scored with the codegen'd float dot.
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("e"))
+        .withColumn("nrm", sqrt(dot_f(col("e"), col("e")).cast("double")))
+        .withColumn("bucket", expr(
+          """CAST(aggregate(transform(sequence(1, 8),
+            |  i -> CASE WHEN e[i-1] > CAST(0.0 AS FLOAT) THEN CAST(pow(2, i - 1) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+            |  CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)""".stripMargin))
+      val a = v.select(col("vec_id").as("v1"), col("e").as("e1"),
+        col("nrm").as("n1"), col("bucket"))
+      val b = v.select(col("vec_id").as("v2"), col("e").as("e2"),
+        col("nrm").as("n2"), col("bucket"))
+      val edges = a.join(b, Seq("bucket"))
+        .filter(col("v1") < col("v2"))
+        .withColumn("cos", dot_f(col("e1"), col("e2")) / (col("n1") * col("n2")))
+        .filter(col("cos") >= 0.4)
+        .select(col("v2").as("u"), col("v1").as("v")) // orient larger → smaller
+        .localCheckpoint(true)
+      val labels = starLabels(edges)
+      val all = Tables.embeddings(s, d).select(col("vec_id"))
+        .join(labels.select(col("doc_id").as("vec_id"), col("rep")),
+          Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), coalesce(col("rep"), col("vec_id")).as("rep"))
+      val sizes = all.groupBy(col("rep")).agg(count(lit(1)).as("n_members"))
+      all.join(sizes, Seq("rep"))
+        .select(col("vec_id"), col("rep").as("cluster_rep"), col("n_members"))
+        .orderBy(col("vec_id"))
       } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
     },
 

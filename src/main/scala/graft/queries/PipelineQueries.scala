@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-5 additions: search-index construction, sequence packing,
+  * robust statistics, random-projection embedding reduction, and the
+  * zip/outer-generator scalar surface.
+  *
+  * Determinism notes follow the established discipline: no engine RNG
+  * (hashes derive from md5 hex, identical in both engines), per-row
+  * higher-order-function arithmetic (sequential fold — both engines
+  * evaluate list aggregation left-to-right, so double sums are
+  * bit-identical), and every query ends in an ORDER BY over its output
+  * columns.
+  */
+object PipelineQueries {
+
+  def all: Seq[Q] = Seq(
+
+    // Inverted-index build (term → posting list) — the search-index side
+    // of a corpus pipeline. One tokenize pass; (term, doc) dedup and the
+    // posting aggregation are the same keyed shuffle. Posting lists are
+    // emitted as a joined string: the operator's value is the grouped
+    // sorted-list construction, and a string column hash-compares
+    // identically in both engines (array columns render differently
+    // between the parquet reader and DuckDB). At 100 TB the same plan
+    // holds — postings shuffle once on term; the df >= 30 cut keeps the
+    // hot stopword lists from dominating the output, exactly where a
+    // real index build drops stopwords.
+    Q("text_postings",
+      """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+        |FROM tok
+        |GROUP BY term
+        |HAVING count(*) >= 30
+        |ORDER BY term""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .distinct()
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
+        .filter(col("df") >= 30)
+        .orderBy(col("term"))
+    },
+
+    // Sequence packing: non-overlapping 32-token chunks packed into
+    // 256-token training sequences ("bins") per source shard, in
+    // (doc_id, chunk_idx) order — the step between chunking and batch
+    // assembly in an LLM data pipeline. Bin assignment is the exclusive
+    // running token total div capacity (contiguous packing with
+    // overflow), a pure window computation: packing parallelizes per
+    // shard (the window partitions by source), which is the 100 TB
+    // discipline — never a global sequential pass.
+    Q("pack_sequences",
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, source, unnest(range(0, len(toks), 32)) AS start, toks
+        |  FROM t),
+        |k AS (SELECT doc_id, source, CAST(start // 32 AS INT) AS chunk_idx,
+        |    len(list_slice(toks, start + 1, start + 32)) AS n
+        |  FROM c),
+        |b AS (SELECT source, doc_id, chunk_idx, n,
+        |    coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id, chunk_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM k)
+        |SELECT source, CAST(cum // 256 AS INT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  round(sum(n) / 256.0, 4) AS fill
+        |FROM b
+        |GROUP BY source, cum // 256
+        |ORDER BY source, bin""") { (s, d) =>
+      val chunks = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("source"), col("toks"),
+          explode(expr("sequence(0, size(toks) - 1, 32)")).as("start"))
+        .select(col("doc_id"), col("source"),
+          expr("CAST(start div 32 AS INT)").as("chunk_idx"),
+          expr("size(slice(toks, start + 1, 32))").as("n"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      chunks
+        .withColumn("cum", coalesce(sum(col("n")).over(w), lit(0L)))
+        .withColumn("bin", expr("CAST(cum div 256 AS INT)"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_chunks"), sum(col("n")).as("n_tokens"),
+          round(sum(col("n")) / 256.0, 4).as("fill"))
+        .orderBy(col("source"), col("bin"))
+    },
+
+    // Median absolute deviation per group — the robust dispersion
+    // statistic an outlier-tolerant quality gate uses where stddev is
+    // skew-dominated. Two exact-percentile aggregations bridged by a
+    // broadcast join of the 3-row median relation (never a shuffle of
+    // the fact side for the second pass's key lookup).
+    Q("agg_mad",
+      """WITH m AS (SELECT l_returnflag, median(l_quantity) AS med
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, round(any_value(m.med), 4) AS med,
+        |  round(median(abs(l.l_quantity - m.med)), 4) AS mad
+        |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+        |GROUP BY l.l_returnflag
+        |ORDER BY l.l_returnflag""") { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("med"))
+      li.join(broadcast(med), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(round(first(col("med")), 4).as("med"),
+          round(expr("percentile(abs(l_quantity - med), 0.5)"), 4).as("mad"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // zip_with / element-wise array algebra: per-row arrays combined
+    // element-wise (max, product-sum) — the HOF surface a vector
+    // pipeline leans on. Per-row sequential folds: double arithmetic is
+    // order-deterministic in both engines. lineitem has no compact
+    // unique key, so the output orders by the full composite.
+    Q("arr_zip_funcs",
+      """WITH t AS (SELECT l_orderkey, l_linenumber, l_partkey,
+        |    l_extendedprice, l_quantity,
+        |    [l_quantity, l_extendedprice, l_discount, l_tax] AS a,
+        |    [l_tax, l_discount, l_extendedprice, l_quantity] AS b
+        |  FROM lineitem WHERE l_orderkey < 100)
+        |SELECT l_orderkey, l_linenumber, l_partkey,
+        |  round(l_extendedprice, 4) AS price,
+        |  round(list_sum(list_transform(range(1, 5), i -> greatest(a[i], b[i]))), 4) AS zmax_sum,
+        |  round(list_sum(list_transform(range(1, 5), i -> a[i] * b[i])), 4) AS zprod_sum
+        |FROM t
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, price, l_quantity""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 100)
+        .withColumn("a", array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")))
+        .withColumn("b", array(col("l_tax"), col("l_discount"),
+          col("l_extendedprice"), col("l_quantity")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          round(col("l_extendedprice"), 4).as("price"),
+          round(expr("aggregate(zip_with(a, b, (x, y) -> greatest(x, y)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"), 4).as("zmax_sum"),
+          round(expr("aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"), 4).as("zprod_sum"),
+          col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("price"), col("l_quantity"))
+        .drop("l_quantity")
+    },
+
+    // explode_outer: the null-preserving generator — rows whose array is
+    // empty (or null) survive as a single null-element row, where plain
+    // explode would drop the parent row entirely. DuckDB's unnest has no
+    // outer form; the twin substitutes [NULL] for the degenerate array,
+    // which is exactly explode_outer's semantics.
+    Q("arr_explode_outer",
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN []
+        |         ELSE list_slice(string_split(text, ' '), 1, 2) END AS arr
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        |  unnest(CASE WHEN len(arr) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE arr END) AS tok
+        |FROM t
+        |ORDER BY doc_id, tok NULLS FIRST""") { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .withColumn("arr",
+          when(col("doc_id") % 5 === 0, array().cast("array<string>"))
+            .otherwise(slice(split(col("text"), " "), 1, 2)))
+        .select(col("doc_id"), explode_outer(col("arr")).as("tok"))
+        .orderBy(col("doc_id"), col("tok").asc_nulls_first)
+    },
+
+    // Signed random projection: 64-dim float embeddings reduced to 8
+    // dims with a deterministic ±1 matrix derived from md5(i_j) — the
+    // Johnson-Lindenstrauss reduction a 100 TB similarity pipeline runs
+    // before indexing (Achlioptas, "Database-friendly random
+    // projections", PODS'01). Pure per-row HOF arithmetic over a
+    // broadcast 8-row axis relation: no shuffle before the output sort,
+    // and the projection matrix is code, not data — nothing to ship.
+    Q("sim_rp_project",
+      """SELECT vec_id, CAST(r.j AS INT) AS j,
+        |  round(list_sum(list_transform(range(1, 65),
+        |    i -> CAST(embedding[i] AS DOUBLE) *
+        |      CASE WHEN (strpos('0123456789abcdef',
+        |          substring(md5(CAST(i AS VARCHAR) || '_' || CAST(r.j AS VARCHAR)), 1, 1)) - 1) % 2 = 1
+        |        THEN 1.0 ELSE -1.0 END)), 4) + 0.0 AS y
+        |FROM embeddings, range(0, 8) r(j)
+        |ORDER BY vec_id, j""") { (s, d) =>
+      Tables.embeddings(s, d)
+        .crossJoin(broadcast(s.range(0, 8).select(col("id").as("j"))))
+        .select(col("vec_id"), col("j").cast("int").as("j"),
+          (round(expr(
+            """aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE), (acc, i) ->
+              |  acc + CAST(embedding[i-1] AS DOUBLE) *
+              |    IF((instr('0123456789abcdef',
+              |        substring(md5(concat(CAST(i AS STRING), '_', CAST(j AS STRING))), 1, 1)) - 1) % 2 = 1,
+              |      CAST(1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)))""".stripMargin), 4) + 0.0).as("y"))
+        .orderBy(col("vec_id"), col("j"))
+    })
+}
