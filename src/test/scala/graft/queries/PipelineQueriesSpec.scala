@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Laws for the round-5 operators that oracle parity can't express:
+  * conservation (packing loses no tokens), structural invariants
+  * (posting lists sorted and sized by df; CC labels form a valid
+  * partition with self-labeled representatives), and the
+  * partition-count invariance that makes a result valid at any cluster
+  * size. */
+class PipelineQueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rowsAt(q: String, parts: Int): Seq[String] = {
+    val k = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(k)
+    spark.conf.set(k, parts.toString)
+    try SparkEntry.queries(q)(spark, dir).collect().map(_.toString).toSeq
+    finally {
+      spark.conf.set(k, saved)
+      spark.catalog.clearCache()
+    }
+  }
+
+  for (q <- Seq("pack_sequences", "text_postings", "sim_rp_project",
+      "dedup_semantic_cc"))
+    test(s"$q: identical rows at 3 and 29 shuffle partitions") {
+      assert(rowsAt(q, 3) == rowsAt(q, 29))
+    }
+
+  test("pack_sequences: packing conserves every token of every source") {
+    val packed = SparkEntry.queries("pack_sequences")(spark, dir)
+      .groupBy(col("source")).agg(sum(col("n_tokens")).as("packed"))
+    val direct = graft.Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " "))).as("direct"))
+    val mismatched = packed.join(direct, Seq("source"))
+      .filter(col("packed") =!= col("direct")).count()
+    assert(mismatched == 0)
+    // Bins are contiguous from 0 per source (no gaps: the running-total
+    // assignment cannot skip a capacity window).
+    val bins = SparkEntry.queries("pack_sequences")(spark, dir)
+      .select(col("source"), col("bin")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getInt(1)).sorted.toSeq)
+    bins.foreach { case (_, bs) => assert(bs == (0 until bs.size)) }
+  }
+
+  test("text_postings: df equals posting-list length, lists ascend") {
+    val rows = SparkEntry.queries("text_postings")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ids = r.getString(2).split(",").map(_.toLong).toSeq
+      assert(ids.size == r.getLong(1))
+      assert(ids == ids.sorted)
+      assert(ids.distinct.size == ids.size)
+    }
+  }
+
+  test("dedup_semantic_cc: labels form a partition with min representatives") {
+    val rows = SparkEntry.queries("dedup_semantic_cc")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byRep = rows.groupBy(_._2)
+    byRep.foreach { case (rep, members) =>
+      // the representative is a member and the cluster minimum
+      assert(members.map(_._1).min == rep)
+      // every member agrees on the cluster size, and it's the real size
+      assert(members.map(_._3).distinct.toSeq == Seq(members.size.toLong))
+    }
+  }
+
+  test("arr_explode_outer: empty-array docs survive as null-token rows") {
+    val rows = SparkEntry.queries("arr_explode_outer")(spark, dir).collect()
+    val nullDocs = rows.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+    val expected = rows.map(_.getLong(0)).toSet.filter(_ % 5 == 0)
+    assert(nullDocs == expected)
+    assert(nullDocs.nonEmpty)
+  }
+}
