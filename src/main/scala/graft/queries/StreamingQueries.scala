@@ -70,6 +70,47 @@ object StreamingQueries {
   private def decSum(c: String): String =
     s"CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"
 
+  /** Replay dir for the outer stream-stream join: the sf's events file
+    * as micro-batch 1 plus a far-future sentinel click+purchase pair
+    * (user -1, year 2100) as micro-batch 2, which advances both sides'
+    * watermarks past every real event so held outer rows emit. Staged
+    * once per sf dir (testdata is immutable); the sentinel file gets a
+    * later mtime so maxFilesPerTrigger=1 replays it second. */
+  private def sentinelReplayDir(s: SparkSession, d: String): String = {
+    val dir = java.nio.file.Paths.get(
+      "/tmp/graft-ssreplay-" + math.abs(d.hashCode).toString)
+    val done = dir.resolve("_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(Tables.path(d, "events")),
+        dir.resolve("00-events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // Raw wire schema (ts as long nanos, matching nanosAsLong).
+      val farFuture = 4102444800L * 1000000000L // 2100-01-01 in nanos
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sentinel")
+      import s.implicits._
+      Seq(
+        (-1L, farFuture, -1L, "click", 0.0, "{}"),
+        (-2L, farFuture, -1L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(tmp).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      }
+      java.nio.file.Files.copy(part, dir.resolve("zz-sentinel.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dir.resolve("zz-sentinel.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.nio.file.Files.getLastModifiedTime(
+            dir.resolve("00-events.parquet")).toMillis + 60000))
+      java.nio.file.Files.createFile(done)
+    }
+    dir.toString
+  }
+
   /** documents as a 4-file replay stream consumed one file per
     * micro-batch — multi-batch on purpose, so stateful operators
     * genuinely carry state across batch boundaries. Staged once per sf
@@ -215,6 +256,61 @@ object StreamingQueries {
       } finally s.conf.set("spark.sql.shuffle.partitions", saved)
       try { q.processAllAvailable() } finally { q.stop() }
       s.table(name).orderBy(col("click_id"), col("purchase_id"))
+    },
+
+    // Stream-stream LEFT OUTER join: every click, with its matching
+    // purchase or NULL if none arrived in the window. Outer rows only
+    // emit once the watermark passes the click's join window — with a
+    // finite replay the last hour of clicks would stay locked in state
+    // forever, so the replay appends a SECOND micro-batch holding one
+    // far-future sentinel click+purchase pair (user -1): it advances
+    // BOTH sides' watermarks past every real event, the no-data batch
+    // that follows evicts the state, and every held outer row emits.
+    // The sentinels' own (inner-matched) row is dropped from the
+    // MATERIALIZED result, after the stream — a pre-join filter could be
+    // pushed below the watermark node and starve it.
+    Q("stream_join_louter",
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM events c LEFT JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |WHERE c.event_type = 'click'
+        |ORDER BY click_id, purchase_id NULLS FIRST""") { (s, d) =>
+      val name = "st_" + math.abs(scala.util.Random.nextLong()).toString
+      val src = sentinelReplayDir(s, d)
+      def side(): DataFrame = {
+        val raw = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        s.readStream.schema(raw).option("maxFilesPerTrigger", "1").parquet(src)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      }
+      val clicks = side()
+        .withWatermark("ts", "1 hour")
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+      val purchases = side()
+        .withWatermark("ts", "1 hour")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTE"),
+        "left_outer")
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = try {
+        joined.select(col("click_id"), col("purchase_id"), col("user_id"))
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table(name)
+        .filter(col("user_id") >= 0) // sentinel pair, post-materialization
+        .orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
     },
 
     // Session windows (5-hour inactivity gap) per user — batch form of
