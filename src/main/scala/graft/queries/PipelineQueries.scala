@@ -172,6 +172,104 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("tok").asc_nulls_first)
     },
 
+    // Time-series gap filling: the hourly event-count series per event
+    // type, with MISSING hours materialized as rows (cnt = 0) and the
+    // last observed hourly sum carried forward — the resample step
+    // telemetry pipelines run before any rolling computation. The hour
+    // spine is sequence+explode over the type's own [min, max] range (a
+    // per-group generator, not a driver loop); the fill is one
+    // last(_, ignoreNulls) window sweep. Spine ⋈ observed is an equi
+    // join on (event_type, hour) — plain keyed shuffle at any scale.
+    Q("ts_gapfill",
+      """WITH obs AS (SELECT event_type,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+        |    count(*) AS cnt,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS val_sum
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi
+        |  FROM obs GROUP BY 1),
+        |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS hr FROM bounds),
+        |fill AS (SELECT s.event_type, s.hr,
+        |    coalesce(o.cnt, 0) AS cnt,
+        |    last_value(o.val_sum IGNORE NULLS) OVER (
+        |      PARTITION BY s.event_type ORDER BY s.hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+        |  FROM spine s LEFT JOIN obs o
+        |    ON s.event_type = o.event_type AND s.hr = o.hr)
+        |SELECT event_type, hr, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(carried AS DOUBLE) AS carried
+        |FROM fill
+        |ORDER BY event_type, hr""") { (s, d) =>
+      val obs = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)").as("hr"))
+        .agg(count(lit(1)).as("cnt"),
+          expr("CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4))").as("val_sum"))
+      val spine = obs.groupBy(col("event_type"))
+        .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+        .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("hr"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(obs, Seq("event_type", "hr"), "left_outer")
+        .select(col("event_type"), col("hr"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"),
+          last(col("val_sum"), ignoreNulls = true).over(w)
+            .cast("double").as("carried"))
+        .orderBy(col("event_type"), col("hr"))
+    },
+
+    // One-pass data-quality audit — the constraint scan a pipeline runs
+    // before promoting a batch: null/range/cross-column violations as
+    // conditional aggregates of a single fact scan (partial-aggregable,
+    // no shuffle beyond the 1-row combine), plus referential orphans as
+    // a left anti join. The output is one row per rule: rule name,
+    // violation count, violation rate.
+    Q("dq_audit",
+      """WITH n AS (SELECT count(*) AS total FROM lineitem),
+        |scan AS (
+        |  SELECT 'null_shipdate' AS rule,
+        |      count(*) FILTER (WHERE l_shipdate IS NULL) AS viol FROM lineitem
+        |  UNION ALL
+        |  SELECT 'nonpositive_qty', count(*) FILTER (WHERE l_quantity <= 0) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'discount_range', count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'shipdate_range', count(*) FILTER (WHERE l_shipdate < DATE '1992-01-01' OR l_shipdate > DATE '1998-12-31') FROM lineitem
+        |  UNION ALL
+        |  SELECT 'returnflag_domain', count(*) FILTER (WHERE l_returnflag NOT IN ('A', 'N', 'R')) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orphan_orderkey', count(*) FROM lineitem l
+        |    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |SELECT rule, CAST(viol AS BIGINT) AS viol,
+        |  round(CAST(viol AS DOUBLE) / n.total, 4) AS rate
+        |FROM scan CROSS JOIN n
+        |ORDER BY rule""") { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      // The four row-local rules ride ONE scan as conditional aggregates;
+      // only the referential rule pays a join (anti, on the fact's key).
+      val scanRules = li.agg(
+          count(when(col("l_shipdate").isNull, 1)).as("null_shipdate"),
+          count(when(col("l_quantity") <= 0, 1)).as("nonpositive_qty"),
+          count(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1)).as("discount_range"),
+          count(when(col("l_shipdate") < lit("1992-01-01").cast("date") ||
+            col("l_shipdate") > lit("1998-12-31").cast("date"), 1)).as("shipdate_range"),
+          count(when(!col("l_returnflag").isin("A", "N", "R"), 1)).as("returnflag_domain"),
+          count(lit(1)).as("__total"))
+      val orphans = li.join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_orderkey"))
+      val wide = scanRules.crossJoin(orphans) // two 1-row frames
+      wide.unpivot(
+          Array(col("__total")),
+          Array(col("null_shipdate"), col("nonpositive_qty"),
+            col("discount_range"), col("shipdate_range"),
+            col("returnflag_domain"), col("orphan_orderkey")),
+          "rule", "viol")
+        .select(col("rule"), col("viol"),
+          round(col("viol").cast("double") / col("__total"), 4).as("rate"))
+        .orderBy(col("rule"))
+    },
+
     // Signed random projection: 64-dim float embeddings reduced to 8
     // dims with a deterministic ±1 matrix derived from md5(i_j) — the
     // Johnson-Lindenstrauss reduction a 100 TB similarity pipeline runs
