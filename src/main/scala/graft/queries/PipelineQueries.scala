@@ -38,13 +38,16 @@ object PipelineQueries {
         |GROUP BY term
         |HAVING count(*) >= 30
         |ORDER BY term""") { (s, d) =>
+      // ONE shuffle: collect_set dedups (term, doc) inside the aggregate
+      // (map-side partial sets combine), instead of a distinct shuffle
+      // followed by a groupBy shuffle; df is the set's size.
       Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .distinct()
         .groupBy(col("term"))
-        .agg(count(lit(1)).as("df"),
-          array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
-        .filter(col("df") >= 30)
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 30)
+        .select(col("term"), size(col("ids")).cast("bigint").as("df"),
+          array_join(col("ids"), ",").as("postings"))
         .orderBy(col("term"))
     },
 
@@ -245,20 +248,24 @@ object PipelineQueries {
         |FROM scan CROSS JOIN n
         |ORDER BY rule""") { (s, d) =>
       val li = Tables.lineitem(s, d)
-      // The four row-local rules ride ONE scan as conditional aggregates;
-      // only the referential rule pays a join (anti, on the fact's key).
-      val scanRules = li.agg(
+      // Every rule — the five row-local checks AND the referential one —
+      // rides a single pass: one left join against the orders key column
+      // (o_orderkey is the orders PK, so row count is preserved and a
+      // null right side IS the orphan flag), then one partial-aggregable
+      // conditional aggregation. One scan of each table, one 1-row
+      // combine.
+      val wide = li
+        .join(Tables.orders(s, d).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_outer")
+        .agg(
           count(when(col("l_shipdate").isNull, 1)).as("null_shipdate"),
           count(when(col("l_quantity") <= 0, 1)).as("nonpositive_qty"),
           count(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1)).as("discount_range"),
           count(when(col("l_shipdate") < lit("1992-01-01").cast("date") ||
             col("l_shipdate") > lit("1998-12-31").cast("date"), 1)).as("shipdate_range"),
           count(when(!col("l_returnflag").isin("A", "N", "R"), 1)).as("returnflag_domain"),
+          count(when(col("o_orderkey").isNull, 1)).as("orphan_orderkey"),
           count(lit(1)).as("__total"))
-      val orphans = li.join(Tables.orders(s, d),
-          col("l_orderkey") === col("o_orderkey"), "left_anti")
-        .agg(count(lit(1)).as("orphan_orderkey"))
-      val wide = scanRules.crossJoin(orphans) // two 1-row frames
       wide.unpivot(
           Array(col("__total")),
           Array(col("null_shipdate"), col("nonpositive_qty"),
