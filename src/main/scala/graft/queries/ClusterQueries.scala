@@ -117,19 +117,26 @@ object ClusterQueries {
   }
 
   /** Shared result tail: converged (doc_id, rep) labels over the
-    * edge-touched vertex set → full-corpus (doc_id, cluster_rep,
-    * n_reachable), singletons labeling themselves. */
-  private def labelsToResult(s: org.apache.spark.sql.SparkSession, d: String,
-      labels: DataFrame): DataFrame = {
-    val all = Tables.documents(s, d).select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
-    val sizes = all.groupBy(col("rep")).agg(count(lit(1)).as("n_reachable"))
+    * edge-touched vertex set, completed over the full id universe
+    * (singletons label themselves), with per-cluster sizes — the output
+    * shape every CC operator shares, parametric in the universe frame
+    * and output column names. */
+  private def labelsOverUniverse(universe: DataFrame, idCol: String,
+      labels: DataFrame, repCol: String, sizeCol: String): DataFrame = {
+    val all = universe
+      .join(labels.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("rep"), col(idCol)).as("rep"))
+    val sizes = all.groupBy(col("rep")).agg(count(lit(1)).as(sizeCol))
     all
       .join(sizes, Seq("rep"))
-      .select(col("doc_id"), col("rep").as("cluster_rep"), col("n_reachable"))
-      .orderBy(col("doc_id"))
+      .select(col(idCol), col("rep").as(repCol), col(sizeCol))
+      .orderBy(col(idCol))
   }
+
+  private def labelsToResult(s: org.apache.spark.sql.SparkSession, d: String,
+      labels: DataFrame): DataFrame =
+    labelsOverUniverse(Tables.documents(s, d).select(col("doc_id")),
+      "doc_id", labels, "cluster_rep", "n_reachable")
 
   /** The recursive-transitive-closure oracle both CC queries share: a
     * completely different evaluation strategy reaching the same
@@ -299,38 +306,18 @@ object ClusterQueries {
         |  CAST(count(*) AS BIGINT) AS n_members
         |FROM reach GROUP BY u
         |ORDER BY vec_id""") { (s, d) =>
-      import graft.functions.GraftFunctions.dot_f
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-      // dedup_cos_neardup's edge relation: sign-bucket LSH candidates
-      // (equi-join, never all-pairs) scored with the codegen'd float dot.
-      val v = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").as("e"))
-        .withColumn("nrm", sqrt(dot_f(col("e"), col("e")).cast("double")))
-        .withColumn("bucket", expr(
-          """CAST(aggregate(transform(sequence(1, 8),
-            |  i -> CASE WHEN e[i-1] > CAST(0.0 AS FLOAT) THEN CAST(pow(2, i - 1) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
-            |  CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)""".stripMargin))
-      val a = v.select(col("vec_id").as("v1"), col("e").as("e1"),
-        col("nrm").as("n1"), col("bucket"))
-      val b = v.select(col("vec_id").as("v2"), col("e").as("e2"),
-        col("nrm").as("n2"), col("bucket"))
-      val edges = a.join(b, Seq("bucket"))
-        .filter(col("v1") < col("v2"))
-        .withColumn("cos", dot_f(col("e1"), col("e2")) / (col("n1") * col("n2")))
-        .filter(col("cos") >= 0.4)
+      // The SHARED cosine edge relation (VectorQueries.cosineEdges —
+      // double-fold norms, the precision the oracle computes with; a
+      // float-precision denominator flipping one threshold-boundary edge
+      // would relabel entire clusters under CC).
+      val edges = VectorQueries.cosineEdges(s, d)
         .select(col("v2").as("u"), col("v1").as("v")) // orient larger → smaller
         .localCheckpoint(true)
-      val labels = starLabels(edges)
-      val all = Tables.embeddings(s, d).select(col("vec_id"))
-        .join(labels.select(col("doc_id").as("vec_id"), col("rep")),
-          Seq("vec_id"), "left_outer")
-        .select(col("vec_id"), coalesce(col("rep"), col("vec_id")).as("rep"))
-      val sizes = all.groupBy(col("rep")).agg(count(lit(1)).as("n_members"))
-      all.join(sizes, Seq("rep"))
-        .select(col("vec_id"), col("rep").as("cluster_rep"), col("n_members"))
-        .orderBy(col("vec_id"))
+      labelsOverUniverse(Tables.embeddings(s, d).select(col("vec_id")),
+        "vec_id", starLabels(edges), "cluster_rep", "n_members")
       } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
     },
 

@@ -208,6 +208,9 @@ object PipelineQueries {
           expr("CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)").as("hr"))
         .agg(count(lit(1)).as("cnt"),
           expr("CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4))").as("val_sum"))
+        // feeds both the spine bounds and the join probe — without this
+        // the events scan + aggregation execute twice in one query
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val spine = obs.groupBy(col("event_type"))
         .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
         .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("hr"))
@@ -293,15 +296,26 @@ object PipelineQueries {
         |        THEN 1.0 ELSE -1.0 END)), 4) + 0.0 AS y
         |FROM embeddings, range(0, 8) r(j)
         |ORDER BY vec_id, j""") { (s, d) =>
+      // The ±1 matrix is a function of (i, j) only — compute the 512
+      // signs ONCE driver-side (same md5 first-nibble rule the oracle
+      // evaluates) and ship them as literal array columns on the 8-row
+      // axis relation, instead of re-hashing 512 constant cells for
+      // every embedding row.
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def sign(i: Int, j: Int): Double = {
+        val nib = (md.digest(s"${i}_$j".getBytes("UTF-8"))(0) >> 4) & 0xF
+        if (nib % 2 == 1) 1.0 else -1.0
+      }
+      val axes = (0 until 8).map(j =>
+        (j, (1 to 64).map(i => sign(i, j)).toArray))
+      import s.implicits._
+      val proj = axes.toDF("j", "signs")
       Tables.embeddings(s, d)
-        .crossJoin(broadcast(s.range(0, 8).select(col("id").as("j"))))
+        .crossJoin(broadcast(proj))
         .select(col("vec_id"), col("j").cast("int").as("j"),
           (round(expr(
             """aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE), (acc, i) ->
-              |  acc + CAST(embedding[i-1] AS DOUBLE) *
-              |    IF((instr('0123456789abcdef',
-              |        substring(md5(concat(CAST(i AS STRING), '_', CAST(j AS STRING))), 1, 1)) - 1) % 2 = 1,
-              |      CAST(1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)))""".stripMargin), 4) + 0.0).as("y"))
+              |  acc + CAST(embedding[i-1] AS DOUBLE) * signs[i-1])""".stripMargin), 4) + 0.0).as("y"))
         .orderBy(col("vec_id"), col("j"))
     })
 }

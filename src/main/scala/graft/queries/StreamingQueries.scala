@@ -102,6 +102,13 @@ object StreamingQueries {
       }
       java.nio.file.Files.copy(part, dir.resolve("zz-sentinel.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // the scratch write dir has served its purpose — don't litter /tmp
+      locally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => try java.nio.file.Files.delete(p)
+            catch { case _: Throwable => () })
+      }
       java.nio.file.Files.setLastModifiedTime(dir.resolve("zz-sentinel.parquet"),
         java.nio.file.attribute.FileTime.fromMillis(
           java.nio.file.Files.getLastModifiedTime(

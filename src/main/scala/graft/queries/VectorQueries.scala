@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over `embeddings` (array<float>, dim 64).
@@ -58,6 +59,35 @@ object VectorQueries {
     "aggregate(zip_with(qe, e, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
   private val normSpark =
     "sqrt(aggregate(transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+
+  /** Cosine near-dup edge relation (v1 < v2, cos ≥ 0.4): sign-bucket LSH
+    * candidates (equi-join on the 8-bit sign bucket — never all-pairs)
+    * scored with the codegen'd double-accumulating float dot over
+    * double-fold norms. The norm MUST be the double fold ([[normSpark]]):
+    * the DuckDB oracle accumulates list_sum over doubles, and a
+    * float-precision denominator can flip an edge at the threshold
+    * boundary — which under connected components relabels entire
+    * clusters, not one pair. Shared by dedup_cos_neardup and
+    * dedup_semantic_cc (ClusterQueries). */
+  private[queries] def cosineEdges(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.dot_f
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", expr(normSpark))
+      .withColumn("bucket", expr(
+        """CAST(aggregate(transform(sequence(1, 8),
+          |  i -> CASE WHEN e[i-1] > CAST(0.0 AS FLOAT) THEN CAST(pow(2, i - 1) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+          |  CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)""".stripMargin))
+    val a = v.select(col("vec_id").as("v1"), col("e").as("e1"),
+      col("nrm").as("n1"), col("bucket"))
+    val b = v.select(col("vec_id").as("v2"), col("e").as("e2"),
+      col("nrm").as("n2"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("v1") < col("v2"))
+      .withColumn("cos", dot_f(col("e1"), col("e2")) / (col("n1") * col("n2")))
+      .filter(col("cos") >= 0.4)
+      .select(col("v1"), col("v2"), col("cos"))
+  }
 
   def all: Seq[Q] = Seq(
 
@@ -271,22 +301,7 @@ object VectorQueries {
         |SELECT v1, v2, round(cos, 4) AS cosine
         |FROM p WHERE cos >= 0.4
         |ORDER BY v1, v2""") { (s, d) =>
-      import graft.functions.GraftFunctions.dot_f
-      val v = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").as("e"))
-        .withColumn("nrm", expr(normSpark))
-        .withColumn("bucket", expr(
-          """CAST(aggregate(transform(sequence(1, 8),
-            |  i -> CASE WHEN e[i-1] > CAST(0.0 AS FLOAT) THEN CAST(pow(2, i - 1) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
-            |  CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)""".stripMargin))
-      val a = v.select(col("vec_id").as("v1"), col("e").as("e1"),
-        col("nrm").as("n1"), col("bucket"))
-      val b = v.select(col("vec_id").as("v2"), col("e").as("e2"),
-        col("nrm").as("n2"), col("bucket"))
-      a.join(b, Seq("bucket"))
-        .filter(col("v1") < col("v2"))
-        .withColumn("cos", dot_f(col("e1"), col("e2")) / (col("n1") * col("n2")))
-        .filter(col("cos") >= 0.4)
+      cosineEdges(s, d)
         .select(col("v1"), col("v2"), round(col("cos"), 4).as("cosine"))
         .orderBy(col("v1"), col("v2"))
     },

@@ -24,6 +24,11 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  // Note: dedup_semantic_cc internally pins its iterative contraction
+  // phase to 8 partitions (deliberate loop-stage sizing), so for that
+  // query this law exercises the edge build, result tail, and sort —
+  // the contraction loop's own invariance is covered by cc2 sharing
+  // starLabels with ClusterQueriesSpec's edit-chain fixture.
   for (q <- Seq("pack_sequences", "text_postings", "sim_rp_project",
       "dedup_semantic_cc"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions") {
