@@ -70,6 +70,30 @@ object StreamingQueries {
   private def decSum(c: String): String =
     s"CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"
 
+  /** The outer stream-stream join shape shared by stream_join_louter and
+    * its checkpoint-recovery spec: watermark BEFORE the event-type filter
+    * on each side (a pre-watermark filter would be pushed below the
+    * watermark node and let filtered rows stop advancing it), left outer
+    * within a 30-minute post-click window. Inputs are raw event frames
+    * (event_id, ts TIMESTAMP, user_id, event_type). */
+  private[queries] def outerClickPurchaseJoin(
+      clicksSrc: DataFrame, purchasesSrc: DataFrame): DataFrame = {
+    val clicks = clicksSrc
+      .withWatermark("ts", "1 hour")
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+    val purchases = purchasesSrc
+      .withWatermark("ts", "1 hour")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTE"),
+      "left_outer")
+  }
+
   /** Replay dir for the outer stream-stream join: the sf's events file
     * as micro-batch 1 plus a far-future sentinel click+purchase pair
     * (user -1, year 2100) as micro-batch 2, which advances both sides'
@@ -294,20 +318,7 @@ object StreamingQueries {
         s.readStream.schema(raw).option("maxFilesPerTrigger", "1").parquet(src)
           .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       }
-      val clicks = side()
-        .withWatermark("ts", "1 hour")
-        .filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
-      val purchases = side()
-        .withWatermark("ts", "1 hour")
-        .filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-          col("ts").as("p_ts"))
-      val joined = clicks.join(purchases,
-        col("user_id") === col("p_user") &&
-          col("p_ts") >= col("c_ts") &&
-          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTE"),
-        "left_outer")
+      val joined = outerClickPurchaseJoin(side(), side())
       val saved = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val q = try {
