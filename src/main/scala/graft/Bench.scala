@@ -114,7 +114,9 @@ object Bench {
       "stream_tumble", "stream_dedup", "sess_window_batch",
       "topk_custom_plan", "text_contamination", "dedup_keep_best",
       "stream_session", "dedup_cluster_cc2", "dedup_span_keepfirst",
-      "text_pii_scrub", "dedup_simhash_pairs", "sample_balanced")
+      "text_pii_scrub", "dedup_simhash_pairs", "sample_balanced",
+      "dedup_semantic_cc", "stream_join_louter", "ts_gapfill",
+      "pack_sequences", "sim_rp_project", "text_postings", "dq_audit")
     val rmap = results.toMap
     val qs = headline.flatMap(k => rmap.get(k).map(v => "\"" + k + "\":" + fmt(v)))
       .mkString("{", ",", "}")

@@ -280,6 +280,35 @@ object PipelineQueries {
         .orderBy(col("rule"))
     },
 
+    // Quality-weighted sampling: each document's keep probability scales
+    // with its own quality signal (token count capped at 256 → rate in
+    // [0.25, 0.75]) — the curriculum/downsampling step that keeps more
+    // of the better data, as a deterministic per-row coin: two md5
+    // nibbles of the doc key form a 1/256-granular uniform that is
+    // reproducible, join-stable, and cluster-size-independent (the same
+    // discipline as sample_stratified's fixed-rate coin; no engine RNG).
+    // Zero shuffles before the output sort — the filter fuses into the
+    // scan at any corpus size.
+    Q("sample_weighted",
+      """WITH t AS (SELECT doc_id, lang,
+        |    0.25 + 0.5 * least(len(string_split(text, ' ')), 256) / 256.0 AS rate,
+        |    ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |     (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) / 256.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, lang, round(rate, 4) AS rate
+        |FROM t WHERE u < rate
+        |ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("rate",
+          lit(0.25) + lit(0.5) * least(size(split(col("text"), " ")), lit(256)) / 256.0)
+        .withColumn("u",
+          ((expr("instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1))") - 1) * 16 +
+           (expr("instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 2, 1))") - 1)) / 256.0)
+        .filter(col("u") < col("rate"))
+        .select(col("doc_id"), col("lang"), round(col("rate"), 4).as("rate"))
+        .orderBy(col("doc_id"))
+    },
+
     // Signed random projection: 64-dim float embeddings reduced to 8
     // dims with a deterministic ±1 matrix derived from md5(i_j) — the
     // Johnson-Lindenstrauss reduction a 100 TB similarity pipeline runs
