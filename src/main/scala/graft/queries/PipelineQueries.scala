@@ -280,6 +280,68 @@ object PipelineQueries {
         .orderBy(col("rule"))
     },
 
+    // Key-skew profile — the diagnostic a pipeline runs BEFORE deciding
+    // to salt a join (join_salted is the cure; this is the detection):
+    // per-key frequencies, the hottest keys with their share of all
+    // rows. The total rides a broadcast 1-row scalar (never a shuffle of
+    // the profile); share = cnt/total is a single division per row, so
+    // it is bit-identical across engines with no sum-order noise.
+    Q("skew_profile",
+      """WITH f AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS total FROM f),
+        |r AS (SELECT user_id, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, user_id) AS rk
+        |  FROM f)
+        |SELECT CAST(rk AS INT) AS rk, user_id, CAST(cnt AS BIGINT) AS cnt,
+        |  round(cnt / total, 4) AS share
+        |FROM r CROSS JOIN t
+        |WHERE rk <= 5
+        |ORDER BY rk""") { (s, d) =>
+      val f = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      val t = f.agg(sum(col("cnt")).as("total"))
+      val w = Window.orderBy(col("cnt").desc, col("user_id"))
+      f.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .crossJoin(broadcast(t))
+        .select(col("rk").cast("int").as("rk"), col("user_id"), col("cnt"),
+          round(col("cnt") / col("total"), 4).as("share"))
+        .orderBy(col("rk"))
+    },
+
+    // Equi-depth histogram — the complement of agg_histogram's equi-WIDTH
+    // buckets: four buckets holding (as near as possible) equal row
+    // counts, via ntile over a fully-tiebroken total order. Rank-based
+    // bucketing dodges the cross-engine trap of comparing rows against
+    // interpolated float boundaries (a 1-ulp percentile difference can
+    // flip a boundary row's bucket); ntile is pure integer arithmetic on
+    // row positions. The bounded filter keeps the single total-order
+    // window honest at bench scale; the 100 TB form replaces ntile with
+    // approx-quantile boundary assignment and accepts approximate depth.
+    Q("agg_histogram_eqdepth",
+      """WITH t AS (SELECT l_extendedprice,
+        |    ntile(4) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber,
+        |      l_partkey, l_quantity) AS bucket
+        |  FROM lineitem WHERE l_partkey < 2000)
+        |SELECT CAST(bucket AS INT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |  round(min(l_extendedprice), 4) AS lo,
+        |  round(max(l_extendedprice), 4) AS hi
+        |FROM t GROUP BY bucket
+        |ORDER BY bucket""") { (s, d) =>
+      val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+      Tables.lineitem(s, d)
+        .filter(col("l_partkey") < 2000)
+        .withColumn("bucket", ntile(4).over(w))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("l_extendedprice")), 4).as("lo"),
+          round(max(col("l_extendedprice")), 4).as("hi"))
+        .select(col("bucket").cast("int").as("bucket"), col("n"),
+          col("lo"), col("hi"))
+        .orderBy(col("bucket"))
+    },
+
     // Quality-weighted sampling: each document's keep probability scales
     // with its own quality signal (token count capped at 256 → rate in
     // [0.25, 0.75]) — the curriculum/downsampling step that keeps more
