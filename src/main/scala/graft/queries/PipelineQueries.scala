@@ -280,6 +280,38 @@ object PipelineQueries {
         .orderBy(col("rule"))
     },
 
+    // Incremental dedup — the daily-increment shape: a new batch (here
+    // doc_id ≥ 4/5 of the corpus) deduped against the already-ingested
+    // history AND within itself, keeping only first occurrences. History
+    // lookup is an anti join on the content hash (at 100 TB: the history
+    // side is a bucketed hash table paid for once, or a bloom
+    // pre-filter); within-batch dedup is the usual min-per-hash window.
+    // The output is the batch's survivors — the rows the increment
+    // actually adds to the corpus.
+    Q("dedup_incremental",
+      """WITH hist AS (SELECT DISTINCT md5(lower(trim(text))) AS h
+        |  FROM documents WHERE doc_id < 400),
+        |batch AS (SELECT doc_id, md5(lower(trim(text))) AS h
+        |  FROM documents WHERE doc_id >= 400),
+        |fresh AS (SELECT b.doc_id, b.h FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM hist x WHERE x.h = b.h)),
+        |keep AS (SELECT doc_id, h,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        |  FROM fresh)
+        |SELECT doc_id, h FROM keep WHERE rn = 1
+        |ORDER BY doc_id""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("h", md5(lower(trim(col("text")))))
+      val hist = docs.filter(col("doc_id") < 400).select(col("h")).distinct()
+      val batch = docs.filter(col("doc_id") >= 400).select(col("doc_id"), col("h"))
+      val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+      batch.join(hist, Seq("h"), "left_anti")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("h"))
+        .orderBy(col("doc_id"))
+    },
+
     // Key-skew profile — the diagnostic a pipeline runs BEFORE deciding
     // to salt a join (join_salted is the cure; this is the detection):
     // per-key frequencies, the hottest keys with their share of all
