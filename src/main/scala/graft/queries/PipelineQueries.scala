@@ -280,9 +280,14 @@ object PipelineQueries {
         .orderBy(col("rule"))
     },
 
-    // Incremental dedup — the daily-increment shape: a new batch (here
-    // doc_id ≥ 4/5 of the corpus) deduped against the already-ingested
-    // history AND within itself, keeping only first occurrences. History
+    // Incremental dedup — the daily-increment shape: a new batch (docs
+    // with doc_id ≥ 400; history is everything below) deduped against
+    // the already-ingested history AND within itself, keeping only first
+    // occurrences. The natural corpus carries few duplicates, so the
+    // dedup semantics themselves are pinned by PipelineQueriesSpec's
+    // planted-duplicate fixture (history kill + within-batch keep-first
+    // + pass-through); the oracle parity run checks the relational
+    // plumbing at both SFs. History
     // lookup is an anti join on the content hash (at 100 TB: the history
     // side is a bucketed hash table paid for once, or a bloom
     // pre-filter); within-batch dedup is the usual min-per-hash window.
@@ -325,7 +330,7 @@ object PipelineQueries {
         |    row_number() OVER (ORDER BY cnt DESC, user_id) AS rk
         |  FROM f)
         |SELECT CAST(rk AS INT) AS rk, user_id, CAST(cnt AS BIGINT) AS cnt,
-        |  round(cnt / total, 4) AS share
+        |  floor(cnt / total * 10000 + 0.5) / 10000.0 AS share
         |FROM r CROSS JOIN t
         |WHERE rk <= 5
         |ORDER BY rk""") { (s, d) =>
@@ -336,8 +341,11 @@ object PipelineQueries {
       f.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .crossJoin(broadcast(t))
+        // floor-form quantization, not round(): engine round() tie rules
+        // differ on quotients an ulp from a .xxxx5 boundary; floor of the
+        // identical double product cannot (share ≥ 0).
         .select(col("rk").cast("int").as("rk"), col("user_id"), col("cnt"),
-          round(col("cnt") / col("total"), 4).as("share"))
+          (floor(col("cnt") / col("total") * 10000 + 0.5) / 10000.0).as("share"))
         .orderBy(col("rk"))
     },
 

@@ -71,11 +71,18 @@ object StreamingQueries {
     s"CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"
 
   /** The outer stream-stream join shape shared by stream_join_louter and
-    * its checkpoint-recovery spec: watermark BEFORE the event-type filter
-    * on each side (a pre-watermark filter would be pushed below the
-    * watermark node and let filtered rows stop advancing it), left outer
-    * within a 30-minute post-click window. Inputs are raw event frames
-    * (event_id, ts TIMESTAMP, user_id, event_type). */
+    * its checkpoint-recovery spec: left outer within a 30-minute
+    * post-click window over watermarked sides. Inputs are raw event
+    * frames (event_id, ts TIMESTAMP, user_id, event_type).
+    *
+    * Watermark-advance invariant: Catalyst pushes non-event-time
+    * predicates below the EventTimeWatermark node regardless of written
+    * order, so each side's watermark only advances on rows that SURVIVE
+    * that side's filters. A watermark-advancing sentinel therefore needs
+    * one row per side passing that side's event_type filter (a click AND
+    * a purchase) — a single-type sentinel would stall the other side's
+    * watermark, and the join's gating watermark is the minimum of the
+    * two. */
   private[queries] def outerClickPurchaseJoin(
       clicksSrc: DataFrame, purchasesSrc: DataFrame): DataFrame = {
     val clicks = clicksSrc

@@ -75,6 +75,26 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("dedup_incremental: history kill, keep-first within batch, pass-through") {
+    // The natural corpus has almost no duplicate content, so the oracle
+    // parity run barely exercises the dedup paths — this fixture plants
+    // all three cases explicitly.
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("incdocs").toString
+    Seq(
+      (100L, "seen before", "en", "t", 0L),   // history
+      (101L, "history only", "en", "t", 0L),  // history
+      (400L, "seen before", "en", "t", 0L),   // killed by history
+      (401L, "batch dup", "en", "t", 0L),     // kept (first of pair)
+      (402L, "batch dup", "en", "t", 0L),     // killed within batch
+      (403L, "genuinely new", "en", "t", 0L)) // kept
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val kept = SparkEntry.queries("dedup_incremental")(spark, d)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(401L, 403L))
+  }
+
   test("arr_explode_outer: empty-array docs survive as null-token rows") {
     val rows = SparkEntry.queries("arr_explode_outer")(spark, dir).collect()
     val nullDocs = rows.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
