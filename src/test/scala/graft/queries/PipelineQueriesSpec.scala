@@ -30,7 +30,9 @@ class PipelineQueriesSpec extends SparkSpec {
   // the contraction loop's own invariance is covered by cc2 sharing
   // starLabels with ClusterQueriesSpec's edit-chain fixture.
   for (q <- Seq("pack_sequences", "text_postings", "sim_rp_project",
-      "dedup_semantic_cc"))
+      "dedup_semantic_cc", "agg_mad", "arr_zip_funcs", "arr_explode_outer",
+      "ts_gapfill", "dq_audit", "sample_weighted", "skew_profile",
+      "agg_histogram_eqdepth", "dedup_incremental"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions") {
       assert(rowsAt(q, 3) == rowsAt(q, 29))
     }
