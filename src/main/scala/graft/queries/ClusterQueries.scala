@@ -70,7 +70,7 @@ object ClusterQueries {
     * set's (count, bit_xor of per-edge xxhash64) fingerprint stops moving
     * — order-insensitive, overflow-free under ANSI (a SUM of 2^63-range
     * hashes would throw), and valid because the edge set is distinct. */
-  private def starLabels(edges0: DataFrame): DataFrame = {
+  private[queries] def starLabels(edges0: DataFrame): DataFrame = {
     var edges = edges0
     def fingerprint(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)).as("c"),
