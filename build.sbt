@@ -26,10 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g on a 128 GiB host: local[32] runs every executor thread in this
-  // one JVM, and a 156-query sweep under an 8g ceiling spends its tail
-  // in GC whenever the host is also busy — heap headroom is the cheap
-  // insurance (the explicit cap still leaves >100 GiB to the OS page
-  // cache the parquet scans lean on).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 8g measured optimal: a 24g ceiling let the heap balloon across the
+  // 156-query sweep and the first-touch page faulting in this microVM
+  // more than doubled the wall time (183 s vs 87 s back-to-back at the
+  // same host load); the tight ceiling keeps the working set hot and the
+  // GC short.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
