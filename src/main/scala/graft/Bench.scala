@@ -20,7 +20,7 @@ object Bench {
     // at the smallest SF, so the first alphabetical dedup query isn't
     // charged the family's one-time JIT.
     for (w <- Seq("dedup_minhash_sig", "dedup_simhash",
-        "dedup_cluster_cc", "dedup_cluster_cc2"))
+        "dedup_cluster_cc", "dedup_cluster_cc2", "dedup_semantic_cc"))
       try SparkEntry.queries(w)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     // Warm the bench SF itself: file listing, parquet footers, and the OS
@@ -42,7 +42,8 @@ object Bench {
     // first touch of a fresh machine — do that here so the timed run
     // measures the query, not the build.
     for (w <- Seq("join_bucketed", "sim_knn_ivf_indexed",
-        "src_schema_evolution", "stream_lsh_candidates"))
+        "src_schema_evolution", "stream_lsh_candidates",
+        "stream_join_louter")) // the last stages its sentinel replay dir
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => () }
     // Release blocks a query pinned for its own execution (minhash-side
