@@ -454,6 +454,38 @@ object ScalarQueries2 {
         .orderBy(col("event_id"))
     },
 
+    // VARIANT (Spark 4's semi-structured type): props parsed ONCE into
+    // a variant value, fields then extracted via variant_get typed
+    // paths — the open-schema ingestion path that replaces per-field
+    // re-parsing of JSON strings (one parse, binary-encoded access).
+    // Composite payload so the variant carries object + array nesting.
+    // DuckDB twin reads the same fields through its JSON type.
+    Q("json_variant",
+      """SELECT event_id,
+        |  CAST(json_extract(j, '$.k') AS BIGINT) AS kv,
+        |  CAST(json_extract(j, '$.ids[1]') AS BIGINT) AS second_id,
+        |  json_extract_string(j, '$.tag') AS tag
+        |FROM (SELECT event_id,
+        |    json('{"k": ' || CAST(user_id AS VARCHAR) ||
+        |         ', "ids": [' || CAST(event_id AS VARCHAR) || ',' ||
+        |           CAST(user_id AS VARCHAR) || ']' ||
+        |         ', "tag": "' || event_type || '"}') AS j
+        |  FROM events WHERE event_id < 2000)
+        |ORDER BY event_id""") { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"),
+          expr("""parse_json(concat('{"k": ', CAST(user_id AS STRING),
+                 |  ', "ids": [', CAST(event_id AS STRING), ',',
+                 |  CAST(user_id AS STRING), ']',
+                 |  ', "tag": "', event_type, '"}'))""".stripMargin).as("v"))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'bigint')").as("kv"),
+          expr("variant_get(v, '$.ids[1]', 'bigint')").as("second_id"),
+          expr("variant_get(v, '$.tag', 'string')").as("tag"))
+        .orderBy(col("event_id"))
+    },
+
     // UNION BY NAME with missing columns → nulls (schema-evolution
     // union: the shape that merges heterogeneous corpus shards).
     Q("setop_union_byname",
