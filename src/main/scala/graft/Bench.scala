@@ -117,7 +117,9 @@ object Bench {
       "stream_session", "dedup_cluster_cc2", "dedup_span_keepfirst",
       "text_pii_scrub", "dedup_simhash_pairs", "sample_balanced",
       "dedup_semantic_cc", "stream_join_louter", "ts_gapfill",
-      "pack_sequences", "sim_rp_project", "text_postings", "dq_audit")
+      "pack_sequences", "sim_rp_project", "text_postings", "dq_audit",
+      "funnel_steps", "cohort_retention", "join_multiway", "cogroup_orders",
+      "sketch_hll_merge")
     val rmap = results.toMap
     val qs = headline.flatMap(k => rmap.get(k).map(v => "\"" + k + "\":" + fmt(v)))
       .mkString("{", ",", "}")

@@ -1,0 +1,282 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Behavioral / product-analytics surface plus the Spark 4 mergeable-
+  * sketch family (DataSketches HLL / Theta / frequent-items) and the
+  * typed cogroup exemplar.
+  *
+  * The reference ships events to a sink explicitly so offline analytics
+  * can "find correlation with services under Impact" (reference
+  * README.md:25-26); funnels, cohort retention and distinct-overlap
+  * sketches are exactly that offline-analytics layer, expressed here as
+  * first-class engine operators over the `events` table.
+  *
+  * Scale notes:
+  *  - funnel_steps computes all three stage timestamps under ONE
+  *    user-keyed shuffle (three Window layers over the same
+  *    partitioning reuse the exchange); nothing joins events to events.
+  *  - cohort_retention is two aggregations over one purchase scan —
+  *    the first-seen relation is user-level (tiny vs the fact) and the
+  *    join back to activity is user-keyed, AQE-broadcastable.
+  *  - The sketch queries are the 100 TB distinct-count posture: per-
+  *    partition sketches merge associatively (partial aggregation), and
+  *    the sketch BINARY itself is storable — a downstream consumer can
+  *    re-merge daily sketches without rescanning the corpus. Estimates
+  *    are implementation-defined → rows-only checks + law specs
+  *    (SketchAccuracySpec), EXCEPT approx_top_k below maxItemsTracked,
+  *    which is provably exact (space-saving with no evictions) and so
+  *    carries a full DuckDB oracle.
+  */
+object BehaviorQueries {
+
+  private def decSum(prod: String): String =
+    s"CAST(CAST(sum($prod) AS DECIMAL(38,4)) AS DOUBLE)"
+  private def dec(c: String): String = s"CAST($c AS DECIMAL(18,4))"
+
+  def all: Seq[Q] = Seq(
+
+    // Conversion funnel view → click → purchase with strict temporal
+    // ordering (each stage must happen AFTER the previous stage's first
+    // completion). One shuffle: three Window layers over the same
+    // user partitioning; the oracle states the same chain as three
+    // sequential keyed minima.
+    Q("funnel_steps",
+      """WITH t AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        |  FROM events GROUP BY 1),
+        |u AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN t ON e.user_id = t.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t.t1 GROUP BY 1),
+        |v AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN u ON e.user_id = u.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > u.t2 GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 'step1_view' AS step, CAST(count(t1) AS BIGINT) AS users FROM t
+        |  UNION ALL SELECT 'step2_click', CAST(count(*) AS BIGINT) FROM u
+        |  UNION ALL SELECT 'step3_purchase', CAST(count(*) AS BIGINT) FROM v)
+        |ORDER BY step""") { (s, d) =>
+      val w = Window.partitionBy("user_id")
+      val staged = Tables.events(s, d)
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts") > col("t1"),
+            col("ts"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+            col("ts"))).over(w))
+        .select("user_id", "t1", "t2", "t3").distinct()
+      staged.agg(
+          count(col("t1")).as("s1"), count(col("t2")).as("s2"),
+          count(col("t3")).as("s3"))
+        .selectExpr(
+          """stack(3, 'step1_view', s1, 'step2_click', s2,
+            |'step3_purchase', s3) AS (step, users)""".stripMargin)
+        .orderBy("step")
+    },
+
+    // Cohort retention: users bucketed by the week of their FIRST
+    // purchase; cell (cohort_week, offset_week) counts distinct cohort
+    // members purchasing that many weeks later. Week boundaries and the
+    // offset ride integer epoch arithmetic (604800 s weeks, UTC) so both
+    // engines compute the identical integers.
+    Q("cohort_retention",
+      """WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw FROM p GROUP BY 1)
+        |SELECT CAST(epoch(f.cw) AS BIGINT) AS cohort_week,
+        |  CAST(floor((epoch(date_trunc('week', p.ts)) - epoch(f.cw)) / 604800)
+        |       AS INT) AS offset_week,
+        |  CAST(count(DISTINCT p.user_id) AS BIGINT) AS users
+        |FROM p JOIN f ON p.user_id = f.user_id
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, offset_week""") { (s, d) =>
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts")
+      val f = p.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cw"))
+      p.join(f, "user_id")
+        .select(
+          unix_timestamp(col("cw")).as("cohort_week"),
+          floor((unix_timestamp(date_trunc("week", col("ts"))) -
+            unix_timestamp(col("cw"))) / 604800L).cast("int").as("offset_week"),
+          col("user_id"))
+        .groupBy("cohort_week", "offset_week")
+        .agg(countDistinct(col("user_id")).as("users"))
+        .orderBy("cohort_week", "offset_week")
+    },
+
+    // Lexical-richness quality signals: type-token ratio + hapax share
+    // per document — corpus-quality features next to text_quality's
+    // surface ratios. One (doc, token) shuffle, then a doc-keyed
+    // partial+final aggregate; the ratios are small-integer divisions
+    // (bit-identical IEEE in both engines).
+    Q("text_ttr",
+      """SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+        |  round(count(*) * 1.0 / sum(c), 4) AS ttr,
+        |  round(count(*) FILTER (WHERE c = 1) * 1.0 / count(*), 4) AS hapax_ratio
+        |FROM (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(
+          sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          count(when(col("c") === 1, 1)).as("n_hapax"))
+        .select(
+          col("doc_id"),
+          col("n_tokens").cast("bigint").as("n_tokens"),
+          col("n_types"), col("n_hapax"),
+          round(col("n_types") * lit(1.0) / col("n_tokens"), 4).as("ttr"),
+          round(col("n_hapax") * lit(1.0) / col("n_types"), 4).as("hapax_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // Six-table multiway join (TPC-H Q5 shape): revenue by nation for
+    // two regions where the supplying and purchasing nations coincide.
+    // The join graph is written fact-outward and left to Catalyst/AQE:
+    // nation and the filtered region are broadcast explicitly (dimension
+    // posture), customer/orders/supplier sizes are planner decisions —
+    // at sf0.01 AQE broadcasts them, at 100 TB they shuffle on their
+    // keys. The s_nationkey = c_nationkey closing condition lands as a
+    // residual on the supplier join, never a theta explosion.
+    Q("join_multiway",
+      s"""SELECT n_name,
+         |  ${decSum(s"${dec("l_extendedprice")} * (1 - ${dec("l_discount")})")}
+         |    AS revenue,
+         |  CAST(count(*) AS BIGINT) AS n_items
+         |FROM region
+         |JOIN nation ON n_regionkey = r_regionkey
+         |JOIN customer ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+         |WHERE r_name IN ('ASIA', 'EUROPE')
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |GROUP BY n_name
+         |ORDER BY n_name""") { (s, d) =>
+      val reg = Tables.region(s, d).filter(col("r_name").isin("ASIA", "EUROPE"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.supplier(s, d),
+          col("s_suppkey") === col("l_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          expr(decSum(s"${dec("l_extendedprice")} * (1 - ${dec("l_discount")})"))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+
+    // Null-safe equi-join (<=> / IS NOT DISTINCT FROM): merging two
+    // partial aggregates whose group key legitimately contains NULL —
+    // the shape where plain = silently drops the NULL group. The NULL
+    // side stays group-level (5 rows), never a row-level null×null
+    // blow-up.
+    Q("join_nullsafe",
+      """WITH a AS (
+        |  SELECT nullif(o_orderstatus, 'O') AS k, CAST(count(*) AS BIGINT) AS cnt_even
+        |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+        |b AS (
+        |  SELECT nullif(o_orderstatus, 'O') AS k, CAST(count(*) AS BIGINT) AS cnt_odd
+        |  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1)
+        |SELECT coalesce(a.k, b.k) AS k, a.cnt_even, b.cnt_odd
+        |FROM a FULL JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY k NULLS FIRST""") { (s, d) =>
+      val o = Tables.orders(s, d)
+        .withColumn("k", expr("nullif(o_orderstatus, 'O')"))
+      // Distinct column names per side (ka/kb): the two aggregates share
+      // lineage, and Spark's self-join ambiguity check rejects a(k)/b(k).
+      val a = o.filter(col("o_orderkey") % 2 === 0)
+        .groupBy(col("k").as("ka")).agg(count(lit(1)).as("cnt_even"))
+      val b = o.filter(col("o_orderkey") % 2 === 1)
+        .groupBy(col("k").as("kb")).agg(count(lit(1)).as("cnt_odd"))
+      a.join(b, col("ka") <=> col("kb"), "full_outer")
+        .select(coalesce(col("ka"), col("kb")).as("k"),
+          col("cnt_even"), col("cnt_odd"))
+        .orderBy(col("k").asc_nulls_first)
+    },
+
+    // Frequent-items top-k via the DataSketches space-saving aggregate.
+    // maxItemsTracked (100) exceeds the column's distinct count, so no
+    // candidate is ever evicted and every returned count is EXACT — the
+    // documented exactness regime, not a coincidence — which is what
+    // makes a full oracle legitimate here. The sketch's internal array
+    // order is implementation-defined, so rows are exploded and
+    // re-sorted deterministically.
+    Q("agg_approx_topk",
+      """SELECT event_type AS item, CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1
+        |ORDER BY cnt DESC, item
+        |LIMIT 3""") { (s, d) =>
+      Tables.events(s, d)
+        .agg(expr("approx_top_k(event_type, 3, 100)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("item"))
+    },
+
+    // Mergeable distinct-count sketches: one HLL per event_type, plus
+    // the union of exactly those sketches as the ALL row — the partial/
+    // merge contract a 100 TB rollup relies on (daily sketches re-merge
+    // without rescanning). Estimates are DataSketches-specific →
+    // rows-only; SketchAccuracySpec pins merged == direct and the
+    // error envelope vs exact counts.
+    Q.noOracle("sketch_hll_merge") { (s, d) =>
+      val sk = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(expr("hll_sketch_agg(user_id)").as("s"))
+      val per = sk.select(col("event_type").as("scope"),
+        expr("CAST(hll_sketch_estimate(s) AS BIGINT)").as("est"))
+      val all = sk.agg(
+          expr("CAST(hll_sketch_estimate(hll_union_agg(s)) AS BIGINT)").as("est"))
+        .select(lit("ALL").as("scope"), col("est"))
+      per.unionAll(all).orderBy("scope")
+    },
+
+    // Theta sketches: the sketch family with SET OPERATIONS — estimate
+    // audience overlap (purchasers ∩ clickers), exclusive audiences
+    // (A∖B, B∖A) and each side, without materializing either distinct
+    // set. Rows-only + SketchAccuracySpec (estimates vs exact overlap,
+    // inclusion bounds).
+    Q.noOracle("sketch_theta_overlap") { (s, d) =>
+      val e = Tables.events(s, d)
+      val a = e.filter(col("event_type") === "purchase")
+        .agg(expr("theta_sketch_agg(user_id)").as("sa"))
+      val b = e.filter(col("event_type") === "click")
+        .agg(expr("theta_sketch_agg(user_id)").as("sb"))
+      a.crossJoin(b)
+        .selectExpr(
+          """stack(4,
+            |  'a_purchase', CAST(theta_sketch_estimate(sa) AS BIGINT),
+            |  'b_click',    CAST(theta_sketch_estimate(sb) AS BIGINT),
+            |  'a_and_b',    CAST(theta_sketch_estimate(theta_intersection(sa, sb)) AS BIGINT),
+            |  'a_minus_b',  CAST(theta_sketch_estimate(theta_difference(sa, sb)) AS BIGINT)
+            |) AS (op, est)""".stripMargin)
+        .orderBy("op")
+    }
+  )
+}

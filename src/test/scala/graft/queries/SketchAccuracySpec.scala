@@ -34,4 +34,56 @@ class SketchAccuracySpec extends SparkSpec {
     assert(approx >= p45 && approx <= p55,
       s"approx p50 $approx outside exact [$p45, $p55]")
   }
+
+  test("sketch_hll_merge: union of per-group sketches == direct sketch, " +
+    "and estimates within 5% of exact") {
+    val e = graft.Tables.events(spark, dir)
+    // Merge law: estimating the union of per-type sketches must equal
+    // estimating one sketch built over the whole column — the property
+    // that makes stored sketches re-mergeable without a rescan.
+    val merged = e.groupBy("event_type")
+      .agg(expr("hll_sketch_agg(user_id)").as("s"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(s))")).as[Double].head()
+    val direct = e.agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))"))
+      .as[Double].head()
+    assert(merged == direct, s"merge law violated: $merged != $direct")
+    val exact = e.select(countDistinct(col("user_id"))).as[Long].head()
+    assert(math.abs(merged - exact) / exact <= 0.05,
+      s"HLL est $merged vs exact $exact")
+    // The declared query's ALL row is that same merged estimate.
+    val q = graft.SparkEntry.queries("sketch_hll_merge")(spark, dir)
+    val all = q.filter(col("scope") === "ALL").select("est").as[Long].head()
+    assert(all == merged.toLong)
+  }
+
+  test("sketch_theta_overlap: inclusion bounds + 5% accuracy vs exact sets") {
+    val e = graft.Tables.events(spark, dir)
+    val q = graft.SparkEntry.queries("sketch_theta_overlap")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Structural bounds that hold for ANY sketch state.
+    assert(q("a_and_b") <= math.min(q("a_purchase"), q("b_click")))
+    assert(q("a_minus_b") <= q("a_purchase"))
+    // Accuracy vs the exact distinct sets at this cardinality.
+    val pur = e.filter(col("event_type") === "purchase")
+      .select("user_id").distinct().as[Long].collect().toSet
+    val clk = e.filter(col("event_type") === "click")
+      .select("user_id").distinct().as[Long].collect().toSet
+    def close(est: Long, exact: Int): Boolean =
+      math.abs(est - exact) <= math.max(1.0, 0.05 * exact)
+    assert(close(q("a_purchase"), pur.size))
+    assert(close(q("a_and_b"), pur.intersect(clk).size))
+    assert(close(q("a_minus_b"), pur.diff(clk).size))
+  }
+
+  test("approx_top_k is exact below maxItemsTracked (oracle-legitimacy)") {
+    // The agg_approx_topk oracle depends on this regime: with
+    // maxItemsTracked >= distinct items, space-saving never evicts and
+    // returned counts are exact.
+    val e = graft.Tables.events(spark, dir)
+    val exact = e.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sk = graft.SparkEntry.queries("agg_approx_topk")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sk.foreach { case (item, cnt) => assert(exact(item) == cnt, item) }
+  }
 }
