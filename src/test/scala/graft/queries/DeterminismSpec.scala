@@ -46,6 +46,23 @@ class DeterminismSpec extends SparkSpec {
       assert(rowsAt(q, 3) == rowsAt(q, 29))
     }
 
+  // Round-5 additions run against the real sf0.001 tables (they read
+  // events/orders/customer, which the planted-docs fixture lacks).
+  private def rowsAtSf(q: String, parts: Int): Seq[String] = {
+    val k = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(k)
+    spark.conf.set(k, parts.toString)
+    try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).toSeq
+    finally { spark.conf.set(k, saved); spark.catalog.clearCache() }
+  }
+
+  for (q <- Seq("funnel_steps", "cohort_retention", "text_ttr",
+      "join_multiway", "join_nullsafe", "agg_approx_topk", "cogroup_orders"))
+    test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
+      assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
+    }
+
   test("dedup_span_keepfirst: exact-dup doc keeps zero spans, empty reassembly hash") {
     val out = SparkEntry.queries("dedup_span_keepfirst")(spark, dir)
       .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getString(3))).toMap
