@@ -257,6 +257,27 @@ object BehaviorQueries {
       per.unionAll(all).orderBy("scope")
     },
 
+    // Mergeable quantiles (KLL): per-group sketches of the order-value
+    // distribution merged into an ALL row — the quantile twin of
+    // sketch_hll_merge (store daily sketches, re-merge without rescans;
+    // KLL is the mergeable-with-guarantees successor to t-digest).
+    // Estimates are sketch-state-specific → rows-only; the bracket law
+    // (each estimated quantile lies between neighboring exact
+    // quantiles) is pinned in SketchAccuracySpec.
+    Q.noOracle("sketch_kll_quantiles") { (s, d) =>
+      val sk = Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(expr("kll_sketch_agg_double(o_totalprice)").as("s"))
+      val per = sk.select(col("o_orderpriority").as("scope"),
+        expr("round(kll_sketch_get_quantile_double(s, 0.5), 2)").as("p50"),
+        expr("round(kll_sketch_get_quantile_double(s, 0.95), 2)").as("p95"))
+      val all = sk.agg(expr("kll_merge_agg_double(s)").as("m"))
+        .select(lit("ALL").as("scope"),
+          expr("round(kll_sketch_get_quantile_double(m, 0.5), 2)").as("p50"),
+          expr("round(kll_sketch_get_quantile_double(m, 0.95), 2)").as("p95"))
+      per.unionAll(all).orderBy("scope")
+    },
+
     // Theta sketches: the sketch family with SET OPERATIONS — estimate
     // audience overlap (purchasers ∩ clickers), exclusive audiences
     // (A∖B, B∖A) and each side, without materializing either distinct

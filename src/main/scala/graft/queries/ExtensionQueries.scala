@@ -253,6 +253,32 @@ object ExtensionQueries {
         .orderBy(col("event_type"))
     },
 
+    // Same round-trip through the custom DataSourceV2 writer (gzip
+    // NDJSON with staged-commit publish — graft.sources.ndjson): rows
+    // serialize with to_json upstream, land as part-*.log.gz via the
+    // task-commit protocol, and read back through the builtin schema'd
+    // json source. The oracle is the plain relational answer — the
+    // connector must be invisible in the result.
+    Q("sink_ndjson_v2",
+      """SELECT n_name,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(n_regionkey) AS BIGINT) AS rk_sum
+        |FROM nation
+        |GROUP BY n_name
+        |ORDER BY n_name""") { (s, d) =>
+      val dir = tmpDir("ndjsonv2", d)
+      Tables.nation(s, d)
+        .select(to_json(struct(col("n_nationkey"), col("n_name"),
+          col("n_regionkey"))).as("value"))
+        .write.format("graft.sources.ndjson.NdjsonWriteSource")
+        .option("path", dir).mode("overwrite").save()
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .json(dir)
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_regionkey")).as("rk_sum"))
+        .orderBy(col("n_name"))
+    },
+
     // CSV sink → schema'd CSV source round-trip.
     Q("src_csv_roundtrip",
       """SELECT p_brand,

@@ -1,0 +1,158 @@
+package graft.sources.ndjson
+
+import java.util
+import java.util.zip.GZIPOutputStream
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 BATCH WRITE connector for gzip NDJSON — the engine-native
+  * twin of the reference's S3 flusher (io/flush_s3.go:45-84: gzip NDJSON
+  * objects under a prefix), upgraded with Spark's task-commit protocol.
+  *
+  * Where the reference appends to S3 with at-least-once semantics
+  * (README.md "Limitations": duplicates possible after restart), this
+  * connector writes every task to `_temporary/` and publishes files only
+  * in the driver-side job commit — a failed/speculative task attempt
+  * leaves nothing visible, and `abort()` removes all staged output. The
+  * foreachBatch path (graft.sinks.NdjsonSink) keeps the count-capped
+  * micro-batch layout; this connector is the planner-integrated form:
+  * `df.write.format("graft.sources.ndjson.NdjsonWriteSource")`.
+  *
+  * Contract: input schema is exactly ONE string column (serialize with
+  * to_json upstream — same discipline as the text/kafka sinks), so the
+  * connector never touches Spark-internal JSON machinery. Output:
+  * `<path>/part-<partition>.log.gz` + `_SUCCESS` marker.
+  *
+  * Scale posture: one file per task streamed through GZIPOutputStream —
+  * no row buffering; commit is O(files) driver-side renames (on object
+  * stores a rename is a copy: production would use a manifest commit,
+  * noted on [[NdjsonBatchWrite.commit]]).
+  */
+class NdjsonWriteSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType().add("value", StringType)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new NdjsonTable(properties.get("path"))
+}
+
+private[ndjson] class NdjsonTable(path: String) extends Table with SupportsWrite {
+  require(path != null && path.nonEmpty, "option 'path' is required")
+  override def name(): String = s"graft-ndjson($path)"
+  override def schema(): StructType = new StructType().add("value", StringType)
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val s = info.schema()
+    require(s.fields.length == 1 && s.fields(0).dataType == StringType,
+      s"graft-ndjson expects exactly one STRING column (got ${s.simpleString});" +
+        " serialize with to_json(struct(*)) upstream")
+    new NdjsonWriteBuilder(path, info.options.asScala.toMap)
+  }
+}
+
+private[ndjson] class NdjsonWriteBuilder(path: String, opts: Map[String, String])
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  // SaveMode.Overwrite arrives as truncate() on the builder.
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new NdjsonBatchWrite(path, doTruncate, opts)
+  }
+}
+
+private[ndjson] case class NdjsonCommitMessage(tempPath: String, rows: Long)
+  extends WriterCommitMessage
+
+private[ndjson] class NdjsonBatchWrite(path: String, truncate: Boolean,
+    opts: Map[String, String]) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    // CaseInsensitiveStringMap hands options through with lowercased keys.
+    new NdjsonWriterFactory(path, opts.getOrElse("failoncontains", ""))
+
+  /** Driver-side publish: optionally clear previous output (truncate =
+    * SaveMode.Overwrite), then rename every staged file into place and
+    * drop a _SUCCESS marker. On a rename-is-copy object store this loop
+    * becomes a manifest write (list of final object names) — the staged
+    * layout already supports that, only this method changes. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(new Configuration())
+    if (truncate && fs.exists(root))
+      fs.listStatus(root).foreach { st =>
+        if (st.getPath.getName.startsWith("part-") ||
+          st.getPath.getName == "_SUCCESS") fs.delete(st.getPath, false)
+      }
+    messages.collect { case NdjsonCommitMessage(tmp, rows) if rows > 0 =>
+      val src = new Path(tmp)
+      // part index from the staged name (part-<pid>-tid<tid>.log.gz)
+      val fin = src.getName.replaceAll("-tid\\d+", "")
+      fs.rename(src, new Path(root, fin))
+    }
+    fs.delete(new Path(root, "_temporary"), true)
+    fs.create(new Path(root, "_SUCCESS"), true).close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(new Configuration())
+    fs.delete(new Path(root, "_temporary"), true)
+  }
+}
+
+private[ndjson] class NdjsonWriterFactory(path: String, failOnContains: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new NdjsonDataWriter(path, partitionId, taskId, failOnContains)
+}
+
+/** One gzip stream per task; rows are never buffered. The staged name
+  * carries the task id so concurrent speculative attempts of one
+  * partition never collide — only the attempt whose commit message
+  * reaches [[NdjsonBatchWrite.commit]] gets published. */
+private[ndjson] class NdjsonDataWriter(path: String, partitionId: Int,
+    taskId: Long, failOnContains: String) extends DataWriter[InternalRow] {
+
+  private val temp =
+    new Path(path, f"_temporary/part-$partitionId%05d-tid$taskId.log.gz")
+  private val fs = temp.getFileSystem(new Configuration())
+  private val out = new GZIPOutputStream(fs.create(temp, true))
+  private var rows = 0L
+
+  override def write(record: InternalRow): Unit = {
+    val line = record.getUTF8String(0)
+    if (failOnContains.nonEmpty && line != null &&
+      line.toString.contains(failOnContains))
+      throw new RuntimeException(s"injected failure on: $line") // test knob
+    if (line != null) {
+      out.write(line.getBytes)
+      out.write('\n')
+      rows += 1
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    if (rows == 0) fs.delete(temp, false) // no empty part files
+    NdjsonCommitMessage(temp.toString, rows)
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: Throwable => () }
+    fs.delete(temp, false)
+  }
+
+  override def close(): Unit = ()
+}

@@ -75,6 +75,22 @@ class SketchAccuracySpec extends SparkSpec {
     assert(close(q("a_minus_b"), pur.diff(clk).size))
   }
 
+  test("sketch_kll_quantiles: estimates bracketed by neighboring exact quantiles") {
+    val q = graft.SparkEntry.queries("sketch_kll_quantiles")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val o = graft.Tables.orders(spark, dir)
+    // ALL row vs exact whole-column quantiles with a ±5-percentile margin.
+    val Array(p45, p55, p90, p99) = o
+      .select(expr("percentile(o_totalprice, array(0.45, 0.55, 0.90, 0.99))"))
+      .as[Seq[Double]].head().toArray
+    val (p50, p95) = q("ALL")
+    assert(p50 >= p45 && p50 <= p55, s"KLL p50 $p50 outside [$p45,$p55]")
+    assert(p95 >= p90 && p95 <= p99, s"KLL p95 $p95 outside [$p90,$p99]")
+    // Per-group rows exist for every priority and are internally ordered.
+    assert(q.size == o.select("o_orderpriority").distinct().count() + 1)
+    q.values.foreach { case (a, b) => assert(a <= b) }
+  }
+
   test("approx_top_k is exact below maxItemsTracked (oracle-legitimacy)") {
     // The agg_approx_topk oracle depends on this regime: with
     // maxItemsTracked >= distinct items, space-saving never evicts and

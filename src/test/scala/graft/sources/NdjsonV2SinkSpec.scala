@@ -1,0 +1,76 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Commit-protocol behavior of the DataSourceV2 gzip-NDJSON writer:
+  * only committed files become visible, overwrite truncates, aborts
+  * leave no debris, and the one-string-column contract is enforced. */
+class NdjsonV2SinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fmt = "graft.sources.ndjson.NdjsonWriteSource"
+
+  private def listNames(dir: String): Seq[String] = {
+    val f = new java.io.File(dir)
+    if (!f.exists) Seq.empty
+    else f.listFiles.map(_.getName).toSeq.sorted
+  }
+
+  test("round-trip: rows survive, part-*.log.gz + _SUCCESS, no _temporary") {
+    val dir = Files.createTempDirectory("ndjv2").toString + "/out"
+    val df = (1 to 100).map(i => (i.toLong, s"name_$i"))
+      .toDF("id", "name")
+      .select(to_json(struct(col("id"), col("name"))).as("value"))
+      .repartition(4)
+    df.write.format(fmt).option("path", dir).mode("overwrite").save()
+    val names = listNames(dir)
+    assert(names.contains("_SUCCESS"))
+    assert(!names.contains("_temporary"))
+    assert(names.count(n => n.startsWith("part-") && n.endsWith(".log.gz")) == 4)
+    val back = spark.read.schema("id BIGINT, name STRING").json(dir)
+    assert(back.count() == 100)
+    assert(back.agg(sum("id")).as[Long].head() == 5050L)
+  }
+
+  test("overwrite truncates previous output (no stale parts)") {
+    val dir = Files.createTempDirectory("ndjv2").toString + "/out"
+    def write(n: Int, parts: Int): Unit =
+      (1 to n).map(_.toLong).toDF("id")
+        .select(to_json(struct(col("id"))).as("value"))
+        .repartition(parts)
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+    write(50, 8)
+    write(10, 2) // fewer parts: stale part-00005 must not survive
+    assert(listNames(dir).count(_.startsWith("part-")) == 2)
+    assert(spark.read.schema("id BIGINT").json(dir).count() == 10)
+  }
+
+  test("failed job publishes nothing and cleans its staging") {
+    val dir = Files.createTempDirectory("ndjv2").toString + "/out"
+    val df = Seq("ok1", "BOOM", "ok2").toDF("value")
+    intercept[Exception] {
+      df.write.format(fmt).option("path", dir)
+        .option("failOnContains", "BOOM").mode("overwrite").save()
+    }
+    val names = listNames(dir)
+    assert(!names.exists(_.startsWith("part-")), s"published: $names")
+    assert(!names.contains("_SUCCESS"))
+    // abort() removed the staged attempts
+    assert(listNames(s"$dir/_temporary").isEmpty)
+  }
+
+  test("schema contract: more than one column is rejected") {
+    val dir = Files.createTempDirectory("ndjv2").toString + "/out"
+    val e = intercept[Exception] {
+      Seq((1, "a")).toDF("x", "y")
+        .write.format(fmt).option("path", dir).mode("append").save()
+    }
+    // Spark's analyzer rejects the arity mismatch against the table's
+    // one-column schema before the builder's own require can fire.
+    assert(e.getMessage.contains("TOO_MANY_DATA_COLUMNS") ||
+      e.getMessage.contains("STRING column"))
+  }
+}
