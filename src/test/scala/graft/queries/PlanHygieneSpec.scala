@@ -1,0 +1,53 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Whole-surface plan-hygiene law: no batch query may plan an
+  * unbounded cartesian or nested-loop join — the plan shape that is
+  * quadratic at 100 TB no matter how fast it looks at test scale.
+  * Queries whose SEMANTICS are a cross product of deliberately tiny
+  * (single-aggregate-row or broadcast-scalar) sides are whitelisted
+  * explicitly, with the reason pinned here. */
+class PlanHygieneSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // Each entry: the query's cross/NLJ side is provably bounded —
+  // a global 1-row aggregate, an explicit literal relation, or a
+  // fixed-k broadcast query set. The nested loop multiplies by a
+  // CONSTANT, never by a data-sized relation.
+  private val allowed: Set[String] = Set(
+    "join_cross",          // declared cartesian exemplar over 5x5 dims
+    "join_salted",         // dim x broadcast(range(0, 8)) literal salts
+    "sim_knn_brute",       // corpus x broadcast 8-query set (by design)
+    "sim_knn_expr",        // same broadcast query set, codegen dot
+    "sim_rp_project",      // row x broadcast 1-row literal sign matrix
+    "sketch_theta_overlap",// 1-row sketch x 1-row sketch
+    "skew_profile",        // counts x broadcast 1-row grand total
+    "sub_scalar",          // uncorrelated scalar subquery = 1-row side
+    "text_tfidf"           // tf x broadcast 1-row corpus-size scalar
+  )
+
+  private def offenders(name: String): Seq[String] = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+      .filter(plan.contains)
+  }
+
+  private val batchQueries = SparkEntry.queries.keys.toSeq.sorted
+    .filterNot(_.startsWith("stream_"))
+
+  test("no batch query plans CartesianProduct/BNLJ (outside the whitelist)") {
+    val bad = scala.collection.mutable.ListBuffer.empty[(String, Seq[String])]
+    for (q <- batchQueries if !allowed(q)) {
+      val off =
+        try offenders(q)
+        catch { case _: Throwable => Seq.empty } // side-effect-only builders
+      if (off.nonEmpty) bad += ((q, off))
+      spark.catalog.clearCache()
+    }
+    assert(bad.isEmpty, s"quadratic join shapes found:\n${bad.mkString("\n")}")
+  }
+}
