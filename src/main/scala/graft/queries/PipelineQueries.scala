@@ -411,6 +411,52 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Deterministic epoch shuffle: the training-data global reorder.
+    // The shuffle key is md5(seed || doc_id) — changing the epoch seed
+    // re-shuffles the corpus with zero configuration or stored state,
+    // and the order is reproducible on any cluster size (the property
+    // torn-run resumption needs). At 100 TB this is one range-
+    // partitioned sort on the key; no window, no single-partition
+    // stage — the ORDER BY itself IS the operator.
+    Q("shuffle_epoch",
+      """SELECT md5('epoch7-' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |  doc_id
+        |FROM documents
+        |ORDER BY shuffle_key, doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(md5(concat(lit("epoch7-"), col("doc_id").cast("string")))
+          .as("shuffle_key"), col("doc_id"))
+        .orderBy(col("shuffle_key"), col("doc_id"))
+    },
+
+    // Deterministic train/val/test split: one md5 nibble of the doc key
+    // partitions the corpus ~81/12.5/6.5 — disjoint, exhaustive,
+    // reproducible, and stable under corpus growth (a doc's split never
+    // changes when other docs arrive, unlike row_number-based splits).
+    // The split is a scan-fused per-row expression; the only shuffle is
+    // the report's 15-group aggregate.
+    Q("split_train_val",
+      """SELECT split, lang, CAST(count(*) AS BIGINT) AS docs
+        |FROM (SELECT lang, CASE
+        |    WHEN nib < 13 THEN 'train'
+        |    WHEN nib < 15 THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM (SELECT lang,
+        |      strpos('0123456789abcdef',
+        |        substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nib
+        |    FROM documents))
+        |GROUP BY split, lang
+        |ORDER BY split, lang""") { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("nib",
+          expr("instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1))") - 1)
+        .withColumn("split",
+          when(col("nib") < 13, "train")
+            .when(col("nib") < 15, "val").otherwise("test"))
+        .groupBy("split", "lang").agg(count(lit(1)).as("docs"))
+        .orderBy("split", "lang")
+    },
+
     // Signed random projection: 64-dim float embeddings reduced to 8
     // dims with a deterministic ±1 matrix derived from md5(i_j) — the
     // Johnson-Lindenstrauss reduction a 100 TB similarity pipeline runs
