@@ -58,25 +58,26 @@ private[ndjson] class NdjsonTable(path: String) extends Table with SupportsWrite
     require(s.fields.length == 1 && s.fields(0).dataType == StringType,
       s"graft-ndjson expects exactly one STRING column (got ${s.simpleString});" +
         " serialize with to_json(struct(*)) upstream")
-    new NdjsonWriteBuilder(path, info.options.asScala.toMap)
+    new NdjsonWriteBuilder(path, info.queryId(), info.options.asScala.toMap)
   }
 }
 
-private[ndjson] class NdjsonWriteBuilder(path: String, opts: Map[String, String])
-    extends WriteBuilder with SupportsTruncate {
+private[ndjson] class NdjsonWriteBuilder(path: String, queryId: String,
+    opts: Map[String, String]) extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   // SaveMode.Overwrite arrives as truncate() on the builder.
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new NdjsonBatchWrite(path, doTruncate, opts)
+    override def toBatch: BatchWrite =
+      new NdjsonBatchWrite(path, queryId, doTruncate, opts)
   }
 }
 
 private[ndjson] case class NdjsonCommitMessage(tempPath: String, rows: Long)
   extends WriterCommitMessage
 
-private[ndjson] class NdjsonBatchWrite(path: String, truncate: Boolean,
-    opts: Map[String, String]) extends BatchWrite {
+private[ndjson] class NdjsonBatchWrite(path: String, queryId: String,
+    truncate: Boolean, opts: Map[String, String]) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     // CaseInsensitiveStringMap hands options through with lowercased keys.
@@ -95,11 +96,17 @@ private[ndjson] class NdjsonBatchWrite(path: String, truncate: Boolean,
         if (st.getPath.getName.startsWith("part-") ||
           st.getPath.getName == "_SUCCESS") fs.delete(st.getPath, false)
       }
+    // Final names carry a query-id tag: two APPEND jobs into the same
+    // directory must not collide on part indexes (a colliding
+    // fs.rename returns false SILENTLY — unchecked, that is data
+    // loss, not an error).
+    val tag = queryId.replaceAll("[^0-9a-zA-Z]", "").take(8)
     messages.collect { case NdjsonCommitMessage(tmp, rows) if rows > 0 =>
       val src = new Path(tmp)
       // part index from the staged name (part-<pid>-tid<tid>.log.gz)
-      val fin = src.getName.replaceAll("-tid\\d+", "")
-      fs.rename(src, new Path(root, fin))
+      val fin = src.getName.replaceAll("-tid\\d+", s"-$tag")
+      if (!fs.rename(src, new Path(root, fin)))
+        throw new java.io.IOException(s"commit rename failed: $src -> $fin")
     }
     fs.delete(new Path(root, "_temporary"), true)
     fs.create(new Path(root, "_SUCCESS"), true).close()

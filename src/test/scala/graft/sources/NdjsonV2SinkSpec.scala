@@ -48,6 +48,21 @@ class NdjsonV2SinkSpec extends SparkSpec {
     assert(spark.read.schema("id BIGINT").json(dir).count() == 10)
   }
 
+  test("two append jobs coexist: query-id-tagged names never collide") {
+    val dir = Files.createTempDirectory("ndjv2").toString + "/out"
+    def append(lo: Int, hi: Int): Unit =
+      (lo to hi).map(_.toLong).toDF("id")
+        .select(to_json(struct(col("id"))).as("value"))
+        .repartition(2)
+        .write.format(fmt).option("path", dir).mode("append").save()
+    append(1, 50)
+    append(51, 80) // same part indexes; would be silent loss without tags
+    assert(listNames(dir).count(_.startsWith("part-")) == 4)
+    val back = spark.read.schema("id BIGINT").json(dir)
+    assert(back.count() == 80)
+    assert(back.agg(sum("id")).as[Long].head() == (1 to 80).sum.toLong)
+  }
+
   test("failed job publishes nothing and cleans its staging") {
     val dir = Files.createTempDirectory("ndjv2").toString + "/out"
     val df = Seq("ok1", "BOOM", "ok2").toDF("value")
