@@ -79,9 +79,11 @@ private[ndjson] case class NdjsonCommitMessage(tempPath: String, rows: Long)
 private[ndjson] class NdjsonBatchWrite(path: String, queryId: String,
     truncate: Boolean, opts: Map[String, String]) extends BatchWrite {
 
+  private val tag = queryId.replaceAll("[^0-9a-zA-Z]", "").take(8)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     // CaseInsensitiveStringMap hands options through with lowercased keys.
-    new NdjsonWriterFactory(path, opts.getOrElse("failoncontains", ""))
+    new NdjsonWriterFactory(path, tag, opts.getOrElse("failoncontains", ""))
 
   /** Driver-side publish: optionally clear previous output (truncate =
     * SaveMode.Overwrite), then rename every staged file into place and
@@ -100,7 +102,6 @@ private[ndjson] class NdjsonBatchWrite(path: String, queryId: String,
     // directory must not collide on part indexes (a colliding
     // fs.rename returns false SILENTLY — unchecked, that is data
     // loss, not an error).
-    val tag = queryId.replaceAll("[^0-9a-zA-Z]", "").take(8)
     messages.collect { case NdjsonCommitMessage(tmp, rows) if rows > 0 =>
       val src = new Path(tmp)
       // part index from the staged name (part-<pid>-tid<tid>.log.gz)
@@ -108,32 +109,42 @@ private[ndjson] class NdjsonBatchWrite(path: String, queryId: String,
       if (!fs.rename(src, new Path(root, fin)))
         throw new java.io.IOException(s"commit rename failed: $src -> $fin")
     }
-    fs.delete(new Path(root, "_temporary"), true)
+    // Staging is scoped per query (_temporary/<tag>), so cleaning up
+    // after THIS job can never remove a concurrent append job's
+    // staged-but-uncommitted files. The non-recursive delete of
+    // _temporary itself succeeds only when no other job is staging —
+    // exactly the race-safe cleanup semantics wanted.
+    fs.delete(new Path(root, s"_temporary/$tag"), true)
+    try fs.delete(new Path(root, "_temporary"), false)
+    catch { case _: java.io.IOException => () }
     fs.create(new Path(root, "_SUCCESS"), true).close()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(new Configuration())
-    fs.delete(new Path(root, "_temporary"), true)
+    fs.delete(new Path(root, s"_temporary/$tag"), true)
+    try fs.delete(new Path(root, "_temporary"), false)
+    catch { case _: java.io.IOException => () }
   }
 }
 
-private[ndjson] class NdjsonWriterFactory(path: String, failOnContains: String)
-    extends DataWriterFactory {
+private[ndjson] class NdjsonWriterFactory(path: String, tag: String,
+    failOnContains: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new NdjsonDataWriter(path, partitionId, taskId, failOnContains)
+    new NdjsonDataWriter(path, tag, partitionId, taskId, failOnContains)
 }
 
 /** One gzip stream per task; rows are never buffered. The staged name
   * carries the task id so concurrent speculative attempts of one
   * partition never collide — only the attempt whose commit message
   * reaches [[NdjsonBatchWrite.commit]] gets published. */
-private[ndjson] class NdjsonDataWriter(path: String, partitionId: Int,
-    taskId: Long, failOnContains: String) extends DataWriter[InternalRow] {
+private[ndjson] class NdjsonDataWriter(path: String, tag: String,
+    partitionId: Int, taskId: Long, failOnContains: String)
+    extends DataWriter[InternalRow] {
 
   private val temp =
-    new Path(path, f"_temporary/part-$partitionId%05d-tid$taskId.log.gz")
+    new Path(path, f"_temporary/$tag/part-$partitionId%05d-tid$taskId.log.gz")
   private val fs = temp.getFileSystem(new Configuration())
   private val out = new GZIPOutputStream(fs.create(temp, true))
   private var rows = 0L
