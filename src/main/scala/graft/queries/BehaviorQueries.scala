@@ -239,6 +239,28 @@ object BehaviorQueries {
         .orderBy(col("cnt").desc, col("item"))
     },
 
+    // The mergeable frequent-items WORKFLOW: per-group sketch STATES
+    // (approx_top_k_accumulate) combined into one (approx_top_k_combine)
+    // and only then estimated — the store-daily-states/re-merge path,
+    // distinct from agg_approx_topk's one-shot aggregate. Capacity (100)
+    // exceeds the column's distinct count on every branch, so the
+    // combined counts are exact (space-saving never evicts) and the
+    // plain GROUP BY oracle is legitimate here too.
+    Q("agg_topk_merge",
+      """SELECT event_type AS item, CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1
+        |ORDER BY cnt DESC, item
+        |LIMIT 3""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id") // shard axis: per-user partial sketch states
+        .agg(expr("approx_top_k_accumulate(event_type, 100)").as("st"))
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(st, 100), 3)")
+          .as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("item"))
+    },
+
     // Mergeable distinct-count sketches: one HLL per event_type, plus
     // the union of exactly those sketches as the ALL row — the partial/
     // merge contract a 100 TB rollup relies on (daily sketches re-merge
