@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming
 import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -51,7 +52,8 @@ private[ndjson] class NdjsonTable(path: String) extends Table with SupportsWrite
   override def name(): String = s"graft-ndjson($path)"
   override def schema(): StructType = new StructType().add("value", StringType)
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val s = info.schema()
@@ -70,6 +72,8 @@ private[ndjson] class NdjsonWriteBuilder(path: String, queryId: String,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new NdjsonBatchWrite(path, queryId, doTruncate, opts)
+    override def toStreaming: streaming.StreamingWrite =
+      new NdjsonStreamingWrite(path, queryId, opts)
   }
 }
 
@@ -133,6 +137,58 @@ private[ndjson] class NdjsonWriterFactory(path: String, tag: String,
     failOnContains: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new NdjsonDataWriter(path, tag, partitionId, taskId, failOnContains)
+}
+
+/** Streaming form of the same commit protocol, one commit per epoch —
+  * the planner-integrated twin of the reference's per-batch S3 flush
+  * (flush.go:15-27 flushes one batch at a time; here each micro-batch
+  * is an epoch). Staging is scoped per (query, epoch); final names
+  * carry both, so epochs never collide. Re-commit of a replayed epoch
+  * (restart between sink write and offset commit — the reference's
+  * documented duplicate window) is IDEMPOTENT: a rename whose target
+  * already exists means this epoch's file was already published, and
+  * the staged duplicate is dropped — upgrading the reference's
+  * at-least-once to exactly-once file publish. */
+private[ndjson] class NdjsonStreamingWrite(path: String, queryId: String,
+    opts: Map[String, String]) extends streaming.StreamingWrite {
+
+  private val tag = queryId.replaceAll("[^0-9a-zA-Z]", "").take(8)
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
+    new NdjsonStreamingWriterFactory(path, tag,
+      opts.getOrElse("failoncontains", ""))
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(new Configuration())
+    messages.collect { case NdjsonCommitMessage(tmp, rows) if rows > 0 =>
+      val src = new Path(tmp)
+      val fin = new Path(root,
+        src.getName.replaceAll("-tid\\d+", s"-$tag-e$epochId"))
+      if (!fs.rename(src, fin)) {
+        if (fs.exists(fin)) fs.delete(src, false) // replayed epoch: keep first
+        else throw new java.io.IOException(s"commit rename failed: $src -> $fin")
+      }
+    }
+    fs.delete(new Path(root, s"_temporary/$tag-e$epochId"), true)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(new Configuration())
+    fs.delete(new Path(root, s"_temporary/$tag-e$epochId"), true)
+  }
+}
+
+private[ndjson] class NdjsonStreamingWriterFactory(path: String, tag: String,
+    failOnContains: String) extends streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new NdjsonDataWriter(path, s"$tag-e$epochId", partitionId, taskId,
+      failOnContains)
 }
 
 /** One gzip stream per task; rows are never buffered. The staged name

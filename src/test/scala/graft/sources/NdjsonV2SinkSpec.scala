@@ -77,6 +77,39 @@ class NdjsonV2SinkSpec extends SparkSpec {
     assert(listNames(s"$dir/_temporary").isEmpty)
   }
 
+  test("streaming write: one commit per epoch, epoch-tagged names, " +
+    "restart appends without collision") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("ndjv2s").toString + "/out"
+    val ckpt = Files.createTempDirectory("ndjv2s").toString + "/ckpt"
+    val in = MemoryStream[String]
+    def start() = in.toDF().writeStream.format(fmt)
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      in.addData("""{"id":1}""", """{"id":2}""")
+      q1.processAllAvailable()
+      in.addData("""{"id":3}""")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val afterTwo = listNames(dir).filter(_.startsWith("part-"))
+    assert(afterTwo.nonEmpty && afterTwo.forall(_.contains("-e")),
+      s"epoch tag missing: $afterTwo")
+    // Restart from the checkpoint: a new epoch appends alongside the
+    // published ones (no truncation, no collision).
+    val q2 = start()
+    try {
+      in.addData("""{"id":4}""", """{"id":5}""")
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val back = spark.read.schema("id BIGINT").json(dir)
+    assert(back.count() == 5)
+    assert(back.agg(sum("id")).as[Long].head() == 15L)
+    assert(listNames(s"$dir/_temporary").isEmpty) // all epochs cleaned
+  }
+
   test("schema contract: more than one column is rejected") {
     val dir = Files.createTempDirectory("ndjv2").toString + "/out"
     val e = intercept[Exception] {
