@@ -77,8 +77,8 @@ private[ndjson] class NdjsonWriteBuilder(path: String, queryId: String,
   }
 }
 
-private[ndjson] case class NdjsonCommitMessage(tempPath: String, rows: Long)
-  extends WriterCommitMessage
+private[ndjson] case class NdjsonCommitMessage(tempPaths: Seq[String],
+    rows: Long) extends WriterCommitMessage
 
 private[ndjson] class NdjsonBatchWrite(path: String, queryId: String,
     truncate: Boolean, opts: Map[String, String]) extends BatchWrite {
@@ -87,7 +87,8 @@ private[ndjson] class NdjsonBatchWrite(path: String, queryId: String,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     // CaseInsensitiveStringMap hands options through with lowercased keys.
-    new NdjsonWriterFactory(path, tag, opts.getOrElse("failoncontains", ""))
+    new NdjsonWriterFactory(path, tag, opts.getOrElse("failoncontains", ""),
+      opts.getOrElse("maxrecordsperfile", "0").toLong)
 
   /** Driver-side publish: optionally clear previous output (truncate =
     * SaveMode.Overwrite), then rename every staged file into place and
@@ -106,12 +107,14 @@ private[ndjson] class NdjsonBatchWrite(path: String, queryId: String,
     // directory must not collide on part indexes (a colliding
     // fs.rename returns false SILENTLY — unchecked, that is data
     // loss, not an error).
-    messages.collect { case NdjsonCommitMessage(tmp, rows) if rows > 0 =>
-      val src = new Path(tmp)
-      // part index from the staged name (part-<pid>-tid<tid>.log.gz)
-      val fin = src.getName.replaceAll("-tid\\d+", s"-$tag")
-      if (!fs.rename(src, new Path(root, fin)))
-        throw new java.io.IOException(s"commit rename failed: $src -> $fin")
+    messages.collect { case NdjsonCommitMessage(tmps, rows) if rows > 0 =>
+      tmps.foreach { tmp =>
+        val src = new Path(tmp)
+        // part index from the staged name (part-<pid>-tid<tid>[-c<k>].log.gz)
+        val fin = src.getName.replaceAll("-tid\\d+", s"-$tag")
+        if (!fs.rename(src, new Path(root, fin)))
+          throw new java.io.IOException(s"commit rename failed: $src -> $fin")
+      }
     }
     // Staging is scoped per query (_temporary/<tag>), so cleaning up
     // after THIS job can never remove a concurrent append job's
@@ -134,9 +137,11 @@ private[ndjson] class NdjsonBatchWrite(path: String, queryId: String,
 }
 
 private[ndjson] class NdjsonWriterFactory(path: String, tag: String,
-    failOnContains: String) extends DataWriterFactory {
+    failOnContains: String, maxRecordsPerFile: Long)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new NdjsonDataWriter(path, tag, partitionId, taskId, failOnContains)
+    new NdjsonDataWriter(path, tag, partitionId, taskId, failOnContains,
+      maxRecordsPerFile)
 }
 
 /** Streaming form of the same commit protocol, one commit per epoch —
@@ -157,19 +162,23 @@ private[ndjson] class NdjsonStreamingWrite(path: String, queryId: String,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
     new NdjsonStreamingWriterFactory(path, tag,
-      opts.getOrElse("failoncontains", ""))
+      opts.getOrElse("failoncontains", ""),
+      opts.getOrElse("maxrecordsperfile", "0").toLong)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(new Configuration())
-    messages.collect { case NdjsonCommitMessage(tmp, rows) if rows > 0 =>
-      val src = new Path(tmp)
-      val fin = new Path(root,
-        src.getName.replaceAll("-tid\\d+", s"-$tag-e$epochId"))
-      if (!fs.rename(src, fin)) {
-        if (fs.exists(fin)) fs.delete(src, false) // replayed epoch: keep first
-        else throw new java.io.IOException(s"commit rename failed: $src -> $fin")
+    messages.collect { case NdjsonCommitMessage(tmps, rows) if rows > 0 =>
+      tmps.foreach { tmp =>
+        val src = new Path(tmp)
+        val fin = new Path(root,
+          src.getName.replaceAll("-tid\\d+", s"-$tag-e$epochId"))
+        if (!fs.rename(src, fin)) {
+          if (fs.exists(fin)) fs.delete(src, false) // replayed epoch: keep first
+          else throw new java.io.IOException(
+            s"commit rename failed: $src -> $fin")
+        }
       }
     }
     fs.delete(new Path(root, s"_temporary/$tag-e$epochId"), true)
@@ -184,26 +193,45 @@ private[ndjson] class NdjsonStreamingWrite(path: String, queryId: String,
 }
 
 private[ndjson] class NdjsonStreamingWriterFactory(path: String, tag: String,
-    failOnContains: String) extends streaming.StreamingDataWriterFactory {
+    failOnContains: String, maxRecordsPerFile: Long)
+    extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new NdjsonDataWriter(path, s"$tag-e$epochId", partitionId, taskId,
-      failOnContains)
+      failOnContains, maxRecordsPerFile)
 }
 
 /** One gzip stream per task; rows are never buffered. The staged name
   * carries the task id so concurrent speculative attempts of one
   * partition never collide — only the attempt whose commit message
-  * reaches [[NdjsonBatchWrite.commit]] gets published. */
+  * reaches [[NdjsonBatchWrite.commit]] gets published.
+  *
+  * maxRecordsPerFile > 0 rolls to a new staged chunk every N rows —
+  * the reference's `batch_size` count cap (io/batch.go:15-37) enforced
+  * INSIDE the connector, so no published file ever exceeds the cap
+  * regardless of partition sizes. */
 private[ndjson] class NdjsonDataWriter(path: String, tag: String,
-    partitionId: Int, taskId: Long, failOnContains: String)
-    extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long, failOnContains: String,
+    maxRecordsPerFile: Long = 0L) extends DataWriter[InternalRow] {
 
-  private val temp =
-    new Path(path, f"_temporary/$tag/part-$partitionId%05d-tid$taskId.log.gz")
-  private val fs = temp.getFileSystem(new Configuration())
-  private val out = new GZIPOutputStream(fs.create(temp, true))
-  private var rows = 0L
+  private def chunkPath(k: Int) = new Path(path,
+    f"_temporary/$tag/part-$partitionId%05d-tid$taskId-c$k%03d.log.gz")
+  private val fs = chunkPath(0).getFileSystem(new Configuration())
+  private var chunk = 0
+  private var temp = chunkPath(0)
+  private var out = new GZIPOutputStream(fs.create(temp, true))
+  private var rowsInChunk = 0L
+  private var total = 0L
+  private val done = scala.collection.mutable.ListBuffer.empty[String]
+
+  private def roll(): Unit = {
+    out.close()
+    if (rowsInChunk == 0) fs.delete(temp, false) else done += temp.toString
+    chunk += 1
+    temp = chunkPath(chunk)
+    out = new GZIPOutputStream(fs.create(temp, true))
+    rowsInChunk = 0L
+  }
 
   override def write(record: InternalRow): Unit = {
     val line = record.getUTF8String(0)
@@ -211,21 +239,24 @@ private[ndjson] class NdjsonDataWriter(path: String, tag: String,
       line.toString.contains(failOnContains))
       throw new RuntimeException(s"injected failure on: $line") // test knob
     if (line != null) {
+      if (maxRecordsPerFile > 0 && rowsInChunk >= maxRecordsPerFile) roll()
       out.write(line.getBytes)
       out.write('\n')
-      rows += 1
+      rowsInChunk += 1
+      total += 1
     }
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    if (rows == 0) fs.delete(temp, false) // no empty part files
-    NdjsonCommitMessage(temp.toString, rows)
+    if (rowsInChunk == 0) fs.delete(temp, false) else done += temp.toString
+    NdjsonCommitMessage(done.toList, total)
   }
 
   override def abort(): Unit = {
     try out.close() catch { case _: Throwable => () }
-    fs.delete(temp, false)
+    (0 to chunk).foreach(k =>
+      try fs.delete(chunkPath(k), false) catch { case _: Throwable => () })
   }
 
   override def close(): Unit = ()

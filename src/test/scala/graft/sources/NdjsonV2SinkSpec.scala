@@ -110,6 +110,23 @@ class NdjsonV2SinkSpec extends SparkSpec {
     assert(listNames(s"$dir/_temporary").isEmpty) // all epochs cleaned
   }
 
+  test("maxRecordsPerFile rolls chunks: no published file exceeds the cap") {
+    val dir = Files.createTempDirectory("ndjv2").toString + "/out"
+    (1 to 25).map(_.toLong).toDF("id")
+      .select(to_json(struct(col("id"))).as("value"))
+      .coalesce(1) // one task: the cap, not partitioning, must chunk
+      .write.format(fmt).option("path", dir)
+      .option("maxRecordsPerFile", "10").mode("overwrite").save()
+    val parts = listNames(dir).filter(_.startsWith("part-"))
+    assert(parts.size == 3, s"expected 3 chunks: $parts") // 10+10+5
+    // Every individual file respects the reference batch_size cap.
+    for (p <- parts) {
+      val n = spark.read.schema("id BIGINT").json(s"$dir/$p").count()
+      assert(n <= 10, s"$p holds $n rows > cap")
+    }
+    assert(spark.read.schema("id BIGINT").json(dir).count() == 25)
+  }
+
   test("schema contract: more than one column is rejected") {
     val dir = Files.createTempDirectory("ndjv2").toString + "/out"
     val e = intercept[Exception] {
