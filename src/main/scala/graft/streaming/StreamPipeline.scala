@@ -106,4 +106,35 @@ object StreamPipeline {
       }
       .start()
   }
+
+  /** The same pipeline landed through the DataSourceV2 streaming sink
+    * (graft.sources.ndjson.NdjsonWriteSource) instead of foreachBatch:
+    * enrichment/projection move INTO the streaming plan (dimensions
+    * join per micro-batch exactly as before — stream-static joins
+    * re-read the static side each batch), serialization is one to_json,
+    * and the connector provides what foreachBatch had to hand-build —
+    * per-epoch staged commit (exactly-once file publish across
+    * restarts, vs the reference's documented duplicate window) and the
+    * batch_size count cap via maxRecordsPerFile. The W1 time half is
+    * the trigger; the count half is the writer's rolling cap. */
+  def runV2(stream: DataFrame, objects: DataFrame, nodes: DataFrame,
+      conf: GraftConfig, checkpoint: String,
+      triggerMs: Option[Long] = None): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val filtered = EventPipeline.eligible(stream, conf)
+    val deduped = dedupStream(filtered, s"${conf.dedupTtlSec} seconds")
+    val l9 = EventPipeline.projectL9(
+      EventPipeline.enrich(deduped, objects, nodes)).toDF()
+    val lines = l9.select(
+      to_json(struct(l9.columns.map(col): _*)).as("value"))
+    val trigger = triggerMs.getOrElse(conf.batchIntervalSec * 1000L)
+    lines.writeStream
+      .format("graft.sources.ndjson.NdjsonWriteSource")
+      .outputMode(OutputMode.Append)
+      .option("path", s"${conf.fileSinkDir}/${conf.uid}")
+      .option("checkpointLocation", checkpoint)
+      .option("maxRecordsPerFile", conf.batchSize.toString)
+      .trigger(Trigger.ProcessingTime(trigger))
+      .start()
+  }
 }
