@@ -91,6 +91,22 @@ class SketchAccuracySpec extends SparkSpec {
     q.values.foreach { case (a, b) => assert(a <= b) }
   }
 
+  test("theta set algebra on PARTIAL overlap (the sf fixtures only ever " +
+    "produce total overlap — every user does every event type)") {
+    // A = {1..60}, B = {41..100}: |A∩B| = 20, |A∖B| = 40.
+    val est = spark.sql(
+      """SELECT
+        |  theta_sketch_estimate(theta_intersection(a.s, b.s)) AS inter,
+        |  theta_sketch_estimate(theta_difference(a.s, b.s)) AS diff
+        |FROM (SELECT theta_sketch_agg(x) AS s
+        |      FROM (SELECT explode(sequence(1, 60)) AS x)) a,
+        |     (SELECT theta_sketch_agg(x) AS s
+        |      FROM (SELECT explode(sequence(41, 100)) AS x)) b""".stripMargin)
+      .collect()(0)
+    assert(math.abs(est.getLong(0) - 20L) <= 1, s"inter ${est.getLong(0)}")
+    assert(math.abs(est.getLong(1) - 40L) <= 2, s"diff ${est.getLong(1)}")
+  }
+
   test("approx_top_k is exact below maxItemsTracked (oracle-legitimacy)") {
     // The agg_approx_topk oracle depends on this regime: with
     // maxItemsTracked >= distinct items, space-saving never evicts and
