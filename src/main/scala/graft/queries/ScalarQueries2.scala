@@ -486,6 +486,25 @@ object ScalarQueries2 {
         .orderBy(col("event_id"))
     },
 
+    // XML ingestion (Spark 4 native from_xml): documents arrive as XML
+    // snippets, parse once to a typed struct, extract fields — the
+    // open-format twin of json_variant. The XML is synthesized from
+    // columns (values are XML-safe identifiers/uppercase names), so the
+    // oracle is the plain relational answer: parsing must be invisible.
+    Q("xml_funcs",
+      """SELECT n_nationkey AS k, n_name AS nm,
+        |  CAST(n_regionkey AS INT) AS rk
+        |FROM nation
+        |ORDER BY k""") { (s, d) =>
+      Tables.nation(s, d)
+        .select(concat(
+          lit("<r><k>"), col("n_nationkey"), lit("</k><nm>"), col("n_name"),
+          lit("</nm><rk>"), col("n_regionkey"), lit("</rk></r>")).as("x"))
+        .select(expr("from_xml(x, 'k INT, nm STRING, rk INT')").as("p"))
+        .select(col("p.k").as("k"), col("p.nm").as("nm"), col("p.rk").as("rk"))
+        .orderBy(col("k"))
+    },
+
     // UNION BY NAME with missing columns → nulls (schema-evolution
     // union: the shape that merges heterogeneous corpus shards).
     Q("setop_union_byname",
