@@ -36,6 +36,28 @@ object BehaviorQueries {
     s"CAST(CAST(sum($prod) AS DECIMAL(38,4)) AS DOUBLE)"
   private def dec(c: String): String = s"CAST($c AS DECIMAL(18,4))"
 
+  /** The funnel oracle (sequential keyed minima), shared verbatim by
+    * funnel_steps and the streaming stream_funnel — one SQL text, so
+    * the two operators can never drift apart on semantics. */
+  private[queries] val FunnelOracleSql: String =
+    """WITH t AS (
+      |  SELECT user_id,
+      |         min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+      |  FROM events GROUP BY 1),
+      |u AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM events e JOIN t ON e.user_id = t.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > t.t1 GROUP BY 1),
+      |v AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN u ON e.user_id = u.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > u.t2 GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 'step1_view' AS step, CAST(count(t1) AS BIGINT) AS users FROM t
+      |  UNION ALL SELECT 'step2_click', CAST(count(*) AS BIGINT) FROM u
+      |  UNION ALL SELECT 'step3_purchase', CAST(count(*) AS BIGINT) FROM v)
+      |ORDER BY step""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     // Conversion funnel view → click → purchase with strict temporal
@@ -43,24 +65,7 @@ object BehaviorQueries {
     // completion). One shuffle: three Window layers over the same
     // user partitioning; the oracle states the same chain as three
     // sequential keyed minima.
-    Q("funnel_steps",
-      """WITH t AS (
-        |  SELECT user_id,
-        |         min(CASE WHEN event_type = 'view' THEN ts END) AS t1
-        |  FROM events GROUP BY 1),
-        |u AS (
-        |  SELECT e.user_id, min(e.ts) AS t2
-        |  FROM events e JOIN t ON e.user_id = t.user_id
-        |  WHERE e.event_type = 'click' AND e.ts > t.t1 GROUP BY 1),
-        |v AS (
-        |  SELECT e.user_id, min(e.ts) AS t3
-        |  FROM events e JOIN u ON e.user_id = u.user_id
-        |  WHERE e.event_type = 'purchase' AND e.ts > u.t2 GROUP BY 1)
-        |SELECT * FROM (
-        |  SELECT 'step1_view' AS step, CAST(count(t1) AS BIGINT) AS users FROM t
-        |  UNION ALL SELECT 'step2_click', CAST(count(*) AS BIGINT) FROM u
-        |  UNION ALL SELECT 'step3_purchase', CAST(count(*) AS BIGINT) FROM v)
-        |ORDER BY step""") { (s, d) =>
+    Q("funnel_steps", FunnelOracleSql) { (s, d) =>
       val w = Window.partitionBy("user_id")
       val staged = Tables.events(s, d)
         .withColumn("t1",

@@ -470,24 +470,7 @@ object StreamingQueries {
     // so the completed state equals the batch funnel exactly (same-ts
     // races can't chain transitions — strict > comparisons). Oracle =
     // the funnel_steps CTE chain verbatim.
-    Q("stream_funnel",
-      """WITH t AS (
-        |  SELECT user_id,
-        |         min(CASE WHEN event_type = 'view' THEN ts END) AS t1
-        |  FROM events GROUP BY 1),
-        |u AS (
-        |  SELECT e.user_id, min(e.ts) AS t2
-        |  FROM events e JOIN t ON e.user_id = t.user_id
-        |  WHERE e.event_type = 'click' AND e.ts > t.t1 GROUP BY 1),
-        |v AS (
-        |  SELECT e.user_id, min(e.ts) AS t3
-        |  FROM events e JOIN u ON e.user_id = u.user_id
-        |  WHERE e.event_type = 'purchase' AND e.ts > u.t2 GROUP BY 1)
-        |SELECT * FROM (
-        |  SELECT 'step1_view' AS step, CAST(count(t1) AS BIGINT) AS users FROM t
-        |  UNION ALL SELECT 'step2_click', CAST(count(*) AS BIGINT) FROM u
-        |  UNION ALL SELECT 'step3_purchase', CAST(count(*) AS BIGINT) FROM v)
-        |ORDER BY step""") { (s, d) =>
+    Q("stream_funnel", BehaviorQueries.FunnelOracleSql) { (s, d) =>
       val name = "st_" + math.abs(scala.util.Random.nextLong()).toString
       val raw = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
