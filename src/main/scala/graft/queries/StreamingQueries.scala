@@ -470,6 +470,38 @@ object StreamingQueries {
     // so the completed state equals the batch funnel exactly (same-ts
     // races can't chain transitions — strict > comparisons). Oracle =
     // the funnel_steps CTE chain verbatim.
+    // Streaming materialized-view refresh: a complete-mode aggregate
+    // snapshotted to a parquet serving table after EVERY micro-batch
+    // (foreachBatch overwrite) — the continuously-refreshed dashboard
+    // table pattern. The oracle reads the FINAL snapshot: after the
+    // replay drains, the serving table must equal the batch aggregate
+    // exactly (refresh is atomic per epoch — readers see either the
+    // previous or the new snapshot, never a partial one).
+    Q("stream_mv_refresh",
+      s"""SELECT event_type,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  ${decSum("value")} AS val_sum
+         |FROM events
+         |GROUP BY event_type
+         |ORDER BY event_type""") { (s, d) =>
+      val mvDir = "/tmp/graft-mv-" + math.abs(d.hashCode).toString
+      val agg = eventsStream(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), expr(decSum("value")).as("val_sum"))
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = try {
+        agg.writeStream.outputMode("complete")
+          .foreachBatch { (snapshot: DataFrame, _: Long) =>
+            snapshot.coalesce(1).write.mode("overwrite").parquet(mvDir)
+          }.start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.read.parquet(mvDir)
+        .select(col("event_type"), col("cnt"), col("val_sum"))
+        .orderBy(col("event_type"))
+    },
+
     Q("stream_funnel", BehaviorQueries.FunnelOracleSql) { (s, d) =>
       val name = "st_" + math.abs(scala.util.Random.nextLong()).toString
       val raw = StructType(Seq(
