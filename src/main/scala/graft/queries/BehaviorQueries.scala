@@ -117,6 +117,44 @@ object BehaviorQueries {
         .orderBy("cohort_week", "offset_week")
     },
 
+    // RFM segmentation: recency/frequency/monetary quartiles per
+    // purchasing user — the classic marketing segmentation, built on
+    // the same fully-tiebroken ntile discipline as the equi-depth
+    // histogram (every ORDER BY ends in user_id, so bucket assignment
+    // is total-order deterministic in both engines). The user-level
+    // relation is corpus-size-independent (one row per user), so the
+    // three global ntile sorts run over the small aggregate, not the
+    // fact table.
+    Q("rfm_segments",
+      """WITH m AS (
+        |  SELECT user_id, max(ts) AS last_ts,
+        |         CAST(count(*) AS BIGINT) AS freq,
+        |         CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT user_id, freq, round(monetary, 4) AS monetary,
+        |  CAST(ntile(4) OVER (ORDER BY last_ts DESC, user_id) AS INT) AS r_bucket,
+        |  CAST(ntile(4) OVER (ORDER BY freq DESC, user_id) AS INT) AS f_bucket,
+        |  CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS INT) AS m_bucket
+        |FROM m
+        |ORDER BY user_id""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val m = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(max("ts").as("last_ts"), count(lit(1)).as("freq"),
+          expr("CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)")
+            .as("monetary"))
+      m.select(col("user_id"), col("freq"),
+          round(col("monetary"), 4).as("monetary"),
+          ntile(4).over(Window.orderBy(col("last_ts").desc, col("user_id")))
+            .as("r_bucket"),
+          ntile(4).over(Window.orderBy(col("freq").desc, col("user_id")))
+            .as("f_bucket"),
+          ntile(4).over(Window.orderBy(col("monetary").desc, col("user_id")))
+            .as("m_bucket"))
+        .orderBy("user_id")
+    },
+
     // Lexical-richness quality signals: type-token ratio + hapax share
     // per document — corpus-quality features next to text_quality's
     // surface ratios. One (doc, token) shuffle, then a doc-keyed
