@@ -155,6 +155,42 @@ object BehaviorQueries {
         .orderBy("user_id")
     },
 
+    // DAU/WAU stickiness per day. Trailing-7-day distinct users is NOT
+    // a windowed count-distinct (which Spark cannot partial-aggregate):
+    // each (user, day) activity row is shifted to the 7 days it serves
+    // (explode of a constant 0..6 — a 7× Expand, no self-join), then
+    // one keyed distinct-count per day. Days ride integer epoch
+    // arithmetic; the join back to DAU keeps only real activity days.
+    Q("stickiness_ratio",
+      """WITH act AS (
+        |  SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+        |         user_id
+        |  FROM events),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM act GROUP BY 1),
+        |w AS (SELECT a.day + r.k AS day, a.user_id
+        |      FROM act a, range(0, 7) r(k)),
+        |wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |        FROM w GROUP BY 1)
+        |SELECT d.day, d.dau, w.wau,
+        |       round(d.dau * 1.0 / w.wau, 4) AS stickiness
+        |FROM dau d JOIN wau w ON d.day = w.day
+        |ORDER BY d.day""") { (s, d) =>
+      val act = Tables.events(s, d)
+        .select(floor(unix_timestamp(col("ts")) / 86400L).cast("bigint")
+          .as("day"), col("user_id"))
+        .distinct()
+      val dau = act.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = act
+        .select(col("day").as("d0"), col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("k"))
+        .select((col("d0") + col("k")).as("day"), col("user_id"))
+        .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau") * lit(1.0) / col("wau"), 4).as("stickiness"))
+        .orderBy("day")
+    },
+
     // Lexical-richness quality signals: type-token ratio + hapax share
     // per document — corpus-quality features next to text_quality's
     // surface ratios. One (doc, token) shuffle, then a doc-keyed

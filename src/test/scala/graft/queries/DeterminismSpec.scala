@@ -59,7 +59,8 @@ class DeterminismSpec extends SparkSpec {
 
   for (q <- Seq("funnel_steps", "cohort_retention", "text_ttr",
       "join_multiway", "join_nullsafe", "agg_approx_topk", "agg_topk_merge",
-      "cogroup_orders", "shuffle_epoch", "split_train_val", "rfm_segments"))
+      "cogroup_orders", "shuffle_epoch", "split_train_val", "rfm_segments",
+      "stickiness_ratio"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
       assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
     }
