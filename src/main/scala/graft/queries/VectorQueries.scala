@@ -139,6 +139,41 @@ object VectorQueries {
         .orderBy(col("qid"), col("rk"))
     },
 
+    // Maximum-inner-product search (MIPS): rank by the RAW dot product,
+    // no norm division — the recommendation-retrieval mode (user·item
+    // score), where a long vector legitimately outranks a better-aligned
+    // short one and cosine would be the wrong answer. Same broadcast
+    // query set + per-row HOF fold as sim_knn_brute; only the score
+    // changes.
+    Q("sim_mips_brute",
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM v WHERE vec_id < 8),
+        |p AS (SELECT q.qid, v.vec_id AS vid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(q.qe[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))) AS dp
+        |  FROM q, v WHERE q.qid <> v.vec_id),
+        |r AS (SELECT qid, vid, dp,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dp DESC, vid) AS rk
+        |  FROM p)
+        |SELECT qid, vid, CAST(rk AS INT) AS rk, round(dp, 4) AS dot
+        |FROM r WHERE rk <= 5
+        |ORDER BY qid, rk""") { (s, d) =>
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("e"))
+      val q = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("e").as("qe"))
+      val pairs = v.crossJoin(broadcast(q))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("dp", expr(dotSpark))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("dp").desc, col("vec_id"))
+      pairs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("vec_id").as("vid"),
+          col("rk").cast("int").as("rk"), round(col("dp"), 4).as("dot"))
+        .orderBy(col("qid"), col("rk"))
+    },
+
     // LSH/IVF-style bucketed ANN: sign bits of the first 8 dims form a
     // 256-cell bucket key; neighbors are scored within the query's bucket
     // only (equi-join on the bucket key — the scalable candidate cut).

@@ -20,6 +20,7 @@ class PlanHygieneSpec extends SparkSpec {
     "join_cross",          // declared cartesian exemplar over 5x5 dims
     "join_salted",         // dim x broadcast(range(0, 8)) literal salts
     "sim_knn_brute",       // corpus x broadcast 8-query set (by design)
+    "sim_mips_brute",      // same broadcast query set, raw-dot score
     "sim_knn_expr",        // same broadcast query set, codegen dot
     "sim_rp_project",      // row x broadcast 1-row literal sign matrix
     "sketch_theta_overlap",// 1-row sketch x 1-row sketch
