@@ -28,8 +28,7 @@ object ClusterQueries {
     * the affine permutation family, TextQueries.mhMixSql), shared here to
     * build the candidate-pair graph. */
   private def minhashSigs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    TextQueries.minhashSigsOf(TextQueries.shingles(s, d)
-      .select(col("doc_id"), expr(TextQueries.shingleIntSpark).as("v")))
+    TextQueries.minhashSigsArrayOf(Tables.documents(s, d))
 
   /** MinHash LSH candidate-pair edges (u < v, distinct) — the graph both
     * CC formulations resolve. Returned persisted + materialized (the

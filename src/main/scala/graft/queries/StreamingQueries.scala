@@ -609,18 +609,7 @@ object StreamingQueries {
       src: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import s.implicits._
-    src.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), expr(TextQueries.shingleArraySql).as("shs"))
-      // The digest expression is the family's shared constant; its
-      // lambda variable is already named `sh`.
-      .select(col("doc_id"), expr(
-        s"transform(shs, sh -> ${TextQueries.shingleIntSpark})").as("vs"))
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(0, 7), seed -> struct(
-           |  CAST(seed AS INT) AS seed,
-           |  array_min(transform(vs, v -> ${TextQueries.mhMixSql("v", "seed")})) AS mh))""".stripMargin)).as("e"))
-      .select(col("doc_id"), col("e.seed").as("seed"), col("e.mh").as("mh"))
-      .filter(col("mh").isNotNull) // shingle-less short docs sign nothing
+    TextQueries.minhashSigsArrayOf(src)
       .as[(Long, Int, Long)]
       .groupByKey(r => (r._2, r._3))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {

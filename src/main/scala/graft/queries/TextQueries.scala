@@ -67,6 +67,30 @@ object TextQueries {
         col("col").as("mh"))
   }
 
+  /** Zero-shuffle signature relation (doc_id, seed, mh) computed per-row
+    * over the shingle ARRAY: one md5 pass per shingle, then the 8 affine
+    * minima via array_min(transform(...)) — no explode of the shingle
+    * relation, no hash aggregate, no exchange. Row-identical to
+    * minhashSigsOf over the exploded relation (same minima, same types;
+    * shingle-less docs drop out there via the empty group, here via the
+    * mh IS NULL filter). Batch signature query and the streaming LSH
+    * source share this one definition; at 100 TB this is the shape that
+    * matters — the signature build becomes a pure map stage that fuses
+    * with the scan, with nothing shuffled until the band join. */
+  private[graft] def minhashSigsArrayOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), expr(shingleArraySql).as("shs"))
+      // The digest expression is the family's shared constant; its
+      // lambda variable is already named `sh`.
+      .select(col("doc_id"), expr(
+        s"transform(shs, sh -> $shingleIntSpark)").as("vs"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, 7), seed -> struct(
+           |  CAST(seed AS INT) AS seed,
+           |  array_min(transform(vs, v -> ${mhMixSql("v", "seed")})) AS mh))""".stripMargin)).as("e"))
+      .select(col("doc_id"), col("e.seed").as("seed"), col("e.mh").as("mh"))
+      .filter(col("mh").isNotNull) // shingle-less short docs sign nothing
+
   // DuckDB twin of the shingle relation (toks is 1-indexed there; range(a,b)
   // is exclusive of b, giving positions 1..len-2).
   private[queries] val shinglesSql =
@@ -333,9 +357,8 @@ object TextQueries {
          |      GROUP BY doc_id, r.seed)
          |SELECT doc_id, seed, mh FROM h
          |ORDER BY doc_id, seed""") { (s, d) =>
-      val sv = shingles(s, d)
-        .select(col("doc_id"), expr(shingleIntSpark).as("v"))
-      minhashSigsOf(sv).orderBy(col("doc_id"), col("seed"))
+      minhashSigsArrayOf(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("seed"))
     },
 
     // MinHash LSH near-dup candidates + exact-Jaccard verification.

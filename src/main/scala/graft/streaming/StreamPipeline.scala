@@ -137,4 +137,22 @@ object StreamPipeline {
       .trigger(Trigger.ProcessingTime(trigger))
       .start()
   }
+
+  /** The reference's process entry (`k8stream --config file.json`,
+    * main.go:20-60) re-expressed: load + validate the JSON config
+    * (GraftConfig.load — throws GraftConfigException listing every
+    * violation), start the periodic heartbeat when a hook is configured
+    * (the reference's StartHeartbeat goroutine, io/heartbeat.go:17-60;
+    * ours is a daemon ticker with process lifetime, like theirs), then
+    * dispatch on the sink knob: the memory sink runs through the
+    * foreachBatch path (driver-held, test double), file/s3 through the
+    * DSv2 connector with its exactly-once epoch commit. */
+  def runFromConfig(configPath: String, stream: DataFrame, objects: DataFrame,
+      nodes: DataFrame, checkpoint: String, version: String = "graft",
+      triggerMs: Option[Long] = None): StreamingQuery = {
+    val conf = GraftConfig.load(configPath)
+    Heartbeat.startPeriodic(stream.sparkSession, conf, version)
+    if (conf.sink == "memory") run(stream, objects, nodes, conf, checkpoint, triggerMs)
+    else runV2(stream, objects, nodes, conf, checkpoint, triggerMs)
+  }
 }

@@ -175,6 +175,39 @@ class StreamPipelineSpec extends SparkSpec {
     }
   }
 
+  test("runFromConfig: JSON config file drives the full pipeline end-to-end") {
+    val ckpt = java.nio.file.Files.createTempDirectory("ckptc").toString
+    val cfg = java.nio.file.Files.createTempFile("graft", ".json")
+    java.nio.file.Files.write(cfg,
+      """{"config": {"uid": "cfguid", "sink": "memory", "batch_size": 2,
+        |  "batch_interval": 30}, "namespaces": ["default"]}"""
+        .stripMargin.getBytes("UTF-8"))
+    val in = MemoryStream[KubeEvent]
+    val objects = Seq(KubeObject("o1", "Pod", "default", "w",
+      Map("app" -> "w"), Map(), "{}")).toDF()
+    val nodes = Seq(KubeNode("n1", Seq("5.6.7.8"))).toDF()
+    graft.sinks.MemoryBatchSink.clear("cfguid")
+    val q = StreamPipeline.runFromConfig(cfg.toString, in.toDF(), objects,
+      nodes, ckpt, triggerMs = Some(100))
+    def ev(uid: String, ns: String) = KubeEvent(uid, ts("2024-01-01 10:00:00"),
+      uid, ns, "Scheduled", s"m-$uid", "Normal", Some(1),
+      ObjectRef("v1", "Pod", "w", ns, "1", "o1"), EventSource("kubelet", "n1"))
+    try {
+      // the config's namespace whitelist must reach the filter
+      in.addData(ev("a", "default"), ev("b", "other"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val lines = graft.sinks.MemoryBatchSink.batches("cfguid").flatMap(_._2).flatten
+    assert(lines.size == 1, s"whitelist should pass only ns=default, got $lines")
+    assert(lines.head.contains("\"id\":\"a\""))
+    // an invalid file surfaces the collected validation errors
+    java.nio.file.Files.write(cfg, """{"config": {"sink": "nope"}}""".getBytes("UTF-8"))
+    val e = intercept[GraftConfigException] {
+      StreamPipeline.runFromConfig(cfg.toString, in.toDF(), objects, nodes, ckpt)
+    }
+    assert(e.errors.size == 2) // missing uid + unknown sink
+  }
+
   test("sink=memory dispatches batches to the driver-held memory sink (K3)") {
     val ckpt = java.nio.file.Files.createTempDirectory("ckptm").toString
     val in = MemoryStream[KubeEvent]
