@@ -47,6 +47,24 @@ class NdjsonWriteSource extends TableProvider {
     new NdjsonTable(properties.get("path"))
 }
 
+/** Java-serializable Hadoop Configuration carrier (Spark's own
+  * SerializableConfiguration is private[spark]): the session's resolved
+  * Hadoop conf is captured ONCE on the driver at write-build time and
+  * rides inside the writer factories to executors — so spark.hadoop.*,
+  * s3a credentials/endpoints, and a custom defaultFS all reach every
+  * getFileSystem call on both sides, exactly as Spark's built-in file
+  * writers propagate it. `new Configuration()` here would silently
+  * drop all of those (fine on local FS, wrong everywhere else). */
+private[ndjson] class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit =
+    value.write(out)
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 private[ndjson] class NdjsonTable(path: String) extends Table with SupportsWrite {
   require(path != null && path.nonEmpty, "option 'path' is required")
   override def name(): String = s"graft-ndjson($path)"
@@ -60,20 +78,29 @@ private[ndjson] class NdjsonTable(path: String) extends Table with SupportsWrite
     require(s.fields.length == 1 && s.fields(0).dataType == StringType,
       s"graft-ndjson expects exactly one STRING column (got ${s.simpleString});" +
         " serialize with to_json(struct(*)) upstream")
-    new NdjsonWriteBuilder(path, info.queryId(), info.options.asScala.toMap)
+    // Session Hadoop conf + write options layered on top (fs.* / s3a
+    // overrides per write), mirroring newHadoopConfWithOptions in
+    // Spark's file sources. Build time = driver, session available.
+    val opts = info.options.asScala.toMap
+    val hconf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    opts.foreach { case (k, v) => hconf.set(k, v) }
+    new NdjsonWriteBuilder(path, info.queryId(), opts,
+      new SerializableHadoopConf(hconf))
   }
 }
 
 private[ndjson] class NdjsonWriteBuilder(path: String, queryId: String,
-    opts: Map[String, String]) extends WriteBuilder with SupportsTruncate {
+    opts: Map[String, String], hconf: SerializableHadoopConf)
+    extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   // SaveMode.Overwrite arrives as truncate() on the builder.
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new NdjsonBatchWrite(path, queryId, doTruncate, opts)
+      new NdjsonBatchWrite(path, queryId, doTruncate, opts, hconf)
     override def toStreaming: streaming.StreamingWrite =
-      new NdjsonStreamingWrite(path, queryId, opts)
+      new NdjsonStreamingWrite(path, queryId, opts, hconf)
   }
 }
 
@@ -81,14 +108,15 @@ private[ndjson] case class NdjsonCommitMessage(tempPaths: Seq[String],
     rows: Long) extends WriterCommitMessage
 
 private[ndjson] class NdjsonBatchWrite(path: String, queryId: String,
-    truncate: Boolean, opts: Map[String, String]) extends BatchWrite {
+    truncate: Boolean, opts: Map[String, String],
+    hconf: SerializableHadoopConf) extends BatchWrite {
 
   private val tag = queryId.replaceAll("[^0-9a-zA-Z]", "").take(8)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     // CaseInsensitiveStringMap hands options through with lowercased keys.
     new NdjsonWriterFactory(path, tag, opts.getOrElse("failoncontains", ""),
-      opts.getOrElse("maxrecordsperfile", "0").toLong)
+      opts.getOrElse("maxrecordsperfile", "0").toLong, hconf)
 
   /** Driver-side publish: optionally clear previous output (truncate =
     * SaveMode.Overwrite), then rename every staged file into place and
@@ -97,7 +125,7 @@ private[ndjson] class NdjsonBatchWrite(path: String, queryId: String,
     * layout already supports that, only this method changes. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
-    val fs = root.getFileSystem(new Configuration())
+    val fs = root.getFileSystem(hconf.value)
     if (truncate && fs.exists(root))
       fs.listStatus(root).foreach { st =>
         if (st.getPath.getName.startsWith("part-") ||
@@ -129,7 +157,7 @@ private[ndjson] class NdjsonBatchWrite(path: String, queryId: String,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
-    val fs = root.getFileSystem(new Configuration())
+    val fs = root.getFileSystem(hconf.value)
     fs.delete(new Path(root, s"_temporary/$tag"), true)
     try fs.delete(new Path(root, "_temporary"), false)
     catch { case _: java.io.IOException => () }
@@ -137,11 +165,11 @@ private[ndjson] class NdjsonBatchWrite(path: String, queryId: String,
 }
 
 private[ndjson] class NdjsonWriterFactory(path: String, tag: String,
-    failOnContains: String, maxRecordsPerFile: Long)
-    extends DataWriterFactory {
+    failOnContains: String, maxRecordsPerFile: Long,
+    hconf: SerializableHadoopConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new NdjsonDataWriter(path, tag, partitionId, taskId, failOnContains,
-      maxRecordsPerFile)
+      maxRecordsPerFile, hconf)
 }
 
 /** Streaming form of the same commit protocol, one commit per epoch —
@@ -155,7 +183,8 @@ private[ndjson] class NdjsonWriterFactory(path: String, tag: String,
   * the staged duplicate is dropped — upgrading the reference's
   * at-least-once to exactly-once file publish. */
 private[ndjson] class NdjsonStreamingWrite(path: String, queryId: String,
-    opts: Map[String, String]) extends streaming.StreamingWrite {
+    opts: Map[String, String], hconf: SerializableHadoopConf)
+    extends streaming.StreamingWrite {
 
   private val tag = queryId.replaceAll("[^0-9a-zA-Z]", "").take(8)
 
@@ -163,12 +192,12 @@ private[ndjson] class NdjsonStreamingWrite(path: String, queryId: String,
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
     new NdjsonStreamingWriterFactory(path, tag,
       opts.getOrElse("failoncontains", ""),
-      opts.getOrElse("maxrecordsperfile", "0").toLong)
+      opts.getOrElse("maxrecordsperfile", "0").toLong, hconf)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
-    val fs = root.getFileSystem(new Configuration())
+    val fs = root.getFileSystem(hconf.value)
     messages.collect { case NdjsonCommitMessage(tmps, rows) if rows > 0 =>
       tmps.foreach { tmp =>
         val src = new Path(tmp)
@@ -187,18 +216,19 @@ private[ndjson] class NdjsonStreamingWrite(path: String, queryId: String,
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
-    val fs = root.getFileSystem(new Configuration())
+    val fs = root.getFileSystem(hconf.value)
     fs.delete(new Path(root, s"_temporary/$tag-e$epochId"), true)
   }
 }
 
 private[ndjson] class NdjsonStreamingWriterFactory(path: String, tag: String,
-    failOnContains: String, maxRecordsPerFile: Long)
+    failOnContains: String, maxRecordsPerFile: Long,
+    hconf: SerializableHadoopConf)
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new NdjsonDataWriter(path, s"$tag-e$epochId", partitionId, taskId,
-      failOnContains, maxRecordsPerFile)
+      failOnContains, maxRecordsPerFile, hconf)
 }
 
 /** One gzip stream per task; rows are never buffered. The staged name
@@ -212,11 +242,13 @@ private[ndjson] class NdjsonStreamingWriterFactory(path: String, tag: String,
   * regardless of partition sizes. */
 private[ndjson] class NdjsonDataWriter(path: String, tag: String,
     partitionId: Int, taskId: Long, failOnContains: String,
-    maxRecordsPerFile: Long = 0L) extends DataWriter[InternalRow] {
+    maxRecordsPerFile: Long = 0L,
+    hconf: SerializableHadoopConf = null) extends DataWriter[InternalRow] {
 
   private def chunkPath(k: Int) = new Path(path,
     f"_temporary/$tag/part-$partitionId%05d-tid$taskId-c$k%03d.log.gz")
-  private val fs = chunkPath(0).getFileSystem(new Configuration())
+  private val fs = chunkPath(0).getFileSystem(
+    if (hconf != null) hconf.value else new Configuration())
   private var chunk = 0
   private var temp = chunkPath(0)
   private var out = new GZIPOutputStream(fs.create(temp, true))

@@ -127,6 +127,64 @@ class NdjsonV2SinkSpec extends SparkSpec {
     assert(spark.read.schema("id BIGINT").json(dir).count() == 25)
   }
 
+  test("Hadoop conf reaches every getFileSystem call: write options (the " +
+    "s3a credential/endpoint path) resolve a custom fs scheme end-to-end") {
+    // An fs.<scheme>.impl write option is only honored if the option-
+    // layered session conf reaches the EXECUTOR writer, the driver
+    // commit, and the staging cleanup. With the pre-fix
+    // `new Configuration()` at any of those sites the probe:// scheme
+    // is unknown there and the write throws — so a clean round-trip IS
+    // the passthrough proof. s3a deployments ride exactly this path
+    // (fs.s3a.endpoint / credentials as options or spark.hadoop.*).
+    val tmp = Files.createTempDirectory("probefs").toString
+    val dir = s"probe://$tmp/out"
+    val df = (1 to 10).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+      .select(to_json(struct(col("id"), col("name"))).as("value"))
+      .repartition(2)
+    df.write.format(fmt)
+      .option("path", dir)
+      .option("fs.probe.impl", classOf[ProbeFileSystem].getName)
+      .mode("overwrite").save()
+    val names = listNames(s"$tmp/out")
+    assert(names.contains("_SUCCESS") && !names.contains("_temporary"))
+    assert(names.count(n => n.startsWith("part-") && n.endsWith(".log.gz")) == 2)
+  }
+
+  test("session Hadoop conf (spark.hadoop.* / hadoopConfiguration) reaches " +
+    "the connector without per-write options") {
+    val tmp = Files.createTempDirectory("sprobefs").toString
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.sprobe.impl", classOf[SessionProbeFileSystem].getName)
+    try {
+      val df = Seq("{\"id\":1}").toDF("value")
+      df.write.format(fmt).option("path", s"sprobe://$tmp/out")
+        .mode("overwrite").save()
+      assert(listNames(s"$tmp/out").contains("_SUCCESS"))
+    } finally spark.sparkContext.hadoopConfiguration.unset("fs.sprobe.impl")
+  }
+
+  test("streaming object layout matches the reference: " +
+    "<prefix>/<uid>/<file>.log.gz with the epoch in the object name") {
+    // io/flush_s3.go:62-73: key = <prefix>/<uid>/<filename>.log.gz —
+    // runV2 points the connector at <fileSinkDir>/<uid>, so published
+    // objects land one directory under the prefix, epoch-tagged.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prefix = Files.createTempDirectory("layout").toString
+    val ckpt = Files.createTempDirectory("layoutck").toString
+    val in = MemoryStream[String]
+    val q = in.toDF().select(to_json(struct(col("value"))).as("value"))
+      .writeStream.format(fmt)
+      .option("path", s"$prefix/uid-7")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try { in.addData("a", "b"); q.processAllAvailable() } finally q.stop()
+    val names = listNames(s"$prefix/uid-7").filter(_.startsWith("part-"))
+    assert(names.nonEmpty)
+    assert(names.forall(n => n.contains("-e0") && n.endsWith(".log.gz")),
+      s"epoch-tagged .log.gz objects under <prefix>/<uid>, got $names")
+  }
+
   test("schema contract: more than one column is rejected") {
     val dir = Files.createTempDirectory("ndjv2").toString + "/out"
     val e = intercept[Exception] {
@@ -138,4 +196,16 @@ class NdjsonV2SinkSpec extends SparkSpec {
     assert(e.getMessage.contains("TOO_MANY_DATA_COLUMNS") ||
       e.getMessage.contains("STRING column"))
   }
+}
+
+/** Local FS masquerading under a custom scheme — the standard probe for
+  * "does my conf reach the FileSystem lookup": resolvable ONLY through
+  * the fs.probe.impl conf key the test injects as a write option. */
+class ProbeFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("probe:///")
+}
+
+/** Same probe for the session-conf (no per-write options) path. */
+class SessionProbeFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("sprobe:///")
 }
