@@ -39,13 +39,22 @@ object EventPipeline {
     * order, so "first" is defined as the minimum creation timestamp.
     * (creationTimestamp, message) is NOT a total order — duplicates can
     * tie on both while differing elsewhere (count bumped, rv advanced on
-    * a re-delivery) — so the whole row serializes as the final
-    * tie-break: deterministic and idempotent under ANY partitioning, at
-    * the cost of one to_json per row in the dedup window. */
+    * a re-delivery) — so the remaining KubeEvent fields complete the
+    * sort key EXPLICITLY: involvedObject.resourceVersion (numeric — the
+    * field that actually advances on re-delivery) then count, then every
+    * other scalar. Same total order the old whole-row to_json tiebreak
+    * produced, without serializing the widest relation in the pipeline
+    * once per row inside the dedup window. Deterministic and idempotent
+    * under ANY partitioning (PropertiesSpec partition-invariance law).
+    * Expects the KubeEvent schema — this is the pipeline's D1 point, not
+    * a generic operator. */
   def dedupEvents(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("uid"))
       .orderBy(col("creationTimestamp"), col("message"),
-        to_json(struct(events.columns.map(col): _*)))
+        col("involvedObject.resourceVersion").cast("long"),
+        col("count"), col("eventType"), col("reason"), col("name"),
+        col("namespace"), col("involvedObject.uid"),
+        col("source.component"), col("source.host"))
     events.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }

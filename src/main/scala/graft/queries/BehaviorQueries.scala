@@ -303,19 +303,24 @@ object BehaviorQueries {
     // maxItemsTracked (100) exceeds the column's distinct count, so no
     // candidate is ever evicted and every returned count is EXACT — the
     // documented exactness regime, not a coincidence — which is what
-    // makes a full oracle legitimate here. The sketch's internal array
-    // order is implementation-defined, so rows are exploded and
-    // re-sorted deterministically.
+    // makes a full oracle legitimate here. k is requested at FULL
+    // capacity (not 3): which 3 the sketch returns at a rank-boundary
+    // count tie is implementation-defined even in the exact regime, so
+    // the query takes every tracked item and applies its own
+    // deterministic (cnt DESC, item) sort + LIMIT — tie selection then
+    // happens in the same collation as the oracle's, never inside the
+    // sketch.
     Q("agg_approx_topk",
       """SELECT event_type AS item, CAST(count(*) AS BIGINT) AS cnt
         |FROM events GROUP BY 1
         |ORDER BY cnt DESC, item
         |LIMIT 3""") { (s, d) =>
       Tables.events(s, d)
-        .agg(expr("approx_top_k(event_type, 3, 100)").as("tk"))
+        .agg(expr("approx_top_k(event_type, 100, 100)").as("tk"))
         .select(explode(col("tk")).as("e"))
         .select(col("e.item").as("item"), col("e.count").as("cnt"))
         .orderBy(col("cnt").desc, col("item"))
+        .limit(3)
     },
 
     // The mergeable frequent-items WORKFLOW: per-group sketch STATES
@@ -324,7 +329,10 @@ object BehaviorQueries {
     // distinct from agg_approx_topk's one-shot aggregate. Capacity (100)
     // exceeds the column's distinct count on every branch, so the
     // combined counts are exact (space-saving never evicts) and the
-    // plain GROUP BY oracle is legitimate here too.
+    // plain GROUP BY oracle is legitimate here too. As above, the
+    // estimate is taken at full capacity and the top-3 cut happens in
+    // the query's own (cnt DESC, item) collation — rank-boundary ties
+    // never depend on the sketch's internal selection.
     Q("agg_topk_merge",
       """SELECT event_type AS item, CAST(count(*) AS BIGINT) AS cnt
         |FROM events GROUP BY 1
@@ -333,11 +341,12 @@ object BehaviorQueries {
       Tables.events(s, d)
         .groupBy("user_id") // shard axis: per-user partial sketch states
         .agg(expr("approx_top_k_accumulate(event_type, 100)").as("st"))
-        .agg(expr("approx_top_k_estimate(approx_top_k_combine(st, 100), 3)")
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(st, 100), 100)")
           .as("tk"))
         .select(explode(col("tk")).as("e"))
         .select(col("e.item").as("item"), col("e.count").as("cnt"))
         .orderBy(col("cnt").desc, col("item"))
+        .limit(3)
     },
 
     // Mergeable distinct-count sketches: one HLL per event_type, plus

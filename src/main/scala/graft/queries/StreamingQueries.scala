@@ -31,7 +31,7 @@ object StreamingQueries {
     // the single parquet file into a local replay dir once per sf.
     val src = java.nio.file.Paths.get(Tables.path(d, "events"))
     val dir = java.nio.file.Paths.get(
-      "/tmp/graft-replay-" + math.abs(d.hashCode).toString)
+      "/tmp/graft-replay-" + datasetFingerprint(d))
     val dst = dir.resolve("events.parquet")
     if (!java.nio.file.Files.exists(dst)) {
       java.nio.file.Files.createDirectories(dir)
@@ -59,11 +59,14 @@ object StreamingQueries {
     // restored after the query starts (the stream captured its copy).
     val saved = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try {
-      build(eventsStream(s, d)).writeStream
+    // Restored only after the query has fully STOPPED: batch-0 planning
+    // captures the override asynchronously after start(), so a restore
+    // racing it could plan the stream at the batch default.
+    try {
+      val q = build(eventsStream(s, d)).writeStream
         .format("memory").queryName(name).outputMode(mode).start()
+      try { q.processAllAvailable() } finally { q.stop() }
     } finally s.conf.set("spark.sql.shuffle.partitions", saved)
-    try { q.processAllAvailable() } finally { q.stop() }
     s.table(name)
   }
 
@@ -109,7 +112,7 @@ object StreamingQueries {
     * later mtime so maxFilesPerTrigger=1 replays it second. */
   private def sentinelReplayDir(s: SparkSession, d: String): String = {
     val dir = java.nio.file.Paths.get(
-      "/tmp/graft-ssreplay-" + math.abs(d.hashCode).toString)
+      "/tmp/graft-ssreplay-" + datasetFingerprint(d))
     val done = dir.resolve("_STAGED")
     if (!java.nio.file.Files.exists(done)) {
       java.nio.file.Files.createDirectories(dir)
@@ -155,7 +158,7 @@ object StreamingQueries {
     * dir (testdata is immutable). */
   private def documentsStream(s: SparkSession, d: String): DataFrame = {
     val dir = java.nio.file.Paths.get(
-      "/tmp/graft-docreplay-" + math.abs(d.hashCode).toString)
+      "/tmp/graft-docreplay-" + datasetFingerprint(d))
     if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
       Tables.documents(s, d).repartition(4)
         .write.mode("overwrite").parquet(dir.toString)
@@ -173,11 +176,11 @@ object StreamingQueries {
     val name = "st_" + math.abs(scala.util.Random.nextLong()).toString
     val saved = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try {
-      build(documentsStream(s, d)).writeStream
+    try { // restore only after full stop (see runToTable note)
+      val q = build(documentsStream(s, d)).writeStream
         .format("memory").queryName(name).outputMode("append").start()
+      try { q.processAllAvailable() } finally { q.stop() }
     } finally s.conf.set("spark.sql.shuffle.partitions", saved)
-    try { q.processAllAvailable() } finally { q.stop() }
     s.table(name)
   }
 
@@ -288,11 +291,11 @@ object StreamingQueries {
       // FOUR stores per partition — sizing matters twice as much here).
       val saved = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = try {
-        joined.select(col("click_id"), col("purchase_id"), col("user_id"))
+      try { // restore only after full stop (see runToTable note)
+        val q = joined.select(col("click_id"), col("purchase_id"), col("user_id"))
           .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try { q.processAllAvailable() } finally { q.stop() }
       } finally s.conf.set("spark.sql.shuffle.partitions", saved)
-      try { q.processAllAvailable() } finally { q.stop() }
       s.table(name).orderBy(col("click_id"), col("purchase_id"))
     },
 
@@ -328,11 +331,11 @@ object StreamingQueries {
       val joined = outerClickPurchaseJoin(side(), side())
       val saved = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = try {
-        joined.select(col("click_id"), col("purchase_id"), col("user_id"))
+      try { // restore only after full stop (see runToTable note)
+        val q = joined.select(col("click_id"), col("purchase_id"), col("user_id"))
           .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try { q.processAllAvailable() } finally { q.stop() }
       } finally s.conf.set("spark.sql.shuffle.partitions", saved)
-      try { q.processAllAvailable() } finally { q.stop() }
       s.table(name)
         .filter(col("user_id") >= 0) // sentinel pair, post-materialization
         .orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
@@ -484,20 +487,43 @@ object StreamingQueries {
          |FROM events
          |GROUP BY event_type
          |ORDER BY event_type""") { (s, d) =>
-      val mvDir = "/tmp/graft-mv-" + math.abs(d.hashCode).toString
+      val mvDir = "/tmp/graft-mv-" + datasetFingerprint(d)
       val agg = eventsStream(s, d)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"), expr(decSum("value")).as("val_sum"))
-      val saved = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = try {
-        agg.writeStream.outputMode("complete")
-          .foreachBatch { (snapshot: DataFrame, _: Long) =>
-            snapshot.coalesce(1).write.mode("overwrite").parquet(mvDir)
-          }.start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      // ATOMIC refresh: each snapshot lands in its own epoch directory,
+      // then a pointer file is swapped via ATOMIC_MOVE — a concurrent
+      // reader always resolves either the previous or the new complete
+      // snapshot, never a half-written table (a bare
+      // mode("overwrite").parquet(dir) deletes-then-rewrites the dir, so
+      // it cannot make that promise). Old epochs are removed only after
+      // the pointer has moved on.
+      val q = agg.writeStream.outputMode("complete")
+        .foreachBatch { (snapshot: DataFrame, epoch: Long) =>
+          val epochDir = s"$mvDir/epoch-$epoch"
+          snapshot.coalesce(1).write.mode("overwrite").parquet(epochDir)
+          val ptr = java.nio.file.Paths.get(mvDir, "_LATEST")
+          val tmp = java.nio.file.Paths.get(mvDir, s"_LATEST.tmp-$epoch")
+          java.nio.file.Files.write(tmp, s"epoch-$epoch".getBytes("UTF-8"))
+          java.nio.file.Files.move(tmp, ptr,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // retire superseded epochs (pointer already moved past them)
+          val root = java.nio.file.Paths.get(mvDir)
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(root).iterator().asScala
+            .filter(p => p.getFileName.toString.startsWith("epoch-") &&
+              p.getFileName.toString != s"epoch-$epoch")
+            .foreach { p =>
+              java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+                .foreach(f => try java.nio.file.Files.delete(f)
+                catch { case _: Throwable => () })
+            }
+        }.start()
       try { q.processAllAvailable() } finally { q.stop() }
-      s.read.parquet(mvDir)
+      val latest = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(mvDir, "_LATEST")), "UTF-8").trim
+      s.read.parquet(s"$mvDir/$latest")
         .select(col("event_type"), col("cnt"), col("val_sum"))
         .orderBy(col("event_type"))
     },
@@ -513,11 +539,11 @@ object StreamingQueries {
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       val saved = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = try {
-        funnelStream(s, src).writeStream
+      try { // restore only after full stop (see runToTable note)
+        val q = funnelStream(s, src).writeStream
           .format("memory").queryName(name).outputMode("update").start()
+        try { q.processAllAvailable() } finally { q.stop() }
       } finally s.conf.set("spark.sql.shuffle.partitions", saved)
-      try { q.processAllAvailable() } finally { q.stop() }
       // Update mode emits one snapshot per touched user per batch; the
       // slots are monotone (set once, never cleared) so max() recovers
       // the final state of each user.
@@ -532,14 +558,42 @@ object StreamingQueries {
         .orderBy("step")
     })
 
+  /** Staging key for dataset `d`: md5 over the ABSOLUTE PATH plus the
+    * events table's (size, mtime). Path-distinct datasets can never
+    * collide (the old 32-bit hashCode could), and regenerating a fixture
+    * in place changes the fingerprint — staged replay dirs and MV dirs
+    * go stale-proof instead of silently replaying old data behind a
+    * one-shot _STAGED marker. */
+  private def datasetFingerprint(d: String): String = {
+    import java.nio.file.{Files, Paths}
+    val ev = Paths.get(d, "events.parquet")
+    val stamp =
+      if (Files.exists(ev)) {
+        // a parquet "file" may be a directory of parts: fold their stats
+        val all = Files.walk(ev).iterator()
+        var size = 0L; var mtime = 0L
+        all.forEachRemaining { p =>
+          if (Files.isRegularFile(p)) {
+            size += Files.size(p)
+            mtime = math.max(mtime, Files.getLastModifiedTime(p).toMillis)
+          }
+        }
+        s"$size-$mtime"
+      } else "absent"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d|$stamp".getBytes("UTF-8"))
+    md.take(8).map(b => f"$b%02x").mkString
+  }
+
   /** Events staged as 4 time-quartile parquet files with ascending
     * mtimes, so maxFilesPerTrigger=1 replays them in event-time order —
     * the arrival discipline an ordered log (Kafka partition, resync
-    * replay) provides in production. Staged once per sf dir; the ntile
-    * global sort is harness-side staging cost, not operator cost. */
+    * replay) provides in production. Staged once per dataset
+    * fingerprint; the ntile global sort is harness-side staging cost,
+    * not operator cost. */
   private def timeOrderedReplayDir(s: SparkSession, d: String): String = {
     import java.nio.file.{Files, Paths}
-    val dir = Paths.get("/tmp/graft-tqreplay-" + math.abs(d.hashCode).toString)
+    val dir = Paths.get("/tmp/graft-tqreplay-" + datasetFingerprint(d))
     val done = dir.resolve("_STAGED")
     if (!Files.exists(done)) {
       Files.createDirectories(dir)

@@ -25,16 +25,20 @@ import scala.jdk.CollectionConverters._
   * "Resync allows to catch up"): at-least-once, with D1 dedup downstream
   * absorbing re-delivery, exactly like the reference's contract.
   *
-  * The watch client is pluggable. This build ships [[FileWatchClient]]
-  * (NDJSON file of watch records — offline-testable, and the shape a
-  * fixture replay needs); a live client would wrap the K8s watch API with
-  * the same three calls (latestRv / fetch range / nothing else) and drops
-  * in via the `client` option. No cluster access exists in this
-  * environment, so the live client is intentionally absent — not stubbed
-  * with dead code.
+  * The watch client is pluggable, two ship:
+  *  - [[FileWatchClient]] (`option("path", file)`) — NDJSON watch-record
+  *    replay, offline-testable, the fixture shape;
+  *  - [[HttpWatchClient]] (`option("endpoint", "https://apiserver")`,
+  *    optional `token` / `namespace` options) — the LIVE path against
+  *    the Kubernetes LIST+WATCH API (the reference's informer role,
+  *    main.go:88-90). The client buffers on the driver; partitions carry
+  *    their planned slice (the socket/rate-source pattern — correct for
+  *    event volumes, which are control-plane-scale, not data-scale).
   *
   * Usage: spark.readStream.format("graft.sources.k8s.K8sEventSource")
-  *          .option("path", watchFile).load()
+  *          .option("path", watchFile).load()            // replay
+  *        spark.readStream.format("graft.sources.k8s.K8sEventSource")
+  *          .option("endpoint", apiServerUrl).load()     // live
   */
 class K8sEventSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -44,9 +48,14 @@ class K8sEventSource extends TableProvider {
     // Fail at source construction, not with an NPE from Paths.get deep
     // inside the first poll.
     val path = properties.get("path")
-    require(path != null && path.nonEmpty,
-      "K8sEventSource requires .option(\"path\", <watch file>)")
-    new K8sEventTable(path)
+    val endpoint = properties.get("endpoint")
+    require((path != null && path.nonEmpty) ||
+      (endpoint != null && endpoint.nonEmpty),
+      "K8sEventSource requires .option(\"path\", <watch file>) or " +
+        ".option(\"endpoint\", <api-server url>)")
+    new K8sEventTable(path, endpoint,
+      Option(properties.get("token")).filter(_.nonEmpty),
+      Option(properties.get("namespace")).filter(_.nonEmpty))
   }
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -57,8 +66,12 @@ object K8sEventSource {
   val schema: StructType = Encoders.product[KubeEvent].schema
 }
 
-private[k8s] class K8sEventTable(path: String) extends Table with SupportsRead {
-  override def name(): String = s"k8s_events($path)"
+private[k8s] class K8sEventTable(path: String, endpoint: String,
+    token: Option[String], namespace: Option[String])
+    extends Table with SupportsRead {
+  override def name(): String =
+    if (endpoint != null && endpoint.nonEmpty) s"k8s_events($endpoint)"
+    else s"k8s_events($path)"
   override def schema(): StructType = K8sEventSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ).asJava
@@ -67,7 +80,9 @@ private[k8s] class K8sEventTable(path: String) extends Table with SupportsRead {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = K8sEventSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new K8sMicroBatchStream(path)
+          if (endpoint != null && endpoint.nonEmpty)
+            new K8sHttpMicroBatchStream(endpoint, token, namespace)
+          else new K8sMicroBatchStream(path)
       }
     }
 }
@@ -99,6 +114,46 @@ private[k8s] object K8sReaderFactory extends PartitionReaderFactory {
       private val serializer =
         ExpressionEncoder[KubeEvent]().createSerializer()
       private val it = FileWatchClient.fetch(p.path, p.fromRv, p.toRv).iterator
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = serializer(it.next()).copy(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Live micro-batch stream over [[HttpWatchClient]]. The client (and its
+  * watch thread + buffer) lives on the DRIVER where latestOffset runs;
+  * each planned partition carries its event slice to the executor (the
+  * socket-source pattern — a v1.Event feed is control-plane volume, and
+  * the slice is one micro-batch, not history). Offset commit trims the
+  * buffer, so memory holds only the uncommitted replay window. */
+private[k8s] class K8sHttpMicroBatchStream(endpoint: String,
+    token: Option[String], namespace: Option[String]) extends MicroBatchStream {
+  private val client = new HttpWatchClient(endpoint, token, namespace)
+  override def initialOffset(): Offset = K8sOffset(0L)
+  override def latestOffset(): Offset = K8sOffset(client.latestRv())
+  override def deserializeOffset(json: String): Offset = K8sOffset(json.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    Array(K8sBufferPartition(client.fetch(
+      start.asInstanceOf[K8sOffset].rv, end.asInstanceOf[K8sOffset].rv)))
+  override def createReaderFactory(): PartitionReaderFactory = K8sBufferReaderFactory
+  override def commit(end: Offset): Unit =
+    client.trimCommitted(end.asInstanceOf[K8sOffset].rv)
+  override def stop(): Unit = client.close()
+}
+
+private[k8s] case class K8sBufferPartition(events: Seq[KubeEvent])
+  extends InputPartition
+
+private[k8s] object K8sBufferReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[K8sBufferPartition]
+    new PartitionReader[InternalRow] {
+      private val serializer =
+        ExpressionEncoder[KubeEvent]().createSerializer()
+      private val it = p.events.iterator
       private var current: InternalRow = _
       override def next(): Boolean =
         if (it.hasNext) { current = serializer(it.next()).copy(); true } else false

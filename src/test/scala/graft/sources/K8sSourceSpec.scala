@@ -70,4 +70,131 @@ class K8sSourceSpec extends SparkSpec {
         Timestamp.valueOf("2024-01-01 10:00:00"))
     } finally q.stop()
   }
+
+  // ------------------------- live HTTP watch client (S1/S2 live mode) --
+
+  /** v1.Event JSON as the API server serves it. */
+  private def eventJson(rv: Long, uid: String, reason: String = "Scheduled"): String =
+    s"""{"metadata":{"uid":"$uid","resourceVersion":"$rv","name":"$uid",
+       |  "namespace":"default","creationTimestamp":"2024-01-01T09:59:00Z"},
+       | "involvedObject":{"apiVersion":"v1","kind":"Pod","name":"p",
+       |  "namespace":"default","resourceVersion":"1","uid":"o-$uid"},
+       | "reason":"$reason","message":"m-$uid","type":"Normal","count":1,
+       | "lastTimestamp":"2024-01-01T10:00:00Z",
+       | "source":{"component":"kubelet","host":"n1"}}""".stripMargin
+      .replaceAll("\n\\s*", "")
+
+  /** Minimal API-server stub: LIST returns the current store; WATCH
+    * streams everything above the requested rv, then closes (the client's
+    * resync loop re-connects — exactly the behavior under test). */
+  private class StubApiServer {
+    val store = new java.util.concurrent.ConcurrentSkipListMap[Long, String]()
+    val authSeen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    private val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/api/v1/events", { ex =>
+      authSeen.add(Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse(""))
+      val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+      import scala.jdk.CollectionConverters._
+      if (query.contains("watch=true")) {
+        val fromRv = query.split("&").collectFirst {
+          case kv if kv.startsWith("resourceVersion=") =>
+            kv.substring("resourceVersion=".length).toLong
+        }.getOrElse(0L)
+        val lines = store.tailMap(fromRv, false).values.asScala
+          .map(j => s"""{"type":"ADDED","object":$j}""").mkString("\n")
+        val body = (if (lines.isEmpty) "" else lines + "\n").getBytes("UTF-8")
+        ex.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length)
+        if (body.nonEmpty) ex.getResponseBody.write(body)
+        ex.close()
+      } else {
+        val maxRv = if (store.isEmpty) 0L else store.lastKey()
+        val body =
+          s"""{"kind":"EventList","metadata":{"resourceVersion":"$maxRv"},
+             |"items":[${store.values.asScala.mkString(",")}]}""".stripMargin
+            .getBytes("UTF-8")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+        ex.close()
+      }
+    })
+    srv.start()
+    def url: String = s"http://127.0.0.1:${srv.getAddress.getPort}"
+    def put(rv: Long, uid: String): Unit = store.put(rv, eventJson(rv, uid))
+    def stop(): Unit = srv.stop(0)
+  }
+
+  private def awaitTrue(timeoutMs: Long)(cond: => Boolean): Boolean = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (!cond && System.nanoTime() < deadline) Thread.sleep(25)
+    cond
+  }
+
+  test("HttpWatchClient: LIST seeds, WATCH streams, resync catches up, " +
+    "fetch slices by rv, bearer token rides every request") {
+    val srv = new StubApiServer
+    srv.put(1, "a"); srv.put(2, "b")
+    val client = new graft.sources.k8s.HttpWatchClient(srv.url,
+      token = Some("tok-1"), resyncBackoffMs = 50)
+    try {
+      assert(awaitTrue(10000)(client.latestRv() == 2L),
+        s"LIST+WATCH should reach rv=2, got ${client.latestRv()}")
+      // appended event arrives via a later watch/resync cycle
+      srv.put(5, "c")
+      assert(awaitTrue(10000)(client.latestRv() == 5L))
+      val all = client.fetch(0, 5)
+      assert(all.map(_.uid) == Seq("a", "b", "c"))
+      assert(all.head.involvedObject.kind == "Pod")
+      assert(all.head.creationTimestamp ==
+        Timestamp.from(java.time.Instant.parse("2024-01-01T10:00:00Z")))
+      // range semantics: (fromRv, toRv]
+      assert(client.fetch(2, 5).map(_.uid) == Seq("c"))
+      // commit-trim drops only what is durably past
+      client.trimCommitted(2)
+      assert(client.fetch(0, 5).map(_.uid) == Seq("c"))
+      assert(srv.authSeen.peek() == "Bearer tok-1")
+    } finally { client.close(); srv.stop() }
+  }
+
+  test("decodeEvent: unusable records (no uid / non-numeric rv) are skipped," +
+    " absent count maps to None") {
+    val srv = new StubApiServer
+    val client = new graft.sources.k8s.HttpWatchClient(srv.url,
+      resyncBackoffMs = 60000) // park the loop; we only use decodeEvent
+    try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      assert(client.decodeEvent(m.readTree(eventJson(3, "ok"))).exists(_._1 == 3L))
+      assert(client.decodeEvent(m.readTree(
+        """{"metadata":{"resourceVersion":"4"}}""")).isEmpty)
+      assert(client.decodeEvent(m.readTree(
+        """{"metadata":{"uid":"u","resourceVersion":"abc123xyz"}}""")).isEmpty)
+      val noCount = eventJson(6, "nc").replace(""","count":1""", "")
+      assert(client.decodeEvent(m.readTree(noCount)).exists(_._2.count.isEmpty))
+    } finally { client.close(); srv.stop() }
+  }
+
+  test("end-to-end: readStream over the live endpoint lands events in the sink") {
+    val srv = new StubApiServer
+    srv.put(1, "e1"); srv.put(2, "e2")
+    val q = spark.readStream
+      .format(classOf[K8sEventSource].getName)
+      .option("endpoint", srv.url)
+      .load()
+      .writeStream.format("memory").queryName("k8slive")
+      .start()
+    try {
+      assert(awaitTrue(30000) {
+        q.processAllAvailable()
+        spark.table("k8slive").count() == 2L
+      }, "both listed events should land")
+      srv.put(7, "e3") // arrives via watch/resync, next micro-batch picks it up
+      assert(awaitTrue(30000) {
+        q.processAllAvailable()
+        spark.table("k8slive").count() == 3L
+      }, "appended event should land after resync")
+      val uids = spark.table("k8slive").select("uid")
+        .collect().map(_.getString(0)).sorted
+      assert(uids.toSeq == Seq("e1", "e2", "e3"))
+    } finally { q.stop(); srv.stop() }
+  }
 }
