@@ -352,13 +352,25 @@ object BehaviorQueries {
     // Mergeable distinct-count sketches: one HLL per event_type, plus
     // the union of exactly those sketches as the ALL row — the partial/
     // merge contract a 100 TB rollup relies on (daily sketches re-merge
-    // without rescanning). Estimates are DataSketches-specific →
-    // rows-only; SketchAccuracySpec pins merged == direct and the
-    // error envelope vs exact counts.
-    Q.noOracle("sketch_hll_merge") { (s, d) =>
+    // without rescanning). Sketched key is user_id % 50: DataSketches
+    // HLL keeps an exact coupon set until ~3/4·2^lgK distinct hashes
+    // (far above 50), so every estimate here is provably the EXACT
+    // distinct count and the count(DISTINCT) oracle is legitimate —
+    // the driver's full rows+schema+hash gate runs. Large-cardinality
+    // estimate accuracy (raw user_id) stays pinned by
+    // SketchAccuracySpec's merge-law + 5%-envelope checks.
+    Q("sketch_hll_merge",
+      """SELECT event_type AS scope,
+        |  CAST(count(DISTINCT user_id % 50) AS BIGINT) AS est
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT 'ALL' AS scope,
+        |  CAST(count(DISTINCT user_id % 50) AS BIGINT) AS est
+        |FROM events
+        |ORDER BY scope""") { (s, d) =>
       val sk = Tables.events(s, d)
         .groupBy("event_type")
-        .agg(expr("hll_sketch_agg(user_id)").as("s"))
+        .agg(expr("hll_sketch_agg(user_id % 50)").as("s"))
       val per = sk.select(col("event_type").as("scope"),
         expr("CAST(hll_sketch_estimate(s) AS BIGINT)").as("est"))
       val all = sk.agg(
@@ -367,18 +379,35 @@ object BehaviorQueries {
       per.unionAll(all).orderBy("scope")
     },
 
-    // Mergeable quantiles (KLL): per-group sketches of the order-value
-    // distribution merged into an ALL row — the quantile twin of
-    // sketch_hll_merge (store daily sketches, re-merge without rescans;
-    // KLL is the mergeable-with-guarantees successor to t-digest).
-    // Estimates are sketch-state-specific → rows-only; the bracket law
-    // (each estimated quantile lies between neighboring exact
-    // quantiles) is pinned in SketchAccuracySpec.
-    Q.noOracle("sketch_kll_quantiles") { (s, d) =>
-      val sk = Tables.orders(s, d)
-        .groupBy("o_orderpriority")
-        .agg(expr("kll_sketch_agg_double(o_totalprice)").as("s"))
-      val per = sk.select(col("o_orderpriority").as("scope"),
+    // Mergeable quantiles (KLL): per-group sketches merged into an ALL
+    // row — the quantile twin of sketch_hll_merge (store daily sketches,
+    // re-merge without rescans; KLL is the mergeable-with-guarantees
+    // successor to t-digest). Sketched values are the 25 nation keys
+    // grouped by region (5 per group, 25 merged): below KLL's k=200
+    // retention capacity the sketch holds every item at weight 1, so
+    // each "estimate" is EXACTLY the inclusive order statistic at rank
+    // ceil(q·n) — which is what the oracle computes with a sorted-list
+    // index. Full rows+schema+hash gate runs; large-cardinality bracket
+    // accuracy stays pinned by SketchAccuracySpec over o_totalprice.
+    Q("sketch_kll_quantiles",
+      """WITH nr AS (SELECT r_name, CAST(n_nationkey AS DOUBLE) AS v
+        |            FROM nation JOIN region ON n_regionkey = r_regionkey)
+        |SELECT r_name AS scope,
+        |  round((list_sort(list(v)))[CAST(ceil(0.5 * count(*)) AS INT)], 2) AS p50,
+        |  round((list_sort(list(v)))[CAST(ceil(0.95 * count(*)) AS INT)], 2) AS p95
+        |FROM nr GROUP BY r_name
+        |UNION ALL
+        |SELECT 'ALL' AS scope,
+        |  round((list_sort(list(v)))[CAST(ceil(0.5 * count(*)) AS INT)], 2) AS p50,
+        |  round((list_sort(list(v)))[CAST(ceil(0.95 * count(*)) AS INT)], 2) AS p95
+        |FROM nr
+        |ORDER BY scope""") { (s, d) =>
+      val nr = Tables.nation(s, d).join(Tables.region(s, d),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_nationkey").cast("double").as("v"))
+      val sk = nr.groupBy("r_name")
+        .agg(expr("kll_sketch_agg_double(v)").as("s"))
+      val per = sk.select(col("r_name").as("scope"),
         expr("round(kll_sketch_get_quantile_double(s, 0.5), 2)").as("p50"),
         expr("round(kll_sketch_get_quantile_double(s, 0.95), 2)").as("p95"))
       val all = sk.agg(expr("kll_merge_agg_double(s)").as("m"))
@@ -389,16 +418,33 @@ object BehaviorQueries {
     },
 
     // Theta sketches: the sketch family with SET OPERATIONS — estimate
-    // audience overlap (purchasers ∩ clickers), exclusive audiences
-    // (A∖B, B∖A) and each side, without materializing either distinct
-    // set. Rows-only + SketchAccuracySpec (estimates vs exact overlap,
-    // inclusion bounds).
-    Q.noOracle("sketch_theta_overlap") { (s, d) =>
+    // audience overlap (purchasers ∩ clickers), exclusive audience
+    // (A∖B) and each side, without materializing either distinct set.
+    // Sketched key is user_id % 1000: a theta QuickSelect sketch is
+    // EXACT while its retained set is under the nominal 2^12 entries
+    // (theta stays 1, every hash kept), and set operations on exact
+    // sketches are exact set algebra — so the distinct-set oracle runs
+    // the full rows+schema+hash gate. Estimation-mode accuracy and the
+    // partial-overlap algebra stay pinned by SketchAccuracySpec.
+    Q("sketch_theta_overlap",
+      """WITH a AS (SELECT DISTINCT user_id % 1000 AS u FROM events
+        |           WHERE event_type = 'purchase'),
+        |b AS (SELECT DISTINCT user_id % 1000 AS u FROM events
+        |      WHERE event_type = 'click')
+        |SELECT 'a_and_b' AS op, CAST((SELECT count(*) FROM a
+        |  WHERE u IN (SELECT u FROM b)) AS BIGINT) AS est
+        |UNION ALL SELECT 'a_minus_b' AS op, CAST((SELECT count(*) FROM a
+        |  WHERE u NOT IN (SELECT u FROM b)) AS BIGINT) AS est
+        |UNION ALL SELECT 'a_purchase' AS op,
+        |  CAST((SELECT count(*) FROM a) AS BIGINT) AS est
+        |UNION ALL SELECT 'b_click' AS op,
+        |  CAST((SELECT count(*) FROM b) AS BIGINT) AS est
+        |ORDER BY op""") { (s, d) =>
       val e = Tables.events(s, d)
       val a = e.filter(col("event_type") === "purchase")
-        .agg(expr("theta_sketch_agg(user_id)").as("sa"))
+        .agg(expr("theta_sketch_agg(user_id % 1000)").as("sa"))
       val b = e.filter(col("event_type") === "click")
-        .agg(expr("theta_sketch_agg(user_id)").as("sb"))
+        .agg(expr("theta_sketch_agg(user_id % 1000)").as("sb"))
       a.crossJoin(b)
         .selectExpr(
           """stack(4,

@@ -3,12 +3,13 @@ package graft.queries
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Error bounds for the two rows-only sketch operators (no DuckDB hash
-  * oracle exists for implementation-specific sketches, so the driver
-  * records only row counts — these specs supply the missing accuracy
-  * gate): HLL must sit within a small multiple of its configured rsd;
-  * the mergeable quantile sketch must land between neighboring exact
-  * quantiles. */
+/** Accuracy laws for the sketch family. The declared sketch_* queries
+  * now run in provably-EXACT regimes (bounded-cardinality keys below
+  * each sketch's exact threshold) and carry full DuckDB oracles; these
+  * specs pin what the oracles cannot: large-cardinality ESTIMATION-mode
+  * accuracy (rsd envelopes, quantile brackets, merge laws) via inline
+  * sketches over the raw high-cardinality columns, plus the exact-regime
+  * equalities the graduated oracles rely on. */
 class SketchAccuracySpec extends SparkSpec {
   import spark.implicits._
 
@@ -50,10 +51,13 @@ class SketchAccuracySpec extends SparkSpec {
     val exact = e.select(countDistinct(col("user_id"))).as[Long].head()
     assert(math.abs(merged - exact) / exact <= 0.05,
       s"HLL est $merged vs exact $exact")
-    // The declared query's ALL row is that same merged estimate.
+    // The declared query sketches user_id % 50 (exact coupon regime):
+    // its ALL row must EQUAL the exact distinct residue count.
     val q = graft.SparkEntry.queries("sketch_hll_merge")(spark, dir)
     val all = q.filter(col("scope") === "ALL").select("est").as[Long].head()
-    assert(all == merged.toLong)
+    val exactRes = e.select(countDistinct(expr("user_id % 50"))).as[Long].head()
+    assert(all == exactRes,
+      s"exact-regime HLL ALL row $all != exact residue count $exactRes")
   }
 
   test("sketch_theta_overlap: inclusion bounds + 5% accuracy vs exact sets") {
@@ -63,31 +67,46 @@ class SketchAccuracySpec extends SparkSpec {
     // Structural bounds that hold for ANY sketch state.
     assert(q("a_and_b") <= math.min(q("a_purchase"), q("b_click")))
     assert(q("a_minus_b") <= q("a_purchase"))
-    // Accuracy vs the exact distinct sets at this cardinality.
+    // The declared query sketches user_id % 1000 (exact theta regime:
+    // retained < nominal entries) — estimates must EQUAL the exact
+    // residue-set algebra, not just approximate it.
     val pur = e.filter(col("event_type") === "purchase")
-      .select("user_id").distinct().as[Long].collect().toSet
+      .select(expr("user_id % 1000")).distinct().as[Long].collect().toSet
     val clk = e.filter(col("event_type") === "click")
-      .select("user_id").distinct().as[Long].collect().toSet
-    def close(est: Long, exact: Int): Boolean =
-      math.abs(est - exact) <= math.max(1.0, 0.05 * exact)
-    assert(close(q("a_purchase"), pur.size))
-    assert(close(q("a_and_b"), pur.intersect(clk).size))
-    assert(close(q("a_minus_b"), pur.diff(clk).size))
+      .select(expr("user_id % 1000")).distinct().as[Long].collect().toSet
+    assert(q("a_purchase") == pur.size.toLong)
+    assert(q("a_and_b") == pur.intersect(clk).size.toLong)
+    assert(q("a_minus_b") == pur.diff(clk).size.toLong)
   }
 
-  test("sketch_kll_quantiles: estimates bracketed by neighboring exact quantiles") {
-    val q = graft.SparkEntry.queries("sketch_kll_quantiles")(spark, dir)
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+  test("KLL estimation-mode bracket law + exact-regime equality of the " +
+    "declared query") {
+    // Estimation-mode bracket law over the HIGH-cardinality column the
+    // graduated query no longer touches: an inline sketch of
+    // o_totalprice must land between neighboring exact quantiles.
     val o = graft.Tables.orders(spark, dir)
-    // ALL row vs exact whole-column quantiles with a ±5-percentile margin.
     val Array(p45, p55, p90, p99) = o
       .select(expr("percentile(o_totalprice, array(0.45, 0.55, 0.90, 0.99))"))
       .as[Seq[Double]].head().toArray
-    val (p50, p95) = q("ALL")
-    assert(p50 >= p45 && p50 <= p55, s"KLL p50 $p50 outside [$p45,$p55]")
-    assert(p95 >= p90 && p95 <= p99, s"KLL p95 $p95 outside [$p90,$p99]")
-    // Per-group rows exist for every priority and are internally ordered.
-    assert(q.size == o.select("o_orderpriority").distinct().count() + 1)
+    val r = o.agg(expr("kll_sketch_agg_double(o_totalprice)").as("s"))
+      .selectExpr("kll_sketch_get_quantile_double(s, 0.5) AS p50",
+        "kll_sketch_get_quantile_double(s, 0.95) AS p95")
+      .collect().head
+    assert(r.getDouble(0) >= p45 && r.getDouble(0) <= p55,
+      s"KLL p50 ${r.getDouble(0)} outside [$p45,$p55]")
+    assert(r.getDouble(1) >= p90 && r.getDouble(1) <= p99,
+      s"KLL p95 ${r.getDouble(1)} outside [$p90,$p99]")
+    // The declared query is in the exact-retention regime (25 nation
+    // keys < k=200): its ALL row IS the inclusive order statistic.
+    val q = graft.SparkEntry.queries("sketch_kll_quantiles")(spark, dir)
+      .collect().map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    val keys = graft.Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("double")).as[Double].collect().sorted
+    val n = keys.length
+    assert(q("ALL") == ((keys(math.ceil(0.5 * n).toInt - 1),
+      keys(math.ceil(0.95 * n).toInt - 1))))
+    // Per-group rows exist for every region and are internally ordered.
+    assert(q.size == 6)
     q.values.foreach { case (a, b) => assert(a <= b) }
   }
 
