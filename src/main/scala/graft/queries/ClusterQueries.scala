@@ -34,9 +34,13 @@ object ClusterQueries {
     * CC formulations resolve. Returned persisted + materialized (the
     * signature relation it self-joins is released here); the caller owns
     * unpersisting the result once its own derivation is materialized. */
-  private def candidateEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val h = minhashSigs(s, d)
-      .persist(StorageLevel.MEMORY_AND_DISK) // self-joined below
+  private def candidateEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    candidateEdgesOf(minhashSigs(s, d))
+
+  /** Same candidate cut over an arbitrary signature frame — the skew
+    * exemplar plants its own document relation through here. */
+  private def candidateEdgesOf(sigs: DataFrame): DataFrame = {
+    val h = sigs.persist(StorageLevel.MEMORY_AND_DISK) // self-joined below
     val e = h.as("a").join(h.as("b"),
         col("a.seed") === col("b.seed") && col("a.mh") === col("b.mh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -110,10 +114,15 @@ object ClusterQueries {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[cc2] round $rounds fp=$cur")
     }
+    lastStarRounds.set(rounds) // observable by the skew-stress spec
     // Fixpoint = disjoint stars centered at each component's min:
     // every member carries exactly the edge (member, center).
     edges.groupBy(col("u").as("doc_id")).agg(min(col("v")).as("rep"))
   }
+
+  /** Rounds the most recent starLabels invocation took to converge —
+    * the O(log n) contraction bound made checkable by the skew spec. */
+  private[queries] val lastStarRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
 
   /** Shared result tail: converged (doc_id, rep) labels over the
     * edge-touched vertex set, completed over the full id universe
@@ -160,6 +169,37 @@ object ClusterQueries {
        |  CAST(count(*) AS BIGINT) AS n_reachable
        |FROM reach GROUP BY u
        |ORDER BY doc_id""".stripMargin
+
+  /** The planted-hot-band document relation (skew exemplar): every 10th
+    * doc becomes base-text + its own id token. One definition, two
+    * dialects — the Spark frame and the oracle CTE must plant the
+    * identical relation. */
+  private val skewBaseText =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+
+  private[queries] def plantedDocs(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 10 === 0,
+        concat(lit(skewBaseText + " "), col("doc_id").cast("string")))
+        .otherwise(col("text")).as("text"))
+
+  /** ccOracleSql re-rooted at the planted CTE: the shingle source and
+    * the closure's vertex seed both read docs_planted instead of the
+    * raw table — the textual substitution is safe because `documents`
+    * appears in the oracle ONLY as a FROM target. */
+  private val skewOracleSql: String = {
+    val planted =
+      s"""docs_planted AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 10 = 0
+         |       THEN '$skewBaseText ' || CAST(doc_id AS VARCHAR)
+         |       ELSE text END AS text
+         |  FROM documents)""".stripMargin
+    "WITH RECURSIVE\n" + planted + ",\n" +
+      ccOracleSql.replace("WITH RECURSIVE\n", "")
+        .replace("FROM documents", "FROM docs_planted")
+  }
 
   def all: Seq[Q] = Seq(
 
@@ -276,6 +316,31 @@ object ClusterQueries {
         .localCheckpoint(true)
       e0.unpersist(blocking = false)
       labelsToResult(s, d, starLabels(edges))
+      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    },
+
+    // SKEW STRESS for the LSH+CC family: every 10th document is
+    // replaced by a shared 20-token base text plus a per-doc suffix —
+    // at sf0.1 that is a planted ~500-member near-dup cluster whose
+    // signatures pile into a handful of HOT (seed, mh) band buckets,
+    // the worst-case skew an organic corpus throws at the band
+    // equi-join (boilerplate pages, templated spam). The operator must
+    // hold its shape: the candidate cut stays a band-bucket self-join
+    // (quadratic only within the planted cluster, never corpus-wide)
+    // and the star contraction still converges in O(log n) rounds on
+    // the resulting giant star (round count pinned by
+    // ClusterQueriesSpec). The oracle reaches the same labeling by
+    // recursive closure over the identically-planted relation.
+    Q("dedup_cluster_cc_skew", skewOracleSql) { (s, d) =>
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val e0 = candidateEdgesOf(
+          TextQueries.minhashSigsArrayOf(plantedDocs(s, d)))
+        val edges = e0.select(col("v").as("u"), col("u").as("v"))
+          .localCheckpoint(true)
+        e0.unpersist(blocking = false)
+        labelsToResult(s, d, starLabels(edges))
       } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
     },
 

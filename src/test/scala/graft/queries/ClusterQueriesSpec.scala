@@ -57,4 +57,29 @@ class ClusterQueriesSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
     assert(a.forall { case (_, rep, n) => rep == 1L && n == 8L })
   }
+
+  test("skew stress: a planted ~10% hot-band cluster resolves to one rep " +
+    "and star contraction still converges in O(log n) rounds") {
+    // Real corpus (500 docs at sf0.01) with every 10th doc replaced by a
+    // shared base text — the planted giant component funnels ~50 docs
+    // into the same LSH band buckets, the worst-case band skew.
+    val out = SparkEntry.queries("dedup_cluster_cc_skew")(spark,
+      "/root/testdata/sf0.01")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val planted = out.keys.filter(_ % 10 == 0).toSeq
+    assert(planted.size == 50)
+    // Every planted doc must reach the hub's min id (0): the suffix-only
+    // difference leaves ≥1 of 8 bands agreeing with overwhelming margin,
+    // and the contraction must carry the label across the whole star.
+    assert(planted.forall(id => out(id)._1 == 0L),
+      s"planted docs escaping the cluster: ${planted.filterNot(id => out(id)._1 == 0L).take(5)}")
+    assert(out(0L)._2 >= 50L, s"hub component size ${out(0L)._2} < 50")
+    // The giant star must not degrade convergence: large-star/small-star
+    // guarantees O(log n); a near-clique collapses in a handful of
+    // rounds. 8 is log2(50)+margin — a quadratic or stalled contraction
+    // blows straight past it (cap is 50).
+    val rounds = ClusterQueries.lastStarRounds.get()
+    assert(rounds >= 1 && rounds <= 8,
+      s"star contraction took $rounds rounds on the planted hot band")
+  }
 }
