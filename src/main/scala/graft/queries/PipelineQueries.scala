@@ -19,6 +19,69 @@ object PipelineQueries {
 
   def all: Seq[Q] = Seq(
 
+    // Per-source quota sampling (source mixing): cap each source's
+    // contribution at 10 documents, chosen in deterministic md5 order —
+    // the "domain quota" pass every web-scale corpus applies so no
+    // single crawl bucket dominates the mixture. One window shuffle
+    // keyed by source; at 100 TB the same plan (the quota cut happens
+    // inside the per-source sort, nothing global). md5(doc_id) is the
+    // engine-portable deterministic shuffle both samplers already use.
+    Q("sample_cap_per_source",
+      """SELECT source, doc_id
+        |FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 10
+        |ORDER BY source, doc_id""") { (s, d) =>
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 10)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+
+    // Winsorization: clamp a value column to its per-group [p05, p95]
+    // band — the outlier-capping pass robust feature pipelines apply
+    // before normalization. Percentile bounds come from ONE exact-
+    // percentile aggregation over the fact scan (at 100 TB: swap in the
+    // mergeable approx_percentile, same join shape); the tiny per-group
+    // bounds relation broadcast-joins back and the clamp is a pure map.
+    // Decimal-quantized sums keep both engines' averages bit-identical.
+    Q("text_winsorize",
+      """WITH b AS (SELECT event_type,
+        |    quantile_cont("value", 0.05) AS p05,
+        |    quantile_cont("value", 0.95) AS p95
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN e."value" < b.p05 OR e."value" > b.p95
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+        |  round(CAST(sum(CAST(e."value" AS DECIMAL(18,4))) AS DOUBLE)
+        |        / count(*), 4) AS avg_raw,
+        |  round(CAST(sum(CAST(least(greatest(e."value", b.p05), b.p95)
+        |        AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_capped
+        |FROM events e JOIN b ON e.event_type = b.event_type
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""") { (s, d) =>
+      val e = Tables.events(s, d)
+      val b = e.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.05)").as("p05"),
+          expr("percentile(value, 0.95)").as("p95"))
+      e.join(broadcast(b), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("p05") ||
+            col("value") > col("p95"), 1).otherwise(0)).as("n_capped"),
+          round(expr("CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)") /
+            count(lit(1)), 4).as("avg_raw"),
+          round(expr(
+            """CAST(sum(CAST(least(greatest(value, p05), p95)
+              |AS DECIMAL(18,4))) AS DOUBLE)""".stripMargin) /
+            count(lit(1)), 4).as("avg_capped"))
+        .orderBy(col("event_type"))
+    },
+
     // Inverted-index build (term → posting list) — the search-index side
     // of a corpus pipeline. One tokenize pass; (term, doc) dedup and the
     // posting aggregation are the same keyed shuffle. Posting lists are

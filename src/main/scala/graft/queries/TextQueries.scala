@@ -361,6 +361,73 @@ object TextQueries {
         .orderBy(col("doc_id"), col("seed"))
     },
 
+    // BANDED MinHash LSH (b=4 bands × r=2 rows) — the precision/recall
+    // dial single-row banding lacks: a pair is a candidate only when BOTH
+    // rows of some band agree, so the per-band collision probability
+    // drops from s to s^r (Broder '97 / the standard LSH S-curve) and
+    // boilerplate-heavy corpora generate far fewer junk candidates. The
+    // band key is the (m0, m1) VALUE PAIR — still a plain equi-join on
+    // (band, m0, m1), never all-pairs; at 100 TB the same shuffle shape
+    // as the single-row form with an 8x smaller candidate set.
+    Q("dedup_minhash_banded",
+      s"""WITH sh AS ($shinglesSql),
+         |sv AS (SELECT doc_id, $shingleIntDuck AS v FROM sh),
+         |h AS (SELECT doc_id, CAST(r.seed AS INT) AS seed,
+         |        min(${mhMixSql("v", "r.seed")}) AS mh
+         |      FROM sv, range(0, 8) r(seed)
+         |      GROUP BY doc_id, r.seed),
+         |bnd AS (SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         |          min(CASE WHEN seed % 2 = 0 THEN mh END) AS m0,
+         |          min(CASE WHEN seed % 2 = 1 THEN mh END) AS m1
+         |        FROM h GROUP BY doc_id, seed // 2)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  CAST(count(*) AS INT) AS n_bands
+         |FROM bnd a JOIN bnd b ON a.band = b.band
+         |  AND a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |ORDER BY d1, d2""") { (s, d) =>
+      val bnd = minhashSigsArrayOf(Tables.documents(s, d))
+        .groupBy(col("doc_id"), expr("CAST(seed div 2 AS INT)").as("band"))
+        .agg(min(when(col("seed") % 2 === 0, col("mh"))).as("m0"),
+          min(when(col("seed") % 2 === 1, col("mh"))).as("m1"))
+      bnd.as("a").join(bnd.as("b"),
+          col("a.band") === col("b.band") && col("a.m0") === col("b.m0") &&
+            col("a.m1") === col("b.m1") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).cast("int").as("n_bands"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    // Blocked fuzzy record linkage, the scalable shape: distances are
+    // computed on the DISTINCT-name relation (64 names here), blocked by
+    // first token, and only then expanded back to pair counts via group
+    // sizes — the edit-distance work is O(distinct² within block), not
+    // O(rows²), which is the whole trick at 100 TB (entity resolution on
+    // value vocabularies, not fact tables). Verification (levenshtein)
+    // touches only blocked candidate pairs.
+    Q("link_fuzzy_names",
+      """WITH n AS (SELECT p_name, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM part GROUP BY 1)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+        |  CAST(a.cnt * b.cnt AS BIGINT) AS n_pairs
+        |FROM n a JOIN n b
+        |  ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+        |  AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4
+        |ORDER BY name_a, name_b""") { (s, d) =>
+      val n = Tables.part(s, d).groupBy(col("p_name"))
+        .agg(count(lit(1)).as("cnt"))
+      n.as("a").join(n.as("b"),
+          expr("split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)") &&
+            col("a.p_name") < col("b.p_name"))
+        .filter(expr("levenshtein(a.p_name, b.p_name) <= 4"))
+        .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+          expr("CAST(levenshtein(a.p_name, b.p_name) AS INT)").as("dist"),
+          (col("a.cnt") * col("b.cnt")).as("n_pairs"))
+        .orderBy(col("name_a"), col("name_b"))
+    },
+
     // MinHash LSH near-dup candidates + exact-Jaccard verification.
     // Candidates: pairs agreeing on ≥1 of 8 single-row bands (equi-join on
     // (seed, digest) — never all-pairs). Verification: exact shingle
