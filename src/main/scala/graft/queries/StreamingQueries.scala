@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
 
 /** Streaming operator surface (SURVEY.md §2.2 streaming table), validated
   * by final-state equivalence: each query REALLY runs Structured
@@ -232,6 +233,37 @@ object StreamingQueries {
           .agg(count(lit(1)).as("cnt"))
       }.select(unix_timestamp(col("window.start")).as("ws"), col("cnt"))
         .orderBy(col("ws"))
+    },
+
+    // Streaming windowed TOP-K: the per-(window, type) counts accumulate
+    // in the streaming aggregation; the rank-and-cut runs on the
+    // completed table — the standard lambda split (stream maintains the
+    // additive state, the serving layer ranks), because row_number over
+    // a running aggregate is not an incremental operator. At 100 TB the
+    // streaming half shuffles once on (window, type); the ranking half
+    // reads the tiny aggregate.
+    Q("stream_topk",
+      """SELECT ws, event_type, cnt FROM (
+        |  SELECT ws, event_type, cnt,
+        |    row_number() OVER (PARTITION BY ws
+        |      ORDER BY cnt DESC, event_type) AS rk
+        |  FROM (SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS ws,
+        |          event_type, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM events GROUP BY 1, 2))
+        |WHERE rk <= 2
+        |ORDER BY ws, cnt DESC, event_type""") { (s, d) =>
+      val t = runToTable(s, d, "complete") { src =>
+        src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+      }
+      val flat = t.select(unix_timestamp(col("window.start")).as("ws"),
+        col("event_type"), col("cnt"))
+      val w = Window.partitionBy(col("ws"))
+        .orderBy(col("cnt").desc, col("event_type"))
+      flat.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select(col("ws"), col("event_type"), col("cnt"))
+        .orderBy(col("ws"), col("cnt").desc, col("event_type"))
     },
 
     // Streaming dedup (D1 analog): distinct (user_id, event_type) keys

@@ -22,6 +22,42 @@ object TemporalQueries {
 
   def all: Seq[Q] = Seq(
 
+    // SCD2 historization from an event log: collapse each user's event
+    // stream into type-2 dimension intervals — a row per CHANGE of
+    // event_type carrying [valid_from, valid_to) in epoch micros, open
+    // interval (NULL valid_to) for the current state. Two windows over
+    // ONE user-keyed shuffle (lag detects the change, lead closes the
+    // interval — same partitioning, Catalyst reuses the exchange); the
+    // canonical warehouse dimension build, linear at any scale.
+    Q("dim_scd2_intervals",
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |chg AS (SELECT user_id, event_type, epoch_us(ts) AS valid_from, event_id
+        |  FROM o WHERE prev_type IS NULL OR prev_type <> event_type),
+        |iv AS (SELECT user_id, event_type, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id
+        |      ORDER BY valid_from, event_id) AS valid_to
+        |  FROM chg)
+        |SELECT user_id, event_type, CAST(valid_from AS BIGINT) AS valid_from,
+        |  CAST(valid_to AS BIGINT) AS valid_to
+        |FROM iv
+        |ORDER BY user_id, valid_from, event_type""") { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val chg = Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("valid_from"), col("event_id"))
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from"), col("event_id"))
+      chg.withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+    },
+
     // AS-OF join: each purchase picks the latest click by the same user
     // at-or-before the purchase time (ties on ts broken by highest
     // event_id — both engines pin the same winner). LEFT semantics:
