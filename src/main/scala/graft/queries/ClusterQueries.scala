@@ -201,6 +201,41 @@ object ClusterQueries {
         .replace("FROM documents", "FROM docs_planted")
   }
 
+  /** The PageRank oracle: identical 3 unrolled iterations in DuckDB,
+    * over the same candidate graph, with the same decimal-sum and
+    * floor-quantization discipline. */
+  private val pagerankOracleSql: String = {
+    def iter(prev: String, next: String): String =
+      s"""$next AS (SELECT n.x,
+         |    0.15 + 0.85 * coalesce(c.m, 0) AS r
+         |  FROM r0base n LEFT JOIN (
+         |    SELECT s.v AS x,
+         |      CAST(sum(CAST(p.r / deg.d AS DECIMAL(38,15))) AS DOUBLE) AS m
+         |    FROM sym s JOIN $prev p ON p.x = s.u
+         |    JOIN deg ON deg.x = s.u
+         |    GROUP BY s.v) c ON c.x = n.x)""".stripMargin
+    s"""WITH sh AS (${TextQueries.shinglesSql}),
+       |sv AS (SELECT doc_id, ${TextQueries.shingleIntDuck} AS v FROM sh),
+       |h AS (SELECT doc_id, r.seed AS seed,
+       |        min(${TextQueries.mhMixSql("v", "r.seed")}) AS mh
+       |      FROM sv, range(0, 8) r(seed)
+       |      GROUP BY doc_id, r.seed),
+       |e AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+       |      FROM h a JOIN h b ON a.seed = b.seed AND a.mh = b.mh
+       |        AND a.doc_id < b.doc_id),
+       |sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+       |deg AS (SELECT u AS x, CAST(count(*) AS DOUBLE) AS d FROM sym GROUP BY 1),
+       |r0base AS (SELECT doc_id AS x FROM documents),
+       |r0 AS (SELECT x, 1.0 AS r FROM r0base),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT x AS doc_id,
+       |  CAST(floor(r * 1000000 + 0.5) / 1000000.0 AS DOUBLE) AS rank
+       |FROM r3
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
 
     // Connected components over the MinHash LSH candidate graph: every
@@ -317,6 +352,46 @@ object ClusterQueries {
       e0.unpersist(blocking = false)
       labelsToResult(s, d, starLabels(edges))
       } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    },
+
+    // PageRank (3 unrolled power iterations, damping 0.85) over the
+    // symmetric LSH candidate graph — centrality of a document inside
+    // its near-dup neighborhood (the "canonical page" selection signal
+    // dedup pipelines use beyond plain min-id). Each iteration is ONE
+    // edge-keyed join + ONE target-keyed aggregation — the identical
+    // shuffle pair at any scale, no driver state. Determinism: the
+    // per-edge contribution r/d is IEEE double (identical in both
+    // engines); the SUM runs over DECIMAL(38,15) (exact, order-free —
+    // a double sum would vary with partition order); the final rank is
+    // floor-quantized, not round()ed (engine tie rules differ).
+    Q("graph_pagerank", pagerankOracleSql) { (s, d) =>
+      val e = candidateEdges(s, d)
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      sym.count()
+      e.unpersist(blocking = false)
+      val deg = sym.groupBy(col("u").as("x"))
+        .agg(count(lit(1)).cast("double").as("d"))
+      val docs = Tables.documents(s, d).select(col("doc_id").as("x"))
+      var r = docs.select(col("x"), lit(1.0).as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = sym
+          .join(r.select(col("x").as("u"), col("r")), Seq("u"))
+          .join(deg.select(col("x").as("u"), col("d")), Seq("u"))
+          .groupBy(col("v").as("x"))
+          .agg(expr("CAST(sum(CAST(r / d AS DECIMAL(38,15))) AS DOUBLE)")
+            .as("m"))
+        r = docs.join(contrib, Seq("x"), "left_outer")
+          .select(col("x"),
+            (lit(0.15) + lit(0.85) * coalesce(col("m"), lit(0.0))).as("r"))
+      }
+      val out = r.select(col("x").as("doc_id"),
+          expr("CAST(floor(r * 1000000 + 0.5) / 1000000.0 AS DOUBLE)")
+            .as("rank"))
+        .orderBy(col("doc_id"))
+      out.localCheckpoint(true) // materialize before releasing the edges
+      sym.unpersist(blocking = false)
+      out
     },
 
     // SKEW STRESS for the LSH+CC family: every 10th document is

@@ -560,6 +560,77 @@ object StreamingQueries {
         .orderBy(col("event_type"))
     },
 
+    // Streaming SCD2: the stateful twin of dim_scd2_intervals — per-user
+    // state carries (current type, since); a type change EMITS the closed
+    // interval and re-arms. Consumes the time-ordered quartile replay
+    // (events arrive chronologically across micro-batches, as an ordered
+    // log would deliver them; within a batch rows sort by (ts,
+    // event_id)), so emitted intervals are exactly the batch build's
+    // CLOSED intervals — open (current-state) intervals live in state and
+    // are never emitted, matching the oracle's valid_to IS NOT NULL cut.
+    Q("stream_scd2",
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |chg AS (SELECT user_id, event_type, epoch_us(ts) AS valid_from, event_id
+        |  FROM o WHERE prev_type IS NULL OR prev_type <> event_type),
+        |iv AS (SELECT user_id, event_type, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id
+        |      ORDER BY valid_from, event_id) AS valid_to
+        |  FROM chg)
+        |SELECT user_id, event_type, CAST(valid_from AS BIGINT) AS valid_from,
+        |  CAST(valid_to AS BIGINT) AS valid_to
+        |FROM iv
+        |WHERE valid_to IS NOT NULL
+        |ORDER BY user_id, valid_from, event_type""") { (s, d) =>
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      import s.implicits._
+      val name = "st_" + math.abs(scala.util.Random.nextLong()).toString
+      val raw = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val src = s.readStream.schema(raw).option("maxFilesPerTrigger", "1")
+        .parquet(timeOrderedReplayDir(s, d))
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val scd = src
+        .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+          col("event_id"), col("event_type"))
+        .as[(Long, Long, Long, String)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (uid: Long, rows: Iterator[(Long, Long, Long, String)],
+           state: GroupState[(String, Long)]) =>
+            val out = scala.collection.mutable.ListBuffer
+              .empty[(Long, String, Long, Long)]
+            var cur = state.getOption
+            // (tsu, event_id) — the oracle's tie-break, in-batch
+            rows.toSeq.sortBy(r => (r._2, r._3)).foreach {
+              case (_, tsu, _, tpe) =>
+                cur match {
+                  case None => cur = Some((tpe, tsu))
+                  case Some((ct, since)) if ct != tpe =>
+                    out += ((uid, ct, since, tsu))
+                    cur = Some((tpe, tsu))
+                  case _ => ()
+                }
+            }
+            cur.foreach(state.update)
+            out.iterator
+        }
+        .toDF("user_id", "event_type", "valid_from", "valid_to")
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try { // restore only after full stop (see runToTable note)
+        val q = scd.writeStream
+          .format("memory").queryName(name).outputMode("append").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      s.table(name)
+        .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+    },
+
     Q("stream_funnel", BehaviorQueries.FunnelOracleSql) { (s, d) =>
       val name = "st_" + math.abs(scala.util.Random.nextLong()).toString
       val raw = StructType(Seq(
