@@ -20,7 +20,9 @@ object Bench {
     // at the smallest SF, so the first alphabetical dedup query isn't
     // charged the family's one-time JIT.
     for (w <- Seq("dedup_minhash_sig", "dedup_simhash",
-        "dedup_cluster_cc", "dedup_cluster_cc2", "dedup_semantic_cc"))
+        "dedup_cluster_cc", "dedup_cluster_cc2", "dedup_semantic_cc",
+        "dedup_cluster_cc_skew", "graph_pagerank", "dedup_minhash_banded",
+        "stream_scd2"))
       try SparkEntry.queries(w)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     // Warm the bench SF itself: file listing, parquet footers, and the OS

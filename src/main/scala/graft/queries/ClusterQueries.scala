@@ -365,6 +365,11 @@ object ClusterQueries {
     // a double sum would vary with partition order); the final rank is
     // floor-quantized, not round()ed (engine tie rules differ).
     Q("graph_pagerank", pagerankOracleSql) { (s, d) =>
+      // Same loop-stage shuffle sizing as the CC family: the iteration
+      // frames are edge-scale, far below the session's batch sizing.
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       val e = candidateEdges(s, d)
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -389,9 +394,10 @@ object ClusterQueries {
           expr("CAST(floor(r * 1000000 + 0.5) / 1000000.0 AS DOUBLE)")
             .as("rank"))
         .orderBy(col("doc_id"))
-      out.localCheckpoint(true) // materialize before releasing the edges
+      val res = out.localCheckpoint(true) // materialize, then release edges
       sym.unpersist(blocking = false)
-      out
+      res
+      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
     },
 
     // SKEW STRESS for the LSH+CC family: every 10th document is

@@ -60,7 +60,11 @@ class DeterminismSpec extends SparkSpec {
   for (q <- Seq("funnel_steps", "cohort_retention", "text_ttr",
       "join_multiway", "join_nullsafe", "agg_approx_topk", "agg_topk_merge",
       "cogroup_orders", "shuffle_epoch", "split_train_val", "rfm_segments",
-      "stickiness_ratio"))
+      "stickiness_ratio",
+      // round-6 additions — the decimal-sum/floor-quantize/md5-order
+      // disciplines are exactly what this law checks
+      "graph_pagerank", "dim_scd2_intervals", "sample_cap_per_source",
+      "text_winsorize", "dedup_minhash_banded", "link_fuzzy_names"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
       assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
     }
