@@ -199,6 +199,50 @@ object ExtensionQueries {
         .orderBy(col("media_id"), col("frame_idx"))
     },
 
+    // Audio windowing: the payload bytes as 8-bit PCM samples cut into
+    // 128-sample analysis windows with per-window energy (sum of
+    // squares) and peak — the feature-extraction shape a real audio
+    // pipeline runs after decode (decode itself stays the stubbed
+    // byte-read; the windowing, schema and integer feature math are the
+    // real part). Pure per-row generation + HOF arithmetic: fuses with
+    // the scan, nothing shuffles until the final sort.
+    Q("mm_audio_window",
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |    CAST(ceil(length(text) / 128.0) AS INT) AS wins
+        |  FROM documents),
+        |x AS (SELECT media_id,
+        |    substring(text, CAST(w * 128 + 1 AS INT), 128) AS sl,
+        |    CAST(w AS INT) AS win_idx
+        |  FROM m, unnest(range(0, wins)) t(w))
+        |SELECT media_id, win_idx,
+        |  CAST(length(sl) AS INT) AS n_samples,
+        |  CAST(list_sum(list_transform(range(1, length(sl) + 1),
+        |    i -> ord(substring(sl, CAST(i AS INT), 1))
+        |       * ord(substring(sl, CAST(i AS INT), 1)))) AS BIGINT) AS energy,
+        |  CAST(list_max(list_transform(range(1, length(sl) + 1),
+        |    i -> ord(substring(sl, CAST(i AS INT), 1)))) AS INT) AS peak
+        |FROM x
+        |ORDER BY media_id, win_idx""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"), col("text"),
+          expr("CAST(ceil(length(text) / 128.0) AS INT)").as("wins"))
+        .select(col("media_id"),
+          explode(expr("sequence(0, wins - 1)")).as("win_idx"),
+          col("text"))
+        .select(col("media_id"), col("win_idx").cast("int").as("win_idx"),
+          expr("substring(text, win_idx * 128 + 1, 128)").as("sl"))
+        .select(col("media_id"), col("win_idx"),
+          length(col("sl")).cast("int").as("n_samples"),
+          expr("""CAST(aggregate(transform(sequence(1, length(sl)),
+            |  i -> ascii(substring(sl, i, 1))), 0L,
+            |  (a, x) -> a + CAST(x AS BIGINT) * x) AS BIGINT)""".stripMargin)
+            .as("energy"),
+          expr("""CAST(array_max(transform(sequence(1, length(sl)),
+            |  i -> ascii(substring(sl, i, 1)))) AS INT)""".stripMargin)
+            .as("peak"))
+        .orderBy(col("media_id"), col("win_idx"))
+    },
+
     // Resize planning: aspect-preserving fit of each media's (width,
     // height) metadata into a 224×224 budget — the preprocessing step
     // before a real decoder resize. Pure integer arithmetic on the

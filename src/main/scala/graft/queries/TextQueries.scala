@@ -361,6 +361,32 @@ object TextQueries {
         .orderBy(col("doc_id"), col("seed"))
     },
 
+    // Canonical text normalization — the pass every dedup/quality stage
+    // assumes upstream: lowercase, non-alphanumerics to spaces, space
+    // runs squeezed, trimmed. Emitted as (hash, length) so the oracle
+    // compares the NORMALIZED CONTENT, not a rendering of it. Dialect
+    // note: DuckDB regexp_replace replaces the first match unless the
+    // 'g' flag is passed; Spark's always replaces globally — the twin
+    // texts differ, the relation doesn't.
+    Q("text_normalize",
+      """SELECT doc_id,
+        |  CAST(length(norm) AS INT) AS n_chars_norm,
+        |  md5(norm) AS norm_hash
+        |FROM (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), '  +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          trim(regexp_replace(regexp_replace(lower(col("text")),
+            "[^a-z0-9 ]", " "), "  +", " ")).as("norm"))
+        .select(col("doc_id"),
+          length(col("norm")).cast("int").as("n_chars_norm"),
+          md5(col("norm")).as("norm_hash"))
+        .orderBy(col("doc_id"))
+    },
+
     // BANDED MinHash LSH (b=4 bands × r=2 rows) — the precision/recall
     // dial single-row banding lacks: a pair is a candidate only when BOTH
     // rows of some band agree, so the per-band collision probability
