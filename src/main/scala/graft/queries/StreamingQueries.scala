@@ -584,8 +584,6 @@ object StreamingQueries {
         |FROM iv
         |WHERE valid_to IS NOT NULL
         |ORDER BY user_id, valid_from, event_type""") { (s, d) =>
-      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-      import s.implicits._
       val name = "st_" + math.abs(scala.util.Random.nextLong()).toString
       val raw = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
@@ -594,32 +592,7 @@ object StreamingQueries {
       val src = s.readStream.schema(raw).option("maxFilesPerTrigger", "1")
         .parquet(timeOrderedReplayDir(s, d))
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      val scd = src
-        .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
-          col("event_id"), col("event_type"))
-        .as[(Long, Long, Long, String)]
-        .groupByKey(_._1)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-          (uid: Long, rows: Iterator[(Long, Long, Long, String)],
-           state: GroupState[(String, Long)]) =>
-            val out = scala.collection.mutable.ListBuffer
-              .empty[(Long, String, Long, Long)]
-            var cur = state.getOption
-            // (tsu, event_id) — the oracle's tie-break, in-batch
-            rows.toSeq.sortBy(r => (r._2, r._3)).foreach {
-              case (_, tsu, _, tpe) =>
-                cur match {
-                  case None => cur = Some((tpe, tsu))
-                  case Some((ct, since)) if ct != tpe =>
-                    out += ((uid, ct, since, tsu))
-                    cur = Some((tpe, tsu))
-                  case _ => ()
-                }
-            }
-            cur.foreach(state.update)
-            out.iterator
-        }
-        .toDF("user_id", "event_type", "valid_from", "valid_to")
+      val scd = scd2Stream(s, src)
       val saved = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try { // restore only after full stop (see runToTable note)
@@ -723,6 +696,43 @@ object StreamingQueries {
       Files.createFile(done)
     }
     dir.toString
+  }
+
+  /** The stream_scd2 transform, factored for the recovery spec: per-user
+    * (current type, since) state under flatMapGroupsWithState; a type
+    * change emits the CLOSED interval and re-arms. Expects (user_id,
+    * ts TIMESTAMP, event_id, event_type); assumes chronological arrival
+    * per user across batches (an ordered log / the quartile replay),
+    * sorting by (ts, event_id) within each batch. */
+  private[graft] def scd2Stream(s: SparkSession, src: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    src
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[(String, Long)]) =>
+          val out = scala.collection.mutable.ListBuffer
+            .empty[(Long, String, Long, Long)]
+          var cur = state.getOption
+          // (tsu, event_id) — the oracle's tie-break, in-batch
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach {
+            case (_, tsu, _, tpe) =>
+              cur match {
+                case None => cur = Some((tpe, tsu))
+                case Some((ct, since)) if ct != tpe =>
+                  out += ((uid, ct, since, tsu))
+                  cur = Some((tpe, tsu))
+                case _ => ()
+              }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+      .toDF("user_id", "event_type", "valid_from", "valid_to")
   }
 
   /** The stream_funnel transform, factored for spec reuse: per-user
