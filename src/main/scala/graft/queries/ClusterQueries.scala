@@ -354,6 +354,31 @@ object ClusterQueries {
       } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
     },
 
+    // The DEDUP OUTPUT: the kept corpus after cluster resolution — one
+    // row per cluster representative carrying how many members it
+    // absorbed. Closes the near-dup story (pairs → clusters → kept
+    // corpus): downstream training reads exactly this relation. Same
+    // star contraction; the keep cut is a filter on the shared result
+    // shape.
+    Q("dedup_cc_keep",
+      s"""SELECT doc_id, CAST(n_reachable AS BIGINT) AS n_members
+         |FROM ($ccOracleSql) t
+         |WHERE doc_id = cluster_rep
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val e0 = candidateEdges(s, d)
+        val edges = e0.select(col("v").as("u"), col("u").as("v"))
+          .localCheckpoint(true)
+        e0.unpersist(blocking = false)
+        labelsToResult(s, d, starLabels(edges))
+          .filter(col("doc_id") === col("cluster_rep"))
+          .select(col("doc_id"), col("n_reachable").as("n_members"))
+          .orderBy(col("doc_id"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    },
+
     // PageRank (3 unrolled power iterations, damping 0.85) over the
     // symmetric LSH candidate graph — centrality of a document inside
     // its near-dup neighborhood (the "canonical page" selection signal

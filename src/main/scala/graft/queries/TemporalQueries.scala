@@ -22,6 +22,54 @@ object TemporalQueries {
 
   def all: Seq[Q] = Seq(
 
+    // Downsampling/resample: 6-hour buckets per event type with count,
+    // decimal-exact mean, and LAST value in deterministic (ts, event_id)
+    // order — the telemetry-rollup shape (avg for rates, last for
+    // gauges). The aggregate and the last-row window share the
+    // (event_type, bucket) key, so Catalyst reuses one exchange for
+    // both sides of the final join.
+    Q("ts_resample",
+      """WITH b AS (SELECT event_type,
+        |    CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket,
+        |    ts, event_id, "value"
+        |  FROM events),
+        |l AS (SELECT event_type, bucket, "value" AS lv,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM b),
+        |a AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(floor(CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE)
+        |         / count(*) * 10000 + 0.5) / 10000.0 AS DOUBLE) AS avg_value
+        |  FROM b GROUP BY 1, 2)
+        |SELECT a.event_type, a.bucket, a.n, a.avg_value,
+        |  CAST(floor(l.lv * 10000 + 0.5) / 10000.0 AS DOUBLE) AS last_value
+        |FROM a JOIN l ON l.event_type = a.event_type
+        |  AND l.bucket = a.bucket AND l.rn = 1
+        |ORDER BY a.event_type, a.bucket""") { (s, d) =>
+      val b = Tables.events(s, d).select(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts) / 21600) * 21600 AS BIGINT)")
+          .as("bucket"),
+        col("ts"), col("event_id"), col("value"))
+      val w = Window.partitionBy(col("event_type"), col("bucket"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val l = b.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("bucket"),
+          // floor-quantized, not round()ed: engine round() tie rules
+          // diverge on quotients an ulp from a .xxxx5 boundary
+          expr("CAST(floor(value * 10000 + 0.5) / 10000.0 AS DOUBLE)")
+            .as("last_value"))
+      val a = b.groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          expr("""CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+            |/ count(1) * 10000 + 0.5) / 10000.0 AS DOUBLE)""".stripMargin)
+            .as("avg_value"))
+      a.join(l, Seq("event_type", "bucket"))
+        .select(col("event_type"), col("bucket"), col("n"),
+          col("avg_value"), col("last_value"))
+        .orderBy(col("event_type"), col("bucket"))
+    },
+
     // SCD2 historization from an event log: collapse each user's event
     // stream into type-2 dimension intervals — a row per CHANGE of
     // event_type carrying [valid_from, valid_to) in epoch micros, open
