@@ -361,6 +361,45 @@ object TextQueries {
         .orderBy(col("doc_id"), col("seed"))
     },
 
+    // Word-distribution Shannon entropy per document — the
+    // repetitiveness/diversity quality signal (low entropy = template or
+    // spam, high = natural prose). Per-term contributions quantize to
+    // DECIMAL before the sum (order-free — a double sum would vary with
+    // partition order), and the final bits go through the floor
+    // discipline; ln itself is IEEE-identical across both engines (the
+    // TF-IDF oracle already rides it).
+    Q("text_entropy",
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |c AS (SELECT doc_id, term, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |n AS (SELECT doc_id, sum(cnt) AS total FROM c GROUP BY 1)
+        |SELECT c.doc_id,
+        |  CAST(n.total AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(floor(CAST(-sum(CAST(
+        |      (cnt / CAST(total AS DOUBLE)) * ln(cnt / CAST(total AS DOUBLE))
+        |    AS DECIMAL(28,12))) AS DOUBLE) * 10000 + 0.5) / 10000.0
+        |    AS DOUBLE) AS entropy
+        |FROM c JOIN n ON n.doc_id = c.doc_id
+        |GROUP BY c.doc_id, n.total
+        |ORDER BY c.doc_id""") { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val c = t.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("cnt"))
+      val n = c.groupBy(col("doc_id")).agg(sum(col("cnt")).as("total"))
+      c.join(n, Seq("doc_id"))
+        .groupBy(col("doc_id"), col("total"))
+        .agg(count(lit(1)).as("n_distinct"),
+          expr("""CAST(floor(CAST(-sum(CAST(
+            |    (cnt / CAST(total AS DOUBLE)) * ln(cnt / CAST(total AS DOUBLE))
+            |  AS DECIMAL(28,12))) AS DOUBLE) * 10000 + 0.5) / 10000.0
+            |  AS DOUBLE)""".stripMargin).as("entropy"))
+        .select(col("doc_id"), col("total").as("n_tokens"),
+          col("n_distinct"), col("entropy"))
+        .orderBy(col("doc_id"))
+    },
+
     // Canonical text normalization — the pass every dedup/quality stage
     // assumes upstream: lowercase, non-alphanumerics to spaces, space
     // runs squeezed, trimmed. Emitted as (hash, length) so the oracle

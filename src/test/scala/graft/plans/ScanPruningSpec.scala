@@ -50,4 +50,28 @@ class ScanPruningSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: ["),
       s"no partition filters section:\n$plan")
   }
+
+  test("text_winsorize: events scan pruned to (event_type, value) on both branches") {
+    val plan = formatted("text_winsorize")
+    val reads = plan.split("\n").filter(_.contains("ReadSchema"))
+    assert(reads.nonEmpty)
+    for (r <- reads; dead <- Seq("event_id", "user_id", "props"))
+      assert(!r.contains(dead), s"$dead survived pruning in: $r")
+  }
+
+  test("sample_cap_per_source: documents scan pruned to (source, doc_id)") {
+    val plan = formatted("sample_cap_per_source")
+    val reads = plan.split("\n").filter(_.contains("ReadSchema"))
+    assert(reads.nonEmpty)
+    for (r <- reads; dead <- Seq("text", "lang", "n_chars"))
+      assert(!r.contains(dead), s"$dead survived pruning in: $r")
+  }
+
+  test("ts_resample: events scan never reads props") {
+    val plan = formatted("ts_resample")
+    val reads = plan.split("\n").filter(_.contains("ReadSchema"))
+    assert(reads.nonEmpty)
+    for (r <- reads)
+      assert(!r.contains("props"), s"props survived pruning in: $r")
+  }
 }
