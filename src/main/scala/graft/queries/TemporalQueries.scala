@@ -22,6 +22,44 @@ object TemporalQueries {
 
   def all: Seq[Q] = Seq(
 
+    // Gap-based session NUMBERING: a 30-minute silence starts a new
+    // session; the session id is the running count of breaks — the
+    // explicit-id sessionization the session_window aggregate can't
+    // give you (per-event session membership for downstream joins).
+    // Two windows over one user-keyed shuffle; micros arithmetic keeps
+    // the gap test integer-exact in both engines.
+    Q("sess_ids",
+      """WITH o AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id)) > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS sess_id
+        |  FROM o)
+        |SELECT user_id, CAST(sess_id AS INT) AS sess_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+        |  CAST(epoch_us(max(ts)) AS BIGINT) AS end_us
+        |FROM s
+        |GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""") { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val o = Tables.events(s, d)
+        .withColumn("prev_us", lag(expr("unix_micros(ts)"), 1).over(w))
+        .withColumn("brk", when(col("prev_us").isNull ||
+          expr("unix_micros(ts)") - col("prev_us") > 1800000000L, 1)
+          .otherwise(0))
+        .withColumn("sess_id", sum(col("brk")).over(w))
+      o.groupBy(col("user_id"), col("sess_id").cast("int").as("sess_id"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("unix_micros(min(ts))").as("start_us"),
+          expr("unix_micros(max(ts))").as("end_us"))
+        .orderBy(col("user_id"), col("sess_id"))
+    },
+
     // Downsampling/resample: 6-hour buckets per event type with count,
     // decimal-exact mean, and LAST value in deterministic (ts, event_id)
     // order — the telemetry-rollup shape (avg for rates, last for
@@ -144,6 +182,51 @@ object TemporalQueries {
           col("asof.click_id").as("click_id"),
           col("asof.click_ts").as("click_ts"),
           round(col("asof.click_value"), 4).as("click_value"))
+        .orderBy(col("event_id"))
+    },
+
+    // FORWARD as-of: each click picks the NEXT purchase at-or-after its
+    // time (the time-to-conversion lookup) — the same one-shuffle tagged
+    // union + last(ignoreNulls) sweep as the backward form, run over the
+    // DESCENDING time order. Equal-ts purchases are visible (inclusive);
+    // ties resolve to the smallest purchase id, which the DESC sweep
+    // realizes by ordering build rows id-descending so the LAST seen is
+    // the minimum.
+    Q("join_asof_fwd",
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |     b AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id,
+        |  l.purchase_id, CAST(l.wait_us AS BIGINT) AS wait_us
+        |FROM c LEFT JOIN LATERAL (
+        |  SELECT b.event_id AS purchase_id,
+        |         epoch_us(b.ts) - epoch_us(c.ts) AS wait_us
+        |  FROM b WHERE b.user_id = c.user_id AND b.ts >= c.ts
+        |  ORDER BY b.ts ASC, b.event_id ASC LIMIT 1
+        |) l ON true
+        |ORDER BY c.event_id""") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val probe = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(1).as("side"),
+          col("event_id").as("src_id"))
+      val build = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          col("event_id").as("src_id"))
+      // DESC time scan: at a click row, the last-seen build row is the
+      // earliest purchase >= click ts; side ASC puts the equal-ts
+      // purchase before the click, src_id DESC makes the last equal-ts
+      // purchase the minimum id — matching the lateral's ASC/ASC LIMIT 1.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("side").asc, col("src_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      build.unionByName(probe)
+        .withColumn("b", when(col("side") === 0,
+          struct(col("ts").as("p_ts"), col("src_id").as("p_id"))))
+        .withColumn("nxt", last(col("b"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("src_id").as("event_id"), col("user_id"),
+          col("nxt.p_id").as("purchase_id"),
+          (expr("unix_micros(nxt.p_ts)") - expr("unix_micros(ts)"))
+            .as("wait_us"))
         .orderBy(col("event_id"))
     },
 
