@@ -604,6 +604,64 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("valid_from"), col("event_type"))
     },
 
+    // Streaming sessionizer with EXPLICIT ids: per-user state carries
+    // (last event micros, current session index); a 30-minute silence
+    // bumps the index, and every event emits its (session id) membership
+    // row — the per-event assignment downstream stream joins need, which
+    // session_window's merged aggregates can't give. Session membership
+    // of an event never depends on FUTURE events, so the append-mode
+    // emission over the time-ordered replay is final-state equivalent to
+    // the batch assignment (sess_ids' window form).
+    Q("stream_sess_ids",
+      """WITH o AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id)) > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS INT) AS sess_id
+        |FROM o
+        |ORDER BY user_id, event_id""") { (s, d) =>
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      import s.implicits._
+      val name = "st_" + math.abs(scala.util.Random.nextLong()).toString
+      val raw = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val src = s.readStream.schema(raw).option("maxFilesPerTrigger", "1")
+        .parquet(timeOrderedReplayDir(s, d))
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val sess = src
+        .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (uid: Long, rows: Iterator[(Long, Long, Long)],
+           state: GroupState[(Long, Int)]) => // (last micros, session idx)
+            val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Int)]
+            var (last, sid) = state.getOption.getOrElse((Long.MinValue, 0))
+            rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, tsu, eid) =>
+              if (last == Long.MinValue || tsu - last > 1800000000L) sid += 1
+              last = tsu
+              out += ((uid, eid, sid))
+            }
+            state.update((last, sid))
+            out.iterator
+        }
+        .toDF("user_id", "event_id", "sess_id")
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try { // restore only after full stop (see runToTable note)
+        val q = sess.writeStream
+          .format("memory").queryName(name).outputMode("append").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      s.table(name).orderBy(col("user_id"), col("event_id"))
+    },
+
     Q("stream_funnel", BehaviorQueries.FunnelOracleSql) { (s, d) =>
       val name = "st_" + math.abs(scala.util.Random.nextLong()).toString
       val raw = StructType(Seq(

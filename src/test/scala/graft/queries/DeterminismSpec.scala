@@ -64,7 +64,9 @@ class DeterminismSpec extends SparkSpec {
       // round-6 additions — the decimal-sum/floor-quantize/md5-order
       // disciplines are exactly what this law checks
       "graph_pagerank", "dim_scd2_intervals", "sample_cap_per_source",
-      "text_winsorize", "dedup_minhash_banded", "link_fuzzy_names"))
+      "text_winsorize", "dedup_minhash_banded", "link_fuzzy_names",
+      "sess_ids", "join_asof_fwd", "text_entropy", "ts_resample",
+      "dedup_cc_keep"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
       assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
     }
