@@ -51,4 +51,22 @@ class TextQueriesSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.forall { case (a, b) => a >= 4L && b >= 4L })
   }
+
+  test("banded LSH candidates are a SUBSET of single-row-band candidates " +
+    "(the S-curve precision law)") {
+    // A b=4 x r=2 band matches only when BOTH of its rows match, so any
+    // banded candidate pair also agrees on >=2 single-row bands — the
+    // structural guarantee behind "banding cuts junk candidates, never
+    // adds them". Checked on the real sf0.001 corpus.
+    val d = "/root/testdata/sf0.001"
+    def pairs(q: String): Set[(Long, Long)] =
+      SparkEntry.queries(q)(spark, d)
+        .select("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = pairs("dedup_minhash_banded")
+    val single = pairs("dedup_minhash_pairs")
+    assert(banded.subsetOf(single),
+      s"banded pairs not a subset: ${(banded -- single).take(5)}")
+    assert(banded.size <= single.size)
+  }
 }
