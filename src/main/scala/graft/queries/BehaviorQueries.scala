@@ -437,6 +437,9 @@ object BehaviorQueries {
         |  WHERE u NOT IN (SELECT u FROM b)) AS BIGINT) AS est
         |UNION ALL SELECT 'a_purchase' AS op,
         |  CAST((SELECT count(*) FROM a) AS BIGINT) AS est
+        |UNION ALL SELECT 'a_or_b' AS op,
+        |  CAST((SELECT count(*) FROM (SELECT u FROM a
+        |    UNION SELECT u FROM b) ab) AS BIGINT) AS est
         |UNION ALL SELECT 'b_click' AS op,
         |  CAST((SELECT count(*) FROM b) AS BIGINT) AS est
         |ORDER BY op""") { (s, d) =>
@@ -447,11 +450,12 @@ object BehaviorQueries {
         .agg(expr("theta_sketch_agg(user_id % 1000)").as("sb"))
       a.crossJoin(b)
         .selectExpr(
-          """stack(4,
+          """stack(5,
             |  'a_purchase', CAST(theta_sketch_estimate(sa) AS BIGINT),
             |  'b_click',    CAST(theta_sketch_estimate(sb) AS BIGINT),
             |  'a_and_b',    CAST(theta_sketch_estimate(theta_intersection(sa, sb)) AS BIGINT),
-            |  'a_minus_b',  CAST(theta_sketch_estimate(theta_difference(sa, sb)) AS BIGINT)
+            |  'a_minus_b',  CAST(theta_sketch_estimate(theta_difference(sa, sb)) AS BIGINT),
+            |  'a_or_b',     CAST(theta_sketch_estimate(theta_union(sa, sb)) AS BIGINT)
             |) AS (op, est)""".stripMargin)
         .orderBy("op")
     }
