@@ -124,23 +124,35 @@ object AnalyticQueries {
     },
 
     // The 100 TB percentile path: approx_percentile's mergeable sketch
-    // needs no per-group sort. Sketch internals are implementation-
-    // specific → rows-only check (like agg_approx_distinct); the exact
-    // twin above is the accuracy reference.
-    // Scalar columns only: the driver's rows-only check still loads the
-    // result into pandas, and an array<double> column is unhashable there
-    // (r02 err) — element_at flattens the sketch output to plain doubles.
-    Q.noOracle("agg_approx_percentiles") { (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)")
-            .as("aq"))
-        .select(col("l_returnflag"),
+    // needs no per-group sort — run here in its provably EXACT regime:
+    // with accuracy (1000) ≥ group size (5 nation keys per region) the
+    // QuantileSummaries rank error ε·n = n/accuracy < 1, so the sketch
+    // returns exactly the order statistic at 0-based rank q·(n−1)
+    // (integral for these quantiles at n=5, so no boundary ambiguity) —
+    // which the oracle selects with a sorted-list index. The
+    // large-cardinality estimation path (l_extendedprice) stays pinned
+    // by SketchAccuracySpec's bracket law. element_at flattens the
+    // array output to scalars (array columns don't hash in the gate).
+    Q("agg_approx_percentiles",
+      """WITH nr AS (SELECT r_name, CAST(n_nationkey AS DOUBLE) AS v
+        |            FROM nation JOIN region ON n_regionkey = r_regionkey)
+        |SELECT r_name,
+        |  round((list_sort(list(v)))[CAST(0.25 * (count(*) - 1) AS INT) + 1], 4) AS approx_q25,
+        |  round((list_sort(list(v)))[CAST(0.50 * (count(*) - 1) AS INT) + 1], 4) AS approx_q50,
+        |  round((list_sort(list(v)))[CAST(0.75 * (count(*) - 1) AS INT) + 1], 4) AS approx_q75
+        |FROM nr GROUP BY r_name
+        |ORDER BY r_name""") { (s, d) =>
+      val nr = Tables.nation(s, d).join(Tables.region(s, d),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_nationkey").cast("double").as("v"))
+      nr.groupBy(col("r_name"))
+        .agg(expr("approx_percentile(v, array(0.25, 0.5, 0.75), 1000)")
+          .as("aq"))
+        .select(col("r_name"),
           round(element_at(col("aq"), 1), 4).as("approx_q25"),
           round(element_at(col("aq"), 2), 4).as("approx_q50"),
           round(element_at(col("aq"), 3), 4).as("approx_q75"))
-        .orderBy(col("l_returnflag"))
+        .orderBy(col("r_name"))
     },
 
     // Distribution window functions: percent_rank, cume_dist, nth_value.

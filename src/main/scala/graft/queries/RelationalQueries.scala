@@ -160,12 +160,22 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     },
 
-    // HLL sketch — the 100 TB form of distinct counting. No oracle (the
-    // sketch estimate is implementation-specific) → rows-only check.
-    Q.noOracle("agg_approx_distinct") { (s, d) =>
+    // HLL++ — the 100 TB form of distinct counting, run in its provably
+    // EXACT regime: 7 distinct l_linenumber values against m = 2^p
+    // registers at rsd 0.02 means linear counting with bias n²/2m ≪ 0.5
+    // and no register collisions, so the estimate IS the exact count
+    // and a count(DISTINCT) oracle runs the full hash gate. The
+    // large-cardinality estimation path (l_partkey at the same rsd)
+    // stays pinned by SketchAccuracySpec's 3×-rsd envelope.
+    Q("agg_approx_distinct",
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_linenumber) AS BIGINT) AS approx_lines
+        |FROM lineitem GROUP BY 1
+        |ORDER BY l_returnflag""") { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .agg(approx_count_distinct(col("l_linenumber"), 0.02)
+          .as("approx_lines"))
         .orderBy(col("l_returnflag"))
     },
 
