@@ -1,6 +1,6 @@
 package graft.sources.k8s
 
-import graft.k8s.{EventSource => L9Source, KubeEvent, ObjectRef}
+import graft.k8s.{EventSource => L9Source, KubeEvent, KubeService, ObjectRef}
 import java.sql.Timestamp
 import java.util.concurrent.ConcurrentSkipListMap
 import java.util.concurrent.atomic.AtomicBoolean
@@ -36,18 +36,20 @@ import scala.jdk.CollectionConverters._
   * in-cluster deployment mounts the CA into it. Everything here is the
   * public API-server surface; no client library required.
   */
-class HttpWatchClient(base: String, token: Option[String] = None,
+class HttpWatchClient[T](base: String, resourcePath: String,
+    decode: com.fasterxml.jackson.databind.JsonNode => Option[(Long, T)],
+    token: Option[String] = None,
     namespace: Option[String] = None, resyncBackoffMs: Long = 1000L,
     bufferCap: Int = 1 << 20) extends AutoCloseable {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-  private val buffer = new ConcurrentSkipListMap[Long, KubeEvent]()
+  private val buffer = new ConcurrentSkipListMap[Long, T]()
   private val running = new AtomicBoolean(true)
   @volatile private var committedRv = 0L
 
   private val listUrl = namespace match {
-    case Some(ns) => s"$base/api/v1/namespaces/$ns/events"
-    case None => s"$base/api/v1/events"
+    case Some(ns) => s"$base/api/v1/namespaces/$ns/$resourcePath"
+    case None => s"$base/api/v1/$resourcePath"
   }
 
   private val http = java.net.http.HttpClient.newBuilder()
@@ -57,6 +59,133 @@ class HttpWatchClient(base: String, token: Option[String] = None,
     val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET()
     token.foreach(t => b.header("Authorization", s"Bearer $t"))
     b.build()
+  }
+
+  /** One LIST: seed buffer, return the collection rv to watch from. */
+  private def list(): Long = {
+    val resp = http.send(request(listUrl),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new java.io.IOException(s"LIST ${resp.statusCode()}")
+    val root = mapper.readTree(resp.body())
+    val items = root.path("items")
+    if (items.isArray)
+      items.asScala.foreach(decode(_).foreach { case (rv, e) =>
+        buffer.put(rv, e) })
+    val listRv =
+      try root.path("metadata").path("resourceVersion").asText("0").toLong
+      catch { case _: NumberFormatException => 0L }
+    math.max(listRv, if (buffer.isEmpty) 0L else buffer.lastKey())
+  }
+
+  /** One WATCH connection: stream lines until server close or stop. */
+  private def watch(fromRv: Long): Unit = {
+    val url = s"$listUrl?watch=true&resourceVersion=$fromRv"
+    val resp = http.send(request(url),
+      java.net.http.HttpResponse.BodyHandlers.ofInputStream())
+    if (resp.statusCode() == 410) return // Gone: rv expired -> re-list
+    if (resp.statusCode() != 200)
+      throw new java.io.IOException(s"WATCH ${resp.statusCode()}")
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(resp.body(),
+        java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      var line = reader.readLine()
+      while (line != null && running.get()) {
+        if (line.trim.nonEmpty) {
+          val n = mapper.readTree(line)
+          val kind = n.path("type").asText("")
+          // ERROR carries a Status object (e.g. 410 Gone mid-stream)
+          if (kind == "ERROR") return
+          if (kind != "DELETED")
+            decode(n.path("object")).foreach { case (rv, e) =>
+              buffer.put(rv, e) }
+        }
+        line = reader.readLine()
+      }
+    } finally reader.close()
+  }
+
+  private val loop = new Thread(() => {
+    while (running.get()) {
+      try watch(list())
+      catch { case _: Exception => () } // transport error -> resync
+      if (running.get())
+        try Thread.sleep(resyncBackoffMs)
+        catch { case _: InterruptedException => () } // close() interrupts
+    }
+  }, "graft-k8s-watch")
+  loop.setDaemon(true)
+  loop.start()
+
+  def latestRv(): Long = if (buffer.isEmpty) 0L else buffer.lastKey()
+
+  def fetch(fromRv: Long, toRv: Long): Seq[T] =
+    buffer.subMap(fromRv, false, toRv, true).values.asScala.toSeq
+
+  /** Called on offset commit: everything ≤ rv is durably downstream, so
+    * the replay window has moved past it; trim to keep the buffer
+    * bounded (a watch left running for weeks must not grow without
+    * bound — at 100 TB scale the buffer holds a replay window, never
+    * history). */
+  def trimCommitted(rv: Long): Unit = {
+    committedRv = math.max(committedRv, rv)
+    buffer.headMap(committedRv, true).clear() // ≤ rv is durable: inclusive
+    // Safety valve independent of commits: cap total entries.
+    while (buffer.size() > bufferCap) buffer.pollFirstEntry()
+  }
+
+  override def close(): Unit = {
+    running.set(false)
+    loop.interrupt()
+  }
+}
+
+/** The per-resource decoders + convenience constructors: one generic
+  * LIST/WATCH/resync client, one decoder per watched kind — exactly the
+  * reference's informer-per-resource layout (main.go:88-90 starts one
+  * informer each for events and services). */
+object HttpWatchClient {
+
+  def events(base: String, token: Option[String] = None,
+      namespace: Option[String] = None, resyncBackoffMs: Long = 1000L)
+      : HttpWatchClient[KubeEvent] =
+    new HttpWatchClient[KubeEvent](base, "events", decodeEvent,
+      token, namespace, resyncBackoffMs)
+
+  def services(base: String, token: Option[String] = None,
+      namespace: Option[String] = None, resyncBackoffMs: Long = 1000L)
+      : HttpWatchClient[KubeService] =
+    new HttpWatchClient[KubeService](base, "services", decodeService,
+      token, namespace, resyncBackoffMs)
+
+  private def strMap(n: com.fasterxml.jackson.databind.JsonNode)
+      : Map[String, String] =
+    if (!n.isObject) Map.empty
+    else {
+      val b = Map.newBuilder[String, String]
+      n.fields().forEachRemaining(e => b += (e.getKey -> e.getValue.asText("")))
+      b.result()
+    }
+
+  /** v1.Service JSON → KubeService (the S2 consumed subset:
+    * event_service.go / FIXTURES.md §A.3). */
+  private[sources] def decodeService(
+      n: com.fasterxml.jackson.databind.JsonNode)
+      : Option[(Long, KubeService)] = {
+    val meta = n.path("metadata")
+    val uid = meta.path("uid").asText("")
+    val rvText = meta.path("resourceVersion").asText("")
+    val rv = try rvText.toLong catch { case _: NumberFormatException => -1L }
+    if (uid.isEmpty || rv <= 0) return None
+    Some(rv -> KubeService(
+      uid = uid,
+      resource_version = rvText,
+      name = meta.path("name").asText(""),
+      namespace = meta.path("namespace").asText(""),
+      labels = strMap(meta.path("labels")),
+      annotations = strMap(meta.path("annotations")),
+      selector = strMap(n.path("spec").path("selector"))))
   }
 
   /** v1.Event JSON → KubeEvent; None when the record is unusable (no
@@ -103,84 +232,5 @@ class HttpWatchClient(base: String, token: Option[String] = None,
         obj.path("resourceVersion").asText(""), obj.path("uid").asText("")),
       source = L9Source(
         src.path("component").asText(""), src.path("host").asText(""))))
-  }
-
-  /** One LIST: seed buffer, return the collection rv to watch from. */
-  private def list(): Long = {
-    val resp = http.send(request(listUrl),
-      java.net.http.HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() != 200)
-      throw new java.io.IOException(s"LIST ${resp.statusCode()}")
-    val root = mapper.readTree(resp.body())
-    val items = root.path("items")
-    if (items.isArray)
-      items.asScala.foreach(decodeEvent(_).foreach { case (rv, e) =>
-        buffer.put(rv, e) })
-    val listRv =
-      try root.path("metadata").path("resourceVersion").asText("0").toLong
-      catch { case _: NumberFormatException => 0L }
-    math.max(listRv, if (buffer.isEmpty) 0L else buffer.lastKey())
-  }
-
-  /** One WATCH connection: stream lines until server close or stop. */
-  private def watch(fromRv: Long): Unit = {
-    val url = s"$listUrl?watch=true&resourceVersion=$fromRv"
-    val resp = http.send(request(url),
-      java.net.http.HttpResponse.BodyHandlers.ofInputStream())
-    if (resp.statusCode() == 410) return // Gone: rv expired -> re-list
-    if (resp.statusCode() != 200)
-      throw new java.io.IOException(s"WATCH ${resp.statusCode()}")
-    val reader = new java.io.BufferedReader(
-      new java.io.InputStreamReader(resp.body(),
-        java.nio.charset.StandardCharsets.UTF_8))
-    try {
-      var line = reader.readLine()
-      while (line != null && running.get()) {
-        if (line.trim.nonEmpty) {
-          val n = mapper.readTree(line)
-          val kind = n.path("type").asText("")
-          // ERROR carries a Status object (e.g. 410 Gone mid-stream)
-          if (kind == "ERROR") return
-          if (kind != "DELETED")
-            decodeEvent(n.path("object")).foreach { case (rv, e) =>
-              buffer.put(rv, e) }
-        }
-        line = reader.readLine()
-      }
-    } finally reader.close()
-  }
-
-  private val loop = new Thread(() => {
-    while (running.get()) {
-      try watch(list())
-      catch { case _: Exception => () } // transport error -> resync
-      if (running.get())
-        try Thread.sleep(resyncBackoffMs)
-        catch { case _: InterruptedException => () } // close() interrupts
-    }
-  }, "graft-k8s-watch")
-  loop.setDaemon(true)
-  loop.start()
-
-  def latestRv(): Long = if (buffer.isEmpty) 0L else buffer.lastKey()
-
-  def fetch(fromRv: Long, toRv: Long): Seq[KubeEvent] =
-    buffer.subMap(fromRv, false, toRv, true).values.asScala.toSeq
-
-  /** Called on offset commit: everything ≤ rv is durably downstream, so
-    * the replay window has moved past it; trim to keep the buffer
-    * bounded (a watch left running for weeks must not grow without
-    * bound — at 100 TB scale the buffer holds a replay window, never
-    * history). */
-  def trimCommitted(rv: Long): Unit = {
-    committedRv = math.max(committedRv, rv)
-    buffer.headMap(committedRv, true).clear() // ≤ rv is durable: inclusive
-    // Safety valve independent of commits: cap total entries.
-    while (buffer.size() > bufferCap) buffer.pollFirstEntry()
-  }
-
-  override def close(): Unit = {
-    running.set(false)
-    loop.interrupt()
   }
 }

@@ -131,7 +131,7 @@ private[k8s] object K8sReaderFactory extends PartitionReaderFactory {
   * buffer, so memory holds only the uncommitted replay window. */
 private[k8s] class K8sHttpMicroBatchStream(endpoint: String,
     token: Option[String], namespace: Option[String]) extends MicroBatchStream {
-  private val client = new HttpWatchClient(endpoint, token, namespace)
+  private val client = HttpWatchClient.events(endpoint, token, namespace)
   override def initialOffset(): Offset = K8sOffset(0L)
   override def latestOffset(): Offset = K8sOffset(client.latestRv())
   override def deserializeOffset(json: String): Offset = K8sOffset(json.toLong)

@@ -1,0 +1,97 @@
+package graft.sources.k8s
+
+import graft.k8s.KubeService
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import scala.jdk.CollectionConverters._
+
+/** The SERVICE half of the live watch (SURVEY.md §2.1 S2): the same
+  * DataSourceV2 MicroBatchStream shape as [[K8sEventSource]], over
+  * [[HttpWatchClient.services]] (LIST+WATCH on /api/v1/services,
+  * v1.Service → KubeService). The natural downstream is the D2
+  * versioned dedup (`StreamPipeline.dedupServicesVersioned`) — exactly
+  * the reference's service-informer → version-gate path
+  * (main.go:88-90 → handler.go:95-115).
+  *
+  * Usage: spark.readStream.format("graft.sources.k8s.K8sServiceSource")
+  *          .option("endpoint", apiServerUrl)
+  *          [.option("token", t)] [.option("namespace", ns)].load()
+  */
+class K8sServiceSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    K8sServiceSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val endpoint = properties.get("endpoint")
+    require(endpoint != null && endpoint.nonEmpty,
+      "K8sServiceSource requires .option(\"endpoint\", <api-server url>)")
+    new K8sServiceTable(endpoint,
+      Option(properties.get("token")).filter(_.nonEmpty),
+      Option(properties.get("namespace")).filter(_.nonEmpty))
+  }
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object K8sServiceSource {
+  val schema: StructType = Encoders.product[KubeService].schema
+}
+
+private[k8s] class K8sServiceTable(endpoint: String,
+    token: Option[String], namespace: Option[String])
+    extends Table with SupportsRead {
+  override def name(): String = s"k8s_services($endpoint)"
+  override def schema(): StructType = K8sServiceSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = K8sServiceSource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new K8sServiceMicroBatchStream(endpoint, token, namespace)
+      }
+    }
+}
+
+private[k8s] class K8sServiceMicroBatchStream(endpoint: String,
+    token: Option[String], namespace: Option[String]) extends MicroBatchStream {
+  private val client = HttpWatchClient.services(endpoint, token, namespace)
+  override def initialOffset(): Offset = K8sOffset(0L)
+  override def latestOffset(): Offset = K8sOffset(client.latestRv())
+  override def deserializeOffset(json: String): Offset = K8sOffset(json.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    Array(K8sServiceBufferPartition(client.fetch(
+      start.asInstanceOf[K8sOffset].rv, end.asInstanceOf[K8sOffset].rv)))
+  override def createReaderFactory(): PartitionReaderFactory =
+    K8sServiceBufferReaderFactory
+  override def commit(end: Offset): Unit =
+    client.trimCommitted(end.asInstanceOf[K8sOffset].rv)
+  override def stop(): Unit = client.close()
+}
+
+private[k8s] case class K8sServiceBufferPartition(services: Seq[KubeService])
+  extends InputPartition
+
+private[k8s] object K8sServiceBufferReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[K8sServiceBufferPartition]
+    new PartitionReader[InternalRow] {
+      private val serializer =
+        ExpressionEncoder[KubeService]().createSerializer()
+      private val it = p.services.iterator
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = serializer(it.next()).copy(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

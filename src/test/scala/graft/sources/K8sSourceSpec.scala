@@ -134,7 +134,7 @@ class K8sSourceSpec extends SparkSpec {
     "fetch slices by rv, bearer token rides every request") {
     val srv = new StubApiServer
     srv.put(1, "a"); srv.put(2, "b")
-    val client = new graft.sources.k8s.HttpWatchClient(srv.url,
+    val client = graft.sources.k8s.HttpWatchClient.events(srv.url,
       token = Some("tok-1"), resyncBackoffMs = 50)
     try {
       assert(awaitTrue(10000)(client.latestRv() == 2L),
@@ -159,18 +159,17 @@ class K8sSourceSpec extends SparkSpec {
   test("decodeEvent: unusable records (no uid / non-numeric rv) are skipped," +
     " absent count maps to None") {
     val srv = new StubApiServer
-    val client = new graft.sources.k8s.HttpWatchClient(srv.url,
-      resyncBackoffMs = 60000) // park the loop; we only use decodeEvent
+    import graft.sources.k8s.HttpWatchClient.decodeEvent
     try {
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      assert(client.decodeEvent(m.readTree(eventJson(3, "ok"))).exists(_._1 == 3L))
-      assert(client.decodeEvent(m.readTree(
+      assert(decodeEvent(m.readTree(eventJson(3, "ok"))).exists(_._1 == 3L))
+      assert(decodeEvent(m.readTree(
         """{"metadata":{"resourceVersion":"4"}}""")).isEmpty)
-      assert(client.decodeEvent(m.readTree(
+      assert(decodeEvent(m.readTree(
         """{"metadata":{"uid":"u","resourceVersion":"abc123xyz"}}""")).isEmpty)
       val noCount = eventJson(6, "nc").replace(""","count":1""", "")
-      assert(client.decodeEvent(m.readTree(noCount)).exists(_._2.count.isEmpty))
-    } finally { client.close(); srv.stop() }
+      assert(decodeEvent(m.readTree(noCount)).exists(_._2.count.isEmpty))
+    } finally srv.stop()
   }
 
   test("end-to-end: readStream over the live endpoint lands events in the sink") {
@@ -195,6 +194,91 @@ class K8sSourceSpec extends SparkSpec {
       val uids = spark.table("k8slive").select("uid")
         .collect().map(_.getString(0)).sorted
       assert(uids.toSeq == Seq("e1", "e2", "e3"))
+    } finally { q.stop(); srv.stop() }
+  }
+
+  // ------------------------------- live SERVICE watch (the S2 half) --
+
+  private def serviceJson(rv: Long, uid: String, name: String): String =
+    s"""{"metadata":{"uid":"$uid","resourceVersion":"$rv","name":"$name",
+       |  "namespace":"default","labels":{"app":"$name"},
+       |  "annotations":{"team":"core"}},
+       | "spec":{"selector":{"app":"$name"}}}""".stripMargin
+      .replaceAll("\n\\s*", "")
+
+  /** Stub serving /api/v1/services with the same LIST/WATCH contract. */
+  private class StubServiceServer {
+    val store = new java.util.concurrent.ConcurrentSkipListMap[Long, String]()
+    private val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/api/v1/services", { ex =>
+      val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+      import scala.jdk.CollectionConverters._
+      if (query.contains("watch=true")) {
+        val fromRv = query.split("&").collectFirst {
+          case kv if kv.startsWith("resourceVersion=") =>
+            kv.substring("resourceVersion=".length).toLong
+        }.getOrElse(0L)
+        val lines = store.tailMap(fromRv, false).values.asScala
+          .map(j => s"""{"type":"MODIFIED","object":$j}""").mkString("\n")
+        val body = (if (lines.isEmpty) "" else lines + "\n").getBytes("UTF-8")
+        ex.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length)
+        if (body.nonEmpty) ex.getResponseBody.write(body)
+        ex.close()
+      } else {
+        val maxRv = if (store.isEmpty) 0L else store.lastKey()
+        val body =
+          s"""{"kind":"ServiceList","metadata":{"resourceVersion":"$maxRv"},
+             |"items":[${store.values.asScala.mkString(",")}]}""".stripMargin
+            .getBytes("UTF-8")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+        ex.close()
+      }
+    })
+    srv.start()
+    def url: String = s"http://127.0.0.1:${srv.getAddress.getPort}"
+    def put(rv: Long, uid: String, name: String): Unit =
+      store.put(rv, serviceJson(rv, uid, name))
+    def stop(): Unit = srv.stop(0)
+  }
+
+  test("live service source end-to-end: LIST+WATCH services through the " +
+    "D2 versioned dedup (the reference's service-informer path)") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val srv = new StubServiceServer
+    // same uid, three resourceVersions — only strictly newer must pass D2
+    srv.put(3, "s1", "web")
+    srv.put(7, "s1", "web")
+    val src = spark.readStream
+      .format("graft.sources.k8s.K8sServiceSource")
+      .option("endpoint", srv.url)
+      .load()
+      .as(org.apache.spark.sql.Encoders.product[graft.k8s.KubeService])
+    val deduped = graft.streaming.StreamPipeline
+      .dedupServicesVersioned(src, ttl = None)
+    val q = deduped.writeStream.format("memory").queryName("k8ssvc")
+      .outputMode("append").start()
+    try {
+      assert(awaitTrue(30000) {
+        q.processAllAvailable()
+        spark.table("k8ssvc").count() >= 2L
+      }, "both versions should land before the stale check")
+      srv.put(9, "s2", "db") // new service arrives via watch/resync
+      assert(awaitTrue(30000) {
+        q.processAllAvailable()
+        spark.table("k8ssvc").count() == 3L
+      })
+      val rows = spark.table("k8ssvc")
+        .select("uid", "resource_version", "name")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .sortBy(r => (r._1, r._2))
+      // D2 passed rv 3 then 7 for s1 (strictly newer), and s2's 9.
+      assert(rows.toSeq == Seq(("s1", "3", "web"), ("s1", "7", "web"),
+        ("s2", "9", "db")), rows.mkString(","))
+      val sel = spark.table("k8ssvc").select("selector")
+        .collect().head.getAs[Map[String, String]](0)
+      assert(sel == Map("app" -> "web"))
     } finally { q.stop(); srv.stop() }
   }
 }
