@@ -67,6 +67,80 @@ object StreamPipeline {
       }
   }
 
+  /** D2 + F1 in one stateful pass: the versioned gate ALSO emits the
+    * lifecycle tag — a uid seen for the first time is `addedService`,
+    * every later strictly-newer version is `updatedService` (the
+    * reference's informer add/update callbacks, handler.go:26-69,
+    * reconstructed from the same state the version gate already keeps;
+    * DELETED never reaches here — the watch client drops it, as the
+    * reference's delete handler drops non-service deletes). */
+  final case class TaggedService(service: KubeService, tag: String)
+
+  def dedupServicesVersionedTagged(services: Dataset[KubeService])(
+      implicit spark: SparkSession): Dataset[TaggedService] = {
+    import spark.implicits._
+    services
+      .groupByKey(_.uid)
+      .flatMapGroupsWithState[VersionState, TaggedService](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[KubeService], state: GroupState[VersionState]) =>
+          var maxSeen = state.getOption.map(_.maxVersion).getOrElse(Long.MinValue)
+          val firstEver = state.getOption.isEmpty
+          var emittedAny = false
+          val out = rows.toSeq.sortBy(_.resource_version.toLong).flatMap { s =>
+            val v = s.resource_version.toLong
+            if (v > maxSeen) {
+              maxSeen = v
+              val tag = if (firstEver && !emittedAny) "addedService"
+                        else "updatedService"
+              emittedAny = true
+              Some(TaggedService(s, tag))
+            } else None
+          }
+          state.update(VersionState(maxSeen))
+          out.iterator
+      }
+  }
+
+  /** The SERVICE-side streaming query (reference main.go service
+    * informer → handler → event_service.go): live/replayed services
+    * through the tagged version gate, then per micro-batch the P4
+    * projection (selector-matched pod map, service L9 synthesis) lands
+    * on the configured sink — the service twin of [[run]]. */
+  def runServices(stream: Dataset[KubeService], pods: DataFrame,
+      conf: GraftConfig, checkpoint: String,
+      triggerMs: Option[Long] = None): StreamingQuery = {
+    implicit val spark: SparkSession = stream.sparkSession
+    val tagged = dedupServicesVersionedTagged(stream)
+    val trigger = triggerMs.getOrElse(conf.batchIntervalSec * 1000L)
+    tagged.toDF().writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(trigger))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.col
+        // One projection per lifecycle tag (serviceEvents stamps the
+        // tag as the L9 reason), unioned into one sink write.
+        val tags = Seq("addedService", "updatedService")
+        val parts = tags.map { t =>
+          EventPipeline.serviceEvents(
+            batch.filter(col("tag") === t).select("service.*"),
+            pods, t).toDF()
+        }
+        val l9 = parts.reduce(_ unionByName _)
+        conf.sink match {
+          case "memory" =>
+            graft.sinks.MemoryBatchSink.append(conf.uid, batchId,
+              l9, conf.batchSize)
+          case _ =>
+            NdjsonSink.write(l9, conf.fileSinkDir, conf.uid, batchId,
+              conf.batchSize, conf.gzip)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** The full event-side streaming query: returns the started query.
     * `objects`/`nodes` are static dimensions re-read per micro-batch
     * (stream-static join = the TTL'd lookup cache, SURVEY.md §2.1 E1/E2).

@@ -175,6 +175,35 @@ class StreamPipelineSpec extends SparkSpec {
     }
   }
 
+  test("service-side pipeline (runServices): versioned gate tags " +
+    "added/updated lifecycle, P4 projection lands L9 service events") {
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpts").toString
+    val in = MemoryStream[KubeService]
+    val pods = Seq(KubePod("p1", "web-0", "default", Map("app" -> "web"),
+      ts("2024-01-01 09:00:00"), "1.2.3.4", "5.6.7.8")).toDF()
+    val conf = GraftConfig(uid = "svcuid", sink = "memory", batchSize = 10)
+    graft.sinks.MemoryBatchSink.clear("svcuid")
+    def svc(rv: String) = KubeService("s1", rv, "web", "default",
+      Map("app" -> "web"), Map(), Map("app" -> "web"))
+    val q = StreamPipeline.runServices(in.toDS(), pods, conf, ckpt,
+      triggerMs = Some(100))
+    try {
+      in.addData(svc("2"))
+      q.processAllAvailable() // first sight of s1 → addedService
+      in.addData(svc("1"), svc("7")) // stale dropped; newer → updated
+      q.processAllAvailable()
+    } finally q.stop()
+    val lines = graft.sinks.MemoryBatchSink.batches("svcuid")
+      .flatMap(_._2).flatten
+    assert(lines.size == 2, s"added + updated expected, got $lines")
+    assert(lines.exists(l => l.contains("\"id\":\"s1-2\"") &&
+      l.contains("\"reason\":\"addedService\"")), lines.mkString("\n"))
+    assert(lines.exists(l => l.contains("\"id\":\"s1-7\"") &&
+      l.contains("\"reason\":\"updatedService\"")), lines.mkString("\n"))
+    // the selector-matched pod map rides in the P4 projection
+    assert(lines.forall(_.contains("\"web-0\"")), "pod map missing")
+  }
+
   test("runFromConfig: JSON config file drives the full pipeline end-to-end") {
     val ckpt = java.nio.file.Files.createTempDirectory("ckptc").toString
     val cfg = java.nio.file.Files.createTempFile("graft", ".json")
