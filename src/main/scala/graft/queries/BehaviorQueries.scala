@@ -349,6 +349,57 @@ object BehaviorQueries {
         .limit(3)
     },
 
+    // Time-to-conversion percentiles by hour of click: the latency
+    // distribution between a click and the SAME user's next purchase
+    // (the funnel's dwell-time view). Candidate pairing is the
+    // one-shuffle forward as-of sweep (join_asof_fwd's shape), never a
+    // range join; percentiles are exact interpolated over integer
+    // micros, floor-quantized for engine-identical bits.
+    Q("conv_latency",
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |b AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase'),
+        |w AS (SELECT CAST(hour(c.ts) AS INT) AS hr, l.wait_us
+        |  FROM c JOIN LATERAL (
+        |    SELECT epoch_us(b.ts) - epoch_us(c.ts) AS wait_us
+        |    FROM b WHERE b.user_id = c.user_id AND b.ts >= c.ts
+        |    ORDER BY b.ts ASC, b.event_id ASC LIMIT 1
+        |  ) l ON true)
+        |SELECT hr, CAST(count(*) AS BIGINT) AS n_conv,
+        |  CAST(floor(quantile_cont(wait_us, 0.5) / 1000000 * 10 + 0.5) / 10.0
+        |    AS DOUBLE) AS p50_sec,
+        |  CAST(floor(quantile_cont(wait_us, 0.9) / 1000000 * 10 + 0.5) / 10.0
+        |    AS DOUBLE) AS p90_sec
+        |FROM w GROUP BY hr
+        |ORDER BY hr""") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val probe = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(1).as("side"),
+          col("event_id").as("src_id"))
+      val build = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          col("event_id").as("src_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("side").asc, col("src_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      build.unionByName(probe)
+        .withColumn("b", when(col("side") === 0,
+          struct(col("ts").as("p_ts"), col("src_id").as("p_id"))))
+        .withColumn("nxt", last(col("b"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1 && col("nxt").isNotNull)
+        .select(hour(col("ts")).cast("int").as("hr"),
+          (expr("unix_micros(nxt.p_ts)") - expr("unix_micros(ts)"))
+            .as("wait_us"))
+        .groupBy(col("hr"))
+        .agg(count(lit(1)).as("n_conv"),
+          expr("""CAST(floor(percentile(wait_us, 0.5) / 1000000 * 10 + 0.5)
+            |/ 10.0 AS DOUBLE)""".stripMargin).as("p50_sec"),
+          expr("""CAST(floor(percentile(wait_us, 0.9) / 1000000 * 10 + 0.5)
+            |/ 10.0 AS DOUBLE)""".stripMargin).as("p90_sec"))
+        .orderBy(col("hr"))
+    },
+
     // Mergeable distinct-count sketches: one HLL per event_type, plus
     // the union of exactly those sketches as the ALL row — the partial/
     // merge contract a 100 TB rollup relies on (daily sketches re-merge

@@ -93,13 +93,21 @@ class HttpWatchClient[T](base: String, resourcePath: String,
       var line = reader.readLine()
       while (line != null && running.get()) {
         if (line.trim.nonEmpty) {
-          val n = mapper.readTree(line)
-          val kind = n.path("type").asText("")
-          // ERROR carries a Status object (e.g. 410 Gone mid-stream)
-          if (kind == "ERROR") return
-          if (kind != "DELETED")
-            decode(n.path("object")).foreach { case (rv, e) =>
-              buffer.put(rv, e) }
+          // A single malformed line must not tear down the whole watch
+          // connection (which would force a full re-LIST): skip it and
+          // keep consuming — the stream framing is line-oriented, so
+          // the next line is independently parseable.
+          try {
+            val n = mapper.readTree(line)
+            val kind = n.path("type").asText("")
+            // ERROR carries a Status object (e.g. 410 Gone mid-stream)
+            if (kind == "ERROR") return
+            if (kind != "DELETED")
+              decode(n.path("object")).foreach { case (rv, e) =>
+                buffer.put(rv, e) }
+          } catch {
+            case _: com.fasterxml.jackson.core.JacksonException => ()
+          }
         }
         line = reader.readLine()
       }

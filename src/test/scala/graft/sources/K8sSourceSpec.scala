@@ -197,6 +197,43 @@ class K8sSourceSpec extends SparkSpec {
     } finally { q.stop(); srv.stop() }
   }
 
+  test("a malformed watch line is skipped; later lines on the SAME " +
+    "connection still decode (no forced resync)") {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/api/v1/events", { ex =>
+      val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+      seen.add(query)
+      val body =
+        if (query.contains("watch=true"))
+          // corrupt line BETWEEN two good ones, single connection
+          (s"""{"type":"ADDED","object":${eventJson(11, "g1")}}""" + "\n" +
+            """{"type":"ADDED","obj""" + "\n" +
+            s"""{"type":"ADDED","object":${eventJson(12, "g2")}}""" + "\n")
+            .getBytes("UTF-8")
+        else
+          """{"kind":"EventList","metadata":{"resourceVersion":"0"},"items":[]}"""
+            .getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    srv.start()
+    val client = graft.sources.k8s.HttpWatchClient.events(
+      s"http://127.0.0.1:${srv.getAddress.getPort}", resyncBackoffMs = 60000)
+    try {
+      assert(awaitTrue(10000)(client.latestRv() == 12L),
+        s"both good lines should land, got rv ${client.latestRv()}")
+      assert(client.fetch(0, 12).map(_.uid) == Seq("g1", "g2"))
+      // one LIST + one WATCH: the corrupt line did not tear the
+      // connection down into a resync cycle
+      import scala.jdk.CollectionConverters._
+      assert(seen.asScala.count(_.contains("watch=true")) == 1,
+        s"unexpected resync: $seen")
+    } finally { client.close(); srv.stop(0) }
+  }
+
   // ------------------------------- live SERVICE watch (the S2 half) --
 
   private def serviceJson(rv: Long, uid: String, name: String): String =
