@@ -66,7 +66,8 @@ class DeterminismSpec extends SparkSpec {
       "graph_pagerank", "dim_scd2_intervals", "sample_cap_per_source",
       "text_winsorize", "dedup_minhash_banded", "link_fuzzy_names",
       "sess_ids", "join_asof_fwd", "text_entropy", "ts_resample",
-      "dedup_cc_keep"))
+      "dedup_cc_keep", "conv_latency", "agg_approx_distinct",
+      "agg_approx_percentiles"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
       assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
     }
