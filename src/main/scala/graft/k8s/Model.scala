@@ -82,6 +82,33 @@ final case class KubeService(
     annotations: Map[String, String],
     selector: Map[String, String])
 
+/** A service as delivered by the watch protocol: the [[KubeService]]
+  * fields plus the watch line's type (`ADDED` / `MODIFIED` / `DELETED`).
+  * The flat shape (rather than nesting the service) keeps the live
+  * source's schema a superset of [[KubeService]]'s, so existing
+  * consumers can still `.as[KubeService]` and ignore the tag. The tag is
+  * what lets F1 emit `deletedService` on the live path — the reference's
+  * OnDelete callback routes a deleted v1.Service into the same pipeline
+  * with that lifecycle string (handler.go:56-64). */
+final case class WatchedService(
+    uid: String,
+    resource_version: String,
+    name: String,
+    namespace: String,
+    labels: Map[String, String],
+    annotations: Map[String, String],
+    selector: Map[String, String],
+    watch_type: String) {
+  def service: KubeService = KubeService(uid, resource_version, name,
+    namespace, labels, annotations, selector)
+}
+
+object WatchedService {
+  def of(s: KubeService, watchType: String): WatchedService =
+    WatchedService(s.uid, s.resource_version, s.name, s.namespace,
+      s.labels, s.annotations, s.selector, watchType)
+}
+
 final case class KubePod(
     uid: String,
     name: String,

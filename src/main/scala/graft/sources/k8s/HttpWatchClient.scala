@@ -1,6 +1,6 @@
 package graft.sources.k8s
 
-import graft.k8s.{EventSource => L9Source, KubeEvent, KubeService, ObjectRef}
+import graft.k8s.{EventSource => L9Source, KubeEvent, KubeService, ObjectRef, WatchedService}
 import java.sql.Timestamp
 import java.util.concurrent.ConcurrentSkipListMap
 import java.util.concurrent.atomic.AtomicBoolean
@@ -13,11 +13,15 @@ import scala.jdk.CollectionConverters._
   * from a driver-side buffer.
   *
   * Protocol (public Kubernetes API semantics):
-  *  1. LIST  `GET {base}/api/v1/events?limit=...` — seeds the buffer and
+  *  1. LIST  `GET {base}{apiPrefix}/{resource}` — seeds the buffer and
   *     yields the list resourceVersion to start watching from.
-  *  2. WATCH `GET {base}/api/v1/events?watch=true&resourceVersion=rv` —
-  *     chunked NDJSON of `{"type":"ADDED|MODIFIED|...","object":v1.Event}`
-  *     lines, decoded incrementally as they arrive.
+  *  2. WATCH same URL + `?watch=true&resourceVersion=rv&timeoutSeconds=n`
+  *     — chunked NDJSON of `{"type":"ADDED|MODIFIED|DELETED|ERROR",
+  *     "object":...}` lines, decoded incrementally as they arrive. The
+  *     decoder receives the watch TYPE too: the reference's OnDelete
+  *     routes deletes through the same handlers (handler.go:56-64 —
+  *     a deleted v1.Service becomes a `deletedService` record), so
+  *     DELETED lines are decoded, not dropped.
   *  3. On stream end / error / HTTP 410 Gone (rv expired): back off and
   *     re-LIST + re-WATCH — the resync loop (reference config.go:8
   *     `resync_interval`, README "Resync allows to catch up"). Re-listed
@@ -25,31 +29,51 @@ import scala.jdk.CollectionConverters._
   *     D1 dedup absorbs redelivery across restarts, exactly the
   *     reference's at-least-once contract.
   *
-  * The buffer is a rv-ordered skip-list, trimmed to the newest
-  * `bufferCap` entries AFTER the streaming engine commits past them —
-  * `trimCommitted(rv)` is called from the MicroBatchStream's
-  * `commit(end)`, so planInputPartitions can always re-plan an
-  * uncommitted range (restart replay) without hitting a hole.
+  * Liveness: a half-open connection (NAT drop) would block `readLine()`
+  * forever with no exception — so the watch request carries the public
+  * `timeoutSeconds` parameter (server closes an idle watch) AND a local
+  * watchdog closes the response stream if no line arrives within
+  * `idleTimeoutMs`, which lands the reader in the resync loop. Either
+  * side alone is insufficient: the server-side timeout dies with the
+  * server, the local one covers that case.
+  *
+  * Backpressure, not eviction: the buffer is a rv-ordered skip-list
+  * trimmed only BELOW the committed rv (`trimCommitted`, called from the
+  * MicroBatchStream's `commit`). When uncommitted backlog reaches
+  * `bufferCap` the read loop PAUSES (the reference's bounded-channel
+  * semantic, flush.go:20) instead of evicting — `planInputPartitions`
+  * can therefore always re-plan an uncommitted range without a hole.
   *
   * Cluster auth: a bearer token (service-account) rides as the
   * `Authorization` header; TLS is the JVM default trust store — an
   * in-cluster deployment mounts the CA into it. Everything here is the
   * public API-server surface; no client library required.
+  *
+  * `apiPrefix` selects the API group: `/api/v1` for core resources
+  * (events, services), `/apis/apps/v1` for deployments — the reference
+  * watches both groups (k8sclient.go:62-74 lists apps/v1 Deployments).
   */
 class HttpWatchClient[T](base: String, resourcePath: String,
-    decode: com.fasterxml.jackson.databind.JsonNode => Option[(Long, T)],
+    decode: (String, com.fasterxml.jackson.databind.JsonNode) => Option[(Long, T)],
     token: Option[String] = None,
     namespace: Option[String] = None, resyncBackoffMs: Long = 1000L,
-    bufferCap: Int = 1 << 20) extends AutoCloseable {
+    bufferCap: Int = 1 << 20, idleTimeoutMs: Long = 300000L,
+    apiPrefix: String = "/api/v1") extends AutoCloseable {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private val buffer = new ConcurrentSkipListMap[Long, T]()
+  // Entry count tracked explicitly: ConcurrentSkipListMap.size() is O(n),
+  // and the backpressure gate checks occupancy once per put.
+  private val occupancy = new java.util.concurrent.atomic.AtomicInteger(0)
   private val running = new AtomicBoolean(true)
   @volatile private var committedRv = 0L
+  // Watchdog state: the stream being read, and when it last made progress.
+  @volatile private var activeBody: java.io.InputStream = _
+  @volatile private var lastProgressMs: Long = System.currentTimeMillis()
 
   private val listUrl = namespace match {
-    case Some(ns) => s"$base/api/v1/namespaces/$ns/$resourcePath"
-    case None => s"$base/api/v1/$resourcePath"
+    case Some(ns) => s"$base$apiPrefix/namespaces/$ns/$resourcePath"
+    case None => s"$base$apiPrefix/$resourcePath"
   }
 
   private val http = java.net.http.HttpClient.newBuilder()
@@ -61,7 +85,9 @@ class HttpWatchClient[T](base: String, resourcePath: String,
     b.build()
   }
 
-  /** One LIST: seed buffer, return the collection rv to watch from. */
+  /** One LIST: seed buffer, return the collection rv to watch from.
+    * List items carry no watch type; they are the informer's initial
+    * adds ("ADDED"). */
   private def list(): Long = {
     val resp = http.send(request(listUrl),
       java.net.http.HttpResponse.BodyHandlers.ofString())
@@ -70,28 +96,47 @@ class HttpWatchClient[T](base: String, resourcePath: String,
     val root = mapper.readTree(resp.body())
     val items = root.path("items")
     if (items.isArray)
-      items.asScala.foreach(decode(_).foreach { case (rv, e) =>
-        buffer.put(rv, e) })
+      items.asScala.foreach(decode("ADDED", _).foreach { case (rv, e) =>
+        put(rv, e) })
     val listRv =
       try root.path("metadata").path("resourceVersion").asText("0").toLong
       catch { case _: NumberFormatException => 0L }
     math.max(listRv, if (buffer.isEmpty) 0L else buffer.lastKey())
   }
 
+  /** Bounded-buffer backpressure: block the read loop while uncommitted
+    * backlog is at capacity. Progress resumes when commit() trims, or
+    * the client closes. Deliberately NOT an eviction — dropping
+    * uncommitted rvs would punch a silent hole in a replanned range. */
+  private def awaitSpace(): Unit =
+    while (running.get() && occupancy.get() >= bufferCap) {
+      lastProgressMs = System.currentTimeMillis() // paused ≠ stalled
+      Thread.sleep(20)
+    }
+
+  private def put(rv: Long, e: T): Unit =
+    if (buffer.put(rv, e) == null) occupancy.incrementAndGet()
+
   /** One WATCH connection: stream lines until server close or stop. */
   private def watch(fromRv: Long): Unit = {
-    val url = s"$listUrl?watch=true&resourceVersion=$fromRv"
+    val serverTimeoutSec = math.max(1L, idleTimeoutMs / 1000L)
+    val url = s"$listUrl?watch=true&resourceVersion=$fromRv" +
+      s"&timeoutSeconds=$serverTimeoutSec"
     val resp = http.send(request(url),
       java.net.http.HttpResponse.BodyHandlers.ofInputStream())
     if (resp.statusCode() == 410) return // Gone: rv expired -> re-list
     if (resp.statusCode() != 200)
       throw new java.io.IOException(s"WATCH ${resp.statusCode()}")
+    val body = resp.body()
     val reader = new java.io.BufferedReader(
-      new java.io.InputStreamReader(resp.body(),
+      new java.io.InputStreamReader(body,
         java.nio.charset.StandardCharsets.UTF_8))
+    lastProgressMs = System.currentTimeMillis()
+    activeBody = body
     try {
       var line = reader.readLine()
       while (line != null && running.get()) {
+        lastProgressMs = System.currentTimeMillis()
         if (line.trim.nonEmpty) {
           // A single malformed line must not tear down the whole watch
           // connection (which would force a full re-LIST): skip it and
@@ -102,16 +147,18 @@ class HttpWatchClient[T](base: String, resourcePath: String,
             val kind = n.path("type").asText("")
             // ERROR carries a Status object (e.g. 410 Gone mid-stream)
             if (kind == "ERROR") return
-            if (kind != "DELETED")
-              decode(n.path("object")).foreach { case (rv, e) =>
-                buffer.put(rv, e) }
+            if (kind != "BOOKMARK")
+              decode(kind, n.path("object")).foreach { case (rv, e) =>
+                awaitSpace()
+                if (running.get()) put(rv, e)
+              }
           } catch {
             case _: com.fasterxml.jackson.core.JacksonException => ()
           }
         }
         line = reader.readLine()
       }
-    } finally reader.close()
+    } finally { activeBody = null; reader.close() }
   }
 
   private val loop = new Thread(() => {
@@ -126,6 +173,24 @@ class HttpWatchClient[T](base: String, resourcePath: String,
   loop.setDaemon(true)
   loop.start()
 
+  // Idle watchdog: if the reader has made no progress for idleTimeoutMs,
+  // the connection is presumed half-open — close the body so readLine()
+  // throws and the loop falls back into LIST+WATCH resync. Single daemon
+  // timer; checks at idleTimeoutMs/4 granularity.
+  private val watchdog = new Thread(() => {
+    while (running.get()) {
+      try Thread.sleep(math.max(10L, idleTimeoutMs / 4))
+      catch { case _: InterruptedException => () }
+      val body = activeBody
+      if (running.get() && body != null &&
+          System.currentTimeMillis() - lastProgressMs > idleTimeoutMs) {
+        try body.close() catch { case _: Exception => () }
+      }
+    }
+  }, "graft-k8s-watchdog")
+  watchdog.setDaemon(true)
+  watchdog.start()
+
   def latestRv(): Long = if (buffer.isEmpty) 0L else buffer.lastKey()
 
   def fetch(fromRv: Long, toRv: Long): Seq[T] =
@@ -135,37 +200,66 @@ class HttpWatchClient[T](base: String, resourcePath: String,
     * the replay window has moved past it; trim to keep the buffer
     * bounded (a watch left running for weeks must not grow without
     * bound — at 100 TB scale the buffer holds a replay window, never
-    * history). */
+    * history). Only entries AT OR BELOW the committed rv are ever
+    * removed; uncommitted backlog is bounded by backpressure
+    * ([[awaitSpace]]), never by eviction. */
   def trimCommitted(rv: Long): Unit = {
     committedRv = math.max(committedRv, rv)
-    buffer.headMap(committedRv, true).clear() // ≤ rv is durable: inclusive
-    // Safety valve independent of commits: cap total entries.
-    while (buffer.size() > bufferCap) buffer.pollFirstEntry()
+    // ≤ rv is durable: inclusive; O(removed), keeps occupancy exact.
+    var e = buffer.firstEntry()
+    while (e != null && e.getKey <= committedRv) {
+      if (buffer.remove(e.getKey) != null) occupancy.decrementAndGet()
+      e = buffer.firstEntry()
+    }
   }
 
   override def close(): Unit = {
     running.set(false)
     loop.interrupt()
+    watchdog.interrupt()
+    val body = activeBody
+    if (body != null) { try body.close() catch { case _: Exception => () } }
   }
 }
 
 /** The per-resource decoders + convenience constructors: one generic
   * LIST/WATCH/resync client, one decoder per watched kind — exactly the
   * reference's informer-per-resource layout (main.go:88-90 starts one
-  * informer each for events and services). */
+  * informer each for events and services; k8sclient.go:62-74 reads
+  * apps/v1 deployments). */
 object HttpWatchClient {
 
   def events(base: String, token: Option[String] = None,
-      namespace: Option[String] = None, resyncBackoffMs: Long = 1000L)
+      namespace: Option[String] = None, resyncBackoffMs: Long = 1000L,
+      bufferCap: Int = 1 << 20, idleTimeoutMs: Long = 300000L)
       : HttpWatchClient[KubeEvent] =
-    new HttpWatchClient[KubeEvent](base, "events", decodeEvent,
-      token, namespace, resyncBackoffMs)
+    new HttpWatchClient[KubeEvent](base, "events",
+      (_, n) => decodeEvent(n), token, namespace, resyncBackoffMs,
+      bufferCap, idleTimeoutMs)
 
   def services(base: String, token: Option[String] = None,
-      namespace: Option[String] = None, resyncBackoffMs: Long = 1000L)
-      : HttpWatchClient[KubeService] =
-    new HttpWatchClient[KubeService](base, "services", decodeService,
-      token, namespace, resyncBackoffMs)
+      namespace: Option[String] = None, resyncBackoffMs: Long = 1000L,
+      bufferCap: Int = 1 << 20, idleTimeoutMs: Long = 300000L)
+      : HttpWatchClient[WatchedService] =
+    new HttpWatchClient[WatchedService](base, "services",
+      (t, n) => decodeService(n).map { case (rv, s) =>
+        rv -> WatchedService.of(s, t) },
+      token, namespace, resyncBackoffMs, bufferCap, idleTimeoutMs)
+
+  /** apps/v1 Deployments as selector-bearing dimension rows (uid,
+    * namespace, name, labels, spec.selector.matchLabels) — the E5 feed
+    * (reference k8sclient.go:62-74). Reuses KubeService as the carrier:
+    * the selector-join (E3) is kind-agnostic, it only needs
+    * (uid, namespace, selector). */
+  def deployments(base: String, token: Option[String] = None,
+      namespace: Option[String] = None, resyncBackoffMs: Long = 1000L,
+      bufferCap: Int = 1 << 20, idleTimeoutMs: Long = 300000L)
+      : HttpWatchClient[WatchedService] =
+    new HttpWatchClient[WatchedService](base, "deployments",
+      (t, n) => decodeDeployment(n).map { case (rv, s) =>
+        rv -> WatchedService.of(s, t) },
+      token, namespace, resyncBackoffMs, bufferCap, idleTimeoutMs,
+      apiPrefix = "/apis/apps/v1")
 
   private def strMap(n: com.fasterxml.jackson.databind.JsonNode)
       : Map[String, String] =
@@ -196,9 +290,33 @@ object HttpWatchClient {
       selector = strMap(n.path("spec").path("selector"))))
   }
 
+  /** apps/v1.Deployment JSON → KubeService carrier. The deployment's pod
+    * selector lives at spec.selector.matchLabels (a LabelSelector, not
+    * the bare map a Service has). */
+  private[sources] def decodeDeployment(
+      n: com.fasterxml.jackson.databind.JsonNode)
+      : Option[(Long, KubeService)] = {
+    val meta = n.path("metadata")
+    val uid = meta.path("uid").asText("")
+    val rvText = meta.path("resourceVersion").asText("")
+    val rv = try rvText.toLong catch { case _: NumberFormatException => -1L }
+    if (uid.isEmpty || rv <= 0) return None
+    Some(rv -> KubeService(
+      uid = uid,
+      resource_version = rvText,
+      name = meta.path("name").asText(""),
+      namespace = meta.path("namespace").asText(""),
+      labels = strMap(meta.path("labels")),
+      annotations = strMap(meta.path("annotations")),
+      selector = strMap(n.path("spec").path("selector").path("matchLabels"))))
+  }
+
   /** v1.Event JSON → KubeEvent; None when the record is unusable (no
     * uid/rv). Field mapping is the same subset the file client carries
-    * (FIXTURES.md §A.1) — the two clients must be interchangeable. */
+    * (FIXTURES.md §A.1) — the two clients must be interchangeable.
+    * Watch type is irrelevant for events: the reference routes event
+    * deletes through the same onEvent handler as adds/updates
+    * (handler.go:56-64). */
   private[sources] def decodeEvent(n: com.fasterxml.jackson.databind.JsonNode):
       Option[(Long, KubeEvent)] = {
     val meta = n.path("metadata")

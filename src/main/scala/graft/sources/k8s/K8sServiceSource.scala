@@ -1,6 +1,6 @@
 package graft.sources.k8s
 
-import graft.k8s.KubeService
+import graft.k8s.WatchedService
 import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
@@ -16,14 +16,22 @@ import scala.jdk.CollectionConverters._
 /** The SERVICE half of the live watch (SURVEY.md §2.1 S2): the same
   * DataSourceV2 MicroBatchStream shape as [[K8sEventSource]], over
   * [[HttpWatchClient.services]] (LIST+WATCH on /api/v1/services,
-  * v1.Service → KubeService). The natural downstream is the D2
-  * versioned dedup (`StreamPipeline.dedupServicesVersioned`) — exactly
-  * the reference's service-informer → version-gate path
-  * (main.go:88-90 → handler.go:95-115).
+  * v1.Service → WatchedService: the KubeService fields PLUS the watch
+  * line's type, so F1 can emit `deletedService` downstream — the
+  * reference's OnDelete path, handler.go:56-64). The natural downstream
+  * is the tagged D2 gate (`StreamPipeline.dedupServicesWatchedTagged`)
+  * — exactly the reference's service-informer → version-gate path
+  * (main.go:88-90 → handler.go:95-115). Consumers that don't care about
+  * lifecycle can still `.as[KubeService]` (the schema is a superset).
+  *
+  * `option("resource", "deployments")` switches the watch to apps/v1
+  * Deployments (the E5 dimension feed, reference k8sclient.go:62-74) —
+  * same carrier schema, selector from spec.selector.matchLabels.
   *
   * Usage: spark.readStream.format("graft.sources.k8s.K8sServiceSource")
   *          .option("endpoint", apiServerUrl)
-  *          [.option("token", t)] [.option("namespace", ns)].load()
+  *          [.option("token", t)] [.option("namespace", ns)]
+  *          [.option("resource", "services|deployments")].load()
   */
 class K8sServiceSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -33,21 +41,26 @@ class K8sServiceSource extends TableProvider {
     val endpoint = properties.get("endpoint")
     require(endpoint != null && endpoint.nonEmpty,
       "K8sServiceSource requires .option(\"endpoint\", <api-server url>)")
+    val resource = Option(properties.get("resource")).filter(_.nonEmpty)
+      .getOrElse("services")
+    require(resource == "services" || resource == "deployments",
+      s"K8sServiceSource resource must be services|deployments, got $resource")
     new K8sServiceTable(endpoint,
       Option(properties.get("token")).filter(_.nonEmpty),
-      Option(properties.get("namespace")).filter(_.nonEmpty))
+      Option(properties.get("namespace")).filter(_.nonEmpty),
+      resource)
   }
   override def supportsExternalMetadata(): Boolean = false
 }
 
 object K8sServiceSource {
-  val schema: StructType = Encoders.product[KubeService].schema
+  val schema: StructType = Encoders.product[WatchedService].schema
 }
 
 private[k8s] class K8sServiceTable(endpoint: String,
-    token: Option[String], namespace: Option[String])
+    token: Option[String], namespace: Option[String], resource: String)
     extends Table with SupportsRead {
-  override def name(): String = s"k8s_services($endpoint)"
+  override def name(): String = s"k8s_$resource($endpoint)"
   override def schema(): StructType = K8sServiceSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ).asJava
@@ -56,14 +69,18 @@ private[k8s] class K8sServiceTable(endpoint: String,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = K8sServiceSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new K8sServiceMicroBatchStream(endpoint, token, namespace)
+          new K8sServiceMicroBatchStream(endpoint, token, namespace, resource)
       }
     }
 }
 
 private[k8s] class K8sServiceMicroBatchStream(endpoint: String,
-    token: Option[String], namespace: Option[String]) extends MicroBatchStream {
-  private val client = HttpWatchClient.services(endpoint, token, namespace)
+    token: Option[String], namespace: Option[String], resource: String)
+    extends MicroBatchStream {
+  private val client =
+    if (resource == "deployments")
+      HttpWatchClient.deployments(endpoint, token, namespace)
+    else HttpWatchClient.services(endpoint, token, namespace)
   override def initialOffset(): Offset = K8sOffset(0L)
   override def latestOffset(): Offset = K8sOffset(client.latestRv())
   override def deserializeOffset(json: String): Offset = K8sOffset(json.toLong)
@@ -77,7 +94,7 @@ private[k8s] class K8sServiceMicroBatchStream(endpoint: String,
   override def stop(): Unit = client.close()
 }
 
-private[k8s] case class K8sServiceBufferPartition(services: Seq[KubeService])
+private[k8s] case class K8sServiceBufferPartition(services: Seq[WatchedService])
   extends InputPartition
 
 private[k8s] object K8sServiceBufferReaderFactory extends PartitionReaderFactory {
@@ -85,7 +102,7 @@ private[k8s] object K8sServiceBufferReaderFactory extends PartitionReaderFactory
     val p = partition.asInstanceOf[K8sServiceBufferPartition]
     new PartitionReader[InternalRow] {
       private val serializer =
-        ExpressionEncoder[KubeService]().createSerializer()
+        ExpressionEncoder[WatchedService]().createSerializer()
       private val it = p.services.iterator
       private var current: InternalRow = _
       override def next(): Boolean =
