@@ -54,6 +54,8 @@ object EventPipeline {
         col("involvedObject.resourceVersion").cast("long"),
         col("count"), col("eventType"), col("reason"), col("name"),
         col("namespace"), col("involvedObject.uid"),
+        col("involvedObject.apiVersion"), col("involvedObject.kind"),
+        col("involvedObject.name"), col("involvedObject.namespace"),
         col("source.component"), col("source.host"))
     events.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")

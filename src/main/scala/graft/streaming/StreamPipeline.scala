@@ -71,9 +71,11 @@ object StreamPipeline {
     * lifecycle tag — a uid seen for the first time is `addedService`,
     * every later strictly-newer version is `updatedService` (the
     * reference's informer add/update callbacks, handler.go:26-69,
-    * reconstructed from the same state the version gate already keeps;
-    * DELETED never reaches here — the watch client drops it, as the
-    * reference's delete handler drops non-service deletes). */
+    * reconstructed from the same state the version gate already keeps).
+    * This overload consumes bare [[KubeService]] rows (file replay /
+    * batch fixtures, no watch metadata), so it can never see a delete;
+    * the live watch path carries the watch type and goes through
+    * [[dedupServicesWatchedTagged]], which adds `deletedService`. */
   final case class TaggedService(service: KubeService, tag: String)
 
   def dedupServicesVersionedTagged(services: Dataset[KubeService])(
@@ -102,11 +104,85 @@ object StreamPipeline {
       }
   }
 
+  /** The watch-aware D2 + F1 gate for the LIVE service source
+    * ([[graft.sources.k8s.K8sServiceSource]] emits [[WatchedService]]
+    * rows carrying the watch line's type): same strictly-newer
+    * resourceVersion gate, but the lifecycle tag comes from the watch
+    * type itself — the reference's informer callbacks map 1:1
+    * (handler.go:26-69: OnAdd → addedService, OnUpdate →
+    * updatedService, OnDelete → deletedService). A DELETED line carries
+    * a bumped rv, so it passes the gate and emits exactly one
+    * `deletedService`; its state is then dropped (the reference's
+    * OnDelete removes the uid from the informer cache), so a later
+    * re-list of a recreated same-uid service tags as an add again.
+    * Rows with no watch type (e.g. a consumer lifting bare
+    * KubeService) fall back to the state-derived add/update split of
+    * [[dedupServicesVersionedTagged]]. */
+  def dedupServicesWatchedTagged(services: Dataset[WatchedService])(
+      implicit spark: SparkSession): Dataset[TaggedService] = {
+    import spark.implicits._
+    services
+      .groupByKey(_.uid)
+      .flatMapGroupsWithState[VersionState, TaggedService](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[WatchedService], state: GroupState[VersionState]) =>
+          var maxSeen = state.getOption.map(_.maxVersion).getOrElse(Long.MinValue)
+          val firstEver = state.getOption.isEmpty
+          var emittedAny = false
+          var endedDeleted = false
+          val out = rows.toSeq.sortBy(_.resource_version.toLong).flatMap { s =>
+            val v = s.resource_version.toLong
+            if (v > maxSeen) {
+              maxSeen = v
+              val tag = s.watch_type match {
+                case "DELETED"  => "deletedService"
+                case "ADDED"    => "addedService"
+                case "MODIFIED" => "updatedService"
+                case _ => if (firstEver && !emittedAny) "addedService"
+                          else "updatedService"
+              }
+              endedDeleted = tag == "deletedService"
+              emittedAny = true
+              Some(TaggedService(s.service, tag))
+            } else None
+          }
+          if (endedDeleted) state.remove()
+          else state.update(VersionState(maxSeen))
+          out.iterator
+      }
+  }
+
+  /** Per-micro-batch sink body shared by the service-side queries: one
+    * P4 projection per lifecycle tag present (serviceEvents stamps the
+    * tag as the L9 reason), unioned into one sink write. */
+  private def serviceBatchSink(pods: DataFrame, conf: GraftConfig,
+      tags: Seq[String]): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      import org.apache.spark.sql.functions.col
+      val parts = tags.map { t =>
+        EventPipeline.serviceEvents(
+          batch.filter(col("tag") === t).select("service.*"),
+          pods, t).toDF()
+      }
+      val l9 = parts.reduce(_ unionByName _)
+      conf.sink match {
+        case "memory" =>
+          graft.sinks.MemoryBatchSink.append(conf.uid, batchId,
+            l9, conf.batchSize)
+        case _ =>
+          NdjsonSink.write(l9, conf.fileSinkDir, conf.uid, batchId,
+            conf.batchSize, conf.gzip)
+      }
+      ()
+  }
+
   /** The SERVICE-side streaming query (reference main.go service
     * informer → handler → event_service.go): live/replayed services
     * through the tagged version gate, then per micro-batch the P4
     * projection (selector-matched pod map, service L9 synthesis) lands
-    * on the configured sink — the service twin of [[run]]. */
+    * on the configured sink — the service twin of [[run]]. This
+    * overload is the watch-blind replay path (add/update only); the
+    * live path is [[runServicesWatched]]. */
   def runServices(stream: Dataset[KubeService], pods: DataFrame,
       conf: GraftConfig, checkpoint: String,
       triggerMs: Option[Long] = None): StreamingQuery = {
@@ -117,27 +193,28 @@ object StreamPipeline {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(trigger))
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import org.apache.spark.sql.functions.col
-        // One projection per lifecycle tag (serviceEvents stamps the
-        // tag as the L9 reason), unioned into one sink write.
-        val tags = Seq("addedService", "updatedService")
-        val parts = tags.map { t =>
-          EventPipeline.serviceEvents(
-            batch.filter(col("tag") === t).select("service.*"),
-            pods, t).toDF()
-        }
-        val l9 = parts.reduce(_ unionByName _)
-        conf.sink match {
-          case "memory" =>
-            graft.sinks.MemoryBatchSink.append(conf.uid, batchId,
-              l9, conf.batchSize)
-          case _ =>
-            NdjsonSink.write(l9, conf.fileSinkDir, conf.uid, batchId,
-              conf.batchSize, conf.gzip)
-        }
-        ()
-      }
+      .foreachBatch(serviceBatchSink(pods, conf,
+        Seq("addedService", "updatedService")))
+      .start()
+  }
+
+  /** The LIVE service-side streaming query: [[WatchedService]] rows
+    * (from the live watch source) through the watch-aware tagged gate,
+    * so service deletions land as `deletedService` L9 records — the
+    * reference's OnDelete path end-to-end (handler.go:56-64 →
+    * event_service.go:72-112). */
+  def runServicesWatched(stream: Dataset[WatchedService], pods: DataFrame,
+      conf: GraftConfig, checkpoint: String,
+      triggerMs: Option[Long] = None): StreamingQuery = {
+    implicit val spark: SparkSession = stream.sparkSession
+    val tagged = dedupServicesWatchedTagged(stream)
+    val trigger = triggerMs.getOrElse(conf.batchIntervalSec * 1000L)
+    tagged.toDF().writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(trigger))
+      .foreachBatch(serviceBatchSink(pods, conf,
+        Seq("addedService", "updatedService", "deletedService")))
       .start()
   }
 

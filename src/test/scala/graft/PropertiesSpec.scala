@@ -38,6 +38,31 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("D1 dedup total order: same-uid duplicates differing ONLY in " +
+    "involvedObject scalars pick the same winner under any partitioning") {
+    // Every field in the explicit sort key ties except the four
+    // involvedObject scalars — without them in the orderBy the winner
+    // would be partitioning-dependent.
+    val base = KubeEvent("dup", new Timestamp(1704067200000L), "n", "default",
+      "Scheduled", "m", "Normal", Some(1),
+      ObjectRef("v1", "Pod", "o", "default", "1", "obj"), EventSource("c", "h"))
+    val variants = Seq(
+      base,
+      base.copy(involvedObject = base.involvedObject.copy(apiVersion = "apps/v1")),
+      base.copy(involvedObject = base.involvedObject.copy(kind = "Deployment")),
+      base.copy(involvedObject = base.involvedObject.copy(name = "a-first")),
+      base.copy(involvedObject = base.involvedObject.copy(namespace = "aaa")))
+    val winners = for (parts <- Seq(1, 2, 3, 7); seed <- 1L to 3L) yield {
+      val shuffled = new scala.util.Random(seed).shuffle(variants)
+      val df = shuffled.toDF().repartition(parts)
+      val got = EventPipeline.dedupEvents(df).as[KubeEvent].collect()
+      assert(got.length == 1, s"parts=$parts seed=$seed")
+      got.head
+    }
+    assert(winners.toSet.size == 1,
+      s"winner must be partition-invariant, got ${winners.toSet}")
+  }
+
   test("batch partitioning invariant: n records → ceil(n/bs) files, each ≤ bs, total n") {
     for (seed <- 1L to 5L) {
       val n = sample(Gen.choose(1, 40), seed)

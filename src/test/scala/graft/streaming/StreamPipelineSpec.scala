@@ -204,6 +204,41 @@ class StreamPipelineSpec extends SparkSpec {
     assert(lines.forall(_.contains("\"web-0\"")), "pod map missing")
   }
 
+  test("live service pipeline (runServicesWatched): a DELETED watch line " +
+    "yields exactly one deletedService L9 record; re-add after delete " +
+    "tags as addedService again") {
+    val ckpt = java.nio.file.Files.createTempDirectory("ckptw").toString
+    val in = MemoryStream[WatchedService]
+    val pods = Seq(KubePod("p1", "web-0", "default", Map("app" -> "web"),
+      ts("2024-01-01 09:00:00"), "1.2.3.4", "5.6.7.8")).toDF()
+    val conf = GraftConfig(uid = "wsvcuid", sink = "memory", batchSize = 10)
+    graft.sinks.MemoryBatchSink.clear("wsvcuid")
+    def svc(rv: String, watchType: String) = WatchedService("s1", rv, "web",
+      "default", Map("app" -> "web"), Map(), Map("app" -> "web"), watchType)
+    val q = StreamPipeline.runServicesWatched(in.toDS(), pods, conf, ckpt,
+      triggerMs = Some(100))
+    try {
+      in.addData(svc("2", "ADDED"))
+      q.processAllAvailable()
+      in.addData(svc("5", "MODIFIED"), svc("5", "MODIFIED")) // dup rv dropped
+      q.processAllAvailable()
+      in.addData(svc("9", "DELETED"), svc("9", "DELETED")) // gate: emit ONCE
+      q.processAllAvailable()
+      // OnDelete dropped the state: the recreated service is an add again
+      in.addData(svc("12", "ADDED"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val lines = graft.sinks.MemoryBatchSink.batches("wsvcuid")
+      .flatMap(_._2).flatten
+    def reasons(r: String) = lines.count(_.contains(s""""reason":"$r""""))
+    assert(lines.size == 4, s"add/update/delete/re-add expected, got $lines")
+    assert(reasons("deletedService") == 1, lines.mkString("\n"))
+    assert(reasons("addedService") == 2, lines.mkString("\n"))
+    assert(reasons("updatedService") == 1, lines.mkString("\n"))
+    assert(lines.exists(l => l.contains("\"id\":\"s1-9\"") &&
+      l.contains("\"reason\":\"deletedService\"")), lines.mkString("\n"))
+  }
+
   test("runFromConfig: JSON config file drives the full pipeline end-to-end") {
     val ckpt = java.nio.file.Files.createTempDirectory("ckptc").toString
     val cfg = java.nio.file.Files.createTempFile("graft", ".json")
