@@ -27,13 +27,24 @@ object Main {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
 
-  /** Testable core: builds and STARTS the query, returns it. */
+  /** Testable core: builds and STARTS the query, returns it.
+    * With neither `--watch` nor `--endpoint`, the config file ALONE
+    * stands up the live path (kubeconfig / in-cluster resolution) —
+    * the reference's primary contract (main.go:28-97). */
   def run(spark: SparkSession, opts: Map[String, String]): StreamingQuery = {
     val configPath = opts.getOrElse("config",
       throw new IllegalArgumentException("--config <file.json> is required"))
-    require(opts.contains("watch") || opts.contains("endpoint"),
-      "--watch <ndjson file> or --endpoint <api-server url> is required")
     import spark.implicits._
+    def dim(key: String, empty: => DataFrame): DataFrame =
+      opts.get(key).map(spark.read.parquet(_)).getOrElse(empty)
+    val objects = dim("objects",
+      Seq.empty[graft.k8s.KubeObject].toDF())
+    val nodes = dim("nodes", Seq.empty[graft.k8s.KubeNode].toDF())
+    val checkpoint = opts.getOrElse("checkpoint",
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    if (!opts.contains("watch") && !opts.contains("endpoint"))
+      return graft.streaming.StreamPipeline.runLive(
+        configPath, spark, objects, nodes, checkpoint)
     val reader = spark.readStream
       .format("graft.sources.k8s.K8sEventSource")
     val src = opts.get("watch").map(w => reader.option("path", w))
@@ -43,13 +54,6 @@ object Main {
         opts.get("namespace").map(r2.option("namespace", _)).getOrElse(r2)
       }
       .load()
-    def dim(key: String, empty: => DataFrame): DataFrame =
-      opts.get(key).map(spark.read.parquet(_)).getOrElse(empty)
-    val objects = dim("objects",
-      Seq.empty[graft.k8s.KubeObject].toDF())
-    val nodes = dim("nodes", Seq.empty[graft.k8s.KubeNode].toDF())
-    val checkpoint = opts.getOrElse("checkpoint",
-      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     graft.streaming.StreamPipeline.runFromConfig(
       configPath, src, objects, nodes, checkpoint)
   }

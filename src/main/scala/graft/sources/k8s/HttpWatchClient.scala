@@ -22,20 +22,32 @@ import scala.jdk.CollectionConverters._
   *     routes deletes through the same handlers (handler.go:56-64 —
   *     a deleted v1.Service becomes a `deletedService` record), so
   *     DELETED lines are decoded, not dropped.
-  *  3. On stream end / error / HTTP 410 Gone (rv expired): back off and
-  *     re-LIST + re-WATCH — the resync loop (reference config.go:8
-  *     `resync_interval`, README "Resync allows to catch up"). Re-listed
-  *     events overwrite by rv, so the buffer never duplicates; downstream
-  *     D1 dedup absorbs redelivery across restarts, exactly the
-  *     reference's at-least-once contract.
+  *  3. On CLEAN stream end (the server closes every watch after
+  *     `timeoutSeconds`): re-WATCH from the last seen rv — no LIST.
+  *     A full collection LIST per watch lifetime would hammer the
+  *     apiserver for nothing (the rv cursor is still valid). LIST runs
+  *     again only when the cursor is actually lost: HTTP 410 Gone / an
+  *     ERROR watch line (rv expired) or a transport error — plus the
+  *     optional periodic `relistIntervalMs` safety net, the analog of
+  *     the reference's `resync_interval` (config.go:8, README "Resync
+  *     allows to catch up"; client-go replays its local store on
+  *     resync — an HTTP client's closest equivalent is a fresh LIST).
+  *     Re-listed events overwrite by rv, so the buffer never
+  *     duplicates; downstream D1 dedup absorbs redelivery across
+  *     restarts, exactly the reference's at-least-once contract.
   *
   * Liveness: a half-open connection (NAT drop) would block `readLine()`
   * forever with no exception — so the watch request carries the public
-  * `timeoutSeconds` parameter (server closes an idle watch) AND a local
-  * watchdog closes the response stream if no line arrives within
+  * `timeoutSeconds` parameter (`serverTimeoutSec`, the server's bound on
+  * the WHOLE watch — deliberately long, it is not an idle timeout) AND a
+  * local watchdog closes the response stream if no line arrives within
   * `idleTimeoutMs`, which lands the reader in the resync loop. Either
   * side alone is insufficient: the server-side timeout dies with the
-  * server, the local one covers that case.
+  * server, the local one covers that case. The LIST half (and every
+  * exchange up to response headers — safe for the streaming WATCH,
+  * whose timer is cancelled once headers arrive) is covered by
+  * `requestTimeoutMs` on the request itself, so a half-open connection
+  * during LIST cannot block `http.send` forever either.
   *
   * Backpressure, not eviction: the buffer is a rv-ordered skip-list
   * trimmed only BELOW the committed rv (`trimCommitted`, called from the
@@ -58,7 +70,9 @@ class HttpWatchClient[T](base: String, resourcePath: String,
     token: Option[String] = None,
     namespace: Option[String] = None, resyncBackoffMs: Long = 1000L,
     bufferCap: Int = 1 << 20, idleTimeoutMs: Long = 300000L,
-    apiPrefix: String = "/api/v1") extends AutoCloseable {
+    apiPrefix: String = "/api/v1", serverTimeoutSec: Long = 3600L,
+    requestTimeoutMs: Long = 30000L,
+    relistIntervalMs: Long = Long.MaxValue) extends AutoCloseable {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private val buffer = new ConcurrentSkipListMap[Long, T]()
@@ -67,6 +81,10 @@ class HttpWatchClient[T](base: String, resourcePath: String,
   private val occupancy = new java.util.concurrent.atomic.AtomicInteger(0)
   private val running = new AtomicBoolean(true)
   @volatile private var committedRv = 0L
+  // The re-watch cursor: highest rv ever decoded OR returned by a LIST.
+  // Survives trimCommitted (the buffer does not), so a clean stream end
+  // can re-WATCH without re-LISTing.
+  @volatile private var maxSeenRv = 0L
   // Watchdog state: the stream being read, and when it last made progress.
   @volatile private var activeBody: java.io.InputStream = _
   @volatile private var lastProgressMs: Long = System.currentTimeMillis()
@@ -81,6 +99,9 @@ class HttpWatchClient[T](base: String, resourcePath: String,
 
   private def request(url: String): java.net.http.HttpRequest = {
     val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET()
+      // Until response headers only — the streaming WATCH body is NOT
+      // bounded by this; it is the LIST-half liveness cover.
+      .timeout(java.time.Duration.ofMillis(requestTimeoutMs))
     token.foreach(t => b.header("Authorization", s"Bearer $t"))
     b.build()
   }
@@ -101,7 +122,9 @@ class HttpWatchClient[T](base: String, resourcePath: String,
     val listRv =
       try root.path("metadata").path("resourceVersion").asText("0").toLong
       catch { case _: NumberFormatException => 0L }
-    math.max(listRv, if (buffer.isEmpty) 0L else buffer.lastKey())
+    val from = math.max(listRv, if (buffer.isEmpty) 0L else buffer.lastKey())
+    maxSeenRv = math.max(maxSeenRv, from)
+    from
   }
 
   /** Bounded-buffer backpressure: block the read loop while uncommitted
@@ -114,17 +137,21 @@ class HttpWatchClient[T](base: String, resourcePath: String,
       Thread.sleep(20)
     }
 
-  private def put(rv: Long, e: T): Unit =
+  private def put(rv: Long, e: T): Unit = {
     if (buffer.put(rv, e) == null) occupancy.incrementAndGet()
+    if (rv > maxSeenRv) maxSeenRv = rv
+  }
 
-  /** One WATCH connection: stream lines until server close or stop. */
-  private def watch(fromRv: Long): Unit = {
-    val serverTimeoutSec = math.max(1L, idleTimeoutMs / 1000L)
+  /** One WATCH connection: stream lines until server close or stop.
+    * Returns true on a clean end (rv cursor still valid — re-WATCH from
+    * `maxSeenRv`), false when the cursor is lost (410 Gone / ERROR
+    * line — the caller must re-LIST). */
+  private def watch(fromRv: Long): Boolean = {
     val url = s"$listUrl?watch=true&resourceVersion=$fromRv" +
       s"&timeoutSeconds=$serverTimeoutSec"
     val resp = http.send(request(url),
       java.net.http.HttpResponse.BodyHandlers.ofInputStream())
-    if (resp.statusCode() == 410) return // Gone: rv expired -> re-list
+    if (resp.statusCode() == 410) return false // Gone: rv expired -> re-list
     if (resp.statusCode() != 200)
       throw new java.io.IOException(s"WATCH ${resp.statusCode()}")
     val body = resp.body()
@@ -146,7 +173,7 @@ class HttpWatchClient[T](base: String, resourcePath: String,
             val n = mapper.readTree(line)
             val kind = n.path("type").asText("")
             // ERROR carries a Status object (e.g. 410 Gone mid-stream)
-            if (kind == "ERROR") return
+            if (kind == "ERROR") return false
             if (kind != "BOOKMARK")
               decode(kind, n.path("object")).foreach { case (rv, e) =>
                 awaitSpace()
@@ -158,13 +185,30 @@ class HttpWatchClient[T](base: String, resourcePath: String,
         }
         line = reader.readLine()
       }
+      true
     } finally { activeBody = null; reader.close() }
   }
 
   private val loop = new Thread(() => {
+    // LIST only when the rv cursor is lost (initial, 410/ERROR,
+    // transport error) or the periodic relist safety net fires; a clean
+    // server-side watch close just re-WATCHes from maxSeenRv.
+    var needList = true
+    var lastListMs = 0L
     while (running.get()) {
-      try watch(list())
-      catch { case _: Exception => () } // transport error -> resync
+      try {
+        if (!needList && relistIntervalMs != Long.MaxValue &&
+            System.currentTimeMillis() - lastListMs >= relistIntervalMs)
+          needList = true
+        val fromRv =
+          if (needList) {
+            val rv = list()
+            lastListMs = System.currentTimeMillis()
+            needList = false
+            rv
+          } else maxSeenRv
+        if (!watch(fromRv)) needList = true
+      } catch { case _: Exception => needList = true } // transport error
       if (running.get())
         try Thread.sleep(resyncBackoffMs)
         catch { case _: InterruptedException => () } // close() interrupts
@@ -191,10 +235,15 @@ class HttpWatchClient[T](base: String, resourcePath: String,
   watchdog.setDaemon(true)
   watchdog.start()
 
-  def latestRv(): Long = if (buffer.isEmpty) 0L else buffer.lastKey()
+  /** The offset cursor, NOT the buffer tail: monotone non-decreasing
+    * even after trimCommitted empties the buffer (a trimmed-empty buffer
+    * must not roll the stream's latest offset back below the committed
+    * one — micro-batch planning would then ask for an inverted range). */
+  def latestRv(): Long = maxSeenRv
 
   def fetch(fromRv: Long, toRv: Long): Seq[T] =
-    buffer.subMap(fromRv, false, toRv, true).values.asScala.toSeq
+    if (toRv <= fromRv) Seq.empty
+    else buffer.subMap(fromRv, false, toRv, true).values.asScala.toSeq
 
   /** Called on offset commit: everything ≤ rv is durably downstream, so
     * the replay window has moved past it; trim to keep the buffer
@@ -231,20 +280,23 @@ object HttpWatchClient {
 
   def events(base: String, token: Option[String] = None,
       namespace: Option[String] = None, resyncBackoffMs: Long = 1000L,
-      bufferCap: Int = 1 << 20, idleTimeoutMs: Long = 300000L)
+      bufferCap: Int = 1 << 20, idleTimeoutMs: Long = 300000L,
+      relistIntervalMs: Long = Long.MaxValue)
       : HttpWatchClient[KubeEvent] =
     new HttpWatchClient[KubeEvent](base, "events",
       (_, n) => decodeEvent(n), token, namespace, resyncBackoffMs,
-      bufferCap, idleTimeoutMs)
+      bufferCap, idleTimeoutMs, relistIntervalMs = relistIntervalMs)
 
   def services(base: String, token: Option[String] = None,
       namespace: Option[String] = None, resyncBackoffMs: Long = 1000L,
-      bufferCap: Int = 1 << 20, idleTimeoutMs: Long = 300000L)
+      bufferCap: Int = 1 << 20, idleTimeoutMs: Long = 300000L,
+      relistIntervalMs: Long = Long.MaxValue)
       : HttpWatchClient[WatchedService] =
     new HttpWatchClient[WatchedService](base, "services",
       (t, n) => decodeService(n).map { case (rv, s) =>
         rv -> WatchedService.of(s, t) },
-      token, namespace, resyncBackoffMs, bufferCap, idleTimeoutMs)
+      token, namespace, resyncBackoffMs, bufferCap, idleTimeoutMs,
+      relistIntervalMs = relistIntervalMs)
 
   /** apps/v1 Deployments as selector-bearing dimension rows (uid,
     * namespace, name, labels, spec.selector.matchLabels) — the E5 feed
@@ -253,13 +305,14 @@ object HttpWatchClient {
     * (uid, namespace, selector). */
   def deployments(base: String, token: Option[String] = None,
       namespace: Option[String] = None, resyncBackoffMs: Long = 1000L,
-      bufferCap: Int = 1 << 20, idleTimeoutMs: Long = 300000L)
+      bufferCap: Int = 1 << 20, idleTimeoutMs: Long = 300000L,
+      relistIntervalMs: Long = Long.MaxValue)
       : HttpWatchClient[WatchedService] =
     new HttpWatchClient[WatchedService](base, "deployments",
       (t, n) => decodeDeployment(n).map { case (rv, s) =>
         rv -> WatchedService.of(s, t) },
       token, namespace, resyncBackoffMs, bufferCap, idleTimeoutMs,
-      apiPrefix = "/apis/apps/v1")
+      apiPrefix = "/apis/apps/v1", relistIntervalMs = relistIntervalMs)
 
   private def strMap(n: com.fasterxml.jackson.databind.JsonNode)
       : Map[String, String] =
@@ -292,7 +345,11 @@ object HttpWatchClient {
 
   /** apps/v1.Deployment JSON → KubeService carrier. The deployment's pod
     * selector lives at spec.selector.matchLabels (a LabelSelector, not
-    * the bare map a Service has). */
+    * the bare map a Service has). A LabelSelector can ALSO carry
+    * matchExpressions (set-based requirements) — the equi-join form of
+    * E3 cannot express those, and decoding such a deployment with only
+    * its matchLabels half (or an empty map) would silently join the
+    * WRONG pod set; skip the row instead, so a miss is visibly a miss. */
   private[sources] def decodeDeployment(
       n: com.fasterxml.jackson.databind.JsonNode)
       : Option[(Long, KubeService)] = {
@@ -301,6 +358,8 @@ object HttpWatchClient {
     val rvText = meta.path("resourceVersion").asText("")
     val rv = try rvText.toLong catch { case _: NumberFormatException => -1L }
     if (uid.isEmpty || rv <= 0) return None
+    val exprs = n.path("spec").path("selector").path("matchExpressions")
+    if (exprs.isArray && exprs.size > 0) return None
     Some(rv -> KubeService(
       uid = uid,
       resource_version = rvText,

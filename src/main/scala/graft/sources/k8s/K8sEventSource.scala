@@ -55,7 +55,9 @@ class K8sEventSource extends TableProvider {
         ".option(\"endpoint\", <api-server url>)")
     new K8sEventTable(path, endpoint,
       Option(properties.get("token")).filter(_.nonEmpty),
-      Option(properties.get("namespace")).filter(_.nonEmpty))
+      Option(properties.get("namespace")).filter(_.nonEmpty),
+      Option(properties.get("relistIntervalMs")).filter(_.nonEmpty)
+        .map(_.toLong).getOrElse(Long.MaxValue))
   }
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -67,7 +69,8 @@ object K8sEventSource {
 }
 
 private[k8s] class K8sEventTable(path: String, endpoint: String,
-    token: Option[String], namespace: Option[String])
+    token: Option[String], namespace: Option[String],
+    relistIntervalMs: Long = Long.MaxValue)
     extends Table with SupportsRead {
   override def name(): String =
     if (endpoint != null && endpoint.nonEmpty) s"k8s_events($endpoint)"
@@ -81,7 +84,8 @@ private[k8s] class K8sEventTable(path: String, endpoint: String,
         override def readSchema(): StructType = K8sEventSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           if (endpoint != null && endpoint.nonEmpty)
-            new K8sHttpMicroBatchStream(endpoint, token, namespace)
+            new K8sHttpMicroBatchStream(endpoint, token, namespace,
+              relistIntervalMs)
           else new K8sMicroBatchStream(path)
       }
     }
@@ -130,8 +134,10 @@ private[k8s] object K8sReaderFactory extends PartitionReaderFactory {
   * the slice is one micro-batch, not history). Offset commit trims the
   * buffer, so memory holds only the uncommitted replay window. */
 private[k8s] class K8sHttpMicroBatchStream(endpoint: String,
-    token: Option[String], namespace: Option[String]) extends MicroBatchStream {
-  private val client = HttpWatchClient.events(endpoint, token, namespace)
+    token: Option[String], namespace: Option[String],
+    relistIntervalMs: Long = Long.MaxValue) extends MicroBatchStream {
+  private val client = HttpWatchClient.events(endpoint, token, namespace,
+    relistIntervalMs = relistIntervalMs)
   override def initialOffset(): Offset = K8sOffset(0L)
   override def latestOffset(): Offset = K8sOffset(client.latestRv())
   override def deserializeOffset(json: String): Offset = K8sOffset(json.toLong)

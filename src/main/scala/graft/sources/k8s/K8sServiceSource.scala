@@ -48,7 +48,9 @@ class K8sServiceSource extends TableProvider {
     new K8sServiceTable(endpoint,
       Option(properties.get("token")).filter(_.nonEmpty),
       Option(properties.get("namespace")).filter(_.nonEmpty),
-      resource)
+      resource,
+      Option(properties.get("relistIntervalMs")).filter(_.nonEmpty)
+        .map(_.toLong).getOrElse(Long.MaxValue))
   }
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -58,7 +60,8 @@ object K8sServiceSource {
 }
 
 private[k8s] class K8sServiceTable(endpoint: String,
-    token: Option[String], namespace: Option[String], resource: String)
+    token: Option[String], namespace: Option[String], resource: String,
+    relistIntervalMs: Long = Long.MaxValue)
     extends Table with SupportsRead {
   override def name(): String = s"k8s_$resource($endpoint)"
   override def schema(): StructType = K8sServiceSource.schema
@@ -69,18 +72,22 @@ private[k8s] class K8sServiceTable(endpoint: String,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = K8sServiceSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new K8sServiceMicroBatchStream(endpoint, token, namespace, resource)
+          new K8sServiceMicroBatchStream(endpoint, token, namespace, resource,
+            relistIntervalMs)
       }
     }
 }
 
 private[k8s] class K8sServiceMicroBatchStream(endpoint: String,
-    token: Option[String], namespace: Option[String], resource: String)
+    token: Option[String], namespace: Option[String], resource: String,
+    relistIntervalMs: Long = Long.MaxValue)
     extends MicroBatchStream {
   private val client =
     if (resource == "deployments")
-      HttpWatchClient.deployments(endpoint, token, namespace)
-    else HttpWatchClient.services(endpoint, token, namespace)
+      HttpWatchClient.deployments(endpoint, token, namespace,
+        relistIntervalMs = relistIntervalMs)
+    else HttpWatchClient.services(endpoint, token, namespace,
+      relistIntervalMs = relistIntervalMs)
   override def initialOffset(): Offset = K8sOffset(0L)
   override def latestOffset(): Offset = K8sOffset(client.latestRv())
   override def deserializeOffset(json: String): Offset = K8sOffset(json.toLong)

@@ -20,7 +20,16 @@ object StreamPipeline {
 
   /** D1 streaming: drop duplicate event UIDs within the watermark horizon
     * — the TTL'd dedup table (3600 s ≈ watermark delay; reference
-    * handler.go:142-151, flush.go:57-62). */
+    * handler.go:142-151, flush.go:57-62).
+    *
+    * At-least-once edge, same as the reference: the live watch decodes
+    * DELETED v1.Event lines (event TTL expiry, ~1 h, redelivers the uid
+    * with its ORIGINAL timestamp), and dedup state for that uid expires
+    * at the same 1-hour horizon — a duplicate can slip out right at the
+    * edge. The reference routes event deletes through the same onEvent
+    * handler with the same TTL'd cache (handler.go:56-64, 142-151), so
+    * the duplicate window is shared behavior, not a divergence; widen
+    * `watermarkDelay` past the cluster's event TTL to close it. */
   def dedupStream(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
     events
       .withWatermark("creationTimestamp", watermarkDelay)
@@ -303,6 +312,62 @@ object StreamPipeline {
       triggerMs: Option[Long] = None): StreamingQuery = {
     val conf = GraftConfig.load(configPath)
     Heartbeat.startPeriodic(stream.sparkSession, conf, version)
+    if (conf.sink == "memory") run(stream, objects, nodes, conf, checkpoint, triggerMs)
+    else runV2(stream, objects, nodes, conf, checkpoint, triggerMs)
+  }
+
+  // ----------------------------------------- config → live source plumbing
+
+  /** Resolve the live API endpoint the way the reference does
+    * (k8sclient.go:37-60): the config's `kubeconfig` file when set,
+    * the in-cluster service account otherwise (config.go:11-17 — "" =
+    * in-cluster). */
+  def liveContext(conf: GraftConfig): graft.sources.k8s.Kubeconfig.KubeContext =
+    if (conf.kubeconfig.nonEmpty)
+      graft.sources.k8s.Kubeconfig.load(conf.kubeconfig)
+    else graft.sources.k8s.Kubeconfig.inCluster()
+
+  /** The live EVENT watch stream built entirely from config:
+    * endpoint/token/namespace from `kubeconfig` (or in-cluster), and
+    * `resync_interval` → the client's periodic-relist knob (the
+    * reference hands the same value to its informer factory,
+    * main.go:82-90, config.go:20-24). */
+  def liveEventStream(spark: SparkSession, conf: GraftConfig): DataFrame = {
+    val kc = liveContext(conf)
+    var r = spark.readStream.format("graft.sources.k8s.K8sEventSource")
+      .option("endpoint", kc.server)
+      .option("relistIntervalMs", (conf.resyncIntervalSec * 1000L).toString)
+    kc.token.foreach(t => r = r.option("token", t))
+    kc.namespace.foreach(ns => r = r.option("namespace", ns))
+    r.load()
+  }
+
+  /** The live SERVICE (or deployments, E5) watch stream from config —
+    * feeds [[runServicesWatched]]. */
+  def liveServiceStream(spark: SparkSession, conf: GraftConfig,
+      resource: String = "services"): Dataset[WatchedService] = {
+    val kc = liveContext(conf)
+    var r = spark.readStream.format("graft.sources.k8s.K8sServiceSource")
+      .option("endpoint", kc.server)
+      .option("resource", resource)
+      .option("relistIntervalMs", (conf.resyncIntervalSec * 1000L).toString)
+    kc.token.foreach(t => r = r.option("token", t))
+    kc.namespace.foreach(ns => r = r.option("namespace", ns))
+    r.load().as(org.apache.spark.sql.Encoders.product[WatchedService])
+  }
+
+  /** The reference's PRIMARY entry contract (`k8stream --config
+    * file.json`, main.go:28-97): the config file alone stands up the
+    * live path — kubeconfig/in-cluster resolution, watch client knobs,
+    * heartbeat, sink dispatch. Dimensions stay caller-supplied
+    * snapshots (the reference's GetObject side-lookups,
+    * k8sclient.go:124-159; empty = enrich-with-nulls). */
+  def runLive(configPath: String, spark: SparkSession, objects: DataFrame,
+      nodes: DataFrame, checkpoint: String, version: String = "graft",
+      triggerMs: Option[Long] = None): StreamingQuery = {
+    val conf = GraftConfig.load(configPath)
+    Heartbeat.startPeriodic(spark, conf, version)
+    val stream = liveEventStream(spark, conf)
     if (conf.sink == "memory") run(stream, objects, nodes, conf, checkpoint, triggerMs)
     else runV2(stream, objects, nodes, conf, checkpoint, triggerMs)
   }

@@ -40,10 +40,20 @@ class MainSpec extends SparkSpec {
       lines.exists(_.contains("\"id\":\"c\"")))
   }
 
-  test("Main.run: missing --config / sources are argument errors") {
+  test("Main.run: missing --config is an argument error; config-only mode " +
+    "resolves the live path (missing file / no kubeconfig fail loudly)") {
     intercept[IllegalArgumentException] { Main.run(spark, Map.empty) }
-    intercept[IllegalArgumentException] {
+    // config-only is now the live entry: a bad path is a file error
+    intercept[java.nio.file.NoSuchFileException] {
       Main.run(spark, Map("config" -> "/tmp/nope.json"))
+    }
+    // a valid config with no kubeconfig outside a cluster: in-cluster
+    // resolution fails loudly (KUBERNETES_SERVICE_HOST unset here)
+    val cfg = Files.createTempFile("graft-live-main", ".json")
+    Files.write(cfg,
+      """{"config": {"uid": "u", "sink": "memory"}}""".getBytes("UTF-8"))
+    intercept[IllegalStateException] {
+      Main.run(spark, Map("config" -> cfg.toString))
     }
   }
 }

@@ -100,4 +100,79 @@ class ConfigSpec extends AnyFunSuite {
       GraftConfig(uid = "", sink = "file", fileSinkDir = "", batchSize = -1))
     assert(errs.size == 3, s"uid + dir + batch_size, got: $errs")
   }
+
+  // ------------------------- kubeconfig resolution (the live entry) --
+
+  test("kubeconfig: the kubectl-written YAML shape resolves server, token " +
+    "and namespace for the current context") {
+    import graft.sources.k8s.Kubeconfig
+    val kc = Kubeconfig.parse(
+      """apiVersion: v1
+        |clusters:
+        |- cluster:
+        |    certificate-authority-data: Zm9v
+        |    server: https://other.example:6443
+        |  name: other
+        |- cluster:
+        |    server: https://api.example:6443
+        |  name: prod
+        |contexts:
+        |- context:
+        |    cluster: prod
+        |    namespace: payments
+        |    user: bot
+        |  name: prod-ctx
+        |- context:
+        |    cluster: other
+        |    user: nobody
+        |  name: other-ctx
+        |current-context: prod-ctx
+        |kind: Config
+        |users:
+        |- name: nobody
+        |  user: {}
+        |- name: bot
+        |  user:
+        |    token: "sekret-token"
+        |""".stripMargin)
+    assert(kc.server == "https://api.example:6443")
+    assert(kc.token.contains("sekret-token"))
+    assert(kc.namespace.contains("payments"))
+  }
+
+  test("kubeconfig: JSON form and tokenFile indirection both resolve; " +
+    "unsupported YAML fails loudly") {
+    import graft.sources.k8s.Kubeconfig
+    val tf = java.nio.file.Files.createTempFile("kc-token", ".txt")
+    java.nio.file.Files.write(tf, "file-token\n".getBytes("UTF-8"))
+    val kc = Kubeconfig.parse(
+      s"""{"clusters": [{"name": "c", "cluster": {"server": "https://j:6443"}}],
+         | "contexts": [{"name": "x", "context": {"cluster": "c", "user": "u"}}],
+         | "current-context": "x",
+         | "users": [{"name": "u", "user": {"tokenFile": "$tf"}}]}""".stripMargin)
+    assert(kc.server == "https://j:6443")
+    assert(kc.token.contains("file-token"))
+    assert(kc.namespace.isEmpty)
+    // anchors / flow collections are rejected, not silently mis-parsed
+    intercept[IllegalArgumentException] {
+      Kubeconfig.parse("clusters: &a\n- cluster:\n    server: *a\n")
+    }
+    // no cluster.server for the selected context is an error
+    intercept[IllegalArgumentException] {
+      Kubeconfig.parse("current-context: x\ncontexts:\n- context:\n    cluster: c\n  name: x\n")
+    }
+  }
+
+  test("kubeconfig: in-cluster convention reads env + mounted token file") {
+    import graft.sources.k8s.Kubeconfig
+    val tf = java.nio.file.Files.createTempFile("sa-token", ".txt")
+    java.nio.file.Files.write(tf, "sa-tok".getBytes("UTF-8"))
+    val kc = Kubeconfig.inCluster(
+      env = Map("KUBERNETES_SERVICE_HOST" -> "10.0.0.1",
+        "KUBERNETES_SERVICE_PORT" -> "6443"),
+      tokenPath = tf.toString)
+    assert(kc.server == "https://10.0.0.1:6443")
+    assert(kc.token.contains("sa-tok"))
+    intercept[IllegalStateException] { Kubeconfig.inCluster(env = Map.empty) }
+  }
 }

@@ -234,6 +234,151 @@ class K8sSourceSpec extends SparkSpec {
     } finally { client.close(); srv.stop(0) }
   }
 
+  test("clean watch close re-WATCHes from the last seen rv without " +
+    "re-LISTing; the periodic relist safety net still fires when armed") {
+    val lists = new java.util.concurrent.atomic.AtomicInteger(0)
+    val watches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val watchFroms = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/api/v1/events", { ex =>
+      val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val body =
+        if (query.contains("watch=true")) {
+          watches.incrementAndGet()
+          watchFroms.add(query.split("&").collectFirst {
+            case kv if kv.startsWith("resourceVersion=") =>
+              kv.substring("resourceVersion=".length).toLong
+          }.getOrElse(-1L))
+          // one event on the first connection, then clean closes
+          if (watches.get() == 1)
+            (s"""{"type":"ADDED","object":${eventJson(9, "w1")}}""" + "\n")
+              .getBytes("UTF-8")
+          else Array.empty[Byte]
+        } else {
+          lists.incrementAndGet()
+          """{"kind":"EventList","metadata":{"resourceVersion":"3"},"items":[]}"""
+            .getBytes("UTF-8")
+        }
+      ex.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+      ex.close()
+    })
+    srv.start()
+    val base = s"http://127.0.0.1:${srv.getAddress.getPort}"
+    val client = graft.sources.k8s.HttpWatchClient.events(base,
+      resyncBackoffMs = 40)
+    try {
+      assert(awaitTrue(10000)(watches.get() >= 4),
+        s"expected several clean re-WATCH cycles, got ${watches.get()}")
+      assert(lists.get() == 1,
+        s"clean close must NOT re-LIST, saw ${lists.get()} LISTs")
+      // the re-watch cursor advanced to the decoded event's rv
+      import scala.jdk.CollectionConverters._
+      val froms = watchFroms.asScala.toSeq
+      assert(froms.head == 3L, s"first watch from list rv: $froms")
+      assert(froms.drop(1).forall(_ == 9L),
+        s"re-watches must resume from the last seen rv: $froms")
+    } finally { client.close(); srv.stop(0) }
+    // Same server shape, relist armed: LIST count must keep growing.
+    val srv2 = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val lists2 = new java.util.concurrent.atomic.AtomicInteger(0)
+    srv2.createContext("/api/v1/events", { ex =>
+      val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+      if (!query.contains("watch=true")) lists2.incrementAndGet()
+      val body =
+        if (query.contains("watch=true")) Array.empty[Byte]
+        else """{"kind":"EventList","metadata":{"resourceVersion":"3"},"items":[]}"""
+          .getBytes("UTF-8")
+      ex.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+      ex.close()
+    })
+    srv2.start()
+    val client2 = graft.sources.k8s.HttpWatchClient.events(
+      s"http://127.0.0.1:${srv2.getAddress.getPort}",
+      resyncBackoffMs = 40, relistIntervalMs = 120)
+    try
+      assert(awaitTrue(10000)(lists2.get() >= 3),
+        s"armed relist interval should LIST repeatedly, got ${lists2.get()}")
+    finally { client2.close(); srv2.stop(0) }
+  }
+
+  test("runLive: the config file ALONE stands up the live pipeline — " +
+    "kubeconfig resolves endpoint+token+namespace, resync_interval " +
+    "reaches the client's relist knob") {
+    val lists = new java.util.concurrent.atomic.AtomicInteger(0)
+    val auth = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    // namespaced path: proves the kubeconfig context namespace reached
+    // the client's URL construction
+    srv.createContext("/api/v1/namespaces/payments/events", { ex =>
+      auth.add(Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse(""))
+      val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val body =
+        if (query.contains("watch=true")) Array.empty[Byte]
+        else {
+          lists.incrementAndGet()
+          (s"""{"kind":"EventList","metadata":{"resourceVersion":"2"},""" +
+            s""""items":[${eventJson(1, "live1")},${eventJson(2, "live2")}]}""")
+            .getBytes("UTF-8")
+        }
+      ex.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+      ex.close()
+    })
+    srv.start()
+    val base = s"http://127.0.0.1:${srv.getAddress.getPort}"
+    val kcPath = java.nio.file.Files.createTempFile("kubeconfig", ".yaml")
+    java.nio.file.Files.write(kcPath,
+      s"""apiVersion: v1
+         |clusters:
+         |- cluster:
+         |    server: $base
+         |  name: stub
+         |contexts:
+         |- context:
+         |    cluster: stub
+         |    namespace: payments
+         |    user: bot
+         |  name: stub-ctx
+         |current-context: stub-ctx
+         |users:
+         |- name: bot
+         |  user:
+         |    token: live-tok
+         |""".stripMargin.getBytes("UTF-8"))
+    val cfgPath = java.nio.file.Files.createTempFile("graft-live", ".json")
+    java.nio.file.Files.write(cfgPath,
+      s"""{"config": {"uid": "liveuid", "sink": "memory", "batch_size": 10,
+         |  "batch_interval": 30},
+         | "kubeconfig": "$kcPath", "resync_interval": 1}"""
+        .stripMargin.getBytes("UTF-8"))
+    import spark.implicits._
+    graft.sinks.MemoryBatchSink.clear("liveuid")
+    val ckpt = java.nio.file.Files.createTempDirectory("ckptlive").toString
+    val q = graft.streaming.StreamPipeline.runLive(cfgPath.toString, spark,
+      Seq.empty[graft.k8s.KubeObject].toDF(),
+      Seq.empty[graft.k8s.KubeNode].toDF(), ckpt, triggerMs = Some(100))
+    try {
+      assert(awaitTrue(30000) {
+        q.processAllAvailable()
+        graft.sinks.MemoryBatchSink.batches("liveuid").flatMap(_._2).flatten.size >= 2
+      }, "both listed events should land via the config-built live source")
+      val lines = graft.sinks.MemoryBatchSink.batches("liveuid").flatMap(_._2).flatten
+      assert(lines.exists(_.contains("\"id\":\"live1\"")), lines.mkString("\n"))
+      // kubeconfig token rode the requests
+      assert(auth.peek() == "Bearer live-tok", s"auth seen: $auth")
+      // resync_interval=1s → relistIntervalMs=1000 reached the client:
+      // the LIST count keeps growing (without the knob there is exactly
+      // one LIST, because clean watch closes re-WATCH)
+      assert(awaitTrue(15000)(lists.get() >= 3),
+        s"periodic relist should re-LIST, got ${lists.get()}")
+    } finally { q.stop(); srv.stop(0) }
+  }
+
   // ------------------------------- live SERVICE watch (the S2 half) --
 
   private def serviceJson(rv: Long, uid: String, name: String): String =
@@ -278,6 +423,70 @@ class K8sSourceSpec extends SparkSpec {
     def put(rv: Long, uid: String, name: String): Unit =
       store.put(rv, serviceJson(rv, uid, name))
     def stop(): Unit = srv.stop(0)
+  }
+
+  test("live DEPLOYMENTS watch end-to-end (E5): apps/v1 group path, " +
+    "selector decoded from spec.selector.matchLabels, matchExpressions-" +
+    "only deployments skipped, DELETED watch type carried") {
+    def depJson(rv: Long, uid: String, name: String, selector: String): String =
+      s"""{"metadata":{"uid":"$uid","resourceVersion":"$rv","name":"$name",
+         |  "namespace":"default","labels":{"app":"$name"}},
+         | "spec":{"selector":$selector}}""".stripMargin
+        .replaceAll("\n\\s*", "")
+    val matchLabels = """{"matchLabels":{"app":"web","tier":"fe"}}"""
+    val matchExprs =
+      """{"matchExpressions":[{"key":"app","operator":"In","values":["x"]}]}"""
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val watchServed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    srv.createContext("/apis/apps/v1/deployments", { ex =>
+      val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val body =
+        if (query.contains("watch=true")) {
+          // one watch delivery: a new deployment + a DELETED line
+          if (watchServed.compareAndSet(false, true))
+            (s"""{"type":"ADDED","object":${depJson(5, "d3", "api", matchLabels)}}""" +
+              "\n" +
+              s"""{"type":"DELETED","object":${depJson(6, "d1", "web", matchLabels)}}""" +
+              "\n").getBytes("UTF-8")
+          else Array.empty[Byte]
+        } else
+          (s"""{"kind":"DeploymentList","metadata":{"resourceVersion":"2"},""" +
+            s""""items":[${depJson(1, "d1", "web", matchLabels)},""" +
+            s"""${depJson(2, "d2", "exprs-only", matchExprs)}]}""")
+            .getBytes("UTF-8")
+      ex.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+      ex.close()
+    })
+    srv.start()
+    val q = spark.readStream
+      .format("graft.sources.k8s.K8sServiceSource")
+      .option("endpoint", s"http://127.0.0.1:${srv.getAddress.getPort}")
+      .option("resource", "deployments")
+      .load()
+      .writeStream.format("memory").queryName("k8sdep")
+      .start()
+    try {
+      assert(awaitTrue(30000) {
+        q.processAllAvailable()
+        spark.table("k8sdep").count() == 3L
+      }, s"d1 + d3 + d1-DELETED expected (d2 skipped), got " +
+        s"${spark.table("k8sdep").collect().mkString(",")}")
+      val rows = spark.table("k8sdep")
+        .select("uid", "name", "watch_type", "selector")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getAs[Map[String, String]](3)))
+        .sortBy(r => (r._1, r._3))
+      // the LabelSelector.matchLabels map landed as the E3 selector
+      assert(rows.forall(_._4 == Map("app" -> "web", "tier" -> "fe")),
+        rows.mkString(","))
+      assert(rows.map(r => (r._1, r._3)).toSeq ==
+        Seq(("d1", "ADDED"), ("d1", "DELETED"), ("d3", "ADDED")),
+        rows.mkString(","))
+      // matchExpressions-only deployment never decoded
+      assert(!rows.exists(_._1 == "d2"))
+    } finally { q.stop(); srv.stop(0) }
   }
 
   test("live service source end-to-end: LIST+WATCH services through the " +
