@@ -1,0 +1,61 @@
+package graft.tools
+
+import graft.GraftSession
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-datapoint fixture builder: writes an N× derived copy of the
+  * documents/embeddings tables so the dedup/CC/ANN family can be timed
+  * at 10× the largest driver-generated SF (COVERAGE.md round-8 scale
+  * appendix).
+  *
+  *   runMain graft.tools.ScaleUp <srcSfDir> <outDir> <factor>
+  *
+  * Replication is structure-preserving, not duplicate-inflating: every
+  * replica r remaps doc ids into its own range and prefixes every
+  * token after the first with `p{r}_`, which makes replica shingle
+  * sets pairwise DISJOINT — so near-duplicate density per unit of data
+  * stays that of the source corpus instead of every row gaining N−1
+  * artificial twins (which would measure the replication trick, not
+  * the engine: banded-LSH candidates would grow quadratically in N by
+  * construction). Embedding replicas get a small per-replica offset
+  * with re-normalization left to the queries that need it. */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args(0); val out = args(1); val factor = args(2).toInt
+    val spark = GraftSession.configure(SparkSession.builder())
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val reps = spark.range(0, factor).select(col("id").as("r"))
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    docs.crossJoin(broadcast(reps))
+      .select(
+        (col("doc_id") + col("r") * 10000000L).as("doc_id"),
+        when(col("r") === 0, col("text")).otherwise(
+          regexp_replace(col("text"), lit(" "),
+            concat(lit(" p"), col("r"), lit("_")))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    emb.crossJoin(broadcast(reps))
+      .select(
+        (col("vec_id") + col("r") * 10000000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> " +
+          "CAST(x + r * 0.0017f * CAST(1 + i % 7 AS FLOAT) AS FLOAT))")
+          .as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    println(s"scaled x$factor -> $out: docs=" +
+      spark.read.parquet(s"$out/documents.parquet").count() +
+      " embeddings=" + spark.read.parquet(s"$out/embeddings.parquet").count())
+    spark.stop()
+  }
+}

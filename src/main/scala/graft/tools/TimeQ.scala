@@ -21,9 +21,10 @@ object TimeQ {
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
+      var rows = -1L
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        rows = fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         // Same per-query block release as Bench: reps must not compound
         // the previous rep's pinned caches/checkpoints/memory-sink views.
@@ -37,7 +38,7 @@ object TimeQ {
         catch { case _: Throwable => () }
         dt
       }
-      println(f"$name%-24s ${times.map(t => f"$t%.2f").mkString(" ")}")
+      println(f"$name%-24s ${times.map(t => f"$t%.2f").mkString(" ")}  rows=$rows")
     }
     spark.stop()
   }
