@@ -425,6 +425,53 @@ object ClusterQueries {
       } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
     },
 
+    // Per-node triangle counting over the co-purchase graph (parts
+    // appearing in the same order, support ≥ 2 to keep signal edges
+    // only) — the clustering-coefficient building block of graph-side
+    // data curation (community detection, link-spam scoring). The plan
+    // is the canonical distributed form: orient every edge low→high id,
+    // wedge join on the shared middle vertex, close the wedge with one
+    // more edge join — each step an equi-join keyed on a vertex id, so
+    // the whole count is three hash joins, no adjacency matrix and no
+    // driver state. The low→high orientation counts each triangle
+    // EXACTLY once and caps wedge fan-out by out-degree (the standard
+    // skew bound for this join at scale).
+    Q("graph_triangles",
+      """WITH e0 AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |t AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        |  FROM e0 e1
+        |  JOIN e0 e2 ON e2.p1 = e1.p2
+        |  JOIN e0 e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+        |n AS (SELECT part, count(*) AS n_triangles FROM (
+        |    SELECT a AS part FROM t
+        |    UNION ALL SELECT b FROM t
+        |    UNION ALL SELECT c FROM t) GROUP BY part)
+        |SELECT part, CAST(n_triangles AS BIGINT) AS n_triangles
+        |FROM n ORDER BY part""") { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val e0 = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select(col("p1"), col("p2"))
+      val t = e0.as("e1")
+        .join(e0.as("e2"), col("e2.p1") === col("e1.p2"))
+        .join(e0.as("e3"),
+          col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
+        .select(col("e1.p1").as("a"), col("e1.p2").as("b"), col("e2.p2").as("c"))
+      t.select(col("a").as("part"))
+        .unionByName(t.select(col("b").as("part")))
+        .unionByName(t.select(col("c").as("part")))
+        .groupBy(col("part"))
+        .agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("part"))
+    },
+
     // SKEW STRESS for the LSH+CC family: every 10th document is
     // replaced by a shared 20-token base text plus a per-doc suffix —
     // at sf0.1 that is a planted ~500-member near-dup cluster whose

@@ -343,6 +343,38 @@ object ExtensionQueries {
         .orderBy(col("p_brand"))
     },
 
+    // binaryFile ingestion — the multimodal on-ramp: raw per-document
+    // files (images/audio in production; staged text here) land as
+    // (path, length, content: binary) rows WITHOUT decoding, partition
+    // columns discovered from the directory layout. The oracle pins
+    // byte-exact ingestion: file size and md5 of the raw bytes must
+    // equal what the canonical table predicts (text writer = one row +
+    // '\n'). Scale posture: binaryFile is a FileFormat — partition
+    // pruning on doc_id works, `length` comes from file status (no
+    // content read when pruned), and content bytes stream straight to
+    // the downstream codec UDF (mm_decode) without re-encoding.
+    Q("src_binaryfile",
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes,
+        |  md5(text || chr(10)) AS digest
+        |FROM documents WHERE doc_id < 300
+        |ORDER BY doc_id""") { (s, d) =>
+      val dir = tmpDir("binf", d)
+      val done = new java.io.File(s"$dir/_SUCCESS").exists
+      if (!done)
+        Tables.documents(s, d)
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id"), col("text"))
+          .repartition(col("doc_id"))
+          .write.mode("overwrite").partitionBy("doc_id").text(dir)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt").load(dir)
+        .groupBy(col("doc_id").cast("bigint").as("doc_id"))
+        .agg(sum(col("length")).as("n_bytes"),
+          max(md5(col("content"))).as("digest"))
+        .orderBy(col("doc_id"))
+    },
+
     // Schema evolution across parquet file generations: an "old" writer
     // (2 columns) and a "new" writer (3 columns) land in the same
     // dataset; a mergeSchema read unions the schemas and back-fills the

@@ -108,6 +108,68 @@ object TemporalQueries {
         .orderBy(col("event_type"), col("bucket"))
     },
 
+    // Exponentially-weighted moving average over the 6-hour resampled
+    // series, α = 0.5 — the time-series smoothing twin of win_moving_avg
+    // (EWMA is RECURSIVE, so no window frame expresses it directly).
+    // Determinism by construction: α = 0.5 makes every decay weight an
+    // EXACT power of two (pow(0.5, k) is exact in IEEE doubles in both
+    // engines — no libm divergence), each weighted term quantizes to
+    // DECIMAL(28,12) before the order-free exact sum, and the closed
+    // form ewma_t = Σ_{j≤t} w(j,t)·x_j (w = 0.5^{t−j+1}, full weight
+    // 0.5^{t−1} for j = 1) replaces the recursion with a per-key
+    // pair join. Scale posture: the quadratic pair join is per-KEY and
+    // the per-key series is the bucketed resample (bounded by the
+    // retention window ÷ 6 h), so the join is small-n² × many keys —
+    // embarrassingly parallel; an unbounded series would use the
+    // segmented-scan form instead.
+    Q("ts_ewma",
+      """WITH b AS (SELECT event_type,
+        |    CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket,
+        |    "value" FROM events),
+        |x AS (SELECT event_type, bucket,
+        |    CAST(floor(CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE)
+        |         / count(*) * 10000 + 0.5) / 10000.0 AS DOUBLE) AS xv
+        |  FROM b GROUP BY 1, 2),
+        |r AS (SELECT event_type, bucket, xv,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY bucket) AS INT) AS rn
+        |  FROM x)
+        |SELECT t.event_type, t.bucket, t.xv,
+        |  CAST(floor(CAST(sum(CAST(j.xv *
+        |      (CASE WHEN j.rn = 1 THEN pow(0.5, t.rn - 1)
+        |            ELSE pow(0.5, t.rn - j.rn + 1) END)
+        |    AS DECIMAL(28,12))) AS DOUBLE) * 10000 + 0.5) / 10000.0
+        |    AS DOUBLE) AS ewma
+        |FROM r t JOIN r j ON j.event_type = t.event_type AND j.rn <= t.rn
+        |GROUP BY t.event_type, t.bucket, t.xv
+        |ORDER BY t.event_type, t.bucket""") { (s, d) =>
+      val b = Tables.events(s, d).select(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts) / 21600) * 21600 AS BIGINT)")
+          .as("bucket"),
+        col("value"))
+      val x = b.groupBy(col("event_type"), col("bucket"))
+        .agg(expr("""CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+          |/ count(1) * 10000 + 0.5) / 10000.0 AS DOUBLE)""".stripMargin)
+          .as("xv"))
+      val r = x.withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("bucket")))
+        .cast("int"))
+      val t = r.select(col("event_type"), col("bucket"), col("xv"),
+        col("rn"))
+      val j = r.select(col("event_type"), col("xv").as("jxv"),
+        col("rn").as("jrn"))
+      t.join(j, Seq("event_type"))
+        .filter(col("jrn") <= col("rn"))
+        .withColumn("term", expr(
+          """CAST(jxv * (CASE WHEN jrn = 1 THEN pow(0.5, rn - 1)
+            |ELSE pow(0.5, rn - jrn + 1) END) AS DECIMAL(28,12))""".stripMargin))
+        .groupBy(col("event_type"), col("bucket"), col("xv"))
+        .agg(expr(
+          """CAST(floor(CAST(sum(term) AS DOUBLE) * 10000 + 0.5) / 10000.0
+            |AS DOUBLE)""".stripMargin).as("ewma"))
+        .orderBy(col("event_type"), col("bucket"))
+    },
+
     // SCD2 historization from an event log: collapse each user's event
     // stream into type-2 dimension intervals — a row per CHANGE of
     // event_type carrying [valid_from, valid_to) in epoch micros, open

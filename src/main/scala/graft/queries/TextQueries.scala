@@ -642,6 +642,68 @@ object TextQueries {
         .orderBy(col("d1"), col("d2"))
     },
 
+    // Prefix-filtered set-similarity join (PPJoin's prefix filter —
+    // Xiao et al., "Efficient similarity joins for near duplicate
+    // detection", WWW 2008): the THIRD candidate-generation family next
+    // to MinHash bands and SimHash bytes, and the only EXACT one (no
+    // probability of a missed pair). Sets are the word 3-shingles the
+    // MinHash family signs. Under a global shingle order (ascending
+    // document frequency, tie on the shingle), two sets with Jaccard
+    // ≥ t must share an element within their first |s| − ⌈t·|s|⌉ + 1
+    // elements — so candidates come from an equi-join on PREFIX
+    // shingles only. Rarest-first ordering makes the prefix the
+    // df-smallest shingles: boilerplate shingles shared corpus-wide
+    // sort to the suffix and never generate a pair, which is what
+    // keeps the candidate set near-dup-sized instead of
+    // shared-anything-sized. Verification is exact set intersection on
+    // candidates only. The oracle is the INDEPENDENT naive form (full
+    // inverted-index join, no prefix logic), so parity proves the
+    // filter loses nothing.
+    Q("dedup_prefix_jaccard",
+      s"""WITH sh AS ($shinglesSql),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ni
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, CAST(ni AS BIGINT) AS n_shared,
+        |  round(CAST(ni AS DOUBLE) / (s1.n + s2.n - ni), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes s1 ON s1.doc_id = d1
+        |JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE CAST(ni AS DOUBLE) / (s1.n + s2.n - ni) >= 0.6
+        |ORDER BY d1, d2""") { (s, d) =>
+      val toks = shingles(s, d)
+      val dfreq = toks.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      // Per-doc shingle list in global (df, sh) order; prefix length
+      // p = n − ⌈t·n⌉ + 1 for t = 0.6.
+      val ordered = toks.join(dfreq, Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("st"))
+        .select(col("doc_id"),
+          expr("transform(st, x -> x.sh)").as("shs"),
+          size(col("st")).as("n"))
+      val prefix = ordered
+        .withColumn("p", expr("CAST(n - ceil(0.6 * n) + 1 AS INT)"))
+        .select(col("doc_id"), explode(expr("slice(shs, 1, p)")).as("sh"))
+      val cand = prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      cand
+        .join(ordered.select(col("doc_id").as("d1"), col("shs").as("t1"),
+          col("n").as("n1")), Seq("d1"))
+        .join(ordered.select(col("doc_id").as("d2"), col("shs").as("t2"),
+          col("n").as("n2")), Seq("d2"))
+        .withColumn("ni", size(array_intersect(col("t1"), col("t2"))).cast("bigint"))
+        .withColumn("j",
+          col("ni").cast("double") / (col("n1") + col("n2") - col("ni")))
+        .filter(col("j") >= 0.6)
+        .select(col("d1"), col("d2"), col("ni").as("n_shared"),
+          round(col("j"), 4).as("jaccard"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
     // Intra-document repetition scoring (the C4/Gopher-style repetition
     // cut): fraction of duplicate word 2-grams and 3-grams per doc, plus
     // the filter verdict. Pure per-row higher-order functions — zero

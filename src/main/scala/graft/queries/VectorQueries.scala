@@ -460,5 +460,83 @@ object VectorQueries {
         .select(col("qid"), col("vec_id").as("vid"), col("rk").cast("int").as("rk"),
           round(col("cos"), 4).as("cosine"))
         .orderBy(col("qid"), col("rk"))
+    },
+
+    // Lloyd's k-means over the embedding corpus (k=4, 3 unrolled
+    // iterations) — the "train" step a 100 TB vector pipeline runs
+    // before IVF indexing / semantic bucketing. Determinism discipline:
+    // init = the vectors vec_id<4 (no RNG), per-(vector, centroid)
+    // squared distances are DECIMAL(28,12)-quantized sums (order-free
+    // under any partitioning), ties in the argmin break on cluster id,
+    // and centroid means are exact DECIMAL sums divided as doubles.
+    // Scale posture: the corpus-side relation stays (vec_id, dim, x);
+    // each iteration is one broadcast join against the k×dim centroid
+    // table + two keyed shuffles (assign, recompute) — the textbook
+    // distributed-k-means plan, no per-iteration collect.
+    Q("cluster_kmeans",
+      """WITH ex AS (SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, dim, x AS cx
+        |  FROM ex WHERE vec_id < 4),
+        |d1 AS (SELECT e.vec_id, c.cluster,
+        |    sum(CAST((e.x - c.cx) * (e.x - c.cx) AS DECIMAL(28,12))) AS d2
+        |  FROM ex e JOIN c0 c ON e.dim = c.dim GROUP BY e.vec_id, c.cluster),
+        |a1 AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        |  FROM d1) WHERE rn = 1),
+        |c1 AS (SELECT a.cluster, e.dim,
+        |    CAST(sum(CAST(e.x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS cx
+        |  FROM a1 a JOIN ex e ON e.vec_id = a.vec_id GROUP BY a.cluster, e.dim),
+        |d2r AS (SELECT e.vec_id, c.cluster,
+        |    sum(CAST((e.x - c.cx) * (e.x - c.cx) AS DECIMAL(28,12))) AS d2
+        |  FROM ex e JOIN c1 c ON e.dim = c.dim GROUP BY e.vec_id, c.cluster),
+        |a2 AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        |  FROM d2r) WHERE rn = 1),
+        |c2 AS (SELECT a.cluster, e.dim,
+        |    CAST(sum(CAST(e.x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS cx
+        |  FROM a2 a JOIN ex e ON e.vec_id = a.vec_id GROUP BY a.cluster, e.dim),
+        |d3 AS (SELECT e.vec_id, c.cluster,
+        |    sum(CAST((e.x - c.cx) * (e.x - c.cx) AS DECIMAL(28,12))) AS d2
+        |  FROM ex e JOIN c2 c ON e.dim = c.dim GROUP BY e.vec_id, c.cluster),
+        |a3 AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        |  FROM d3) WHERE rn = 1)
+        |SELECT a.vec_id, a.cluster,
+        |  CAST(count(*) OVER (PARTITION BY a.cluster) AS BIGINT) AS cluster_n
+        |FROM a3 a
+        |ORDER BY a.vec_id""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ex = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "xf")))
+        .select(col("vec_id"), (col("dim0") + 1).as("dim"),
+          col("xf").cast("double").as("x"))
+      var c = ex.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("int").as("cluster"), col("dim"),
+          col("x").as("cx"))
+      var assign: DataFrame = null
+      val wA = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2"), col("cluster"))
+      for (_ <- 1 to 3) {
+        assign = ex.join(broadcast(c), Seq("dim"))
+          .withColumn("sq",
+            ((col("x") - col("cx")) * (col("x") - col("cx")))
+              .cast("decimal(28,12)"))
+          .groupBy(col("vec_id"), col("cluster"))
+          .agg(sum(col("sq")).as("d2"))
+          .withColumn("rn", row_number().over(wA))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cluster"))
+        c = assign.join(ex, Seq("vec_id"))
+          .groupBy(col("cluster"), col("dim"))
+          .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+            count(lit(1))).as("cx"))
+      }
+      assign
+        .withColumn("cluster_n",
+          count(lit(1)).over(Window.partitionBy(col("cluster"))))
+        .orderBy(col("vec_id"))
     })
 }
