@@ -29,5 +29,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_gen"),
       new ExpressionInfo(classOf[ShingleGenerator].getName, "shingle_gen"),
       (exprs: Seq[Expression]) => ShingleGenerator(exprs(0), exprs(1))))
+    // Catalyst's own bloom-filter pair, surfaced as SQL functions: the
+    // engine uses them internally for AQE runtime filters but does not
+    // register them, so a WRITE-time prefilter (join_bloom_prefilter)
+    // could not otherwise build one declaratively. The analyzer wraps
+    // the AggregateFunction in an AggregateExpression on resolution,
+    // same as any builtin aggregate.
+    e.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))))
   }
 }

@@ -130,6 +130,44 @@ object ScaleQueries {
         .orderBy(col("iv_id"))
     },
 
+    // Explicit bloom-filter prefilter join — the manual form of the
+    // runtime bloom filter AQE injects (RuntimeFilterSpec pins that
+    // one), for when the build side is known small at WRITE time: build
+    // `bloom_filter_agg` over the dimension's keys (one 1-row binary),
+    // broadcast it, and drop non-matching fact rows BEFORE the join
+    // shuffle — at 100 TB the prefilter runs inside the scan stage and
+    // the shuffle carries only (matches + false positives). The exact
+    // equi-join after the filter removes the false positives, so the
+    // result equals the plain join BY CONSTRUCTION — which is exactly
+    // what the oracle (the plain join, no bloom anywhere) certifies.
+    Q("join_bloom_prefilter",
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY o_orderpriority""") { (s, d) =>
+      // bloom_might_contain demands a CONSTANT or scalar-subquery bloom
+      // (it must be evaluable at scan time to push into the reader) —
+      // so the build is a scalar subquery, and Catalyst pushes the
+      // whole predicate down to the orders scan, upstream of the join.
+      Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+        .createOrReplaceTempView("bf_keys")
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderpriority"))
+        .createOrReplaceTempView("bf_orders")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS cnt
+          |FROM bf_orders o
+          |JOIN bf_keys k ON o.o_custkey = k.c_custkey
+          |WHERE bloom_might_contain(
+          |  (SELECT bloom_agg(xxhash64(c_custkey), 100000L, 800000L)
+          |   FROM bf_keys),
+          |  xxhash64(o.o_custkey))
+          |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
+    },
+
     // (Streaming session windows only support append mode, whose
     // emission depends on watermark-boundary semantics unsuitable for a
     // final-state oracle over a finite replay — the batch form is

@@ -704,6 +704,140 @@ object TextQueries {
         .orderBy(col("d1"), col("d2"))
     },
 
+    // Asymmetric containment dedup: a doc whose shingle set is ≥90%
+    // inside ANOTHER doc's set is subsumed (quote pages, excerpt spam,
+    // partial crawls of the same article) — Jaccard misses these when
+    // the container is much larger, which is exactly when you want the
+    // small one dropped. Candidates use the containment prefix filter
+    // (for C(A→B) ≥ t only A's prefix of |A| − ⌈t·|A|⌉ + 1 rarest
+    // shingles needs indexing; B stays fully indexed), then exact
+    // verification on candidates. Oracle: naive inverted-index form,
+    // both directions — parity proves the one-sided prefix loses
+    // nothing.
+    Q("dedup_containment",
+      s"""WITH sh AS ($shinglesSql),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da AS contained, db AS container,
+        |  round(CAST(ni AS DOUBLE) / s1.n, 4) AS containment
+        |FROM inter
+        |JOIN sizes s1 ON s1.doc_id = da
+        |WHERE CAST(ni AS DOUBLE) / s1.n >= 0.9
+        |ORDER BY contained, container""") { (s, d) =>
+      val toks = shingles(s, d)
+      val dfreq = toks.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val ordered = toks.join(dfreq, Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("st"))
+        .select(col("doc_id"),
+          expr("transform(st, x -> x.sh)").as("shs"),
+          size(col("st")).as("n"))
+      val prefix = ordered
+        .withColumn("p", expr("CAST(n - ceil(0.9 * n) + 1 AS INT)"))
+        .select(col("doc_id"), explode(expr("slice(shs, 1, p)")).as("sh"))
+      val cand = prefix.as("a")
+        .join(toks.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("contained"), col("b.doc_id").as("container"))
+        .distinct()
+      cand
+        .join(ordered.select(col("doc_id").as("contained"),
+          col("shs").as("t1"), col("n").as("n1")), Seq("contained"))
+        .join(ordered.select(col("doc_id").as("container"),
+          col("shs").as("t2")), Seq("container"))
+        .withColumn("c",
+          size(array_intersect(col("t1"), col("t2"))).cast("double") / col("n1"))
+        .filter(col("c") >= 0.9)
+        .select(col("contained"), col("container"),
+          round(col("c"), 4).as("containment"))
+        .orderBy(col("contained"), col("container"))
+    },
+
+    // Unigram-LM negative log-likelihood per document — the cheapest
+    // perplexity-style quality signal (a doc far from the corpus
+    // distribution is boilerplate, code, or another language; the
+    // standard first-stage LM filter before an expensive model scores).
+    // ln is IEEE-identical in both engines (the TF-IDF/entropy oracles
+    // already ride it); per-term contributions quantize to
+    // DECIMAL(28,12) before the order-free sum; corpus totals ride a
+    // broadcast 1-row scalar. At 100 TB: one tokenize pass, one
+    // term-keyed shuffle for counts, one broadcast — no all-corpus
+    // second pass.
+    Q("text_unigram_nll",
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |gc AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+        |n AS (SELECT count(*) AS total FROM t),
+        |dt AS (SELECT doc_id, term, count(*) AS dc FROM t GROUP BY 1, 2)
+        |SELECT dt.doc_id,
+        |  CAST(sum(dc) AS BIGINT) AS n_tokens,
+        |  CAST(floor(CAST(sum(CAST(
+        |      dc * -ln(CAST(cnt AS DOUBLE) / total)
+        |    AS DECIMAL(28,12))) AS DOUBLE) / sum(dc) * 10000 + 0.5)
+        |    / 10000.0 AS DOUBLE) AS avg_nll
+        |FROM dt JOIN gc ON gc.term = dt.term CROSS JOIN n
+        |GROUP BY dt.doc_id
+        |ORDER BY dt.doc_id""") { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val gc = t.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val n = t.agg(count(lit(1)).as("total"))
+      val dt = t.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("dc"))
+      dt.join(gc, Seq("term")).crossJoin(broadcast(n))
+        .withColumn("term_nll", expr(
+          "CAST(dc * -ln(CAST(cnt AS DOUBLE) / total) AS DECIMAL(28,12))"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("dc")).as("n_tokens"),
+          expr("""CAST(floor(CAST(sum(term_nll) AS DOUBLE) / sum(dc)
+            |* 10000 + 0.5) / 10000.0 AS DOUBLE)""".stripMargin).as("avg_nll"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Dense vocabulary encoding — the tokenizer-table prep step of a
+    // training pipeline: ids assigned by descending corpus frequency
+    // (tie on the term), each doc's first 20 tokens re-expressed as the
+    // id sequence. The id assignment is a row_number over the DISTINCT
+    // vocab (bounded by the language, NOT the corpus — the one global
+    // window here is over ~1e5 rows at any corpus size); the corpus
+    // encode itself is an equi-join + per-doc positional reassembly.
+    Q("text_vocab_encode",
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |v AS (SELECT term,
+        |    CAST(row_number() OVER (ORDER BY count(*) DESC, term) AS BIGINT) AS id
+        |  FROM t GROUP BY term),
+        |e AS (SELECT doc_id, i AS pos, toks[i] AS term
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |    unnest(range(1, 21)) AS r(i)
+        |  WHERE i <= len(toks))
+        |SELECT e.doc_id,
+        |  string_agg(CAST(v.id AS VARCHAR), '-' ORDER BY e.pos) AS encoded
+        |FROM e JOIN v ON v.term = e.term
+        |GROUP BY e.doc_id
+        |ORDER BY e.doc_id""") { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val v = t.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .withColumn("id", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cnt").desc, col("term"))).cast("bigint"))
+        .select(col("term"), col("id"))
+      val e = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(expr("slice(split(text, ' '), 1, 20)"))
+            .as(Seq("pos", "term")))
+      e.join(v, Seq("term"))
+        .groupBy(col("doc_id"))
+        .agg(expr(
+          """concat_ws('-', transform(array_sort(collect_list(
+            |  struct(pos, id))), x -> CAST(x.id AS STRING)))""".stripMargin)
+          .as("encoded"))
+        .orderBy(col("doc_id"))
+    },
+
     // Intra-document repetition scoring (the C4/Gopher-style repetition
     // cut): fraction of duplicate word 2-grams and 3-grams per doc, plus
     // the filter verdict. Pure per-row higher-order functions — zero

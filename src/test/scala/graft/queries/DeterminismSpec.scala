@@ -67,7 +67,14 @@ class DeterminismSpec extends SparkSpec {
       "text_winsorize", "dedup_minhash_banded", "link_fuzzy_names",
       "sess_ids", "join_asof_fwd", "text_entropy", "ts_resample",
       "dedup_cc_keep", "conv_latency", "agg_approx_distinct",
-      "agg_approx_percentiles"))
+      "agg_approx_percentiles",
+      // round-8 additions: the kmeans argmin + decimal-distance claim,
+      // the prefix-filter candidate set, the EWMA decimal-term sum, and
+      // the wedge-join triangle count are all partition-sensitive if
+      // their determinism disciplines slip
+      "cluster_kmeans", "dedup_prefix_jaccard", "ts_ewma",
+      "graph_triangles", "join_bloom_prefilter", "dedup_containment",
+      "text_unigram_nll", "text_vocab_encode"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
       assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
     }

@@ -26,7 +26,8 @@ class PlanHygieneSpec extends SparkSpec {
     "sketch_theta_overlap",// 1-row sketch x 1-row sketch
     "skew_profile",        // counts x broadcast 1-row grand total
     "sub_scalar",          // uncorrelated scalar subquery = 1-row side
-    "text_tfidf"           // tf x broadcast 1-row corpus-size scalar
+    "text_tfidf",          // tf x broadcast 1-row corpus-size scalar
+    "text_unigram_nll"     // dt x broadcast 1-row corpus-total scalar
   )
 
   private def offenders(name: String): Seq[String] = {
