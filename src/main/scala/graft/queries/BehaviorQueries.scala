@@ -509,6 +509,56 @@ object BehaviorQueries {
             |  'a_or_b',     CAST(theta_sketch_estimate(theta_union(sa, sb)) AS BIGINT)
             |) AS (op, est)""".stripMargin)
         .orderBy("op")
+    },
+
+    // Count-min sketch (Cormode & Muthukrishnan, "An improved data
+    // stream summary: the count-min sketch and its applications",
+    // J. Algorithms 2005): d=4 hash rows × w=64 buckets of ADDITIVE
+    // counters — the mergeable heavy-hitter frequency summary (shard
+    // sketches sum cell-wise; the reduced state is d·w counters no
+    // matter the corpus size). Hash rows are md5-derived, so both
+    // engines build the IDENTICAL sketch and the estimate
+    // (min over rows of the hashed bucket's total, overestimates only)
+    // is deterministic — the oracle recomputes the same arithmetic,
+    // full rows+schema+hash gate. The collision overshoot (est−exact)
+    // is emitted so the sketch is exercised in estimation mode, not a
+    // collision-free regime. Plan shape: one (row,bucket) rollup
+    // (≤256 cells, broadcast) + one distinct-key probe — scan-shaped.
+    Q("sketch_cms",
+      """WITH t AS (SELECT user_id FROM events),
+        |cells AS (SELECT r.r AS r,
+        |    ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT % 64 AS bucket,
+        |    count(*) AS total
+        |  FROM t, range(0, 4) r(r) GROUP BY 1, 2),
+        |keys AS (SELECT user_id, count(*) AS exact FROM t GROUP BY 1),
+        |probe AS (SELECT k.user_id, k.exact, c.total
+        |  FROM keys k, range(0, 4) r(r)
+        |  JOIN cells c ON c.r = r.r AND c.bucket =
+        |    ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || CAST(k.user_id AS VARCHAR)), 1, 12))::BIGINT % 64)
+        |SELECT user_id, CAST(exact AS BIGINT) AS exact,
+        |  CAST(min(total) AS BIGINT) AS cms_est,
+        |  CAST(min(total) - exact AS BIGINT) AS overshoot
+        |FROM probe GROUP BY user_id, exact
+        |ORDER BY user_id""") { (s, d) =>
+      val bucketOf =
+        "CAST(conv(substr(md5(concat(CAST(r AS STRING), ':', CAST(user_id AS STRING))), 1, 12), 16, 10) AS BIGINT) % 64"
+      // The d=4 hash-row axis is a generator (explode of a constant
+      // sequence), not a join — stays inside whole-stage codegen.
+      val t = Tables.events(s, d).select(col("user_id"))
+      val cells = t
+        .withColumn("r", explode(expr("sequence(0, 3)")))
+        .groupBy(col("r"), expr(bucketOf).as("bucket"))
+        .agg(count(lit(1)).as("total"))
+      val keys = t.groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
+      keys
+        .withColumn("r", explode(expr("sequence(0, 3)")))
+        .withColumn("bucket", expr(bucketOf))
+        .join(broadcast(cells), Seq("r", "bucket"))
+        .groupBy(col("user_id"), col("exact"))
+        .agg(min(col("total")).as("cms_est"))
+        .select(col("user_id"), col("exact"), col("cms_est"),
+          (col("cms_est") - col("exact")).as("overshoot"))
+        .orderBy(col("user_id"))
     }
   )
 }

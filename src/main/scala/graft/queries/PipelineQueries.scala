@@ -41,6 +41,42 @@ object PipelineQueries {
         .orderBy(col("source"), col("doc_id"))
     },
 
+    // Mixture-weighted corpus composition — the data-mixing step of a
+    // pretraining pipeline: sources roll up into domains (web/books/
+    // code), each domain contributes a FIXED quota of the 200-doc
+    // budget (100/60/40 = the 0.5/0.3/0.2 mixture), and which docs fill
+    // a quota is decided by the md5 order (deterministic on any cluster
+    // size, stable under corpus growth within the non-sampled tail).
+    // One window rank per domain over one domain-keyed shuffle — at
+    // 100 TB the rank is per-domain-partition and the non-selected tail
+    // never leaves the scan stage. Quotas are integer literals, not
+    // float products, so both engines agree exactly.
+    Q("pipeline_mix_sources",
+      """WITH dom AS (SELECT doc_id, source,
+        |    CASE WHEN CAST(substr(source, 4) AS INT) < 7 THEN 'web'
+        |         WHEN CAST(substr(source, 4) AS INT) < 14 THEN 'books'
+        |         ELSE 'code' END AS domain
+        |  FROM documents)
+        |SELECT domain, doc_id, source
+        |FROM dom
+        |QUALIFY row_number() OVER (PARTITION BY domain
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <=
+        |  CASE domain WHEN 'web' THEN 100 WHEN 'books' THEN 60 ELSE 40 END
+        |ORDER BY domain, doc_id""") { (s, d) =>
+      val dom = Tables.documents(s, d)
+        .withColumn("domain",
+          when(expr("CAST(substr(source, 4) AS INT)") < 7, "web")
+            .when(expr("CAST(substr(source, 4) AS INT)") < 14, "books")
+            .otherwise("code"))
+      val w = Window.partitionBy(col("domain"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      dom.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= when(col("domain") === "web", 100)
+          .when(col("domain") === "books", 60).otherwise(40))
+        .select(col("domain"), col("doc_id"), col("source"))
+        .orderBy(col("domain"), col("doc_id"))
+    },
+
     // Winsorization: clamp a value column to its per-group [p05, p95]
     // band — the outlier-capping pass robust feature pipelines apply
     // before normalization. Percentile bounds come from ONE exact-

@@ -292,6 +292,111 @@ object TemporalQueries {
         .orderBy(col("event_id"))
     },
 
+    // NEAREST as-of: each purchase picks the click closest in time in
+    // EITHER direction (|Δt| min; tie → the backward one, then the
+    // largest click id) — the remaining mode of the as-of family
+    // (pandas merge_asof direction='nearest'). Still ONE shuffle: both
+    // directional candidates come from two window sweeps over the SAME
+    // user-keyed exchange (ascending and descending time order reuse
+    // the exchange; only the sort differs), then a pure per-row
+    // comparison picks the nearer — no range join, no candidate
+    // blow-up, the same shape that survives 100 TB.
+    Q("join_asof_nearest",
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     b AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id,
+        |  l.click_id, CAST(l.delta_us AS BIGINT) AS delta_us
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT b.event_id AS click_id,
+        |         epoch_us(b.ts) - epoch_us(p.ts) AS delta_us
+        |  FROM b WHERE b.user_id = p.user_id
+        |  ORDER BY abs(epoch_us(b.ts) - epoch_us(p.ts)) ASC,
+        |           (b.ts > p.ts) ASC, b.event_id DESC LIMIT 1
+        |) l ON true
+        |ORDER BY p.event_id""") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("side"),
+          col("event_id").as("src_id"))
+      val build = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          col("event_id").as("src_id"))
+      val u = build.unionByName(probe)
+        .withColumn("b", when(col("side") === 0,
+          struct(col("ts").as("b_ts"), col("src_id").as("b_id"))))
+      // Backward pick = largest ts <= p.ts, tie largest id (src_id ASC →
+      // last seen is the max id, matching join_asof's lateral).
+      val wBack = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"), col("src_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // Forward pick = smallest ts >= p.ts, tie largest id: in the DESC
+      // sweep the row nearest above the probe within the equal-ts group
+      // ordered id-ASC is that group's max id.
+      val wFwd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("side").asc, col("src_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn("back", last(col("b"), ignoreNulls = true).over(wBack))
+        .withColumn("fwd", last(col("b"), ignoreNulls = true).over(wFwd))
+        .filter(col("side") === 1)
+        .withColumn("d_back",
+          expr("unix_micros(ts) - unix_micros(back.b_ts)"))
+        .withColumn("d_fwd",
+          expr("unix_micros(fwd.b_ts) - unix_micros(ts)"))
+        .withColumn("pick",
+          when(col("back").isNull, col("fwd"))
+            .when(col("fwd").isNull, col("back"))
+            .when(col("d_back") <= col("d_fwd"), col("back"))
+            .otherwise(col("fwd")))
+        .select(col("src_id").as("event_id"), col("user_id"),
+          col("pick.b_id").as("click_id"),
+          (expr("unix_micros(pick.b_ts)") - expr("unix_micros(ts)"))
+            .as("delta_us"))
+        .orderBy(col("event_id"))
+    },
+
+    // Hourly-count z-score anomaly flags: per event type, hours whose
+    // event count sits >= 2 sample standard deviations from that type's
+    // mean hourly count — the basic volume-anomaly monitor over a
+    // metrics stream. Statistics stay EXACT until the last step: count,
+    // Σc and Σc² are integer aggregates, mean/variance/z derive from
+    // them with identical double expressions in both engines (no
+    // engine-owned stddev whose summation order could differ). Two
+    // keyed shuffles (hour rollup, per-type stats) and a broadcast of
+    // the 5-row stats relation — scan-shaped at any corpus size.
+    Q("ts_zscore",
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS n,
+        |    sum(cnt) AS s1, sum(cnt * cnt) AS s2
+        |  FROM c GROUP BY 1)
+        |SELECT c.event_type, c.hour, CAST(cnt AS BIGINT) AS cnt,
+        |  round((cnt - CAST(s1 AS DOUBLE) / n) /
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)),
+        |    4) AS z
+        |FROM c JOIN st ON c.event_type = st.event_type
+        |WHERE abs((cnt - CAST(s1 AS DOUBLE) / n) /
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)))
+        |  >= 2.0
+        |ORDER BY c.event_type, c.hour""") { (s, d) =>
+      val c = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+      val st = c.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s1"),
+          sum(col("cnt") * col("cnt")).as("s2"))
+      val z = expr(
+        """(cnt - CAST(s1 AS DOUBLE) / n) /
+          |sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))"""
+          .stripMargin)
+      c.join(broadcast(st), Seq("event_type"))
+        .filter(abs(z) >= 2.0)
+        .select(col("event_type"), col("hour"), col("cnt"),
+          round(z, 4).as("z"))
+        .orderBy(col("event_type"), col("hour"))
+    },
+
     // AS-OF with tolerance: same sweep, but a match older than 6 hours
     // is discarded (the reference's TTL'd cache analog: stale state is a
     // miss, k8sclient.go TTL 3600s). Demonstrates that the window sweep

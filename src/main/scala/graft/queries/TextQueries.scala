@@ -214,6 +214,62 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Composite quality GATE (the Gopher/C4-style rule stack): every
+    // rule is a per-row predicate over signals the scan already
+    // computes — language, token-count bounds, stopword floor,
+    // max-single-token repetition ceiling — and the verdict carries
+    // WHICH rules failed (the reasons string downstream audits group
+    // by). Pure per-row higher-order functions: zero shuffle before
+    // the output sort; at 100 TB this fuses into the scan and the
+    // filter rate is a free by-product of the pass. The repetition
+    // signal's per-row distinct scan is O(tokens²) on ≤100-token docs —
+    // bounded by the doc, not the corpus.
+    Q("pipeline_quality_gate",
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang, len(toks) AS n_tokens,
+        |  CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        |    / len(toks) AS stop_ratio,
+        |  CAST(list_max(list_transform(list_distinct(toks),
+        |    x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE)
+        |    / len(toks) AS max_tok_frac
+        |FROM t)
+        |SELECT doc_id,
+        |  CAST(n_tokens AS INT) AS n_tokens,
+        |  round(stop_ratio, 4) AS stop_ratio,
+        |  round(max_tok_frac, 4) AS max_tok_frac,
+        |  (lang = 'en' AND n_tokens >= 20 AND stop_ratio >= 0.02
+        |    AND max_tok_frac <= 0.15) AS keep,
+        |  concat_ws(',',
+        |    CASE WHEN lang <> 'en' THEN 'lang' END,
+        |    CASE WHEN n_tokens < 20 THEN 'too_short' END,
+        |    CASE WHEN stop_ratio < 0.02 THEN 'low_stopword' END,
+        |    CASE WHEN max_tok_frac > 0.15 THEN 'repetitive' END) AS reasons
+        |FROM s
+        |ORDER BY doc_id""") { (s, d) =>
+      val sig = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("stop_ratio",
+          expr("CAST(size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)")
+            / col("n_tokens"))
+        .withColumn("max_tok_frac",
+          expr("""CAST(array_max(transform(array_distinct(toks),
+            |x -> size(filter(toks, y -> y = x)))) AS DOUBLE)""".stripMargin)
+            / col("n_tokens"))
+      sig.select(col("doc_id"), col("n_tokens"),
+          round(col("stop_ratio"), 4).as("stop_ratio"),
+          round(col("max_tok_frac"), 4).as("max_tok_frac"),
+          (col("lang") === "en" && col("n_tokens") >= 20 &&
+            col("stop_ratio") >= 0.02 && col("max_tok_frac") <= 0.15)
+            .as("keep"),
+          concat_ws(",",
+            when(col("lang") =!= "en", "lang"),
+            when(col("n_tokens") < 20, "too_short"),
+            when(col("stop_ratio") < 0.02, "low_stopword"),
+            when(col("max_tok_frac") > 0.15, "repetitive")).as("reasons"))
+        .orderBy(col("doc_id"))
+    },
+
     // Language-ID: n-gram/marker-token heuristic. Deterministic scoring —
     // marker hit counts per language, argmax with fixed tie order.
     Q("text_langid",
