@@ -559,6 +559,40 @@ object BehaviorQueries {
         .select(col("user_id"), col("exact"), col("cms_est"),
           (col("cms_est") - col("exact")).as("overshoot"))
         .orderBy(col("user_id"))
+    },
+
+    // First-order Markov transition matrix over per-user event
+    // sequences — the behavioral-model fit step (next-action
+    // prediction, session simulation). Transitions come from ONE lag
+    // sweep over ONE user-keyed shuffle (total order (ts, event_id)
+    // inside each user), then collapse to the |types|² matrix — a
+    // constant-size relation no matter the corpus, so the probability
+    // join is a broadcast. p = cnt/total is a ratio of exact integers;
+    // both engines divide the same ints, round(…,4) agrees.
+    Q("behavior_markov",
+      """WITH s AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |t AS (SELECT prev_type, event_type AS next_type, count(*) AS cnt
+        |  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, sum(cnt) AS total FROM t GROUP BY 1)
+        |SELECT t.prev_type, t.next_type, CAST(cnt AS BIGINT) AS cnt,
+        |  round(CAST(cnt AS DOUBLE) / total, 4) AS p
+        |FROM t JOIN tot USING (prev_type)
+        |ORDER BY prev_type, next_type""") { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val t = Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = t.groupBy(col("prev_type")).agg(sum(col("cnt")).as("total"))
+      t.join(broadcast(tot), Seq("prev_type"))
+        .select(col("prev_type"), col("next_type"), col("cnt"),
+          round(col("cnt").cast("double") / col("total"), 4).as("p"))
+        .orderBy(col("prev_type"), col("next_type"))
     }
   )
 }

@@ -397,6 +397,64 @@ object TemporalQueries {
         .orderBy(col("event_type"), col("hour"))
     },
 
+    // Additive seasonal decomposition of the hourly event-count series
+    // (classical trend/seasonal/residual split, the moving-average core
+    // of STL): trend = centered ±12h RANGE-frame mean (only hours whose
+    // frame holds all 25 observations decompose — edges and gap-
+    // shortened frames are excluded, so the "moving average" is a real
+    // time window, not a row window that silently spans gaps);
+    // seasonal = per-(type, hour-of-day) mean of the detrended series.
+    // EXACT arithmetic until the final division: the frame emits the
+    // integer Σcnt (s25), the seasonal mean is the integer identity
+    // avg(cnt − s25/25) = (25·Σcnt − Σs25)/(25·m), and trend/seasonal/
+    // resid derive from those ints with identical double expressions in
+    // both engines — no double accumulation whose order could differ.
+    // One (type,hour) rollup + one RANGE window over the same keyed
+    // exchange + a ≤|types|·24-row broadcast — scan-shaped at 100 TB.
+    Q("ts_decompose",
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2, 3),
+        |w AS (SELECT *, sum(cnt) OVER win AS s25, count(*) OVER win AS n25
+        |  FROM c WINDOW win AS (PARTITION BY event_type ORDER BY hr
+        |    RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |d AS (SELECT * FROM w WHERE n25 = 25),
+        |se AS (SELECT event_type, hr % 24 AS hod,
+        |    25 * sum(cnt) - sum(s25) AS num, 25 * count(*) AS den
+        |  FROM d GROUP BY 1, 2)
+        |SELECT d.event_type, d.hour, CAST(d.cnt AS BIGINT) AS cnt,
+        |  round(s25 / 25.0, 4) AS trend,
+        |  round(CAST(num AS DOUBLE) / den, 4) AS seasonal,
+        |  round(d.cnt - s25 / 25.0 - CAST(num AS DOUBLE) / den, 4) AS resid
+        |FROM d JOIN se ON se.event_type = d.event_type
+        |  AND se.hod = d.hr % 24
+        |ORDER BY d.event_type, d.hour""") { (s, d) =>
+      val c = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("hr", expr("unix_micros(hour) div 3600000000"))
+      val win = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rangeBetween(-12, 12)
+      val dd = c.withColumn("s25", sum(col("cnt")).over(win))
+        .withColumn("n25", count(lit(1)).over(win))
+        .filter(col("n25") === 25)
+      val se = dd.groupBy(col("event_type").as("se_type"),
+          (col("hr") % 24).as("hod"))
+        .agg((lit(25) * sum(col("cnt")) - sum(col("s25"))).as("num"),
+          (lit(25) * count(lit(1))).as("den"))
+      dd.join(broadcast(se),
+          col("se_type") === col("event_type") &&
+            col("hod") === col("hr") % 24)
+        .select(col("event_type"), col("hour"), col("cnt"),
+          round(col("s25") / 25.0, 4).as("trend"),
+          round(col("num").cast("double") / col("den"), 4).as("seasonal"),
+          round(col("cnt") - col("s25") / 25.0 -
+            col("num").cast("double") / col("den"), 4).as("resid"))
+        .orderBy(col("event_type"), col("hour"))
+    },
+
     // AS-OF with tolerance: same sweep, but a match older than 6 hours
     // is discarded (the reference's TTL'd cache analog: stale state is a
     // miss, k8sclient.go TTL 3600s). Demonstrates that the window sweep

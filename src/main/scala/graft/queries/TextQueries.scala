@@ -270,6 +270,57 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Bigram collocations by pointwise mutual information (Church &
+    // Hanks 1990) — the corpus-statistics pass behind stop-phrase
+    // lists, tokenizer merges and boilerplate detection. ONE tokenize
+    // feeds both count relations: bigrams via a positional transform
+    // (no self-join), unigrams via explode. PMI = log2((c_ab/B) /
+    // ((c_a/T)(c_b/T))) with STRUCTURALLY IDENTICAL double expressions
+    // in both engines (each factor divides exact integer counts; the
+    // single log2 call rounds to 4dp, absorbing libm ulp skew). The
+    // bigram relation shuffles once on the pair key; unigram counts
+    // join on w1/w2 (vocab-sized, AQE-broadcastable); the totals are a
+    // broadcast 1-row scalar — no all-pairs anything at 100 TB.
+    Q("text_pmi_bigrams",
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM t, unnest(range(1, len(toks))) u(i)),
+        |bc AS (SELECT w1, w2, count(*) AS cab FROM bg GROUP BY 1, 2),
+        |uc AS (SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(c) FROM uc) AS t1,
+        |               (SELECT sum(cab) FROM bc) AS t2)
+        |SELECT w1, w2, CAST(cab AS BIGINT) AS cab,
+        |  round(log2((CAST(cab AS DOUBLE) / t2) /
+        |    ((CAST(ca.c AS DOUBLE) / t1) * (CAST(cb.c AS DOUBLE) / t1))),
+        |    4) + 0.0 AS pmi
+        |FROM bc JOIN uc ca ON ca.w = w1 JOIN uc cb ON cb.w = w2, tot
+        |WHERE cab >= 5
+        |ORDER BY w1, w2""") { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("toks"))
+      val bg = t.select(explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> named_struct('w1', element_at(toks, i),
+            |                    'w2', element_at(toks, i + 1)))"""
+            .stripMargin)).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+      val uc = t.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = uc.agg(sum(col("c")).as("t1"))
+        .crossJoin(bc.agg(sum(col("cab")).as("t2")))
+      bc.filter(col("cab") >= 5)
+        .join(uc.select(col("w").as("w1"), col("c").as("ca")), Seq("w1"))
+        .join(uc.select(col("w").as("w2"), col("c").as("cb")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("cab"),
+          (round(log2((col("cab").cast("double") / col("t2")) /
+            ((col("ca").cast("double") / col("t1")) *
+              (col("cb").cast("double") / col("t1")))), 4) + 0.0).as("pmi"))
+        .orderBy(col("w1"), col("w2"))
+    },
+
     // Language-ID: n-gram/marker-token heuristic. Deterministic scoring —
     // marker hit counts per language, argmax with fixed tie order.
     Q("text_langid",

@@ -538,5 +538,94 @@ object VectorQueries {
         .withColumn("cluster_n",
           count(lit(1)).over(Window.partitionBy(col("cluster"))))
         .orderBy(col("vec_id"))
+    },
+
+    // Product quantization with asymmetric distance computation (Jégou,
+    // Douze, Schmid, "Product quantization for nearest neighbor
+    // search", TPAMI 2011): the 64-dim space splits into m=4 subspaces
+    // of 16 dims; each subspace has a k=16-codeword codebook (the
+    // deterministic "training sample" = vectors 0..15 — swapping in
+    // k-means-trained codebooks changes no plumbing); every corpus
+    // vector compresses to 4 codes (= 4 bytes, a 64× compression of
+    // the float payload — what makes billion-vector search RAM-
+    // feasible); each query precomputes its 4×16 distance TABLE once,
+    // and per-vector scoring is 4 table lookups + 3 adds, never a
+    // 64-mult dot. Determinism: every subspace distance is the same
+    // sequential 16-term double fold in both engines, then DECIMAL-
+    // quantized at 6dp — encode argmin (strict <, earliest codeword)
+    // and the ADC sum are exact from there. Scale: codebook = broadcast
+    // 1-row array; encode fuses into the scan (per-row fold, NO 64×
+    // candidate explode/shuffle); dtab rides the 8-row broadcast query
+    // set; per-query top-5 is one window (production would swap in the
+    // TopKPerGroup plan for the 8-partition skew).
+    Q("sim_pq_adc",
+      """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+        |cbv AS (SELECT vec_id AS cb_id, e AS ce FROM v WHERE vec_id < 16),
+        |encd AS (SELECT v.vec_id, b.b, c.cb_id AS c,
+        |    CAST(round(list_sum(list_transform(range(1, 17), j ->
+        |      (CAST(e[CAST(16*b.b + j AS INT)] AS DOUBLE) - CAST(ce[CAST(16*b.b + j AS INT)] AS DOUBLE)) *
+        |      (CAST(e[CAST(16*b.b + j AS INT)] AS DOUBLE) - CAST(ce[CAST(16*b.b + j AS INT)] AS DOUBLE)))), 6)
+        |      AS DECIMAL(18,6)) AS dq
+        |  FROM v, range(0, 4) b(b), cbv c),
+        |codes AS (SELECT vec_id, b, c FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, b
+        |      ORDER BY dq, c) AS rk FROM encd) WHERE rk = 1),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 8),
+        |dtab AS (SELECT q.qid, b.b, c.cb_id AS c,
+        |    CAST(round(list_sum(list_transform(range(1, 17), j ->
+        |      (CAST(qe[CAST(16*b.b + j AS INT)] AS DOUBLE) - CAST(ce[CAST(16*b.b + j AS INT)] AS DOUBLE)) *
+        |      (CAST(qe[CAST(16*b.b + j AS INT)] AS DOUBLE) - CAST(ce[CAST(16*b.b + j AS INT)] AS DOUBLE)))), 6)
+        |      AS DECIMAL(18,6)) AS dq
+        |  FROM q, range(0, 4) b(b), cbv c),
+        |adc AS (SELECT d.qid, s.vec_id AS vid, sum(d.dq) AS adc
+        |  FROM codes s JOIN dtab d
+        |    ON d.b = s.b AND d.c = s.c AND d.qid <> s.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT qid, vid, adc, row_number() OVER (PARTITION BY qid
+        |    ORDER BY adc, vid) AS rk FROM adc)
+        |SELECT qid, vid, CAST(rk AS INT) AS rk,
+        |  round(CAST(adc AS DOUBLE), 4) AS adc
+        |FROM r WHERE rk <= 5
+        |ORDER BY qid, rk""") { (s, d) =>
+      def dsub(vec: String): String = {
+        val diff = s"(CAST(element_at($vec, CAST(16*b + j AS INT)) AS DOUBLE) - " +
+          s"CAST(element_at(element_at(cb, c + 1), CAST(16*b + j AS INT)) AS DOUBLE))"
+        s"CAST(round(aggregate(sequence(1, 16), CAST(0.0 AS DOUBLE), " +
+          s"(acc, j) -> acc + $diff * $diff), 6) AS DECIMAL(18,6))"
+      }
+      val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("e"))
+      // 1-row codebook: 16 subvector sources ordered by vec_id
+      // (array_sort on the id-led struct makes collect_list order moot).
+      val cbDf = v.filter(col("vec_id") < 16)
+        .agg(expr("transform(array_sort(collect_list(struct(vec_id, e))), t -> t.e)")
+          .as("cb"))
+      val enc = v.crossJoin(broadcast(cbDf)).withColumn("codes", expr(
+        s"""transform(sequence(0, 3), b ->
+           |  aggregate(sequence(0, 15),
+           |    named_struct('d', CAST(999999 AS DECIMAL(18,6)), 'c', -1),
+           |    (acc, c) -> IF(${dsub("e")} < acc.d,
+           |      named_struct('d', ${dsub("e")}, 'c', c), acc),
+           |    acc -> acc.c))""".stripMargin))
+        .select(col("vec_id"), col("codes"))
+      val qdtab = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("e").as("qe"))
+        .crossJoin(broadcast(cbDf))
+        .withColumn("dtab", expr(
+          s"""transform(sequence(0, 3), b ->
+             |  transform(sequence(0, 15), c -> ${dsub("qe")}))""".stripMargin))
+        .select(col("qid"), col("dtab"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+      enc.crossJoin(broadcast(qdtab))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("adc", expr(
+          """aggregate(sequence(0, 3), CAST(0 AS DECIMAL(38,6)), (acc, b) ->
+            |  CAST(acc + element_at(element_at(dtab, b + 1),
+            |    element_at(codes, b + 1) + 1) AS DECIMAL(38,6)))""".stripMargin))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("vec_id").as("vid"), col("rk").cast("int").as("rk"),
+          round(col("adc").cast("double"), 4).as("adc"))
+        .orderBy(col("qid"), col("rk"))
     })
 }

@@ -27,7 +27,9 @@ class PlanHygieneSpec extends SparkSpec {
     "skew_profile",        // counts x broadcast 1-row grand total
     "sub_scalar",          // uncorrelated scalar subquery = 1-row side
     "text_tfidf",          // tf x broadcast 1-row corpus-size scalar
-    "text_unigram_nll"     // dt x broadcast 1-row corpus-total scalar
+    "text_unigram_nll",    // dt x broadcast 1-row corpus-total scalar
+    "text_pmi_bigrams",    // counts x broadcast 1-row (T1,T2) totals
+    "sim_pq_adc"           // corpus x broadcast 1-row codebook + 8-query dtab
   )
 
   private def offenders(name: String): Seq[String] = {
