@@ -346,5 +346,54 @@ object AnalyticQueries {
           last(col("reading"), ignoreNulls = true).over(w).as("filled"),
           first(col("reading"), ignoreNulls = true).over(w).as("first_seen"))
         .orderBy(col("event_id"))
+    },
+
+    // Per-group OLS regression (value on time) from EXACT sufficient
+    // statistics: instead of the engines' native regr_* aggregates
+    // (double accumulation — order-dependent in the last ulps, so not
+    // hash-comparable across engines), the six sums n/Σx/Σy/Σx²/Σxy/Σy²
+    // accumulate as integers and 6dp DECIMALs (value is exact at ≤6dp),
+    // making them partition-count-invariant; slope/intercept/r² then
+    // derive with STRUCTURALLY IDENTICAL double expressions (IEEE
+    // mult/div on identical inputs is bitwise deterministic — no libm).
+    // x is hours since the corpus epoch, keeping every product inside
+    // exact integer/decimal range. ONE map-side-combinable groupBy —
+    // the cheapest possible distributed shape for model fitting.
+    Q("agg_regression",
+      """WITH b AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 - 473352 AS x,
+        |    CAST(round(value, 6) AS DECIMAL(18,6)) AS y
+        |  FROM events),
+        |s AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+        |  FROM b GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  round((n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+        |        (n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 4) AS slope,
+        |  round((CAST(sy AS DOUBLE) - (n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+        |        (n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n, 4) AS intercept,
+        |  round(pow(n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE), 2) /
+        |        ((n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+        |         (n*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6) AS r2
+        |FROM s ORDER BY event_type""") { (s, d) =>
+      val b = Tables.events(s, d).select(col("event_type"),
+        (expr("unix_micros(ts) div 3600000000") - lit(473352L)).as("x"),
+        round(col("value"), 6).cast("decimal(18,6)").as("y"))
+      val st = b.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x").cast("decimal(12,0)") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      val nD = col("n").cast("double")
+      val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+      val sxxD = col("sxx").cast("double"); val sxyD = col("sxy").cast("double")
+      val syyD = col("syy").cast("double")
+      val num = nD * sxyD - sxD * syD
+      val den = nD * sxxD - sxD * sxD
+      st.select(col("event_type"), col("n"),
+          round(num / den, 4).as("slope"),
+          round((syD - num / den * sxD) / nD, 4).as("intercept"),
+          round(pow(num, 2) / (den * (nD * syyD - syD * syD)), 6).as("r2"))
+        .orderBy(col("event_type"))
     })
 }

@@ -593,6 +593,49 @@ object BehaviorQueries {
         .select(col("prev_type"), col("next_type"), col("cnt"),
           round(col("cnt").cast("double") / col("total"), 4).as("p"))
         .orderBy(col("prev_type"), col("next_type"))
+    },
+
+    // Market-basket association mining (support / lift over brand
+    // co-occurrence in orders) — the pairwise half of Apriori. The
+    // basket relation (order, brand) is distinct-ed FIRST, so the
+    // within-basket self-join is keyed on the order and bounded by
+    // basket size (≤7 lineitems), never an all-pairs across orders;
+    // the per-brand supports and the basket count are vocab-sized /
+    // 1-row broadcasts. support = cab/N and lift = N·cab/(ca·cb) are
+    // ratios of exact integers — both engines divide the same ints.
+    // Scale: one order-keyed shuffle + brand² aggregate (constant-size
+    // output) — 100 TB-safe.
+    Q("behavior_basket_lift",
+      """WITH bp AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+        |    FROM lineitem JOIN part ON p_partkey = l_partkey),
+        |n AS (SELECT count(DISTINCT ok) AS n FROM bp),
+        |pc AS (SELECT b, count(*) AS cb FROM bp GROUP BY 1),
+        |pairs AS (SELECT a.b AS b1, c.b AS b2, count(*) AS cab
+        |  FROM bp a JOIN bp c ON a.ok = c.ok AND a.b < c.b GROUP BY 1, 2)
+        |SELECT b1, b2, CAST(cab AS BIGINT) AS cab,
+        |  round(CAST(cab AS DOUBLE)/n, 4) AS support,
+        |  round(n*CAST(cab AS DOUBLE)/(p1.cb*p2.cb), 4) AS lift
+        |FROM pairs JOIN pc p1 ON p1.b = b1 JOIN pc p2 ON p2.b = b2, n
+        |WHERE cab >= 20 ORDER BY b1, b2""") { (s, d) =>
+      val bp = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("p_partkey") === col("l_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+        .distinct()
+      val n = bp.agg(countDistinct(col("ok")).as("n"))
+      val pc = bp.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+      bp.as("a").join(bp.as("c"),
+          col("a.ok") === col("c.ok") && col("a.b") < col("c.b"))
+        .groupBy(col("a.b").as("b1"), col("c.b").as("b2"))
+        .agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 20)
+        .join(broadcast(pc.select(col("b").as("b1"), col("cb").as("c1"))), Seq("b1"))
+        .join(broadcast(pc.select(col("b").as("b2"), col("cb").as("c2"))), Seq("b2"))
+        .crossJoin(broadcast(n))
+        .select(col("b1"), col("b2"), col("cab"),
+          round(col("cab").cast("double") / col("n"), 4).as("support"),
+          round(col("n") * col("cab").cast("double") /
+            (col("c1") * col("c2")), 4).as("lift"))
+        .orderBy(col("b1"), col("b2"))
     }
   )
 }

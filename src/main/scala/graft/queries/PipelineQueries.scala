@@ -593,5 +593,53 @@ object PipelineQueries {
             """aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE), (acc, i) ->
               |  acc + CAST(embedding[i-1] AS DOUBLE) * signs[i-1])""".stripMargin), 4) + 0.0).as("y"))
         .orderBy(col("vec_id"), col("j"))
+    },
+
+    // Deterministic negative sampling (contrastive-training prep): for
+    // each urgent order, draw 4 catalog parts the order did NOT buy.
+    // Candidates are md5-keyed pseudo-draws (10 per order — enough that
+    // 4 always survive the positives anti-join at TPC-H basket sizes),
+    // so the "random" sample is reproducible on any cluster size and
+    // identical in both engines. Shape: per-row hash → anti-join on the
+    // (order, part) positives key → two bounded windows (≤10 rows per
+    // order) — the catalog bound rides a 1-row broadcast; nothing
+    // scans the candidate×catalog space. 100 TB-safe.
+    Q("pipe_negative_sample",
+      """WITH mp AS (SELECT max(p_partkey) AS mp FROM part),
+        |pos AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |cand AS (SELECT o_orderkey AS ok, j,
+        |    1 + ('0x' || substr(md5(o_orderkey || ':' || j), 1, 12))::BIGINT % mp AS pk
+        |  FROM orders, range(0, 10) r(j), mp
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |an AS (SELECT c.ok, c.j, c.pk FROM cand c ANTI JOIN pos p USING (ok, pk)),
+        |dd AS (SELECT *, row_number() OVER (PARTITION BY ok, pk ORDER BY j) AS dup
+        |  FROM an),
+        |rk AS (SELECT ok, pk, row_number() OVER (PARTITION BY ok ORDER BY j) AS rk
+        |  FROM dd WHERE dup = 1)
+        |SELECT ok AS o_orderkey, CAST(rk AS INT) AS rk, pk AS neg_partkey
+        |FROM rk WHERE rk <= 4 ORDER BY o_orderkey, rk""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val mp = Tables.part(s, d).agg(max(col("p_partkey")).as("mp"))
+      val pos = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val cand = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("ok"))
+        .crossJoin(broadcast(mp))
+        .select(col("ok"), explode(sequence(lit(0), lit(9))).as("j"), col("mp"))
+        .withColumn("pk", lit(1) +
+          expr("CAST(conv(substr(md5(concat(CAST(ok AS STRING), ':', CAST(j AS STRING))), 1, 12), 16, 10) AS BIGINT)")
+            % col("mp"))
+      cand.join(pos, Seq("ok", "pk"), "left_anti")
+        .withColumn("dup", row_number().over(
+          Window.partitionBy(col("ok"), col("pk")).orderBy(col("j"))))
+        .filter(col("dup") === 1)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("ok")).orderBy(col("j"))))
+        .filter(col("rk") <= 4)
+        .select(col("ok").as("o_orderkey"), col("rk").cast("int").as("rk"),
+          col("pk").as("neg_partkey"))
+        .orderBy(col("o_orderkey"), col("rk"))
     })
 }

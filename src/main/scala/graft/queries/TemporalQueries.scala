@@ -487,5 +487,46 @@ object TemporalQueries {
           when(col("asof.b_ts") >= col("ts") - expr("INTERVAL 6 HOUR"),
             col("asof.b_id")).as("signup_id"))
         .orderBy(col("event_id"))
+    },
+
+    // Interval coalescing (gaps-and-islands): each event opens a 30-min
+    // activity interval; overlapping/touching intervals per user merge
+    // into one. The classic two-window resolution — running max of
+    // prior interval ends marks the breaks, a running sum of breaks
+    // numbers the islands — so the merge is ONE user-keyed sort-window
+    // pass (both windows share the same (user, ts, event_id) exchange
+    // and sort; no self-join, no iterative chaining). All arithmetic
+    // is timestamp+constant and integer flags — exact in both engines.
+    // Scale: per-user windows over a keyed exchange; island count never
+    // materializes globally — 100 TB-safe.
+    Q("ts_interval_merge",
+      """WITH s AS (SELECT user_id, ts, event_id,
+        |    max(ts + INTERVAL 30 MINUTE) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev_end IS NULL OR ts > prev_end
+        |    THEN 1 ELSE 0 END AS brk FROM s),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS isl FROM f)
+        |SELECT user_id, CAST(isl AS BIGINT) AS interval_id,
+        |  min(ts) AS start_ts, max(ts + INTERVAL 30 MINUTE) AS end_ts,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY 1, 2
+        |ORDER BY user_id, interval_id""") { (s, d) =>
+      val endCol = col("ts") + expr("INTERVAL 30 MINUTES")
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_end", max(endCol)
+          .over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("brk", when(col("prev_end").isNull ||
+          col("ts") > col("prev_end"), 1).otherwise(0))
+        .withColumn("interval_id", sum(col("brk"))
+          .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("interval_id"))
+        .agg(min(col("ts")).as("start_ts"), max(endCol).as("end_ts"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("interval_id"))
     })
 }

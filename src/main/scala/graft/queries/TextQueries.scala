@@ -1169,5 +1169,65 @@ object TextQueries {
               struct(col("idx"), col("span"))))),
             x => x.getField("span")), " ")).as("clean_hash"))
         .orderBy(col("doc_id"))
+    },
+
+    // BM25 retrieval scoring (Robertson/Sparck Jones; the Lucene
+    // idf = ln(1 + (N−df+0.5)/(df+0.5)) variant, k1=1.2 b=0.75) for a
+    // fixed 3-term query — the ranking half of a corpus search /
+    // relevance-filter stage. ONE tokenize feeds tf (term-filtered
+    // BEFORE the groupBy — the scan reduces to query-term postings
+    // immediately), df (vocab-sized broadcast), and dl; N/Σdl ride a
+    // 1-row broadcast. Per-term scores stay unrounded doubles but sum
+    // in a FIXED pivot order (hash+merge+spark, not an aggregate whose
+    // order could vary), so both engines add the same 3 doubles in the
+    // same sequence; the single ln per term is the only libm call and
+    // the final 4dp round absorbs its ulp skew. Scale: postings
+    // equi-joins + broadcast scalars — no all-pairs, 100 TB-safe.
+    Q("text_bm25",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |stats AS (SELECT count(*) AS n, sum(len(toks)) AS sumdl FROM t),
+        |wd AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM wd
+        |  WHERE w IN ('hash','merge','spark') GROUP BY 1, 2),
+        |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM wd
+        |  WHERE w IN ('hash','merge','spark') GROUP BY 1),
+        |sc AS (SELECT doc_id, w,
+        |    ln(1 + (n - df + 0.5)/(df + 0.5)) *
+        |      (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl /
+        |        (CAST(sumdl AS DOUBLE)/n))) AS s
+        |  FROM tf JOIN df USING (w)
+        |  JOIN (SELECT doc_id, len(toks) AS dl FROM t) dl USING (doc_id), stats),
+        |pv AS (SELECT doc_id,
+        |    max(CASE WHEN w='hash' THEN s END) AS s1,
+        |    max(CASE WHEN w='merge' THEN s END) AS s2,
+        |    max(CASE WHEN w='spark' THEN s END) AS s3
+        |  FROM sc GROUP BY 1)
+        |SELECT doc_id,
+        |  round(coalesce(s1, 0) + coalesce(s2, 0) + coalesce(s3, 0), 4) AS bm25
+        |FROM pv ORDER BY doc_id""") { (s, d) =>
+      val terms = Seq("hash", "merge", "spark")
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val stats = t.agg(count(lit(1)).as("n"), sum(size(col("toks"))).as("sumdl"))
+      val words = t.select(col("doc_id"), explode(col("toks")).as("w"))
+        .filter(col("w").isin(terms: _*))
+      val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val df = words.select(col("doc_id"), col("w")).distinct()
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val dl = t.select(col("doc_id"), size(col("toks")).as("dl"))
+      tf.join(broadcast(df), Seq("w")).join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("s",
+          log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf") * 2.2) / (col("tf") + lit(1.2) * (lit(1) - 0.75 +
+              lit(0.75) * col("dl") / (col("sumdl").cast("double") / col("n")))))
+        .groupBy(col("doc_id"))
+        .agg(max(when(col("w") === "hash", col("s"))).as("s1"),
+          max(when(col("w") === "merge", col("s"))).as("s2"),
+          max(when(col("w") === "spark", col("s"))).as("s3"))
+        .select(col("doc_id"),
+          round(coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0)) +
+            coalesce(col("s3"), lit(0.0)), 4).as("bm25"))
+        .orderBy(col("doc_id"))
     })
 }

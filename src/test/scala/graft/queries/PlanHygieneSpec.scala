@@ -29,7 +29,10 @@ class PlanHygieneSpec extends SparkSpec {
     "text_tfidf",          // tf x broadcast 1-row corpus-size scalar
     "text_unigram_nll",    // dt x broadcast 1-row corpus-total scalar
     "text_pmi_bigrams",    // counts x broadcast 1-row (T1,T2) totals
-    "sim_pq_adc"           // corpus x broadcast 1-row codebook + 8-query dtab
+    "sim_pq_adc",          // corpus x broadcast 1-row codebook + 8-query dtab
+    "text_bm25",           // postings x broadcast 1-row (N, sumdl) stats
+    "behavior_basket_lift", // pairs x broadcast 1-row basket count
+    "pipe_negative_sample" // orders x broadcast 1-row max-partkey bound
   )
 
   private def offenders(name: String): Seq[String] = {
