@@ -636,6 +636,61 @@ object BehaviorQueries {
           round(col("n") * col("cab").cast("double") /
             (col("c1") * col("c2")), 4).as("lift"))
         .orderBy(col("b1"), col("b2"))
+    },
+
+    // Linear multi-touch attribution: every purchase splits one unit of
+    // credit evenly across the user's touches (non-purchase events) in
+    // the preceding 24 h, rolled up per touch type. ONE user-keyed
+    // RANGE-frame window pass computes all five frame counts at once
+    // (the frame is a real time window over epoch-micros, 1 µs
+    // preceding excludes the purchase itself); the per-purchase credit
+    // nₜ/n is a ratio of exact frame integers, 8dp-DECIMAL-quantized
+    // before the global rollup so the sum is partition-count-invariant.
+    // Scale: one keyed sort-window + a 4-row aggregate — 100 TB-safe.
+    Q("behavior_attribution",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS um FROM events),
+        |w AS (SELECT user_id, event_type, um,
+        |    sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) OVER fr AS n,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER fr AS n_click,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER fr AS n_view,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER fr AS n_error,
+        |    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER fr AS n_signup
+        |  FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY um
+        |    RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT * FROM w WHERE event_type = 'purchase' AND n > 0),
+        |x AS (SELECT t.tt AS touch_type,
+        |    CAST(round(CASE t.tt WHEN 'click' THEN n_click WHEN 'view' THEN n_view
+        |      WHEN 'error' THEN n_error ELSE n_signup END / CAST(n AS DOUBLE), 8)
+        |      AS DECIMAL(20,8)) AS credit
+        |  FROM p, (VALUES ('click'),('view'),('error'),('signup')) t(tt))
+        |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  round(CAST(sum(credit) AS DOUBLE), 4) AS credit
+        |FROM x GROUP BY 1 ORDER BY touch_type""") { (s, d) =>
+      val fr = Window.partitionBy(col("user_id"))
+        .orderBy(col("um")).rangeBetween(-86400000000L, -1)
+      def cnt(t: String) =
+        sum(when(col("event_type") === t, 1).otherwise(0)).over(fr)
+      val w = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("um"))
+        .select(col("event_type"),
+          sum(when(col("event_type") =!= "purchase", 1).otherwise(0))
+            .over(fr).as("n"),
+          cnt("click").as("n_click"), cnt("view").as("n_view"),
+          cnt("error").as("n_error"), cnt("signup").as("n_signup"))
+      val p = w.filter(col("event_type") === "purchase" && col("n") > 0)
+      p.select(col("n"), explode(array(
+          struct(lit("click").as("tt"), col("n_click").as("nt")),
+          struct(lit("view").as("tt"), col("n_view").as("nt")),
+          struct(lit("error").as("tt"), col("n_error").as("nt")),
+          struct(lit("signup").as("tt"), col("n_signup").as("nt")))).as("t"))
+        .select(col("t.tt").as("touch_type"),
+          expr("CAST(round(t.nt / CAST(n AS DOUBLE), 8) AS DECIMAL(20,8))")
+            .as("credit"))
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("credit")).cast("double"), 4).as("credit"))
+        .orderBy(col("touch_type"))
     }
   )
 }

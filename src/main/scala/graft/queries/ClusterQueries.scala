@@ -634,5 +634,56 @@ object ClusterQueries {
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
           col("tfidf"), col("rk"))
         .orderBy(col("doc_id"), col("rk"))
+    },
+
+    // k-hop BFS (multi-source shortest hops, k=3) over the support-≥2
+    // co-purchase graph — the neighborhood-expansion primitive behind
+    // graph features and influence radii. Unrolled frontier relaxation:
+    // each round is frontier ⋈ edges → min-dist rollup, the same
+    // driver-state-free shape as PageRank/CC (at unbounded k this
+    // becomes the large-star/small-star loop the CC family already
+    // ships; 3 unrolled rounds keep the whole plan one Catalyst tree).
+    // All-integer arithmetic — exact in both engines. Scale: edges
+    // shuffle once on the join key per round; the distance relation
+    // stays ≤ |V| rows — 100 TB-safe.
+    Q("graph_bfs_khop",
+      """WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT a.pk AS p1, b.pk AS p2 FROM bp a JOIN bp b
+        |  ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT p1, p2 FROM e0 UNION ALL SELECT p2, p1 FROM e0),
+        |d0 AS (SELECT p_partkey AS pk, 0 AS dist FROM part WHERE p_partkey % 100 = 0),
+        |u1 AS (SELECT pk, dist FROM d0 UNION ALL
+        |  SELECT e.p2, d0.dist + 1 FROM d0 JOIN e ON e.p1 = d0.pk),
+        |d1 AS (SELECT pk, min(dist) AS dist FROM u1 GROUP BY 1),
+        |u2 AS (SELECT pk, dist FROM d1 UNION ALL
+        |  SELECT e.p2, d1.dist + 1 FROM d1 JOIN e ON e.p1 = d1.pk),
+        |d2 AS (SELECT pk, min(dist) AS dist FROM u2 GROUP BY 1),
+        |u3 AS (SELECT pk, dist FROM d2 UNION ALL
+        |  SELECT e.p2, d2.dist + 1 FROM d2 JOIN e ON e.p1 = d2.pk),
+        |d3 AS (SELECT pk, min(dist) AS dist FROM u3 GROUP BY 1)
+        |SELECT pk AS partkey, CAST(dist AS INT) AS dist
+        |FROM d3 ORDER BY partkey""") { (s, d) =>
+      val bp = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e0 = bp.as("a").join(bp.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .select(col("p1"), col("p2"))
+      val e = e0.unionByName(e0.select(col("p2").as("p1"), col("p1").as("p2")))
+      val d0 = Tables.part(s, d).filter(col("p_partkey") % 100 === 0)
+        .select(col("p_partkey").as("pk"), lit(0).as("dist"))
+      def relax(dd: DataFrame): DataFrame = {
+        val f = dd.select(col("pk").as("fpk"), col("dist").as("fdist"))
+        dd.unionByName(
+            f.join(e, col("fpk") === col("p1"))
+              .select(col("p2").as("pk"), (col("fdist") + 1).as("dist")))
+          .groupBy(col("pk")).agg(min(col("dist")).as("dist"))
+      }
+      relax(relax(relax(d0)))
+        .select(col("pk").as("partkey"), col("dist").cast("int").as("dist"))
+        .orderBy(col("partkey"))
     })
 }

@@ -641,5 +641,67 @@ object PipelineQueries {
         .select(col("ok").as("o_orderkey"), col("rk").cast("int").as("rk"),
           col("pk").as("neg_partkey"))
         .orderBy(col("o_orderkey"), col("rk"))
+    },
+
+    // Data-quality profile (the schema-health pass a pipeline runs
+    // before training): per column of the widest table — row count,
+    // null count, exact distinct count — unpivoted to one row per
+    // column. ONE scan: the 11 exact count-distincts share a single
+    // aggregate (Catalyst plans them via Expand — 11× the rows map-
+    // side, still one shuffle, no per-column rescans), then the
+    // constant-width result explodes to the profile relation. All
+    // integer counts — exact in both engines. At 100 TB the Expand
+    // fan-out is the standard cost of exact multi-column NDV; the
+    // approx_count_distinct tier (agg_approx_distinct) is the
+    // cheap-scan alternative already shipped.
+    Q("dq_profile",
+      """SELECT 'l_discount' AS col, count(*) AS n,
+        |    CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    count(DISTINCT l_discount) AS n_distinct FROM lineitem
+        |UNION ALL SELECT 'l_extendedprice', count(*),
+        |    CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT l_extendedprice) FROM lineitem
+        |UNION ALL SELECT 'l_linenumber', count(*),
+        |    CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT l_linenumber) FROM lineitem
+        |UNION ALL SELECT 'l_linestatus', count(*),
+        |    CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT l_linestatus) FROM lineitem
+        |UNION ALL SELECT 'l_orderkey', count(*),
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT l_orderkey) FROM lineitem
+        |UNION ALL SELECT 'l_partkey', count(*),
+        |    CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT l_partkey) FROM lineitem
+        |UNION ALL SELECT 'l_quantity', count(*),
+        |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT l_quantity) FROM lineitem
+        |UNION ALL SELECT 'l_returnflag', count(*),
+        |    CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT l_returnflag) FROM lineitem
+        |UNION ALL SELECT 'l_shipdate', count(*),
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT l_shipdate) FROM lineitem
+        |UNION ALL SELECT 'l_suppkey', count(*),
+        |    CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT l_suppkey) FROM lineitem
+        |UNION ALL SELECT 'l_tax', count(*),
+        |    CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT l_tax) FROM lineitem
+        |ORDER BY col""") { (s, d) =>
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      val aggs = cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1).otherwise(0)).as(s"null_$c"),
+        countDistinct(col(c)).as(s"dist_$c"))) :+ count(lit(1)).as("n")
+      val one = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+      one.select(explode(array(cols.map(c => struct(
+          lit(c).as("col"), col("n"),
+          col(s"null_$c").as("n_null"),
+          col(s"dist_$c").as("n_distinct"))): _*)).as("x"))
+        .select(col("x.col").as("col"), col("x.n").as("n"),
+          col("x.n_null").as("n_null"), col("x.n_distinct").as("n_distinct"))
+        .orderBy(col("col"))
     })
 }

@@ -627,5 +627,123 @@ object VectorQueries {
         .select(col("qid"), col("vec_id").as("vid"), col("rk").cast("int").as("rk"),
           round(col("adc").cast("double"), 4).as("adc"))
         .orderBy(col("qid"), col("rk"))
+    },
+
+    // Scalar quantization (SQ8, the FAISS flat-compressed shape): each
+    // dim maps to a 0..255 code against per-dim corpus min/max (a 1-row
+    // broadcast), and distance becomes an INTEGER sum of squared code
+    // deltas — fully exact in both engines, no float accumulation
+    // anywhere past the quantization grid itself (whose (x−mn)/(mx−mn)
+    // ·255 is one identical IEEE expression). 64 bytes/vector = 4×
+    // compression with zero index build — the "just scan it" tier of
+    // ANN. Scale: stats = one explode+groupBy pass; encode fuses with
+    // the scan; scoring = corpus × broadcast 8-query set; per-query
+    // top-5 is one window.
+    Q("sim_knn_sq8",
+      """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+        |st AS (SELECT j, min(CAST(e[CAST(j AS INT)] AS DOUBLE)) AS mn,
+        |    max(CAST(e[CAST(j AS INT)] AS DOUBLE)) AS mx
+        |  FROM v, range(1, 65) r(j) GROUP BY 1),
+        |b AS (SELECT list(mn ORDER BY j) AS mns, list(mx ORDER BY j) AS mxs FROM st),
+        |codes AS (SELECT vec_id, list_transform(range(1, 65), j ->
+        |    CASE WHEN mxs[CAST(j AS INT)] > mns[CAST(j AS INT)] THEN
+        |      CAST(floor((CAST(e[CAST(j AS INT)] AS DOUBLE) - mns[CAST(j AS INT)]) /
+        |        (mxs[CAST(j AS INT)] - mns[CAST(j AS INT)]) * 255) AS BIGINT)
+        |    ELSE 0 END) AS c
+        |  FROM v, b),
+        |q AS (SELECT vec_id AS qid, c AS qc FROM codes WHERE vec_id < 8),
+        |d AS (SELECT qid, s.vec_id AS vid,
+        |    list_sum(list_transform(range(1, 65), j ->
+        |      (qc[CAST(j AS INT)] - s.c[CAST(j AS INT)]) *
+        |      (qc[CAST(j AS INT)] - s.c[CAST(j AS INT)]))) AS dist
+        |  FROM codes s, q WHERE s.vec_id <> qid),
+        |r AS (SELECT qid, vid, dist, row_number() OVER (PARTITION BY qid
+        |    ORDER BY dist, vid) AS rk FROM d)
+        |SELECT qid, vid, CAST(rk AS INT) AS rk, CAST(dist AS BIGINT) AS dist
+        |FROM r WHERE rk <= 5 ORDER BY qid, rk""") { (s, d) =>
+      val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("e"))
+      val st = v.select(explode(sequence(lit(1), lit(64))).as("j"), col("e"))
+        .select(col("j"), expr("CAST(element_at(e, j) AS DOUBLE)").as("x"))
+        .groupBy(col("j")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val b = st.agg(
+        expr("transform(array_sort(collect_list(struct(j, mn))), t -> t.mn)").as("mns"),
+        expr("transform(array_sort(collect_list(struct(j, mx))), t -> t.mx)").as("mxs"))
+      val codes = v.crossJoin(broadcast(b)).select(col("vec_id"), expr(
+        """transform(sequence(1, 64), j ->
+          |  IF(element_at(mxs, j) > element_at(mns, j),
+          |    CAST(floor((CAST(element_at(e, j) AS DOUBLE) - element_at(mns, j)) /
+          |      (element_at(mxs, j) - element_at(mns, j)) * 255) AS BIGINT),
+          |    CAST(0 AS BIGINT)))""".stripMargin).as("c"))
+      val q = codes.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("c").as("qc"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+      codes.crossJoin(broadcast(q)).filter(col("qid") =!= col("vec_id"))
+        .withColumn("dist", expr(
+          """aggregate(zip_with(qc, c, (u, w) -> (u - w) * (u - w)),
+            |  CAST(0 AS BIGINT), (acc, t) -> acc + t)""".stripMargin))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("vec_id").as("vid"),
+          col("rk").cast("int").as("rk"), col("dist"))
+        .orderBy(col("qid"), col("rk"))
+    },
+
+    // Top principal component by power iteration (2 unrolled rounds
+    // from the exact v₀ = 1/√64 = 0.125 start): each round is ONE scan
+    // — per row the projection p = x·v is a sequential 64-term double
+    // fold (identical in both engines), the rank-1 contribution p·xⱼ
+    // is 8dp-DECIMAL-quantized so the per-dim Σ over rows is exact and
+    // partition-count-invariant, and the normalization √Σs² / division
+    // are IEEE-exact (sqrt is correctly rounded), so the NEXT round's
+    // v arrives bitwise identical in both engines. The unrolled-join
+    // shape is the same driver-state-free iteration as PageRank; v
+    // rides a 1-row broadcast between rounds. Scale: 2 scans + two
+    // 64-row aggregates — 100 TB-safe.
+    Q("vec_pca_power",
+      """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+        |c1 AS (SELECT j, sum(CAST(round(
+        |      list_sum(list_transform(range(1, 65), k ->
+        |        CAST(e[CAST(k AS INT)] AS DOUBLE) * 0.125))
+        |      * CAST(e[CAST(j AS INT)] AS DOUBLE), 8) AS DECIMAL(20,8))) AS s
+        |  FROM v, range(1, 65) r(j) GROUP BY 1),
+        |a1 AS (SELECT list(CAST(s AS DOUBLE) ORDER BY j) AS sv FROM c1),
+        |v1 AS (SELECT list_transform(sv, x ->
+        |    x / sqrt(list_sum(list_transform(sv, y -> y*y)))) AS v1 FROM a1),
+        |c2 AS (SELECT j, sum(CAST(round(
+        |      list_sum(list_transform(range(1, 65), k ->
+        |        CAST(e[CAST(k AS INT)] AS DOUBLE) * v1[CAST(k AS INT)]))
+        |      * CAST(e[CAST(j AS INT)] AS DOUBLE), 8) AS DECIMAL(20,8))) AS s
+        |  FROM v, v1, range(1, 65) r(j) GROUP BY 1),
+        |a2 AS (SELECT list(CAST(s AS DOUBLE) ORDER BY j) AS sv FROM c2)
+        |SELECT CAST(r.j AS INT) AS dim,
+        |  round(sv[CAST(r.j AS INT)] /
+        |    sqrt(list_sum(list_transform(sv, y -> y*y))), 4) + 0.0 AS loading
+        |FROM a2, range(1, 65) r(j) ORDER BY dim""") { (s, d) =>
+      val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("e"))
+      def sums(withP: DataFrame): DataFrame = withP
+        .select(col("p"), col("e"), explode(sequence(lit(1), lit(64))).as("j"))
+        .select(col("j"),
+          expr("CAST(round(p * CAST(element_at(e, j) AS DOUBLE), 8) AS DECIMAL(20,8))")
+            .as("c"))
+        .groupBy(col("j")).agg(sum(col("c")).as("s"))
+        .agg(expr(
+          "transform(array_sort(collect_list(named_struct('j', j, 'sd', CAST(s AS DOUBLE)))), t -> t.sd)")
+          .as("sv"))
+      val a1 = sums(v.withColumn("p", expr(
+        """aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE),
+          |  (acc, k) -> acc + CAST(element_at(e, k) AS DOUBLE) * 0.125)""".stripMargin)))
+      val v1 = a1.select(expr(
+        """transform(sv, x -> x / sqrt(aggregate(sv, CAST(0.0 AS DOUBLE),
+          |  (acc, y) -> acc + y * y)))""".stripMargin).as("v1"))
+      val a2 = sums(v.crossJoin(broadcast(v1)).withColumn("p", expr(
+        """aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE),
+          |  (acc, k) -> acc + CAST(element_at(e, k) AS DOUBLE) * element_at(v1, k))""".stripMargin)))
+      a2.select(col("sv"), explode(sequence(lit(1), lit(64))).as("dim"))
+        .select(col("dim").cast("int").as("dim"),
+          (round(expr(
+            """element_at(sv, dim) / sqrt(aggregate(sv, CAST(0.0 AS DOUBLE),
+              |  (acc, y) -> acc + y * y))""".stripMargin), 4) + 0.0).as("loading"))
+        .orderBy(col("dim"))
     })
 }

@@ -32,7 +32,9 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_pq_adc",          // corpus x broadcast 1-row codebook + 8-query dtab
     "text_bm25",           // postings x broadcast 1-row (N, sumdl) stats
     "behavior_basket_lift", // pairs x broadcast 1-row basket count
-    "pipe_negative_sample" // orders x broadcast 1-row max-partkey bound
+    "pipe_negative_sample", // orders x broadcast 1-row max-partkey bound
+    "sim_knn_sq8",         // corpus x broadcast 1-row stats + 8-query codes
+    "vec_pca_power"        // corpus x broadcast 1-row iteration vector
   )
 
   private def offenders(name: String): Seq[String] = {
