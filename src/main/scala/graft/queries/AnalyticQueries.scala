@@ -395,5 +395,45 @@ object AnalyticQueries {
           round((syD - num / den * sxD) / nD, 4).as("intercept"),
           round(pow(num, 2) / (den * (nD * syyD - syD * syD)), 6).as("r2"))
         .orderBy(col("event_type"))
+    },
+
+    // Impurity measures per group (Shannon entropy + Gini) over the
+    // source→language distribution — the split-scoring primitives of
+    // feature selection and the mixture-balance dashboard of a corpus.
+    // Determinism: both measures reduce to the exact integer counts
+    // (c_l, n); each entropy term −p·ln p and each p² quantizes to
+    // DECIMAL(28,12) BEFORE the per-group sum, so accumulation order
+    // can't leak ulps; the only libm call is one ln per (source, lang)
+    // cell. Shape: one (source, lang) rollup + a source-keyed rollup
+    // of a ≤|langs|-row relation — trivially 100 TB-safe.
+    Q("agg_gini_entropy",
+      """WITH c AS (SELECT source, lang, count(*) AS cl FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, sum(cl) AS n FROM c GROUP BY 1),
+        |e AS (SELECT c.source,
+        |    CAST(-(CAST(cl AS DOUBLE)/n) * ln(CAST(cl AS DOUBLE)/n) AS DECIMAL(28,12)) AS ent,
+        |    CAST((CAST(cl AS DOUBLE)/n) * (CAST(cl AS DOUBLE)/n) AS DECIMAL(28,12)) AS p2
+        |  FROM c JOIN t ON t.source = c.source),
+        |a AS (SELECT source,
+        |    CAST(floor(CAST(sum(ent) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS DOUBLE) AS entropy,
+        |    CAST(sum(p2) AS DOUBLE) AS sp2 FROM e GROUP BY 1)
+        |SELECT a.source, CAST(t.n AS BIGINT) AS n_docs, entropy,
+        |  round(1 - sp2, 4) AS gini
+        |FROM a JOIN t ON t.source = a.source ORDER BY a.source""") { (s, d) =>
+      val c = Tables.documents(s, d)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("cl"))
+      val t = c.groupBy(col("source")).agg(sum(col("cl")).as("n"))
+      val a = c.join(t, Seq("source"))
+        .withColumn("ent", expr(
+          "CAST(-(CAST(cl AS DOUBLE)/n) * ln(CAST(cl AS DOUBLE)/n) AS DECIMAL(28,12))"))
+        .withColumn("p2", expr(
+          "CAST((CAST(cl AS DOUBLE)/n) * (CAST(cl AS DOUBLE)/n) AS DECIMAL(28,12))"))
+        .groupBy(col("source"))
+        .agg(expr("CAST(floor(CAST(sum(ent) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS DOUBLE)")
+          .as("entropy"),
+          sum(col("p2")).cast("double").as("sp2"))
+      a.join(t, Seq("source"))
+        .select(col("source"), col("n").cast("bigint").as("n_docs"),
+          col("entropy"), round(lit(1) - col("sp2"), 4).as("gini"))
+        .orderBy(col("source"))
     })
 }

@@ -645,5 +645,30 @@ object RelationalQueries {
           WHERE s_nationkey = n_nationkey
           ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
         ORDER BY n_nationkey, t.s_suppkey""")
+    },
+
+    // PIVOT: long→wide reshaping through Spark's first-class
+    // relational pivot (`groupBy(...).pivot(col, values)`) — the
+    // explicit value list matters at scale: it skips the extra
+    // distinct-values collect pass AND keeps the output schema static
+    // for the optimizer. Catalyst compiles it to the same single
+    // map-side-combinable aggregate as the oracle's conditional sums
+    // (one shuffle on the day key, 5 counters per group); `na.fill(0)`
+    // restores the empty-cell-is-zero contract. All-integer counts.
+    Q("rel_pivot_matrix",
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY day""") { (s, d) =>
+      Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+        .groupBy(col("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy(col("day"))
     })
 }

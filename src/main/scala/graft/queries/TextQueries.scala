@@ -1229,5 +1229,93 @@ object TextQueries {
           round(coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0)) +
             coalesce(col("s3"), lit(0.0)), 4).as("bm25"))
         .orderBy(col("doc_id"))
+    },
+
+    // Bigram-LM perplexity with add-one smoothing — the Markov upgrade
+    // of text_unigram_nll (a doc whose transitions surprise the corpus
+    // LM is boilerplate/code/another language). Same determinism
+    // discipline: each position's −ln P(w₂|w₁) quantizes to
+    // DECIMAL(28,12) before the order-free per-doc sum; the only libm
+    // call is one ln per distinct (doc, bigram), and ppl derives from
+    // the ALREADY-ROUNDED avg_nll so the exp sits on identical inputs
+    // in both engines. Shape: one tokenize → positional bigram
+    // transform (no self-join), counts join on the (w1,w2)/w1 keys,
+    // |V| rides a 1-row broadcast — 100 TB-safe.
+    Q("text_bigram_ppl",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM t, unnest(range(1, len(toks))) u(i)),
+        |cb AS (SELECT w1, w2, count(*) AS cab FROM bg GROUP BY 1, 2),
+        |cu AS (SELECT w, count(*) AS ca FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+        |vv AS (SELECT count(*) AS v FROM cu),
+        |db AS (SELECT doc_id, w1, w2, count(*) AS dc FROM bg GROUP BY 1, 2, 3),
+        |sc AS (SELECT db.doc_id, db.dc,
+        |    CAST(db.dc * -ln((cab + 1) / CAST(ca + v AS DOUBLE)) AS DECIMAL(28,12)) AS nll
+        |  FROM db JOIN cb ON cb.w1 = db.w1 AND cb.w2 = db.w2
+        |  JOIN cu ON cu.w = db.w1 CROSS JOIN vv),
+        |agg AS (SELECT doc_id, CAST(sum(dc) AS BIGINT) AS n_bigrams,
+        |    CAST(floor(CAST(sum(nll) AS DOUBLE) / sum(dc) * 10000 + 0.5) / 10000.0 AS DOUBLE) AS avg_nll
+        |  FROM sc GROUP BY 1)
+        |SELECT doc_id, n_bigrams, avg_nll,
+        |  CAST(floor(exp(avg_nll) * 10000 + 0.5) / 10000.0 AS DOUBLE) AS ppl
+        |FROM agg ORDER BY doc_id""") { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val bg = t.select(col("doc_id"), explode(expr(
+          """transform(if(size(toks) >= 2, sequence(1, size(toks) - 1), array()),
+            |  i -> named_struct('w1', element_at(toks, i),
+            |                    'w2', element_at(toks, i + 1)))""".stripMargin)).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+      val cu = t.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("ca"))
+      val vv = cu.agg(count(lit(1)).as("v"))
+      val db = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("dc"))
+      db.join(cb, Seq("w1", "w2"))
+        .join(cu.select(col("w").as("w1"), col("ca")), Seq("w1"))
+        .crossJoin(broadcast(vv))
+        .withColumn("nll", expr(
+          "CAST(dc * -ln((cab + 1) / CAST(ca + v AS DOUBLE)) AS DECIMAL(28,12))"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("dc")).as("n_bigrams"),
+          expr("""CAST(floor(CAST(sum(nll) AS DOUBLE) / sum(dc)
+            |* 10000 + 0.5) / 10000.0 AS DOUBLE)""".stripMargin).as("avg_nll"))
+        .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
+          expr("CAST(floor(exp(avg_nll) * 10000 + 0.5) / 10000.0 AS DOUBLE)").as("ppl"))
+        .orderBy(col("doc_id"))
+    },
+
+    // BPE merge-candidate counting (tokenizer training, step 1): the
+    // weighted adjacent-character-pair histogram whose argmax is the
+    // first merge rule. The count runs over the VOCABULARY (distinct
+    // word × corpus frequency), not the corpus — the classic BPE trick
+    // that makes each merge round vocab-sized no matter the corpus
+    // size; the only corpus-scale work is the word-frequency rollup
+    // (one term-keyed, map-side-combinable shuffle). All-integer
+    // weighted counts; the final top-10 window is over a charset²-
+    // bounded relation. 100 TB-safe by construction.
+    Q("text_bpe_merges",
+      """WITH vf AS (SELECT w, count(*) AS freq FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1),
+        |pr AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+        |  FROM vf, unnest(range(1, length(w))) u(i)),
+        |pc AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM pr GROUP BY 1),
+        |r AS (SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rk FROM pc)
+        |SELECT CAST(rk AS INT) AS rk, pair, cnt FROM r WHERE rk <= 10
+        |ORDER BY rk""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val vf = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      vf.select(col("freq"), explode(expr(
+          """transform(if(length(w) >= 2, sequence(1, length(w) - 1), array()),
+            |  i -> substring(w, i, 2))""".stripMargin)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("pair"))))
+        .filter(col("rk") <= 10)
+        .select(col("rk").cast("int").as("rk"), col("pair"), col("cnt"))
+        .orderBy(col("rk"))
     })
 }

@@ -745,5 +745,90 @@ object VectorQueries {
             """element_at(sv, dim) / sqrt(aggregate(sv, CAST(0.0 AS DOUBLE),
               |  (acc, y) -> acc + y * y))""".stripMargin), 4) + 0.0).as("loading"))
         .orderBy(col("dim"))
+    },
+
+    // Two-stage retrieval (the production ANN serving shape): a cheap
+    // SQ8 integer-distance scan shortlists 20 candidates per query,
+    // then exact double-fold cosine re-ranks the shortlist to top-5 —
+    // compressed-domain recall plus full-precision precision, without
+    // ever running the exact scorer over the corpus. Stage 1 is the
+    // sim_knn_sq8 plan (1-row stats broadcast, scan-fused encode,
+    // integer L2 — candidate choice is EXACT integer arithmetic, so
+    // the candidate sets agree across engines bit-for-bit); stage 2
+    // touches only |q|×20 rows, joined back to the float vectors by
+    // id. At 100 TB stage 2 is a constant-size relation — the whole
+    // cost is one compressed scan.
+    Q("sim_rerank",
+      """WITH v AS (SELECT vec_id, embedding AS e,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |st AS (SELECT j, min(CAST(e[CAST(j AS INT)] AS DOUBLE)) AS mn,
+        |    max(CAST(e[CAST(j AS INT)] AS DOUBLE)) AS mx
+        |  FROM v, range(1, 65) r(j) GROUP BY 1),
+        |b AS (SELECT list(mn ORDER BY j) AS mns, list(mx ORDER BY j) AS mxs FROM st),
+        |codes AS (SELECT vec_id, list_transform(range(1, 65), j ->
+        |    CASE WHEN mxs[CAST(j AS INT)] > mns[CAST(j AS INT)] THEN
+        |      CAST(floor((CAST(e[CAST(j AS INT)] AS DOUBLE) - mns[CAST(j AS INT)]) /
+        |        (mxs[CAST(j AS INT)] - mns[CAST(j AS INT)]) * 255) AS BIGINT)
+        |    ELSE 0 END) AS c
+        |  FROM v, b),
+        |q AS (SELECT vec_id AS qid, c AS qc FROM codes WHERE vec_id < 8),
+        |d AS (SELECT qid, s.vec_id AS vid,
+        |    list_sum(list_transform(range(1, 65), j ->
+        |      (qc[CAST(j AS INT)] - s.c[CAST(j AS INT)]) *
+        |      (qc[CAST(j AS INT)] - s.c[CAST(j AS INT)]))) AS dist
+        |  FROM codes s, q WHERE s.vec_id <> qid),
+        |cand AS (SELECT qid, vid FROM (SELECT qid, vid, row_number() OVER
+        |    (PARTITION BY qid ORDER BY dist, vid) AS crk FROM d) WHERE crk <= 20),
+        |x AS (SELECT cand.qid, cand.vid,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      CAST(qv.e[CAST(i AS INT)] AS DOUBLE) * CAST(sv.e[CAST(i AS INT)] AS DOUBLE)))
+        |      / (qv.nrm * sv.nrm) AS cos
+        |  FROM cand JOIN v qv ON qv.vec_id = cand.qid
+        |    JOIN v sv ON sv.vec_id = cand.vid),
+        |r AS (SELECT qid, vid, cos, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, vid) AS rk FROM x)
+        |SELECT qid, vid, CAST(rk AS INT) AS rk, round(cos, 4) AS cosine
+        |FROM r WHERE rk <= 5 ORDER BY qid, rk""") { (s, d) =>
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("e"))
+        .withColumn("nrm", expr(normSpark))
+      val st = v.select(explode(sequence(lit(1), lit(64))).as("j"), col("e"))
+        .select(col("j"), expr("CAST(element_at(e, j) AS DOUBLE)").as("x"))
+        .groupBy(col("j")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val b = st.agg(
+        expr("transform(array_sort(collect_list(struct(j, mn))), t -> t.mn)").as("mns"),
+        expr("transform(array_sort(collect_list(struct(j, mx))), t -> t.mx)").as("mxs"))
+      val codes = v.crossJoin(broadcast(b)).select(col("vec_id"), expr(
+        """transform(sequence(1, 64), j ->
+          |  IF(element_at(mxs, j) > element_at(mns, j),
+          |    CAST(floor((CAST(element_at(e, j) AS DOUBLE) - element_at(mns, j)) /
+          |      (element_at(mxs, j) - element_at(mns, j)) * 255) AS BIGINT),
+          |    CAST(0 AS BIGINT)))""".stripMargin).as("c"))
+      val q = codes.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("c").as("qc"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+      val cand = codes.crossJoin(broadcast(q))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("dist", expr(
+          """aggregate(zip_with(qc, c, (u, w) -> (u - w) * (u - w)),
+            |  CAST(0 AS BIGINT), (acc, t) -> acc + t)""".stripMargin))
+        .withColumn("crk", row_number().over(wc))
+        .filter(col("crk") <= 20)
+        .select(col("qid"), col("vec_id").as("vid"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+      cand
+        .join(v.select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("nrm").as("qn")), Seq("qid"))
+        .join(v.select(col("vec_id").as("vid"), col("e"),
+          col("nrm")), Seq("vid"))
+        .withColumn("cos", expr(dotSpark) / (col("qn") * col("nrm")))
+        .withColumn("rk", row_number().over(wr))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("vid"), col("rk").cast("int").as("rk"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy(col("qid"), col("rk"))
     })
 }

@@ -74,7 +74,15 @@ class DeterminismSpec extends SparkSpec {
       // their determinism disciplines slip
       "cluster_kmeans", "dedup_prefix_jaccard", "ts_ewma",
       "graph_triangles", "join_bloom_prefilter", "dedup_containment",
-      "text_unigram_nll", "text_vocab_encode"))
+      "text_unigram_nll", "text_vocab_encode",
+      // round-8 batch-2 additions: decimal rank-1 sums (PCA), decimal
+      // credit rollup (attribution), exact sufficient statistics
+      // (regression), fixed-pivot double sum (BM25), min-dist rollup
+      // (BFS) — each breaks here first if its discipline slips
+      "vec_pca_power", "behavior_attribution", "agg_regression",
+      "text_bm25", "graph_bfs_khop", "behavior_basket_lift",
+      "text_bigram_ppl", "agg_gini_entropy", "sim_rerank",
+      "text_bpe_merges"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
       assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
     }

@@ -34,7 +34,9 @@ class PlanHygieneSpec extends SparkSpec {
     "behavior_basket_lift", // pairs x broadcast 1-row basket count
     "pipe_negative_sample", // orders x broadcast 1-row max-partkey bound
     "sim_knn_sq8",         // corpus x broadcast 1-row stats + 8-query codes
-    "vec_pca_power"        // corpus x broadcast 1-row iteration vector
+    "vec_pca_power",       // corpus x broadcast 1-row iteration vector
+    "sim_rerank",          // SQ8 stage: 1-row stats + 8-query code set
+    "text_bigram_ppl"      // counts x broadcast 1-row |V| scalar
   )
 
   private def offenders(name: String): Seq[String] = {
