@@ -685,5 +685,61 @@ object ClusterQueries {
       relax(relax(relax(d0)))
         .select(col("pk").as("partkey"), col("dist").cast("int").as("dist"))
         .orderBy(col("partkey"))
+    },
+
+    // Newman modularity of a node partition (brand = community) over
+    // the support-≥2 co-purchase graph — the objective every community
+    // detector optimizes, here as the evaluation operator: per
+    // community, Q_c = L_c/m − (d_c/2m)². Everything reduces to exact
+    // integer edge/degree counts (the same labeled-edge relation feeds
+    // intra-edge counts AND the degree rollup), so both engines divide
+    // the same ints; m rides a 1-row broadcast. Scale: one edge-build
+    // (order-keyed self-join bounded by basket size) + community-sized
+    // aggregates — 100 TB-safe.
+    Q("graph_modularity",
+      """WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT a.pk AS p1, b.pk AS p2 FROM bp a JOIN bp b
+        |  ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2 HAVING count(*) >= 2),
+        |pb AS (SELECT p_partkey AS pk, p_brand AS c FROM part),
+        |lab AS (SELECT e0.p1, e0.p2, x.c AS c1, y.c AS c2
+        |  FROM e0 JOIN pb x ON x.pk = e0.p1 JOIN pb y ON y.pk = e0.p2),
+        |m AS (SELECT count(*) AS m FROM e0),
+        |lc AS (SELECT c1 AS community, count(*) AS l_c FROM lab WHERE c1 = c2 GROUP BY 1),
+        |dg AS (SELECT c, CAST(sum(d) AS BIGINT) AS d_c FROM (
+        |    SELECT c1 AS c, count(*) AS d FROM lab GROUP BY 1
+        |    UNION ALL SELECT c2 AS c, count(*) AS d FROM lab GROUP BY 1) GROUP BY 1)
+        |SELECT dg.c AS community, CAST(coalesce(l_c, 0) AS BIGINT) AS intra_edges, d_c,
+        |  round(CAST(coalesce(l_c, 0) AS DOUBLE)/m -
+        |    (CAST(d_c AS DOUBLE)/(2*m)) * (CAST(d_c AS DOUBLE)/(2*m)), 6) AS q_c
+        |FROM dg LEFT JOIN lc ON lc.community = dg.c, m
+        |ORDER BY community""") { (s, d) =>
+      val bp = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e0 = bp.as("a").join(bp.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .select(col("p1"), col("p2"))
+      val pb = Tables.part(s, d)
+        .select(col("p_partkey").as("pk"), col("p_brand").as("c"))
+      val lab = e0
+        .join(broadcast(pb.select(col("pk").as("p1"), col("c").as("c1"))), Seq("p1"))
+        .join(broadcast(pb.select(col("pk").as("p2"), col("c").as("c2"))), Seq("p2"))
+      val m = e0.agg(count(lit(1)).as("m"))
+      val lc = lab.filter(col("c1") === col("c2"))
+        .groupBy(col("c1").as("community")).agg(count(lit(1)).as("l_c"))
+      val dg = lab.select(col("c1").as("c"))
+        .unionByName(lab.select(col("c2").as("c")))
+        .groupBy(col("c")).agg(count(lit(1)).as("d_c"))
+      dg.join(lc, col("community") === col("c"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("c").as("community"),
+          coalesce(col("l_c"), lit(0L)).as("intra_edges"), col("d_c"),
+          round(coalesce(col("l_c"), lit(0L)).cast("double") / col("m") -
+            (col("d_c").cast("double") / (lit(2) * col("m"))) *
+            (col("d_c").cast("double") / (lit(2) * col("m"))), 6).as("q_c"))
+        .orderBy(col("community"))
     })
 }

@@ -703,5 +703,28 @@ object PipelineQueries {
         .select(col("x.col").as("col"), col("x.n").as("n"),
           col("x.n_null").as("n_null"), col("x.n_distinct").as("n_distinct"))
         .orderBy(col("col"))
+    },
+
+    // Feature hashing (the hashing trick, Weinberger et al. 2009):
+    // tokens map to a fixed 256-bucket space through md5 — the
+    // vocabulary-free featurizer whose output width is independent of
+    // corpus size (no vocab table to build, ship, or keep in sync).
+    // md5 gives identical buckets in both engines; counts are exact
+    // ints. Shape: pure per-row hash + one (doc, bucket)-keyed
+    // map-side-combinable rollup — embarrassingly parallel, the
+    // cheapest featurizer shape there is at 100 TB.
+    Q("pipe_feature_hash",
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 256 AS bucket FROM t)
+        |SELECT doc_id, CAST(bucket AS INT) AS bucket, CAST(count(*) AS BIGINT) AS cnt
+        |FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .select(col("doc_id"),
+          expr("CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT) % 256").as("bucket"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("doc_id"), col("bucket").cast("int").as("bucket"), col("cnt"))
+        .orderBy(col("doc_id"), col("bucket"))
     })
 }

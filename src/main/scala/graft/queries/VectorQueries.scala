@@ -830,5 +830,143 @@ object VectorQueries {
         .select(col("qid"), col("vid"), col("rk").cast("int").as("rk"),
           round(col("cos"), 4).as("cosine"))
         .orderBy(col("qid"), col("rk"))
+    },
+
+    // Per-class centroids + inter-centroid distance matrix — the
+    // class-separability diagnostic of a labeled embedding table (and
+    // the "nearest class mean" classifier's model build). Per-(label,
+    // dim) means come from 9dp-DECIMAL-quantized sums (partition-
+    // count-invariant); the centroid relation is |labels| rows, so the
+    // pairwise half is a broadcast self-join over a constant-size
+    // side, with the 64-term distance fold on exact centroid doubles
+    // (identical IEEE sequence both engines; sqrt correctly rounded).
+    // Scale: one explode+groupBy pass over the corpus, then constant
+    // work — 100 TB-safe.
+    Q("vec_label_centroids",
+      """WITH x AS (SELECT label, j,
+        |    CAST(round(CAST(e[CAST(j AS INT)] AS DOUBLE), 9) AS DECIMAL(20,9)) AS v
+        |  FROM (SELECT label, embedding AS e FROM embeddings), range(1, 65) r(j)),
+        |s AS (SELECT label, j, CAST(sum(v) AS DOUBLE) AS sv, count(*) AS n
+        |  FROM x GROUP BY 1, 2),
+        |c AS (SELECT label, list(sv / n ORDER BY j) AS cent, min(n) AS n
+        |  FROM s GROUP BY 1)
+        |SELECT a.label AS l1, b.label AS l2,
+        |  CAST(a.n AS BIGINT) AS n1, CAST(b.n AS BIGINT) AS n2,
+        |  round(sqrt(list_sum(list_transform(range(1, 65), j ->
+        |    (a.cent[CAST(j AS INT)] - b.cent[CAST(j AS INT)]) *
+        |    (a.cent[CAST(j AS INT)] - b.cent[CAST(j AS INT)])))), 4) AS dist
+        |FROM c a JOIN c b ON a.label < b.label
+        |ORDER BY l1, l2""") { (s, d) =>
+      val x = Tables.embeddings(s, d)
+        .select(col("label"), col("embedding").as("e"))
+        .select(col("label"), explode(sequence(lit(1), lit(64))).as("j"), col("e"))
+        .select(col("label"), col("j"),
+          expr("CAST(round(CAST(element_at(e, j) AS DOUBLE), 9) AS DECIMAL(20,9))")
+            .as("v"))
+      val sdf = x.groupBy(col("label"), col("j"))
+        .agg(sum(col("v")).cast("double").as("sv"), count(lit(1)).as("n"))
+      val c = sdf.groupBy(col("label"))
+        .agg(expr(
+          "transform(array_sort(collect_list(named_struct('j', j, 'm', sv / n))), t -> t.m)")
+          .as("cent"), min(col("n")).as("n"))
+      c.as("a").join(broadcast(c.as("b")), col("a.label") < col("b.label"))
+        .select(col("a.label").as("l1"), col("b.label").as("l2"),
+          col("a.n").cast("bigint").as("n1"), col("b.n").cast("bigint").as("n2"),
+          round(expr(
+            """sqrt(aggregate(zip_with(a.cent, b.cent, (u, w) -> (u - w) * (u - w)),
+              |  CAST(0.0 AS DOUBLE), (acc, t) -> acc + t))""".stripMargin), 4)
+            .as("dist"))
+        .orderBy(col("l1"), col("l2"))
+    },
+
+    // ANN quality evaluation: recall@5 of the SQ8 compressed scan
+    // against exact-cosine ground truth, per query — the measurement
+    // loop that gates every index/quantizer change before it ships.
+    // Both retrievers are the engine's own (sim_knn_sq8 / sim_knn_brute
+    // plans verbatim); the overlap join is on the (qid, vid) key of two
+    // 40-row relations and recall = matched/5 is an exact ratio. The
+    // LEFT join from the distinct query set keeps 0-recall queries
+    // visible. Cost = the two retrievals it measures.
+    Q("sim_recall_at_k",
+      """WITH v AS (SELECT vec_id, embedding AS e,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |st AS (SELECT j, min(CAST(e[CAST(j AS INT)] AS DOUBLE)) AS mn,
+        |    max(CAST(e[CAST(j AS INT)] AS DOUBLE)) AS mx
+        |  FROM v, range(1, 65) r(j) GROUP BY 1),
+        |b AS (SELECT list(mn ORDER BY j) AS mns, list(mx ORDER BY j) AS mxs FROM st),
+        |codes AS (SELECT vec_id, list_transform(range(1, 65), j ->
+        |    CASE WHEN mxs[CAST(j AS INT)] > mns[CAST(j AS INT)] THEN
+        |      CAST(floor((CAST(e[CAST(j AS INT)] AS DOUBLE) - mns[CAST(j AS INT)]) /
+        |        (mxs[CAST(j AS INT)] - mns[CAST(j AS INT)]) * 255) AS BIGINT)
+        |    ELSE 0 END) AS c
+        |  FROM v, b),
+        |q AS (SELECT vec_id AS qid, c AS qc FROM codes WHERE vec_id < 8),
+        |d AS (SELECT qid, s.vec_id AS vid,
+        |    list_sum(list_transform(range(1, 65), j ->
+        |      (qc[CAST(j AS INT)] - s.c[CAST(j AS INT)]) *
+        |      (qc[CAST(j AS INT)] - s.c[CAST(j AS INT)]))) AS dist
+        |  FROM codes s, q WHERE s.vec_id <> qid),
+        |sq AS (SELECT qid, vid FROM (SELECT qid, vid, row_number() OVER
+        |    (PARTITION BY qid ORDER BY dist, vid) AS rk FROM d) WHERE rk <= 5),
+        |qv AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM v WHERE vec_id < 8),
+        |p AS (SELECT qv.qid, v.vec_id AS vid,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      CAST(qv.qe[CAST(i AS INT)] AS DOUBLE) * CAST(v.e[CAST(i AS INT)] AS DOUBLE)))
+        |      / (qv.qn * v.nrm) AS cos
+        |  FROM qv, v WHERE qv.qid <> v.vec_id),
+        |br AS (SELECT qid, vid FROM (SELECT qid, vid, row_number() OVER
+        |    (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM p) WHERE rk <= 5),
+        |ov AS (SELECT sq.qid, count(*) AS matched FROM sq
+        |  JOIN br ON br.qid = sq.qid AND br.vid = sq.vid GROUP BY 1)
+        |SELECT q.qid, CAST(coalesce(matched, 0) AS BIGINT) AS matched,
+        |  round(coalesce(matched, 0) / 5.0, 4) AS recall
+        |FROM (SELECT DISTINCT qid FROM q) q LEFT JOIN ov ON ov.qid = q.qid
+        |ORDER BY q.qid""") { (s, d) =>
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("e"))
+        .withColumn("nrm", expr(normSpark))
+      val st = v.select(explode(sequence(lit(1), lit(64))).as("j"), col("e"))
+        .select(col("j"), expr("CAST(element_at(e, j) AS DOUBLE)").as("x"))
+        .groupBy(col("j")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val b = st.agg(
+        expr("transform(array_sort(collect_list(struct(j, mn))), t -> t.mn)").as("mns"),
+        expr("transform(array_sort(collect_list(struct(j, mx))), t -> t.mx)").as("mxs"))
+      val codes = v.crossJoin(broadcast(b)).select(col("vec_id"), expr(
+        """transform(sequence(1, 64), j ->
+          |  IF(element_at(mxs, j) > element_at(mns, j),
+          |    CAST(floor((CAST(element_at(e, j) AS DOUBLE) - element_at(mns, j)) /
+          |      (element_at(mxs, j) - element_at(mns, j)) * 255) AS BIGINT),
+          |    CAST(0 AS BIGINT)))""".stripMargin).as("c"))
+      val q = codes.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("c").as("qc"))
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+      val sq = codes.crossJoin(broadcast(q))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("dist", expr(
+          """aggregate(zip_with(qc, c, (u, w) -> (u - w) * (u - w)),
+            |  CAST(0 AS BIGINT), (acc, t) -> acc + t)""".stripMargin))
+        .withColumn("rk", row_number().over(wd))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("vec_id").as("vid"))
+      val qv = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      val br = v.crossJoin(broadcast(qv))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("cos", expr(dotSpark) / (col("qn") * col("nrm")))
+        .withColumn("rk", row_number().over(wb))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("vec_id").as("vid"))
+      val ov = sq.join(br, Seq("qid", "vid"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("matched"))
+      q.select(col("qid")).distinct()
+        .join(ov, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("matched"), lit(0L)).as("matched"),
+          round(coalesce(col("matched"), lit(0L)) / 5.0, 4).as("recall"))
+        .orderBy(col("qid"))
     })
 }

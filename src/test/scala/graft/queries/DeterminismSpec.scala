@@ -82,7 +82,8 @@ class DeterminismSpec extends SparkSpec {
       "vec_pca_power", "behavior_attribution", "agg_regression",
       "text_bm25", "graph_bfs_khop", "behavior_basket_lift",
       "text_bigram_ppl", "agg_gini_entropy", "sim_rerank",
-      "text_bpe_merges"))
+      "text_bpe_merges", "vec_label_centroids", "graph_modularity",
+      "sim_recall_at_k", "pipe_feature_hash"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
       assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
     }

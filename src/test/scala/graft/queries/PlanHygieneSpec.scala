@@ -36,7 +36,10 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_knn_sq8",         // corpus x broadcast 1-row stats + 8-query codes
     "vec_pca_power",       // corpus x broadcast 1-row iteration vector
     "sim_rerank",          // SQ8 stage: 1-row stats + 8-query code set
-    "text_bigram_ppl"      // counts x broadcast 1-row |V| scalar
+    "text_bigram_ppl",     // counts x broadcast 1-row |V| scalar
+    "sim_recall_at_k",     // both retrievers' broadcast query/stats sides
+    "graph_modularity",    // rollup x broadcast 1-row edge count m
+    "vec_label_centroids"  // |labels|-row centroid broadcast self-join
   )
 
   private def offenders(name: String): Seq[String] = {
