@@ -18,7 +18,8 @@ object SparkEntry {
       K8sQueries.all ++ StreamingQueries.all ++
       ExtensionQueries.all ++ ScaleQueries.all ++
       TemporalQueries.all ++ ClusterQueries.all ++ AnalyticQueries.all ++
-      PipelineQueries.all ++ BehaviorQueries.all ++ TypedQueries.all
+      PipelineQueries.all ++ BehaviorQueries.all ++ TypedQueries.all ++
+      EvalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

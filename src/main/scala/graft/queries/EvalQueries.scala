@@ -1,0 +1,325 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Model-evaluation operators — the metrics a training-data pipeline
+  * computes over scored/labelled corpora before and after a training
+  * run: ROC AUC, precision/recall at thresholds, NDCG@k ranking
+  * quality, calibration (reliability bins), a multi-class confusion
+  * summary, and inter-annotator agreement (Cohen's kappa).
+  *
+  * The fixture "model" is deterministic: `value` is the score, the
+  * positive label is a conversion event (purchase/signup), the fake
+  * classifier buckets `value` into the five event types, and the
+  * second annotator derives from an md5 nibble — so both engines see
+  * the identical prediction set with no RNG.
+  *
+  * Scale posture: every metric here is one or two hash aggregates over
+  * exact integer counts (AUC's rank statistic comes from a per-group
+  * window over DISTINCT scores, not a sort of the raw rows), so each
+  * query is partial+final aggregable and partition-count invariant.
+  * Float accumulation (DCG terms, mean predictions) is quantized to
+  * DECIMAL(28,12) per term before the order-free sum, the same law the
+  * text-entropy family pins.
+  */
+object EvalQueries {
+
+  /** Positive = conversion event; identical text in both dialects. */
+  private val lbl =
+    "CASE WHEN event_type IN ('purchase','signup') THEN 1 ELSE 0 END"
+
+  /** Fake 5-class classifier from score thresholds. */
+  private def valClass(tpe: String): String =
+    if (tpe == "name")
+      """CASE WHEN value < 20 THEN 'view' WHEN value < 40 THEN 'click'
+        |     WHEN value < 60 THEN 'signup' WHEN value < 80 THEN 'purchase'
+        |     ELSE 'error' END""".stripMargin
+    else
+      """CASE WHEN value < 20 THEN 0 WHEN value < 40 THEN 1
+        |     WHEN value < 60 THEN 2 WHEN value < 80 THEN 3
+        |     ELSE 4 END""".stripMargin
+
+  def all: Seq[Q] = Seq(
+
+    // ROC AUC per weekday group via the tie-corrected Mann-Whitney rank
+    // statistic. The key scale move: ranks are NOT assigned by sorting
+    // the raw rows (a 100 TB global sort) — rows first collapse to
+    // (group, score) -> (count, positives) by hash aggregate, then one
+    // window over the DISTINCT scores assigns the tied-average rank
+    // analytically (cum_before + (cnt+1)/2). Everything stays integer
+    // (2*S avoids the half) until the final division, so the result is
+    // bit-identical on any partitioning. Spark weekday() is 0=Monday,
+    // matching DuckDB isodow-1.
+    Q("eval_auc",
+      s"""WITH e AS (SELECT CAST(date_part('isodow', ts) - 1 AS INT) AS grp,
+         |    value AS score, $lbl AS lbl FROM events),
+         |s AS (SELECT grp, score, count(*) AS cnt, sum(lbl) AS pos
+         |  FROM e GROUP BY 1, 2),
+         |r AS (SELECT grp, cnt, pos,
+         |    sum(cnt) OVER (PARTITION BY grp ORDER BY score) - cnt AS cum_before
+         |  FROM s),
+         |a AS (SELECT grp,
+         |    CAST(sum(pos) AS BIGINT) AS p_cnt,
+         |    CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_cnt,
+         |    CAST(sum(pos * (2 * cum_before + cnt + 1)) AS BIGINT) AS two_s
+         |  FROM r GROUP BY 1)
+         |SELECT grp, p_cnt, n_cnt,
+         |  round((two_s / 2.0 - p_cnt * (p_cnt + 1) / 2.0)
+         |        / (p_cnt * CAST(n_cnt AS DOUBLE)), 4) AS auc
+         |FROM a ORDER BY grp""") { (s, d) =>
+      val e = Tables.events(s, d).select(
+        expr("weekday(ts)").as("grp"), col("value").as("score"),
+        expr(lbl).as("lbl"))
+      val grouped = e.groupBy(col("grp"), col("score"))
+        .agg(count(lit(1)).as("cnt"), sum(col("lbl")).as("pos"))
+      val w = Window.partitionBy(col("grp")).orderBy(col("score"))
+      grouped
+        .withColumn("cum_before", sum(col("cnt")).over(w) - col("cnt"))
+        .groupBy(col("grp"))
+        .agg(
+          sum(col("pos")).as("p_cnt"),
+          (sum(col("cnt")) - sum(col("pos"))).as("n_cnt"),
+          sum(col("pos") * (lit(2) * col("cum_before") + col("cnt") + 1))
+            .as("two_s"))
+        .select(col("grp"), col("p_cnt"), col("n_cnt"),
+          round((col("two_s") / 2.0 - col("p_cnt") * (col("p_cnt") + 1) / 2.0)
+            / (col("p_cnt") * col("n_cnt").cast("double")), 4).as("auc"))
+        .orderBy(col("grp"))
+    },
+
+    // Precision/recall/F1 swept over 10 score thresholds — the PR curve
+    // a labelling pipeline reads before picking an operating point. One
+    // pass over the events with a broadcast 10-row literal threshold
+    // relation (constant multiplier, never data x data); counts stay
+    // exact integers until the final guarded divisions.
+    Q("eval_pr_thresholds",
+      s"""WITH e AS (SELECT value AS score, $lbl AS lbl FROM events),
+         |t AS (SELECT CAST(x * 50 AS DOUBLE) AS thr FROM range(0, 10) r(x)),
+         |m AS (SELECT thr,
+         |    CAST(sum(CASE WHEN score >= thr AND lbl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN score >= thr AND lbl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN score < thr AND lbl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM e, t GROUP BY 1)
+         |SELECT thr, tp, fp, fn,
+         |  CASE WHEN tp + fp > 0
+         |       THEN round(tp / CAST(tp + fp AS DOUBLE), 4) ELSE 0.0 END AS prec,
+         |  CASE WHEN tp + fn > 0
+         |       THEN round(tp / CAST(tp + fn AS DOUBLE), 4) ELSE 0.0 END AS rec,
+         |  CASE WHEN 2 * tp + fp + fn > 0
+         |       THEN round(2 * tp / CAST(2 * tp + fp + fn AS DOUBLE), 4)
+         |       ELSE 0.0 END AS f1
+         |FROM m ORDER BY thr""") { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("value").as("score"), expr(lbl).as("lbl"))
+      val t = s.range(0, 10)
+        .select((col("id") * 50).cast("double").as("thr"))
+      e.crossJoin(broadcast(t))
+        .groupBy(col("thr"))
+        .agg(
+          sum(expr("CASE WHEN score >= thr AND lbl = 1 THEN 1 ELSE 0 END")).as("tp"),
+          sum(expr("CASE WHEN score >= thr AND lbl = 0 THEN 1 ELSE 0 END")).as("fp"),
+          sum(expr("CASE WHEN score < thr AND lbl = 1 THEN 1 ELSE 0 END")).as("fn"))
+        .select(col("thr"), col("tp"), col("fp"), col("fn"),
+          expr("CASE WHEN tp + fp > 0 THEN round(tp / CAST(tp + fp AS DOUBLE), 4) ELSE 0.0 END").as("prec"),
+          expr("CASE WHEN tp + fn > 0 THEN round(tp / CAST(tp + fn AS DOUBLE), 4) ELSE 0.0 END").as("rec"),
+          expr("CASE WHEN 2 * tp + fp + fn > 0 THEN round(2 * tp / CAST(2 * tp + fp + fn AS DOUBLE), 4) ELSE 0.0 END").as("f1"))
+        .orderBy(col("thr"))
+    },
+
+    // NDCG@10 per user: the model ranking orders each user's events by
+    // score, graded relevance derives from the props payload (k mod 4),
+    // and the ideal ranking re-sorts by relevance. Two row_numbers over
+    // the same per-user window partition (one shuffle), DCG terms
+    // quantized to DECIMAL(28,12) before the order-free sum. The
+    // user_id < 40 predicate is pushed into the parquet scan, so the
+    // 100 TB shape reads only the evaluated cohort.
+    Q("eval_ndcg",
+      """WITH e AS (SELECT user_id, event_id, value AS score,
+        |    CAST(regexp_extract(props, '[0-9]+') AS INT) % 4 AS rel
+        |  FROM events WHERE user_id < 40),
+        |rk AS (SELECT user_id, rel,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY score DESC, event_id) AS pos,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY rel DESC, event_id) AS ipos
+        |  FROM e),
+        |d AS (SELECT user_id,
+        |    sum(CASE WHEN pos <= 10
+        |        THEN CAST((pow(2, rel) - 1) / log2(pos + 1) AS DECIMAL(28,12))
+        |        ELSE CAST(0 AS DECIMAL(28,12)) END) AS dcg_raw,
+        |    sum(CASE WHEN ipos <= 10
+        |        THEN CAST((pow(2, rel) - 1) / log2(ipos + 1) AS DECIMAL(28,12))
+        |        ELSE CAST(0 AS DECIMAL(28,12)) END) AS idcg_raw
+        |  FROM rk GROUP BY 1),
+        |f AS (SELECT user_id,
+        |    floor(CAST(dcg_raw AS DOUBLE) * 10000 + 0.5) / 10000.0 AS dcg,
+        |    floor(CAST(idcg_raw AS DOUBLE) * 10000 + 0.5) / 10000.0 AS idcg
+        |  FROM d)
+        |SELECT user_id, dcg, idcg,
+        |  CASE WHEN idcg > 0
+        |       THEN floor(dcg / idcg * 10000 + 0.5) / 10000.0
+        |       ELSE 0.0 END AS ndcg
+        |FROM f ORDER BY user_id""") { (s, d) =>
+      val e = Tables.events(s, d)
+        .filter(col("user_id") < 40)
+        .select(col("user_id"), col("event_id"), col("value").as("score"),
+          expr("CAST(regexp_extract(props, '[0-9]+', 0) AS INT) % 4").as("rel"))
+      val byScore = Window.partitionBy(col("user_id"))
+        .orderBy(col("score").desc, col("event_id"))
+      val byRel = Window.partitionBy(col("user_id"))
+        .orderBy(col("rel").desc, col("event_id"))
+      e.withColumn("pos", row_number().over(byScore))
+        .withColumn("ipos", row_number().over(byRel))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(expr(
+            """CASE WHEN pos <= 10
+              |  THEN CAST((pow(2, rel) - 1) / log2(pos + 1) AS DECIMAL(28,12))
+              |  ELSE CAST(0 AS DECIMAL(28,12)) END""".stripMargin)).as("dcg_raw"),
+          sum(expr(
+            """CASE WHEN ipos <= 10
+              |  THEN CAST((pow(2, rel) - 1) / log2(ipos + 1) AS DECIMAL(28,12))
+              |  ELSE CAST(0 AS DECIMAL(28,12)) END""".stripMargin)).as("idcg_raw"))
+        .select(col("user_id"),
+          // 10000.0 inside expr() parses as a DECIMAL literal in Spark
+          // SQL (unlike the DataFrame-API double) — cast the quotient
+          // back to DOUBLE so the schema matches the oracle's.
+          expr("CAST(floor(CAST(dcg_raw AS DOUBLE) * 10000 + 0.5) / 10000.0 AS DOUBLE)").as("dcg"),
+          expr("CAST(floor(CAST(idcg_raw AS DOUBLE) * 10000 + 0.5) / 10000.0 AS DOUBLE)").as("idcg"))
+        .withColumn("ndcg", expr(
+          """CAST(CASE WHEN idcg > 0
+            |  THEN floor(dcg / idcg * 10000 + 0.5) / 10000.0
+            |  ELSE 0.0 END AS DOUBLE)""".stripMargin))
+        .orderBy(col("user_id"))
+    },
+
+    // Calibration / reliability bins: sigmoid-squash the score into a
+    // pseudo-probability, bucket into 10 bins, compare mean predicted
+    // probability against the observed positive rate per bin. The gap
+    // column is the per-bin |calibration error| an ECE sums. One hash
+    // aggregate; mean prediction rides a DECIMAL-quantized sum.
+    Q("eval_calibration",
+      s"""WITH e AS (SELECT 1 / (1 + exp(-(value - 100) / 40.0)) AS p,
+         |    $lbl AS lbl FROM events),
+         |b AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin, p, lbl FROM e),
+         |m AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |    floor(CAST(sum(CAST(p AS DECIMAL(28,12))) AS DOUBLE)
+         |          / count(*) * 10000 + 0.5) / 10000.0 AS avg_pred,
+         |    round(sum(lbl) / CAST(count(*) AS DOUBLE), 4) AS frac_pos
+         |  FROM b GROUP BY 1)
+         |SELECT bin, n, avg_pred, frac_pos,
+         |  floor(abs(avg_pred - frac_pos) * 10000 + 0.5) / 10000.0 AS gap
+         |FROM m ORDER BY bin""") { (s, d) =>
+      Tables.events(s, d)
+        .select(expr("1 / (1 + exp(-(value - 100) / 40.0))").as("p"),
+          expr(lbl).as("lbl"))
+        .select(expr("least(CAST(floor(p * 10) AS INT), 9)").as("bin"),
+          col("p"), col("lbl"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          // CAST back to DOUBLE: 10000.0 is a DECIMAL literal in expr().
+          expr("""CAST(floor(CAST(sum(CAST(p AS DECIMAL(28,12))) AS DOUBLE)
+                 |      / count(*) * 10000 + 0.5) / 10000.0 AS DOUBLE)""".stripMargin)
+            .as("avg_pred"),
+          round(sum(col("lbl")) / count(lit(1)).cast("double"), 4)
+            .as("frac_pos"))
+        .withColumn("gap",
+          expr("CAST(floor(abs(avg_pred - frac_pos) * 10000 + 0.5) / 10000.0 AS DOUBLE)"))
+        .orderBy(col("bin"))
+    },
+
+    // Multi-class confusion summary: the threshold classifier's
+    // predictions against the true event types, reduced to per-class
+    // tp / actual / predicted and precision/recall/F1 (F1 via the
+    // division-free 2tp/(actual+predicted) identity). Cells collapse
+    // first (at most classes^2 rows leave the scan), so the three
+    // marginal joins run on a bounded relation regardless of input size.
+    Q("eval_confusion",
+      s"""WITH e AS (SELECT event_type AS t, ${valClass("name")} AS p
+         |  FROM events),
+         |cells AS (SELECT t, p, count(*) AS c FROM e GROUP BY 1, 2),
+         |byt AS (SELECT t AS cls, CAST(sum(c) AS BIGINT) AS actual
+         |  FROM cells GROUP BY 1),
+         |byp AS (SELECT p AS cls, CAST(sum(c) AS BIGINT) AS predicted
+         |  FROM cells GROUP BY 1),
+         |diag AS (SELECT t AS cls, CAST(sum(c) AS BIGINT) AS tp
+         |  FROM cells WHERE t = p GROUP BY 1)
+         |SELECT byt.cls,
+         |  coalesce(tp, CAST(0 AS BIGINT)) AS tp, actual,
+         |  coalesce(predicted, CAST(0 AS BIGINT)) AS predicted,
+         |  CASE WHEN coalesce(predicted, 0) > 0
+         |       THEN round(coalesce(tp, 0) / CAST(predicted AS DOUBLE), 4)
+         |       ELSE 0.0 END AS prec,
+         |  round(coalesce(tp, 0) / CAST(actual AS DOUBLE), 4) AS rec,
+         |  round(2 * coalesce(tp, 0)
+         |        / CAST(actual + coalesce(predicted, 0) AS DOUBLE), 4) AS f1
+         |FROM byt
+         |LEFT JOIN byp ON byp.cls = byt.cls
+         |LEFT JOIN diag ON diag.cls = byt.cls
+         |ORDER BY byt.cls""") { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("event_type").as("t"), expr(valClass("name")).as("p"))
+      val cells = e.groupBy(col("t"), col("p")).agg(count(lit(1)).as("c"))
+        .cache()
+      val byt = cells.groupBy(col("t").as("cls"))
+        .agg(sum(col("c")).as("actual"))
+      val byp = cells.groupBy(col("p").as("cls"))
+        .agg(sum(col("c")).as("predicted"))
+      val diag = cells.filter(col("t") === col("p"))
+        .groupBy(col("t").as("cls")).agg(sum(col("c")).as("tp"))
+      byt.join(byp, Seq("cls"), "left").join(diag, Seq("cls"), "left")
+        .select(col("cls"),
+          coalesce(col("tp"), lit(0L)).as("tp"), col("actual"),
+          coalesce(col("predicted"), lit(0L)).as("predicted"),
+          expr("CASE WHEN coalesce(predicted, 0) > 0 THEN round(coalesce(tp, 0) / CAST(predicted AS DOUBLE), 4) ELSE 0.0 END").as("prec"),
+          expr("round(coalesce(tp, 0) / CAST(actual AS DOUBLE), 4)").as("rec"),
+          expr("round(2 * coalesce(tp, 0) / CAST(actual + coalesce(predicted, 0) AS DOUBLE), 4)").as("f1"))
+        .orderBy(col("cls"))
+    },
+
+    // Cohen's kappa between two annotators: the threshold classifier
+    // and an md5-nibble labeller (both deterministic, so both engines
+    // agree on every cell). Observed agreement and the chance-agreement
+    // marginals are exact integer counts; kappa = (po-pe)/(1-pe) is the
+    // only float step. The marginal product join is 5x5 rows.
+    Q("eval_kappa",
+      s"""WITH e AS (SELECT ${valClass("int")} AS a,
+         |    (instr('0123456789abcdef',
+         |           substring(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1) % 5 AS b
+         |  FROM events),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+         |  FROM e),
+         |pa AS (SELECT a, count(*) AS ca FROM e GROUP BY 1),
+         |pb AS (SELECT b, count(*) AS cb FROM e GROUP BY 1),
+         |x AS (SELECT CAST(sum(ca * cb) AS BIGINT) AS chance
+         |  FROM pa JOIN pb ON pa.a = pb.b)
+         |SELECT n, agree,
+         |  round(agree / CAST(n AS DOUBLE), 4) AS po,
+         |  round(chance / (CAST(n AS DOUBLE) * n), 4) AS pe,
+         |  round((agree / CAST(n AS DOUBLE) - chance / (CAST(n AS DOUBLE) * n))
+         |        / (1 - chance / (CAST(n AS DOUBLE) * n)), 4) AS kappa
+         |FROM n, x ORDER BY n""") { (s, d) =>
+      val e = Tables.events(s, d).select(
+        expr(valClass("int")).as("a"),
+        expr("(instr('0123456789abcdef', substring(md5(CAST(event_id AS STRING)), 1, 1)) - 1) % 5").as("b"))
+        .cache()
+      val n = e.agg(count(lit(1)).as("n"),
+        sum(expr("CASE WHEN a = b THEN 1 ELSE 0 END")).as("agree"))
+      val pa = e.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+      val pb = e.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+      val x = pa.join(pb, col("a") === col("b"))
+        .agg(sum(col("ca") * col("cb")).as("chance"))
+      n.crossJoin(broadcast(x))
+        .select(col("n"), col("agree"),
+          round(col("agree") / col("n").cast("double"), 4).as("po"),
+          round(col("chance") / (col("n").cast("double") * col("n")), 4).as("pe"),
+          expr("""round((agree / CAST(n AS DOUBLE) - chance / (CAST(n AS DOUBLE) * n))
+                 |      / (1 - chance / (CAST(n AS DOUBLE) * n)), 4)""".stripMargin)
+            .as("kappa"))
+        .orderBy(col("n"))
+    }
+  )
+}

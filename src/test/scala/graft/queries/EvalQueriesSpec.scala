@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import java.sql.Timestamp
+
+/** Mathematical laws for the eval-metric family on planted fixtures —
+  * the invariants that hold for ANY correct implementation:
+  * a perfect separator scores AUC 1, all-tied scores give the
+  * tie-corrected 0.5, a classifier that is right on every row has
+  * precision/recall/F1 = 1, and a model ranking identical to the ideal
+  * ranking has NDCG@10 = 1. */
+class EvalQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plant(rows: Seq[(Long, Timestamp, Long, String, Double, String)]): String = {
+    val d = java.nio.file.Files.createTempDirectory("evalfix").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  private val t0 = Timestamp.valueOf("2024-01-01 12:00:00") // a Monday
+
+  test("eval_auc: perfect separation scores 1.0; all-tied scores 0.5") {
+    // Positives (purchase/signup) all outscore negatives -> AUC 1.
+    val perfect = plant((1L to 8L).map { i =>
+      val pos = i <= 4
+      (i, t0, 1L, if (pos) "purchase" else "view",
+        if (pos) 100.0 + i else 10.0 + i, """{"k": 1}""")
+    })
+    val r1 = SparkEntry.queries("eval_auc")(spark, perfect).collect()
+    assert(r1.length == 1 && r1.head.getAs[Double]("auc") == 1.0)
+
+    // Every score identical -> tie-corrected Mann-Whitney gives 0.5
+    // (naive rank assignment without the (cnt+1)/2 average would not).
+    val tied = plant((1L to 8L).map { i =>
+      (i, t0, 1L, if (i <= 4) "purchase" else "view", 42.0, """{"k": 1}""")
+    })
+    val r2 = SparkEntry.queries("eval_auc")(spark, tied).collect()
+    assert(r2.head.getAs[Double]("auc") == 0.5)
+  }
+
+  test("eval_confusion: an always-right classifier has P=R=F1=1 per class") {
+    // Values planted mid-bucket so the threshold classifier reproduces
+    // the true class exactly.
+    val mid = Map("view" -> 10.0, "click" -> 30.0, "signup" -> 50.0,
+      "purchase" -> 70.0, "error" -> 90.0)
+    val d = plant(mid.toSeq.zipWithIndex.flatMap { case ((cls, v), i) =>
+      (0 until 3).map(j => ((i * 3 + j + 1).toLong, t0, 1L, cls, v, "{}"))
+    })
+    val rows = SparkEntry.queries("eval_confusion")(spark, d).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tp") == 3L)
+      assert(r.getAs[Double]("prec") == 1.0)
+      assert(r.getAs[Double]("rec") == 1.0)
+      assert(r.getAs[Double]("f1") == 1.0)
+    }
+  }
+
+  test("eval_ndcg: model ranking identical to ideal ranking gives NDCG 1") {
+    // Per user: score order == relevance order (rel = k % 4, distinct),
+    // so DCG == IDCG positionwise.
+    val d = plant((0L until 3L).flatMap { u =>
+      (0 until 4).map { r =>
+        (u * 4 + r + 1, t0, u, "view", 100.0 * (r + 1), s"""{"k": $r}""")
+      }
+    })
+    val rows = SparkEntry.queries("eval_ndcg")(spark, d).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("ndcg") == 1.0)
+      assert(r.getAs[Double]("dcg") == r.getAs[Double]("idcg"))
+    }
+  }
+
+  test("eval_pr_thresholds: threshold 0 has recall 1 and precision = base rate") {
+    val d = plant((1L to 10L).map { i =>
+      (i, t0, 1L, if (i <= 3) "purchase" else "view", i * 10.0, "{}")
+    })
+    val rows = SparkEntry.queries("eval_pr_thresholds")(spark, d).collect()
+    val at0 = rows.find(_.getAs[Double]("thr") == 0.0).get
+    assert(at0.getAs[Double]("rec") == 1.0)
+    assert(at0.getAs[Double]("prec") == 0.3)
+  }
+
+  test("eval_calibration + eval_kappa: bounded outputs on real sf0.001 data") {
+    val d = "/root/testdata/sf0.001"
+    val cal = SparkEntry.queries("eval_calibration")(spark, d).collect()
+    assert(cal.nonEmpty && cal.forall { r =>
+      val p = r.getAs[Double]("avg_pred"); val f = r.getAs[Double]("frac_pos")
+      p >= 0 && p <= 1 && f >= 0 && f <= 1 &&
+        math.abs(math.abs(p - f) - r.getAs[Double]("gap")) < 1e-3
+    })
+    val k = SparkEntry.queries("eval_kappa")(spark, d).collect().head
+    val (po, pe, kappa) = (k.getAs[Double]("po"), k.getAs[Double]("pe"),
+      k.getAs[Double]("kappa"))
+    assert(po >= 0 && po <= 1 && pe > 0 && pe < 1)
+    assert(kappa >= -1.0001 && kappa <= 1.0001)
+    // kappa consistent with its own po/pe to rounding
+    assert(math.abs(kappa - (po - pe) / (1 - pe)) < 2e-3)
+  }
+}

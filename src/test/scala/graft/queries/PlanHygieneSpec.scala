@@ -38,6 +38,8 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_rerank",          // SQ8 stage: 1-row stats + 8-query code set
     "text_bigram_ppl",     // counts x broadcast 1-row |V| scalar
     "sim_recall_at_k",     // both retrievers' broadcast query/stats sides
+    "eval_pr_thresholds",  // events x broadcast 10-row literal thresholds
+    "eval_kappa",          // 1-row agreement agg x 1-row chance agg
     "graph_modularity",    // rollup x broadcast 1-row edge count m
     "vec_label_centroids"  // |labels|-row centroid broadcast self-join
   )
