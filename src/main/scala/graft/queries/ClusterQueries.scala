@@ -244,16 +244,16 @@ object ClusterQueries {
     // DuckDB oracle computes the same fixpoint as a recursive
     // transitive closure — a completely different evaluation strategy
     // reaching the same labeling.
-    Q("dedup_cluster_cc", ccOracleSql) { (s, d) =>
+    Q("dedup_cluster_cc", ccOracleSql) { (s0, d) =>
       // The iterative section runs DURING the builder (each round is an
       // action), on edge-scale frames far below the session's shuffle
       // sizing — 8 partitions cuts per-round task scheduling ~4× with
-      // identical results (DeterminismSpec's law). Restored before the
-      // (lazily-executed) result frame is returned. On a real cluster
-      // this is the same per-stage sizing call, just bigger numbers.
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      // identical results (DeterminismSpec's law). The override rides a
+      // session CLONE (Sessions.withShufflePartitions), never the shared
+      // conf — concurrent queries on the parent session are unaffected.
+      // On a real cluster this is the same per-stage sizing call, just
+      // bigger numbers.
+      val s = graft.Sessions.withShufflePartitions(s0, 8)
       val e = candidateEdges(s, d)
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -323,7 +323,6 @@ object ClusterQueries {
       // storage-memory pressure from every CC invocation.
       sym.unpersist(blocking = false)
       labelsToResult(s, d, labels)
-      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
     },
 
     // The same labeling by the large-star/small-star algorithm (Kiveris
@@ -340,18 +339,16 @@ object ClusterQueries {
     // graph diameter; star contraction needs O(log n) — on deep
     // near-dup chains (doc A edits to B edits to C ...) this is the
     // difference between a handful and hundreds of shuffles.
-    Q("dedup_cluster_cc2", ccOracleSql) { (s, d) =>
-      // Same loop-stage shuffle sizing as dedup_cluster_cc above.
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+    Q("dedup_cluster_cc2", ccOracleSql) { (s0, d) =>
+      // Same loop-stage shuffle sizing as dedup_cluster_cc above, scoped
+      // to a session clone.
+      val s = graft.Sessions.withShufflePartitions(s0, 8)
       // Orient larger → smaller so the invariant v < u holds everywhere.
       val e0 = candidateEdges(s, d)
       val edges = e0.select(col("v").as("u"), col("u").as("v"))
         .localCheckpoint(true)
       e0.unpersist(blocking = false)
       labelsToResult(s, d, starLabels(edges))
-      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
     },
 
     // The DEDUP OUTPUT: the kept corpus after cluster resolution — one
@@ -364,19 +361,16 @@ object ClusterQueries {
       s"""SELECT doc_id, CAST(n_reachable AS BIGINT) AS n_members
          |FROM ($ccOracleSql) t
          |WHERE doc_id = cluster_rep
-         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val e0 = candidateEdges(s, d)
-        val edges = e0.select(col("v").as("u"), col("u").as("v"))
-          .localCheckpoint(true)
-        e0.unpersist(blocking = false)
-        labelsToResult(s, d, starLabels(edges))
-          .filter(col("doc_id") === col("cluster_rep"))
-          .select(col("doc_id"), col("n_reachable").as("n_members"))
-          .orderBy(col("doc_id"))
-      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+         |ORDER BY doc_id""".stripMargin) { (s0, d) =>
+      val s = graft.Sessions.withShufflePartitions(s0, 8)
+      val e0 = candidateEdges(s, d)
+      val edges = e0.select(col("v").as("u"), col("u").as("v"))
+        .localCheckpoint(true)
+      e0.unpersist(blocking = false)
+      labelsToResult(s, d, starLabels(edges))
+        .filter(col("doc_id") === col("cluster_rep"))
+        .select(col("doc_id"), col("n_reachable").as("n_members"))
+        .orderBy(col("doc_id"))
     },
 
     // PageRank (3 unrolled power iterations, damping 0.85) over the
@@ -389,12 +383,10 @@ object ClusterQueries {
     // engines); the SUM runs over DECIMAL(38,15) (exact, order-free —
     // a double sum would vary with partition order); the final rank is
     // floor-quantized, not round()ed (engine tie rules differ).
-    Q("graph_pagerank", pagerankOracleSql) { (s, d) =>
+    Q("graph_pagerank", pagerankOracleSql) { (s0, d) =>
       // Same loop-stage shuffle sizing as the CC family: the iteration
       // frames are edge-scale, far below the session's batch sizing.
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      val s = graft.Sessions.withShufflePartitions(s0, 8)
       val e = candidateEdges(s, d)
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -422,7 +414,6 @@ object ClusterQueries {
       val res = out.localCheckpoint(true) // materialize, then release edges
       sym.unpersist(blocking = false)
       res
-      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
     },
 
     // Per-node triangle counting over the co-purchase graph (parts
@@ -484,17 +475,14 @@ object ClusterQueries {
     // the resulting giant star (round count pinned by
     // ClusterQueriesSpec). The oracle reaches the same labeling by
     // recursive closure over the identically-planted relation.
-    Q("dedup_cluster_cc_skew", skewOracleSql) { (s, d) =>
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val e0 = candidateEdgesOf(
-          TextQueries.minhashSigsArrayOf(plantedDocs(s, d)))
-        val edges = e0.select(col("v").as("u"), col("u").as("v"))
-          .localCheckpoint(true)
-        e0.unpersist(blocking = false)
-        labelsToResult(s, d, starLabels(edges))
-      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    Q("dedup_cluster_cc_skew", skewOracleSql) { (s0, d) =>
+      val s = graft.Sessions.withShufflePartitions(s0, 8)
+      val e0 = candidateEdgesOf(
+        TextQueries.minhashSigsArrayOf(plantedDocs(s, d)))
+      val edges = e0.select(col("v").as("u"), col("u").as("v"))
+        .localCheckpoint(true)
+      e0.unpersist(blocking = false)
+      labelsToResult(s, d, starLabels(edges))
     },
 
     // Semantic dedup-cluster resolution: the near-dup graph comes from
@@ -522,10 +510,8 @@ object ClusterQueries {
         |SELECT u AS vec_id, CAST(min(v) AS BIGINT) AS cluster_rep,
         |  CAST(count(*) AS BIGINT) AS n_members
         |FROM reach GROUP BY u
-        |ORDER BY vec_id""") { (s, d) =>
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+        |ORDER BY vec_id""") { (s0, d) =>
+      val s = graft.Sessions.withShufflePartitions(s0, 8)
       // The SHARED cosine edge relation (VectorQueries.cosineEdges —
       // double-fold norms, the precision the oracle computes with; a
       // float-precision denominator flipping one threshold-boundary edge
@@ -535,7 +521,6 @@ object ClusterQueries {
         .localCheckpoint(true)
       labelsOverUniverse(Tables.embeddings(s, d).select(col("vec_id")),
         "vec_id", starLabels(edges), "cluster_rep", "n_members")
-      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
     },
 
     // The full corpus-preparation pipeline as ONE declarative DAG —

@@ -56,19 +56,16 @@ object StreamingQueries {
     // into the checkpoint at query start). Size it to the stream's
     // volume, not the batch default: these replays carry 10^4-10^6
     // events, where 8 stores amortize far better than 32 — the same
-    // sizing decision a real deployment makes per stream. Batch conf is
-    // restored after the query starts (the stream captured its copy).
-    val saved = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    // Restored only after the query has fully STOPPED: batch-0 planning
-    // captures the override asynchronously after start(), so a restore
-    // racing it could plan the stream at the batch default.
-    try {
-      val q = build(eventsStream(s, d)).writeStream
-        .format("memory").queryName(name).outputMode(mode).start()
-      try { q.processAllAvailable() } finally { q.stop() }
-    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
-    s.table(name)
+    // sizing decision a real deployment makes per stream. The override
+    // rides a session CLONE (its own SQLConf, shared SparkContext), so
+    // the stream plans at 8 while the shared session's conf is never
+    // touched — no set/restore race with concurrent queries, and no
+    // window where batch-0 planning could capture a restored value.
+    val s8 = graft.Sessions.withShufflePartitions(s, 8)
+    val q = build(eventsStream(s8, d)).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    s8.table(name)
   }
 
   private def decSum(c: String): String =
@@ -175,14 +172,11 @@ object StreamingQueries {
   private def runDocsStream(s: SparkSession, d: String)(
       build: DataFrame => DataFrame): DataFrame = {
     val name = "st_" + math.abs(scala.util.Random.nextLong()).toString
-    val saved = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try { // restore only after full stop (see runToTable note)
-      val q = build(documentsStream(s, d)).writeStream
-        .format("memory").queryName(name).outputMode("append").start()
-      try { q.processAllAvailable() } finally { q.stop() }
-    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
-    s.table(name)
+    val s8 = graft.Sessions.withShufflePartitions(s, 8) // see runToTable note
+    val q = build(documentsStream(s8, d)).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    s8.table(name)
   }
 
   /** End-to-end replay throughput probe for Bench: replays the sf's
@@ -304,8 +298,12 @@ object StreamingQueries {
         |  ON c.user_id = p.user_id
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
-        |ORDER BY click_id, purchase_id""") { (s, d) =>
+        |ORDER BY click_id, purchase_id""") { (s0, d) =>
       val name = "st_" + math.abs(scala.util.Random.nextLong()).toString
+      // Same state-store sizing as runToTable (stream-stream joins keep
+      // FOUR stores per partition — sizing matters twice as much here),
+      // scoped to a session clone.
+      val s = graft.Sessions.withShufflePartitions(s0, 8)
       val clicks = eventsStream(s, d)
         .filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
@@ -319,15 +317,9 @@ object StreamingQueries {
         col("user_id") === col("p_user") &&
           col("p_ts") >= col("c_ts") &&
           col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTE"))
-      // Same state-store sizing as runToTable (stream-stream joins keep
-      // FOUR stores per partition — sizing matters twice as much here).
-      val saved = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try { // restore only after full stop (see runToTable note)
-        val q = joined.select(col("click_id"), col("purchase_id"), col("user_id"))
-          .writeStream.format("memory").queryName(name).outputMode("append").start()
-        try { q.processAllAvailable() } finally { q.stop() }
-      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      val q = joined.select(col("click_id"), col("purchase_id"), col("user_id"))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try { q.processAllAvailable() } finally { q.stop() }
       s.table(name).orderBy(col("click_id"), col("purchase_id"))
     },
 
@@ -349,8 +341,9 @@ object StreamingQueries {
         | AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |WHERE c.event_type = 'click'
-        |ORDER BY click_id, purchase_id NULLS FIRST""") { (s, d) =>
+        |ORDER BY click_id, purchase_id NULLS FIRST""") { (s0, d) =>
       val name = "st_" + math.abs(scala.util.Random.nextLong()).toString
+      val s = graft.Sessions.withShufflePartitions(s0, 8) // see runToTable note
       val src = sentinelReplayDir(s, d)
       def side(): DataFrame = {
         val raw = StructType(Seq(
@@ -361,13 +354,9 @@ object StreamingQueries {
           .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       }
       val joined = outerClickPurchaseJoin(side(), side())
-      val saved = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try { // restore only after full stop (see runToTable note)
-        val q = joined.select(col("click_id"), col("purchase_id"), col("user_id"))
-          .writeStream.format("memory").queryName(name).outputMode("append").start()
-        try { q.processAllAvailable() } finally { q.stop() }
-      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      val q = joined.select(col("click_id"), col("purchase_id"), col("user_id"))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try { q.processAllAvailable() } finally { q.stop() }
       s.table(name)
         .filter(col("user_id") >= 0) // sentinel pair, post-materialization
         .orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
@@ -583,8 +572,9 @@ object StreamingQueries {
         |  CAST(valid_to AS BIGINT) AS valid_to
         |FROM iv
         |WHERE valid_to IS NOT NULL
-        |ORDER BY user_id, valid_from, event_type""") { (s, d) =>
+        |ORDER BY user_id, valid_from, event_type""") { (s0, d) =>
       val name = "st_" + math.abs(scala.util.Random.nextLong()).toString
+      val s = graft.Sessions.withShufflePartitions(s0, 8) // see runToTable note
       val raw = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType),
@@ -593,13 +583,9 @@ object StreamingQueries {
         .parquet(timeOrderedReplayDir(s, d))
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       val scd = scd2Stream(s, src)
-      val saved = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try { // restore only after full stop (see runToTable note)
-        val q = scd.writeStream
-          .format("memory").queryName(name).outputMode("append").start()
-        try { q.processAllAvailable() } finally { q.stop() }
-      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      val q = scd.writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try { q.processAllAvailable() } finally { q.stop() }
       s.table(name)
         .orderBy(col("user_id"), col("valid_from"), col("event_type"))
     },
@@ -623,8 +609,9 @@ object StreamingQueries {
         |  CAST(sum(brk) OVER (PARTITION BY user_id
         |    ORDER BY ts, event_id) AS INT) AS sess_id
         |FROM o
-        |ORDER BY user_id, event_id""") { (s, d) =>
+        |ORDER BY user_id, event_id""") { (s0, d) =>
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val s = graft.Sessions.withShufflePartitions(s0, 8) // see runToTable note
       import s.implicits._
       val name = "st_" + math.abs(scala.util.Random.nextLong()).toString
       val raw = StructType(Seq(
@@ -652,18 +639,15 @@ object StreamingQueries {
             out.iterator
         }
         .toDF("user_id", "event_id", "sess_id")
-      val saved = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try { // restore only after full stop (see runToTable note)
-        val q = sess.writeStream
-          .format("memory").queryName(name).outputMode("append").start()
-        try { q.processAllAvailable() } finally { q.stop() }
-      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      val q = sess.writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try { q.processAllAvailable() } finally { q.stop() }
       s.table(name).orderBy(col("user_id"), col("event_id"))
     },
 
-    Q("stream_funnel", BehaviorQueries.FunnelOracleSql) { (s, d) =>
+    Q("stream_funnel", BehaviorQueries.FunnelOracleSql) { (s0, d) =>
       val name = "st_" + math.abs(scala.util.Random.nextLong()).toString
+      val s = graft.Sessions.withShufflePartitions(s0, 8) // see runToTable note
       val raw = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType),
@@ -671,13 +655,9 @@ object StreamingQueries {
       val src = s.readStream.schema(raw).option("maxFilesPerTrigger", "1")
         .parquet(timeOrderedReplayDir(s, d))
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      val saved = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try { // restore only after full stop (see runToTable note)
-        val q = funnelStream(s, src).writeStream
-          .format("memory").queryName(name).outputMode("update").start()
-        try { q.processAllAvailable() } finally { q.stop() }
-      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      val q = funnelStream(s, src).writeStream
+        .format("memory").queryName(name).outputMode("update").start()
+      try { q.processAllAvailable() } finally { q.stop() }
       // Update mode emits one snapshot per touched user per batch; the
       // slots are monotone (set once, never cleared) so max() recovers
       // the final state of each user.

@@ -299,10 +299,15 @@ object TextQueries {
         |ORDER BY w1, w2""") { (s, d) =>
       val t = Tables.documents(s, d)
         .select(split(col("text"), " ").as("toks"))
+      // size>=2 guard (same as text_bigram_ppl): a 1-token doc would make
+      // sequence(1, 0) yield DESCENDING [1, 0] and element_at(toks, 0)
+      // throw — DuckDB's range(1, len) is empty for the same doc.
       val bg = t.select(explode(expr(
-          """transform(sequence(1, size(toks) - 1),
-            |  i -> named_struct('w1', element_at(toks, i),
-            |                    'w2', element_at(toks, i + 1)))"""
+          """if(size(toks) >= 2,
+            |  transform(sequence(1, size(toks) - 1),
+            |    i -> named_struct('w1', element_at(toks, i),
+            |                      'w2', element_at(toks, i + 1))),
+            |  array())"""
             .stripMargin)).as("b"))
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))

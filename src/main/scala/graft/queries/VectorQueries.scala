@@ -507,19 +507,30 @@ object VectorQueries {
         |SELECT a.vec_id, a.cluster,
         |  CAST(count(*) OVER (PARTITION BY a.cluster) AS BIGINT) AS cluster_n
         |FROM a3 a
-        |ORDER BY a.vec_id""") { (s, d) =>
+        |ORDER BY a.vec_id""") { (s0, d) =>
       import org.apache.spark.sql.expressions.Window
+      // Iteration hygiene (the pattern the CC family pins,
+      // ClusterQueries.starLabels): the exploded corpus is persisted
+      // ONCE and each Lloyd round's assignment is eagerly
+      // localCheckpoint'ed — without this every round re-derives the
+      // explode twice (assign join + centroid recompute) AND re-executes
+      // all previous rounds' lineage, which made this the slowest query
+      // in the sweep. The loop frames are (vec_id, dim, x)-scale, far
+      // below the batch shuffle sizing — scope 8 partitions on a clone.
+      val s = graft.Sessions.withShufflePartitions(s0, 8)
       val ex = Tables.embeddings(s, d)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "xf")))
         .select(col("vec_id"), (col("dim0") + 1).as("dim"),
           col("xf").cast("double").as("x"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ex.count() // materialize once; every round joins it twice
       var c = ex.filter(col("vec_id") < 4)
         .select(col("vec_id").cast("int").as("cluster"), col("dim"),
           col("x").as("cx"))
       var assign: DataFrame = null
       val wA = Window.partitionBy(col("vec_id"))
         .orderBy(col("d2"), col("cluster"))
-      for (_ <- 1 to 3) {
+      for (round <- 1 to 3) {
         assign = ex.join(broadcast(c), Seq("dim"))
           .withColumn("sq",
             ((col("x") - col("cx")) * (col("x") - col("cx")))
@@ -529,15 +540,22 @@ object VectorQueries {
           .withColumn("rn", row_number().over(wA))
           .filter(col("rn") === 1)
           .select(col("vec_id"), col("cluster"))
-        c = assign.join(ex, Seq("vec_id"))
-          .groupBy(col("cluster"), col("dim"))
-          .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
-            count(lit(1))).as("cx"))
+          .localCheckpoint(true) // cut the round's lineage (eager)
+        // The final round's centroid recompute feeds nothing — the
+        // output is the round-3 ASSIGNMENT; skip the dead aggregation.
+        if (round < 3)
+          c = assign.join(ex, Seq("vec_id"))
+            .groupBy(col("cluster"), col("dim"))
+            .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+              count(lit(1))).as("cx"))
       }
-      assign
+      val out = assign
         .withColumn("cluster_n",
           count(lit(1)).over(Window.partitionBy(col("cluster"))))
         .orderBy(col("vec_id"))
+        .localCheckpoint(true) // materialize so ex can be released now
+      ex.unpersist(blocking = false)
+      out
     },
 
     // Product quantization with asymmetric distance computation (Jégou,

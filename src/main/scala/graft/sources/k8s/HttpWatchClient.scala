@@ -41,9 +41,12 @@ import scala.jdk.CollectionConverters._
   * `timeoutSeconds` parameter (`serverTimeoutSec`, the server's bound on
   * the WHOLE watch — deliberately long, it is not an idle timeout) AND a
   * local watchdog closes the response stream if no line arrives within
-  * `idleTimeoutMs`, which lands the reader in the resync loop. Either
-  * side alone is insufficient: the server-side timeout dies with the
-  * server, the local one covers that case. The LIST half (and every
+  * `idleTimeoutMs`, which lands the reader in the resync loop — as a
+  * CLEAN end (flagged before the close): the rv cursor is still valid,
+  * so an idle-close re-WATCHes from `maxSeenRv` rather than re-LISTing
+  * the collection every idle period. Either side alone is insufficient:
+  * the server-side timeout dies with the server, the local one covers
+  * that case. The LIST half (and every
   * exchange up to response headers — safe for the streaming WATCH,
   * whose timer is cancelled once headers arrive) is covered by
   * `requestTimeoutMs` on the request itself, so a half-open connection
@@ -88,6 +91,12 @@ class HttpWatchClient[T](base: String, resourcePath: String,
   // Watchdog state: the stream being read, and when it last made progress.
   @volatile private var activeBody: java.io.InputStream = _
   @volatile private var lastProgressMs: Long = System.currentTimeMillis()
+  // Set by the watchdog just before it closes the body: an idle-close is
+  // a LOCAL liveness decision, not a lost rv cursor — the read loop must
+  // re-WATCH from maxSeenRv, not fall into the full-LIST recovery path
+  // (a quiet namespace would otherwise LIST the whole collection every
+  // idleTimeoutMs for nothing).
+  @volatile private var watchdogClosed = false
 
   private val listUrl = namespace match {
     case Some(ns) => s"$base$apiPrefix/namespaces/$ns/$resourcePath"
@@ -147,8 +156,12 @@ class HttpWatchClient[T](base: String, resourcePath: String,
     * `maxSeenRv`), false when the cursor is lost (410 Gone / ERROR
     * line — the caller must re-LIST). */
   private def watch(fromRv: Long): Boolean = {
+    // allowWatchBookmarks: the server periodically sends BOOKMARK lines
+    // carrying the current collection rv, keeping the re-watch cursor
+    // fresh on idle streams (otherwise a quiet namespace's cursor ages
+    // toward the compaction horizon and eventually 410s into a LIST).
     val url = s"$listUrl?watch=true&resourceVersion=$fromRv" +
-      s"&timeoutSeconds=$serverTimeoutSec"
+      s"&timeoutSeconds=$serverTimeoutSec&allowWatchBookmarks=true"
     val resp = http.send(request(url),
       java.net.http.HttpResponse.BodyHandlers.ofInputStream())
     if (resp.statusCode() == 410) return false // Gone: rv expired -> re-list
@@ -174,7 +187,13 @@ class HttpWatchClient[T](base: String, resourcePath: String,
             val kind = n.path("type").asText("")
             // ERROR carries a Status object (e.g. 410 Gone mid-stream)
             if (kind == "ERROR") return false
-            if (kind != "BOOKMARK")
+            if (kind == "BOOKMARK") {
+              // No data; just advance the re-watch cursor.
+              val rvText = n.path("object").path("metadata")
+                .path("resourceVersion").asText("")
+              try { val rv = rvText.toLong; if (rv > maxSeenRv) maxSeenRv = rv }
+              catch { case _: NumberFormatException => () }
+            } else
               decode(kind, n.path("object")).foreach { case (rv, e) =>
                 awaitSpace()
                 if (running.get()) put(rv, e)
@@ -207,8 +226,17 @@ class HttpWatchClient[T](base: String, resourcePath: String,
             needList = false
             rv
           } else maxSeenRv
+        watchdogClosed = false
         if (!watch(fromRv)) needList = true
-      } catch { case _: Exception => needList = true } // transport error
+      } catch {
+        case _: Exception =>
+          // A watchdog idle-close surfaces here as an IOException from
+          // the closed body — that is a CLEAN end (cursor still valid):
+          // re-WATCH from maxSeenRv. Only genuine transport errors
+          // re-LIST.
+          if (!watchdogClosed) needList = true
+          watchdogClosed = false
+      }
       if (running.get())
         try Thread.sleep(resyncBackoffMs)
         catch { case _: InterruptedException => () } // close() interrupts
@@ -228,6 +256,7 @@ class HttpWatchClient[T](base: String, resourcePath: String,
       val body = activeBody
       if (running.get() && body != null &&
           System.currentTimeMillis() - lastProgressMs > idleTimeoutMs) {
+        watchdogClosed = true // flag BEFORE close: the reader sees it set
         try body.close() catch { case _: Exception => () }
       }
     }

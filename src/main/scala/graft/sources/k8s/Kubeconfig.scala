@@ -71,8 +71,19 @@ object Kubeconfig {
     val top = m(root)
     def byName(section: String, name: Option[String]): Map[String, Any] = {
       val items = seq(top.getOrElse(section, Nil)).map(m)
-      name.flatMap(n => items.find(i => str(i.getOrElse("name", "")).contains(n)))
-        .orElse(items.headOption).getOrElse(Map.empty)
+      name match {
+        // A named lookup that misses is an ERROR, not a fallback: clientcmd
+        // treats a missing context/cluster/user as fatal, and silently
+        // connecting to the FIRST cluster with the FIRST user's token on a
+        // typo'd current-context would send credentials to the wrong
+        // server. headOption is reserved for the no-name case (single-entry
+        // kubeconfigs with no current-context).
+        case Some(n) =>
+          items.find(i => str(i.getOrElse("name", "")).contains(n)).getOrElse(
+            throw new IllegalArgumentException(
+              s"kubeconfig: no entry named '$n' in '$section'"))
+        case None => items.headOption.getOrElse(Map.empty)
+      }
     }
     val ctxName = str(top.getOrElse("current-context", ""))
     val ctx = m(byName("contexts", ctxName).getOrElse("context", Map.empty))

@@ -136,27 +136,32 @@ object StreamPipeline {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[WatchedService], state: GroupState[VersionState]) =>
           var maxSeen = state.getOption.map(_.maxVersion).getOrElse(Long.MinValue)
-          val firstEver = state.getOption.isEmpty
-          var emittedAny = false
-          var endedDeleted = false
+          // `known` = the uid currently exists in state, i.e. the informer
+          // cache already holds this key. A watch type of ADDED is NOT
+          // trusted for known keys: LIST items are decoded as ADDED
+          // (HttpWatchClient.list), so after any re-list (410 recovery,
+          // transport error, periodic relist) a service that changed while
+          // disconnected arrives as ADDED — client-go's informer fires
+          // OnUpdate → updatedService for known keys on resync
+          // (handler.go:41-48); addedService is reserved for first-ever
+          // (or post-delete) uids. A DELETED drops the key, so a
+          // same-batch recreate tags as an add again.
+          var known = state.getOption.isDefined
           val out = rows.toSeq.sortBy(_.resource_version.toLong).flatMap { s =>
             val v = s.resource_version.toLong
             if (v > maxSeen) {
               maxSeen = v
               val tag = s.watch_type match {
                 case "DELETED"  => "deletedService"
-                case "ADDED"    => "addedService"
                 case "MODIFIED" => "updatedService"
-                case _ => if (firstEver && !emittedAny) "addedService"
-                          else "updatedService"
+                case _          => if (known) "updatedService" else "addedService"
               }
-              endedDeleted = tag == "deletedService"
-              emittedAny = true
+              known = tag != "deletedService"
               Some(TaggedService(s.service, tag))
             } else None
           }
-          if (endedDeleted) state.remove()
-          else state.update(VersionState(maxSeen))
+          if (known) state.update(VersionState(maxSeen))
+          else state.remove()
           out.iterator
       }
   }
