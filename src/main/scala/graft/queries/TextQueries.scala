@@ -1322,5 +1322,80 @@ object TextQueries {
         .filter(col("rk") <= 10)
         .select(col("rk").cast("int").as("rk"), col("pair"), col("cnt"))
         .orderBy(col("rk"))
+    },
+
+    // BPE ENCODE (tokenizer training, step 2 — the apply half of
+    // text_bpe_merges): the top-8 ranked merge rules applied to the
+    // corpus in rank order, each rule collapsing its adjacent token
+    // pair leftmost-greedy. The encode runs over the DISTINCT word
+    // relation (vocab-sized), with the ranked merge table as a 1-row
+    // broadcast array — corpus-scale work stays the word-frequency
+    // rollup plus one word-keyed encode join, the same economics that
+    // make BPE training corpus-size-free. Mechanics shared by both
+    // engines exactly: a word becomes the ||-delimited token string
+    // ("||a||b||c||"), and applying rule (x,y)→xy is ONE
+    // replace(str, '|x||y|', '|xy|') — leftmost non-overlapping
+    // replace-all IS the greedy merge pass, boundary-safe because a
+    // multi-char token never exposes '|x' adjacency, and the doubled
+    // delimiter keeps consecutive occurrences mergeable ("||a||a||a||a||"
+    // → "||aa||aa||"). The 8-rule sequence is one HOF fold
+    // (aggregate / list_reduce) over the merge array; subtoken count
+    // falls out of the final pipe count. Words containing '|' are
+    // excluded identically in both dialects (the delimiter guard).
+    Q("text_bpe_apply",
+      """WITH tw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |vf AS (SELECT w, count(*) AS freq FROM tw GROUP BY 1),
+        |pr AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+        |  FROM vf, unnest(range(1, length(w))) u(i)),
+        |pc AS (SELECT pair, sum(freq) AS cnt FROM pr GROUP BY 1),
+        |mg AS (SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS rk FROM pc),
+        |ml AS (SELECT list(pair ORDER BY rk) AS merges FROM mg WHERE rk <= 8),
+        |enc AS (SELECT w,
+        |    list_reduce(list_prepend('||' || regexp_replace(w, '(.)', '\1||', 'g'), merges),
+        |      (acc, p) -> replace(acc,
+        |        '|' || substr(p, 1, 1) || '||' || substr(p, 2, 1) || '|',
+        |        '|' || p || '|')) AS f
+        |  FROM (SELECT DISTINCT w FROM tw WHERE NOT contains(w, '|')), ml),
+        |ns AS (SELECT w,
+        |    (length(f) - length(replace(f, '|', ''))) // 2 - 1 AS n_sub
+        |  FROM enc)
+        |SELECT t.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(n.n_sub) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(sum(length(t.w)) AS BIGINT) AS n_chars
+        |FROM tw t JOIN ns n ON n.w = t.w
+        |GROUP BY t.doc_id
+        |ORDER BY t.doc_id""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tw = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val vf = tw.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      val ml = vf
+        .select(col("freq"), explode(expr(
+          """transform(if(length(w) >= 2, sequence(1, length(w) - 1), array()),
+            |  i -> substring(w, i, 2))""".stripMargin)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("pair"))))
+        .filter(col("rk") <= 8)
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(rk, pair))), x -> x.pair)")
+          .as("merges"))
+      val enc = vf.select(col("w")).filter(!col("w").contains("|"))
+        .crossJoin(broadcast(ml))
+        .withColumn("f", expr(
+          """aggregate(merges,
+            |  concat('||', regexp_replace(w, '(.)', '$1||')),
+            |  (acc, p) -> replace(acc,
+            |    concat('|', substring(p, 1, 1), '||', substring(p, 2, 1), '|'),
+            |    concat('|', p, '|')))""".stripMargin))
+        .select(col("w"), expr(
+          "(length(f) - length(replace(f, '|', ''))) div 2 - 1").as("n_sub"))
+      tw.join(enc, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_sub")).as("n_bpe_tokens"),
+          sum(length(col("w")).cast("long")).as("n_chars"))
+        .orderBy(col("doc_id"))
     })
 }

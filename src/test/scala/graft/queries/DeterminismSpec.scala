@@ -83,7 +83,10 @@ class DeterminismSpec extends SparkSpec {
       "text_bm25", "graph_bfs_khop", "behavior_basket_lift",
       "text_bigram_ppl", "agg_gini_entropy", "sim_rerank",
       "text_bpe_merges", "vec_label_centroids", "graph_modularity",
-      "sim_recall_at_k", "pipe_feature_hash"))
+      "sim_recall_at_k", "pipe_feature_hash",
+      // round-9: the encode join + broadcast merge table must yield the
+      // same subtoken counts on any partitioning
+      "text_bpe_apply"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
       assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
     }

@@ -52,6 +52,29 @@ class TextQueriesSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a >= 4L && b >= 4L })
   }
 
+  test("text_pmi_bigrams survives 1-token docs (guarded positional transform)") {
+    // Doc 1 is the single token "a": the unguarded form would evaluate
+    // sequence(1, 0) = [1, 0] and throw INVALID_ARRAY_INDEX on toks[0].
+    // No bigram reaches cnt >= 5 in this fixture, so the result is empty —
+    // the point is that it RUNS.
+    assert(run("text_pmi_bigrams").collect().length == 0)
+  }
+
+  test("text_bpe_apply: hand-computed encode over a tiny ranked merge table") {
+    // vf: a:2 b:1 ab:1 the:1 of:1 and:1 x:1 abcd:1 → weighted char pairs:
+    // ab:2 (from "ab" + "abcd"), an/bc/cd/he/nd/of/th: 1 each. Ranked
+    // (cnt desc, pair asc): ab, an, bc, cd, he, nd, of, th. Applying in
+    // that order: "ab"→[ab]; "abcd"→[ab,cd]; "the"→[t,he] (he outranks
+    // th, which then finds no single 'h'); "of"→[of]; "and"→[an,d].
+    val rows = run("text_bpe_apply").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(1L) == ((1L, 1L, 1L)))  // "a"
+    assert(rows(2L) == ((2L, 2L, 2L)))  // "a b"
+    assert(rows(3L) == ((1L, 1L, 2L)))  // "ab" → [ab]
+    assert(rows(4L) == ((4L, 6L, 9L)))  // "the of and x" → [t,he][of][an,d][x]
+    assert(rows(5L) == ((1L, 2L, 4L)))  // "abcd" → [ab,cd]
+  }
+
   test("banded LSH candidates are a SUBSET of single-row-band candidates " +
     "(the S-curve precision law)") {
     // A b=4 x r=2 band matches only when BOTH of its rows match, so any
