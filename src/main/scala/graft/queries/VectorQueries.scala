@@ -417,49 +417,18 @@ object VectorQueries {
     // cell's postings, rank. Same answer as sim_knn_ivf (shared oracle),
     // different physical strategy.
     Q("sim_knn_ivf_indexed", ivfOracleSql) { (s, d) =>
-      import graft.functions.GraftFunctions.dot_f
+      // The reusable index API (graft.operators.AnnIndex): build at most
+      // once per corpus, probe many times. The probe's posting read is
+      // partition-pruned to the assigned cells (AnnIndexSpec pins the
+      // numFiles metric); build cost amortizes across probes — the
+      // production serving shape at 100 TB.
       val dir = tmpDir("ivfidx", d)
-      val built = new java.io.File(s"$dir/postings/_SUCCESS").exists
-      if (!built) {
-        val e = Tables.embeddings(s, d)
-        e.select(col("vec_id"), col("label"),
-            posexplode(col("embedding")).as(Seq("dim", "x")))
-          .withColumn("x", col("x").cast("double"))
-          .groupBy(col("label").as("cell"), col("dim"))
-          .agg(avg(col("x")).as("cx"))
-          .write.mode("overwrite").parquet(s"$dir/centroids")
-        e.select(col("vec_id"), col("embedding").as("ev"),
-            sqrt(dot_f(col("embedding"), col("embedding"))).as("nrm"),
-            col("label").as("cell"))
-          .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
-      }
-      val centroids = s.read.parquet(s"$dir/centroids")
-      val post = s.read.parquet(s"$dir/postings")
-      // Probe: queries' own vectors come from the index too (qid < 10).
-      val qv = post.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("ev").as("qe"), col("nrm").as("qn"))
-      val qa = Tables.embeddings(s, d)
+      if (!graft.operators.AnnIndex.isBuilt(dir))
+        graft.operators.AnnIndex.build(Tables.embeddings(s, d), dir)
+      val queries = Tables.embeddings(s, d)
         .filter(col("vec_id") < 10)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .withColumn("x", col("x").cast("double"))
-        .join(broadcast(centroids), Seq("dim"))
-        .withColumn("sq", (col("x") - col("cx")) * (col("x") - col("cx")))
-        .groupBy(col("vec_id").as("qid"), col("cell"))
-        .agg(sum(col("sq")).as("d2"))
-      val wAssign = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("qid")).orderBy(col("d2"), col("cell"))
-      val assign = qa.withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1).select(col("qid"), col("cell"))
-      val q = assign.join(qv, Seq("qid"))
-      val wRank = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-      post.join(broadcast(q), post("cell") === q("cell") && col("vec_id") =!= col("qid"))
-        .withColumn("cos", dot_f(col("qe"), col("ev")) / (col("qn") * col("nrm")))
-        .withColumn("rk", row_number().over(wRank))
-        .filter(col("rk") <= 3)
-        .select(col("qid"), col("vec_id").as("vid"), col("rk").cast("int").as("rk"),
-          round(col("cos"), 4).as("cosine"))
-        .orderBy(col("qid"), col("rk"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      graft.operators.AnnIndex.probe(s, dir, queries, 3)
     },
 
     // Lloyd's k-means over the embedding corpus (k=4, 3 unrolled
