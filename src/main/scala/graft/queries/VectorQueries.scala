@@ -476,55 +476,62 @@ object VectorQueries {
         |SELECT a.vec_id, a.cluster,
         |  CAST(count(*) OVER (PARTITION BY a.cluster) AS BIGINT) AS cluster_n
         |FROM a3 a
-        |ORDER BY a.vec_id""") { (s0, d) =>
+        |ORDER BY a.vec_id""") { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      // Iteration hygiene (the pattern the CC family pins,
-      // ClusterQueries.starLabels): the exploded corpus is persisted
-      // ONCE and each Lloyd round's assignment is eagerly
-      // localCheckpoint'ed — without this every round re-derives the
-      // explode twice (assign join + centroid recompute) AND re-executes
-      // all previous rounds' lineage, which made this the slowest query
-      // in the sweep. The loop frames are (vec_id, dim, x)-scale, far
-      // below the batch shuffle sizing — scope 8 partitions on a clone.
-      val s = graft.Sessions.withShufflePartitions(s0, 8)
-      val ex = Tables.embeddings(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "xf")))
-        .select(col("vec_id"), (col("dim0") + 1).as("dim"),
-          col("xf").cast("double").as("x"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      ex.count() // materialize once; every round joins it twice
-      var c = ex.filter(col("vec_id") < 4)
-        .select(col("vec_id").cast("int").as("cluster"), col("dim"),
-          col("x").as("cx"))
-      var assign: DataFrame = null
-      val wA = Window.partitionBy(col("vec_id"))
-        .orderBy(col("d2"), col("cluster"))
-      for (round <- 1 to 3) {
-        assign = ex.join(broadcast(c), Seq("dim"))
-          .withColumn("sq",
-            ((col("x") - col("cx")) * (col("x") - col("cx")))
-              .cast("decimal(28,12)"))
-          .groupBy(col("vec_id"), col("cluster"))
-          .agg(sum(col("sq")).as("d2"))
-          .withColumn("rn", row_number().over(wA))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("cluster"))
-          .localCheckpoint(true) // cut the round's lineage (eager)
-        // The final round's centroid recompute feeds nothing — the
-        // output is the round-3 ASSIGNMENT; skip the dead aggregation.
-        if (round < 3)
-          c = assign.join(ex, Seq("vec_id"))
-            .groupBy(col("cluster"), col("dim"))
-            .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
-              count(lit(1))).as("cx"))
+      // The textbook BROADCAST k-means plan (what the oracle's relational
+      // join form computes, re-physicalized): the k×dim centroid table
+      // rides each round as a 1-row broadcast array, the assignment is a
+      // per-row HOF fold (NO dim-keyed join, NO (vec, cluster)-keyed
+      // aggregation, NO argmin window — assign is completely
+      // shuffle-free), and the only per-round shuffle is the centroid
+      // recompute's (cluster, dim) rollup. At 100 TB this is the
+      // map-side-assign shape every distributed k-means runs. Numeric
+      // parity with the oracle is exact at every step: each squared-
+      // difference term is the same double expression cast to
+      // DECIMAL(28,12), the fold's decimal sum equals the oracle's
+      // grouped decimal sum (decimal addition is exact and associative),
+      // and the argmin is array_min over struct(d2, cluster) — struct
+      // ordering IS "ORDER BY d2, cluster".
+      // Accumulator DECIMAL(30,12) with a per-step cast: plain decimal
+      // `+` widens to scale 11 at precision 38 (silent 12th-digit loss);
+      // (30,12)+(28,12)→(31,12) stays exact and the cast back is exact
+      // at these magnitudes (d2 << 10^18).
+      val d2Fold =
+        """aggregate(zip_with(embedding, c.cxs,
+          |    (x, m) -> CAST((CAST(x AS DOUBLE) - m) * (CAST(x AS DOUBLE) - m)
+          |              AS DECIMAL(28,12))),
+          |  CAST(0 AS DECIMAL(30,12)),
+          |  (acc, v) -> CAST(acc + v AS DECIMAL(30,12)))"""
+          .stripMargin
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // Init: the vectors vec_id<4, as (cluster, cxs array<double>).
+      var cArr = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("int").as("cluster"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cxs"))
+        .agg(expr("array_sort(collect_list(struct(cluster, cxs)))").as("cents"))
+      def assignOf(cents: DataFrame): DataFrame =
+        emb.crossJoin(broadcast(cents))
+          .withColumn("best", expr(
+            s"""array_min(transform(cents,
+               |  c -> named_struct('d2', $d2Fold, 'cl', c.cluster)))""".stripMargin))
+          .select(col("vec_id"), col("embedding"), col("best.cl").as("cluster"))
+      for (_ <- 1 to 2) { // rounds 1-2 feed a recompute; round 3 is final
+        val ct = assignOf(cArr)
+          .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim0", "xf")))
+          .groupBy(col("cluster"), col("dim0"))
+          .agg((sum(col("xf").cast("double").cast("decimal(28,12)")).cast("double") /
+            count(lit(1))).as("cx"))
+        cArr = ct
+          .groupBy(col("cluster"))
+          .agg(expr("transform(array_sort(collect_list(struct(dim0, cx))), t -> t.cx)")
+            .as("cxs"))
+          .agg(expr("array_sort(collect_list(struct(cluster, cxs)))").as("cents"))
       }
-      val out = assign
+      assignOf(cArr)
+        .select(col("vec_id"), col("cluster"))
         .withColumn("cluster_n",
           count(lit(1)).over(Window.partitionBy(col("cluster"))))
         .orderBy(col("vec_id"))
-        .localCheckpoint(true) // materialize so ex can be released now
-      ex.unpersist(blocking = false)
-      out
     },
 
     // Product quantization with asymmetric distance computation (Jégou,

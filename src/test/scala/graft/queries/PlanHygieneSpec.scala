@@ -41,7 +41,9 @@ class PlanHygieneSpec extends SparkSpec {
     "eval_pr_thresholds",  // events x broadcast 10-row literal thresholds
     "eval_kappa",          // 1-row agreement agg x 1-row chance agg
     "graph_modularity",    // rollup x broadcast 1-row edge count m
-    "vec_label_centroids"  // |labels|-row centroid broadcast self-join
+    "vec_label_centroids", // |labels|-row centroid broadcast self-join
+    "cluster_kmeans",      // corpus x broadcast 1-row k-centroid array
+    "text_bpe_apply"       // vocab x broadcast 1-row ranked merge table
   )
 
   private def offenders(name: String): Seq[String] = {
