@@ -84,6 +84,14 @@ private[ndjson] class NdjsonTable(path: String) extends Table with SupportsWrite
     val opts = info.options.asScala.toMap
     val hconf = org.apache.spark.sql.SparkSession.active
       .sessionState.newHadoopConf()
+    // Reference S3 object-attribute parity (io/flush_s3.go:76-80 stamps
+    // storage class STANDARD_IA and a private ACL on every upload):
+    // friendly options map onto the S3A keys the uploader then applies
+    // to each object. Raw fs.s3a.* options work too (next line); these
+    // two just name the reference's knobs directly.
+    opts.get("storageclass").foreach(v =>
+      hconf.set("fs.s3a.create.storage.class", v))
+    opts.get("acl").foreach(v => hconf.set("fs.s3a.acl.default", v))
     opts.foreach { case (k, v) => hconf.set(k, v) }
     new NdjsonWriteBuilder(path, info.queryId(), opts,
       new SerializableHadoopConf(hconf))

@@ -150,6 +150,27 @@ class NdjsonV2SinkSpec extends SparkSpec {
     assert(names.count(n => n.startsWith("part-") && n.endsWith(".log.gz")) == 2)
   }
 
+  test("storageClass/acl options land on the S3A object-attribute keys " +
+    "(reference io/flush_s3.go:76-80 parity)") {
+    // The conf-capturing probe FS records what an s3a uploader would
+    // see: the friendly options must arrive as fs.s3a.create.storage
+    // .class / fs.s3a.acl.default in the SAME conf every
+    // getFileSystem call receives (driver commit + executor writers).
+    val tmp = Files.createTempDirectory("aclfs").toString
+    ConfProbeFileSystem.seen.clear()
+    Seq("{\"id\":1}").toDF("value")
+      .write.format(fmt)
+      .option("path", s"cprobe://$tmp/out")
+      .option("fs.cprobe.impl", classOf[ConfProbeFileSystem].getName)
+      .option("storageClass", "STANDARD_IA")
+      .option("acl", "Private")
+      .mode("overwrite").save()
+    assert(ConfProbeFileSystem.seen.get("fs.s3a.create.storage.class")
+      .contains("STANDARD_IA"))
+    assert(ConfProbeFileSystem.seen.get("fs.s3a.acl.default")
+      .contains("Private"))
+  }
+
   test("session Hadoop conf (spark.hadoop.* / hadoopConfiguration) reaches " +
     "the connector without per-write options") {
     val tmp = Files.createTempDirectory("sprobefs").toString
@@ -208,4 +229,21 @@ class ProbeFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
 /** Same probe for the session-conf (no per-write options) path. */
 class SessionProbeFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getUri: java.net.URI = java.net.URI.create("sprobe:///")
+}
+
+/** Probe that RECORDS the object-attribute conf keys it is initialized
+  * with — standing in for the s3a uploader that would read them. */
+class ConfProbeFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("cprobe:///")
+  override def initialize(uri: java.net.URI,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    super.initialize(uri, conf)
+    for (k <- Seq("fs.s3a.create.storage.class", "fs.s3a.acl.default"))
+      Option(conf.get(k)).foreach(v => ConfProbeFileSystem.seen.put(k, v))
+  }
+}
+object ConfProbeFileSystem {
+  import scala.jdk.CollectionConverters._
+  val seen: scala.collection.concurrent.Map[String, String] =
+    new java.util.concurrent.ConcurrentHashMap[String, String]().asScala
 }
