@@ -19,7 +19,19 @@ import org.apache.spark.sql.functions._
   * artificial twins (which would measure the replication trick, not
   * the engine: banded-LSH candidates would grow quadratically in N by
   * construction). Embedding replicas get a small per-replica offset
-  * with re-normalization left to the queries that need it. */
+  * with re-normalization left to the queries that need it.
+  *
+  * lineitem/part (the co-purchase graph family: graph_triangles,
+  * graph_bfs_khop, behavior_basket_lift) follow the same discipline:
+  * order AND part keys remap per replica, so each replica is its own
+  * disjoint co-purchase graph — N× vertices and N× edges at source
+  * edge density. Keeping partkeys shared would instead multiply every
+  * edge's support by N over the SAME graph (the support threshold then
+  * measures the inflation trick, not edge growth). p_partkey % 100
+  * seed selection survives the remap (the offset is a multiple of
+  * 100), and p_brand is deliberately NOT remapped — basket_lift's
+  * brand vocabulary is a fixed 25-value domain at any corpus size,
+  * exactly like production. */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args(0); val out = args(1); val factor = args(2).toInt
@@ -53,9 +65,26 @@ object ScaleUp {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    li.crossJoin(broadcast(reps))
+      .withColumn("l_orderkey", col("l_orderkey") + col("r") * 10000000L)
+      .withColumn("l_partkey", col("l_partkey") + col("r") * 10000000L)
+      .drop("r")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    val part = spark.read.parquet(s"$src/part.parquet")
+    part.crossJoin(broadcast(reps))
+      .withColumn("p_partkey", col("p_partkey") + col("r") * 10000000L)
+      .drop("r")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+
     println(s"scaled x$factor -> $out: docs=" +
       spark.read.parquet(s"$out/documents.parquet").count() +
-      " embeddings=" + spark.read.parquet(s"$out/embeddings.parquet").count())
+      " embeddings=" + spark.read.parquet(s"$out/embeddings.parquet").count() +
+      " lineitem=" + spark.read.parquet(s"$out/lineitem.parquet").count() +
+      " part=" + spark.read.parquet(s"$out/part.parquet").count())
     spark.stop()
   }
 }
