@@ -35,6 +35,14 @@ import scala.jdk.CollectionConverters._
   *     Re-listed events overwrite by rv, so the buffer never
   *     duplicates; downstream D1 dedup absorbs redelivery across
   *     restarts, exactly the reference's at-least-once contract.
+  *     Known divergence from client-go informers: a LIST reflects
+  *     deletes (the object is simply absent) but this client does not
+  *     diff the listed set against prior state, so a DELETED event
+  *     whose watch line falls entirely inside an rv-loss window is
+  *     observed as absence, not as a deletedService record —
+  *     client-go synthesizes DeletedFinalStateUnknown from its store
+  *     diff. At-least-once delivery of deletes therefore holds only
+  *     outside rv-loss windows (K8sSoakSpec exercises the boundary).
   *
   * Liveness: a half-open connection (NAT drop) would block `readLine()`
   * forever with no exception — so the watch request carries the public
