@@ -53,10 +53,13 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
   }
 
-  /** Nearest-centroid cell per probe query (nprobe=1): one broadcast
-    * join against the centroid relation + a per-query argmin window.
-    * `queries` carries (qid, qe array<float>). */
-  def assignCells(s: SparkSession, dir: String, queries: DataFrame): DataFrame = {
+  /** The `nprobe` nearest-centroid cells per probe query (FAISS's
+    * recall knob — more cells searched, higher recall, linearly more
+    * postings read): one broadcast join against the centroid relation +
+    * a per-query top-nprobe window. `queries` carries
+    * (qid, qe array<float>). */
+  def assignCells(s: SparkSession, dir: String, queries: DataFrame,
+      nprobe: Int = 1): DataFrame = {
     val centroids = s.read.parquet(s"$dir/centroids")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("d2"), col("cell"))
@@ -68,17 +71,19 @@ object AnnIndex {
       .groupBy(col("qid"), col("cell"))
       .agg(sum(col("sq")).as("d2"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= nprobe)
       .select(col("qid"), col("cell"))
   }
 
   /** Probe: cosine top-k per query over the assigned cells only.
     * Returns (qid, vid, rk, cosine 4dp). The postings scan carries a
     * static partition filter over the assigned cell set, so only those
-    * directories are listed/read. */
-  def probe(s: SparkSession, dir: String, queries: DataFrame, k: Int): DataFrame = {
+    * directories are listed/read. Candidates never duplicate across
+    * probed cells (each vector lives in exactly one cell). */
+  def probe(s: SparkSession, dir: String, queries: DataFrame, k: Int,
+      nprobe: Int = 1): DataFrame = {
     import graft.functions.GraftFunctions.dot_f
-    val assign = assignCells(s, dir, queries)
+    val assign = assignCells(s, dir, queries, nprobe)
     // Bounded by the probe-set size (one cell per query) — the static
     // IN-list is what turns the posting read into partition pruning.
     val cells = assign.select(col("cell")).distinct()

@@ -22,8 +22,12 @@ object VectorQueries {
   private def tmpDir(tag: String, d: String): String =
     s"/tmp/graft-rt-$tag-${math.abs(d.hashCode)}"
 
-  /** Shared oracle for the IVF nprobe=1 search (the materialized-index
-    * variant must return the identical answer). */
+  /** Shared oracle for the IVF search, parametric in nprobe (the
+    * materialized-index variant must return the identical answer; the
+    * nprobe=2 variant widens the assign cut to the two nearest cells). */
+  private def ivfOracle(nprobe: Int): String =
+    ivfOracleSql.replace("WHERE rn = 1", s"WHERE rn <= $nprobe")
+
   private val ivfOracleSql =
     """WITH ex AS (SELECT vec_id, label,
       |    CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
@@ -429,6 +433,22 @@ object VectorQueries {
         .filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       graft.operators.AnnIndex.probe(s, dir, queries, 3)
+    },
+
+    // The same index probed at nprobe=2 — FAISS's recall knob as a
+    // first-class operator: the two nearest cells are searched per
+    // query, so the partition-pruned read doubles and recall can only
+    // improve (candidates are a superset of nprobe=1's; AnnIndexSpec
+    // pins the per-rank cosine monotonicity law). The oracle is the
+    // same relational IVF with the assign cut widened to rn <= 2.
+    Q("sim_knn_ivf_nprobe2", ivfOracle(2)) { (s, d) =>
+      val dir = tmpDir("ivfidx", d)
+      if (!graft.operators.AnnIndex.isBuilt(dir))
+        graft.operators.AnnIndex.build(Tables.embeddings(s, d), dir)
+      val queries = Tables.embeddings(s, d)
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      graft.operators.AnnIndex.probe(s, dir, queries, 3, nprobe = 2)
     },
 
     // Lloyd's k-means over the embedding corpus (k=4, 3 unrolled

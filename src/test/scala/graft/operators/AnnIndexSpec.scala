@@ -52,6 +52,21 @@ class AnnIndexSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("nprobe=2 candidates are a superset: per-rank cosine never drops") {
+    // Searching MORE cells can only improve the top-k — for every
+    // (qid, rk) the nprobe=2 cosine is >= the nprobe=1 cosine. (The
+    // FAISS recall-knob law; equality where cell 1 already held the
+    // true neighbors.)
+    def byRank(np: Int): Map[(Long, Int), Double] =
+      AnnIndex.probe(spark, dir, queries, 3, nprobe = np).collect()
+        .map(r => (r.getLong(0), r.getInt(2)) -> r.getDouble(3)).toMap
+    val one = byRank(1)
+    val two = byRank(2)
+    assert(one.keySet == two.keySet)
+    for ((k, c1) <- one)
+      assert(two(k) >= c1 - 1e-9, s"rank $k: nprobe2 ${two(k)} < nprobe1 $c1")
+  }
+
   test("probe's posting scan is partition-pruned to the assigned cells") {
     val assigned = AnnIndex.assignCells(spark, dir, queries)
       .select(col("cell")).distinct().collect().map(_.get(0).toString).toSet
