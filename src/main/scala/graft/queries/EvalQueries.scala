@@ -230,6 +230,36 @@ object EvalQueries {
         .orderBy(col("bin"))
     },
 
+    // Brier score per weekday group — the proper scoring rule that
+    // calibration bins summarize (Brier 1950): mean squared error of
+    // the sigmoid pseudo-probability against the binary outcome, with
+    // the group base rate alongside (its p(1-p) is the score of the
+    // climatology forecast — the skill reference). One hash aggregate;
+    // each squared-error term is the identical double expression in
+    // both engines, DECIMAL(28,12)-quantized before the order-free sum,
+    // floor-quantized at 4dp after the division.
+    Q("eval_brier",
+      s"""WITH e AS (SELECT CAST(date_part('isodow', ts) - 1 AS INT) AS grp,
+         |    1 / (1 + exp(-(value - 100) / 40.0)) AS p, $lbl AS lbl FROM events)
+         |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         |  floor(CAST(sum(CAST((p - lbl) * (p - lbl) AS DECIMAL(28,12))) AS DOUBLE)
+         |        / count(*) * 10000 + 0.5) / 10000.0 AS brier,
+         |  round(sum(lbl) / CAST(count(*) AS DOUBLE), 4) AS base_rate
+         |FROM e GROUP BY grp ORDER BY grp""") { (s, d) =>
+      Tables.events(s, d)
+        .select(expr("weekday(ts)").as("grp"),
+          expr("1 / (1 + exp(-(value - 100) / 40.0))").as("p"),
+          expr(lbl).as("lbl"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"),
+          expr("""CAST(floor(CAST(sum(CAST((p - lbl) * (p - lbl) AS DECIMAL(28,12))) AS DOUBLE)
+                 |      / count(*) * 10000 + 0.5) / 10000.0 AS DOUBLE)""".stripMargin)
+            .as("brier"),
+          round(sum(col("lbl")) / count(lit(1)).cast("double"), 4)
+            .as("base_rate"))
+        .orderBy(col("grp"))
+    },
+
     // Multi-class confusion summary: the threshold classifier's
     // predictions against the true event types, reduced to per-class
     // tp / actual / predicted and precision/recall/F1 (F1 via the

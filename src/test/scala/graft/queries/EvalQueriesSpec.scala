@@ -100,4 +100,29 @@ class EvalQueriesSpec extends SparkSpec {
     // kappa consistent with its own po/pe to rounding
     assert(math.abs(kappa - (po - pe) / (1 - pe)) < 2e-3)
   }
+
+  test("eval_brier: bounded, and agrees with an independent plain-double " +
+    "recomputation (the decimal-quantized sum changes nothing but ordering)") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("eval_brier")(spark, d).collect()
+    assert(rows.length == 7) // one per weekday
+    assert(rows.forall { r =>
+      val b = r.getAs[Double]("brier"); val p = r.getAs[Double]("base_rate")
+      b >= 0 && b <= 1 && p >= 0 && p <= 1
+    })
+    // Independent formulation: plain double avg, no decimal quantization,
+    // no floor-rounding — must agree to rounding tolerance.
+    val indep = graft.Tables.events(spark, d)
+      .select(expr("weekday(ts)").as("grp"),
+        expr("1 / (1 + exp(-(value - 100) / 40.0))").as("p"),
+        expr("CASE WHEN event_type IN ('purchase','signup') THEN 1 ELSE 0 END")
+          .as("lbl"))
+      .groupBy("grp")
+      .agg(avg(expr("(p - lbl) * (p - lbl)")).as("b2"))
+      .collect().map(r => r.getAs[Int]("grp") -> r.getAs[Double]("b2")).toMap
+    for (r <- rows)
+      assert(math.abs(r.getAs[Double]("brier") -
+        indep(r.getAs[Int]("grp"))) < 1e-3)
+  }
 }
