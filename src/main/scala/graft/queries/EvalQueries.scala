@@ -350,6 +350,217 @@ object EvalQueries {
                  |      / (1 - chance / (CAST(n AS DOUBLE) * n)), 4)""".stripMargin)
             .as("kappa"))
         .orderBy(col("n"))
+    },
+
+    // Per-group cross-entropy (log loss) under the same deterministic
+    // sigmoid "model" eval_brier scores. Probabilities are clamped to
+    // [1e-6, 1-1e-6] before the log (the standard guard against infinite
+    // penalty on confident mistakes); each row's -[y ln p + (1-y) ln(1-p)]
+    // term is quantized to DECIMAL(28,12) BEFORE the sum, so the mean is
+    // bit-identical on any partitioning — one hash aggregate, no sort.
+    Q("eval_logloss",
+      s"""WITH e AS (SELECT CAST(date_part('isodow', ts) - 1 AS INT) AS grp,
+         |    greatest(1e-6, least(1 - 1e-6,
+         |      1 / (1 + exp(-(value - 100) / 40.0)))) AS p,
+         |    $lbl AS lbl FROM events)
+         |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         |  floor(CAST(sum(CAST(-(lbl * ln(p) + (1 - lbl) * ln(1 - p))
+         |                      AS DECIMAL(28,12))) AS DOUBLE)
+         |        / count(*) * 10000 + 0.5) / 10000.0 AS logloss,
+         |  round(sum(lbl) / CAST(count(*) AS DOUBLE), 4) AS base_rate
+         |FROM e GROUP BY grp ORDER BY grp""") { (s, d) =>
+      Tables.events(s, d)
+        .select(expr("weekday(ts)").as("grp"),
+          expr("greatest(1e-6, least(1 - 1e-6, 1 / (1 + exp(-(value - 100) / 40.0))))").as("p"),
+          expr(lbl).as("lbl"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"),
+          expr("""CAST(floor(CAST(sum(CAST(-(lbl * ln(p) + (1 - lbl) * ln(1 - p))
+                 |                        AS DECIMAL(28,12))) AS DOUBLE)
+                 |      / count(*) * 10000 + 0.5) / 10000.0 AS DOUBLE)""".stripMargin)
+            .as("logloss"),
+          round(sum(col("lbl")) / count(lit(1)).cast("double"), 4)
+            .as("base_rate"))
+        .orderBy(col("grp"))
+    },
+
+    // Decile lift / cumulative-gains table — the campaign-targeting view
+    // of a scored population. The scale move mirrors eval_auc: rows
+    // collapse to (score -> cnt, pos) by hash aggregate, ONE window over
+    // the DISTINCT scores (desc) assigns each run its rank interval
+    // [cum_before, cum_before+cnt), and a broadcast 10-row decile
+    // relation intersects intervals analytically — ties that straddle a
+    // decile boundary apportion their positives PRO RATA (the
+    // tied-average-rank convention), so the result is exact, order-free,
+    // and never sorts the raw rows. lift = decile response rate / overall
+    // base rate; cum_gain = fraction of all positives captured so far.
+    Q("eval_lift",
+      s"""WITH e AS (SELECT value AS score, $lbl AS lbl FROM events),
+         |s AS (SELECT score, count(*) AS cnt, sum(lbl) AS pos
+         |  FROM e GROUP BY 1),
+         |r AS (SELECT score, cnt, pos,
+         |    sum(cnt) OVER (ORDER BY score DESC) - cnt AS cum_before
+         |  FROM s),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         |    CAST(sum(pos) AS BIGINT) AS p FROM s),
+         |dec AS (SELECT CAST(x AS INT) AS decile FROM range(0, 10) t(x)),
+         |cut AS (SELECT decile,
+         |    CAST(floor(n * decile / 10.0) AS BIGINT) AS lo,
+         |    CAST(floor(n * (decile + 1) / 10.0) AS BIGINT) AS hi
+         |  FROM dec, tot),
+         |ov AS (SELECT decile,
+         |    greatest(0, least(cum_before + cnt, hi) - greatest(cum_before, lo)) AS w,
+         |    pos, cnt FROM r, cut
+         |  WHERE cum_before + cnt > lo AND cum_before < hi),
+         |d AS (SELECT decile, CAST(sum(w) AS BIGINT) AS n_d,
+         |    floor(CAST(sum(CAST(pos * w / CAST(cnt AS DOUBLE)
+         |                        AS DECIMAL(28,12))) AS DOUBLE)
+         |          * 10000 + 0.5) / 10000.0 AS pos_d
+         |  FROM ov GROUP BY 1)
+         |SELECT decile, n_d, pos_d,
+         |  round(pos_d / n_d / (p / CAST(n AS DOUBLE)), 4) AS lift,
+         |  round(sum(pos_d) OVER (ORDER BY decile) / p, 4) AS cum_gain
+         |FROM d, tot ORDER BY decile""") { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("value").as("score"), expr(lbl).as("lbl"))
+      val runs = e.groupBy(col("score"))
+        .agg(count(lit(1)).as("cnt"), sum(col("lbl")).as("pos"))
+      val w = Window.orderBy(col("score").desc)
+      val r = runs
+        .withColumn("cum_before", sum(col("cnt")).over(w) - col("cnt"))
+      val tot = runs.agg(sum(col("cnt")).as("n"), sum(col("pos")).as("p"))
+      val cut = s.range(0, 10).select(col("id").cast("int").as("decile"))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"),
+          expr("CAST(floor(n * decile / 10.0) AS BIGINT)").as("lo"),
+          expr("CAST(floor(n * (decile + 1) / 10.0) AS BIGINT)").as("hi"))
+      val ov = r.crossJoin(broadcast(cut))
+        .filter(col("cum_before") + col("cnt") > col("lo") &&
+          col("cum_before") < col("hi"))
+        .select(col("decile"),
+          greatest(lit(0L), least(col("cum_before") + col("cnt"), col("hi"))
+            - greatest(col("cum_before"), col("lo"))).as("w"),
+          col("pos"), col("cnt"))
+      val dd = ov.groupBy(col("decile"))
+        .agg(sum(col("w")).as("n_d"),
+          expr("""CAST(floor(CAST(sum(CAST(pos * w / CAST(cnt AS DOUBLE)
+                 |                        AS DECIMAL(28,12))) AS DOUBLE)
+                 |      * 10000 + 0.5) / 10000.0 AS DOUBLE)""".stripMargin)
+            .as("pos_d"))
+      val wc = Window.orderBy(col("decile"))
+      dd.crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_d"), col("pos_d"),
+          round(col("pos_d") / col("n_d") / (col("p") / col("n").cast("double")), 4)
+            .as("lift"),
+          round(sum(col("pos_d")).over(wc) / col("p"), 4).as("cum_gain"))
+        .orderBy(col("decile"))
+    },
+
+    // Mean reciprocal rank by user cohort: each user's events rank by
+    // score (desc, event_id tiebreak) inside a PER-USER window — a keyed
+    // shuffle, never a global sort — the first relevant hit (graded rel
+    // from the props payload, as eval_ndcg) contributes 1/rank, users
+    // with no relevant event contribute 0, and cohorts (user_id % 10)
+    // average the per-user RR with DECIMAL quantization.
+    Q("eval_mrr",
+      """WITH e AS (SELECT user_id, event_id, value AS score,
+        |    CAST(regexp_extract(props, '[0-9]+') AS INT) % 4 AS rel
+        |  FROM events),
+        |rk AS (SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY score DESC, event_id) AS rnk,
+        |    rel FROM e),
+        |u AS (SELECT user_id,
+        |    coalesce(1.0 / min(CASE WHEN rel > 0 THEN rnk END), 0.0) AS rr
+        |  FROM rk GROUP BY 1)
+        |SELECT CAST(user_id % 10 AS INT) AS cohort,
+        |  CAST(count(*) AS BIGINT) AS users,
+        |  floor(CAST(sum(CAST(rr AS DECIMAL(28,12))) AS DOUBLE)
+        |        / count(*) * 10000 + 0.5) / 10000.0 AS mrr
+        |FROM u GROUP BY 1 ORDER BY cohort""") { (s, d) =>
+      val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        col("value").as("score"),
+        expr("CAST(regexp_extract(props, '[0-9]+', 0) AS INT) % 4").as("rel"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("score").desc, col("event_id"))
+      val u = e.withColumn("rnk", row_number().over(w))
+        .groupBy(col("user_id"))
+        .agg(coalesce(lit(1.0) / min(expr("CASE WHEN rel > 0 THEN rnk END")),
+          lit(0.0)).as("rr"))
+      u.groupBy(expr("CAST(user_id % 10 AS INT)").as("cohort"))
+        .agg(count(lit(1)).as("users"),
+          expr("""CAST(floor(CAST(sum(CAST(rr AS DECIMAL(28,12))) AS DOUBLE)
+                 |      / count(*) * 10000 + 0.5) / 10000.0 AS DOUBLE)""".stripMargin)
+            .as("mrr"))
+        .orderBy(col("cohort"))
+    },
+
+    // Chi-square feature↔label association — the feature-selection
+    // screen a labelling pipeline runs before training. Three candidate
+    // features (weekday, 4h time-of-day bucket, score quartile bucket)
+    // unpivot in ONE scan pass; cells collapse to at most
+    // features x values x 2 rows by hash aggregate, marginals join on
+    // that bounded relation, and chi2 = sum (obs-exp)^2/exp with each
+    // cell's term DECIMAL-quantized. dof = (|values|-1)(|labels|-1).
+    Q("eval_chi2",
+      s"""WITH e AS (SELECT CAST(date_part('isodow', ts) - 1 AS VARCHAR) AS wd,
+         |    CAST(CAST(date_part('hour', ts) AS INT) // 4 AS VARCHAR) AS tod,
+         |    CAST(CAST(floor(least(value, 199.99)) AS INT) // 50 AS VARCHAR) AS vq,
+         |    $lbl AS lbl FROM events),
+         |u AS (SELECT 'weekday' AS feature, wd AS v, lbl FROM e
+         |  UNION ALL SELECT 'tod4h', tod, lbl FROM e
+         |  UNION ALL SELECT 'score_q', vq, lbl FROM e),
+         |cells AS (SELECT feature, v, lbl, count(*) AS c FROM u GROUP BY 1,2,3),
+         |rowm AS (SELECT feature, v, sum(c) AS rc FROM cells GROUP BY 1,2),
+         |colm AS (SELECT feature, lbl, sum(c) AS cc FROM cells GROUP BY 1,2),
+         |tot AS (SELECT feature, sum(c) AS n FROM cells GROUP BY 1),
+         |x AS (SELECT cells.feature,
+         |    CAST((cells.c - rc * cc / CAST(n AS DOUBLE))
+         |         * (cells.c - rc * cc / CAST(n AS DOUBLE))
+         |         / (rc * cc / CAST(n AS DOUBLE)) AS DECIMAL(28,12)) AS term
+         |  FROM cells
+         |  JOIN rowm ON rowm.feature = cells.feature AND rowm.v = cells.v
+         |  JOIN colm ON colm.feature = cells.feature AND colm.lbl = cells.lbl
+         |  JOIN tot ON tot.feature = cells.feature),
+         |k AS (SELECT feature,
+         |    CAST((count(DISTINCT v) - 1) * (count(DISTINCT lbl) - 1) AS BIGINT) AS dof
+         |  FROM cells GROUP BY 1)
+         |SELECT x.feature,
+         |  floor(CAST(sum(term) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS chi2,
+         |  max(dof) AS dof
+         |FROM x JOIN k ON k.feature = x.feature
+         |GROUP BY 1 ORDER BY x.feature""") { (s, d) =>
+      val e = Tables.events(s, d).select(
+        expr("CAST(weekday(ts) AS STRING)").as("wd"),
+        expr("CAST(CAST(hour(ts) AS INT) DIV 4 AS STRING)").as("tod"),
+        expr("CAST(CAST(floor(least(value, 199.99)) AS INT) DIV 50 AS STRING)").as("vq"),
+        expr(lbl).as("lbl"))
+      val u = e.select(expr(
+        """stack(3, 'weekday', wd, 'tod4h', tod, 'score_q', vq)
+          |  AS (feature, v)""".stripMargin), col("lbl"))
+      val cells = u.groupBy(col("feature"), col("v"), col("lbl"))
+        .agg(count(lit(1)).as("c")).cache()
+      val rowm = cells.groupBy(col("feature"), col("v")).agg(sum(col("c")).as("rc"))
+      val colm = cells.groupBy(col("feature"), col("lbl")).agg(sum(col("c")).as("cc"))
+      val tot = cells.groupBy(col("feature")).agg(sum(col("c")).as("n"))
+      val k = cells.groupBy(col("feature"))
+        .agg(expr("CAST((count(DISTINCT v) - 1) * (count(DISTINCT lbl) - 1) AS BIGINT)")
+          .as("dof"))
+      cells
+        .join(rowm, Seq("feature", "v"))
+        .join(colm, Seq("feature", "lbl"))
+        .join(tot, Seq("feature"))
+        .select(col("feature"),
+          expr("""CAST((c - rc * cc / CAST(n AS DOUBLE))
+                 |     * (c - rc * cc / CAST(n AS DOUBLE))
+                 |     / (rc * cc / CAST(n AS DOUBLE)) AS DECIMAL(28,12))""".stripMargin)
+            .as("term"))
+        .groupBy(col("feature"))
+        .agg(expr("CAST(floor(CAST(sum(term) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS DOUBLE)")
+          .as("chi2"))
+        .join(k, Seq("feature"))
+        .select(col("feature"), col("chi2"), col("dof"))
+        .orderBy(col("feature"))
     }
   )
 }
