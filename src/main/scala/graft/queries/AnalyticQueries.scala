@@ -435,5 +435,86 @@ object AnalyticQueries {
         .select(col("source"), col("n").cast("bigint").as("n_docs"),
           col("entropy"), round(lit(1) - col("sp2"), 4).as("gini"))
         .orderBy(col("source"))
+    },
+
+    // Gaps-and-islands: per-user consecutive-day activity streaks (the
+    // engagement metric every product-analytics stack computes, and the
+    // canonical run-length-encoding relational idiom). Distinct active
+    // days collapse first (one hash aggregate), then the classic
+    // day_index − row_number() difference keys each maximal run inside a
+    // PER-USER window — a keyed shuffle bounded by each user's day
+    // count, never a global sort. Output: per-user streak count, longest
+    // streak, and the longest streak's start day (earliest on ties).
+    Q("win_streaks",
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |g AS (SELECT user_id, day,
+        |    date_diff('day', DATE '2024-01-01', day)
+        |      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM days),
+        |runs AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+        |    min(day) AS start_day
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_streaks,
+        |  max(len) AS max_streak,
+        |  min(CASE WHEN len = (SELECT max(r2.len) FROM runs r2
+        |                       WHERE r2.user_id = runs.user_id)
+        |      THEN start_day END) AS best_start
+        |FROM runs GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+      val days = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val runs = days
+        .withColumn("grp",
+          datediff(col("day"), lit(java.sql.Date.valueOf("2024-01-01")))
+            - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+      val best = Window.partitionBy(col("user_id"))
+      runs
+        .withColumn("mx", max(col("len")).over(best))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_streaks"),
+          max(col("len")).as("max_streak"),
+          min(when(col("len") === col("mx"), col("start_day"))).as("best_start"))
+        .orderBy(col("user_id"))
+    },
+
+    // Exact weighted median (and the plain median beside it) of the
+    // price distribution weighted by quantity, per return flag. The
+    // scale shape mirrors eval_auc's rank trick: rows collapse to
+    // (flag, price) -> weight by hash aggregate, ONE window over the
+    // DISTINCT prices accumulates weight, and the median is the first
+    // value whose doubled cumulative weight reaches the total — the
+    // 2·cum >= tot comparison stays in exact DECIMAL, no float
+    // boundary. min() picks it without a second shuffle.
+    Q("agg_weighted_median",
+      """WITH s AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT flag, v, w,
+        |    sum(w) OVER (PARTITION BY flag ORDER BY v) AS cum,
+        |    sum(w) OVER (PARTITION BY flag) AS tot
+        |  FROM s)
+        |SELECT flag,
+        |  CAST(min(CASE WHEN 2 * cum >= tot THEN v END) AS DECIMAL(18,2)) AS w_median,
+        |  CAST(max(tot) AS DECIMAL(28,2)) AS total_weight
+        |FROM c GROUP BY flag ORDER BY flag""") { (s, d) =>
+      val runs = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(28,2)")
+          .as("w"))
+      val wOrd = Window.partitionBy(col("flag")).orderBy(col("v"))
+      val wAll = Window.partitionBy(col("flag"))
+      runs
+        .withColumn("cum", sum(col("w")).over(wOrd))
+        .withColumn("tot", sum(col("w")).over(wAll))
+        .groupBy(col("flag"))
+        .agg(min(when(lit(2) * col("cum") >= col("tot"), col("v")))
+          .cast("decimal(18,2)").as("w_median"),
+          max(col("tot")).cast("decimal(28,2)").as("total_weight"))
+        .orderBy(col("flag"))
     })
 }

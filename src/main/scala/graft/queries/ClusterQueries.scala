@@ -726,5 +726,60 @@ object ClusterQueries {
             (col("d_c").cast("double") / (lit(2) * col("m"))) *
             (col("d_c").cast("double") / (lit(2) * col("m"))), 6).as("q_c"))
         .orderBy(col("community"))
+    },
+
+    // Neighbor-Jaccard link prediction over the co-purchase graph (the
+    // recommender/record-linkage primitive: score non-adjacent part
+    // pairs by shared neighborhood). Same support-thresholded edge
+    // relation as graph_triangles; candidates come from a WEDGE join on
+    // the shared neighbor (fan-out bounded by degree, never all-pairs),
+    // degrees are one keyed rollup joined twice, and
+    // jaccard = cn / (deg_a + deg_b − cn) stays exact integers until the
+    // final ratio. cn >= 2 bounds the emitted pair relation the same way
+    // the triangle query's support threshold does.
+    Q("graph_jaccard",
+      """WITH e0 AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT p1 AS u, p2 AS v FROM e0
+        |  UNION ALL SELECT p2, p1 FROM e0),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |cw AS (SELECT a.u AS x, b.u AS y, CAST(count(*) AS BIGINT) AS cn
+        |  FROM adj a JOIN adj b ON a.v = b.v AND a.u < b.u
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT x, y, cn,
+        |  round(cn / CAST(da.d + db.d - cn AS DOUBLE), 4) AS jaccard,
+        |  CASE WHEN e0.p1 IS NULL THEN 0 ELSE 1 END AS is_edge
+        |FROM cw
+        |JOIN deg da ON da.u = x
+        |JOIN deg db ON db.u = y
+        |LEFT JOIN e0 ON e0.p1 = x AND e0.p2 = y
+        |ORDER BY x, y""") { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val e0 = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select(col("p1"), col("p2"))
+      val adj = e0.select(col("p1").as("u"), col("p2").as("v"))
+        .unionByName(e0.select(col("p2").as("u"), col("p1").as("v")))
+      val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val cn = adj.as("a").join(adj.as("b"),
+          col("a.v") === col("b.v") && col("a.u") < col("b.u"))
+        .groupBy(col("a.u").as("x"), col("b.u").as("y"))
+        .agg(count(lit(1)).as("cn"))
+        .filter(col("cn") >= 2)
+      cn.join(deg.select(col("u").as("x"), col("d").as("da")), Seq("x"))
+        .join(deg.select(col("u").as("y"), col("d").as("db")), Seq("y"))
+        .join(e0.select(col("p1").as("x"), col("p2").as("y"),
+          lit(1).as("e")), Seq("x", "y"), "left")
+        .select(col("x"), col("y"), col("cn"),
+          round(col("cn") / (col("da") + col("db") - col("cn")).cast("double"), 4)
+            .as("jaccard"),
+          coalesce(col("e"), lit(0)).as("is_edge"))
+        .orderBy(col("x"), col("y"))
     })
 }

@@ -528,5 +528,51 @@ object TemporalQueries {
         .agg(min(col("ts")).as("start_ts"), max(endCol).as("end_ts"),
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id"), col("interval_id"))
+    },
+
+    // CUSUM change-point score per event type: daily counts, centered on
+    // the type's own mean rate, accumulated left-to-right — the peak
+    // |cusum| marks the most likely level-shift day (Page's test
+    // statistic). Days collapse to one (type, day) rollup; the centered
+    // terms are DECIMAL-quantized so the running sum is exact, the
+    // cumulative window is keyed per type (bounded by calendar days, not
+    // rows), and the argmax resolves via one more keyed aggregate with
+    // earliest-day tiebreak. No raw-event sort anywhere.
+    Q("ts_cusum",
+      """WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type,
+        |    sum(c) / CAST(count(*) AS DOUBLE) AS mu FROM dc GROUP BY 1),
+        |cs AS (SELECT dc.event_type, day,
+        |    sum(CAST(c - mu AS DECIMAL(28,12)))
+        |      OVER (PARTITION BY dc.event_type ORDER BY day) AS s
+        |  FROM dc JOIN m ON m.event_type = dc.event_type),
+        |pk AS (SELECT event_type, max(abs(s)) AS peak FROM cs GROUP BY 1)
+        |SELECT cs.event_type,
+        |  floor(CAST(pk.peak AS DOUBLE) * 10000 + 0.5) / 10000.0 AS max_dev,
+        |  min(CASE WHEN abs(s) = peak THEN day END) AS peak_day,
+        |  CAST(count(*) AS BIGINT) AS n_days
+        |FROM cs JOIN pk ON pk.event_type = cs.event_type
+        |GROUP BY cs.event_type, pk.peak ORDER BY cs.event_type""") { (s, d) =>
+      val dc = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val m = dc.groupBy(col("event_type"))
+        .agg((sum(col("c")) / count(lit(1)).cast("double")).as("mu"))
+      val wc = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val cs = dc.join(m, Seq("event_type"))
+        .withColumn("s", sum(expr("CAST(c - mu AS DECIMAL(28,12))")).over(wc))
+      val wp = Window.partitionBy(col("event_type"))
+      cs
+        .withColumn("peak", max(abs(col("s"))).over(wp))
+        .groupBy(col("event_type"), col("peak"))
+        .agg(
+          expr("CAST(floor(CAST(max(peak) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS DOUBLE)")
+            .as("max_dev"),
+          min(when(abs(col("s")) === col("peak"), col("day"))).as("peak_day"),
+          count(lit(1)).as("n_days"))
+        .drop("peak")
+        .orderBy(col("event_type"))
     })
 }

@@ -1397,5 +1397,114 @@ object TextQueries {
           sum(col("n_sub")).as("n_bpe_tokens"),
           sum(length(col("w")).cast("long")).as("n_chars"))
         .orderBy(col("doc_id"))
+    },
+
+    // Cross-document boilerplate removal (the CCNet/web-curation pass:
+    // nav bars, cookie banners, footers repeat VERBATIM across a site's
+    // pages and must be stripped before dedup/training). The fixture
+    // plants it deterministically: every document is prefixed with the
+    // same 10-token header, so both engines see an identical corpus with
+    // real boilerplate density. Mechanics: docs split into aligned
+    // 10-token segments, each segment travels as an md5 digest (never
+    // the text — the dedup_span law), document frequency per digest is
+    // ONE hash aggregate, and segments with df >= 100 are dropped.
+    // Per-doc output: segments seen/kept, the cleaned text's digest, and
+    // the fraction of tokens removed. The df relation is vocab-of-
+    // segments-sized and the join back is an equi-join on the digest —
+    // no all-pairs anywhere, bucketable on seg_hash at 100 TB.
+    Q("text_boilerplate",
+      """WITH t AS (SELECT doc_id,
+        |    string_split('nav home about contact login search menu footer copyright terms '
+        |                 || text, ' ') AS toks FROM documents),
+        |seg AS (SELECT doc_id,
+        |    CAST(start // 10 AS INT) AS seg_idx,
+        |    CAST(len(list_slice(toks, start + 1, start + 10)) AS BIGINT) AS seg_len,
+        |    md5(array_to_string(list_slice(toks, start + 1, start + 10), ' ')) AS seg_hash
+        |  FROM (SELECT doc_id, unnest(range(0, len(toks), 10)) AS start, toks FROM t)),
+        |df AS (SELECT seg_hash, count(DISTINCT doc_id) AS df FROM seg GROUP BY 1),
+        |j AS (SELECT seg.*, df.df FROM seg JOIN df USING (seg_hash))
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_seg,
+        |  CAST(sum(CASE WHEN df < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(array_to_string(list(seg_hash ORDER BY seg_idx)
+        |        FILTER (WHERE df < 100), ' ')) AS clean_hash,
+        |  round(sum(CASE WHEN df >= 100 THEN seg_len ELSE 0 END)
+        |        / CAST(sum(seg_len) AS DOUBLE), 4) AS pct_removed
+        |FROM j GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+      val t = Tables.documents(s, d).select(col("doc_id"),
+        split(concat(
+          lit("nav home about contact login search menu footer copyright terms "),
+          col("text")), " ").as("toks"))
+      val seg = t
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(0, size(toks) - 1, 10)")).as("start"))
+        .select(col("doc_id"),
+          expr("CAST(start div 10 AS INT)").as("seg_idx"),
+          expr("CAST(size(slice(toks, start + 1, 10)) AS BIGINT)").as("seg_len"),
+          md5(expr("concat_ws(' ', slice(toks, start + 1, 10))")).as("seg_hash"))
+      val df = seg.groupBy(col("seg_hash"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      seg.join(df, Seq("seg_hash"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_seg"),
+          sum(expr("CASE WHEN df < 100 THEN 1 ELSE 0 END")).as("n_kept"),
+          md5(expr(
+            """concat_ws(' ', transform(
+              |  array_sort(collect_list(CASE WHEN df < 100
+              |    THEN struct(seg_idx, seg_hash) END)),
+              |  x -> x.seg_hash))""".stripMargin)).as("clean_hash"),
+          round(sum(expr("CASE WHEN df >= 100 THEN seg_len ELSE 0 END"))
+            / sum(col("seg_len")).cast("double"), 4).as("pct_removed"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Per-source distribution drift: Jensen–Shannon divergence between
+    // each source's token distribution and the whole corpus's — the
+    // screen a corpus-mixing pipeline runs to spot a source whose
+    // language shifted (crawler drift, spam influx) before it poisons
+    // the mix. Counts collapse to (source, token) and (token) relations
+    // in one tokenize pass; the per-(source, token) JSD terms
+    //   ½·p·ln(2p/(p+q)) + ½·q·ln(2q/(p+q))
+    // are DECIMAL-quantized before the order-free sum. The pair frame is
+    // |sources| × |vocab| via a broadcast vocab relation — bounded by
+    // the vocabulary, never by corpus rows, exactly how it must behave
+    // at 100 TB.
+    Q("text_jsd",
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |st AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        |vt AS (SELECT tok, CAST(sum(c) AS BIGINT) AS c_t FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM vt),
+        |pairs AS (SELECT ns.source, vt.tok,
+        |    coalesce(st.c, 0) / CAST(ns.n_s AS DOUBLE) AS p,
+        |    vt.c_t / CAST(tot.n AS DOUBLE) AS q,
+        |    ns.n_s
+        |  FROM ns CROSS JOIN vt CROSS JOIN tot
+        |  LEFT JOIN st ON st.source = ns.source AND st.tok = vt.tok)
+        |SELECT source, max(n_s) AS n_tokens,
+        |  floor(CAST(sum(CAST(
+        |      0.5 * (CASE WHEN p > 0 THEN p * ln(2 * p / (p + q)) ELSE 0 END)
+        |      + 0.5 * q * ln(2 * q / (p + q)) AS DECIMAL(28,12))) AS DOUBLE)
+        |    * 10000 + 0.5) / 10000.0 AS jsd
+        |FROM pairs GROUP BY source ORDER BY source""") { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val st = tok.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      val ns = st.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+      val vt = st.groupBy(col("tok")).agg(sum(col("c")).as("c_t"))
+      val tot = vt.agg(sum(col("c_t")).as("n"))
+      ns.crossJoin(broadcast(vt)).crossJoin(broadcast(tot))
+        .join(st, Seq("source", "tok"), "left")
+        .select(col("source"), col("n_s"),
+          (coalesce(col("c"), lit(0L)) / col("n_s").cast("double")).as("p"),
+          (col("c_t") / col("n").cast("double")).as("q"))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_tokens"),
+          expr("""CAST(floor(CAST(sum(CAST(
+                 |    0.5 * (CASE WHEN p > 0 THEN p * ln(2 * p / (p + q)) ELSE 0 END)
+                 |    + 0.5 * q * ln(2 * q / (p + q)) AS DECIMAL(28,12))) AS DOUBLE)
+                 |  * 10000 + 0.5) / 10000.0 AS DOUBLE)""".stripMargin).as("jsd"))
+        .orderBy(col("source"))
     })
 }

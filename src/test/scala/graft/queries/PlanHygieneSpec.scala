@@ -43,7 +43,9 @@ class PlanHygieneSpec extends SparkSpec {
     "graph_modularity",    // rollup x broadcast 1-row edge count m
     "vec_label_centroids", // |labels|-row centroid broadcast self-join
     "cluster_kmeans",      // corpus x broadcast 1-row k-centroid array
-    "text_bpe_apply"       // vocab x broadcast 1-row ranked merge table
+    "text_bpe_apply",      // vocab x broadcast 1-row ranked merge table
+    "eval_lift",           // runs x broadcast 1-row total + 10-row deciles
+    "text_jsd"             // sources x broadcast vocab + 1-row corpus total
   )
 
   private def offenders(name: String): Seq[String] = {
