@@ -516,5 +516,32 @@ object AnalyticQueries {
           .cast("decimal(18,2)").as("w_median"),
           max(col("tot")).cast("decimal(28,2)").as("total_weight"))
         .orderBy(col("flag"))
+    },
+
+    // Per-group mode with a deterministic tie-break (lexicographic min
+    // among the tied-for-max values) — the categorical summary SQL
+    // engines surprisingly lack as an exact builtin. Counts collapse
+    // first, the per-group max count is one more keyed rollup, and the
+    // winner resolves by a conditional min — three hash aggregates, no
+    // window, no sort of raw rows.
+    Q("agg_mode",
+      """WITH cnts AS (SELECT CAST(date_part('isodow', ts) - 1 AS INT) AS grp,
+        |    event_type AS v, count(*) AS c FROM events GROUP BY 1, 2),
+        |m AS (SELECT grp, max(c) AS mc, CAST(count(*) AS BIGINT) AS nd
+        |  FROM cnts GROUP BY 1)
+        |SELECT grp, min(CASE WHEN c = mc THEN v END) AS mode_value,
+        |  CAST(max(mc) AS BIGINT) AS mode_count, max(nd) AS n_distinct
+        |FROM cnts JOIN m USING (grp) GROUP BY grp ORDER BY grp""") { (s, d) =>
+      val c = Tables.events(s, d)
+        .groupBy(expr("weekday(ts)").as("grp"), col("event_type").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val m = c.groupBy(col("grp"))
+        .agg(max(col("c")).as("mc"), count(lit(1)).as("nd"))
+      c.join(m, Seq("grp"))
+        .groupBy(col("grp"))
+        .agg(min(when(col("c") === col("mc"), col("v"))).as("mode_value"),
+          max(col("mc")).as("mode_count"),
+          max(col("nd")).as("n_distinct"))
+        .orderBy(col("grp"))
     })
 }

@@ -32,6 +32,10 @@ import org.apache.spark.sql.expressions.Window
   */
 object BehaviorQueries {
 
+  /** Positive = conversion event; identical text in both dialects. */
+  private val lbl =
+    "CASE WHEN event_type IN ('purchase','signup') THEN 1 ELSE 0 END"
+
   private def decSum(prod: String): String =
     s"CAST(CAST(sum($prod) AS DECIMAL(38,4)) AS DOUBLE)"
   private def dec(c: String): String = s"CAST($c AS DECIMAL(18,4))"
@@ -691,6 +695,48 @@ object BehaviorQueries {
         .agg(count(lit(1)).as("n_purchases"),
           round(sum(col("credit")).cast("double"), 4).as("credit"))
         .orderBy(col("touch_type"))
+    },
+
+    // Deterministic A/B assignment + sample-ratio-mismatch check: users
+    // split 50/50 by an md5 nibble of the user id (the hash-bucketing
+    // every experimentation platform uses — re-runs assign identically,
+    // assignment is join-stable across tables), per-arm conversion
+    // rates, and the SRM z-score (users_arm − N/2)/√(N/4) that flags a
+    // broken randomizer before anyone reads the metrics. One distinct
+    // collapse + one enriched rollup; the grand total is a broadcast
+    // 1-row side.
+    Q("behavior_ab_assign",
+      s"""WITH u AS (SELECT DISTINCT user_id,
+         |    CASE WHEN (instr('0123456789abcdef',
+         |        substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+         |      THEN 'A' ELSE 'B' END AS arm FROM events),
+         |e AS (SELECT events.user_id, arm, $lbl AS lbl
+         |  FROM events JOIN u ON u.user_id = events.user_id),
+         |s AS (SELECT arm, CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+         |    CAST(count(*) AS BIGINT) AS n_events,
+         |    CAST(sum(lbl) AS BIGINT) AS conv FROM e GROUP BY 1),
+         |t AS (SELECT CAST(sum(users) AS BIGINT) AS tu FROM s)
+         |SELECT arm, users, n_events, conv,
+         |  round(conv / CAST(n_events AS DOUBLE), 4) AS conv_rate,
+         |  round((users - tu / 2.0) / sqrt(tu / 4.0), 4) AS srm_z
+         |FROM s, t ORDER BY arm""") { (s, d) =>
+      val u = Tables.events(s, d).select(col("user_id")).distinct()
+        .withColumn("arm",
+          expr("""CASE WHEN (instr('0123456789abcdef',
+                 |    substring(md5(CAST(user_id AS STRING)), 1, 1)) - 1) % 2 = 0
+                 |  THEN 'A' ELSE 'B' END""".stripMargin))
+      val e = Tables.events(s, d).join(broadcast(u), Seq("user_id"))
+        .select(col("user_id"), col("arm"), expr(lbl).as("lbl"))
+      val st = e.groupBy(col("arm"))
+        .agg(countDistinct(col("user_id")).as("users"),
+          count(lit(1)).as("n_events"), sum(col("lbl")).as("conv"))
+      val t = st.agg(sum(col("users")).as("tu"))
+      st.crossJoin(broadcast(t))
+        .select(col("arm"), col("users"), col("n_events"), col("conv"),
+          round(col("conv") / col("n_events").cast("double"), 4).as("conv_rate"),
+          round((col("users") - col("tu") / 2.0) / sqrt(col("tu") / 4.0), 4)
+            .as("srm_z"))
+        .orderBy(col("arm"))
     }
   )
 }

@@ -726,5 +726,78 @@ object PipelineQueries {
         .agg(count(lit(1)).as("cnt"))
         .select(col("doc_id"), col("bucket").cast("int").as("bucket"), col("cnt"))
         .orderBy(col("doc_id"), col("bucket"))
+    },
+
+    // Quantile normalization across sources: each event type's score
+    // distribution maps onto the POOLED distribution by rank (the
+    // cross-shard score-calibration step before mixing ranked corpora —
+    // a score's meaning becomes "its quantile", immune to per-source
+    // scale drift). Both distributions collapse to DISTINCT-value
+    // relations first; each source point's forward match (min pooled
+    // value whose CDF ≥ the point's CDF) resolves by the union-merge
+    // as-of idiom join_asof_fwd pins: one window over the merged
+    // distinct-value relation, source rows before pooled rows at equal
+    // CDF so an exact tie matches itself. Output is a per-type
+    // certificate (value count, DECIMAL-quantized mean |shift|, max
+    // shift) — bounded by |types|, never by rows.
+    Q("norm_quantile",
+      """WITH ev AS (SELECT event_type AS t, value AS v FROM events),
+        |src AS (SELECT t, v, count(*) AS c FROM ev GROUP BY 1, 2),
+        |st AS (SELECT t, CAST(sum(c) AS BIGINT) AS nt FROM src GROUP BY 1),
+        |sf AS (SELECT src.t, v, c,
+        |    sum(c) OVER (PARTITION BY src.t ORDER BY v) / CAST(nt AS DOUBLE) AS frac
+        |  FROM src JOIN st ON st.t = src.t),
+        |p AS (SELECT v AS vp, count(*) AS cp FROM ev GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS n FROM p),
+        |pfr AS (SELECT vp,
+        |    sum(cp) OVER (ORDER BY vp) / CAST(n AS DOUBLE) AS pf FROM p, tot),
+        |nm AS (SELECT t, v, c,
+        |    (SELECT min(vp) FROM pfr WHERE pf >= frac) AS norm FROM sf)
+        |SELECT t AS event_type, CAST(count(*) AS BIGINT) AS n_vals,
+        |  CAST(sum(c) AS BIGINT) AS n_rows,
+        |  floor(CAST(sum(CAST(c * abs(norm - v) AS DECIMAL(28,12))) AS DOUBLE)
+        |        / sum(c) * 10000 + 0.5) / 10000.0 AS mean_shift,
+        |  round(max(abs(norm - v)), 4) AS max_shift
+        |FROM nm GROUP BY t ORDER BY event_type""") { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type").as("t"), col("value").as("v"))
+      val src = ev.groupBy(col("t"), col("v")).agg(count(lit(1)).as("c"))
+      val st = src.groupBy(col("t")).agg(sum(col("c")).as("nt"))
+      val wSrc = Window.partitionBy(col("t")).orderBy(col("v"))
+      val sf = src.join(st, Seq("t"))
+        .withColumn("frac",
+          sum(col("c")).over(wSrc) / col("nt").cast("double"))
+      val p = ev.groupBy(col("v").as("vp")).agg(count(lit(1)).as("cp"))
+      val tot = p.agg(sum(col("cp")).as("n"))
+      val wP = Window.orderBy(col("vp"))
+      val pfr = p.crossJoin(broadcast(tot))
+        .withColumn("pf", sum(col("cp")).over(wP) / col("n").cast("double"))
+        .select(col("vp"), col("pf"))
+      // Forward as-of via union-merge: a single window ordered by
+      // (cdf, tag) over the two DISTINCT-value relations (source points
+      // tag 0 first, pooled tag 1 after, so pf == frac is eligible);
+      // min-following pooled value = the forward match. The global
+      // window runs over distinct-collapsed rows (the eval_lift /
+      // eval_auc precedent), never the raw events.
+      val merged = sf
+        .select(col("t"), col("v"), col("c"), col("frac"),
+          lit(null).cast("double").as("vp"), lit(0).as("tag"))
+        .unionByName(pfr.select(
+          lit(null).cast("string").as("t"), lit(null).cast("double").as("v"),
+          lit(null).cast("long").as("c"), col("pf").as("frac"),
+          col("vp"), lit(1).as("tag")))
+      val wM = Window.orderBy(col("frac"), col("tag"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      merged
+        .withColumn("norm", min(col("vp")).over(wM))
+        .filter(col("tag") === 0)
+        .groupBy(col("t").as("event_type"))
+        .agg(count(lit(1)).as("n_vals"),
+          sum(col("c")).as("n_rows"),
+          expr("""CAST(floor(CAST(sum(CAST(c * abs(norm - v) AS DECIMAL(28,12))) AS DOUBLE)
+                 |      / sum(c) * 10000 + 0.5) / 10000.0 AS DOUBLE)""".stripMargin)
+            .as("mean_shift"),
+          round(max(abs(col("norm") - col("v"))), 4).as("max_shift"))
+        .orderBy(col("event_type"))
     })
 }

@@ -574,5 +574,54 @@ object TemporalQueries {
           count(lit(1)).as("n_days"))
         .drop("peak")
         .orderBy(col("event_type"))
+    },
+
+    // Lag-k autocorrelation of the daily event rate (k = 1 and 7 — the
+    // seasonality screen: r7 spikes on weekly-periodic streams). Days
+    // collapse to one (type, day) rollup; lead() runs in a keyed window
+    // bounded by calendar days; each centered product is
+    // DECIMAL-quantized before its order-free sum, so
+    // r_k = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)² is partition-invariant.
+    Q("ts_autocorr",
+      """WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type,
+        |    sum(c) / CAST(count(*) AS DOUBLE) AS mu FROM dc GROUP BY 1),
+        |x AS (SELECT dc.event_type, day, c, mu,
+        |    lead(c, 1) OVER (PARTITION BY dc.event_type ORDER BY day) AS c1,
+        |    lead(c, 7) OVER (PARTITION BY dc.event_type ORDER BY day) AS c7
+        |  FROM dc JOIN m ON m.event_type = dc.event_type),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(CAST((c - mu) * (c - mu) AS DECIMAL(28,12))) AS DOUBLE) AS s0,
+        |    CAST(sum(CASE WHEN c1 IS NOT NULL
+        |      THEN CAST((c - mu) * (c1 - mu) AS DECIMAL(28,12)) END) AS DOUBLE) AS s1,
+        |    CAST(sum(CASE WHEN c7 IS NOT NULL
+        |      THEN CAST((c - mu) * (c7 - mu) AS DECIMAL(28,12)) END) AS DOUBLE) AS s7
+        |  FROM x GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  floor(s1 / s0 * 10000 + 0.5) / 10000.0 AS r1,
+        |  floor(s7 / s0 * 10000 + 0.5) / 10000.0 AS r7
+        |FROM a ORDER BY event_type""") { (s, d) =>
+      val dc = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val m = dc.groupBy(col("event_type"))
+        .agg((sum(col("c")) / count(lit(1)).cast("double")).as("mu"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      dc.join(m, Seq("event_type"))
+        .withColumn("c1", lead(col("c"), 1).over(w))
+        .withColumn("c7", lead(col("c"), 7).over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          expr("CAST(sum(CAST((c - mu) * (c - mu) AS DECIMAL(28,12))) AS DOUBLE)").as("s0"),
+          expr("""CAST(sum(CASE WHEN c1 IS NOT NULL
+                 |  THEN CAST((c - mu) * (c1 - mu) AS DECIMAL(28,12)) END) AS DOUBLE)""".stripMargin).as("s1"),
+          expr("""CAST(sum(CASE WHEN c7 IS NOT NULL
+                 |  THEN CAST((c - mu) * (c7 - mu) AS DECIMAL(28,12)) END) AS DOUBLE)""".stripMargin).as("s7"))
+        .select(col("event_type"), col("n_days"),
+          expr("CAST(floor(s1 / s0 * 10000 + 0.5) / 10000.0 AS DOUBLE)").as("r1"),
+          expr("CAST(floor(s7 / s0 * 10000 + 0.5) / 10000.0 AS DOUBLE)").as("r7"))
+        .orderBy(col("event_type"))
     })
 }

@@ -86,7 +86,16 @@ class DeterminismSpec extends SparkSpec {
       "sim_recall_at_k", "pipe_feature_hash",
       // round-9: the encode join + broadcast merge table must yield the
       // same subtoken counts on any partitioning
-      "text_bpe_apply"))
+      "text_bpe_apply",
+      // round-9 batch 2: DECIMAL-quantized metric terms (logloss, JSD,
+      // CUSUM, autocorrelation, quantile-norm shift), the pro-rata
+      // decile apportionment, the wedge-join jaccard counts, and the
+      // islands run keys are each partition-sensitive if their
+      // determinism disciplines slip
+      "eval_logloss", "eval_lift", "eval_mrr", "eval_chi2",
+      "text_jsd", "text_boilerplate", "graph_jaccard", "win_streaks",
+      "agg_weighted_median", "ts_cusum", "agg_mode", "ts_autocorr",
+      "behavior_ab_assign", "norm_quantile"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
       assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
     }

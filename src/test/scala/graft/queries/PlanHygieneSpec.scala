@@ -45,7 +45,9 @@ class PlanHygieneSpec extends SparkSpec {
     "cluster_kmeans",      // corpus x broadcast 1-row k-centroid array
     "text_bpe_apply",      // vocab x broadcast 1-row ranked merge table
     "eval_lift",           // runs x broadcast 1-row total + 10-row deciles
-    "text_jsd"             // sources x broadcast vocab + 1-row corpus total
+    "text_jsd",            // sources x broadcast vocab + 1-row corpus total
+    "behavior_ab_assign",  // arms x broadcast 1-row user grand total
+    "norm_quantile"        // pooled CDF x broadcast 1-row corpus total
   )
 
   private def offenders(name: String): Seq[String] = {
