@@ -781,5 +781,44 @@ object ClusterQueries {
             .as("jaccard"),
           coalesce(col("e"), lit(0)).as("is_edge"))
         .orderBy(col("x"), col("y"))
+    },
+
+    // Log2-bucketed degree distribution of the co-purchase graph — the
+    // first diagnostic run on any production graph (is it power-law? is
+    // there a hub that will skew every join?). The bucket is the BINARY
+    // REPRESENTATION LENGTH of the degree (= floor(log2 d) + 1), an
+    // exact integer in both engines — floor(log2(d)) via doubles is off
+    // by one at exact powers of two when libm rounds ln(8)/ln(2) up.
+    // Two keyed rollups over the edge relation; output is bounded by
+    // log(max degree).
+    Q("graph_degree_dist",
+      """WITH e0 AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT p1 AS u FROM e0 UNION ALL SELECT p2 FROM e0) GROUP BY 1)
+        |SELECT CAST(length(format('{:b}', d)) AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  min(d) AS min_deg, max(d) AS max_deg,
+        |  round(sum(d) / CAST(count(*) AS DOUBLE), 4) AS avg_deg
+        |FROM deg GROUP BY 1 ORDER BY bucket""") { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val e0 = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select(col("p1"), col("p2"))
+      val deg = e0.select(col("p1").as("u"))
+        .unionByName(e0.select(col("p2").as("u")))
+        .groupBy(col("u")).agg(count(lit(1)).as("d"))
+      deg
+        .groupBy(expr("CAST(length(bin(d)) AS INT)").as("bucket"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("d")).as("min_deg"), max(col("d")).as("max_deg"),
+          round(sum(col("d")) / count(lit(1)).cast("double"), 4).as("avg_deg"))
+        .orderBy(col("bucket"))
     })
 }

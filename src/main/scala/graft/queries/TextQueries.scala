@@ -1407,34 +1407,42 @@ object TextQueries {
     // real boilerplate density. Mechanics: docs split into aligned
     // 10-token segments, each segment travels as an md5 digest (never
     // the text — the dedup_span law), document frequency per digest is
-    // ONE hash aggregate, and segments with df >= 100 are dropped.
-    // Per-doc output: segments seen/kept, the cleaned text's digest, and
-    // the fraction of tokens removed. The df relation is vocab-of-
-    // segments-sized and the join back is an equi-join on the digest —
-    // no all-pairs anywhere, bucketable on seg_hash at 100 TB.
+    // ONE hash aggregate, and segments present in ≥ max(2, ⌈20% of the
+    // corpus⌉) documents are dropped — a RELATIVE cut (CCNet's shape),
+    // so the operator behaves identically at any corpus scale; the
+    // threshold rides a broadcast 1-row doc-count aggregate. Per-doc
+    // output: segments seen/kept, the cleaned text's digest, and the
+    // fraction of tokens removed. The df relation is vocab-of-segments-
+    // sized and the join back is an equi-join on the digest — no
+    // all-pairs anywhere, bucketable on seg_hash at 100 TB.
     Q("text_boilerplate",
       """WITH t AS (SELECT doc_id,
         |    string_split('nav home about contact login search menu footer copyright terms '
         |                 || text, ' ') AS toks FROM documents),
+        |thr AS (SELECT CAST(greatest(2, ceil(0.2 * count(*))) AS BIGINT) AS thr
+        |  FROM t),
         |seg AS (SELECT doc_id,
         |    CAST(start // 10 AS INT) AS seg_idx,
         |    CAST(len(list_slice(toks, start + 1, start + 10)) AS BIGINT) AS seg_len,
         |    md5(array_to_string(list_slice(toks, start + 1, start + 10), ' ')) AS seg_hash
         |  FROM (SELECT doc_id, unnest(range(0, len(toks), 10)) AS start, toks FROM t)),
         |df AS (SELECT seg_hash, count(DISTINCT doc_id) AS df FROM seg GROUP BY 1),
-        |j AS (SELECT seg.*, df.df FROM seg JOIN df USING (seg_hash))
+        |j AS (SELECT seg.*, df.df, thr.thr FROM seg
+        |  JOIN df USING (seg_hash) CROSS JOIN thr)
         |SELECT doc_id,
         |  CAST(count(*) AS BIGINT) AS n_seg,
-        |  CAST(sum(CASE WHEN df < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN df < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  md5(array_to_string(list(seg_hash ORDER BY seg_idx)
-        |        FILTER (WHERE df < 100), ' ')) AS clean_hash,
-        |  round(sum(CASE WHEN df >= 100 THEN seg_len ELSE 0 END)
+        |        FILTER (WHERE df < thr), ' ')) AS clean_hash,
+        |  round(sum(CASE WHEN df >= thr THEN seg_len ELSE 0 END)
         |        / CAST(sum(seg_len) AS DOUBLE), 4) AS pct_removed
         |FROM j GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
       val t = Tables.documents(s, d).select(col("doc_id"),
         split(concat(
           lit("nav home about contact login search menu footer copyright terms "),
           col("text")), " ").as("toks"))
+      val thr = t.agg(expr("CAST(greatest(2, ceil(0.2 * count(1))) AS BIGINT)")
+        .as("thr"))
       val seg = t
         .select(col("doc_id"), col("toks"),
           explode(expr("sequence(0, size(toks) - 1, 10)")).as("start"))
@@ -1444,16 +1452,16 @@ object TextQueries {
           md5(expr("concat_ws(' ', slice(toks, start + 1, 10))")).as("seg_hash"))
       val df = seg.groupBy(col("seg_hash"))
         .agg(countDistinct(col("doc_id")).as("df"))
-      seg.join(df, Seq("seg_hash"))
+      seg.join(df, Seq("seg_hash")).crossJoin(broadcast(thr))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_seg"),
-          sum(expr("CASE WHEN df < 100 THEN 1 ELSE 0 END")).as("n_kept"),
+          sum(expr("CASE WHEN df < thr THEN 1 ELSE 0 END")).as("n_kept"),
           md5(expr(
             """concat_ws(' ', transform(
-              |  array_sort(collect_list(CASE WHEN df < 100
+              |  array_sort(collect_list(CASE WHEN df < thr
               |    THEN struct(seg_idx, seg_hash) END)),
               |  x -> x.seg_hash))""".stripMargin)).as("clean_hash"),
-          round(sum(expr("CASE WHEN df >= 100 THEN seg_len ELSE 0 END"))
+          round(sum(expr("CASE WHEN df >= thr THEN seg_len ELSE 0 END"))
             / sum(col("seg_len")).cast("double"), 4).as("pct_removed"))
         .orderBy(col("doc_id"))
     },
@@ -1505,6 +1513,56 @@ object TextQueries {
                  |    0.5 * (CASE WHEN p > 0 THEN p * ln(2 * p / (p + q)) ELSE 0 END)
                  |    + 0.5 * q * ln(2 * q / (p + q)) AS DECIMAL(28,12))) AS DOUBLE)
                  |  * 10000 + 0.5) / 10000.0 AS DOUBLE)""".stripMargin).as("jsd"))
+        .orderBy(col("source"))
+    },
+
+    // Flesch-style readability per source — the quality screen between
+    // raw length stats (text_quality) and model-based scoring. The
+    // syllable proxy is the VOWEL-GROUP count (split on /[aeiouy]+/
+    // leaves n_groups + 1 fragments — exact and identical in both
+    // engines, no dictionary), sentences proxy at one per 15 words, and
+    // score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+    // One tokenize pass; per-doc integer sufficient statistics (words,
+    // syllables) roll up to the source with DECIMAL-quantized score
+    // terms — partial+final aggregable, partition-invariant.
+    Q("text_readability",
+      """WITH tw AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |sy AS (SELECT doc_id, source,
+        |    CAST(count(*) AS BIGINT) AS words,
+        |    CAST(sum(greatest(1, len(string_split_regex(w, '[aeiouy]+')) - 1))
+        |         AS BIGINT) AS syllables
+        |  FROM tw GROUP BY 1, 2),
+        |sc AS (SELECT source, words, syllables,
+        |    CAST(206.835 - 1.015 * (words / CAST(ceil(words / 15.0) AS DOUBLE))
+        |         - 84.6 * (syllables / CAST(words AS DOUBLE))
+        |      AS DECIMAL(28,12)) AS flesch
+        |  FROM sy)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(words) AS BIGINT) AS words,
+        |  CAST(sum(syllables) AS BIGINT) AS syllables,
+        |  floor(CAST(sum(flesch) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000.0
+        |    AS avg_flesch
+        |FROM sc GROUP BY source ORDER BY source""") { (s, d) =>
+      val tw = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+      val sy = tw.groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("words"),
+          sum(greatest(lit(1),
+            expr("size(split(w, '[aeiouy]+')) - 1"))).as("syllables"))
+      sy
+        .select(col("source"), col("words"), col("syllables"),
+          expr("""CAST(206.835 - 1.015 * (words / CAST(ceil(words / 15.0) AS DOUBLE))
+                 |     - 84.6 * (syllables / CAST(words AS DOUBLE))
+                 |  AS DECIMAL(28,12))""".stripMargin).as("flesch"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("words")).as("words"),
+          sum(col("syllables")).as("syllables"),
+          expr("""CAST(floor(CAST(sum(flesch) AS DOUBLE) / count(*)
+                 |  * 10000 + 0.5) / 10000.0 AS DOUBLE)""".stripMargin)
+            .as("avg_flesch"))
         .orderBy(col("source"))
     })
 }

@@ -95,7 +95,8 @@ class DeterminismSpec extends SparkSpec {
       "eval_logloss", "eval_lift", "eval_mrr", "eval_chi2",
       "text_jsd", "text_boilerplate", "graph_jaccard", "win_streaks",
       "agg_weighted_median", "ts_cusum", "agg_mode", "ts_autocorr",
-      "behavior_ab_assign", "norm_quantile"))
+      "behavior_ab_assign", "norm_quantile", "graph_degree_dist",
+      "text_readability"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
       assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
     }

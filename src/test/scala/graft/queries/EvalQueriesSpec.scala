@@ -125,4 +125,77 @@ class EvalQueriesSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("brier") -
         indep(r.getAs[Int]("grp"))) < 1e-3)
   }
+
+  test("eval_lift: deciles partition the population, lift averages to 1, " +
+    "cumulative gain reaches 1") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("eval_lift")(spark, d).collect()
+    assert(rows.length == 10)
+    // Population conservation: decile sizes sum to N and differ by <= 1.
+    val sizes = rows.map(_.getAs[Long]("n_d"))
+    assert(sizes.max - sizes.min <= 1)
+    // Positives conservation => the size-weighted mean response rate is
+    // the base rate, i.e. the size-weighted mean lift is 1.
+    val n = sizes.sum.toDouble
+    val wLift = rows.map(r => r.getAs[Long]("n_d") *
+      r.getAs[Double]("lift")).sum / n
+    assert(math.abs(wLift - 1.0) < 5e-3)
+    // Monotone cumulative gain ending at 1 (all positives captured).
+    val gains = rows.sortBy(_.getAs[Int]("decile")).map(_.getAs[Double]("cum_gain"))
+    assert(gains.zip(gains.tail).forall { case (a, b) => b >= a - 1e-9 })
+    assert(math.abs(gains.last - 1.0) < 1e-3)
+  }
+
+  test("eval_logloss: a clairvoyant model scores ~0; a maximally wrong " +
+    "one pays the clamp ceiling") {
+    // p = sigmoid((value-100)/40): positives at value 300 -> p ~ 0.9933;
+    // negatives at value -100 -> p ~ 0.0067. Logloss ~ 0.0067.
+    val good = plant((1L to 8L).map { i =>
+      val pos = i <= 4
+      (i, t0, 1L, if (pos) "purchase" else "view",
+        if (pos) 300.0 else -100.0, "{}")
+    })
+    val g = SparkEntry.queries("eval_logloss")(spark, good).collect().head
+    assert(g.getAs[Double]("logloss") < 0.01)
+    // Inverted labels: same probabilities, flipped truth.
+    val bad = plant((1L to 8L).map { i =>
+      val pos = i <= 4
+      (i, t0, 1L, if (pos) "view" else "purchase",
+        if (pos) 300.0 else -100.0, "{}")
+    })
+    val b = SparkEntry.queries("eval_logloss")(spark, bad).collect().head
+    assert(b.getAs[Double]("logloss") > 4.0) // -ln(0.0067) ~ 5.0
+  }
+
+  test("eval_mrr: relevant-first users score 1; no-relevant users score 0") {
+    // User 0: top-scored event relevant (k=1 -> rel 1). User 1: no
+    // relevant event anywhere (k=0,4,8 -> rel 0).
+    val d = plant(Seq(
+      (1L, t0, 0L, "view", 90.0, """{"k": 1}"""),
+      (2L, t0, 0L, "view", 10.0, """{"k": 0}"""),
+      (3L, t0, 1L, "view", 90.0, """{"k": 0}"""),
+      (4L, t0, 1L, "view", 10.0, """{"k": 4}""")))
+    val rows = SparkEntry.queries("eval_mrr")(spark, d).collect()
+    val byCohort = rows.map(r => r.getAs[Int]("cohort") ->
+      r.getAs[Double]("mrr")).toMap
+    assert(byCohort(0) == 1.0)
+    assert(byCohort(1) == 0.0)
+  }
+
+  test("eval_chi2: an independent feature scores ~0; a decisive one is large") {
+    // 4 balanced cells: weekday (Mon/Tue) independent of label.
+    val d = plant(Seq.tabulate(8) { i =>
+      val day = if (i % 2 == 0) t0
+        else Timestamp.valueOf("2024-01-02 12:00:00")
+      val pos = i < 4
+      ((i + 1).toLong, day, 1L, if (pos) "purchase" else "view",
+        if (pos) 150.0 else 10.0, "{}")
+    })
+    val rows = SparkEntry.queries("eval_chi2")(spark, d).collect()
+    val byF = rows.map(r => r.getAs[String]("feature") ->
+      r.getAs[Double]("chi2")).toMap
+    assert(byF("weekday") == 0.0)      // perfectly balanced -> chi2 = 0
+    assert(byF("score_q") >= 7.9)      // value bucket determines the label
+    assert(rows.forall(_.getAs[Double]("chi2") >= 0.0))
+  }
 }

@@ -47,7 +47,8 @@ class PlanHygieneSpec extends SparkSpec {
     "eval_lift",           // runs x broadcast 1-row total + 10-row deciles
     "text_jsd",            // sources x broadcast vocab + 1-row corpus total
     "behavior_ab_assign",  // arms x broadcast 1-row user grand total
-    "norm_quantile"        // pooled CDF x broadcast 1-row corpus total
+    "norm_quantile",       // pooled CDF x broadcast 1-row corpus total
+    "text_boilerplate"     // segments x broadcast 1-row df threshold
   )
 
   private def offenders(name: String): Seq[String] = {

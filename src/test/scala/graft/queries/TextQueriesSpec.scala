@@ -92,4 +92,26 @@ class TextQueriesSpec extends SparkSpec {
       s"banded pairs not a subset: ${(banded -- single).take(5)}")
     assert(banded.size <= single.size)
   }
+
+  test("text_boilerplate: the planted header is always stripped, unique " +
+    "segments always survive, removal fraction accounts exactly") {
+    // 10 docs of 20 unique tokens each: with the injected 10-token
+    // header every doc is 3 segments (header + 2 unique); threshold
+    // max(2, ceil(0.2*10)) = 2 removes exactly the header everywhere.
+    val d = java.nio.file.Files.createTempDirectory("boiler").toString
+    (0L until 10L).map(i =>
+        (i, (0 until 20).map(j => s"u${i}_$j").mkString(" "), "en", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = SparkEntry.queries("text_boilerplate")(spark, d).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_seg") == 3L)
+      assert(r.getAs[Long]("n_kept") == 2L)
+      // 10 of 30 tokens removed
+      assert(r.getAs[Double]("pct_removed") == 0.3333)
+    }
+    // clean hashes stay distinct across docs (unique segments survive)
+    assert(rows.map(_.getAs[String]("clean_hash")).distinct.length == 10)
+  }
 }
