@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types._
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md /
@@ -30,15 +30,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS); with
-    * spark.sql.legacy.parquet.nanosAsLong it surfaces as LongType nanos.
-    * Convert to a microsecond timestamp (truncation — matching what
-    * DuckDB does when it reads TIMESTAMP_NS as TIMESTAMP). */
+  /** events.parquet has shipped with three physical ts encodings across
+    * fixture generations: TIMESTAMP(NANOS) (surfacing as LongType nanos
+    * under spark.sql.legacy.parquet.nanosAsLong), tz-aware micros
+    * (TimestampType), and tz-naive micros (TimestampNTZType). Normalize
+    * all three to a session-local microsecond TimestampType — the
+    * session is pinned UTC so the NTZ cast is value-preserving, and the
+    * nanos path truncates exactly like DuckDB reading TIMESTAMP_NS. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

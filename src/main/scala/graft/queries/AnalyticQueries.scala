@@ -499,7 +499,7 @@ object AnalyticQueries {
         |    sum(w) OVER (PARTITION BY flag) AS tot
         |  FROM s)
         |SELECT flag,
-        |  CAST(min(CASE WHEN 2 * cum >= tot THEN v END) AS DECIMAL(18,2)) AS w_median,
+        |  CAST(min(CASE WHEN tot - cum <= cum THEN v END) AS DECIMAL(18,2)) AS w_median,
         |  CAST(max(tot) AS DECIMAL(28,2)) AS total_weight
         |FROM c GROUP BY flag ORDER BY flag""") { (s, d) =>
       val runs = Tables.lineitem(s, d)
@@ -512,7 +512,9 @@ object AnalyticQueries {
         .withColumn("cum", sum(col("w")).over(wOrd))
         .withColumn("tot", sum(col("w")).over(wAll))
         .groupBy(col("flag"))
-        .agg(min(when(lit(2) * col("cum") >= col("tot"), col("v")))
+        // tot - cum <= cum ⟺ 2*cum >= tot, but never widens past the
+        // window-sum's DECIMAL(38,2) — 2*cum can overflow→NULL non-ANSI.
+        .agg(min(when(col("tot") - col("cum") <= col("cum"), col("v")))
           .cast("decimal(18,2)").as("w_median"),
           max(col("tot")).cast("decimal(28,2)").as("total_weight"))
         .orderBy(col("flag"))

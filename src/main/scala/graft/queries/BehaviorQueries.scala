@@ -737,6 +737,110 @@ object BehaviorQueries {
           round((col("users") - col("tu") / 2.0) / sqrt(col("tu") / 4.0), 4)
             .as("srm_z"))
         .orderBy(col("arm"))
+    },
+
+    // LAST-touch attribution (the linear multi-touch form above splits
+    // credit; this one assigns each purchase wholly to the most recent
+    // click/view within a 24 h lookback, else the 'direct' channel).
+    // One user-keyed window pass (IGNORE NULLS last over the preceding
+    // frame) — no events-to-events join, so the 100 TB cost is a single
+    // shuffle on user_id that funnel/sessionize already pay.
+    Q("behavior_attribution_lt",
+      """WITH o AS (SELECT user_id, ts, event_id, event_type, value,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts
+        |  FROM events)
+        |SELECT CASE WHEN touch IS NOT NULL
+        |         AND ts <= touch_ts + INTERVAL 24 HOUR THEN touch
+        |       ELSE 'direct' END AS channel,
+        |  CAST(count(*) AS BIGINT) AS purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS attributed_value
+        |FROM o WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""") { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val isTouch = col("event_type").isin("click", "view")
+      Tables.events(s, d)
+        .withColumn("touch",
+          last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+        .withColumn("touch_ts",
+          last(when(isTouch, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("channel",
+          when(col("touch").isNotNull &&
+            col("ts") <= col("touch_ts") + expr("INTERVAL 24 HOUR"),
+            col("touch")).otherwise(lit("direct")))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("purchases"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("attributed_value"))
+        .orderBy(col("channel"))
+    },
+
+    // First-order Markov transition matrix over per-user event
+    // sequences: P(next=dst | cur=src) with exact integer counts. The
+    // lead() rides the same user-keyed shuffle as every sequence
+    // operator; the matrix itself is |types|² — driver-tiny at any SF.
+    Q("behavior_transitions",
+      """WITH o AS (SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events)
+        |SELECT src, dst, CAST(count(*) AS BIGINT) AS n,
+        |  round(count(*) /
+        |    CAST(sum(count(*)) OVER (PARTITION BY src) AS DOUBLE), 4) AS p
+        |FROM o WHERE dst IS NOT NULL
+        |GROUP BY src, dst ORDER BY src, dst""") { (s, d) =>
+      val seq = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("event_type").as("src"),
+          lead(col("event_type"), 1).over(seq).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("n"))
+      pairs
+        .withColumn("p", round(col("n") /
+          sum(col("n")).over(Window.partitionBy(col("src"))).cast("double"), 4))
+        .orderBy(col("src"), col("dst"))
+    },
+
+    // Common onboarding paths: the ordered first-5-event signature per
+    // user, counted across users (top-20). The per-user sequence
+    // collapses under one keyed window + collect; path cardinality is
+    // bounded by |types|^5, so the final count/sort runs on a tiny
+    // relation whatever the corpus size.
+    Q("behavior_paths",
+      """WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY user_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS users
+        |FROM p GROUP BY path
+        |ORDER BY users DESC, path LIMIT 20""") { (s, d) =>
+      val seq = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          row_number().over(seq).as("rn"))
+        .filter(col("rn") <= 5)
+        .groupBy(col("user_id"))
+        .agg(expr("""array_join(transform(
+              |  array_sort(collect_list(struct(rn, event_type))),
+              |  t -> t.event_type), '>')""".stripMargin).as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("users"))
+        .orderBy(col("users").desc, col("path"))
+        .limit(20)
     }
   )
 }

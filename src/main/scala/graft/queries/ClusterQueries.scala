@@ -820,5 +820,54 @@ object ClusterQueries {
           min(col("d")).as("min_deg"), max(col("d")).as("max_deg"),
           round(sum(col("d")) / count(lit(1)).cast("double"), 4).as("avg_deg"))
         .orderBy(col("bucket"))
+    },
+
+    // Degree assortativity (Newman 2002): Pearson correlation of the
+    // endpoint degrees across the directed edge list of the
+    // support-≥2 co-purchase graph (same edge derivation as
+    // graph_jaccard). Every moment stays an exact BIGINT until the one
+    // final double division, so the coefficient is bit-identical on any
+    // partitioning; the plan is the edge rollup + two degree-keyed
+    // joins the rest of the graph family already runs.
+    Q("graph_assortativity",
+      """WITH e0 AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT p1 AS u, p2 AS v FROM e0
+        |  UNION ALL SELECT p2, p1 FROM e0),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |p AS (SELECT da.d AS x, db.d AS y FROM adj
+        |  JOIN deg da ON da.u = adj.u
+        |  JOIN deg db ON db.u = adj.v)
+        |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  round((count(*) * sum(x * y) - sum(x) * sum(y)) /
+        |    (sqrt(count(*) * sum(x * x) - sum(x) * sum(x)) *
+        |     sqrt(count(*) * sum(y * y) - sum(y) * sum(y))), 4) AS assortativity
+        |FROM p ORDER BY n_edges""") { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val e0 = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select(col("p1"), col("p2"))
+      val adj = e0.select(col("p1").as("u"), col("p2").as("v"))
+        .unionByName(e0.select(col("p2").as("u"), col("p1").as("v")))
+      val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      adj
+        .join(deg.select(col("u"), col("d").as("x")), Seq("u"))
+        .join(deg.select(col("u").as("v"), col("d").as("y")), Seq("v"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(col("x")).as("sx"), sum(col("x") * col("y")).as("sxy"),
+          round((count(lit(1)) * sum(col("x") * col("y")) -
+              sum(col("x")) * sum(col("y"))) /
+            (sqrt(count(lit(1)) * sum(col("x") * col("x")) -
+                sum(col("x")) * sum(col("x"))) *
+             sqrt(count(lit(1)) * sum(col("y") * col("y")) -
+                sum(col("y")) * sum(col("y")))), 4).as("assortativity"))
+        .orderBy(col("n_edges"))
     })
 }

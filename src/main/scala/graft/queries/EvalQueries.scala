@@ -514,14 +514,15 @@ object EvalQueries {
          |rowm AS (SELECT feature, v, sum(c) AS rc FROM cells GROUP BY 1,2),
          |colm AS (SELECT feature, lbl, sum(c) AS cc FROM cells GROUP BY 1,2),
          |tot AS (SELECT feature, sum(c) AS n FROM cells GROUP BY 1),
-         |x AS (SELECT cells.feature,
-         |    CAST((cells.c - rc * cc / CAST(n AS DOUBLE))
-         |         * (cells.c - rc * cc / CAST(n AS DOUBLE))
+         |x AS (SELECT rowm.feature,
+         |    CAST((coalesce(cells.c, 0) - rc * cc / CAST(n AS DOUBLE))
+         |         * (coalesce(cells.c, 0) - rc * cc / CAST(n AS DOUBLE))
          |         / (rc * cc / CAST(n AS DOUBLE)) AS DECIMAL(28,12)) AS term
-         |  FROM cells
-         |  JOIN rowm ON rowm.feature = cells.feature AND rowm.v = cells.v
-         |  JOIN colm ON colm.feature = cells.feature AND colm.lbl = cells.lbl
-         |  JOIN tot ON tot.feature = cells.feature),
+         |  FROM rowm
+         |  JOIN colm ON colm.feature = rowm.feature
+         |  JOIN tot ON tot.feature = rowm.feature
+         |  LEFT JOIN cells ON cells.feature = rowm.feature
+         |    AND cells.v = rowm.v AND cells.lbl = colm.lbl),
          |k AS (SELECT feature,
          |    CAST((count(DISTINCT v) - 1) * (count(DISTINCT lbl) - 1) AS BIGINT) AS dof
          |  FROM cells GROUP BY 1)
@@ -546,13 +547,18 @@ object EvalQueries {
       val k = cells.groupBy(col("feature"))
         .agg(expr("CAST((count(DISTINCT v) - 1) * (count(DISTINCT lbl) - 1) AS BIGINT)")
           .as("dof"))
-      cells
-        .join(rowm, Seq("feature", "v"))
-        .join(colm, Seq("feature", "lbl"))
+      // Full row×col category cross product per feature, LEFT-joined to
+      // the observed cells: an absent (v, lbl) combination is a ZERO
+      // cell, and its (0 − exp)²/exp term still belongs in the
+      // statistic — dropping it understates χ² exactly when the
+      // association is strongest (a planted decisive 2×2 halves).
+      rowm
+        .join(colm, Seq("feature"))
         .join(tot, Seq("feature"))
+        .join(cells, Seq("feature", "v", "lbl"), "left")
         .select(col("feature"),
-          expr("""CAST((c - rc * cc / CAST(n AS DOUBLE))
-                 |     * (c - rc * cc / CAST(n AS DOUBLE))
+          expr("""CAST((coalesce(c, 0) - rc * cc / CAST(n AS DOUBLE))
+                 |     * (coalesce(c, 0) - rc * cc / CAST(n AS DOUBLE))
                  |     / (rc * cc / CAST(n AS DOUBLE)) AS DECIMAL(28,12))""".stripMargin)
             .as("term"))
         .groupBy(col("feature"))

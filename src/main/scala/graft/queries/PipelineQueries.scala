@@ -799,5 +799,44 @@ object PipelineQueries {
             .as("mean_shift"),
           round(max(abs(col("norm") - col("v"))), 4).as("max_shift"))
         .orderBy(col("event_type"))
+    },
+
+    // Robust (median/IQR) scaling summary per group: exact interpolated
+    // quartiles, the Tukey 1.5·IQR outlier census, and the fences — the
+    // feature-normalization profile a training pipeline computes before
+    // winsorizing. The quartile aggregate collapses the fact once; the
+    // census joins the 5-row quartile frame back broadcast, so the fact
+    // is scanned exactly twice and shuffled once at any SF.
+    Q("norm_robust",
+      """WITH q AS (SELECT event_type,
+        |    quantile_cont(value, 0.25) AS q1,
+        |    quantile_cont(value, 0.50) AS med,
+        |    quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |  round(med, 4) AS med,
+        |  round(q3 - q1, 4) AS iqr,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN e.value < q1 - 1.5 * (q3 - q1)
+        |       OR e.value > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM events e JOIN q ON e.event_type = q.event_type
+        |GROUP BY e.event_type, med, q1, q3
+        |ORDER BY e.event_type""") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val q = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.25)").as("q1"),
+          expr("percentile(value, 0.50)").as("med"),
+          expr("percentile(value, 0.75)").as("q3"))
+      ev.join(broadcast(q), Seq("event_type"))
+        .groupBy(col("event_type"), col("med"), col("q1"), col("q3"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("q1") - lit(1.5) * (col("q3") - col("q1")) ||
+            col("value") > col("q3") + lit(1.5) * (col("q3") - col("q1")), 1)
+            .otherwise(0)).as("n_outliers"))
+        .select(col("event_type"), round(col("med"), 4).as("med"),
+          round(col("q3") - col("q1"), 4).as("iqr"),
+          col("n"), col("n_outliers"))
+        .orderBy(col("event_type"))
     })
 }

@@ -19,15 +19,39 @@ import org.apache.spark.sql.expressions.Window
   */
 object StreamingQueries {
 
-  /** events.parquet as a streaming source. The file stores TIMESTAMP
-    * (NANOS) so the declared schema carries ts as long nanos (matching
-    * spark.sql.legacy.parquet.nanosAsLong) and converts to a microsecond
-    * timestamp exactly like the batch loader. */
+  /** The events fixture has shipped with ts as both TIMESTAMP(NANOS)
+    * (surfacing as LongType nanos under the nanosAsLong conf) and
+    * TIMESTAMP(MICROS) (surfacing as TimestampType directly). Probe the
+    * footer with a batch read and declare the matching physical type, so
+    * the replay decodes ts identically to [[Tables.events]] under either
+    * fixture generation. A readStream schema pinned to the wrong physical
+    * type silently mis-scales every timestamp by 1000×. */
+  private def eventsTsType(s: SparkSession, dirOrFile: String): DataType =
+    s.read.parquet(dirOrFile).schema("ts").dataType
+
+  private def rawEventsSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** readStream over a staged events replay dir, with ts decoded to a
+    * microsecond TimestampType whatever the file's physical type. */
+  private def readEventsReplay(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val tsType = eventsTsType(s, dir)
+    val rd = s.readStream.schema(rawEventsSchema(tsType))
+    val df = maxFilesPerTrigger
+      .fold(rd)(n => rd.option("maxFilesPerTrigger", n.toString))
+      .parquet(dir)
+    if (tsType == LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else
+      // TIMESTAMP_NTZ → session-local TIMESTAMP (UTC session: value-
+      // preserving); keeps unix_micros/watermark-era functions happy.
+      df.withColumn("ts", col("ts").cast(TimestampType))
+  }
+
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
-    val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     // The file source needs a directory; testdata is read-only, so stage
     // the single parquet file into a local replay dir once per sf.
     val src = java.nio.file.Paths.get(Tables.path(d, "events"))
@@ -38,8 +62,7 @@ object StreamingQueries {
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.copy(src, dst)
     }
-    s.readStream.schema(raw).parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    readEventsReplay(s, dir.toString)
   }
 
   /** Run `build(source)` as a streaming query into a memory sink, block
@@ -118,15 +141,23 @@ object StreamingQueries {
         java.nio.file.Paths.get(Tables.path(d, "events")),
         dir.resolve("00-events.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      // Raw wire schema (ts as long nanos, matching nanosAsLong).
-      val farFuture = 4102444800L * 1000000000L // 2100-01-01 in nanos
+      // Sentinel wire schema must match the copied events file's physical
+      // ts type (long nanos vs TIMESTAMP(MICROS)) — the replay dir is
+      // read under one declared schema covering both files.
+      val farFutureSec = 4102444800L // 2100-01-01 epoch seconds
       val tmp = java.nio.file.Files.createTempDirectory("graft-sentinel")
       import s.implicits._
-      Seq(
-        (-1L, farFuture, -1L, "click", 0.0, "{}"),
-        (-2L, farFuture, -1L, "purchase", 0.0, "{}"))
+      val base = Seq(
+        (-1L, farFutureSec, -1L, "click", 0.0, "{}"),
+        (-2L, farFutureSec, -1L, "purchase", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val srcTs = eventsTsType(s, Tables.path(d, "events"))
+      val sentinel =
+        if (srcTs == LongType)
+          base.withColumn("ts", col("ts") * lit(1000000000L)) // long nanos
+        else // match the events file exactly (TIMESTAMP vs TIMESTAMP_NTZ)
+          base.withColumn("ts", timestamp_seconds(col("ts")).cast(srcTs))
+      sentinel.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.list(tmp).iterator().asScala
@@ -345,14 +376,7 @@ object StreamingQueries {
       val name = "st_" + math.abs(scala.util.Random.nextLong()).toString
       val s = graft.Sessions.withShufflePartitions(s0, 8) // see runToTable note
       val src = sentinelReplayDir(s, d)
-      def side(): DataFrame = {
-        val raw = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
-        s.readStream.schema(raw).option("maxFilesPerTrigger", "1").parquet(src)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      }
+      def side(): DataFrame = readEventsReplay(s, src, Some(1))
       val joined = outerClickPurchaseJoin(side(), side())
       val q = joined.select(col("click_id"), col("purchase_id"), col("user_id"))
         .writeStream.format("memory").queryName(name).outputMode("append").start()
@@ -575,13 +599,7 @@ object StreamingQueries {
         |ORDER BY user_id, valid_from, event_type""") { (s0, d) =>
       val name = "st_" + math.abs(scala.util.Random.nextLong()).toString
       val s = graft.Sessions.withShufflePartitions(s0, 8) // see runToTable note
-      val raw = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      val src = s.readStream.schema(raw).option("maxFilesPerTrigger", "1")
-        .parquet(timeOrderedReplayDir(s, d))
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val src = readEventsReplay(s, timeOrderedReplayDir(s, d), Some(1))
       val scd = scd2Stream(s, src)
       val q = scd.writeStream
         .format("memory").queryName(name).outputMode("append").start()
@@ -614,13 +632,7 @@ object StreamingQueries {
       val s = graft.Sessions.withShufflePartitions(s0, 8) // see runToTable note
       import s.implicits._
       val name = "st_" + math.abs(scala.util.Random.nextLong()).toString
-      val raw = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      val src = s.readStream.schema(raw).option("maxFilesPerTrigger", "1")
-        .parquet(timeOrderedReplayDir(s, d))
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val src = readEventsReplay(s, timeOrderedReplayDir(s, d), Some(1))
       val sess = src
         .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id"))
         .as[(Long, Long, Long)]
@@ -648,13 +660,7 @@ object StreamingQueries {
     Q("stream_funnel", BehaviorQueries.FunnelOracleSql) { (s0, d) =>
       val name = "st_" + math.abs(scala.util.Random.nextLong()).toString
       val s = graft.Sessions.withShufflePartitions(s0, 8) // see runToTable note
-      val raw = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      val src = s.readStream.schema(raw).option("maxFilesPerTrigger", "1")
-        .parquet(timeOrderedReplayDir(s, d))
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val src = readEventsReplay(s, timeOrderedReplayDir(s, d), Some(1))
       val q = funnelStream(s, src).writeStream
         .format("memory").queryName(name).outputMode("update").start()
       try { q.processAllAvailable() } finally { q.stop() }
@@ -694,8 +700,10 @@ object StreamingQueries {
         }
         s"$size-$mtime"
       } else "absent"
+    // v2: staging layout changed (sentinel ts type now matches the
+    // events file's physical type) — new key orphans pre-v2 dirs.
     val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$d|$stamp".getBytes("UTF-8"))
+      .digest(s"$d|$stamp|v2".getBytes("UTF-8"))
     md.take(8).map(b => f"$b%02x").mkString
   }
 

@@ -623,5 +623,40 @@ object TemporalQueries {
           expr("CAST(floor(s1 / s0 * 10000 + 0.5) / 10000.0 AS DOUBLE)").as("r1"),
           expr("CAST(floor(s7 / s0 * 10000 + 0.5) / 10000.0 AS DOUBLE)").as("r7"))
         .orderBy(col("event_type"))
+    },
+
+    // Seasonal-naive forecast backtest: predict each day's per-type
+    // event count with the value 7 rows back in the daily series, score
+    // with MAPE. Per-term DECIMAL quantization before the sum keeps the
+    // score partition-count invariant; the whole operator is one daily
+    // rollup plus one keyed window — the same single-shuffle shape as
+    // the EWMA/z-score family, so it scales with the rollup, not the
+    // raw corpus.
+    Q("ts_forecast_naive",
+      """WITH dc AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT event_type, day, c,
+        |    lag(c, 7) OVER (PARTITION BY event_type ORDER BY day) AS fc
+        |  FROM dc)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(abs(c - fc)) AS BIGINT) AS abs_err,
+        |  round(CAST(sum(CAST(abs(c - fc) / CAST(c AS DOUBLE)
+        |      AS DECIMAL(18,8))) AS DOUBLE) / count(*), 4) AS mape
+        |FROM f WHERE fc IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""") { (s, d) =>
+      val dc = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val seq = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      dc.withColumn("fc", lag(col("c"), 7).over(seq))
+        .filter(col("fc").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("c") - col("fc"))).as("abs_err"),
+          round((sum((abs(col("c") - col("fc")) / col("c").cast("double"))
+            .cast("decimal(18,8)")).cast("double") / count(lit(1))), 4)
+            .as("mape"))
+        .orderBy(col("event_type"))
     })
 }

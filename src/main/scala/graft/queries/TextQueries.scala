@@ -1564,5 +1564,52 @@ object TextQueries {
                  |  * 10000 + 0.5) / 10000.0 AS DOUBLE)""".stripMargin)
             .as("avg_flesch"))
         .orderBy(col("source"))
+    },
+
+    // Zipf rank-frequency fit: OLS slope of ln(freq) on ln(rank) over
+    // the top-100 vocabulary ranks — the corpus-health screen that
+    // catches template/boilerplate-dominated crawls (natural text sits
+    // near −1). One tokenize pass collapses to the vocab relation; the
+    // rank window and the 100-term regression run on vocab, never raw
+    // tokens, and each ln-product is DECIMAL-quantized before summing
+    // so the slope is partition-invariant.
+    Q("text_zipf",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |tc AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+        |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r FROM tc),
+        |t AS (SELECT CAST(ln(r) AS DECIMAL(18,8)) AS lx,
+        |    CAST(ln(c) AS DECIMAL(18,8)) AS ly,
+        |    CAST(ln(r) * ln(r) AS DECIMAL(18,8)) AS lxx,
+        |    CAST(ln(r) * ln(c) AS DECIMAL(18,8)) AS lxy
+        |  FROM rk WHERE r <= 100),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(lx) AS DOUBLE) AS sx, CAST(sum(ly) AS DOUBLE) AS sy,
+        |    CAST(sum(lxx) AS DOUBLE) AS sxx, CAST(sum(lxy) AS DOUBLE) AS sxy
+        |  FROM t)
+        |SELECT n AS n_terms,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope
+        |FROM s ORDER BY n_terms""") { (s, d) =>
+      val tc = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val rk = tc
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("c").desc, col("term"))))
+        .filter(col("r") <= 100)
+        .select(log(col("r")).cast("decimal(18,8)").as("lx"),
+          log(col("c")).cast("decimal(18,8)").as("ly"),
+          (log(col("r")) * log(col("r"))).cast("decimal(18,8)").as("lxx"),
+          (log(col("r")) * log(col("c"))).cast("decimal(18,8)").as("lxy"))
+      rk.agg(count(lit(1)).as("n"),
+          sum(col("lx")).cast("double").as("sx"),
+          sum(col("ly")).cast("double").as("sy"),
+          sum(col("lxx")).cast("double").as("sxx"),
+          sum(col("lxy")).cast("double").as("sxy"))
+        .select(col("n").as("n_terms"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 4)
+            .as("zipf_slope"))
+        .orderBy(col("n_terms"))
     })
 }

@@ -546,6 +546,10 @@ object VectorQueries {
           .agg(expr("transform(array_sort(collect_list(struct(dim0, cx))), t -> t.cx)")
             .as("cxs"))
           .agg(expr("array_sort(collect_list(struct(cluster, cxs)))").as("cents"))
+          // 1-row centroid table: eager-checkpoint it so round N+1's
+          // assign doesn't re-execute rounds 1..N's full lineage (the
+          // CC family's per-round pattern, ClusterQueries loop stages).
+          .localCheckpoint(true)
       }
       assignOf(cArr)
         .select(col("vec_id"), col("cluster"))
