@@ -16,6 +16,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val errors = scala.collection.mutable.ListBuffer.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -23,6 +24,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors += name -> String.valueOf(e.getMessage).take(500)
       }
       // Queries are independent jobs: drop blocks this one pinned
       // (caches, localCheckpoints, st_* memory-sink views) so the
@@ -52,6 +54,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A query that THROWS never lands in the driver's correctness file —
+    // it silently shrinks the graded surface (round 9 lost 8 queries to
+    // a fixture-type drift this way). Record failures first-class so a
+    // sweep with errors is visibly incomplete.
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }
