@@ -567,6 +567,72 @@ object EvalQueries {
         .join(k, Seq("feature"))
         .select(col("feature"), col("chi2"), col("dof"))
         .orderBy(col("feature"))
+    },
+
+    // Population stability index — the score-drift monitor every
+    // deployed model runs: fixed value buckets, month-half reference vs
+    // current windows, PSI = Σ (p−q)·ln(p/q) with add-one smoothing
+    // over the union bucket grid (an empty bucket on one side must
+    // contribute, not divide by zero). Two bounded rollups + a
+    // |types|×|buckets| grid join; each term is DECIMAL-quantized so
+    // the index is partition-invariant. Rule of thumb: <0.1 stable,
+    // >0.25 drifted.
+    Q("eval_psi",
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN CAST(date_part('day', ts) AS INT) <= 15
+        |      THEN 'ref' ELSE 'cur' END AS win,
+        |    least(greatest(CAST(floor(value / 25) AS INT), -4), 7) AS b
+        |  FROM events),
+        |c AS (SELECT event_type, win, b, count(*) AS c FROM e GROUP BY 1,2,3),
+        |n AS (SELECT event_type, win, sum(c) AS n FROM c GROUP BY 1,2),
+        |g AS (SELECT event_type, b, CAST(count(*)
+        |    OVER (PARTITION BY event_type) AS BIGINT) AS nb
+        |  FROM (SELECT DISTINCT event_type, b FROM c)),
+        |x AS (SELECT g.event_type, g.b,
+        |    (coalesce(cr.c, 0) + 1) / CAST(nr.n + g.nb AS DOUBLE) AS p,
+        |    (coalesce(cc.c, 0) + 1) / CAST(nc.n + g.nb AS DOUBLE) AS q
+        |  FROM g
+        |  JOIN n nr ON nr.event_type = g.event_type AND nr.win = 'ref'
+        |  JOIN n nc ON nc.event_type = g.event_type AND nc.win = 'cur'
+        |  LEFT JOIN c cr ON cr.event_type = g.event_type AND cr.b = g.b
+        |    AND cr.win = 'ref'
+        |  LEFT JOIN c cc ON cc.event_type = g.event_type AND cc.b = g.b
+        |    AND cc.win = 'cur')
+        |SELECT event_type,
+        |  floor(CAST(sum(CAST((p - q) * ln(p / q) AS DECIMAL(28,12)))
+        |    AS DOUBLE) * 10000 + 0.5) / 10000.0 AS psi
+        |FROM x GROUP BY 1 ORDER BY event_type""") { (s, d) =>
+      val e = Tables.events(s, d).select(col("event_type"),
+        when(expr("CAST(dayofmonth(ts) AS INT)") <= 15, "ref").otherwise("cur")
+          .as("win"),
+        least(greatest(expr("CAST(floor(value / 25) AS INT)"), lit(-4)), lit(7))
+          .as("b"))
+      val c = e.groupBy(col("event_type"), col("win"), col("b"))
+        .agg(count(lit(1)).as("c")).cache()
+      val n = c.groupBy(col("event_type"), col("win")).agg(sum(col("c")).as("n"))
+      val g = c.select(col("event_type"), col("b")).distinct()
+        .withColumn("nb", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+      g.join(n.filter(col("win") === "ref")
+            .select(col("event_type"), col("n").as("n_ref")), Seq("event_type"))
+        .join(n.filter(col("win") === "cur")
+            .select(col("event_type"), col("n").as("n_cur")), Seq("event_type"))
+        .join(c.filter(col("win") === "ref")
+            .select(col("event_type"), col("b"), col("c").as("c_ref")),
+          Seq("event_type", "b"), "left")
+        .join(c.filter(col("win") === "cur")
+            .select(col("event_type"), col("b"), col("c").as("c_cur")),
+          Seq("event_type", "b"), "left")
+        .select(col("event_type"),
+          ((coalesce(col("c_ref"), lit(0L)) + 1) /
+            (col("n_ref") + col("nb")).cast("double")).as("p"),
+          ((coalesce(col("c_cur"), lit(0L)) + 1) /
+            (col("n_cur") + col("nb")).cast("double")).as("q"))
+        .groupBy(col("event_type"))
+        .agg(expr("""CAST(floor(CAST(sum(CAST((p - q) * ln(p / q)
+               |  AS DECIMAL(28,12))) AS DOUBLE) * 10000 + 0.5)
+               |  / 10000.0 AS DOUBLE)""".stripMargin).as("psi"))
+        .orderBy(col("event_type"))
     }
   )
 }

@@ -838,5 +838,42 @@ object PipelineQueries {
           round(col("q3") - col("q1"), 4).as("iqr"),
           col("n"), col("n_outliers"))
         .orderBy(col("event_type"))
+    },
+
+    // Entity-resolution blocking + pairwise edit-distance match: part
+    // names block on their first token, candidate pairs form ONLY
+    // within a block (the classic ER move that turns all-pairs O(n²)
+    // into Σ block²), a cheap length-difference prefilter skips the
+    // expensive DP for hopeless pairs, and exact Levenshtein scores the
+    // survivors. Per-block rollup output. At 100 TB the block key is
+    // the shuffle key; skewed blocks split by salting exactly like any
+    // hot groupBy key.
+    Q("er_blocking",
+      """WITH p0 AS (SELECT p_partkey, p_name,
+        |    string_split(p_name, ' ')[1] AS blk FROM part),
+        |pr AS (SELECT a.blk,
+        |    CASE WHEN abs(length(a.p_name) - length(b.p_name)) <= 10
+        |      THEN levenshtein(a.p_name, b.p_name) END AS dist
+        |  FROM p0 a JOIN p0 b
+        |    ON a.blk = b.blk AND a.p_partkey < b.p_partkey)
+        |SELECT blk, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN dist <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_matches,
+        |  CAST(min(dist) AS BIGINT) AS min_dist
+        |FROM pr GROUP BY blk ORDER BY blk""") { (s, d) =>
+      val p0 = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"),
+          split(col("p_name"), " ").getItem(0).as("blk"))
+      val pr = p0.as("a").join(p0.as("b"),
+          col("a.blk") === col("b.blk") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.blk").as("blk"),
+          when(abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 10,
+            levenshtein(col("a.p_name"), col("b.p_name"))).as("dist"))
+      pr.groupBy(col("blk"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("dist") <= 10, 1).otherwise(0)).as("n_matches"),
+          min(col("dist")).as("min_dist"))
+        .orderBy(col("blk"))
     })
 }

@@ -658,5 +658,55 @@ object TemporalQueries {
             .cast("decimal(18,8)")).cast("double") / count(lit(1))), 4)
             .as("mape"))
         .orderBy(col("event_type"))
+    },
+
+    // Point-in-interval fact→SCD2-dimension join: every purchase fact
+    // picks up the dimension row whose [valid_from, valid_to) interval
+    // contains its event time — the standard effective-dated dimension
+    // lookup (type-2 warehouse join). The join is an EQUI-join on
+    // user_id with the interval predicate as residual, so Spark runs a
+    // keyed sort-merge join — the dimension and fact co-partition on
+    // the user key at any scale, never a range-only cross pairing.
+    Q("join_scd2_dim",
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |chg AS (SELECT user_id, event_type, epoch_us(ts) AS valid_from, event_id
+        |  FROM o WHERE prev_type IS NULL OR prev_type <> event_type),
+        |iv AS (SELECT user_id, event_type, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id
+        |      ORDER BY valid_from, event_id) AS valid_to
+        |  FROM chg),
+        |f AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, iv.event_type AS state_at,
+        |  CAST(iv.valid_from AS BIGINT) AS valid_from
+        |FROM f JOIN iv ON iv.user_id = f.user_id
+        |  AND f.ts_us >= iv.valid_from
+        |  AND (iv.valid_to IS NULL OR f.ts_us < iv.valid_to)
+        |ORDER BY event_id""") { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val chg = Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("valid_from"), col("event_id"))
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from"), col("event_id"))
+      val iv = chg.withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+        .select(col("user_id").as("d_user"), col("event_type").as("state_at"),
+          col("valid_from"), col("valid_to"))
+      val f = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("ts_us"))
+      f.join(iv,
+          col("user_id") === col("d_user") &&
+            col("ts_us") >= col("valid_from") &&
+            (col("valid_to").isNull || col("ts_us") < col("valid_to")))
+        .select(col("event_id"), col("user_id"), col("state_at"),
+          col("valid_from"))
+        .orderBy(col("event_id"))
     })
 }

@@ -1611,5 +1611,43 @@ object TextQueries {
             (col("n") * col("sxx") - col("sx") * col("sx")), 4)
             .as("zipf_slope"))
         .orderBy(col("n_terms"))
+    },
+
+    // Skip-gram co-occurrence (window ≤ 2): the corpus statistic under
+    // word-embedding training and collocation mining. Pairs generate
+    // INSIDE the token array via one HOF pass (no positional self-join,
+    // no second tokenize), collapse canonically (unordered pair), and
+    // only the vocab²-bounded count relation ever shuffles. Top-15 by
+    // count under a total order.
+    Q("text_cooccur",
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents
+        |  WHERE length(text) > 0),
+        |s AS (SELECT unnest(flatten(list_transform(range(1, len(toks)),
+        |    i -> CASE WHEN i + 2 <= len(toks)
+        |         THEN [[toks[i], toks[i+1]], [toks[i], toks[i+2]]]
+        |         ELSE [[toks[i], toks[i+1]]] END))) AS pr
+        |  FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT least(pr[1], pr[2]) AS w1, greatest(pr[1], pr[2]) AS w2,
+        |    count(*) AS c
+        |  FROM s GROUP BY 1, 2)
+        |SELECT w1, w2, CAST(c AS BIGINT) AS c FROM c
+        |ORDER BY c DESC, w1, w2 LIMIT 15""") { (s, d) =>
+      Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(0, size(toks) - 2),
+            |  i -> CASE WHEN i + 2 <= size(toks) - 1
+            |       THEN array(array(toks[i], toks[i+1]),
+            |                  array(toks[i], toks[i+2]))
+            |       ELSE array(array(toks[i], toks[i+1])) END))"""
+            .stripMargin)).as("pr"))
+        .select(least(col("pr").getItem(0), col("pr").getItem(1)).as("w1"),
+          greatest(col("pr").getItem(0), col("pr").getItem(1)).as("w2"))
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w1"), col("w2"))
+        .limit(15)
     })
 }

@@ -80,11 +80,27 @@ object ScaleUp {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/part.parquet")
 
+    // events for the behavioral/temporal family (funnel, sessionize,
+    // attribution, transitions, SCD2 joins): user AND event ids remap
+    // per replica, timestamps stay — each replica is a disjoint user
+    // population over the same calendar, so N× users at source
+    // per-user event density (the production growth axis). Remapping
+    // ts instead would stretch the calendar and leave every per-user
+    // window the same size — that measures nothing.
+    val ev = graft.Tables.events(spark, src) // normalized ts (any encoding)
+    ev.crossJoin(broadcast(reps))
+      .withColumn("event_id", col("event_id") + col("r") * 100000000L)
+      .withColumn("user_id", col("user_id") + col("r") * 10000000L)
+      .drop("r")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
     println(s"scaled x$factor -> $out: docs=" +
       spark.read.parquet(s"$out/documents.parquet").count() +
       " embeddings=" + spark.read.parquet(s"$out/embeddings.parquet").count() +
       " lineitem=" + spark.read.parquet(s"$out/lineitem.parquet").count() +
-      " part=" + spark.read.parquet(s"$out/part.parquet").count())
+      " part=" + spark.read.parquet(s"$out/part.parquet").count() +
+      " events=" + spark.read.parquet(s"$out/events.parquet").count())
     spark.stop()
   }
 }
