@@ -676,6 +676,61 @@ object StreamingQueries {
           """stack(3, 'step1_view', s1, 'step2_click', s2,
             |'step3_purchase', s3) AS (step, users)""".stripMargin)
         .orderBy("step")
+    },
+
+    // Streaming drift monitor: per-day score-bucket distributions
+    // accumulate in the STREAMING aggregation (one (window, bucket)
+    // keyed state — the additive half); the PSI of each day against
+    // the whole-period reference is computed on the completed
+    // day×bucket table (the serving half) — the same lambda split as
+    // stream_topk, because a ratio-of-totals isn't incremental. At
+    // 100 TB the stream shuffles once on (day, bucket); the PSI math
+    // runs on a days×buckets relation.
+    Q("stream_psi",
+      """WITH e AS (SELECT CAST(floor(epoch(date_trunc('day', ts)) / 86400)
+        |      AS BIGINT) AS day,
+        |    least(greatest(CAST(floor(value / 25) AS INT), -4), 7) AS b
+        |  FROM events),
+        |c AS (SELECT day, b, count(*) AS c FROM e GROUP BY 1, 2),
+        |n AS (SELECT day, sum(c) AS n FROM c GROUP BY 1),
+        |r AS (SELECT b, sum(c) AS rc FROM c GROUP BY 1),
+        |rn AS (SELECT sum(rc) AS rn, CAST(count(*) AS BIGINT) AS nb FROM r),
+        |x AS (SELECT n.day, r.b,
+        |    (coalesce(c.c, 0) + 1) / CAST(n.n + rn.nb AS DOUBLE) AS p,
+        |    (r.rc + 1) / CAST(rn.rn + rn.nb AS DOUBLE) AS q
+        |  FROM n CROSS JOIN r CROSS JOIN rn
+        |  LEFT JOIN c ON c.day = n.day AND c.b = r.b)
+        |SELECT day,
+        |  floor(CAST(sum(CAST((p - q) * ln(p / q) AS DECIMAL(28,12)))
+        |    AS DOUBLE) * 10000 + 0.5) / 10000.0 AS psi
+        |FROM x GROUP BY 1 ORDER BY day""") { (s, d) =>
+      val t = runToTable(s, d, "complete") { src =>
+        src.groupBy(window(col("ts"), "1 day"),
+            least(greatest(expr("CAST(floor(value / 25) AS INT)"), lit(-4)),
+              lit(7)).as("b"))
+          .agg(count(lit(1)).as("c"))
+      }.select((unix_timestamp(col("window.start")) / 86400)
+          .cast("long").as("day"), col("b"), col("c"))
+      // days×buckets relation (tiny): eager-checkpoint so the three
+      // derivations below self-join cleanly (the memory-sink view's
+      // shared plan otherwise trips conflicting-reference resolution).
+      val c = t.localCheckpoint(true)
+      val n = c.groupBy(col("day")).agg(sum(col("c")).as("n"))
+      val r = c.groupBy(col("b")).agg(sum(col("c")).as("rc"))
+      val rn = r.agg(sum(col("rc")).as("rn"), count(lit(1)).as("nb"))
+      n.crossJoin(broadcast(r))
+        .crossJoin(broadcast(rn))
+        .join(c, Seq("day", "b"), "left")
+        .select(col("day"),
+          ((coalesce(col("c"), lit(0L)) + 1) /
+            (col("n") + col("nb")).cast("double")).as("p"),
+          ((col("rc") + 1) /
+            (col("rn") + col("nb")).cast("double")).as("q"))
+        .groupBy(col("day"))
+        .agg(expr("""CAST(floor(CAST(sum(CAST((p - q) * ln(p / q)
+               |  AS DECIMAL(28,12))) AS DOUBLE) * 10000 + 0.5)
+               |  / 10000.0 AS DOUBLE)""".stripMargin).as("psi"))
+        .orderBy(col("day"))
     })
 
   /** Staging key for dataset `d`: md5 over the ABSOLUTE PATH plus the
