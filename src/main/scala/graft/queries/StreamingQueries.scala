@@ -731,6 +731,74 @@ object StreamingQueries {
                |  AS DECIMAL(28,12))) AS DOUBLE) * 10000 + 0.5)
                |  / 10000.0 AS DOUBLE)""".stripMargin).as("psi"))
         .orderBy(col("day"))
+    },
+
+    // STREAMING last-touch attribution — the stateful twin of
+    // behavior_attribution_lt (same oracle): per-user state carries the
+    // latest click/view (type, event-time micros); each purchase emits
+    // its channel on arrival. Attribution of a purchase never depends
+    // on FUTURE events, so append-mode emission over the time-ordered
+    // replay is final-state equivalent to the batch window form. One
+    // stateful hop keyed on user_id; the channel rollup runs on the
+    // emitted purchase stream.
+    Q("stream_attrib_lt",
+      """WITH o AS (SELECT user_id, ts, event_id, event_type, value,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts
+        |  FROM events)
+        |SELECT CASE WHEN touch IS NOT NULL
+        |         AND ts <= touch_ts + INTERVAL 24 HOUR THEN touch
+        |       ELSE 'direct' END AS channel,
+        |  CAST(count(*) AS BIGINT) AS purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS attributed_value
+        |FROM o WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""") { (s0, d) =>
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val s = graft.Sessions.withShufflePartitions(s0, 8) // see runToTable note
+      import s.implicits._
+      val name = "st_" + math.abs(scala.util.Random.nextLong()).toString
+      val src = readEventsReplay(s, timeOrderedReplayDir(s, d), Some(1))
+      val attributed = src
+        .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+          col("event_id"), col("event_type"), col("value"))
+        .as[(Long, Long, Long, String, Double)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (_: Long, rows: Iterator[(Long, Long, Long, String, Double)],
+           state: GroupState[(String, Long)]) => // (last touch type, micros)
+            val out = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+            var (tt, tts) = state.getOption.getOrElse(("", Long.MinValue))
+            // Oracle frame is "UNBOUNDED PRECEDING AND 1 PRECEDING" over
+            // (ts, event_id): emit the purchase BEFORE absorbing any
+            // same-row update, in that exact order.
+            rows.toSeq.sortBy(r => (r._2, r._3)).foreach {
+              case (_, tsu, _, typ, v) =>
+                if (typ == "purchase") {
+                  val ch = if (tts != Long.MinValue && tsu - tts <= 86400000000L)
+                    tt else "direct"
+                  out += ((ch, v))
+                }
+                if (typ == "click" || typ == "view") { tt = typ; tts = tsu }
+            }
+            state.update((tt, tts))
+            out.iterator
+        }
+        .toDF("channel", "value")
+      val q = attributed.writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table(name)
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("purchases"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("attributed_value"))
+        .orderBy(col("channel"))
     })
 
   /** Staging key for dataset `d`: md5 over the ABSOLUTE PATH plus the
