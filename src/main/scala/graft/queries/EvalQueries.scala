@@ -633,6 +633,57 @@ object EvalQueries {
                |  AS DECIMAL(28,12))) AS DOUBLE) * 10000 + 0.5)
                |  / 10000.0 AS DOUBLE)""".stripMargin).as("psi"))
         .orderBy(col("event_type"))
+    },
+
+    // Poisson-bootstrap confidence interval for the per-type mean value
+    // — THE scalable bootstrap: instead of resampling rows, every row
+    // gets a deterministic per-replica weight ~ Poisson(1)
+    // (approximated by a 4-point pmf on one md5 nibble: 6/16·0,
+    // 6/16·1, 3/16·2, 1/16·3), so all 64 replica means compute in ONE
+    // grouped pass over events×64 and no replica ever materializes.
+    // The md5 seed makes the "randomness" identical in any engine and
+    // on any partitioning; per-replica sums are DECIMAL-quantized and
+    // the CI is the exact interpolated 2.5/97.5 percentile over the 64
+    // replica means.
+    Q("eval_bootstrap_ci",
+      """WITH reps AS (SELECT unnest(range(0, 64)) AS b),
+        |w AS (SELECT event_type, value, b,
+        |    CASE WHEN nib < 6 THEN 0 WHEN nib < 12 THEN 1
+        |      WHEN nib < 15 THEN 2 ELSE 3 END AS w
+        |  FROM (SELECT event_type, value, b,
+        |      instr('0123456789abcdef', substring(md5(
+        |        CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)),
+        |        1, 1)) - 1 AS nib
+        |    FROM events CROSS JOIN reps)),
+        |m AS (SELECT event_type, b,
+        |    CAST(CAST(sum(CAST(w * value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / sum(w) AS DECIMAL(18,8)) AS mb
+        |  FROM w GROUP BY 1, 2)
+        |SELECT event_type,
+        |  round(quantile_cont(CAST(mb AS DOUBLE), 0.025), 4) AS ci_lo,
+        |  round(quantile_cont(CAST(mb AS DOUBLE), 0.975), 4) AS ci_hi,
+        |  round(CAST(avg(mb) AS DOUBLE), 4) AS boot_mean
+        |FROM m GROUP BY 1 ORDER BY event_type""") { (s, d) =>
+      val reps = s.range(0, 64).select(col("id").cast("int").as("b"))
+      val w = Tables.events(s, d)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .crossJoin(broadcast(reps))
+        .withColumn("nib", expr(
+          """instr('0123456789abcdef', substring(md5(
+            |  CAST(event_id AS STRING) || ':' || CAST(b AS STRING)),
+            |  1, 1)) - 1""".stripMargin))
+        .withColumn("w", when(col("nib") < 6, 0).when(col("nib") < 12, 1)
+          .when(col("nib") < 15, 2).otherwise(3))
+      val m = w.groupBy(col("event_type"), col("b"))
+        .agg(((sum((col("w") * col("value")).cast("decimal(18,4)"))
+            .cast("double")) / sum(col("w")))
+          .cast("decimal(18,8)").as("mb"))
+      m.groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(CAST(mb AS DOUBLE), 0.025)"), 4).as("ci_lo"),
+          round(expr("percentile(CAST(mb AS DOUBLE), 0.975)"), 4).as("ci_hi"),
+          round(avg(col("mb")).cast("double"), 4).as("boot_mean"))
+        .orderBy(col("event_type"))
     }
   )
 }

@@ -48,7 +48,8 @@ class PlanHygieneSpec extends SparkSpec {
     "text_jsd",            // sources x broadcast vocab + 1-row corpus total
     "behavior_ab_assign",  // arms x broadcast 1-row user grand total
     "norm_quantile",       // pooled CDF x broadcast 1-row corpus total
-    "text_boilerplate"     // segments x broadcast 1-row df threshold
+    "text_boilerplate",    // segments x broadcast 1-row df threshold
+    "eval_bootstrap_ci"    // events x broadcast 64-row literal replica ids
   )
 
   private def offenders(name: String): Seq[String] = {
