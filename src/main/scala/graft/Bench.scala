@@ -135,7 +135,8 @@ object Bench {
       "dedup_semantic_cc", "stream_join_louter", "ts_gapfill",
       "pack_sequences", "sim_rp_project", "text_postings", "dq_audit",
       "funnel_steps", "cohort_retention", "join_multiway", "cogroup_orders",
-      "sketch_hll_merge")
+      "sketch_hll_merge", "er_blocking", "graph_assortativity",
+      "eval_bootstrap_ci", "stream_psi", "join_scd2_dim")
     val rmap = results.map { case (k, v, _) => k -> v }.toMap
     val qs = headline.flatMap(k => rmap.get(k).map(v => "\"" + k + "\":" + fmt(v)))
       .mkString("{", ",", "}")

@@ -520,6 +520,64 @@ object AnalyticQueries {
         .orderBy(col("flag"))
     },
 
+    // Per-group skewness/kurtosis via raw power sums — NOT the engines'
+    // skewness()/kurtosis() builtins, whose bias conventions differ
+    // between engines; the moment sums are per-row doubles quantized to
+    // DECIMAL before ONE hash aggregate (associative, partial-merge —
+    // the distributed-profiling shape), and g1 = m3/m2^1.5,
+    // g2 = m4/m2² − 3 derive in double from the exact sums.
+    Q("agg_moments",
+      """WITH t AS (SELECT event_type,
+        |    CAST(value AS DECIMAL(18,6)) AS x1,
+        |    CAST(value * value AS DECIMAL(28,8)) AS x2,
+        |    CAST(value * value * value AS DECIMAL(28,6)) AS x3,
+        |    CAST(value * value * value * value AS DECIMAL(32,4)) AS x4
+        |  FROM events),
+        |s AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+        |    CAST(sum(x3) AS DOUBLE) AS s3, CAST(sum(x4) AS DOUBLE) AS s4
+        |  FROM t GROUP BY 1),
+        |m AS (SELECT event_type, n, s1 / n AS mu,
+        |    s2 / n - (s1 / n) * (s1 / n) AS m2,
+        |    s3 / n - 3 * (s1 / n) * s2 / n + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+        |    s4 / n - 4 * (s1 / n) * s3 / n + 6 * (s1 / n) * (s1 / n) * s2 / n
+        |      - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        |  FROM s)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, round(mu, 4) AS mean,
+        |  round(m3 / pow(m2, 1.5), 4) AS skewness,
+        |  round(m4 / (m2 * m2) - 3, 4) AS kurtosis
+        |FROM m ORDER BY event_type""") { (s, d) =>
+      val t = Tables.events(s, d).select(col("event_type"),
+        col("value").cast("decimal(18,6)").as("x1"),
+        (col("value") * col("value")).cast("decimal(28,8)").as("x2"),
+        (col("value") * col("value") * col("value")).cast("decimal(28,6)")
+          .as("x3"),
+        (col("value") * col("value") * col("value") * col("value"))
+          .cast("decimal(32,4)").as("x4"))
+      t.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x1")).cast("double").as("s1"),
+          sum(col("x2")).cast("double").as("s2"),
+          sum(col("x3")).cast("double").as("s3"),
+          sum(col("x4")).cast("double").as("s4"))
+        .select(col("event_type"), col("n"),
+          (col("s1") / col("n")).as("mu"),
+          (col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))
+            .as("m2"),
+          (col("s3") / col("n") - lit(3) * (col("s1") / col("n")) * col("s2") / col("n")
+            + lit(2) * (col("s1") / col("n")) * (col("s1") / col("n"))
+              * (col("s1") / col("n"))).as("m3"),
+          (col("s4") / col("n") - lit(4) * (col("s1") / col("n")) * col("s3") / col("n")
+            + lit(6) * (col("s1") / col("n")) * (col("s1") / col("n"))
+              * col("s2") / col("n")
+            - lit(3) * (col("s1") / col("n")) * (col("s1") / col("n"))
+              * (col("s1") / col("n")) * (col("s1") / col("n"))).as("m4"))
+        .select(col("event_type"), col("n"), round(col("mu"), 4).as("mean"),
+          round(col("m3") / pow(col("m2"), 1.5), 4).as("skewness"),
+          round(col("m4") / (col("m2") * col("m2")) - 3, 4).as("kurtosis"))
+        .orderBy(col("event_type"))
+    },
+
     // Per-group mode with a deterministic tie-break (lexicographic min
     // among the tied-for-max values) — the categorical summary SQL
     // engines surprisingly lack as an exact builtin. Counts collapse

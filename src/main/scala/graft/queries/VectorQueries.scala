@@ -986,5 +986,48 @@ object VectorQueries {
           coalesce(col("matched"), lit(0L)).as("matched"),
           round(coalesce(col("matched"), lit(0L)) / 5.0, 4).as("recall"))
         .orderBy(col("qid"))
+    },
+
+    // Embedding-space anisotropy profile: the cosine of DETERMINISTIC
+    // fixed-lag pairs (vec v with vec v+1000) samples the pairwise
+    // distribution linearly — the collapse check (mean cosine → 1 under
+    // representation collapse, ≈0 for a healthy isotropic space) run
+    // before any ANN index is trusted. The pairing is an equi-join on
+    // the shifted id (keyed, never all-pairs), each cosine term is the
+    // same double expression both engines fold, the mean is
+    // DECIMAL-quantized, and the spread is the exact interpolated
+    // p05/p50/p95.
+    Q("vec_cosine_profile",
+      """WITH v AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS v1,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (a.nrm * b.nrm) AS DECIMAL(18,10)) AS cos
+        |  FROM v a JOIN v b ON b.vec_id = a.vec_id + 1000)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(avg(cos) AS DOUBLE), 4) AS mean_cos,
+        |  round(quantile_cont(CAST(cos AS DOUBLE), 0.05), 4) AS p05,
+        |  round(quantile_cont(CAST(cos AS DOUBLE), 0.50), 4) AS p50,
+        |  round(quantile_cont(CAST(cos AS DOUBLE), 0.95), 4) AS p95
+        |FROM p ORDER BY n_pairs""") { (s, d) =>
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("e"))
+        .withColumn("nrm", expr(normSpark))
+      val a = v.select(col("vec_id").as("v1"), col("e").as("qe"),
+        col("nrm").as("qn"))
+      val b = v.select((col("vec_id") - 1000L).as("v1"), col("e"),
+        col("nrm"))
+      a.join(b, Seq("v1"))
+        .withColumn("cos",
+          (expr(dotSpark) / (col("qn") * col("nrm"))).cast("decimal(18,10)"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("cos")).cast("double"), 4).as("mean_cos"),
+          round(expr("percentile(CAST(cos AS DOUBLE), 0.05)"), 4).as("p05"),
+          round(expr("percentile(CAST(cos AS DOUBLE), 0.50)"), 4).as("p50"),
+          round(expr("percentile(CAST(cos AS DOUBLE), 0.95)"), 4).as("p95"))
+        .orderBy(col("n_pairs"))
     })
 }
