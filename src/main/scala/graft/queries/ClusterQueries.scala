@@ -869,5 +869,67 @@ object ClusterQueries {
              sqrt(count(lit(1)) * sum(col("y") * col("y")) -
                 sum(col("y")) * sum(col("y")))), 4).as("assortativity"))
         .orderBy(col("n_edges"))
+    },
+
+    // Bounded-round 3-core peel over the co-purchase graph: 6 rounds of
+    // "drop vertices with degree < 3, keep edges between survivors" —
+    // the standard dense-substructure screen (community cores, spam
+    // rings). The ROUND COUNT is part of the operator contract (both
+    // engines run exactly 6 peels, so equality holds whether or not the
+    // fixpoint is reached — on this graph 6 rounds converge). Each
+    // round is one degree rollup + two semi-joins, localCheckpointed so
+    // round N+1 never re-executes rounds 1..N — the CC family's loop
+    // discipline; at 100 TB each round is the same edge-keyed shuffle
+    // pair as PageRank.
+    Q("graph_kcore",
+      """WITH e0 AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |a0 AS (SELECT p1 AS u, p2 AS v FROM e0
+        |  UNION ALL SELECT p2, p1 FROM e0),
+        |k1 AS (SELECT u FROM a0 GROUP BY u HAVING count(*) >= 3),
+        |a1 AS (SELECT a.u, a.v FROM a0 a
+        |  JOIN k1 x ON a.u = x.u JOIN k1 y ON a.v = y.u),
+        |k2 AS (SELECT u FROM a1 GROUP BY u HAVING count(*) >= 3),
+        |a2 AS (SELECT a.u, a.v FROM a1 a
+        |  JOIN k2 x ON a.u = x.u JOIN k2 y ON a.v = y.u),
+        |k3 AS (SELECT u FROM a2 GROUP BY u HAVING count(*) >= 3),
+        |a3 AS (SELECT a.u, a.v FROM a2 a
+        |  JOIN k3 x ON a.u = x.u JOIN k3 y ON a.v = y.u),
+        |k4 AS (SELECT u FROM a3 GROUP BY u HAVING count(*) >= 3),
+        |a4 AS (SELECT a.u, a.v FROM a3 a
+        |  JOIN k4 x ON a.u = x.u JOIN k4 y ON a.v = y.u),
+        |k5 AS (SELECT u FROM a4 GROUP BY u HAVING count(*) >= 3),
+        |a5 AS (SELECT a.u, a.v FROM a4 a
+        |  JOIN k5 x ON a.u = x.u JOIN k5 y ON a.v = y.u),
+        |k6 AS (SELECT u FROM a5 GROUP BY u HAVING count(*) >= 3),
+        |a6 AS (SELECT a.u, a.v FROM a5 a
+        |  JOIN k6 x ON a.u = x.u JOIN k6 y ON a.v = y.u)
+        |SELECT u, CAST(count(*) AS BIGINT) AS deg
+        |FROM a6 GROUP BY u ORDER BY u""") { (s0, d) =>
+      val s = graft.Sessions.withShufflePartitions(s0, 8)
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val e0 = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select(col("p1"), col("p2"))
+      var adj = e0.select(col("p1").as("u"), col("p2").as("v"))
+        .unionByName(e0.select(col("p2").as("u"), col("p1").as("v")))
+        .localCheckpoint(true)
+      for (_ <- 1 to 6) {
+        val keep = adj.groupBy(col("u")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 3).select(col("u"))
+        adj = adj
+          .join(keep, Seq("u"), "left_semi")
+          .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+          .select(col("u"), col("v"))
+          .localCheckpoint(true)
+      }
+      adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .orderBy(col("u"))
     })
 }

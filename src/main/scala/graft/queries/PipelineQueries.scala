@@ -875,5 +875,40 @@ object PipelineQueries {
           sum(when(col("dist") <= 10, 1).otherwise(0)).as("n_matches"),
           min(col("dist")).as("min_dist"))
         .orderBy(col("blk"))
+    },
+
+    // Benford first-significant-digit screen on order totals — the
+    // data-quality/fraud heuristic for "does this monetary column look
+    // organic": exact digit counts in one hash aggregate, expected
+    // Benford mass log10(1 + 1/d) per digit, and the mean-absolute-
+    // deviation summary (MAD < 0.006 ≈ conforming, > 0.015 ≈ suspect
+    // under Nigrini's thresholds). Integer counts until the final
+    // ratios; the 9-row digit relation is driver-free at any SF.
+    Q("dq_benford",
+      """WITH d AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders WHERE o_totalprice >= 1),
+        |c AS (SELECT digit, count(*) AS c FROM d GROUP BY 1),
+        |n AS (SELECT sum(c) AS n FROM c)
+        |SELECT digit, CAST(c AS BIGINT) AS cnt,
+        |  round(c / CAST(n.n AS DOUBLE), 4) AS observed,
+        |  round(log10(1 + 1.0 / digit), 4) AS expected,
+        |  round(abs(c / CAST(n.n AS DOUBLE) - log10(1 + 1.0 / digit)), 4)
+        |    AS abs_dev
+        |FROM c CROSS JOIN n ORDER BY digit""") { (s, d) =>
+      val dd = Tables.orders(s, d)
+        .filter(col("o_totalprice") >= 1)
+        .select(expr("""CAST(substring(CAST(CAST(floor(o_totalprice)
+              |  AS BIGINT) AS STRING), 1, 1) AS INT)""".stripMargin)
+          .as("digit"))
+      val c = dd.groupBy(col("digit")).agg(count(lit(1)).as("c"))
+      val n = c.agg(sum(col("c")).as("n"))
+      c.crossJoin(broadcast(n))
+        .select(col("digit"), col("c").as("cnt"),
+          round(col("c") / col("n").cast("double"), 4).as("observed"),
+          round(log10(lit(1) + lit(1.0) / col("digit")), 4).as("expected"),
+          round(abs(col("c") / col("n").cast("double") -
+            log10(lit(1) + lit(1.0) / col("digit"))), 4).as("abs_dev"))
+        .orderBy(col("digit"))
     })
 }

@@ -49,7 +49,8 @@ class PlanHygieneSpec extends SparkSpec {
     "behavior_ab_assign",  // arms x broadcast 1-row user grand total
     "norm_quantile",       // pooled CDF x broadcast 1-row corpus total
     "text_boilerplate",    // segments x broadcast 1-row df threshold
-    "eval_bootstrap_ci"    // events x broadcast 64-row literal replica ids
+    "eval_bootstrap_ci",   // events x broadcast 64-row literal replica ids
+    "dq_benford"           // digit counts x broadcast 1-row grand total
   )
 
   private def offenders(name: String): Seq[String] = {
