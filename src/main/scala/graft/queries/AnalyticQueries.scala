@@ -603,5 +603,73 @@ object AnalyticQueries {
           max(col("mc")).as("mode_count"),
           max(col("nd")).as("n_distinct"))
         .orderBy(col("grp"))
+    },
+
+    // Weighted quantiles (p25/p50/p75) generalizing agg_weighted_median:
+    // smallest value whose cumulative weight share reaches q. Values
+    // collapse to (group, value) -> weight by hash aggregate first, so
+    // the window runs over distinct values, not raw rows. The reach-q
+    // test compares the cum/tot ratio as ONE IEEE division of two exact
+    // decimals — deterministic in both engines, and it never widens the
+    // DECIMAL(38,2) window sum (2*cum-style multiplies can overflow to
+    // NULL under non-ANSI semantics; division cannot).
+    Q("agg_weighted_quantile",
+      """WITH s AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT flag, v,
+        |    sum(w) OVER (PARTITION BY flag ORDER BY v)
+        |      / CAST(sum(w) OVER (PARTITION BY flag) AS DOUBLE) AS share
+        |  FROM s)
+        |SELECT flag,
+        |  CAST(min(CASE WHEN share >= 0.25 THEN v END) AS DECIMAL(18,2)) AS wq25,
+        |  CAST(min(CASE WHEN share >= 0.5 THEN v END) AS DECIMAL(18,2)) AS wq50,
+        |  CAST(min(CASE WHEN share >= 0.75 THEN v END) AS DECIMAL(18,2)) AS wq75
+        |FROM c GROUP BY flag ORDER BY flag""") { (s, d) =>
+      val runs = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(28,2)")
+          .as("w"))
+      val wOrd = Window.partitionBy(col("flag")).orderBy(col("v"))
+      val wAll = Window.partitionBy(col("flag"))
+      runs
+        .withColumn("share",
+          sum(col("w")).over(wOrd) / sum(col("w")).over(wAll).cast("double"))
+        .groupBy(col("flag"))
+        .agg(
+          min(when(col("share") >= 0.25, col("v")))
+            .cast("decimal(18,2)").as("wq25"),
+          min(when(col("share") >= 0.5, col("v")))
+            .cast("decimal(18,2)").as("wq50"),
+          min(when(col("share") >= 0.75, col("v")))
+            .cast("decimal(18,2)").as("wq75"))
+        .orderBy(col("flag"))
+    },
+
+    // Rolling exact median over the trailing 5-row frame per user — the
+    // robust smoother a telemetry pipeline runs where a moving average
+    // would chase spikes. Exact percentile as a WINDOW aggregate over a
+    // bounded ROWS frame: per-frame work is O(5 log 5) regardless of
+    // corpus size and the only shuffle is the keyed window partition.
+    // Frame order is the unique (ts, event_id) composite so both
+    // engines see identical frames; output restricted to a stable user
+    // slice to keep the oracle diff small.
+    Q("win_median",
+      """SELECT user_id, event_id,
+        |  round(median(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        |    4) AS med5
+        |FROM events WHERE user_id % 20 = 0
+        |ORDER BY user_id, event_id""") { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      Tables.events(s, d)
+        .filter(col("user_id") % 20 === 0)
+        .select(col("user_id"), col("event_id"),
+          round(expr("percentile(value, 0.5)")
+            .over(w) // Spark: any aggregate is window-able; exact median
+            , 4).as("med5"))
+        .orderBy(col("user_id"), col("event_id"))
     })
 }

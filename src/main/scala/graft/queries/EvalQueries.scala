@@ -684,6 +684,99 @@ object EvalQueries {
           round(expr("percentile(CAST(mb AS DOUBLE), 0.975)"), 4).as("ci_hi"),
           round(avg(col("mb")).cast("double"), 4).as("boot_mean"))
         .orderBy(col("event_type"))
+    },
+
+    // Kolmogorov-Smirnov separation statistic per weekday group: the
+    // max gap between the positive and negative score CDFs — the
+    // standard "can this score separate classes at all" screen run
+    // before a threshold sweep. Same scale shape as eval_auc: rows
+    // collapse to (grp, score) -> (cnt, pos) by hash aggregate first,
+    // then ONE window over the DISTINCT scores forms both running CDFs,
+    // so the heavy pass is partial+final aggregable and no global sort
+    // of raw rows ever happens. CDF ratios are exact-integer / total
+    // divisions (single IEEE op each) — bit-identical across engines.
+    Q("eval_ks",
+      s"""WITH e AS (SELECT CAST(date_part('isodow', ts) - 1 AS INT) AS grp,
+         |    value AS score, $lbl AS lbl FROM events),
+         |s AS (SELECT grp, score, count(*) AS cnt, sum(lbl) AS pos
+         |  FROM e GROUP BY 1, 2),
+         |c AS (SELECT grp,
+         |    sum(pos) OVER (PARTITION BY grp ORDER BY score) AS cum_pos,
+         |    sum(cnt - pos) OVER (PARTITION BY grp ORDER BY score) AS cum_neg,
+         |    sum(pos) OVER (PARTITION BY grp) AS p_cnt,
+         |    sum(cnt - pos) OVER (PARTITION BY grp) AS n_cnt
+         |  FROM s)
+         |SELECT grp, CAST(max(p_cnt) AS BIGINT) AS p_cnt,
+         |  CAST(max(n_cnt) AS BIGINT) AS n_cnt,
+         |  round(max(abs(cum_pos / CAST(p_cnt AS DOUBLE)
+         |              - cum_neg / CAST(n_cnt AS DOUBLE))), 4) AS ks
+         |FROM c GROUP BY grp ORDER BY grp""") { (s, d) =>
+      val e = Tables.events(s, d).select(
+        expr("weekday(ts)").as("grp"), col("value").as("score"),
+        expr(lbl).as("lbl"))
+      val grouped = e.groupBy(col("grp"), col("score"))
+        .agg(count(lit(1)).as("cnt"), sum(col("lbl")).as("pos"))
+      val wOrd = Window.partitionBy(col("grp")).orderBy(col("score"))
+      val wAll = Window.partitionBy(col("grp"))
+      grouped
+        .withColumn("cum_pos", sum(col("pos")).over(wOrd))
+        .withColumn("cum_neg", sum(col("cnt") - col("pos")).over(wOrd))
+        .withColumn("p_cnt", sum(col("pos")).over(wAll))
+        .withColumn("n_cnt", sum(col("cnt") - col("pos")).over(wAll))
+        .groupBy(col("grp"))
+        .agg(max(col("p_cnt")).cast("long").as("p_cnt"),
+          max(col("n_cnt")).cast("long").as("n_cnt"),
+          round(max(abs(col("cum_pos") / col("p_cnt").cast("double")
+            - col("cum_neg") / col("n_cnt").cast("double"))), 4).as("ks"))
+        .orderBy(col("grp"))
+    },
+
+    // Regression-model evaluation per event type: RMSE / MAE / R² of a
+    // deterministic linear "prediction" (0.8·y + 10, computed in exact
+    // DECIMAL so both engines see the identical residuals). The scale
+    // law of the family: every metric reduces to exact DECIMAL power
+    // sums (Σe², Σ|e|, Σy, Σy²) — one hash aggregate, partial+final
+    // aggregable, partition-count invariant; doubles appear only in the
+    // final sqrt/divide over already-exact totals.
+    Q("eval_regression",
+      """WITH e AS (SELECT event_type,
+        |    CAST(value AS DECIMAL(18,4)) AS y,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * CAST(0.8 AS DECIMAL(8,4))
+        |      + 10 AS DECIMAL(18,4)) AS pred
+        |  FROM events),
+        |r AS (SELECT event_type, y, y - pred AS err FROM e),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(err * err AS DECIMAL(28,8))) AS DOUBLE) AS sse,
+        |    CAST(sum(CAST(abs(err) AS DECIMAL(28,4))) AS DOUBLE) AS sae,
+        |    CAST(sum(CAST(y AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(y * y AS DECIMAL(28,8))) AS DOUBLE) AS syy
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(sqrt(sse / n), 4) AS rmse,
+        |  round(sae / n, 4) AS mae,
+        |  round(1 - sse / (syy - sy * sy / n), 4) AS r2
+        |FROM a ORDER BY event_type""") { (s, d) =>
+      val e = Tables.events(s, d).select(col("event_type"),
+          col("value").cast("decimal(18,4)").as("y"))
+        .withColumn("pred",
+          (col("y") * lit(0.8).cast("decimal(8,4)") + 10)
+            .cast("decimal(18,4)"))
+        .withColumn("err", col("y") - col("pred"))
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum((col("err") * col("err")).cast("decimal(28,8)"))
+            .cast("double").as("sse"),
+          sum(abs(col("err")).cast("decimal(28,4)"))
+            .cast("double").as("sae"),
+          sum(col("y").cast("decimal(28,4)")).cast("double").as("sy"),
+          sum((col("y") * col("y")).cast("decimal(28,8)"))
+            .cast("double").as("syy"))
+        .select(col("event_type"), col("n"),
+          round(sqrt(col("sse") / col("n")), 4).as("rmse"),
+          round(col("sae") / col("n"), 4).as("mae"),
+          round(lit(1) - col("sse")
+            / (col("syy") - col("sy") * col("sy") / col("n")), 4).as("r2"))
+        .orderBy(col("event_type"))
     }
   )
 }

@@ -910,5 +910,70 @@ object PipelineQueries {
           round(abs(col("c") / col("n").cast("double") -
             log10(lit(1) + lit(1.0) / col("digit"))), 4).as("abs_dev"))
         .orderBy(col("digit"))
+    },
+
+    // IQR outlier screen per event type: exact q1/q3 by linear
+    // interpolation, Tukey 1.5·IQR fences, and the count/share of rows
+    // outside them — the data-quality gate run before a training mix is
+    // frozen. Two passes: a per-group exact-percentile aggregate
+    // (constant-size result, broadcast back) and one counting scan —
+    // never a global sort; the fence compare is row-local.
+    Q("dq_outlier_iqr",
+      """WITH q AS (SELECT event_type,
+        |    quantile_cont(value, 0.25) AS q1,
+        |    quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(max(q.q1), 4) AS q1, round(max(q.q3), 4) AS q3,
+        |  CAST(sum(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+        |        OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS outliers
+        |FROM events e JOIN q ON e.event_type = q.event_type
+        |GROUP BY 1 ORDER BY e.event_type""") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val q = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.25)").as("q1"),
+          expr("percentile(value, 0.75)").as("q3"))
+      ev.join(broadcast(q), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(max(col("q1")), 4).as("q1"),
+          round(max(col("q3")), 4).as("q3"),
+          sum(when(col("value") <
+              col("q1") - lit(1.5) * (col("q3") - col("q1")), 1)
+            .when(col("value") >
+              col("q3") + lit(1.5) * (col("q3") - col("q1")), 1)
+            .otherwise(0)).cast("long").as("outliers"))
+        .orderBy(col("event_type"))
+    },
+
+    // Deterministic k-fold cross-validation assignment: fold = first
+    // md5 nibble of doc_id mod 5 — reproducible on any cluster size,
+    // join-stable (the same doc lands in the same fold everywhere), and
+    // auditable: the query reports per-(fold, lang) counts plus each
+    // fold's share, which is exactly the disjoint-cover evidence a
+    // pipeline wants before training k models. Pure projection + one
+    // hash aggregate; no shuffle beyond the rollup.
+    Q("pipe_kfold",
+      """WITH f AS (SELECT lang,
+        |    (strpos('0123456789abcdef',
+        |      substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 5 AS fold
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT fold, lang, CAST(count(*) AS BIGINT) AS docs,
+        |  round(count(*) / CAST(max(n.n) AS DOUBLE), 4) AS share
+        |FROM f CROSS JOIN n GROUP BY fold, lang ORDER BY fold, lang""") {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val f = docs.select(col("lang"),
+          (expr("instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1))")
+            - 1) % 5 as "fold")
+        val n = docs.agg(count(lit(1)).as("n"))
+        f.crossJoin(broadcast(n))
+          .groupBy(col("fold"), col("lang"))
+          .agg(count(lit(1)).cast("long").as("docs"),
+            round(count(lit(1)) / max(col("n")).cast("double"), 4)
+              .as("share"))
+          .orderBy(col("fold"), col("lang"))
     })
 }

@@ -50,7 +50,8 @@ class PlanHygieneSpec extends SparkSpec {
     "norm_quantile",       // pooled CDF x broadcast 1-row corpus total
     "text_boilerplate",    // segments x broadcast 1-row df threshold
     "eval_bootstrap_ci",   // events x broadcast 64-row literal replica ids
-    "dq_benford"           // digit counts x broadcast 1-row grand total
+    "dq_benford",          // digit counts x broadcast 1-row grand total
+    "pipe_kfold"           // fold rows x broadcast 1-row corpus count
   )
 
   private def offenders(name: String): Seq[String] = {

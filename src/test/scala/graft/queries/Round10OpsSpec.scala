@@ -138,4 +138,90 @@ class Round10OpsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_terms") == 2L)
     assert(out.head.getAs[Double]("zipf_slope") == -1.0)
   }
+
+  test("eval_ks: perfectly separating scores give KS = 1") {
+    // All on one weekday; every positive (purchase) scores above every
+    // negative (view) — the CDF gap must reach exactly 1.
+    val d = plantEvents(Seq(
+      (1L, t0, 1L, "view", 10.0, "{}"),
+      (2L, plus(t0, 1), 1L, "view", 20.0, "{}"),
+      (3L, plus(t0, 2), 2L, "purchase", 90.0, "{}"),
+      (4L, plus(t0, 3), 2L, "purchase", 95.0, "{}")))
+    val out = SparkEntry.queries("eval_ks")(spark, d).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("p_cnt") == 2L)
+    assert(out.head.getAs[Long]("n_cnt") == 2L)
+    assert(out.head.getAs[Double]("ks") == 1.0)
+  }
+
+  test("eval_regression: planted residuals give exact RMSE/MAE/R2") {
+    // y in {40, 50, 60}: err = 0.2y - 10 = {-2, 0, 2} -> SSE 8, SAE 4,
+    // SST = 7700 - 7500 = 200, R2 = 1 - 8/200 = 0.96.
+    val d = plantEvents(Seq(
+      (1L, t0, 1L, "view", 40.0, "{}"),
+      (2L, plus(t0, 1), 1L, "view", 50.0, "{}"),
+      (3L, plus(t0, 2), 1L, "view", 60.0, "{}")))
+    val out = SparkEntry.queries("eval_regression")(spark, d).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Double]("mae") == 1.3333)
+    assert(r.getAs[Double]("r2") == 0.96)
+    assert(math.abs(r.getAs[Double]("rmse") - math.sqrt(8.0 / 3)) < 5e-5)
+  }
+
+  test("agg_weighted_quantile: cumulative-share boundaries pick exact values") {
+    // weights: 10->1, 20->1, 30->2 (tot 4); shares 0.25 / 0.5 / 1.0.
+    val d = java.nio.file.Files.createTempDirectory("r10wq").toString
+    Seq(("A", 10.0, 1.0), ("A", 20.0, 1.0), ("A", 30.0, 1.0),
+        ("A", 30.0, 1.0))
+      .toDF("l_returnflag", "l_extendedprice", "l_quantity")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val out = SparkEntry.queries("agg_weighted_quantile")(spark, d).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[java.math.BigDecimal]("wq25").doubleValue() == 10.0)
+    assert(r.getAs[java.math.BigDecimal]("wq50").doubleValue() == 20.0)
+    assert(r.getAs[java.math.BigDecimal]("wq75").doubleValue() == 30.0)
+  }
+
+  test("win_median: trailing-5 exact medians over a planted sequence") {
+    // user 0 (%20==0), values 5,1,9,3,7 -> medians 5, 3, 5, 4, 5.
+    val d = plantEvents(Seq(
+      (1L, t0, 0L, "view", 5.0, "{}"),
+      (2L, plus(t0, 1), 0L, "view", 1.0, "{}"),
+      (3L, plus(t0, 2), 0L, "view", 9.0, "{}"),
+      (4L, plus(t0, 3), 0L, "view", 3.0, "{}"),
+      (5L, plus(t0, 4), 0L, "view", 7.0, "{}")))
+    val out = SparkEntry.queries("win_median")(spark, d).collect()
+    assert(out.map(_.getAs[Double]("med5")).toSeq ==
+      Seq(5.0, 3.0, 5.0, 4.0, 5.0))
+  }
+
+  test("dq_outlier_iqr: a planted extreme is the only Tukey outlier") {
+    // 10..17 plus 1000: q1 = 12, q3 = 16, fences [6, 22] -> 1 outlier.
+    val rows = (10 to 17).map(v =>
+      (v.toLong, plus(t0, v), 1L, "view", v.toDouble, "{}")) :+
+      (99L, plus(t0, 99), 1L, "view", 1000.0, "{}")
+    val d = plantEvents(rows)
+    val out = SparkEntry.queries("dq_outlier_iqr")(spark, d).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") == 9L)
+    assert(r.getAs[Double]("q1") == 12.0)
+    assert(r.getAs[Double]("q3") == 16.0)
+    assert(r.getAs[Long]("outliers") == 1L)
+  }
+
+  test("pipe_kfold: folds disjointly cover the corpus, shares sum to 1") {
+    val d = java.nio.file.Files.createTempDirectory("r10kf").toString
+    (1L to 200L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("pipe_kfold")(spark, d).collect()
+    assert(out.map(_.getAs[Long]("docs")).sum == 200L)
+    assert(out.forall { r =>
+      val f = r.getAs[Int]("fold"); f >= 0 && f < 5 })
+    assert(math.abs(out.map(_.getAs[Double]("share")).sum - 1.0) < 1e-2)
+  }
 }
