@@ -777,6 +777,59 @@ object EvalQueries {
           round(lit(1) - col("sse")
             / (col("syy") - col("sy") * col("sy") / col("n")), 4).as("r2"))
         .orderBy(col("event_type"))
+    },
+
+    // Mutual information between weekday and event type — the
+    // feature-selection screen ("does this categorical feature carry
+    // any signal about the label?") run before features enter a
+    // training mix. MI = H(day) + H(type) − H(day, type), all three
+    // entropies from ONE tiny joint-count table (7×5 rows) produced by
+    // a single corpus-scale hash aggregate; everything after operates
+    // on constant-size relations (broadcast 1-row totals). plogp terms
+    // are DECIMAL(28,12)-quantized before the order-free sum — the
+    // entropy-family determinism law.
+    Q("eval_mutual_info",
+      """WITH j AS (SELECT CAST(date_part('isodow', ts) - 1 AS INT) AS grp,
+        |    event_type AS tpe, count(*) AS c FROM events GROUP BY 1, 2),
+        |n AS (SELECT sum(c) AS n FROM j),
+        |hj AS (SELECT CAST(sum(CAST(-(c / CAST(n.n AS DOUBLE))
+        |      * ln(c / CAST(n.n AS DOUBLE)) AS DECIMAL(28,12)))
+        |    AS DOUBLE) AS h FROM j CROSS JOIN n),
+        |hd AS (SELECT CAST(sum(CAST(-(c / CAST(n.n AS DOUBLE))
+        |      * ln(c / CAST(n.n AS DOUBLE)) AS DECIMAL(28,12)))
+        |    AS DOUBLE) AS h
+        |  FROM (SELECT grp, sum(c) AS c FROM j GROUP BY 1) m CROSS JOIN n),
+        |ht AS (SELECT CAST(sum(CAST(-(c / CAST(n.n AS DOUBLE))
+        |      * ln(c / CAST(n.n AS DOUBLE)) AS DECIMAL(28,12)))
+        |    AS DOUBLE) AS h
+        |  FROM (SELECT tpe, sum(c) AS c FROM j GROUP BY 1) m CROSS JOIN n)
+        |SELECT CAST(max(n.n) AS BIGINT) AS n,
+        |  round(max(hd.h), 4) AS h_day, round(max(ht.h), 4) AS h_type,
+        |  round(max(hj.h), 4) AS h_joint,
+        |  round(max(hd.h) + max(ht.h) - max(hj.h), 4) AS mi
+        |FROM n CROSS JOIN hj CROSS JOIN hd CROSS JOIN ht
+        |ORDER BY n""") { (s, d) =>
+      val j = Tables.events(s, d)
+        .groupBy(expr("weekday(ts)").as("grp"), col("event_type").as("tpe"))
+        .agg(count(lit(1)).as("c"))
+      val n = j.agg(sum(col("c")).as("n"))
+      def ent(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        df.crossJoin(broadcast(n))
+          .agg(expr("""CAST(sum(CAST(-(c / CAST(n AS DOUBLE))
+                 |  * ln(c / CAST(n AS DOUBLE)) AS DECIMAL(28,12)))
+                 |  AS DOUBLE)""".stripMargin).as("h"))
+      val hj = ent(j)
+      val hd = ent(j.groupBy(col("grp")).agg(sum(col("c")).as("c")))
+      val ht = ent(j.groupBy(col("tpe")).agg(sum(col("c")).as("c")))
+      n.crossJoin(broadcast(hj.select(col("h").as("h_j"))))
+        .crossJoin(broadcast(hd.select(col("h").as("h_d"))))
+        .crossJoin(broadcast(ht.select(col("h").as("h_t"))))
+        .select(col("n").cast("long").as("n"),
+          round(col("h_d"), 4).as("h_day"),
+          round(col("h_t"), 4).as("h_type"),
+          round(col("h_j"), 4).as("h_joint"),
+          round(col("h_d") + col("h_t") - col("h_j"), 4).as("mi"))
+        .orderBy(col("n"))
     }
   )
 }

@@ -975,5 +975,75 @@ object PipelineQueries {
             round(count(lit(1)) / max(col("n")).cast("double"), 4)
               .as("share"))
           .orderBy(col("fold"), col("lang"))
+    },
+
+    // Output-shard balance audit: assign every event to one of 32
+    // md5-derived shards (the deterministic partitioner a 100 TB write
+    // would use) and report per-shard counts, shares, and the χ²
+    // uniformity contribution — the evenness evidence read before
+    // committing a layout (a hot shard here is a straggler executor
+    // there). One projection + one 32-group hash aggregate; the grand
+    // total is a broadcast single row.
+    Q("pipe_shard_balance",
+      """WITH s AS (SELECT
+        |    ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 2))::INT
+        |      % 32 AS shard
+        |  FROM events),
+        |c AS (SELECT shard, count(*) AS cnt FROM s GROUP BY 1),
+        |n AS (SELECT sum(cnt) AS n FROM c)
+        |SELECT shard, CAST(cnt AS BIGINT) AS cnt,
+        |  round(cnt / CAST(n.n AS DOUBLE), 4) AS share,
+        |  round((cnt - n.n / 32.0) * (cnt - n.n / 32.0) / (n.n / 32.0), 4)
+        |    AS chi2_term
+        |FROM c CROSS JOIN n ORDER BY shard""") { (s, d) =>
+      val sh = Tables.events(s, d).select(
+        (expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 2), 16, 10) AS INT)")
+          % 32).as("shard"))
+      val c = sh.groupBy(col("shard")).agg(count(lit(1)).as("cnt"))
+      val n = c.agg(sum(col("cnt")).as("n"))
+      c.crossJoin(broadcast(n))
+        .select(col("shard"), col("cnt").cast("long").as("cnt"),
+          round(col("cnt") / col("n").cast("double"), 4).as("share"),
+          round((col("cnt") - col("n") / 32.0)
+            * (col("cnt") - col("n") / 32.0) / (col("n") / 32.0), 4)
+            .as("chi2_term"))
+        .orderBy(col("shard"))
+    },
+
+    // Referential-integrity audit across the fact chain: orphan counts
+    // for lineitem→orders and orders→customer — the FK health check a
+    // warehouse runs after every ingest batch. Each check is one
+    // LEFT ANTI join on the key (hash/broadcast-joinable, never a
+    // scan×scan), collapsed to a single count; results union to a tiny
+    // named-relation report.
+    Q("dq_referential",
+      """WITH l AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+        |      AS n_orphans
+        |  FROM lineitem li LEFT JOIN orders o
+        |    ON li.l_orderkey = o.o_orderkey),
+        |o2 AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+        |      AS n_orphans
+        |  FROM orders o LEFT JOIN customer c
+        |    ON o.o_custkey = c.c_custkey)
+        |SELECT 'lineitem->orders' AS relation, n_rows, n_orphans FROM l
+        |UNION ALL
+        |SELECT 'orders->customer' AS relation, n_rows, n_orphans FROM o2
+        |ORDER BY relation""") { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val cu = Tables.customer(s, d)
+      def audit(name: String, fact: org.apache.spark.sql.DataFrame,
+          factKey: String, dim: org.apache.spark.sql.DataFrame,
+          dimKey: String): org.apache.spark.sql.DataFrame =
+        fact.join(dim.select(col(dimKey)),
+            col(factKey) === col(dimKey), "left")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            count(when(col(dimKey).isNull, 1)).cast("long").as("n_orphans"))
+          .select(lit(name).as("relation"), col("n_rows"), col("n_orphans"))
+      audit("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionAll(audit("orders->customer", o, "o_custkey", cu, "c_custkey"))
+        .orderBy(col("relation"))
     })
 }

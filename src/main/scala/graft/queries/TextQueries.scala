@@ -1649,5 +1649,37 @@ object TextQueries {
         .agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("w1"), col("w2"))
         .limit(15)
+    },
+
+    // Per-document n-gram novelty: the share of a doc's distinct
+    // 3-token shingles whose FIRST appearance (min doc_id over the whole
+    // corpus) is this doc — the duplicate-content score a crawl pipeline
+    // uses to rank which near-dup to keep and to measure marginal new
+    // content per source. Reuses the family's single shingle relation:
+    // one groupBy(sh) finds each shingle's first doc, one join back +
+    // keyed rollup scores every doc — never doc×doc pairs, and the only
+    // wide key is the shingle (bucketable at 100 TB).
+    Q("text_ngram_novelty",
+      s"""WITH sh AS ($shinglesSql),
+         |f AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+         |j AS (SELECT s.doc_id,
+         |    CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END AS novel
+         |  FROM sh s JOIN f ON f.sh = s.sh)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(novel) AS BIGINT) AS n_novel,
+         |  round(sum(novel) / CAST(count(*) AS DOUBLE), 4) AS novelty
+         |FROM j GROUP BY 1 ORDER BY doc_id""") { (s, d) =>
+      val sh = shingles(s, d)
+      val f = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+      sh.join(f, Seq("sh"))
+        .select(col("doc_id"),
+          when(col("first_doc") === col("doc_id"), 1).otherwise(0)
+            .as("novel"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_shingles"),
+          sum(col("novel")).cast("long").as("n_novel"),
+          round(sum(col("novel")) / count(lit(1)).cast("double"), 4)
+            .as("novelty"))
+        .orderBy(col("doc_id"))
     })
 }

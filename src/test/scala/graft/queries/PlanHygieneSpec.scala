@@ -51,7 +51,9 @@ class PlanHygieneSpec extends SparkSpec {
     "text_boilerplate",    // segments x broadcast 1-row df threshold
     "eval_bootstrap_ci",   // events x broadcast 64-row literal replica ids
     "dq_benford",          // digit counts x broadcast 1-row grand total
-    "pipe_kfold"           // fold rows x broadcast 1-row corpus count
+    "pipe_kfold",          // fold rows x broadcast 1-row corpus count
+    "pipe_shard_balance",  // 32 shard counts x broadcast 1-row total
+    "eval_mutual_info"     // 35-row joint counts x 1-row entropy scalars
   )
 
   private def offenders(name: String): Seq[String] = {

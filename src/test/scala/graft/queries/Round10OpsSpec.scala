@@ -213,6 +213,66 @@ class Round10OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("outliers") == 1L)
   }
 
+  test("text_ngram_novelty: first doc scores 1, a dup scores 0, half-new scores fractionally") {
+    val d = java.nio.file.Files.createTempDirectory("r10nov").toString
+    Seq((1L, "a b c d", "en", "web", 7L),
+        (2L, "a b c d", "en", "web", 7L),   // exact dup of doc 1
+        (3L, "a b c x y z", "en", "web", 11L)) // 1 of 4 shingles seen
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("text_ngram_novelty")(spark, d).collect()
+    val m = out.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Double]("novelty")).toMap
+    assert(m(1L) == 1.0)
+    assert(m(2L) == 0.0)
+    assert(m(3L) == 0.75)
+  }
+
+  test("eval_mutual_info: independence gives MI 0; perfect dependence gives ln 2") {
+    // 2 days x 2 types, fully balanced -> independent -> MI = 0.
+    val ind = plantEvents(Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 11:00:00"), 1L, "purchase", 0.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-02 10:00:00"), 1L, "view", 0.0, "{}"),
+      (4L, Timestamp.valueOf("2024-01-02 11:00:00"), 1L, "purchase", 0.0, "{}")))
+    val r1 = SparkEntry.queries("eval_mutual_info")(spark, ind).collect().head
+    assert(r1.getAs[Double]("mi") == 0.0)
+    assert(r1.getAs[Double]("h_day") == 0.6931) // ln 2
+    // day determines type -> MI = H(type) = ln 2.
+    val dep = plantEvents(Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 11:00:00"), 1L, "view", 0.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-02 10:00:00"), 1L, "purchase", 0.0, "{}"),
+      (4L, Timestamp.valueOf("2024-01-02 11:00:00"), 1L, "purchase", 0.0, "{}")))
+    val r2 = SparkEntry.queries("eval_mutual_info")(spark, dep).collect().head
+    assert(r2.getAs[Double]("mi") == 0.6931)
+  }
+
+  test("pipe_shard_balance: shard counts conserve the corpus and shares sum to 1") {
+    val d = plantEvents((1L to 100L).map(i =>
+      (i, plus(t0, i.toInt), i % 7, "view", 1.0, "{}")))
+    val out = SparkEntry.queries("pipe_shard_balance")(spark, d).collect()
+    assert(out.map(_.getAs[Long]("cnt")).sum == 100L)
+    assert(out.forall { r =>
+      val s = r.getAs[Int]("shard"); s >= 0 && s < 32 })
+    assert(math.abs(out.map(_.getAs[Double]("share")).sum - 1.0) < 1e-2)
+  }
+
+  test("dq_referential: a planted orphan line is counted, intact FKs are clean") {
+    val d = java.nio.file.Files.createTempDirectory("r10fk").toString
+    Seq((1L, 5L), (2L, 5L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq(Tuple1(5L)).toDF("c_custkey")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    Seq(Tuple1(1L), Tuple1(1L), Tuple1(99L)).toDF("l_orderkey") // 99 orphan
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val out = SparkEntry.queries("dq_referential")(spark, d).collect()
+    val m = out.map(r => r.getAs[String]("relation") ->
+      ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_orphans")))).toMap
+    assert(m("lineitem->orders") == ((3L, 1L)))
+    assert(m("orders->customer") == ((2L, 0L)))
+  }
+
   test("pipe_kfold: folds disjointly cover the corpus, shares sum to 1") {
     val d = java.nio.file.Files.createTempDirectory("r10kf").toString
     (1L to 200L).map(i => (i, if (i % 3 == 0) "en" else "de"))
