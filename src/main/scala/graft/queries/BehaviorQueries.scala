@@ -841,6 +841,49 @@ object BehaviorQueries {
         .agg(count(lit(1)).as("users"))
         .orderBy(col("users").desc, col("path"))
         .limit(20)
+    },
+
+    // Activity concentration (Pareto point): the smallest user-rank
+    // prefix that accounts for ≥80% of all events, plus the share of
+    // users that prefix represents — "do 20% of users generate 80% of
+    // the traffic?". Raw rows collapse to per-user counts by hash
+    // aggregate first; the window then runs over USERS (cardinality
+    // ≪ events), ordered by the unique (count desc, user_id) composite
+    // so the cumulative share is deterministic under ties. The reach-80
+    // pick is the same min-CASE idiom as the weighted-quantile family.
+    Q("behavior_pareto",
+      """WITH u AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+        |r AS (SELECT c,
+        |    row_number() OVER (ORDER BY c DESC, user_id) AS rk,
+        |    sum(c) OVER (ORDER BY c DESC, user_id) AS cum,
+        |    sum(c) OVER () AS tot,
+        |    count(*) OVER () AS n_users
+        |  FROM u)
+        |SELECT CAST(max(n_users) AS BIGINT) AS n_users,
+        |  CAST(max(tot) AS BIGINT) AS n_events,
+        |  CAST(min(CASE WHEN cum / CAST(tot AS DOUBLE) >= 0.8
+        |    THEN rk END) AS BIGINT) AS pareto_rank,
+        |  round(min(CASE WHEN cum / CAST(tot AS DOUBLE) >= 0.8
+        |      THEN rk END) / CAST(max(n_users) AS DOUBLE), 4)
+        |    AS pareto_user_share
+        |FROM r ORDER BY n_users""") { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      val wOrd = Window.orderBy(col("c").desc, col("user_id"))
+      val wAll = Window.partitionBy()
+      u.select(col("c"),
+          row_number().over(wOrd).as("rk"),
+          sum(col("c")).over(wOrd).as("cum"),
+          sum(col("c")).over(wAll).as("tot"),
+          count(lit(1)).over(wAll).as("n_users"))
+        .agg(max(col("n_users")).cast("long").as("n_users"),
+          max(col("tot")).cast("long").as("n_events"),
+          min(when(col("cum") / col("tot").cast("double") >= 0.8,
+            col("rk"))).cast("long").as("pareto_rank"),
+          round(min(when(col("cum") / col("tot").cast("double") >= 0.8,
+            col("rk"))) / max(col("n_users")).cast("double"), 4)
+            .as("pareto_user_share"))
+        .orderBy(col("n_users"))
     }
   )
 }

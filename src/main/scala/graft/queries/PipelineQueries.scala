@@ -1045,5 +1045,94 @@ object PipelineQueries {
       audit("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
         .unionAll(audit("orders->customer", o, "o_custkey", cu, "c_custkey"))
         .orderBy(col("relation"))
+    },
+
+    // Per-source data card: the one-pass "datasheet" a corpus publishes
+    // per provenance source — doc count, char-length stats, dominant
+    // language + its share, and distinct-language breadth. ONE hash
+    // aggregate over documents plus a vocab-sized (source, lang)
+    // rollup for the mode; no window over raw rows.
+    Q("pipe_source_card",
+      """WITH sl AS (SELECT source, lang, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |m AS (SELECT source, max(c) AS mc, CAST(sum(c) AS BIGINT) AS docs,
+        |    CAST(count(*) AS BIGINT) AS n_langs FROM sl GROUP BY 1),
+        |top AS (SELECT sl.source,
+        |    min(CASE WHEN sl.c = m.mc THEN sl.lang END) AS top_lang,
+        |    max(m.mc) AS mc
+        |  FROM sl JOIN m ON m.source = sl.source GROUP BY 1),
+        |st AS (SELECT source, CAST(count(*) AS BIGINT) AS docs,
+        |    CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |    CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |    round(sum(n_chars) / CAST(count(*) AS DOUBLE), 2) AS avg_chars
+        |  FROM documents GROUP BY 1)
+        |SELECT st.source, st.docs, st.min_chars, st.max_chars, st.avg_chars,
+        |  m.n_langs, top.top_lang,
+        |  round(top.mc / CAST(st.docs AS DOUBLE), 4) AS top_lang_share
+        |FROM st JOIN m ON m.source = st.source
+        |JOIN top ON top.source = st.source
+        |ORDER BY st.source""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sl = docs.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+      val m = sl.groupBy(col("source"))
+        .agg(max(col("c")).as("mc"), sum(col("c")).cast("long").as("docs2"),
+          count(lit(1)).cast("long").as("n_langs"))
+      val top = sl.join(m, Seq("source"))
+        .groupBy(col("source"))
+        .agg(min(when(col("c") === col("mc"), col("lang"))).as("top_lang"),
+          max(col("mc")).as("mc"))
+      val st = docs.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("docs"),
+          min(col("n_chars")).cast("long").as("min_chars"),
+          max(col("n_chars")).cast("long").as("max_chars"),
+          round(sum(col("n_chars")) / count(lit(1)).cast("double"), 2)
+            .as("avg_chars"))
+      st.join(m.select(col("source"), col("n_langs")), Seq("source"))
+        .join(top, Seq("source"))
+        .select(col("source"), col("docs"), col("min_chars"),
+          col("max_chars"), col("avg_chars"), col("n_langs"),
+          col("top_lang"),
+          round(col("mc") / col("docs").cast("double"), 4)
+            .as("top_lang_share"))
+        .orderBy(col("source"))
+    },
+
+    // Freshness / staleness audit: per event type, the lag between its
+    // newest record and the corpus watermark (global max ts) plus daily
+    // arrival coverage — the "is any source silently stalled" check an
+    // ingest pipeline alerts on. Per-type extrema come from one hash
+    // aggregate; the watermark is a broadcast single row.
+    Q("dq_freshness",
+      """WITH t AS (SELECT event_type, max(ts) AS max_ts, min(ts) AS min_ts,
+        |    CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT max(max_ts) AS wm FROM t)
+        |SELECT event_type,
+        |  CAST(date_diff('second', max_ts, w.wm) AS BIGINT) AS lag_sec,
+        |  CAST(date_diff('day', CAST(min_ts AS DATE), CAST(max_ts AS DATE))
+        |    + 1 AS BIGINT) AS span_days,
+        |  active_days,
+        |  round(active_days / CAST(date_diff('day', CAST(min_ts AS DATE),
+        |    CAST(max_ts AS DATE)) + 1 AS DOUBLE), 4) AS day_coverage
+        |FROM t CROSS JOIN w ORDER BY event_type""") { (s, d) =>
+      val t = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(max(col("ts")).as("max_ts"), min(col("ts")).as("min_ts"),
+          countDistinct(col("ts").cast("date")).cast("long")
+            .as("active_days"))
+      val w = t.agg(max(col("max_ts")).as("wm"))
+      t.crossJoin(broadcast(w))
+        .select(col("event_type"),
+          (unix_timestamp(col("wm")) - unix_timestamp(col("max_ts")))
+            .cast("long").as("lag_sec"),
+          (datediff(col("max_ts").cast("date"), col("min_ts").cast("date"))
+            + 1).cast("long").as("span_days"),
+          col("active_days"),
+          round(col("active_days") /
+            (datediff(col("max_ts").cast("date"),
+              col("min_ts").cast("date")) + 1).cast("double"), 4)
+            .as("day_coverage"))
+        .orderBy(col("event_type"))
     })
 }

@@ -53,7 +53,8 @@ class PlanHygieneSpec extends SparkSpec {
     "dq_benford",          // digit counts x broadcast 1-row grand total
     "pipe_kfold",          // fold rows x broadcast 1-row corpus count
     "pipe_shard_balance",  // 32 shard counts x broadcast 1-row total
-    "eval_mutual_info"     // 35-row joint counts x 1-row entropy scalars
+    "eval_mutual_info",    // 35-row joint counts x 1-row entropy scalars
+    "dq_freshness"         // per-type extrema x broadcast 1-row watermark
   )
 
   private def offenders(name: String): Seq[String] = {

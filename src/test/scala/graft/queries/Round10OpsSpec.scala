@@ -273,6 +273,47 @@ class Round10OpsSpec extends SparkSpec {
     assert(m("orders->customer") == ((2L, 0L)))
   }
 
+  test("behavior_pareto: one dominant user reaches the 80% point alone") {
+    // user 1: 8 of 10 events -> cum share 0.8 at rank 1; share 1/3.
+    val rows = (1 to 8).map(i =>
+      (i.toLong, plus(t0, i), 1L, "view", 1.0, "{}")) ++
+      Seq((9L, plus(t0, 9), 2L, "view", 1.0, "{}"),
+          (10L, plus(t0, 10), 3L, "view", 1.0, "{}"))
+    val d = plantEvents(rows)
+    val r = SparkEntry.queries("behavior_pareto")(spark, d).collect().head
+    assert(r.getAs[Long]("n_users") == 3L)
+    assert(r.getAs[Long]("n_events") == 10L)
+    assert(r.getAs[Long]("pareto_rank") == 1L)
+    assert(r.getAs[Double]("pareto_user_share") == 0.3333)
+  }
+
+  test("pipe_source_card: per-source stats and dominant language") {
+    val d = java.nio.file.Files.createTempDirectory("r10card").toString
+    Seq((1L, "t", "en", "web", 10L), (2L, "t", "en", "web", 20L),
+        (3L, "t", "de", "web", 30L), (4L, "t", "fr", "books", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("pipe_source_card")(spark, d).collect()
+    val web = out.find(_.getAs[String]("source") == "web").get
+    assert(web.getAs[Long]("docs") == 3L)
+    assert(web.getAs[Long]("n_langs") == 2L)
+    assert(web.getAs[String]("top_lang") == "en")
+    assert(web.getAs[Double]("top_lang_share") == 0.6667)
+    assert(web.getAs[Double]("avg_chars") == 20.0)
+  }
+
+  test("dq_freshness: a stalled type shows its exact lag to the watermark") {
+    val d = plantEvents(Seq(
+      (1L, t0, 1L, "view", 1.0, "{}"),
+      (2L, plus(t0, 10), 1L, "view", 1.0, "{}"),   // watermark
+      (3L, t0, 1L, "purchase", 1.0, "{}")))         // stalled 10 h
+    val out = SparkEntry.queries("dq_freshness")(spark, d).collect()
+    val m = out.map(r => r.getAs[String]("event_type") ->
+      r.getAs[Long]("lag_sec")).toMap
+    assert(m("view") == 0L)
+    assert(m("purchase") == 36000L)
+  }
+
   test("pipe_kfold: folds disjointly cover the corpus, shares sum to 1") {
     val d = java.nio.file.Files.createTempDirectory("r10kf").toString
     (1L to 200L).map(i => (i, if (i % 3 == 0) "en" else "de"))
