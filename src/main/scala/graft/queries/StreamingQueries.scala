@@ -57,10 +57,24 @@ object StreamingQueries {
     val src = java.nio.file.Paths.get(Tables.path(d, "events"))
     val dir = java.nio.file.Paths.get(
       "/tmp/graft-replay-" + datasetFingerprint(d))
+    // Staging-done marker: underscore-prefixed, so Spark's file listing
+    // ignores it (same convention as _SUCCESS).
+    val marker = dir.resolve("_staged")
     val dst = dir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(dst)) {
+    if (!java.nio.file.Files.exists(marker)) {
       java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.copy(src, dst)
+      import java.nio.file.StandardCopyOption.REPLACE_EXISTING
+      if (java.nio.file.Files.isDirectory(src)) {
+        // Spark-written fixtures are directories of part files — stage
+        // each data file flat (the replay source lists the dir anyway).
+        val it = java.nio.file.Files.list(src)
+        try it.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .forEach(p => java.nio.file.Files.copy(
+            p, dir.resolve("events-" + p.getFileName.toString),
+            REPLACE_EXISTING))
+        finally it.close()
+      } else java.nio.file.Files.copy(src, dst, REPLACE_EXISTING)
+      java.nio.file.Files.createFile(marker)
     }
     readEventsReplay(s, dir.toString)
   }
@@ -731,6 +745,49 @@ object StreamingQueries {
                |  AS DECIMAL(28,12))) AS DOUBLE) * 10000 + 0.5)
                |  / 10000.0 AS DOUBLE)""".stripMargin).as("psi"))
         .orderBy(col("day"))
+    },
+
+    // Streaming freshness monitor — the stateful twin of dq_freshness:
+    // the stream maintains per-(type, day) ts extrema in the streaming
+    // aggregation state (complete mode, constant-size state: types ×
+    // active days), and the staleness report (lag to the corpus
+    // watermark, active-day coverage) computes on the completed tiny
+    // table — the stream_psi lambda split. In production the same
+    // query tails the live feed and the lag column IS the stall alert;
+    // the replay's final answer must equal the batch audit exactly.
+    Q("stream_freshness",
+      """WITH t AS (SELECT event_type, max(ts) AS max_ts, min(ts) AS min_ts,
+        |    CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT max(max_ts) AS wm FROM t)
+        |SELECT event_type,
+        |  CAST(date_diff('second', max_ts, w.wm) AS BIGINT) AS lag_sec,
+        |  CAST(date_diff('day', CAST(min_ts AS DATE), CAST(max_ts AS DATE))
+        |    + 1 AS BIGINT) AS span_days,
+        |  active_days,
+        |  round(active_days / CAST(date_diff('day', CAST(min_ts AS DATE),
+        |    CAST(max_ts AS DATE)) + 1 AS DOUBLE), 4) AS day_coverage
+        |FROM t CROSS JOIN w ORDER BY event_type""") { (s, d) =>
+      val perDay = runToTable(s, d, "complete") { src =>
+        src.groupBy(col("event_type"), window(col("ts"), "1 day"))
+          .agg(max(col("ts")).as("mx"), min(col("ts")).as("mn"))
+      }.localCheckpoint(true)
+      val t = perDay.groupBy(col("event_type"))
+        .agg(max(col("mx")).as("max_ts"), min(col("mn")).as("min_ts"),
+          count(lit(1)).cast("long").as("active_days"))
+      val w = t.agg(max(col("max_ts")).as("wm"))
+      t.crossJoin(broadcast(w))
+        .select(col("event_type"),
+          (unix_timestamp(col("wm")) - unix_timestamp(col("max_ts")))
+            .cast("long").as("lag_sec"),
+          (datediff(col("max_ts").cast("date"), col("min_ts").cast("date"))
+            + 1).cast("long").as("span_days"),
+          col("active_days"),
+          round(col("active_days") /
+            (datediff(col("max_ts").cast("date"),
+              col("min_ts").cast("date")) + 1).cast("double"), 4)
+            .as("day_coverage"))
+        .orderBy(col("event_type"))
     },
 
     // STREAMING last-touch attribution — the stateful twin of

@@ -314,6 +314,19 @@ class Round10OpsSpec extends SparkSpec {
     assert(m("purchase") == 36000L)
   }
 
+  test("stream_freshness: the streaming replay equals the batch audit exactly") {
+    val d = plantEvents(Seq(
+      (1L, t0, 1L, "view", 1.0, "{}"),
+      (2L, plus(t0, 10), 1L, "view", 1.0, "{}"),
+      (3L, t0, 1L, "purchase", 1.0, "{}")))
+    val stream = SparkEntry.queries("stream_freshness")(spark, d).collect()
+    val batch = SparkEntry.queries("dq_freshness")(spark, d).collect()
+    assert(stream.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+    val m = stream.map(r => r.getAs[String]("event_type") ->
+      r.getAs[Long]("lag_sec")).toMap
+    assert(m("purchase") == 36000L)
+  }
+
   test("pipe_kfold: folds disjointly cover the corpus, shares sum to 1") {
     val d = java.nio.file.Files.createTempDirectory("r10kf").toString
     (1L to 200L).map(i => (i, if (i % 3 == 0) "en" else "de"))
