@@ -884,6 +884,76 @@ object BehaviorQueries {
             col("rk"))) / max(col("n_users")).cast("double"), 4)
             .as("pareto_user_share"))
         .orderBy(col("n_users"))
+    },
+
+    // Growth accounting: per day, active users split into new (first
+    // ever seen that day) vs returning — the DAU decomposition every
+    // growth dashboard leads with. Each user's first day is one keyed
+    // min-aggregate; the daily split is a (user, day)-distinct relation
+    // joined to it — two hash aggregates and one equi-join on user_id,
+    // no window over raw events.
+    Q("behavior_new_returning",
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+        |SELECT CAST(day AS VARCHAR) AS day,
+        |  CAST(count(*) AS BIGINT) AS active_users,
+        |  CAST(sum(CASE WHEN f.first_day = a.day THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS new_users,
+        |  CAST(sum(CASE WHEN f.first_day < a.day THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS returning_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY day ORDER BY day""") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val f = ev.groupBy(col("user_id"))
+        .agg(min(col("ts").cast("date")).as("first_day"))
+      val a = ev.select(col("ts").cast("date").as("day"), col("user_id"))
+        .distinct()
+      a.join(f, Seq("user_id"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).cast("long").as("active_users"),
+          sum(when(col("first_day") === col("day"), 1).otherwise(0))
+            .cast("long").as("new_users"),
+          sum(when(col("first_day") < col("day"), 1).otherwise(0))
+            .cast("long").as("returning_users"))
+        .select(col("day").cast("string").as("day"), col("active_users"),
+          col("new_users"), col("returning_users"))
+        .orderBy(col("day"))
+    },
+
+    // Weekly churn: users active in epoch-week w with no activity in
+    // w+1 — the retention complement a subscription pipeline alerts on.
+    // The (user, week)-distinct relation self-joins on the shifted week
+    // key (equi-join, user-keyed shuffle only); the final week's cohort
+    // is reported but has no next-week data, so its churn is trivially
+    // total — consumers slice it off, the operator stays total-order
+    // deterministic.
+    Q("behavior_churn",
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w FROM events)
+        |SELECT cur.w,
+        |  CAST(count(*) AS BIGINT) AS active,
+        |  CAST(sum(CASE WHEN nxt.user_id IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS churned,
+        |  round(sum(CASE WHEN nxt.user_id IS NULL THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 4) AS churn_rate
+        |FROM wk cur LEFT JOIN wk nxt
+        |  ON nxt.user_id = cur.user_id AND nxt.w = cur.w + 1
+        |GROUP BY cur.w ORDER BY cur.w""") { (s, d) =>
+      val wk = Tables.events(s, d)
+        .select(col("user_id"),
+          floor(unix_timestamp(col("ts")) / 604800).cast("long").as("w"))
+        .distinct()
+      val nxt = wk.select(col("user_id"), (col("w") - 1).as("w"),
+        lit(1).as("has_next"))
+      wk.join(nxt, Seq("user_id", "w"), "left")
+        .groupBy(col("w"))
+        .agg(count(lit(1)).cast("long").as("active"),
+          sum(when(col("has_next").isNull, 1).otherwise(0))
+            .cast("long").as("churned"),
+          round(sum(when(col("has_next").isNull, 1).otherwise(0))
+            / count(lit(1)).cast("double"), 4).as("churn_rate"))
+        .orderBy(col("w"))
     }
   )
 }

@@ -1029,5 +1029,92 @@ object VectorQueries {
           round(expr("percentile(CAST(cos AS DOUBLE), 0.50)"), 4).as("p50"),
           round(expr("percentile(CAST(cos AS DOUBLE), 0.95)"), 4).as("p95"))
         .orderBy(col("n_pairs"))
+    },
+
+    // Per-dimension variance profile of the embedding space — the
+    // dead-dimension / scale-imbalance screen run before choosing a
+    // quantizer or PCA rank (a near-zero-variance dim carries no
+    // signal; a dominant one breaks product-quantizer balance).
+    // posexplode → ONE (dim)-keyed hash aggregate of DECIMAL-quantized
+    // power sums; output is dim-sized (constant), partition-invariant.
+    Q("vec_dim_variance",
+      """WITH x AS (SELECT unnest(range(0, len(embedding))) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |a AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+        |  FROM x GROUP BY 1)
+        |SELECT CAST(dim AS INT) AS dim, n,
+        |  round(sx / n, 4) AS mean,
+        |  round((sxx - sx * sx / n) / n, 4) AS variance
+        |FROM a ORDER BY dim""") { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim"), col("x").cast("double").as("x"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("x").cast("decimal(28,12)")).cast("double").as("sx"),
+          sum((col("x") * col("x")).cast("decimal(28,12)"))
+            .cast("double").as("sxx"))
+        .select(col("dim").cast("int").as("dim"), col("n"),
+          round(col("sx") / col("n"), 4).as("mean"),
+          round((col("sxx") - col("sx") * col("sx") / col("n"))
+            / col("n"), 4).as("variance"))
+        .orderBy(col("dim"))
+    },
+
+    // Embedding-drift detector: split the corpus into two deterministic
+    // halves (vec_id parity — in production, two ingest windows) and
+    // measure the per-label cosine between half centroids. A healthy
+    // feature space keeps label centroids stable (cos ≈ 1); drift shows
+    // up as a falling cosine long before recall drops. Cosine is
+    // scale-invariant, so the "centroids" stay per-(label, half, dim)
+    // exact-DECIMAL SUMS from ONE explode pass (the 1/n factors cancel
+    // — no division, no float rounding until the final sqrt); everything
+    // after runs on label×dim-sized relations.
+    Q("vec_centroid_shift",
+      """WITH x AS (SELECT label, vec_id % 2 AS half,
+        |    unnest(range(0, len(embedding))) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |c AS (SELECT label, half, dim,
+        |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DECIMAL(18,8)) AS m
+        |  FROM x GROUP BY 1, 2, 3),
+        |p AS (SELECT a.label, a.dim, a.m AS ma, b.m AS mb
+        |  FROM c a JOIN c b ON a.label = b.label AND a.dim = b.dim
+        |    AND a.half = 0 AND b.half = 1),
+        |s AS (SELECT label,
+        |    CAST(sum(CAST(ma * mb AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+        |    CAST(sum(CAST(ma * ma AS DECIMAL(38,12))) AS DOUBLE) AS na,
+        |    CAST(sum(CAST(mb * mb AS DECIMAL(38,12))) AS DOUBLE) AS nb
+        |  FROM p GROUP BY 1)
+        |SELECT label, round(dot / (sqrt(na) * sqrt(nb)), 4) AS centroid_cos
+        |FROM s ORDER BY label""") { (s, d) =>
+      val x = Tables.embeddings(s, d)
+        .select(col("label"), (col("vec_id") % 2).as("half"),
+          posexplode(col("embedding")).as(Seq("dim", "xf")))
+        .select(col("label"), col("half"), col("dim"),
+          col("xf").cast("double").as("x"))
+      val c = x.groupBy(col("label"), col("half"), col("dim"))
+        .agg(sum(col("x").cast("decimal(28,12)"))
+          .cast("decimal(18,8)").as("m"))
+      val a = c.filter(col("half") === 0)
+        .select(col("label"), col("dim"), col("m").as("ma"))
+      val b = c.filter(col("half") === 1)
+        .select(col("label"), col("dim"), col("m").as("mb"))
+      a.join(b, Seq("label", "dim"))
+        .groupBy(col("label"))
+        .agg(
+          sum((col("ma") * col("mb")).cast("decimal(38,12)"))
+            .cast("double").as("dot"),
+          sum((col("ma") * col("ma")).cast("decimal(38,12)"))
+            .cast("double").as("na"),
+          sum((col("mb") * col("mb")).cast("decimal(38,12)"))
+            .cast("double").as("nb"))
+        .select(col("label"),
+          round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 4)
+            .as("centroid_cos"))
+        .orderBy(col("label"))
     })
 }

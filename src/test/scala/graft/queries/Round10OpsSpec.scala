@@ -327,6 +327,59 @@ class Round10OpsSpec extends SparkSpec {
     assert(m("purchase") == 36000L)
   }
 
+  test("vec_dim_variance: planted two-vector corpus gives exact per-dim moments") {
+    val d = java.nio.file.Files.createTempDirectory("r10dv").toString
+    Seq((1L, Array(1.0f, 3.0f), 0), (2L, Array(3.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = SparkEntry.queries("vec_dim_variance")(spark, d).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Double]("mean") == 2.0)
+      assert(r.getAs[Double]("variance") == 1.0)
+    }
+  }
+
+  test("vec_centroid_shift: orthogonal halves cos 0, identical halves cos 1") {
+    val d = java.nio.file.Files.createTempDirectory("r10cs").toString
+    Seq((0L, Array(1.0f, 0.0f), 0), (1L, Array(0.0f, 1.0f), 0), // orthogonal
+        (2L, Array(1.0f, 1.0f), 1), (3L, Array(1.0f, 1.0f), 1)) // identical
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = SparkEntry.queries("vec_centroid_shift")(spark, d).collect()
+    val m = out.map(r => r.getAs[Int]("label") ->
+      r.getAs[Double]("centroid_cos")).toMap
+    assert(m(0) == 0.0)
+    assert(m(1) == 1.0)
+  }
+
+  test("behavior_new_returning: first-day users are new, repeats are returning") {
+    val day2 = Timestamp.valueOf("2024-01-02 12:00:00")
+    val d = plantEvents(Seq(
+      (1L, t0, 1L, "view", 1.0, "{}"),
+      (2L, day2, 1L, "view", 1.0, "{}"),
+      (3L, day2, 2L, "view", 1.0, "{}")))
+    val out = SparkEntry.queries("behavior_new_returning")(spark, d).collect()
+    val m = out.map(r => r.getAs[String]("day") ->
+      ((r.getAs[Long]("active_users"), r.getAs[Long]("new_users"),
+        r.getAs[Long]("returning_users")))).toMap
+    assert(m("2024-01-01") == ((1L, 1L, 0L)))
+    assert(m("2024-01-02") == ((2L, 1L, 1L)))
+  }
+
+  test("behavior_churn: a user absent next week churns, a continuing one does not") {
+    val nextWeek = new Timestamp(t0.getTime + 7L * 86400 * 1000)
+    val d = plantEvents(Seq(
+      (1L, t0, 1L, "view", 1.0, "{}"),
+      (2L, nextWeek, 1L, "view", 1.0, "{}"),
+      (3L, t0, 2L, "view", 1.0, "{}")))
+    val out = SparkEntry.queries("behavior_churn")(spark, d).collect()
+    val first = out.minBy(_.getAs[Long]("w"))
+    assert(first.getAs[Long]("active") == 2L)
+    assert(first.getAs[Long]("churned") == 1L)
+    assert(first.getAs[Double]("churn_rate") == 0.5)
+  }
+
   test("pipe_kfold: folds disjointly cover the corpus, shares sum to 1") {
     val d = java.nio.file.Files.createTempDirectory("r10kf").toString
     (1L to 200L).map(i => (i, if (i % 3 == 0) "en" else "de"))
