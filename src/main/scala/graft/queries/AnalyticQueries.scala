@@ -671,5 +671,46 @@ object AnalyticQueries {
             .over(w) // Spark: any aggregate is window-able; exact median
             , 4).as("med5"))
         .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // 10%-trimmed mean per group — the robust centre the stats family
+    // was missing between mean (agg_stats) and median (agg_percentiles):
+    // exact p10/p90 bounds from one per-group percentile aggregate
+    // (constant-size, broadcast back), then a DECIMAL-quantized
+    // conditional average over the in-bounds rows. Two corpus passes,
+    // both partial+final aggregable; the fence compare is row-local.
+    Q("agg_trimmed_mean",
+      """WITH q AS (SELECT l_returnflag AS flag,
+        |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.1) AS lo,
+        |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag AS flag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN l.l_extendedprice >= q.lo
+        |      AND l.l_extendedprice <= q.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  round(CAST(sum(CASE WHEN l.l_extendedprice >= q.lo
+        |        AND l.l_extendedprice <= q.hi
+        |        THEN CAST(l.l_extendedprice AS DECIMAL(28,2)) END)
+        |      AS DOUBLE)
+        |    / sum(CASE WHEN l.l_extendedprice >= q.lo
+        |        AND l.l_extendedprice <= q.hi THEN 1 ELSE 0 END), 4)
+        |    AS trimmed_mean
+        |FROM lineitem l JOIN q ON q.flag = l.l_returnflag
+        |GROUP BY 1 ORDER BY flag""") { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val q = li.groupBy(col("l_returnflag").as("flag"))
+        .agg(expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.1)").as("lo"),
+          expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.9)").as("hi"))
+      val kept = col("l_extendedprice") >= col("lo") &&
+        col("l_extendedprice") <= col("hi")
+      li.join(broadcast(q), col("l_returnflag") === col("flag"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(kept, 1).otherwise(0)).cast("long").as("n_kept"),
+          round(sum(when(kept,
+              col("l_extendedprice").cast("decimal(28,2)"))).cast("double")
+            / sum(when(kept, 1).otherwise(0)), 4).as("trimmed_mean"))
+        .orderBy(col("flag"))
     })
 }

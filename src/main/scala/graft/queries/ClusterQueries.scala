@@ -931,5 +931,55 @@ object ClusterQueries {
       }
       adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .orderBy(col("u"))
+    },
+
+    // Adamic-Adar link prediction (Adamic & Adar, "Friends and
+    // neighbors on the Web", 2003) over the co-purchase graph: score a
+    // candidate pair by Σ_z 1/ln(deg(z)) over its common neighbors —
+    // rare shared neighbors count more than hubs. Same
+    // skew-bounded wedge join as graph_jaccard (adj ⋈ adj on the shared
+    // endpoint), but each wedge carries its centre's 1/ln(deg) weight;
+    // per-wedge terms are DECIMAL-quantized so the per-pair sum is
+    // order-free. A common neighbour has ≥2 edges, so ln(deg) > 0.
+    Q("graph_adamic_adar",
+      """WITH e0 AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT p1 AS u, p2 AS v FROM e0
+        |  UNION ALL SELECT p2, p1 FROM e0),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |w AS (SELECT a.u AS x, b.u AS y, a.v AS z
+        |  FROM adj a JOIN adj b ON a.v = b.v AND a.u < b.u),
+        |sc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cn,
+        |    CAST(sum(CAST(1.0 / ln(dz.d) AS DECIMAL(28,12))) AS DOUBLE)
+        |      AS aa
+        |  FROM w JOIN deg dz ON dz.u = w.z
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT x, y, cn, round(aa, 4) AS adamic_adar
+        |FROM sc ORDER BY x, y""") { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val e0 = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select(col("p1"), col("p2"))
+      val adj = e0.select(col("p1").as("u"), col("p2").as("v"))
+        .unionByName(e0.select(col("p2").as("u"), col("p1").as("v")))
+      val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      adj.as("a").join(adj.as("b"),
+          col("a.v") === col("b.v") && col("a.u") < col("b.u"))
+        .select(col("a.u").as("x"), col("b.u").as("y"), col("a.v").as("z"))
+        .join(deg.select(col("u").as("z"), col("d")), Seq("z"))
+        .groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("cn"),
+          sum((lit(1.0) / log(col("d"))).cast("decimal(28,12)"))
+            .cast("double").as("aa"))
+        .filter(col("cn") >= 2)
+        .select(col("x"), col("y"), col("cn"),
+          round(col("aa"), 4).as("adamic_adar"))
+        .orderBy(col("x"), col("y"))
     })
 }

@@ -708,5 +708,105 @@ object TemporalQueries {
         .select(col("event_id"), col("user_id"), col("state_at"),
           col("valid_from"))
         .orderBy(col("event_id"))
+    },
+
+    // Interval concurrency (sweep line): each event holds a resource
+    // for floor(value)+1 seconds; the peak number simultaneously held,
+    // per type, is the classic capacity-planning question. The sweep is
+    // ±1 deltas ordered by the unique (t, delta, event_id) composite —
+    // delta asc closes before it opens at the same instant (half-open
+    // intervals), so both engines walk the identical sequence — and ONE
+    // keyed running-sum window; peak is a rollup of the window output.
+    Q("ts_concurrency",
+      """WITH pts AS (
+        |  SELECT event_type, CAST(epoch(ts) AS BIGINT) AS t,
+        |    1 AS delta, event_id FROM events
+        |  UNION ALL
+        |  SELECT event_type,
+        |    CAST(epoch(ts) AS BIGINT) + CAST(floor(value) AS BIGINT) + 1,
+        |    -1, event_id FROM events),
+        |run AS (SELECT event_type,
+        |    sum(delta) OVER (PARTITION BY event_type
+        |      ORDER BY t, delta, event_id) AS conc
+        |  FROM pts)
+        |SELECT event_type,
+        |  CAST(max(conc) AS BIGINT) AS peak_concurrency,
+        |  CAST(count(*) / 2 AS BIGINT) AS n_intervals
+        |FROM run GROUP BY 1 ORDER BY event_type""") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val opens = ev.select(col("event_type"),
+        unix_timestamp(col("ts")).as("t"), lit(1).as("delta"),
+        col("event_id"))
+      val closes = ev.select(col("event_type"),
+        (unix_timestamp(col("ts")) + floor(col("value")).cast("long") + 1)
+          .as("t"), lit(-1).as("delta"), col("event_id"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("t"), col("delta"), col("event_id"))
+      opens.unionByName(closes)
+        .select(col("event_type"), sum(col("delta")).over(w).as("conc"))
+        .groupBy(col("event_type"))
+        .agg(max(col("conc")).cast("long").as("peak_concurrency"),
+          (count(lit(1)) / 2).cast("long").as("n_intervals"))
+        .orderBy(col("event_type"))
+    },
+
+    // Lagged cross-correlation between two daily series (view count vs
+    // purchase count at lag 0 and lag 1) — "does today's browsing
+    // predict tomorrow's buying". Series collapse to per-day counts
+    // first (one hash aggregate); each lag is one day-keyed equi-join
+    // of the two TINY series; Pearson r derives from exact integer
+    // power sums (DECIMAL against 100 TB-scale daily counts), so the
+    // answer is partition-invariant — engine corr() builtins stream
+    // co-moments in float order and are NOT.
+    Q("ts_xcorr",
+      """WITH dc AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |    count(*) AS c FROM events GROUP BY 1, 2),
+        |v AS (SELECT day, c FROM dc WHERE event_type = 'view'),
+        |p AS (SELECT day, c FROM dc WHERE event_type = 'purchase'),
+        |pairs AS (
+        |  SELECT 0 AS lag, v.c AS x, p.c AS y FROM v
+        |    JOIN p ON p.day = v.day
+        |  UNION ALL
+        |  SELECT 1, v.c, p.c FROM v
+        |    JOIN p ON p.day = v.day + INTERVAL 1 DAY),
+        |a AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(28,0))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(28,0))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x AS DECIMAL(28,0)) * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x AS DECIMAL(28,0)) * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y AS DECIMAL(28,0)) * y) AS DOUBLE) AS syy
+        |  FROM pairs GROUP BY 1)
+        |SELECT lag, n,
+        |  round((n * sxy - sx * sy)
+        |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r
+        |FROM a ORDER BY lag""") { (s, d) =>
+      val dc = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val v = dc.filter(col("event_type") === "view")
+        .select(col("day"), col("c").as("x"))
+      val p = dc.filter(col("event_type") === "purchase")
+        .select(col("day").as("pday"), col("c").as("y"))
+      val lag0 = v.join(p, col("pday") === col("day"))
+        .select(lit(0).as("lag"), col("x"), col("y"))
+      val lag1 = v.join(p, col("pday") === date_add(col("day"), 1))
+        .select(lit(1).as("lag"), col("x"), col("y"))
+      lag0.unionByName(lag1)
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("x").cast("decimal(28,0)")).cast("double").as("sx"),
+          sum(col("y").cast("decimal(28,0)")).cast("double").as("sy"),
+          sum(col("x").cast("decimal(28,0)") * col("y"))
+            .cast("double").as("sxy"),
+          sum(col("x").cast("decimal(28,0)") * col("x"))
+            .cast("double").as("sxx"),
+          sum(col("y").cast("decimal(28,0)") * col("y"))
+            .cast("double").as("syy"))
+        .select(col("lag"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              * (col("n") * col("syy") - col("sy") * col("sy"))), 4)
+            .as("r"))
+        .orderBy(col("lag"))
     })
 }

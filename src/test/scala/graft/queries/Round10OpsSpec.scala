@@ -380,6 +380,68 @@ class Round10OpsSpec extends SparkSpec {
     assert(first.getAs[Double]("churn_rate") == 0.5)
   }
 
+  test("agg_trimmed_mean: 1..10 trims to 2..9 with mean 5.5") {
+    val d = java.nio.file.Files.createTempDirectory("r10tm").toString
+    (1 to 10).map(i => ("A", i.toDouble))
+      .toDF("l_returnflag", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val r = SparkEntry.queries("agg_trimmed_mean")(spark, d).collect().head
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Long]("n_kept") == 8L)
+    assert(r.getAs[Double]("trimmed_mean") == 5.5)
+  }
+
+  test("ts_concurrency: overlapping holds peak at 2, disjoint at 1") {
+    def at(ms: Long) = new Timestamp(t0.getTime + ms)
+    val d = plantEvents(Seq(
+      (1L, t0, 1L, "view", 9.0, "{}"),        // holds [0, 10s)
+      (2L, at(5000), 1L, "view", 1.0, "{}"),  // holds [5s, 7s) — overlap
+      (3L, t0, 1L, "click", 1.0, "{}"),       // holds [0, 2s)
+      (4L, at(60000), 1L, "click", 1.0, "{}"))) // holds [60s, 62s)
+    val out = SparkEntry.queries("ts_concurrency")(spark, d).collect()
+    val m = out.map(r => r.getAs[String]("event_type") ->
+      ((r.getAs[Long]("peak_concurrency"), r.getAs[Long]("n_intervals"))))
+      .toMap
+    assert(m("view") == ((2L, 2L)))
+    assert(m("click") == ((1L, 2L)))
+  }
+
+  test("ts_xcorr: a perfectly lag-1-coupled pair of series correlates at 1") {
+    def day(n: Int, i: Int) =
+      Timestamp.valueOf(f"2024-01-0$n 0$i:00:00")
+    var id = 0L
+    def mk(n: Int, tpe: String, c: Int) = (1 to c).map { i =>
+      id += 1; (id, day(n, i), 1L, tpe, 0.0, "{}") }
+    // views 1,2,3 on days 1-3; purchases 2,4,6 on days 2-4.
+    val d = plantEvents(
+      mk(1, "view", 1) ++ mk(2, "view", 2) ++ mk(3, "view", 3) ++
+      mk(2, "purchase", 2) ++ mk(3, "purchase", 4) ++ mk(4, "purchase", 6))
+    val out = SparkEntry.queries("ts_xcorr")(spark, d).collect()
+    val m = out.map(r => r.getAs[Int]("lag") ->
+      ((r.getAs[Long]("n"), r.getAs[Double]("r")))).toMap
+    assert(m(1) == ((3L, 1.0)))  // (1,2),(2,4),(3,6): exact line
+    assert(m(0)._1 == 2L)        // days 2,3 overlap at lag 0
+  }
+
+  test("graph_adamic_adar: two degree-2 common neighbours score 2/ln 2") {
+    // Edges (1,10),(10,2),(1,11),(11,2), each with support 2 — the
+    // pair (1,2) has common neighbours {10, 11}, both degree 2.
+    val li = Seq(
+      (101L, 1L), (101L, 10L), (102L, 1L), (102L, 10L),
+      (103L, 10L), (103L, 2L), (104L, 10L), (104L, 2L),
+      (105L, 1L), (105L, 11L), (106L, 1L), (106L, 11L),
+      (107L, 11L), (107L, 2L), (108L, 11L), (108L, 2L))
+    val d = java.nio.file.Files.createTempDirectory("r10aa").toString
+    li.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val out = SparkEntry.queries("graph_adamic_adar")(spark, d).collect()
+    val p = out.find(r => r.getAs[Long]("x") == 1L &&
+      r.getAs[Long]("y") == 2L).get
+    assert(p.getAs[Long]("cn") == 2L)
+    assert(p.getAs[Double]("adamic_adar") ==
+      math.floor(2.0 / math.log(2.0) * 10000 + 0.5) / 10000)
+  }
+
   test("pipe_kfold: folds disjointly cover the corpus, shares sum to 1") {
     val d = java.nio.file.Files.createTempDirectory("r10kf").toString
     (1L to 200L).map(i => (i, if (i % 3 == 0) "en" else "de"))
