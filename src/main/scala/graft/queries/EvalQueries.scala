@@ -830,6 +830,74 @@ object EvalQueries {
           round(col("h_j"), 4).as("h_joint"),
           round(col("h_d") + col("h_t") - col("h_j"), 4).as("mi"))
         .orderBy(col("n"))
+    },
+
+    // Spearman rank correlation per weekday between the score and the
+    // second-of-day — "does the score drift over the day" as a
+    // monotone-association test, robust where Pearson on raw values is
+    // not. Tied-average ranks come from the eval_auc machinery (value
+    // hash-collapse → ONE window over DISTINCT values), joined back to
+    // rows by the (grp, value) key; Pearson is invariant under positive
+    // affine maps, so the query correlates DOUBLED ranks
+    // (2·cum_before + cnt + 1 — pure integers, no halves), keeping
+    // every power sum exact in DECIMAL until the final rho division.
+    Q("eval_spearman",
+      """WITH e AS (SELECT CAST(date_part('isodow', ts) - 1 AS INT) AS grp,
+        |    value AS x,
+        |    CAST(date_part('hour', ts) * 3600 + date_part('minute', ts) * 60
+        |      + date_part('second', ts) AS BIGINT) AS y
+        |  FROM events),
+        |rx AS (SELECT grp, x,
+        |    CAST(2 * (sum(cnt) OVER (PARTITION BY grp ORDER BY x) - cnt)
+        |      + cnt + 1 AS BIGINT) AS r
+        |  FROM (SELECT grp, x, count(*) AS cnt FROM e GROUP BY 1, 2)),
+        |ry AS (SELECT grp, y,
+        |    CAST(2 * (sum(cnt) OVER (PARTITION BY grp ORDER BY y) - cnt)
+        |      + cnt + 1 AS BIGINT) AS r
+        |  FROM (SELECT grp, y, count(*) AS cnt FROM e GROUP BY 1, 2)),
+        |j AS (SELECT e.grp, rx.r AS a, ry.r AS b FROM e
+        |  JOIN rx ON rx.grp = e.grp AND rx.x = e.x
+        |  JOIN ry ON ry.grp = e.grp AND ry.y = e.y),
+        |s AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(a AS DECIMAL(38,0))) AS DOUBLE) AS sa,
+        |    CAST(sum(CAST(b AS DECIMAL(38,0))) AS DOUBLE) AS sb,
+        |    CAST(sum(CAST(a AS DECIMAL(38,0)) * b) AS DOUBLE) AS sab,
+        |    CAST(sum(CAST(a AS DECIMAL(38,0)) * a) AS DOUBLE) AS saa,
+        |    CAST(sum(CAST(b AS DECIMAL(38,0)) * b) AS DOUBLE) AS sbb
+        |  FROM j GROUP BY 1)
+        |SELECT grp, n,
+        |  round((n * sab - sa * sb)
+        |    / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)), 4) AS rho
+        |FROM s ORDER BY grp""") { (s, d) =>
+      val e = Tables.events(s, d).select(
+        expr("weekday(ts)").as("grp"), col("value").as("x"),
+        (hour(col("ts")) * 3600 + minute(col("ts")) * 60
+          + second(col("ts"))).cast("long").as("y"))
+      def ranks(v: String): org.apache.spark.sql.DataFrame = {
+        val w = Window.partitionBy(col("grp")).orderBy(col(v))
+        e.groupBy(col("grp"), col(v)).agg(count(lit(1)).as("cnt"))
+          .select(col("grp"), col(v),
+            (lit(2) * (sum(col("cnt")).over(w) - col("cnt"))
+              + col("cnt") + 1).cast("long").as(s"r_$v"))
+      }
+      e.join(ranks("x"), Seq("grp", "x"))
+        .join(ranks("y"), Seq("grp", "y"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("r_x").cast("decimal(38,0)")).cast("double").as("sa"),
+          sum(col("r_y").cast("decimal(38,0)")).cast("double").as("sb"),
+          sum(col("r_x").cast("decimal(38,0)") * col("r_y"))
+            .cast("double").as("sab"),
+          sum(col("r_x").cast("decimal(38,0)") * col("r_x"))
+            .cast("double").as("saa"),
+          sum(col("r_y").cast("decimal(38,0)") * col("r_y"))
+            .cast("double").as("sbb"))
+        .select(col("grp"), col("n"),
+          round((col("n") * col("sab") - col("sa") * col("sb"))
+            / sqrt((col("n") * col("saa") - col("sa") * col("sa"))
+              * (col("n") * col("sbb") - col("sb") * col("sb"))), 4)
+            .as("rho"))
+        .orderBy(col("grp"))
     }
   )
 }

@@ -719,11 +719,11 @@ object TemporalQueries {
     // keyed running-sum window; peak is a rollup of the window output.
     Q("ts_concurrency",
       """WITH pts AS (
-        |  SELECT event_type, CAST(epoch(ts) AS BIGINT) AS t,
+        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t,
         |    1 AS delta, event_id FROM events
         |  UNION ALL
         |  SELECT event_type,
-        |    CAST(epoch(ts) AS BIGINT) + CAST(floor(value) AS BIGINT) + 1,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(value) AS BIGINT) + 1,
         |    -1, event_id FROM events),
         |run AS (SELECT event_type,
         |    sum(delta) OVER (PARTITION BY event_type
@@ -808,5 +808,40 @@ object TemporalQueries {
               * (col("n") * col("syy") - col("sy") * col("sy"))), 4)
             .as("r"))
         .orderBy(col("lag"))
+    },
+
+    // Inter-arrival-time profile per event type: the distribution of
+    // gaps between consecutive events — the burstiness/SLA statistic a
+    // capacity planner reads next to the concurrency peak. One keyed
+    // lag window on the unique (ts, event_id) order produces integer
+    // second gaps; the rollup is exact percentiles + a DECIMAL mean —
+    // all partial+final aggregable after the single window shuffle.
+    Q("ts_interarrival",
+      """WITH g AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |        PARTITION BY event_type ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |SELECT event_type, CAST(count(gap) AS BIGINT) AS n_gaps,
+        |  round(quantile_cont(CAST(gap AS DOUBLE), 0.5), 4) AS p50_sec,
+        |  round(quantile_cont(CAST(gap AS DOUBLE), 0.95), 4) AS p95_sec,
+        |  round(CAST(sum(CAST(gap AS DECIMAL(28,0))) AS DOUBLE)
+        |    / count(gap), 4) AS mean_sec
+        |FROM g GROUP BY 1 ORDER BY event_type""") { (s, d) =>
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"),
+          (unix_timestamp(col("ts"))
+            - lag(unix_timestamp(col("ts")), 1).over(w)).as("gap"))
+        .groupBy(col("event_type"))
+        .agg(count(col("gap")).cast("long").as("n_gaps"),
+          round(expr("percentile(CAST(gap AS DOUBLE), 0.5)"), 4)
+            .as("p50_sec"),
+          round(expr("percentile(CAST(gap AS DOUBLE), 0.95)"), 4)
+            .as("p95_sec"),
+          round(sum(col("gap").cast("decimal(28,0)")).cast("double")
+            / count(col("gap")), 4).as("mean_sec"))
+        .orderBy(col("event_type"))
     })
 }

@@ -1681,5 +1681,51 @@ object TextQueries {
           round(sum(col("novel")) / count(lit(1)).cast("double"), 4)
             .as("novelty"))
         .orderBy(col("doc_id"))
+    },
+
+    // Language-ID confusion matrix: text_langid's stopword-vote
+    // classifier scored against the labelled lang column — (true,
+    // predicted) counts and per-true-language recall, the quality
+    // report a corpus pipeline publishes before trusting a heuristic
+    // classifier to route documents. One classify pass (pure
+    // projection) + one vocab²-bounded hash rollup + a lang-sized
+    // marginal join.
+    Q("text_lang_confusion",
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |s AS (SELECT lang,
+        |  len(list_filter(toks, x -> x IN ('the', 'a', 'key', 'row'))) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('der', 'und', 'wert', 'tabelle'))) AS s_de,
+        |  len(list_filter(toks, x -> x IN ('le', 'et', 'valeur'))) AS s_fr
+        |FROM t),
+        |p AS (SELECT lang,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang
+        |FROM s),
+        |c AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2),
+        |m AS (SELECT lang, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.lang, c.pred_lang, CAST(c.n AS BIGINT) AS n,
+        |  round(c.n / CAST(m.tot AS DOUBLE), 4) AS share_of_true
+        |FROM c JOIN m ON m.lang = c.lang
+        |ORDER BY c.lang, c.pred_lang""") { (s, d) =>
+      val t = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("s_en",
+          expr("size(filter(toks, x -> x IN ('the', 'a', 'key', 'row')))"))
+        .withColumn("s_de",
+          expr("size(filter(toks, x -> x IN ('der', 'und', 'wert', 'tabelle')))"))
+        .withColumn("s_fr",
+          expr("size(filter(toks, x -> x IN ('le', 'et', 'valeur')))"))
+        .select(col("lang"),
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") >= col("s_fr"), "de")
+            .otherwise("fr").as("pred_lang"))
+      val c = t.groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      val m = c.groupBy(col("lang")).agg(sum(col("n")).as("tot"))
+      c.join(m, Seq("lang"))
+        .select(col("lang"), col("pred_lang"), col("n").cast("long").as("n"),
+          round(col("n") / col("tot").cast("double"), 4).as("share_of_true"))
+        .orderBy(col("lang"), col("pred_lang"))
     })
 }

@@ -442,6 +442,50 @@ class Round10OpsSpec extends SparkSpec {
       math.floor(2.0 / math.log(2.0) * 10000 + 0.5) / 10000)
   }
 
+  test("text_lang_confusion: planted misroute shows up in the (true, pred) cell") {
+    val d = java.nio.file.Files.createTempDirectory("r10lc").toString
+    Seq((1L, "the key row", "en", "web", 11L),
+        (2L, "the a key", "en", "web", 9L),
+        (3L, "der und wert", "en", "web", 12L)) // mislabelled-looking text
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("text_lang_confusion")(spark, d).collect()
+    val m = out.map(r => (r.getAs[String]("lang"),
+      r.getAs[String]("pred_lang")) ->
+      ((r.getAs[Long]("n"), r.getAs[Double]("share_of_true")))).toMap
+    assert(m(("en", "en")) == ((2L, 0.6667)))
+    assert(m(("en", "de")) == ((1L, 0.3333)))
+  }
+
+  test("ts_interarrival: planted gaps give exact order statistics") {
+    def at(ms: Long) = new Timestamp(t0.getTime + ms)
+    val d = plantEvents(Seq(
+      (1L, t0, 1L, "view", 1.0, "{}"),
+      (2L, at(10000), 1L, "view", 1.0, "{}"),   // gap 10 s
+      (3L, at(30000), 1L, "view", 1.0, "{}")))  // gap 20 s
+    val r = SparkEntry.queries("ts_interarrival")(spark, d).collect().head
+    assert(r.getAs[Long]("n_gaps") == 2L)
+    assert(r.getAs[Double]("p50_sec") == 15.0)
+    assert(r.getAs[Double]("p95_sec") == 19.5)
+    assert(r.getAs[Double]("mean_sec") == 15.0)
+  }
+
+  test("eval_spearman: monotone association is rho 1, reversed is -1") {
+    def at(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val up = plantEvents(Seq(
+      (1L, at(9), 1L, "view", 1.0, "{}"),
+      (2L, at(10), 1L, "view", 2.0, "{}"),
+      (3L, at(11), 1L, "view", 3.0, "{}")))
+    val r1 = SparkEntry.queries("eval_spearman")(spark, up).collect().head
+    assert(r1.getAs[Double]("rho") == 1.0)
+    val down = plantEvents(Seq(
+      (1L, at(9), 1L, "view", 3.0, "{}"),
+      (2L, at(10), 1L, "view", 2.0, "{}"),
+      (3L, at(11), 1L, "view", 1.0, "{}")))
+    val r2 = SparkEntry.queries("eval_spearman")(spark, down).collect().head
+    assert(r2.getAs[Double]("rho") == -1.0)
+  }
+
   test("pipe_kfold: folds disjointly cover the corpus, shares sum to 1") {
     val d = java.nio.file.Files.createTempDirectory("r10kf").toString
     (1L to 200L).map(i => (i, if (i % 3 == 0) "en" else "de"))
