@@ -1134,5 +1134,32 @@ object PipelineQueries {
               col("min_ts").cast("date")) + 1).cast("double"), 4)
             .as("day_coverage"))
         .orderBy(col("event_type"))
+    },
+
+    // Semi-structured key profile: which top-level keys appear in the
+    // JSON props column and in what share of rows — the schema-drift
+    // report a pipeline runs over raw event payloads before promoting
+    // fields to real columns. One key-explode pass (pure projection)
+    // + one vocab-sized hash rollup; the row total is a broadcast
+    // single row.
+    Q("json_key_profile",
+      """WITH k AS (SELECT unnest(json_keys(props)) AS key FROM events
+        |  WHERE props IS NOT NULL AND json_valid(props)),
+        |n AS (SELECT count(*) AS n FROM events)
+        |SELECT key, CAST(count(*) AS BIGINT) AS cnt,
+        |  round(count(*) / CAST(max(n.n) AS DOUBLE), 4) AS row_share
+        |FROM k CROSS JOIN n GROUP BY key ORDER BY key""") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val k = ev
+        .filter(col("props").isNotNull &&
+          expr("get_json_object(props, '$') IS NOT NULL"))
+        .select(explode(expr("json_object_keys(props)")).as("key"))
+      val n = ev.agg(count(lit(1)).as("n"))
+      k.crossJoin(broadcast(n))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          round(count(lit(1)) / max(col("n")).cast("double"), 4)
+            .as("row_share"))
+        .orderBy(col("key"))
     })
 }

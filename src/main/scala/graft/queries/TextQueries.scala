@@ -1727,5 +1727,61 @@ object TextQueries {
         .select(col("lang"), col("pred_lang"), col("n").cast("long").as("n"),
           round(col("n") / col("tot").cast("double"), 4).as("share_of_true"))
         .orderBy(col("lang"), col("pred_lang"))
+    },
+
+    // Near-duplication rate by provenance source — the rollup a corpus
+    // curator actually reads: of each source's documents, how many have
+    // at least one banded-LSH candidate partner anywhere in the corpus.
+    // Reuses the family's one shingle/signature definition (banded
+    // equi-join candidates, never all-pairs); flagged docs are the
+    // DISTINCT union of both pair sides (a left_semi join against the
+    // candidate relation), so the corpus-scale work stays the band join
+    // the 10× table already characterizes.
+    Q("dedup_rate_by_source",
+      s"""WITH sh AS ($shinglesSql),
+         |sv AS (SELECT doc_id, $shingleIntDuck AS v FROM sh),
+         |h AS (SELECT doc_id, CAST(r.seed AS INT) AS seed,
+         |        min(${mhMixSql("v", "r.seed")}) AS mh
+         |      FROM sv, range(0, 8) r(seed)
+         |      GROUP BY doc_id, r.seed),
+         |bnd AS (SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         |          min(CASE WHEN seed % 2 = 0 THEN mh END) AS m0,
+         |          min(CASE WHEN seed % 2 = 1 THEN mh END) AS m1
+         |        FROM h GROUP BY doc_id, seed // 2),
+         |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bnd a JOIN bnd b ON a.band = b.band
+         |    AND a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |fl AS (SELECT DISTINCT d1 AS doc_id FROM pr
+         |  UNION SELECT DISTINCT d2 FROM pr)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS docs,
+         |  CAST(sum(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS flagged,
+         |  round(sum(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    / CAST(count(*) AS DOUBLE), 4) AS dup_rate
+         |FROM documents d LEFT JOIN fl ON fl.doc_id = d.doc_id
+         |GROUP BY 1 ORDER BY d.source""") { (s, d) =>
+      val bnd = minhashSigsArrayOf(Tables.documents(s, d))
+        .groupBy(col("doc_id"), expr("CAST(seed div 2 AS INT)").as("band"))
+        .agg(min(when(col("seed") % 2 === 0, col("mh"))).as("m0"),
+          min(when(col("seed") % 2 === 1, col("mh"))).as("m1"))
+      val pr = bnd.as("a").join(bnd.as("b"),
+          col("a.band") === col("b.band") && col("a.m0") === col("b.m0") &&
+            col("a.m1") === col("b.m1") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val fl = pr.select(col("d1").as("doc_id"))
+        .unionByName(pr.select(col("d2").as("doc_id")))
+        .distinct()
+        .withColumn("flagged1", lit(1))
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(fl, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("docs"),
+          sum(when(col("flagged1").isNotNull, 1).otherwise(0))
+            .cast("long").as("flagged"),
+          round(sum(when(col("flagged1").isNotNull, 1).otherwise(0))
+            / count(lit(1)).cast("double"), 4).as("dup_rate"))
+        .orderBy(col("source"))
     })
 }

@@ -54,7 +54,8 @@ class PlanHygieneSpec extends SparkSpec {
     "pipe_kfold",          // fold rows x broadcast 1-row corpus count
     "pipe_shard_balance",  // 32 shard counts x broadcast 1-row total
     "eval_mutual_info",    // 35-row joint counts x 1-row entropy scalars
-    "dq_freshness"         // per-type extrema x broadcast 1-row watermark
+    "dq_freshness",        // per-type extrema x broadcast 1-row watermark
+    "json_key_profile"     // exploded keys x broadcast 1-row row total
   )
 
   private def offenders(name: String): Seq[String] = {

@@ -486,6 +486,34 @@ class Round10OpsSpec extends SparkSpec {
     assert(r2.getAs[Double]("rho") == -1.0)
   }
 
+  test("dedup_rate_by_source: a duplicated source flags fully, a unique one not at all") {
+    val dup = "alpha beta gamma delta epsilon zeta"
+    val d = java.nio.file.Files.createTempDirectory("r10dr").toString
+    Seq((1L, dup, "en", "mirror", dup.length.toLong),
+        (2L, dup, "en", "mirror", dup.length.toLong),
+        (3L, "one two three four five six", "en", "fresh", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("dedup_rate_by_source")(spark, d).collect()
+    val m = out.map(r => r.getAs[String]("source") ->
+      ((r.getAs[Long]("docs"), r.getAs[Long]("flagged"),
+        r.getAs[Double]("dup_rate")))).toMap
+    assert(m("mirror") == ((2L, 2L, 1.0)))
+    assert(m("fresh") == ((1L, 0L, 0.0)))
+  }
+
+  test("json_key_profile: key counts and row shares over a mixed-validity column") {
+    val d = plantEvents(Seq(
+      (1L, t0, 1L, "view", 1.0, """{"a":1,"b":2}"""),
+      (2L, plus(t0, 1), 1L, "view", 1.0, """{"a":3}"""),
+      (3L, plus(t0, 2), 1L, "view", 1.0, "not json")))
+    val out = SparkEntry.queries("json_key_profile")(spark, d).collect()
+    val m = out.map(r => r.getAs[String]("key") ->
+      ((r.getAs[Long]("cnt"), r.getAs[Double]("row_share")))).toMap
+    assert(m("a") == ((2L, 0.6667)))
+    assert(m("b") == ((1L, 0.3333)))
+  }
+
   test("pipe_kfold: folds disjointly cover the corpus, shares sum to 1") {
     val d = java.nio.file.Files.createTempDirectory("r10kf").toString
     (1L to 200L).map(i => (i, if (i % 3 == 0) "en" else "de"))
