@@ -174,7 +174,11 @@ object GraftFunctions {
   def shingle_gen(text: Column, n: Column): Column =
     column(ShingleGenerator(expression(text), expression(n)))
 
-  /** Register SQL names (`map_contains_all`, `dot_f`, `shingle_gen`). */
+  def jaro_winkler(a: Column, b: Column): Column =
+    column(JaroWinklerSimilarity(expression(a), expression(b)))
+
+  /** Register SQL names (`map_contains_all`, `dot_f`, `shingle_gen`,
+    * `jaro_winkler`). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("map_contains_all",
@@ -183,5 +187,7 @@ object GraftFunctions {
       exprs => DotProductFloat(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("shingle_gen",
       exprs => ShingleGenerator(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("jaro_winkler",
+      exprs => JaroWinklerSimilarity(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -578,6 +578,115 @@ object AnalyticQueries {
         .orderBy(col("event_type"))
     },
 
+    // Pairwise Pearson correlation matrix over three lineitem measures
+    // in ONE aggregate pass: the 10 power/cross sums (n, Σx, Σx², Σxy
+    // per pair) accumulate as DECIMAL — order-free, partition-count-
+    // invariant — and every r derives from the same 1-row result, then
+    // unpivots to the 3 pair rows. This is the feature-correlation
+    // screen a training pipeline runs before mixing features; at 100 TB
+    // it is exactly one map-side-combinable scan, constant-size state.
+    Q("agg_corr_matrix",
+      """WITH t AS (SELECT
+        |    CAST(l_quantity AS DECIMAL(18,4)) AS q,
+        |    CAST(l_extendedprice AS DECIMAL(18,4)) AS p,
+        |    CAST(l_discount AS DECIMAL(18,6)) AS dc,
+        |    CAST(l_quantity * l_quantity AS DECIMAL(28,4)) AS qq,
+        |    CAST(l_extendedprice * l_extendedprice AS DECIMAL(32,4)) AS pp,
+        |    CAST(l_discount * l_discount AS DECIMAL(28,8)) AS dd,
+        |    CAST(l_quantity * l_extendedprice AS DECIMAL(32,4)) AS qp,
+        |    CAST(l_quantity * l_discount AS DECIMAL(28,6)) AS qd,
+        |    CAST(l_extendedprice * l_discount AS DECIMAL(32,6)) AS pd
+        |  FROM lineitem),
+        |s AS (SELECT count(*) AS n,
+        |    CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(p) AS DOUBLE) AS sp,
+        |    CAST(sum(dc) AS DOUBLE) AS sd,
+        |    CAST(sum(qq) AS DOUBLE) AS sqq, CAST(sum(pp) AS DOUBLE) AS spp,
+        |    CAST(sum(dd) AS DOUBLE) AS sdd,
+        |    CAST(sum(qp) AS DOUBLE) AS sqp, CAST(sum(qd) AS DOUBLE) AS sqd,
+        |    CAST(sum(pd) AS DOUBLE) AS spd
+        |  FROM t)
+        |SELECT x_col, y_col, round(num / sqrt(dx * dy), 4) AS corr_r FROM (
+        |  SELECT 'quantity' AS x_col, 'extendedprice' AS y_col,
+        |    n * sqp - sq * sp AS num,
+        |    n * sqq - sq * sq AS dx, n * spp - sp * sp AS dy FROM s
+        |  UNION ALL
+        |  SELECT 'quantity', 'discount', n * sqd - sq * sd,
+        |    n * sqq - sq * sq, n * sdd - sd * sd FROM s
+        |  UNION ALL
+        |  SELECT 'extendedprice', 'discount', n * spd - sp * sd,
+        |    n * spp - sp * sp, n * sdd - sd * sd FROM s)
+        |ORDER BY x_col, y_col""") { (s, d) =>
+      val t = Tables.lineitem(s, d).select(
+        col("l_quantity").cast("decimal(18,4)").as("q"),
+        col("l_extendedprice").cast("decimal(18,4)").as("p"),
+        col("l_discount").cast("decimal(18,6)").as("dc"),
+        (col("l_quantity") * col("l_quantity")).cast("decimal(28,4)").as("qq"),
+        (col("l_extendedprice") * col("l_extendedprice"))
+          .cast("decimal(32,4)").as("pp"),
+        (col("l_discount") * col("l_discount")).cast("decimal(28,8)").as("dd"),
+        (col("l_quantity") * col("l_extendedprice"))
+          .cast("decimal(32,4)").as("qp"),
+        (col("l_quantity") * col("l_discount")).cast("decimal(28,6)").as("qd"),
+        (col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(32,6)").as("pd"))
+      val sums = t.agg(count(lit(1)).as("n"),
+        sum(col("q")).cast("double").as("sq"),
+        sum(col("p")).cast("double").as("sp"),
+        sum(col("dc")).cast("double").as("sd"),
+        sum(col("qq")).cast("double").as("sqq"),
+        sum(col("pp")).cast("double").as("spp"),
+        sum(col("dd")).cast("double").as("sdd"),
+        sum(col("qp")).cast("double").as("sqp"),
+        sum(col("qd")).cast("double").as("sqd"),
+        sum(col("pd")).cast("double").as("spd"))
+      def pair(xn: String, yn: String, sxy: String, sx: String, sy: String,
+          sxx: String, syy: String) =
+        sums.select(lit(xn).as("x_col"), lit(yn).as("y_col"),
+          (col("n") * col(sxy) - col(sx) * col(sy)).as("num"),
+          (col("n") * col(sxx) - col(sx) * col(sx)).as("dx"),
+          (col("n") * col(syy) - col(sy) * col(sy)).as("dy"))
+      pair("quantity", "extendedprice", "sqp", "sq", "sp", "sqq", "spp")
+        .unionByName(pair("quantity", "discount", "sqd", "sq", "sd", "sqq", "sdd"))
+        .unionByName(pair("extendedprice", "discount", "spd", "sp", "sd", "spp", "sdd"))
+        .select(col("x_col"), col("y_col"),
+          round(col("num") / sqrt(col("dx") * col("dy")), 4).as("corr_r"))
+        .orderBy(col("x_col"), col("y_col"))
+    },
+
+    // RUNNING distinct count per key — the window form SQL engines
+    // cannot plan directly (COUNT(DISTINCT) OVER a running frame is
+    // unsupported in Spark, and naive per-frame set state is O(n²)
+    // memory). The scalable identity: a value's FIRST occurrence in its
+    // (key, value) stream contributes exactly 1, so running distinct
+    // count = running sum of the first-occurrence indicator — two
+    // window passes over the same (key, time) partitioning, one
+    // shuffle, no set state anywhere. Identical construction in both
+    // dialects.
+    Q("win_distinct_count",
+      """WITH f AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(first_seen) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS distinct_types_so_far
+        |FROM f ORDER BY event_id""") { (s, d) =>
+      val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("first_seen",
+          when(row_number().over(wFirst) === 1, 1).otherwise(0))
+        .select(col("event_id"), col("user_id"),
+          sum(col("first_seen")).over(wRun).cast("long")
+            .as("distinct_types_so_far"))
+        .orderBy(col("event_id"))
+    },
+
     // Per-group mode with a deterministic tie-break (lexicographic min
     // among the tied-for-max values) — the categorical summary SQL
     // engines surprisingly lack as an exact builtin. Counts collapse

@@ -463,6 +463,70 @@ object ClusterQueries {
         .orderBy(col("part"))
     },
 
+    // Local clustering coefficient per node: C(v) = 2·T(v) / (deg(v)·
+    // (deg(v)−1)) over the same support-thresholded co-purchase graph as
+    // graph_triangles — the per-node "how clique-like is my
+    // neighborhood" score used for link-spam and community-core
+    // detection. Reuses the oriented wedge-join triangle count (three
+    // hash joins, skew bounded by out-degree) plus one degree rollup
+    // over the symmetrized edge relation; the divide touches only the
+    // node-sized aggregate. Nodes with deg < 2 have no possible wedge —
+    // coefficient 0 by convention.
+    Q("graph_clustering_coeff",
+      """WITH e0 AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT p1 AS v FROM e0 UNION ALL SELECT p2 FROM e0),
+        |deg AS (SELECT v, count(*) AS degree FROM sym GROUP BY 1),
+        |t AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        |  FROM e0 e1
+        |  JOIN e0 e2 ON e2.p1 = e1.p2
+        |  JOIN e0 e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+        |n AS (SELECT part, count(*) AS n_tri FROM (
+        |    SELECT a AS part FROM t
+        |    UNION ALL SELECT b FROM t
+        |    UNION ALL SELECT c FROM t) GROUP BY part)
+        |SELECT deg.v AS part, CAST(degree AS BIGINT) AS degree,
+        |  CAST(coalesce(n_tri, 0) AS BIGINT) AS n_triangles,
+        |  round(CASE WHEN degree >= 2
+        |    THEN 2.0 * coalesce(n_tri, 0) / (degree * (degree - 1.0))
+        |    ELSE 0.0 END, 4) AS lcc
+        |FROM deg LEFT JOIN n ON n.part = deg.v
+        |ORDER BY part""") { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val e0 = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select(col("p1"), col("p2"))
+        // e0 feeds the degree rollup once and the wedge join three
+        // times — pin it so the support-threshold self-join runs once.
+        .localCheckpoint(true)
+      val deg = e0.select(col("p1").as("v"))
+        .unionByName(e0.select(col("p2").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+      val t = e0.as("e1")
+        .join(e0.as("e2"), col("e2.p1") === col("e1.p2"))
+        .join(e0.as("e3"),
+          col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
+        .select(col("e1.p1").as("a"), col("e1.p2").as("b"), col("e2.p2").as("c"))
+      val n = t.select(col("a").as("part"))
+        .unionByName(t.select(col("b").as("part")))
+        .unionByName(t.select(col("c").as("part")))
+        .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
+      deg.join(n, col("part") === col("v"), "left")
+        .select(col("v").as("part"), col("degree"),
+          coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+          round(when(col("degree") >= 2,
+              lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+                (col("degree") * (col("degree") - lit(1.0))))
+            .otherwise(lit(0.0)), 4).as("lcc"))
+        .orderBy(col("part"))
+    },
+
     // SKEW STRESS for the LSH+CC family: every 10th document is
     // replaced by a shared 20-token base text plus a per-doc suffix —
     // at sf0.1 that is a planted ~500-member near-dup cluster whose

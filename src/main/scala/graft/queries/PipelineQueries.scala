@@ -877,6 +877,109 @@ object PipelineQueries {
         .orderBy(col("blk"))
     },
 
+    // Fuzzy linkage with JARO-WINKLER scoring — the record-linkage
+    // scorer (Winkler 1990) that er_blocking's Levenshtein cannot
+    // replace: JW rewards shared prefixes and normalizes to [0,1], so
+    // one threshold works across name lengths. Spark has no Jaro
+    // builtin — the scorer is this engine's codegen'd Catalyst
+    // expression (functions/JaroWinkler.scala, one invokestatic inside
+    // the WholeStageCodegen loop), pinned numerically to DuckDB's
+    // jaro_winkler_similarity incl. integer transposition halving and
+    // the 0.7 boost threshold. Same blocked-join scale shape as
+    // er_blocking: candidate pairs only within a first-token block;
+    // both engines round to 4 decimals BEFORE thresholding so the
+    // match-count comparison is ulp-robust.
+    Q("link_jw_names",
+      """WITH p0 AS (SELECT p_partkey, p_name,
+        |    string_split(p_name, ' ')[1] AS blk FROM part),
+        |pr AS (SELECT a.blk,
+        |    round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
+        |  FROM p0 a JOIN p0 b
+        |    ON a.blk = b.blk AND a.p_partkey < b.p_partkey)
+        |SELECT blk, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN jw >= 0.92 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_close,
+        |  round(max(jw), 4) AS best_jw
+        |FROM pr GROUP BY blk ORDER BY blk""") { (s, d) =>
+      import graft.functions.GraftFunctions.jaro_winkler
+      val p0 = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"),
+          split(col("p_name"), " ").getItem(0).as("blk"))
+      val pr = p0.as("a").join(p0.as("b"),
+          col("a.blk") === col("b.blk") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.blk").as("blk"),
+          round(jaro_winkler(col("a.p_name"), col("b.p_name")), 4).as("jw"))
+      pr.groupBy(col("blk"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("jw") >= 0.92, 1).otherwise(0)).as("n_close"),
+          round(max(col("jw")), 4).as("best_jw"))
+        .orderBy(col("blk"))
+    },
+
+    // GOLDEN RECORD construction — the end of the entity-resolution
+    // pipeline er_blocking starts: match pairs (same block, Levenshtein
+    // ≤ 10) become edges, connected components resolve transitive
+    // matches into entities (the same large-star/small-star contraction
+    // the dedup family uses — O(log n) rounds, no driver graph), and
+    // each entity fuses one canonical record: longest name (ties →
+    // lexicographic max — deterministic without a sort of members) and
+    // the best (min) price across members. The oracle reaches identical
+    // clusters by recursive transitive closure. At 100 TB the edge
+    // relation is block-bounded and the contraction is the proven CC
+    // loop; the fuse step is two keyed rollups.
+    Q("er_golden_record",
+      """WITH RECURSIVE p0 AS (SELECT p_partkey AS id, p_name, p_retailprice,
+        |    string_split(p_name, ' ')[1] AS blk FROM part),
+        |e AS (SELECT a.id AS v, b.id AS u FROM p0 a JOIN p0 b
+        |  ON a.blk = b.blk AND a.id < b.id
+        |    AND abs(length(a.p_name) - length(b.p_name)) <= 10
+        |    AND levenshtein(a.p_name, b.p_name) <= 10),
+        |sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+        |reach(u, v) AS (
+        |  SELECT id, id FROM p0
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+        |lab AS (SELECT u AS id, min(v) AS cluster_rep FROM reach GROUP BY 1),
+        |m AS (SELECT lab.cluster_rep, p0.id, p0.p_name, p0.p_retailprice
+        |  FROM lab JOIN p0 USING (id)),
+        |g AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS n_members,
+        |    max(length(p_name)) AS ml,
+        |    round(min(p_retailprice), 4) AS best_price FROM m GROUP BY 1)
+        |SELECT g.cluster_rep, g.n_members,
+        |  max(CASE WHEN length(m.p_name) = g.ml THEN m.p_name END) AS canon_name,
+        |  g.best_price
+        |FROM g JOIN m ON m.cluster_rep = g.cluster_rep
+        |GROUP BY g.cluster_rep, g.n_members, g.best_price
+        |ORDER BY g.cluster_rep""") { (s0, d) =>
+      val s = graft.Sessions.withShufflePartitions(s0, 8)
+      val p0 = Tables.part(s, d)
+        .select(col("p_partkey").as("id"), col("p_name"), col("p_retailprice"),
+          split(col("p_name"), " ").getItem(0).as("blk"))
+      val e = p0.as("a").join(p0.as("b"),
+          col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
+            abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 10 &&
+            levenshtein(col("a.p_name"), col("b.p_name")) <= 10)
+        .select(col("b.id").as("u"), col("a.id").as("v")) // v < u for starLabels
+        .localCheckpoint(true)
+      val labels = ClusterQueries.starLabels(e)
+      val all = p0
+        .join(labels.withColumnRenamed("doc_id", "id"), Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("rep"), col("id")).as("cluster_rep"),
+          col("p_name"), col("p_retailprice"))
+      val g = all.groupBy(col("cluster_rep"))
+        .agg(count(lit(1)).as("n_members"),
+          max(length(col("p_name"))).as("ml"),
+          round(min(col("p_retailprice")), 4).as("best_price"))
+      all.join(g, Seq("cluster_rep"))
+        .groupBy(col("cluster_rep"), col("n_members"), col("best_price"))
+        .agg(max(when(length(col("p_name")) === col("ml"), col("p_name")))
+          .as("canon_name"))
+        .select(col("cluster_rep"), col("n_members"), col("canon_name"),
+          col("best_price"))
+        .orderBy(col("cluster_rep"))
+    },
+
     // Benford first-significant-digit screen on order totals — the
     // data-quality/fraud heuristic for "does this monetary column look
     // organic": exact digit counts in one hash aggregate, expected

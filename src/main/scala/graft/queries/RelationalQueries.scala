@@ -547,6 +547,32 @@ object RelationalQueries {
         .orderBy(col("k"))
     },
 
+    // Bag semantics EXCEPT ALL / INTERSECT ALL: multiplicity-aware set
+    // ops (a key ordered 3× minus seen 1× survives 2×). Catalyst plans
+    // both as ONE hash aggregate per side plus a join on the key with
+    // count arithmetic — no row-level anti/semi loop, so the shape is
+    // the same single shuffle a groupBy costs at any scale. Ties in the
+    // ORDER BY are exact duplicate rows — hash-stable by construction.
+    Q("setop_except_all",
+      """SELECT o_custkey AS k FROM orders
+        |EXCEPT ALL
+        |SELECT user_id FROM events
+        |ORDER BY k""") { (s, d) =>
+      Tables.orders(s, d).select(col("o_custkey").as("k"))
+        .exceptAll(Tables.events(s, d).select(col("user_id").as("k")))
+        .orderBy(col("k"))
+    },
+
+    Q("setop_intersect_all",
+      """SELECT o_custkey AS k FROM orders
+        |INTERSECT ALL
+        |SELECT user_id FROM events
+        |ORDER BY k""") { (s, d) =>
+      Tables.orders(s, d).select(col("o_custkey").as("k"))
+        .intersectAll(Tables.events(s, d).select(col("user_id").as("k")))
+        .orderBy(col("k"))
+    },
+
     // ------------------------------------------------------ top-k / misc
     // Global top-k: Catalyst plans TakeOrderedAndProject — per-partition
     // heaps then a k-row merge on the driver; no total sort at any scale.

@@ -455,6 +455,93 @@ object TemporalQueries {
         .orderBy(col("event_type"), col("hour"))
     },
 
+    // Seasonality / trend STRENGTH per series (Hyndman & Athanasopoulos,
+    // FPP3 §4.4, Wang-Smith-Hyndman features): Fs = max(0, 1 −
+    // Var(R)/Var(S+R)) and Ft = max(0, 1 − Var(R)/Var(T+R)) over the
+    // ts_decompose split — the one-number-per-series answer to "is this
+    // metric actually seasonal, or is the hod profile noise". Components
+    // derive from the SAME exact integers as ts_decompose (cnt, Σcnt
+    // frame, seasonal num/den); each squared term quantizes to
+    // DECIMAL(28,12) before its order-free sum, so the variances are
+    // partition-invariant. Costs one extra constant-size rollup on top
+    // of the decompose plan.
+    Q("ts_seasonality_strength",
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2, 3),
+        |w AS (SELECT *, sum(cnt) OVER win AS s25, count(*) OVER win AS n25
+        |  FROM c WINDOW win AS (PARTITION BY event_type ORDER BY hr
+        |    RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |d AS (SELECT * FROM w WHERE n25 = 25),
+        |se AS (SELECT event_type, hr % 24 AS hod,
+        |    25 * sum(cnt) - sum(s25) AS num, 25 * count(*) AS den
+        |  FROM d GROUP BY 1, 2),
+        |comp AS (SELECT d.event_type,
+        |    d.cnt - s25 / 25.0 - CAST(num AS DOUBLE) / den AS r,
+        |    d.cnt - s25 / 25.0 AS sr,
+        |    d.cnt - CAST(num AS DOUBLE) / den AS tr
+        |  FROM d JOIN se ON se.event_type = d.event_type
+        |    AND se.hod = d.hr % 24),
+        |v AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |    CAST(sum(CAST(r AS DECIMAL(28,12))) AS DOUBLE) AS s_r,
+        |    CAST(sum(CAST(r * r AS DECIMAL(28,12))) AS DOUBLE) AS s_rr,
+        |    CAST(sum(CAST(sr AS DECIMAL(28,12))) AS DOUBLE) AS s_sr,
+        |    CAST(sum(CAST(sr * sr AS DECIMAL(28,12))) AS DOUBLE) AS s_srsr,
+        |    CAST(sum(CAST(tr AS DECIMAL(28,12))) AS DOUBLE) AS s_tr,
+        |    CAST(sum(CAST(tr * tr AS DECIMAL(28,12))) AS DOUBLE) AS s_trtr
+        |  FROM comp GROUP BY 1)
+        |SELECT event_type, n_hours,
+        |  round(greatest(0.0, 1 - ((s_rr - s_r * s_r / n_hours))
+        |    / ((s_srsr - s_sr * s_sr / n_hours))), 4) AS seasonal_strength,
+        |  round(greatest(0.0, 1 - ((s_rr - s_r * s_r / n_hours))
+        |    / ((s_trtr - s_tr * s_tr / n_hours))), 4) AS trend_strength
+        |FROM v ORDER BY event_type""") { (s, d) =>
+      val c = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("hr", expr("unix_micros(hour) div 3600000000"))
+      val win = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rangeBetween(-12, 12)
+      val dd = c.withColumn("s25", sum(col("cnt")).over(win))
+        .withColumn("n25", count(lit(1)).over(win))
+        .filter(col("n25") === 25)
+      val se = dd.groupBy(col("event_type").as("se_type"),
+          (col("hr") % 24).as("hod"))
+        .agg((lit(25) * sum(col("cnt")) - sum(col("s25"))).as("num"),
+          (lit(25) * count(lit(1))).as("den"))
+      val comp = dd.join(broadcast(se),
+          col("se_type") === col("event_type") &&
+            col("hod") === col("hr") % 24)
+        .select(col("event_type"),
+          (col("cnt") - col("s25") / 25.0 -
+            col("num").cast("double") / col("den")).as("r"),
+          (col("cnt") - col("s25") / 25.0).as("sr"),
+          (col("cnt") - col("num").cast("double") / col("den")).as("tr"))
+      comp.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_hours"),
+          sum(col("r").cast("decimal(28,12)")).cast("double").as("s_r"),
+          sum((col("r") * col("r")).cast("decimal(28,12)"))
+            .cast("double").as("s_rr"),
+          sum(col("sr").cast("decimal(28,12)")).cast("double").as("s_sr"),
+          sum((col("sr") * col("sr")).cast("decimal(28,12)"))
+            .cast("double").as("s_srsr"),
+          sum(col("tr").cast("decimal(28,12)")).cast("double").as("s_tr"),
+          sum((col("tr") * col("tr")).cast("decimal(28,12)"))
+            .cast("double").as("s_trtr"))
+        .select(col("event_type"), col("n_hours"),
+          round(greatest(lit(0.0), lit(1) -
+            (col("s_rr") - col("s_r") * col("s_r") / col("n_hours")) /
+              (col("s_srsr") - col("s_sr") * col("s_sr") / col("n_hours"))), 4)
+            .as("seasonal_strength"),
+          round(greatest(lit(0.0), lit(1) -
+            (col("s_rr") - col("s_r") * col("s_r") / col("n_hours")) /
+              (col("s_trtr") - col("s_tr") * col("s_tr") / col("n_hours"))), 4)
+            .as("trend_strength"))
+        .orderBy(col("event_type"))
+    },
+
     // AS-OF with tolerance: same sweep, but a match older than 6 hours
     // is discarded (the reference's TTL'd cache analog: stale state is a
     // miss, k8sclient.go TTL 3600s). Demonstrates that the window sweep

@@ -1291,6 +1291,77 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
+    // Goodman 1999 §2.7) — the smoothing that actually ships in n-gram
+    // quality filters, replacing add-one's brutal mass flattening with
+    // absolute discounting (D = 0.75) plus a CONTINUATION-count backoff:
+    //   P(w2|w1) = (c(w1w2) − D)/cl(w1)
+    //            + D·N1+(w1,·)/cl(w1) · N1+(·,w2)/B
+    // where cl(w1) = Σ_x c(w1 x) (bigram-left mass), N1+(w1,·) =
+    // distinct continuations of w1, N1+(·,w2) = distinct histories of
+    // w2, B = distinct bigrams. All four statistics are rollups of the
+    // ONE bigram-count relation, so the corpus pays a single
+    // bigram-keyed shuffle and three vocab-sized aggregates of it —
+    // same economics as text_bigram_ppl, strictly better LM. The same
+    // determinism discipline: one ln per distinct (doc, bigram),
+    // quantized DECIMAL(28,12) before the order-free per-doc sum; ppl
+    // derives from the already-rounded avg_nll.
+    Q("text_kn_bigram",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM t, unnest(range(1, len(toks))) u(i)),
+        |cb AS (SELECT w1, w2, count(*) AS cab FROM bg GROUP BY 1, 2),
+        |cl AS (SELECT w1, CAST(sum(cab) AS BIGINT) AS cleft,
+        |    count(*) AS n1f FROM cb GROUP BY 1),
+        |cr AS (SELECT w2, count(*) AS n1r FROM cb GROUP BY 1),
+        |bb AS (SELECT count(*) AS b FROM cb),
+        |db AS (SELECT doc_id, w1, w2, count(*) AS dc FROM bg GROUP BY 1, 2, 3),
+        |sc AS (SELECT db.doc_id, db.dc,
+        |    CAST(db.dc * -ln((cab - 0.75 + 0.75 * n1f * (n1r / CAST(b AS DOUBLE)))
+        |      / CAST(cleft AS DOUBLE)) AS DECIMAL(28,12)) AS nll
+        |  FROM db JOIN cb ON cb.w1 = db.w1 AND cb.w2 = db.w2
+        |  JOIN cl ON cl.w1 = db.w1
+        |  JOIN cr ON cr.w2 = db.w2 CROSS JOIN bb),
+        |agg AS (SELECT doc_id, CAST(sum(dc) AS BIGINT) AS n_bigrams,
+        |    CAST(floor(CAST(sum(nll) AS DOUBLE) / sum(dc) * 10000 + 0.5) / 10000.0 AS DOUBLE) AS avg_nll
+        |  FROM sc GROUP BY 1)
+        |SELECT doc_id, n_bigrams, avg_nll,
+        |  CAST(floor(exp(avg_nll) * 10000 + 0.5) / 10000.0 AS DOUBLE) AS ppl
+        |FROM agg ORDER BY doc_id""") { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val bg = t.select(col("doc_id"), explode(expr(
+          """transform(if(size(toks) >= 2, sequence(1, size(toks) - 1), array()),
+            |  i -> named_struct('w1', element_at(toks, i),
+            |                    'w2', element_at(toks, i + 1)))""".stripMargin)).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+        // cb feeds three rollups and the per-doc score join — pin it so
+        // the corpus-scale bigram shuffle runs exactly once.
+        .localCheckpoint(true)
+      val cl = cb.groupBy(col("w1"))
+        .agg(sum(col("cab")).as("cleft"), count(lit(1)).as("n1f"))
+      val cr = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1r"))
+      val bb = cb.agg(count(lit(1)).as("b"))
+      val db = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("dc"))
+      val res = db.join(cb, Seq("w1", "w2"))
+        .join(cl, Seq("w1"))
+        .join(cr, Seq("w2"))
+        .crossJoin(broadcast(bb))
+        .withColumn("nll", expr(
+          """CAST(dc * -ln((cab - 0.75 + 0.75 * n1f * (n1r / CAST(b AS DOUBLE)))
+            |  / CAST(cleft AS DOUBLE)) AS DECIMAL(28,12))""".stripMargin))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("dc")).as("n_bigrams"),
+          expr("""CAST(floor(CAST(sum(nll) AS DOUBLE) / sum(dc)
+            |* 10000 + 0.5) / 10000.0 AS DOUBLE)""".stripMargin).as("avg_nll"))
+        .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
+          expr("CAST(floor(exp(avg_nll) * 10000 + 0.5) / 10000.0 AS DOUBLE)").as("ppl"))
+        .orderBy(col("doc_id"))
+      res
+    },
+
     // BPE merge-candidate counting (tokenizer training, step 1): the
     // weighted adjacent-character-pair histogram whose argmax is the
     // first merge rule. The count runs over the VOCABULARY (distinct

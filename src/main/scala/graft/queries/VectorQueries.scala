@@ -1064,6 +1064,57 @@ object VectorQueries {
         .orderBy(col("dim"))
     },
 
+    // Per-dimension STANDARDIZATION (z-score whitening) of the embedding
+    // space — the preprocessing step before cosine-based semantic dedup
+    // or PQ training when dimensions carry unequal scales. The per-dim
+    // (μ, σ) profile is a 64-row aggregate (broadcast back); per vector
+    // we emit the whitened L2 norm and the max |z| — the two scalars
+    // that screen for outlier vectors after standardization. Each z²
+    // quantizes to DECIMAL(28,12) before the order-free per-vector sum,
+    // so the result is partition-invariant; corpus-scale work is one
+    // explode + one vec-keyed rollup.
+    Q("vec_standardize",
+      """WITH x AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |a AS (SELECT dim, count(*) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+        |  FROM x GROUP BY 1),
+        |m AS (SELECT dim, sx / n AS mu,
+        |    sqrt((sxx - sx * sx / n) / n) AS sd FROM a),
+        |z AS (SELECT vec_id,
+        |    CAST(((x - mu) / sd) * ((x - mu) / sd) AS DECIMAL(28,12)) AS z2,
+        |    CAST(abs((x - mu) / sd) AS DECIMAL(28,12)) AS az
+        |  FROM x JOIN m USING (dim))
+        |SELECT vec_id,
+        |  round(sqrt(CAST(sum(z2) AS DOUBLE)), 4) AS wnorm,
+        |  round(CAST(max(az) AS DOUBLE), 4) AS max_abs_z
+        |FROM z GROUP BY 1 ORDER BY vec_id""") { (s, d) =>
+      val x = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+        .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
+      val a = x.groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(28,12)")).cast("double").as("sx"),
+          sum((col("x") * col("x")).cast("decimal(28,12)"))
+            .cast("double").as("sxx"))
+      val m = a.select(col("dim"), (col("sx") / col("n")).as("mu"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"))
+          .as("sd"))
+      x.join(broadcast(m), Seq("dim"))
+        .select(col("vec_id"),
+          (((col("x") - col("mu")) / col("sd")) *
+            ((col("x") - col("mu")) / col("sd")))
+            .cast("decimal(28,12)").as("z2"),
+          abs((col("x") - col("mu")) / col("sd"))
+            .cast("decimal(28,12)").as("az"))
+        .groupBy(col("vec_id"))
+        .agg(round(sqrt(sum(col("z2")).cast("double")), 4).as("wnorm"),
+          round(max(col("az")).cast("double"), 4).as("max_abs_z"))
+        .orderBy(col("vec_id"))
+    },
+
     // Embedding-drift detector: split the corpus into two deterministic
     // halves (vec_id parity — in production, two ingest windows) and
     // measure the per-label cosine between half centroids. A healthy
