@@ -85,7 +85,8 @@ object StreamingQueries {
   private[queries] def runEventsStream(s: SparkSession, d: String, mode: String)(
       build: DataFrame => DataFrame): DataFrame = runToTable(s, d, mode)(build)
 
-  private def runToTable(s: SparkSession, d: String, mode: String)(
+  private def runToTable(s: SparkSession, d: String, mode: String,
+      extraConf: Map[String, String] = Map.empty)(
       build: DataFrame => DataFrame): DataFrame = {
     val name = "st_" + math.abs(scala.util.Random.nextLong()).toString
     // Stateful operators materialize one state-store instance PER
@@ -99,6 +100,10 @@ object StreamingQueries {
     // touched — no set/restore race with concurrent queries, and no
     // window where batch-0 planning could capture a restored value.
     val s8 = graft.Sessions.withShufflePartitions(s, 8)
+    // Query-specific conf (e.g. the RocksDB state-store provider) also
+    // rides the CLONE — the shared parent session's conf is never
+    // touched, so there is no set/restore race with concurrent queries.
+    extraConf.foreach { case (k, v) => s8.conf.set(k, v) }
     val q = build(eventsStream(s8, d)).writeStream
       .format("memory").queryName(name).outputMode(mode).start()
     try { q.processAllAvailable() } finally { q.stop() }
@@ -470,26 +475,64 @@ object StreamingQueries {
         |ORDER BY event_id""") { (s, d) =>
       import graft.streaming.{EventRec, RunningMaxProcessor}
       import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-      import s.implicits._
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        runToTable(s, d, "append") { src =>
-          src.select(col("event_id"), col("ts"), col("user_id"), col("value"))
-            .as[EventRec]
-            .groupByKey(_.user_id)
-            .transformWithState(new RunningMaxProcessor,
-              TimeMode.None(), OutputMode.Append())
-            .toDF()
-        }.select(col("event_id"), col("user_id"),
-          round(col("value"), 4).as("value"))
-          .orderBy(col("event_id"))
-      } finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None    => s.conf.unset(key)
+      runToTable(s, d, "append", Map(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { src =>
+        val sc = src.sparkSession // the conf-scoped clone
+        import sc.implicits._
+        src.select(col("event_id"), col("ts"), col("user_id"), col("value"))
+          .as[EventRec]
+          .groupByKey(_.user_id)
+          .transformWithState(new RunningMaxProcessor,
+            TimeMode.None(), OutputMode.Append())
+          .toDF()
+      }.select(col("event_id"), col("user_id"),
+        round(col("value"), 4).as("value"))
+        .orderBy(col("event_id"))
+    },
+
+    // CDC APPLY: the event stream consumed as a changelog (each row an
+    // upsert for its user, 'error' rows acting as tombstones), applied
+    // through per-key state that keeps the latest change by EVENT time
+    // — late/out-of-order entries are dropped rather than clobbering
+    // newer state, the property that distinguishes changelog apply from
+    // last-arrival-wins. The stateful hop emits a strictly-increasing
+    // snapshot sequence per key; the serving cut (final snapshot +
+    // tombstone filter) runs on the completed table. Oracle: per-key
+    // event-time argmax with tombstoned keys removed. State is one
+    // (micros, event_id) pair per key on the RocksDB provider — the
+    // 100 TB-cardinality posture.
+    Q("stream_cdc_apply",
+      """SELECT user_id, event_id AS last_event_id,
+        |  round(value, 4) AS value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events)
+        |WHERE rk = 1 AND event_type <> 'error'
+        |ORDER BY user_id""") { (s, d) =>
+      import graft.streaming.{CdcApplyProcessor, CdcRec}
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val t = runToTable(s, d, "append", Map(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { src =>
+        val sc = src.sparkSession
+        import sc.implicits._
+        src.select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[CdcRec]
+          .groupByKey(_.user_id)
+          .transformWithState(new CdcApplyProcessor,
+            TimeMode.None(), OutputMode.Append())
+          .toDF()
       }
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          round(col("value"), 4).as("value"))
+        .orderBy(col("user_id"))
     },
 
     // Continuous near-dup detection: MinHash/LSH candidate pairs found
