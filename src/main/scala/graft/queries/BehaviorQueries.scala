@@ -954,6 +954,85 @@ object BehaviorQueries {
           round(sum(when(col("has_next").isNull, 1).otherwise(0))
             / count(lit(1)).cast("double"), 4).as("churn_rate"))
         .orderBy(col("w"))
+    },
+
+    // Kaplan-Meier survival curve for time-to-purchase after signup
+    // (right-censored at the observation horizon = the corpus max
+    // event time) — THE estimator for "how long until users convert"
+    // under censoring, where a naive mean-of-converters is biased. Per
+    // user: duration in whole hours from first signup to first
+    // subsequent purchase (event) or to the horizon (censored). The
+    // curve steps only at event durations: n_risk via one descending
+    // cumulative count, the product Π(1 − dᵢ/nᵢ) as exp of a running
+    // sum of per-step ln factors — each ln computed from exact integer
+    // (dᵢ, nᵢ) and quantized DECIMAL(28,12) before the ordered window
+    // sum, so the curve is bit-stable. A step consuming the whole risk
+    // set (dᵢ = nᵢ) pins survival to exactly 0 from that point (the
+    // ln(0) guard). Everything is keyed rollups + one small window —
+    // scan-shaped at any scale.
+    Q("behavior_survival_km",
+      """WITH su AS (SELECT user_id, min(ts) AS s_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |mx AS (SELECT max(ts) AS m_ts FROM events),
+        |pu AS (SELECT su.user_id, min(e.ts) AS p_ts
+        |  FROM su JOIN events e ON e.user_id = su.user_id
+        |    AND e.event_type = 'purchase' AND e.ts >= su.s_ts
+        |  GROUP BY 1),
+        |obs AS (SELECT su.user_id,
+        |    CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END AS ev,
+        |    (epoch_us(coalesce(p_ts, m_ts)) - epoch_us(s_ts))
+        |      // 3600000000 AS dur
+        |  FROM su LEFT JOIN pu USING (user_id) CROSS JOIN mx),
+        |dd AS (SELECT dur, sum(ev) AS d_i, count(*) AS c_all
+        |  FROM obs GROUP BY 1),
+        |r AS (SELECT dur, d_i,
+        |    sum(c_all) OVER (ORDER BY dur DESC) AS n_risk FROM dd),
+        |k AS (SELECT dur, d_i, n_risk,
+        |    CAST(CASE WHEN d_i < n_risk
+        |      THEN ln(1 - d_i / CAST(n_risk AS DOUBLE)) ELSE 0 END
+        |      AS DECIMAL(28,12)) AS lf,
+        |    CASE WHEN d_i = n_risk THEN 1 ELSE 0 END AS zf
+        |  FROM r WHERE d_i > 0),
+        |sv AS (SELECT dur, d_i, n_risk,
+        |    sum(lf) OVER (ORDER BY dur) AS cl,
+        |    max(zf) OVER (ORDER BY dur) AS z FROM k)
+        |SELECT CAST(dur AS BIGINT) AS duration_h,
+        |  CAST(d_i AS BIGINT) AS n_events, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CASE WHEN z = 1 THEN 0.0
+        |    ELSE round(exp(CAST(cl AS DOUBLE)), 4) END AS survival
+        |FROM sv ORDER BY duration_h""") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+      val mx = ev.agg(max(col("ts")).as("m_ts"))
+      val pu = su.join(ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts")), Seq("user_id"))
+        .filter(col("ts") >= col("s_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      val obs = su.join(pu, Seq("user_id"), "left_outer")
+        .crossJoin(broadcast(mx))
+        .select(
+          when(col("p_ts").isNotNull, 1).otherwise(0).as("ev"),
+          expr("""(unix_micros(coalesce(p_ts, m_ts)) - unix_micros(s_ts))
+            |div 3600000000""".stripMargin).as("dur"))
+      val dd = obs.groupBy(col("dur"))
+        .agg(sum(col("ev")).as("d_i"), count(lit(1)).as("c_all"))
+      val r = dd.withColumn("n_risk",
+        sum(col("c_all")).over(Window.orderBy(col("dur").desc)))
+      val k = r.filter(col("d_i") > 0)
+        .select(col("dur"), col("d_i"), col("n_risk"),
+          expr("""CAST(CASE WHEN d_i < n_risk
+            |  THEN ln(1 - d_i / CAST(n_risk AS DOUBLE)) ELSE 0 END
+            |  AS DECIMAL(28,12))""".stripMargin).as("lf"),
+          when(col("d_i") === col("n_risk"), 1).otherwise(0).as("zf"))
+      k.withColumn("cl", sum(col("lf")).over(Window.orderBy(col("dur"))))
+        .withColumn("z", max(col("zf")).over(Window.orderBy(col("dur"))))
+        .select(col("dur").cast("long").as("duration_h"),
+          col("d_i").cast("long").as("n_events"),
+          col("n_risk").cast("long").as("n_risk"),
+          when(col("z") === 1, lit(0.0))
+            .otherwise(round(exp(col("cl").cast("double")), 4)).as("survival"))
+        .orderBy(col("duration_h"))
     }
   )
 }

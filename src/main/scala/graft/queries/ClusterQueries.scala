@@ -1045,5 +1045,55 @@ object ClusterQueries {
         .select(col("x"), col("y"), col("cn"),
           round(col("aa"), 4).as("adamic_adar"))
         .orderBy(col("x"), col("y"))
+    },
+
+    // HITS hubs-and-authorities (Kleinberg 1999, JACM) on the bipartite
+    // customer→part purchase graph: customers are hubs, parts are
+    // authorities. Two power-method iterations unrolled with ALL-INTEGER
+    // arithmetic — auth₁(p) = in-degree, hub₁(c) = Σ auth₁ over c's
+    // parts, auth₂(p) = Σ hub₁ over p's buyers — so every intermediate
+    // is an exact BIGINT keyed rollup (no float accumulation anywhere);
+    // normalization to a score happens once on the final top-20 cut.
+    // Each iteration is one edge-keyed join + rollup — the same
+    // shuffle shape as PageRank, scan-safe at any graph size.
+    Q("graph_hits",
+      """WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |a1 AS (SELECT p, count(*) AS auth1 FROM e GROUP BY 1),
+        |h1 AS (SELECT e.c, sum(a1.auth1) AS hub1
+        |  FROM e JOIN a1 ON a1.p = e.p GROUP BY 1),
+        |a2 AS (SELECT e.p, sum(h1.hub1) AS auth2
+        |  FROM e JOIN h1 ON h1.c = e.c GROUP BY 1),
+        |tot AS (SELECT sum(auth2) AS t FROM a2),
+        |r AS (SELECT p, auth2,
+        |    row_number() OVER (ORDER BY auth2 DESC, p) AS rk FROM a2)
+        |SELECT CAST(rk AS INT) AS rk, p AS part,
+        |  CAST(auth2 AS BIGINT) AS auth_raw,
+        |  round(auth2 / CAST(t AS DOUBLE), 6) AS auth_score
+        |FROM r CROSS JOIN tot WHERE rk <= 20
+        |ORDER BY rk""") { (s, d) =>
+      val e = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+        // the edge relation feeds both iterations — pin it
+        .localCheckpoint(true)
+      val a1 = e.groupBy(col("p")).agg(count(lit(1)).as("auth1"))
+      val h1 = e.join(a1, Seq("p")).groupBy(col("c"))
+        .agg(sum(col("auth1")).as("hub1"))
+      val a2 = e.join(h1, Seq("c")).groupBy(col("p"))
+        .agg(sum(col("hub1")).as("auth2"))
+      val tot = a2.agg(sum(col("auth2")).as("t"))
+      // top-20 via orderBy+limit = TakeOrderedAndProject (per-partition
+      // heaps, no global sort); the rank window then runs on 20 rows.
+      a2.orderBy(col("auth2").desc, col("p")).limit(20)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("auth2").desc, col("p"))))
+        .crossJoin(broadcast(tot))
+        .select(col("rk").cast("int").as("rk"), col("p").as("part"),
+          col("auth2").cast("long").as("auth_raw"),
+          round(col("auth2") / col("t").cast("double"), 6).as("auth_score"))
+        .orderBy(col("rk"))
     })
 }

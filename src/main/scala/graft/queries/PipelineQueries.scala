@@ -980,6 +980,47 @@ object PipelineQueries {
         .orderBy(col("cluster_rep"))
     },
 
+    // Tokenizer-vocabulary COVERAGE audit: given the top-50 corpus
+    // vocabulary (by frequency, term-lexicographic tie-break — the
+    // deterministic cut text_vocab_encode also uses), measure per doc
+    // how much of it the vocab covers — token OOV rate and distinct-
+    // type OOV rate. This is the check run before freezing a tokenizer:
+    // a vocab whose OOV rate is high on a target source will shred that
+    // source into unknowns. Corpus work = one term rollup (the vocab,
+    // broadcast back) + one doc-keyed rollup; integers until the final
+    // ratios.
+    Q("pipe_tokenizer_coverage",
+      """WITH tw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |v AS (SELECT w FROM (SELECT w, count(*) AS c FROM tw GROUP BY 1)
+        |  ORDER BY c DESC, w LIMIT 50),
+        |f AS (SELECT tw.doc_id, tw.w,
+        |    CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tw LEFT JOIN v ON v.w = tw.w)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  round(sum(oov) / CAST(count(*) AS DOUBLE), 4) AS oov_rate,
+        |  round(count(DISTINCT CASE WHEN oov = 1 THEN w END)
+        |    / CAST(count(DISTINCT w) AS DOUBLE), 4) AS type_oov_rate
+        |FROM f GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+      val tw = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val v = tw.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(50)
+        .select(col("w"), lit(1).as("in_vocab"))
+      tw.join(broadcast(v), Seq("w"), "left_outer")
+        .select(col("doc_id"), col("w"),
+          when(col("in_vocab").isNull, 1).otherwise(0).as("oov"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("oov")).as("n_oov"),
+          round(sum(col("oov")) / count(lit(1)).cast("double"), 4)
+            .as("oov_rate"),
+          round(countDistinct(when(col("oov") === 1, col("w"))) /
+            countDistinct(col("w")).cast("double"), 4).as("type_oov_rate"))
+        .orderBy(col("doc_id"))
+    },
+
     // Benford first-significant-digit screen on order totals — the
     // data-quality/fraud heuristic for "does this monetary column look
     // organic": exact digit counts in one hash aggregate, expected

@@ -55,7 +55,10 @@ class PlanHygieneSpec extends SparkSpec {
     "pipe_shard_balance",  // 32 shard counts x broadcast 1-row total
     "eval_mutual_info",    // 35-row joint counts x 1-row entropy scalars
     "dq_freshness",        // per-type extrema x broadcast 1-row watermark
-    "json_key_profile"     // exploded keys x broadcast 1-row row total
+    "json_key_profile",    // exploded keys x broadcast 1-row row total
+    "text_kn_bigram",      // counts x broadcast 1-row distinct-bigram total
+    "graph_hits",          // top-20 cut x broadcast 1-row auth-mass total
+    "behavior_survival_km" // per-user obs x broadcast 1-row horizon max-ts
   )
 
   private def offenders(name: String): Seq[String] = {
