@@ -1033,6 +1033,58 @@ object BehaviorQueries {
           when(col("z") === 1, lit(0.0))
             .otherwise(round(exp(col("cl").cast("double")), 4)).as("survival"))
         .orderBy(col("duration_h"))
+    },
+
+    // LTV COHORT TRIANGLE — cohort_retention's revenue twin: per
+    // (first-purchase-week cohort × week offset), the period revenue,
+    // the RUNNING cumulative revenue, and cumulative revenue per cohort
+    // member — the lifetime-value curve marketing reads off the
+    // triangle's diagonals. Revenue sums quantize DECIMAL(18,4) (exact,
+    // order-free); the cumulative is one small window over the
+    // cohort×offset grid; cohort size is a constant-size broadcast.
+    Q("behavior_ltv_cohort",
+      """WITH p AS (SELECT user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |  FROM p GROUP BY 1),
+        |cs AS (SELECT cw, count(*) AS cohort_users FROM f GROUP BY 1),
+        |g AS (SELECT CAST(epoch(f.cw) AS BIGINT) AS cohort_week,
+        |    CAST(floor((epoch(date_trunc('week', p.ts)) - epoch(f.cw))
+        |      / 604800) AS INT) AS offset_week,
+        |    sum(CAST(p.value AS DECIMAL(18,4))) AS rev
+        |  FROM p JOIN f ON p.user_id = f.user_id GROUP BY 1, 2),
+        |c AS (SELECT cohort_week, offset_week, rev,
+        |    sum(rev) OVER (PARTITION BY cohort_week ORDER BY offset_week)
+        |      AS cum_rev FROM g)
+        |SELECT c.cohort_week, c.offset_week,
+        |  CAST(c.rev AS DOUBLE) AS revenue,
+        |  CAST(c.cum_rev AS DOUBLE) AS cum_revenue,
+        |  round(CAST(c.cum_rev AS DOUBLE) / cs.cohort_users, 4)
+        |    AS cum_rev_per_user
+        |FROM c JOIN cs ON CAST(epoch(cs.cw) AS BIGINT) = c.cohort_week
+        |ORDER BY cohort_week, offset_week""") { (s, d) =>
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      val f = p.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cw"))
+      val cs = f.groupBy(col("cw")).agg(count(lit(1)).as("cohort_users"))
+        .select(unix_timestamp(col("cw")).as("cs_week"), col("cohort_users"))
+      val g = p.join(f, Seq("user_id"))
+        .groupBy(unix_timestamp(col("cw")).as("cohort_week"),
+          floor((unix_timestamp(date_trunc("week", col("ts"))) -
+            unix_timestamp(col("cw"))) / 604800).cast("int").as("offset_week"))
+        .agg(sum(col("value").cast("decimal(18,4)")).as("rev"))
+      val c = g.withColumn("cum_rev",
+        sum(col("rev")).over(Window.partitionBy(col("cohort_week"))
+          .orderBy(col("offset_week"))))
+      c.join(broadcast(cs), col("cs_week") === col("cohort_week"))
+        .select(col("cohort_week"), col("offset_week"),
+          col("rev").cast("double").as("revenue"),
+          col("cum_rev").cast("double").as("cum_revenue"),
+          round(col("cum_rev").cast("double") / col("cohort_users"), 4)
+            .as("cum_rev_per_user"))
+        .orderBy(col("cohort_week"), col("offset_week"))
     }
   )
 }

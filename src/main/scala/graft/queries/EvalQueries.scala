@@ -898,6 +898,63 @@ object EvalQueries {
               * (col("n") * col("sbb") - col("sb") * col("sb"))), 4)
             .as("rho"))
         .orderBy(col("grp"))
+    },
+
+    // RANK-BIASED OVERLAP at depth 20 (Webber, Moffat & Zobel 2010,
+    // TOIS) between two part rankings — by buyer reach (distinct
+    // customers) vs by volume (total quantity). RBO is THE top-weighted
+    // list-similarity measure for comparing rankers (two retrieval
+    // models, two feature variants): RBO@k = (1−p)·Σ_{d≤k} p^{d−1}·
+    // X_d/d with X_d the prefix-intersection size, p = 0.9. Both
+    // rankings cut to top-20 via orderBy+limit (TakeOrdered — no global
+    // sort); X_d derives from the ≤20-row joined rank pairs against a
+    // 20-row literal depth grid, every term quantized DECIMAL(28,12)
+    // before the 20-term sum, so the score is exact-deterministic.
+    Q("eval_rbo",
+      """WITH d1 AS (SELECT l_partkey AS p, count(DISTINCT o.o_custkey) AS m
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1),
+        |r1 AS (SELECT p, row_number() OVER (ORDER BY m DESC, p) AS r1
+        |  FROM d1 ORDER BY m DESC, p LIMIT 20),
+        |d2 AS (SELECT l_partkey AS p,
+        |    sum(CAST(l_quantity AS DECIMAL(18,4))) AS m FROM lineitem
+        |  GROUP BY 1),
+        |r2 AS (SELECT p, row_number() OVER (ORDER BY m DESC, p) AS r2
+        |  FROM d2 ORDER BY m DESC, p LIMIT 20),
+        |pr AS (SELECT r1.p, greatest(r1.r1, r2.r2) AS mr
+        |  FROM r1 JOIN r2 ON r2.p = r1.p),
+        |xd AS (SELECT g.d, count(pr.p) AS x
+        |  FROM range(1, 21) g(d) LEFT JOIN pr ON pr.mr <= g.d
+        |  GROUP BY 1)
+        |SELECT CAST(max(CASE WHEN d = 20 THEN x END) AS BIGINT) AS n_common,
+        |  round(0.1 * CAST(sum(CAST(pow(0.9, d - 1) * x / d
+        |    AS DECIMAL(28,12))) AS DOUBLE), 4) AS rbo_20
+        |FROM xd""") { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val deg = li.join(Tables.orders(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_partkey").as("p"))
+        .agg(countDistinct(col("o_custkey")).as("m"))
+      val r1 = deg.orderBy(col("m").desc, col("p")).limit(20)
+        .withColumn("r1", row_number().over(
+          Window.orderBy(col("m").desc, col("p"))))
+        .select(col("p"), col("r1"))
+      val qty = li.groupBy(col("l_partkey").as("p"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("m"))
+      val r2 = qty.orderBy(col("m").desc, col("p")).limit(20)
+        .withColumn("r2", row_number().over(
+          Window.orderBy(col("m").desc, col("p"))))
+        .select(col("p").as("p2"), col("r2"))
+      val pr = r1.join(r2, col("p2") === col("p"))
+        .select(col("p"), greatest(col("r1"), col("r2")).as("mr"))
+      val grid = s.range(1, 21).select(col("id").cast("int").as("d"))
+      val xd = grid.join(pr, col("mr") <= col("d"), "left_outer")
+        .groupBy(col("d")).agg(count(col("p")).as("x"))
+      xd.agg(
+          max(when(col("d") === 20, col("x"))).cast("long").as("n_common"),
+          round(lit(0.1) * sum((pow(lit(0.9), col("d") - 1) * col("x") /
+              col("d")).cast("decimal(28,12)")).cast("double"), 4)
+            .as("rbo_20"))
     }
   )
 }

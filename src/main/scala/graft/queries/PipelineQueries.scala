@@ -1021,6 +1021,104 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // CROSS-FIELD value-consistency audit — the sibling of
+    // dq_referential that checks VALUES, not keys: recompute each
+    // order's total from its lineitems (extendedprice·(1−discount)·
+    // (1+tax), each term quantized DECIMAL(18,4) before the exact
+    // per-order sum) and measure disagreement with the stored
+    // o_totalprice per order status. On a consistent warehouse the
+    // mismatch rate is 0; here it measures the synthetic generator's
+    // (deliberate) independence — either way the audit is exact and
+    // deterministic. One lineitem rollup + one order join, integers/
+    // DECIMAL throughout until the final ratios.
+    Q("dq_cross_field",
+      """WITH lr AS (SELECT l_orderkey,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |      AS DECIMAL(18,4))) AS recomputed
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT o.o_orderstatus,
+        |    abs(CAST(lr.recomputed AS DOUBLE) - o.o_totalprice) AS adiff
+        |  FROM orders o JOIN lr ON lr.l_orderkey = o.o_orderkey)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CASE WHEN adiff > 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_mismatch,
+        |  round(max(adiff), 2) AS max_abs_diff,
+        |  round(CAST(sum(CAST(adiff AS DECIMAL(18,4))) AS DOUBLE)
+        |    / count(*), 2) AS avg_abs_diff
+        |FROM j GROUP BY 1 ORDER BY o_orderstatus""") { (s, d) =>
+      val lr = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))).cast("decimal(18,4)")).as("recomputed"))
+      Tables.orders(s, d)
+        .join(lr, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderstatus"),
+          abs(col("recomputed").cast("double") - col("o_totalprice"))
+            .as("adiff"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("adiff") > 0.01, 1).otherwise(0)).as("n_mismatch"),
+          round(max(col("adiff")), 2).as("max_abs_diff"),
+          round(sum(col("adiff").cast("decimal(18,4)")).cast("double") /
+            count(lit(1)), 2).as("avg_abs_diff"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // DATASET SNAPSHOT DIFF — the data-versioning audit between two
+    // corpus snapshots: per source, how many documents were added,
+    // removed, changed, or untouched. Snapshot B derives
+    // deterministically from A inside the query (every 10th doc
+    // removed, every 7th edited, every 13th cloned to a new id) so both
+    // engines diff the identical pair; in production B is simply the
+    // next day's table. The diff itself is the scale shape that
+    // matters: ONE full-outer join on doc_id comparing md5 content
+    // digests — no row content ever leaves its partition except as a
+    // 16-byte hash.
+    Q("pipe_dataset_diff",
+      """WITH a AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+        |b AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 2 THEN md5(text || ' changed')
+        |         ELSE md5(text) END AS h
+        |  FROM documents WHERE doc_id % 10 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, md5(text || ' new')
+        |  FROM documents WHERE doc_id % 13 = 5),
+        |d AS (SELECT coalesce(a.source, b.source) AS source,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN a.h <> b.h THEN 'changed'
+        |         ELSE 'unchanged' END AS st
+        |  FROM a FULL JOIN b ON a.doc_id = b.doc_id)
+        |SELECT source,
+        |  CAST(sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |FROM d GROUP BY source ORDER BY source""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val a = docs.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      val b = docs.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 7 === 2, md5(concat(col("text"), lit(" changed"))))
+            .otherwise(md5(col("text"))).as("h"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 5)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("source"),
+            md5(concat(col("text"), lit(" new"))).as("h")))
+      a.as("a").join(b.as("b"), col("a.doc_id") === col("b.doc_id"), "full_outer")
+        .select(coalesce(col("a.source"), col("b.source")).as("source"),
+          when(col("a.doc_id").isNull, "added")
+            .when(col("b.doc_id").isNull, "removed")
+            .when(col("a.h") =!= col("b.h"), "changed")
+            .otherwise("unchanged").as("st"))
+        .groupBy(col("source"))
+        .agg(sum(when(col("st") === "added", 1).otherwise(0)).as("n_added"),
+          sum(when(col("st") === "removed", 1).otherwise(0)).as("n_removed"),
+          sum(when(col("st") === "changed", 1).otherwise(0)).as("n_changed"),
+          sum(when(col("st") === "unchanged", 1).otherwise(0)).as("n_unchanged"))
+        .orderBy(col("source"))
+    },
+
     // Benford first-significant-digit screen on order totals — the
     // data-quality/fraud heuristic for "does this monetary column look
     // organic": exact digit counts in one hash aggregate, expected

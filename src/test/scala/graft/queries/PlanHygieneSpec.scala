@@ -58,7 +58,8 @@ class PlanHygieneSpec extends SparkSpec {
     "json_key_profile",    // exploded keys x broadcast 1-row row total
     "text_kn_bigram",      // counts x broadcast 1-row distinct-bigram total
     "graph_hits",          // top-20 cut x broadcast 1-row auth-mass total
-    "behavior_survival_km" // per-user obs x broadcast 1-row horizon max-ts
+    "behavior_survival_km",// per-user obs x broadcast 1-row horizon max-ts
+    "eval_rbo"             // 20-row rank pairs x 20-row literal depth grid
   )
 
   private def offenders(name: String): Seq[String] = {
