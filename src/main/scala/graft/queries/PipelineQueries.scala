@@ -1119,6 +1119,52 @@ object PipelineQueries {
         .orderBy(col("source"))
     },
 
+    // K-ANONYMITY audit (Sweeney 2002) over a quasi-identifier tuple —
+    // the privacy gate run before releasing or training on tabular
+    // data: group orders by the QI (customer nation, order priority,
+    // order week), then for each k ∈ {2, 5, 10} report how many
+    // equivalence classes and rows fall below k — rows in small classes
+    // are the re-identifiable ones. One QI rollup (the only
+    // corpus-scale shuffle) + a 3-row threshold grid over the
+    // class-size relation; all-integer until the final rate.
+    Q("pipe_privacy_kanon",
+      """WITH q AS (SELECT c.c_nationkey AS nat, o.o_orderpriority AS pri,
+        |    date_trunc('week', o.o_orderdate) AS wk
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |cls AS (SELECT nat, pri, wk, count(*) AS sz FROM q GROUP BY 1, 2, 3),
+        |tr AS (SELECT sum(sz) AS total_rows FROM cls)
+        |SELECT k,
+        |  CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS classes_below,
+        |  CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+        |    AS rows_below,
+        |  round(sum(CASE WHEN sz < k THEN sz ELSE 0 END)
+        |    / CAST(tr.total_rows AS DOUBLE), 4) AS risk_rate
+        |FROM cls CROSS JOIN (SELECT unnest([2, 5, 10]) AS k) ks
+        |CROSS JOIN tr
+        |GROUP BY k, tr.total_rows ORDER BY k""") { (s, d) =>
+      val q = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .select(col("c_nationkey").as("nat"), col("o_orderpriority").as("pri"),
+          date_trunc("week", col("o_orderdate")).as("wk"))
+      val cls = q.groupBy(col("nat"), col("pri"), col("wk"))
+        .agg(count(lit(1)).as("sz"))
+      val tr = cls.agg(sum(col("sz")).as("total_rows"))
+      val ks = s.range(0, 3).select(
+        element_at(typedLit(Seq(2, 5, 10)), col("id").cast("int") + 1).as("k"))
+      cls.crossJoin(broadcast(ks)).crossJoin(broadcast(tr))
+        .groupBy(col("k"), col("total_rows"))
+        .agg(sum(when(col("sz") < col("k"), 1).otherwise(0))
+            .as("classes_below"),
+          sum(when(col("sz") < col("k"), col("sz")).otherwise(0))
+            .as("rows_below"),
+          round(sum(when(col("sz") < col("k"), col("sz")).otherwise(0)) /
+            col("total_rows").cast("double"), 4).as("risk_rate"))
+        .select(col("k"), col("classes_below"), col("rows_below"),
+          col("risk_rate"))
+        .orderBy(col("k"))
+    },
+
     // Benford first-significant-digit screen on order totals — the
     // data-quality/fraud heuristic for "does this monetary column look
     // organic": exact digit counts in one hash aggregate, expected

@@ -575,6 +575,96 @@ object TextQueries {
         .orderBy(col("d1"), col("d2"))
     },
 
+    // NEAR-DUP DETECTOR EVALUATION — the tuning loop for the MinHash
+    // family closed into one operator: exact shingle-Jaccard ≥ 0.5
+    // pairs are the ground truth (inverted-index intersection join —
+    // only pairs sharing a shingle, never all-pairs), the 4-band×2-row
+    // LSH candidates are the prediction, and the output is the
+    // confusion (TP/FP/FN) with precision/recall. This is how the
+    // band/row geometry gets chosen before a 100 TB dedup run: measure
+    // the S-curve's operating point on a sample, then freeze the
+    // banding. Both relations reuse the family's shared signature/
+    // shingle SQL; the compare is one full-outer join on the pair key.
+    Q("text_near_dup_eval",
+      s"""WITH sh AS ($shinglesSql),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) ni
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT d1, d2 FROM inter
+         |  JOIN sizes s1 ON s1.doc_id = d1
+         |  JOIN sizes s2 ON s2.doc_id = d2
+         |  WHERE CAST(ni AS DOUBLE) / (s1.n + s2.n - ni) >= 0.5),
+         |sv AS (SELECT doc_id, $shingleIntDuck AS v FROM sh),
+         |h AS (SELECT doc_id, CAST(r.seed AS INT) AS seed,
+         |        min(${mhMixSql("v", "r.seed")}) AS mh
+         |      FROM sv, range(0, 8) r(seed)
+         |      GROUP BY doc_id, r.seed),
+         |bnd AS (SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         |          min(CASE WHEN seed % 2 = 0 THEN mh END) AS m0,
+         |          min(CASE WHEN seed % 2 = 1 THEN mh END) AS m1
+         |        FROM h GROUP BY doc_id, seed // 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bnd a JOIN bnd b ON a.band = b.band
+         |    AND a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id),
+         |cls AS (SELECT
+         |    CASE WHEN t.d1 IS NOT NULL AND c.d1 IS NOT NULL THEN 'tp'
+         |         WHEN c.d1 IS NOT NULL THEN 'fp' ELSE 'fn' END AS st
+         |  FROM truth t FULL JOIN cand c ON t.d1 = c.d1 AND t.d2 = c.d2)
+         |SELECT
+         |  CAST(sum(CASE WHEN st IN ('tp','fn') THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+         |  CAST(sum(CASE WHEN st IN ('tp','fp') THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+         |  CAST(sum(CASE WHEN st = 'tp' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN st = 'fp' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN st = 'fn' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  round(sum(CASE WHEN st = 'tp' THEN 1 ELSE 0 END) /
+         |    CAST(nullif(sum(CASE WHEN st IN ('tp','fp') THEN 1 ELSE 0 END), 0)
+         |      AS DOUBLE), 4) AS precision,
+         |  round(sum(CASE WHEN st = 'tp' THEN 1 ELSE 0 END) /
+         |    CAST(nullif(sum(CASE WHEN st IN ('tp','fn') THEN 1 ELSE 0 END), 0)
+         |      AS DOUBLE), 4) AS recall
+         |FROM cls""") { (s, d) =>
+      val sh = shinglesOf(Tables.documents(s, d))
+        .distinct() // shinglesSql twin is per-doc distinct
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("ni"))
+      val truth = inter
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+        .filter(col("ni").cast("double") /
+          (col("n1") + col("n2") - col("ni")) >= 0.5)
+        .select(col("d1"), col("d2"))
+      val bnd = minhashSigsArrayOf(Tables.documents(s, d))
+        .groupBy(col("doc_id"), expr("CAST(seed div 2 AS INT)").as("band"))
+        .agg(min(when(col("seed") % 2 === 0, col("mh"))).as("m0"),
+          min(when(col("seed") % 2 === 1, col("mh"))).as("m1"))
+      val cand = bnd.as("a").join(bnd.as("b"),
+          col("a.band") === col("b.band") && col("a.m0") === col("b.m0") &&
+            col("a.m1") === col("b.m1") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val cls = truth.as("t").join(cand.as("c"),
+          col("t.d1") === col("c.d1") && col("t.d2") === col("c.d2"),
+          "full_outer")
+        .select(when(col("t.d1").isNotNull && col("c.d1").isNotNull, "tp")
+          .when(col("c.d1").isNotNull, "fp").otherwise("fn").as("st"))
+      cls.agg(
+        sum(when(col("st").isin("tp", "fn"), 1).otherwise(0)).as("n_truth"),
+        sum(when(col("st").isin("tp", "fp"), 1).otherwise(0)).as("n_cand"),
+        sum(when(col("st") === "tp", 1).otherwise(0)).as("tp"),
+        sum(when(col("st") === "fp", 1).otherwise(0)).as("fp"),
+        sum(when(col("st") === "fn", 1).otherwise(0)).as("fn"),
+        round(sum(when(col("st") === "tp", 1).otherwise(0)) /
+          nullif(sum(when(col("st").isin("tp", "fp"), 1).otherwise(0)), lit(0))
+            .cast("double"), 4).as("precision"),
+        round(sum(when(col("st") === "tp", 1).otherwise(0)) /
+          nullif(sum(when(col("st").isin("tp", "fn"), 1).otherwise(0)), lit(0))
+            .cast("double"), 4).as("recall"))
+    },
+
     // Blocked fuzzy record linkage, the scalable shape: distances are
     // computed on the DISTINCT-name relation (64 names here), blocked by
     // first token, and only then expanded back to pair counts via group

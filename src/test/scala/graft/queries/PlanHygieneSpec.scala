@@ -59,7 +59,8 @@ class PlanHygieneSpec extends SparkSpec {
     "text_kn_bigram",      // counts x broadcast 1-row distinct-bigram total
     "graph_hits",          // top-20 cut x broadcast 1-row auth-mass total
     "behavior_survival_km",// per-user obs x broadcast 1-row horizon max-ts
-    "eval_rbo"             // 20-row rank pairs x 20-row literal depth grid
+    "eval_rbo",            // 20-row rank pairs x 20-row literal depth grid
+    "pipe_privacy_kanon"   // class sizes x 3-row literal k grid + 1-row total
   )
 
   private def offenders(name: String): Seq[String] = {
