@@ -1085,6 +1085,59 @@ object BehaviorQueries {
           round(col("cum_rev").cast("double") / col("cohort_users"), 4)
             .as("cum_rev_per_user"))
         .orderBy(col("cohort_week"), col("offset_week"))
+    },
+
+    // DEADLINE-WINDOWED FUNNEL (the windowFunnel(24h) shape): funnel
+    // level per user where every later step must land within 24 hours
+    // of the FIRST step — the variant that distinguishes "converted in
+    // one session" from funnel_steps' anytime conversion. Same chained
+    // conditional-window-min construction as funnel_steps, with the
+    // deadline predicate riding each min; per-level exact counts plus
+    // the share of funnel entrants. One user-keyed window exchange —
+    // identical scale shape to funnel_steps.
+    Q("behavior_window_funnel",
+      """WITH a AS (SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t1 FROM events),
+        |b AS (SELECT user_id, ts, event_type, t1,
+        |    min(CASE WHEN event_type = 'click' AND ts > t1
+        |        AND ts <= t1 + INTERVAL 24 HOUR THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t2 FROM a),
+        |c AS (SELECT DISTINCT user_id, t1, t2,
+        |    min(CASE WHEN event_type = 'purchase' AND ts > t2
+        |        AND ts <= t1 + INTERVAL 24 HOUR THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t3 FROM b),
+        |l AS (SELECT user_id,
+        |    CASE WHEN t3 IS NOT NULL THEN 3
+        |         WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS level
+        |  FROM c WHERE t1 IS NOT NULL),
+        |g AS (SELECT level, count(*) AS users FROM l GROUP BY 1),
+        |t AS (SELECT sum(users) AS total FROM g)
+        |SELECT CAST(level AS INT) AS level, CAST(users AS BIGINT) AS users,
+        |  round(users / CAST(t.total AS DOUBLE), 4) AS frac
+        |FROM g CROSS JOIN t ORDER BY level""") { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+      val staged = Tables.events(s, d)
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts") > col("t1") &&
+            col("ts") <= col("t1") + expr("INTERVAL 24 HOUR"), col("ts")))
+            .over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t2") &&
+            col("ts") <= col("t1") + expr("INTERVAL 24 HOUR"), col("ts")))
+            .over(w))
+        .select(col("user_id"), col("t1"), col("t2"), col("t3")).distinct()
+      val g = staged.filter(col("t1").isNotNull)
+        .select(when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2).otherwise(1).as("level"))
+        .groupBy(col("level")).agg(count(lit(1)).as("users"))
+      val t = g.agg(sum(col("users")).as("total"))
+      g.crossJoin(broadcast(t))
+        .select(col("level").cast("int").as("level"), col("users"),
+          round(col("users") / col("total").cast("double"), 4).as("frac"))
+        .orderBy(col("level"))
     }
   )
 }

@@ -13,6 +13,82 @@ import org.apache.spark.sql.functions._
   */
 object ExtensionQueries {
 
+  /** DuckDB CTE body (no WITH prefix, so callers can prepend WITH or
+    * WITH RECURSIVE) for the perceptual-hash near-dup relation shared
+    * by mm_phash_pairs and mm_dedup_phash_cc: stubbed 64-pixel decode
+    * (md5 bytes — deterministic in both engines), integer aHash bit
+    * rule, 8×8-bit band candidates, popcount verify. Final relation
+    * `h` = (m1, m2, hamming). */
+  private val phashCtes: String =
+    """p AS (SELECT doc_id AS media_id,
+      |    md5(text || '#0') AS h0, md5(text || '#1') AS h1,
+      |    md5(text || '#2') AS h2, md5(text || '#3') AS h3
+      |  FROM documents),
+      |px AS (SELECT media_id, list_concat(list_concat(list_concat(
+      |    list_transform(range(0, 16), k -> ('0x' || substr(h0, CAST(2*k + 1 AS INT), 2))::BIGINT),
+      |    list_transform(range(0, 16), k -> ('0x' || substr(h1, CAST(2*k + 1 AS INT), 2))::BIGINT)),
+      |    list_transform(range(0, 16), k -> ('0x' || substr(h2, CAST(2*k + 1 AS INT), 2))::BIGINT)),
+      |    list_transform(range(0, 16), k -> ('0x' || substr(h3, CAST(2*k + 1 AS INT), 2))::BIGINT)) AS pix
+      |  FROM p),
+      |bd AS (SELECT media_id, pix, list_sum(pix) AS total FROM px),
+      |bands AS (SELECT media_id, list_transform(range(0, 8), b ->
+      |    list_sum(list_transform(range(0, 8), j ->
+      |      CASE WHEN 64 * pix[CAST(8*b + j + 1 AS INT)] > total
+      |           THEN CAST(1 AS BIGINT) << j ELSE 0 END))) AS bs
+      |  FROM bd),
+      |e AS (SELECT media_id, r.b AS b, bs[CAST(r.b + 1 AS INT)] AS v
+      |  FROM bands, range(0, 8) r(b)),
+      |cand AS (SELECT DISTINCT a.media_id AS m1, b.media_id AS m2
+      |  FROM e a JOIN e b
+      |    ON a.b = b.b AND a.v = b.v AND a.media_id < b.media_id),
+      |h AS (SELECT m1, m2, list_sum(list_transform(range(1, 9), i ->
+      |    bit_count(xor(x.bs[CAST(i AS INT)], y.bs[CAST(i AS INT)])))) AS hamming
+      |  FROM cand JOIN bands x ON x.media_id = m1
+      |             JOIN bands y ON y.media_id = m2)""".stripMargin
+
+  /** Spark twin of [[phashCtes]]: the verified near-dup pair relation
+    * (m1, m2, hamming ≤ 24). The band relation is cached internally
+    * (it feeds both candidate sides plus two verify lookups); the
+    * per-query cache is released by the harness's clearCache. */
+  private def phashPairsOf(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    def grp(h: String): String =
+      s"transform(sequence(0, 15), k -> CAST(conv(substr($h, 2*k + 1, 2), 16, 10) AS BIGINT))"
+    val p = Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"),
+        md5(concat(col("text"), lit("#0"))).as("h0"),
+        md5(concat(col("text"), lit("#1"))).as("h1"),
+        md5(concat(col("text"), lit("#2"))).as("h2"),
+        md5(concat(col("text"), lit("#3"))).as("h3"))
+    val px = p
+      .withColumn("pix",
+        expr(s"concat(${grp("h0")}, ${grp("h1")}, ${grp("h2")}, ${grp("h3")})"))
+      .withColumn("total",
+        expr("aggregate(pix, CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+    val bands = px.select(col("media_id"), expr(
+      """transform(sequence(0, 7), b ->
+        |  aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, j) ->
+        |    acc + IF(64 * element_at(pix, CAST(8*b + j + 1 AS INT)) > total,
+        |      shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))))"""
+        .stripMargin).as("bs"))
+      .cache() // hash relation feeds both candidate sides + 2 verify lookups
+    val e = bands.select(col("media_id"), posexplode(col("bs")))
+      .withColumnRenamed("pos", "b").withColumnRenamed("col", "v")
+    val cand = e.as("a").join(e.as("b"),
+        col("a.b") === col("b.b") && col("a.v") === col("b.v") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("m1"), col("b.media_id").as("m2"))
+      .distinct()
+    cand
+      .join(bands.as("x"), col("x.media_id") === col("m1"))
+      .join(bands.as("y"), col("y.media_id") === col("m2"))
+      .withColumn("hamming", expr(
+        """CAST(aggregate(zip_with(x.bs, y.bs,
+          |  (u, w) -> CAST(bit_count(u ^ w) AS BIGINT)),
+          |  CAST(0 AS BIGINT), (acc, t) -> acc + t) AS INT)""".stripMargin))
+      .filter(col("hamming") <= 24)
+  }
+
   private def tmpDir(tag: String, d: String): String =
     s"/tmp/graft-rt-$tag-${math.abs(d.hashCode)}"
 
@@ -284,71 +360,51 @@ object ExtensionQueries {
     // verify runs only on candidates. Scale: one self-equi-join on
     // (band, value) + two hash-keyed lookups — 100 TB-safe.
     Q("mm_phash_pairs",
-      """WITH p AS (SELECT doc_id AS media_id,
-        |    md5(text || '#0') AS h0, md5(text || '#1') AS h1,
-        |    md5(text || '#2') AS h2, md5(text || '#3') AS h3
-        |  FROM documents),
-        |px AS (SELECT media_id, list_concat(list_concat(list_concat(
-        |    list_transform(range(0, 16), k -> ('0x' || substr(h0, CAST(2*k + 1 AS INT), 2))::BIGINT),
-        |    list_transform(range(0, 16), k -> ('0x' || substr(h1, CAST(2*k + 1 AS INT), 2))::BIGINT)),
-        |    list_transform(range(0, 16), k -> ('0x' || substr(h2, CAST(2*k + 1 AS INT), 2))::BIGINT)),
-        |    list_transform(range(0, 16), k -> ('0x' || substr(h3, CAST(2*k + 1 AS INT), 2))::BIGINT)) AS pix
-        |  FROM p),
-        |bd AS (SELECT media_id, pix, list_sum(pix) AS total FROM px),
-        |bands AS (SELECT media_id, list_transform(range(0, 8), b ->
-        |    list_sum(list_transform(range(0, 8), j ->
-        |      CASE WHEN 64 * pix[CAST(8*b + j + 1 AS INT)] > total
-        |           THEN CAST(1 AS BIGINT) << j ELSE 0 END))) AS bs
-        |  FROM bd),
-        |e AS (SELECT media_id, r.b AS b, bs[CAST(r.b + 1 AS INT)] AS v
-        |  FROM bands, range(0, 8) r(b)),
-        |cand AS (SELECT DISTINCT a.media_id AS m1, b.media_id AS m2
-        |  FROM e a JOIN e b
-        |    ON a.b = b.b AND a.v = b.v AND a.media_id < b.media_id),
-        |h AS (SELECT m1, m2, list_sum(list_transform(range(1, 9), i ->
-        |    bit_count(xor(x.bs[CAST(i AS INT)], y.bs[CAST(i AS INT)])))) AS hamming
-        |  FROM cand JOIN bands x ON x.media_id = m1
-        |             JOIN bands y ON y.media_id = m2)
+      s"""WITH $phashCtes
         |SELECT m1, m2, CAST(hamming AS INT) AS hamming
         |FROM h WHERE hamming <= 24
         |ORDER BY m1, m2""") { (s, d) =>
-      def grp(h: String): String =
-        s"transform(sequence(0, 15), k -> CAST(conv(substr($h, 2*k + 1, 2), 16, 10) AS BIGINT))"
-      val p = Tables.documents(s, d)
-        .select(col("doc_id").as("media_id"),
-          md5(concat(col("text"), lit("#0"))).as("h0"),
-          md5(concat(col("text"), lit("#1"))).as("h1"),
-          md5(concat(col("text"), lit("#2"))).as("h2"),
-          md5(concat(col("text"), lit("#3"))).as("h3"))
-      val px = p
-        .withColumn("pix",
-          expr(s"concat(${grp("h0")}, ${grp("h1")}, ${grp("h2")}, ${grp("h3")})"))
-        .withColumn("total",
-          expr("aggregate(pix, CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-      val bands = px.select(col("media_id"), expr(
-        """transform(sequence(0, 7), b ->
-          |  aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, j) ->
-          |    acc + IF(64 * element_at(pix, CAST(8*b + j + 1 AS INT)) > total,
-          |      shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))))"""
-          .stripMargin).as("bs"))
-        .cache() // hash relation feeds both candidate sides + 2 verify lookups
-      val e = bands.select(col("media_id"), posexplode(col("bs")))
-        .withColumnRenamed("pos", "b").withColumnRenamed("col", "v")
-      val cand = e.as("a").join(e.as("b"),
-          col("a.b") === col("b.b") && col("a.v") === col("b.v") &&
-            col("a.media_id") < col("b.media_id"))
-        .select(col("a.media_id").as("m1"), col("b.media_id").as("m2"))
-        .distinct()
-      cand
-        .join(bands.as("x"), col("x.media_id") === col("m1"))
-        .join(bands.as("y"), col("y.media_id") === col("m2"))
-        .withColumn("hamming", expr(
-          """CAST(aggregate(zip_with(x.bs, y.bs,
-            |  (u, w) -> CAST(bit_count(u ^ w) AS BIGINT)),
-            |  CAST(0 AS BIGINT), (acc, t) -> acc + t) AS INT)""".stripMargin))
-        .filter(col("hamming") <= 24)
+      phashPairsOf(s, d)
         .select(col("m1"), col("m2"), col("hamming"))
         .orderBy(col("m1"), col("m2"))
+    },
+
+    // Image NEAR-DUP CLUSTER RESOLUTION — SemDeDup's image half: the
+    // verified phash pair relation becomes the edge set and the same
+    // large-star/small-star contraction the text-dedup family uses
+    // resolves transitive media clusters (keep-one-per-cluster is then
+    // a trivial rep filter). Shares [[phashCtes]]/[[phashPairsOf]] with
+    // mm_phash_pairs and ClusterQueries.starLabels with the CC family —
+    // one operator, zero new scale machinery. The oracle reaches the
+    // identical labeling by recursive transitive closure.
+    Q("mm_dedup_phash_cc",
+      s"""WITH RECURSIVE $phashCtes,
+        |ed AS (SELECT m1 AS u, m2 AS v FROM h WHERE hamming <= 24),
+        |sym AS (SELECT u, v FROM ed UNION SELECT v AS u, u AS v FROM ed),
+        |reach(u, v) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+        |lab AS (SELECT u AS media_id, min(v) AS rep FROM reach GROUP BY 1),
+        |sz AS (SELECT rep, count(*) AS n_members FROM lab GROUP BY 1)
+        |SELECT lab.media_id, lab.rep AS cluster_rep,
+        |  CAST(sz.n_members AS BIGINT) AS n_members
+        |FROM lab JOIN sz USING (rep)
+        |ORDER BY media_id""") { (s0, d) =>
+      val s = graft.Sessions.withShufflePartitions(s0, 8)
+      val edges = phashPairsOf(s, d)
+        .select(col("m2").as("u"), col("m1").as("v")) // v < u for starLabels
+        .localCheckpoint(true)
+      val labels = ClusterQueries.starLabels(edges)
+      val all = Tables.documents(s, d).select(col("doc_id").as("media_id"))
+        .join(labels.withColumnRenamed("doc_id", "media_id"),
+          Seq("media_id"), "left_outer")
+        .select(col("media_id"),
+          coalesce(col("rep"), col("media_id")).as("cluster_rep"))
+      val sz = all.groupBy(col("cluster_rep")).agg(count(lit(1)).as("n_members"))
+      all.join(sz, Seq("cluster_rep"))
+        .select(col("media_id"), col("cluster_rep"), col("n_members"))
+        .orderBy(col("media_id"))
     },
 
     // NDJSON + gzip sink → schema'd NDJSON source round-trip (K1/K2/W2 as

@@ -665,6 +665,91 @@ object TextQueries {
             .cast("double"), 4).as("recall"))
     },
 
+    // LEAKAGE-SAFE TRAIN/VAL SPLIT — the splitting rule that keeps
+    // near-duplicate documents on the SAME side: hashing doc_id (the
+    // naive split) puts ~20% of each near-dup cluster in val, silently
+    // leaking train content into evaluation; hashing the CLUSTER
+    // representative (banded-LSH candidates → connected components)
+    // cannot straddle by construction. The operator quantifies exactly
+    // that: clusters straddling under each rule, plus the safe split's
+    // realized train fraction. Cluster resolution reuses the family's
+    // candidate join + star contraction; the oracle reaches identical
+    // clusters by recursive closure.
+    Q("split_leakage_safe",
+      s"""WITH RECURSIVE sh AS ($shinglesSql),
+         |sv AS (SELECT doc_id, $shingleIntDuck AS v FROM sh),
+         |hh AS (SELECT doc_id, CAST(r.seed AS INT) AS seed,
+         |        min(${mhMixSql("v", "r.seed")}) AS mh
+         |      FROM sv, range(0, 8) r(seed)
+         |      GROUP BY doc_id, r.seed),
+         |bnd AS (SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         |          min(CASE WHEN seed % 2 = 0 THEN mh END) AS m0,
+         |          min(CASE WHEN seed % 2 = 1 THEN mh END) AS m1
+         |        FROM hh GROUP BY doc_id, seed // 2),
+         |ed AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+         |  FROM bnd a JOIN bnd b ON a.band = b.band
+         |    AND a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id),
+         |sym AS (SELECT u, v FROM ed UNION SELECT v AS u, u AS v FROM ed),
+         |reach(u, v) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+         |lab AS (SELECT u AS doc_id, min(v) AS rep FROM reach GROUP BY 1),
+         |sp AS (SELECT doc_id, rep,
+         |    CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'val' END AS naive,
+         |    CASE WHEN ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 2))::BIGINT
+         |      < 205 THEN 'train' ELSE 'val' END AS safe
+         |  FROM lab),
+         |cl AS (SELECT rep, count(*) AS n,
+         |    count(DISTINCT naive) AS dn, count(DISTINCT safe) AS ds
+         |  FROM sp GROUP BY 1)
+         |SELECT CAST((SELECT count(*) FROM sp) AS BIGINT) AS n_docs,
+         |  CAST((SELECT count(*) FROM cl) AS BIGINT) AS n_clusters,
+         |  CAST((SELECT count(*) FROM cl WHERE n > 1) AS BIGINT)
+         |    AS n_multi_clusters,
+         |  CAST((SELECT count(*) FROM cl WHERE dn > 1) AS BIGINT)
+         |    AS naive_straddling,
+         |  CAST((SELECT count(*) FROM cl WHERE ds > 1) AS BIGINT)
+         |    AS safe_straddling,
+         |  (SELECT round(sum(CASE WHEN safe = 'train' THEN 1 ELSE 0 END)
+         |    / CAST(count(*) AS DOUBLE), 4) FROM sp) AS safe_train_frac""") { (s0, d) =>
+      val s = graft.Sessions.withShufflePartitions(s0, 8)
+      val bnd = minhashSigsArrayOf(Tables.documents(s, d))
+        .groupBy(col("doc_id"), expr("CAST(seed div 2 AS INT)").as("band"))
+        .agg(min(when(col("seed") % 2 === 0, col("mh"))).as("m0"),
+          min(when(col("seed") % 2 === 1, col("mh"))).as("m1"))
+      val edges = bnd.as("a").join(bnd.as("b"),
+          col("a.band") === col("b.band") && col("a.m0") === col("b.m0") &&
+            col("a.m1") === col("b.m1") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("b.doc_id").as("u"), col("a.doc_id").as("v"))
+        .distinct() // starLabels wants (u, v) with v < u
+        .localCheckpoint(true)
+      val labels = graft.queries.ClusterQueries.starLabels(edges)
+      val sp = Tables.documents(s, d).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+        .select(col("doc_id"), col("rep"),
+          when(col("doc_id") % 10 < 8, "train").otherwise("val").as("naive"),
+          when(expr(
+            "CAST(conv(substr(md5(CAST(rep AS STRING)), 1, 2), 16, 10) AS BIGINT)")
+            < 205, "train").otherwise("val").as("safe"))
+      val cl = sp.groupBy(col("rep"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("naive")).as("dn"),
+          countDistinct(col("safe")).as("ds"))
+      val docStats = sp.agg(count(lit(1)).as("n_docs"),
+        round(sum(when(col("safe") === "train", 1).otherwise(0)) /
+          count(lit(1)).cast("double"), 4).as("safe_train_frac"))
+      val clStats = cl.agg(count(lit(1)).as("n_clusters"),
+        sum(when(col("n") > 1, 1).otherwise(0)).as("n_multi_clusters"),
+        sum(when(col("dn") > 1, 1).otherwise(0)).as("naive_straddling"),
+        sum(when(col("ds") > 1, 1).otherwise(0)).as("safe_straddling"))
+      docStats.crossJoin(broadcast(clStats))
+        .select(col("n_docs"), col("n_clusters"), col("n_multi_clusters"),
+          col("naive_straddling"), col("safe_straddling"),
+          col("safe_train_frac"))
+    },
+
     // Blocked fuzzy record linkage, the scalable shape: distances are
     // computed on the DISTINCT-name relation (64 names here), blocked by
     // first token, and only then expanded back to pair counts via group

@@ -60,7 +60,9 @@ class PlanHygieneSpec extends SparkSpec {
     "graph_hits",          // top-20 cut x broadcast 1-row auth-mass total
     "behavior_survival_km",// per-user obs x broadcast 1-row horizon max-ts
     "eval_rbo",            // 20-row rank pairs x 20-row literal depth grid
-    "pipe_privacy_kanon"   // class sizes x 3-row literal k grid + 1-row total
+    "pipe_privacy_kanon",  // class sizes x 3-row literal k grid + 1-row total
+    "behavior_window_funnel", // 3 level counts x broadcast 1-row entrant total
+    "split_leakage_safe"   // 1-row doc stats x broadcast 1-row cluster stats
   )
 
   private def offenders(name: String): Seq[String] = {
