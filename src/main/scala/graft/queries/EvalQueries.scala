@@ -955,6 +955,65 @@ object EvalQueries {
           round(lit(0.1) * sum((pow(lit(0.9), col("d") - 1) * col("x") /
               col("d")).cast("decimal(28,12)")).cast("double"), 4)
             .as("rbo_20"))
+    },
+
+    // TWO-PROPORTION Z-TEST for the A/B assignment — the significance
+    // arithmetic on top of behavior_ab_assign's deterministic arms:
+    // conversion (any purchase) per user, pooled-SE z statistic between
+    // arm A and arm B, and the |z| > 1.96 decision flag. The statistic
+    // is exact integer counts → one double formula evaluated on the
+    // same inputs in both engines (no erf needed — the 95% flag IS the
+    // test); everything reduces to a 2-row aggregate.
+    Q("eval_ab_ztest",
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS arm,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT arm, count(*) AS n, sum(conv) AS c FROM u GROUP BY 1),
+        |w AS (SELECT
+        |    max(CASE WHEN arm = 'A' THEN n END) AS na,
+        |    max(CASE WHEN arm = 'A' THEN c END) AS ca,
+        |    max(CASE WHEN arm = 'B' THEN n END) AS nb,
+        |    max(CASE WHEN arm = 'B' THEN c END) AS cb
+        |  FROM g)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+        |  CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+        |  round(ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE), 4)
+        |    AS lift,
+        |  round((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))
+        |    / sqrt(((ca + cb) / CAST(na + nb AS DOUBLE))
+        |      * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
+        |      * (1.0 / na + 1.0 / nb)), 4) AS z_stat,
+        |  CAST(abs((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))
+        |    / sqrt(((ca + cb) / CAST(na + nb AS DOUBLE))
+        |      * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
+        |      * (1.0 / na + 1.0 / nb))) > 1.96 AS BOOLEAN) AS significant
+        |FROM w""") { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+            .otherwise("B").as("arm"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("conv"))
+      val w = u.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+        .agg(max(when(col("arm") === "A", col("n"))).as("na"),
+          max(when(col("arm") === "A", col("c"))).as("ca"),
+          max(when(col("arm") === "B", col("n"))).as("nb"),
+          max(when(col("arm") === "B", col("c"))).as("cb"))
+      val pa = col("ca") / col("na").cast("double")
+      val pb = col("cb") / col("nb").cast("double")
+      val pp = (col("ca") + col("cb")) / (col("na") + col("nb")).cast("double")
+      val z = (pa - pb) / sqrt(pp * (lit(1) - pp) *
+        (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+      w.select(col("na").cast("long").as("n_a"),
+        col("ca").cast("long").as("conv_a"),
+        col("nb").cast("long").as("n_b"),
+        col("cb").cast("long").as("conv_b"),
+        round(pa - pb, 4).as("lift"),
+        round(z, 4).as("z_stat"),
+        (abs(z) > 1.96).as("significant"))
     }
   )
 }

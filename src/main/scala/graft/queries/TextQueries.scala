@@ -750,6 +750,67 @@ object TextQueries {
           col("safe_train_frac"))
     },
 
+    // MINHASH ESTIMATOR CALIBRATION: for every signature-agreeing pair,
+    // the Jaccard ESTIMATE (fraction of the 8 permutation minima that
+    // agree — the unbiased MinHash estimator, Broder 1997) against the
+    // EXACT shingle Jaccard, with the absolute error. This is the
+    // estimator-variance check that justifies a signature width before
+    // scaling dedup to a full corpus (8 seeds ⇒ σ ≈ √(J(1−J)/8)).
+    // Candidates come from the seed-agreement self-join (bucketed, never
+    // all-pairs); the exact side reuses the inverted-index intersection.
+    Q("dedup_minhash_jaccard_est",
+      s"""WITH sh AS ($shinglesSql),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |sv AS (SELECT doc_id, $shingleIntDuck AS v FROM sh),
+         |h AS (SELECT doc_id, CAST(r.seed AS INT) AS seed,
+         |        min(${mhMixSql("v", "r.seed")}) AS mh
+         |      FROM sv, range(0, 8) r(seed)
+         |      GROUP BY doc_id, r.seed),
+         |agree AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS na
+         |  FROM h a JOIN h b ON a.seed = b.seed AND a.mh = b.mh
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) ni
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT g.d1, g.d2, round(g.na / 8.0, 4) AS est_jaccard,
+         |  round(coalesce(i.ni, 0)
+         |    / CAST(s1.n + s2.n - coalesce(i.ni, 0) AS DOUBLE), 4)
+         |    AS exact_jaccard,
+         |  round(abs(round(g.na / 8.0, 4) - round(coalesce(i.ni, 0)
+         |    / CAST(s1.n + s2.n - coalesce(i.ni, 0) AS DOUBLE), 4)), 4)
+         |    AS abs_err
+         |FROM agree g
+         |LEFT JOIN inter i ON i.d1 = g.d1 AND i.d2 = g.d2
+         |JOIN sizes s1 ON s1.doc_id = g.d1
+         |JOIN sizes s2 ON s2.doc_id = g.d2
+         |ORDER BY g.d1, g.d2""") { (s, d) =>
+      val sh = shinglesOf(Tables.documents(s, d)).distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val h = minhashSigsArrayOf(Tables.documents(s, d))
+      val agree = h.as("a").join(h.as("b"),
+          col("a.seed") === col("b.seed") && col("a.mh") === col("b.mh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("na"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("ni"))
+      val est = round(col("na") / 8.0, 4)
+      val exact = round(coalesce(col("ni"), lit(0)) /
+        (col("n1") + col("n2") - coalesce(col("ni"), lit(0))).cast("double"), 4)
+      agree
+        .join(inter.withColumnRenamed("d1", "i1").withColumnRenamed("d2", "i2"),
+          col("i1") === col("d1") && col("i2") === col("d2"), "left_outer")
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+        .select(col("d1"), col("d2"), est.as("est_jaccard"),
+          exact.as("exact_jaccard"),
+          round(abs(est - exact), 4).as("abs_err"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
     // Blocked fuzzy record linkage, the scalable shape: distances are
     // computed on the DISTINCT-name relation (64 names here), blocked by
     // first token, and only then expanded back to pair counts via group
