@@ -181,13 +181,27 @@ object GraftFunctions {
     * `jaro_winkler`). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // Arity is checked up front so a call like jaro_winkler(x) fails
+    // with a named error at analysis rather than IndexOutOfBounds
+    // inside the builder.
+    def binary(name: String, mk: (Expression, Expression) => Expression)(
+        exprs: Seq[Expression]): Expression = {
+      if (exprs.length != 2)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name, "expectedNum" -> "2",
+            "actualNum" -> exprs.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      mk(exprs(0), exprs(1))
+    }
     reg.createOrReplaceTempFunction("map_contains_all",
-      exprs => MapContainsAll(exprs(0), exprs(1)), "built-in")
+      binary("map_contains_all", MapContainsAll.apply), "built-in")
     reg.createOrReplaceTempFunction("dot_f",
-      exprs => DotProductFloat(exprs(0), exprs(1)), "built-in")
+      binary("dot_f", DotProductFloat.apply), "built-in")
     reg.createOrReplaceTempFunction("shingle_gen",
-      exprs => ShingleGenerator(exprs(0), exprs(1)), "built-in")
+      binary("shingle_gen", ShingleGenerator.apply), "built-in")
     reg.createOrReplaceTempFunction("jaro_winkler",
-      exprs => JaroWinklerSimilarity(exprs(0), exprs(1)), "built-in")
+      binary("jaro_winkler", JaroWinklerSimilarity.apply), "built-in")
   }
 }

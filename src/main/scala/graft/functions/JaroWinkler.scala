@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Jaro-Winkler string similarity (Winkler 1990, census record linkage)
@@ -81,8 +81,12 @@ object JaroWinkler {
 /** `jaro_winkler(a, b)` — codegen'd Catalyst expression over the static
   * scorer above. */
 case class JaroWinklerSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
-  // inputs must both be string
+    extends BinaryExpression with ExpectsInputTypes {
+  // Both inputs must be strings — declared so misuse (e.g.
+  // jaro_winkler(p_partkey, p_name)) fails at ANALYSIS with a typed
+  // error instead of a ClassCastException mid-execution, matching the
+  // contract of Spark's own levenshtein.
+  override def inputTypes = Seq(StringType, StringType)
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(a: Any, b: Any): Any =

@@ -499,8 +499,9 @@ object AnalyticQueries {
         |    sum(w) OVER (PARTITION BY flag) AS tot
         |  FROM s)
         |SELECT flag,
-        |  CAST(min(CASE WHEN tot - cum <= cum THEN v END) AS DECIMAL(18,2)) AS w_median,
-        |  CAST(max(tot) AS DECIMAL(28,2)) AS total_weight
+        |  round(CAST(min(CASE WHEN tot - cum <= cum THEN v END) AS DOUBLE), 4)
+        |    AS w_median,
+        |  round(CAST(max(tot) AS DOUBLE), 4) AS total_weight
         |FROM c GROUP BY flag ORDER BY flag""") { (s, d) =>
       val runs = Tables.lineitem(s, d)
         .groupBy(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
@@ -514,9 +515,13 @@ object AnalyticQueries {
         .groupBy(col("flag"))
         // tot - cum <= cum ⟺ 2*cum >= tot, but never widens past the
         // window-sum's DECIMAL(38,2) — 2*cum can overflow→NULL non-ANSI.
-        .agg(min(when(col("tot") - col("cum") <= col("cum"), col("v")))
-          .cast("decimal(18,2)").as("w_median"),
-          max(col("tot")).cast("decimal(28,2)").as("total_weight"))
+        // Final columns surface as round(double, 4): the comparison runs
+        // in exact DECIMAL, but DECIMAL output scales canonicalize
+        // differently across engines — double@4dp is the stable wire
+        // format the rest of the agg_* family uses.
+        .agg(round(min(when(col("tot") - col("cum") <= col("cum"), col("v")))
+          .cast("double"), 4).as("w_median"),
+          round(max(col("tot")).cast("double"), 4).as("total_weight"))
         .orderBy(col("flag"))
     },
 
@@ -731,9 +736,9 @@ object AnalyticQueries {
         |      / CAST(sum(w) OVER (PARTITION BY flag) AS DOUBLE) AS share
         |  FROM s)
         |SELECT flag,
-        |  CAST(min(CASE WHEN share >= 0.25 THEN v END) AS DECIMAL(18,2)) AS wq25,
-        |  CAST(min(CASE WHEN share >= 0.5 THEN v END) AS DECIMAL(18,2)) AS wq50,
-        |  CAST(min(CASE WHEN share >= 0.75 THEN v END) AS DECIMAL(18,2)) AS wq75
+        |  round(CAST(min(CASE WHEN share >= 0.25 THEN v END) AS DOUBLE), 4) AS wq25,
+        |  round(CAST(min(CASE WHEN share >= 0.5 THEN v END) AS DOUBLE), 4) AS wq50,
+        |  round(CAST(min(CASE WHEN share >= 0.75 THEN v END) AS DOUBLE), 4) AS wq75
         |FROM c GROUP BY flag ORDER BY flag""") { (s, d) =>
       val runs = Tables.lineitem(s, d)
         .groupBy(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
@@ -745,13 +750,15 @@ object AnalyticQueries {
         .withColumn("share",
           sum(col("w")).over(wOrd) / sum(col("w")).over(wAll).cast("double"))
         .groupBy(col("flag"))
+        // double@4dp wire format — see agg_weighted_median's note on
+        // DECIMAL output-scale canonicalization.
         .agg(
-          min(when(col("share") >= 0.25, col("v")))
-            .cast("decimal(18,2)").as("wq25"),
-          min(when(col("share") >= 0.5, col("v")))
-            .cast("decimal(18,2)").as("wq50"),
-          min(when(col("share") >= 0.75, col("v")))
-            .cast("decimal(18,2)").as("wq75"))
+          round(min(when(col("share") >= 0.25, col("v"))).cast("double"), 4)
+            .as("wq25"),
+          round(min(when(col("share") >= 0.5, col("v"))).cast("double"), 4)
+            .as("wq50"),
+          round(min(when(col("share") >= 0.75, col("v"))).cast("double"), 4)
+            .as("wq75"))
         .orderBy(col("flag"))
     },
 

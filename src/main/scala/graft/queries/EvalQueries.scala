@@ -959,16 +959,21 @@ object EvalQueries {
 
     // TWO-PROPORTION Z-TEST for the A/B assignment — the significance
     // arithmetic on top of behavior_ab_assign's deterministic arms:
-    // conversion (any purchase) per user, pooled-SE z statistic between
-    // arm A and arm B, and the |z| > 1.96 decision flag. The statistic
-    // is exact integer counts → one double formula evaluated on the
-    // same inputs in both engines (no erf needed — the 95% flag IS the
-    // test); everything reduces to a 2-row aggregate.
+    // conversion (high-value purchase, value > 150, so the rate is
+    // strictly inside (0,1) on the fixture) per user, pooled-SE z
+    // statistic between arm A and arm B, and the |z| > 1.96 decision
+    // flag. The z division is guarded with nullif(denom, 0): when the
+    // pooled rate degenerates to 0 or 1 the statistic is NULL in both
+    // engines rather than an ANSI DIVIDE_BY_ZERO in Spark. The
+    // statistic is exact integer counts → one double formula evaluated
+    // on the same inputs in both engines (no erf needed — the 95% flag
+    // IS the test); everything reduces to a 2-row aggregate.
     Q("eval_ab_ztest",
       """WITH u AS (SELECT user_id,
         |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
         |      THEN 'A' ELSE 'B' END AS arm,
-        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150
+        |      THEN 1 ELSE 0 END) AS conv
         |  FROM events GROUP BY 1, 2),
         |g AS (SELECT arm, count(*) AS n, sum(conv) AS c FROM u GROUP BY 1),
         |w AS (SELECT
@@ -982,20 +987,20 @@ object EvalQueries {
         |  round(ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE), 4)
         |    AS lift,
         |  round((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))
-        |    / sqrt(((ca + cb) / CAST(na + nb AS DOUBLE))
+        |    / nullif(sqrt(((ca + cb) / CAST(na + nb AS DOUBLE))
         |      * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
-        |      * (1.0 / na + 1.0 / nb)), 4) AS z_stat,
+        |      * (1.0 / na + 1.0 / nb)), 0), 4) AS z_stat,
         |  CAST(abs((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))
-        |    / sqrt(((ca + cb) / CAST(na + nb AS DOUBLE))
+        |    / nullif(sqrt(((ca + cb) / CAST(na + nb AS DOUBLE))
         |      * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
-        |      * (1.0 / na + 1.0 / nb))) > 1.96 AS BOOLEAN) AS significant
+        |      * (1.0 / na + 1.0 / nb)), 0)) > 1.96 AS BOOLEAN) AS significant
         |FROM w""") { (s, d) =>
       val u = Tables.events(s, d)
         .groupBy(col("user_id"),
           when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
             .otherwise("B").as("arm"))
-        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
-          .as("conv"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 150,
+          1).otherwise(0)).as("conv"))
       val w = u.groupBy(col("arm"))
         .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
         .agg(max(when(col("arm") === "A", col("n"))).as("na"),
@@ -1005,8 +1010,8 @@ object EvalQueries {
       val pa = col("ca") / col("na").cast("double")
       val pb = col("cb") / col("nb").cast("double")
       val pp = (col("ca") + col("cb")) / (col("na") + col("nb")).cast("double")
-      val z = (pa - pb) / sqrt(pp * (lit(1) - pp) *
-        (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+      val z = (pa - pb) / nullif(sqrt(pp * (lit(1) - pp) *
+        (lit(1.0) / col("na") + lit(1.0) / col("nb"))), lit(0d))
       w.select(col("na").cast("long").as("n_a"),
         col("ca").cast("long").as("conv_a"),
         col("nb").cast("long").as("n_b"),

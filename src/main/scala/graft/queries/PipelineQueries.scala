@@ -841,38 +841,50 @@ object PipelineQueries {
     },
 
     // Entity-resolution blocking + pairwise edit-distance match: part
-    // names block on their first token, candidate pairs form ONLY
-    // within a block (the classic ER move that turns all-pairs O(n²)
-    // into Σ block²), a cheap length-difference prefilter skips the
-    // expensive DP for hopeless pairs, and exact Levenshtein scores the
-    // survivors. Per-block rollup output. At 100 TB the block key is
-    // the shuffle key; skewed blocks split by salting exactly like any
-    // hot groupBy key.
+    // names block on their first token and candidate pairs form ONLY
+    // within a block — but the pairwise DP runs on the DISTINCT-name
+    // relation weighted by name multiplicity, never on fact rows. A
+    // row-pair rollup over a block is exactly recoverable from the
+    // name-pair rollup: cross-name pairs contribute cnt_a·cnt_b, the
+    // same-name diagonal contributes C(cnt,2) pairs at distance 0. So
+    // the edit-distance work is Σ block² over the name VOCABULARY
+    // (constant in data size), while the per-block pair counts still
+    // describe the full fact table — the only shape that survives
+    // 100× data, where row-level Σ block² grows quadratically. A cheap
+    // length-difference prefilter skips the DP for hopeless pairs.
     Q("er_blocking",
-      """WITH p0 AS (SELECT p_partkey, p_name,
-        |    string_split(p_name, ' ')[1] AS blk FROM part),
-        |pr AS (SELECT a.blk,
+      """WITH n AS (SELECT string_split(p_name, ' ')[1] AS blk, p_name,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM part GROUP BY 1, 2),
+        |pr AS (SELECT a.blk, a.cnt * b.cnt AS pairs,
         |    CASE WHEN abs(length(a.p_name) - length(b.p_name)) <= 10
         |      THEN levenshtein(a.p_name, b.p_name) END AS dist
-        |  FROM p0 a JOIN p0 b
-        |    ON a.blk = b.blk AND a.p_partkey < b.p_partkey)
-        |SELECT blk, CAST(count(*) AS BIGINT) AS n_pairs,
-        |  CAST(sum(CASE WHEN dist <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM n a JOIN n b
+        |    ON a.blk = b.blk AND a.p_name < b.p_name
+        |  UNION ALL
+        |  SELECT blk, cnt * (cnt - 1) // 2 AS pairs, 0 AS dist
+        |  FROM n WHERE cnt >= 2)
+        |SELECT blk, CAST(sum(pairs) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN dist <= 10 THEN pairs ELSE 0 END) AS BIGINT)
         |    AS n_matches,
         |  CAST(min(dist) AS BIGINT) AS min_dist
         |FROM pr GROUP BY blk ORDER BY blk""") { (s, d) =>
-      val p0 = Tables.part(s, d)
-        .select(col("p_partkey"), col("p_name"),
-          split(col("p_name"), " ").getItem(0).as("blk"))
-      val pr = p0.as("a").join(p0.as("b"),
-          col("a.blk") === col("b.blk") &&
-            col("a.p_partkey") < col("b.p_partkey"))
+      val n = Tables.part(s, d)
+        .groupBy(split(col("p_name"), " ").getItem(0).as("blk"), col("p_name"))
+        .agg(count(lit(1)).as("cnt"))
+      val cross = n.as("a").join(n.as("b"),
+          col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
         .select(col("a.blk").as("blk"),
+          (col("a.cnt") * col("b.cnt")).as("pairs"),
           when(abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 10,
             levenshtein(col("a.p_name"), col("b.p_name"))).as("dist"))
-      pr.groupBy(col("blk"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("dist") <= 10, 1).otherwise(0)).as("n_matches"),
+      val diag = n.filter(col("cnt") >= 2)
+        .select(col("blk"), expr("cnt * (cnt - 1) div 2").as("pairs"),
+          lit(0).as("dist"))
+      cross.unionByName(diag)
+        .groupBy(col("blk"))
+        .agg(sum(col("pairs")).as("n_pairs"),
+          sum(when(col("dist") <= 10, col("pairs")).otherwise(0))
+            .as("n_matches"),
           min(col("dist")).as("min_dist"))
         .orderBy(col("blk"))
     },
@@ -885,34 +897,43 @@ object PipelineQueries {
     // expression (functions/JaroWinkler.scala, one invokestatic inside
     // the WholeStageCodegen loop), pinned numerically to DuckDB's
     // jaro_winkler_similarity incl. integer transposition halving and
-    // the 0.7 boost threshold. Same blocked-join scale shape as
-    // er_blocking: candidate pairs only within a first-token block;
+    // the 0.7 boost threshold. Same vocabulary-blocked scale shape as
+    // er_blocking: JW runs once per DISTINCT-name pair within a
+    // first-token block, weighted back to row-pair counts by name
+    // multiplicity (same-name diagonal pairs are JW = 1 by identity);
     // both engines round to 4 decimals BEFORE thresholding so the
     // match-count comparison is ulp-robust.
     Q("link_jw_names",
-      """WITH p0 AS (SELECT p_partkey, p_name,
-        |    string_split(p_name, ' ')[1] AS blk FROM part),
-        |pr AS (SELECT a.blk,
+      """WITH n AS (SELECT string_split(p_name, ' ')[1] AS blk, p_name,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM part GROUP BY 1, 2),
+        |pr AS (SELECT a.blk, a.cnt * b.cnt AS pairs,
         |    round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
-        |  FROM p0 a JOIN p0 b
-        |    ON a.blk = b.blk AND a.p_partkey < b.p_partkey)
-        |SELECT blk, CAST(count(*) AS BIGINT) AS n_pairs,
-        |  CAST(sum(CASE WHEN jw >= 0.92 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM n a JOIN n b
+        |    ON a.blk = b.blk AND a.p_name < b.p_name
+        |  UNION ALL
+        |  SELECT blk, cnt * (cnt - 1) // 2 AS pairs, 1.0 AS jw
+        |  FROM n WHERE cnt >= 2)
+        |SELECT blk, CAST(sum(pairs) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN jw >= 0.92 THEN pairs ELSE 0 END) AS BIGINT)
         |    AS n_close,
         |  round(max(jw), 4) AS best_jw
         |FROM pr GROUP BY blk ORDER BY blk""") { (s, d) =>
       import graft.functions.GraftFunctions.jaro_winkler
-      val p0 = Tables.part(s, d)
-        .select(col("p_partkey"), col("p_name"),
-          split(col("p_name"), " ").getItem(0).as("blk"))
-      val pr = p0.as("a").join(p0.as("b"),
-          col("a.blk") === col("b.blk") &&
-            col("a.p_partkey") < col("b.p_partkey"))
+      val n = Tables.part(s, d)
+        .groupBy(split(col("p_name"), " ").getItem(0).as("blk"), col("p_name"))
+        .agg(count(lit(1)).as("cnt"))
+      val cross = n.as("a").join(n.as("b"),
+          col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
         .select(col("a.blk").as("blk"),
+          (col("a.cnt") * col("b.cnt")).as("pairs"),
           round(jaro_winkler(col("a.p_name"), col("b.p_name")), 4).as("jw"))
-      pr.groupBy(col("blk"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("jw") >= 0.92, 1).otherwise(0)).as("n_close"),
+      val diag = n.filter(col("cnt") >= 2)
+        .select(col("blk"), expr("cnt * (cnt - 1) div 2").as("pairs"),
+          lit(1.0).as("jw"))
+      cross.unionByName(diag)
+        .groupBy(col("blk"))
+        .agg(sum(col("pairs")).as("n_pairs"),
+          sum(when(col("jw") >= 0.92, col("pairs")).otherwise(0)).as("n_close"),
           round(max(col("jw")), 4).as("best_jw"))
         .orderBy(col("blk"))
     },
@@ -925,9 +946,10 @@ object PipelineQueries {
     // each entity fuses one canonical record: longest name (ties →
     // lexicographic max — deterministic without a sort of members) and
     // the best (min) price across members. The oracle reaches identical
-    // clusters by recursive transitive closure. At 100 TB the edge
-    // relation is block-bounded and the contraction is the proven CC
-    // loop; the fuse step is two keyed rollups.
+    // clusters by recursive transitive closure. At 100 TB the match
+    // join and contraction run on the name VOCABULARY (distances never
+    // touch the fact table — see the in-body note), and the fuse step
+    // is two keyed rollups over the facts.
     Q("er_golden_record",
       """WITH RECURSIVE p0 AS (SELECT p_partkey AS id, p_name, p_retailprice,
         |    string_split(p_name, ' ')[1] AS blk FROM part),
@@ -956,17 +978,32 @@ object PipelineQueries {
       val p0 = Tables.part(s, d)
         .select(col("p_partkey").as("id"), col("p_name"), col("p_retailprice"),
           split(col("p_name"), " ").getItem(0).as("blk"))
-      val e = p0.as("a").join(p0.as("b"),
-          col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
+      // Matching + CC run on the DISTINCT-NAME relation, not the fact
+      // table: two same-named parts are always an edge (lev = 0), so
+      // part-level components are exactly name-level components
+      // expanded — and with each name's node id = min(part id) of that
+      // name, the name-component min IS the part-component min, i.e.
+      // cluster_rep is unchanged. Edit distance work drops from
+      // Σ block² over ROWS (quadratic in data, the 100×-scale killer)
+      // to Σ block² over the name VOCABULARY (constant in data); the
+      // 3-arg levenshtein(a, b, 10) band abandons hopeless DPs early.
+      val nm = p0.groupBy(col("p_name"), col("blk"))
+        .agg(min(col("id")).as("nid"))
+      val ne = nm.as("a").join(nm.as("b"),
+          col("a.blk") === col("b.blk") && col("a.nid") < col("b.nid") &&
             abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 10 &&
-            levenshtein(col("a.p_name"), col("b.p_name")) <= 10)
-        .select(col("b.id").as("u"), col("a.id").as("v")) // v < u for starLabels
+            levenshtein(col("a.p_name"), col("b.p_name"), 10) >= 0)
+        .select(col("b.nid").as("u"), col("a.nid").as("v")) // v < u
         .localCheckpoint(true)
-      val labels = ClusterQueries.starLabels(e)
-      val all = p0
-        .join(labels.withColumnRenamed("doc_id", "id"), Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("rep"), col("id")).as("cluster_rep"),
-          col("p_name"), col("p_retailprice"))
+      val labels = ClusterQueries.starLabels(ne)
+      val nameRep = nm
+        .join(labels.withColumnRenamed("doc_id", "nid"), Seq("nid"), "left_outer")
+        .select(col("p_name"),
+          coalesce(col("rep"), col("nid")).as("cluster_rep"))
+      // Vocabulary-sized label map broadcasts back onto the fact table.
+      val all = p0.join(broadcast(nameRep), Seq("p_name"))
+        .select(col("id"), col("cluster_rep"), col("p_name"),
+          col("p_retailprice"))
       val g = all.groupBy(col("cluster_rep"))
         .agg(count(lit(1)).as("n_members"),
           max(length(col("p_name"))).as("ml"),
@@ -1449,5 +1486,177 @@ object PipelineQueries {
           round(count(lit(1)) / max(col("n")).cast("double"), 4)
             .as("row_share"))
         .orderBy(col("key"))
+    },
+
+    // TEMPERATURE-SCALED domain mixing (the α-sampling every
+    // multi-source LLM corpus uses — upweight small domains, damp the
+    // head: w_s ∝ share_s^α with α = 0.5): per-source weights from one
+    // vocab-sized rollup, integer targets from a fixed pick budget, and
+    // the realized sample drawn by deterministic md5 order so the same
+    // corpus always yields the same mixture. The α-power weights are
+    // quantized to DECIMAL(18,12) BEFORE normalization so the weight
+    // denominator is an exact decimal sum (partition-invariant), not an
+    // order-dependent float reduction. Corpus-scale work: one source
+    // rollup + one per-source-partitioned rank window.
+    Q("pipe_domain_temperature",
+      """WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_docs) AS total FROM n),
+        |w AS (SELECT source, n_docs,
+        |    CAST(round(sqrt(n_docs / CAST(t.total AS DOUBLE)), 12)
+        |      AS DECIMAL(18,12)) AS wq
+        |  FROM n CROSS JOIN t),
+        |z AS (SELECT sum(wq) AS zq FROM w),
+        |tgt AS (SELECT w.source, w.n_docs,
+        |    round(w.n_docs / CAST(t.total AS DOUBLE), 4) AS share,
+        |    round(CAST(w.wq AS DOUBLE) / CAST(z.zq AS DOUBLE), 4) AS weight,
+        |    CAST(floor(200 * CAST(w.wq AS DOUBLE) / CAST(z.zq AS DOUBLE))
+        |      AS BIGINT) AS target
+        |  FROM w CROSS JOIN t CROSS JOIN z),
+        |r AS (SELECT d.source, row_number() OVER (PARTITION BY d.source
+        |    ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+        |  FROM documents d),
+        |sel AS (SELECT r.source, count(*) AS realized
+        |  FROM r JOIN tgt ON tgt.source = r.source AND r.rn <= tgt.target
+        |  GROUP BY 1)
+        |SELECT tgt.source, tgt.n_docs, tgt.share, tgt.weight, tgt.target,
+        |  CAST(coalesce(sel.realized, 0) AS BIGINT) AS realized
+        |FROM tgt LEFT JOIN sel USING (source) ORDER BY source""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val n = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val t = n.agg(sum(col("n_docs")).as("total"))
+      val w = n.crossJoin(broadcast(t))
+        .select(col("source"), col("n_docs"),
+          round(sqrt(col("n_docs") / col("total").cast("double")), 12)
+            .cast("decimal(18,12)").as("wq"),
+          col("total"))
+      val z = w.agg(sum(col("wq")).as("zq"))
+      val tgt = w.crossJoin(broadcast(z))
+        .select(col("source"), col("n_docs"),
+          round(col("n_docs") / col("total").cast("double"), 4).as("share"),
+          round(col("wq").cast("double") / col("zq").cast("double"), 4)
+            .as("weight"),
+          floor(lit(200) * col("wq").cast("double") /
+            col("zq").cast("double")).cast("long").as("target"))
+      val rw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val sel = docs
+        .select(col("source"), row_number().over(rw).as("rn"))
+        .join(broadcast(tgt.select(col("source"), col("target"))), Seq("source"))
+        .filter(col("rn") <= col("target"))
+        .groupBy(col("source")).agg(count(lit(1)).as("realized"))
+      tgt.join(sel, Seq("source"), "left_outer")
+        .select(col("source"), col("n_docs"), col("share"), col("weight"),
+          col("target"), coalesce(col("realized"), lit(0L)).as("realized"))
+        .orderBy(col("source"))
+    },
+
+    // CURRICULUM ordering (easy→hard training schedule): docs bucket
+    // into length quartiles from ONE exact-percentile aggregate
+    // (broadcast 1-row bounds — never a global raw-row ntile window,
+    // which would single-partition the corpus), and the training order
+    // index is bucket-offset + md5-rank within the bucket — a
+    // deterministic total order computed with only per-bucket windows
+    // and a 4-row offset rollup. Re-runnable: same corpus, same
+    // schedule, on any partitioning.
+    Q("pipe_curriculum_order",
+      """WITH q AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS q1,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS q2,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS q3
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    CASE WHEN n_chars <= q.q1 THEN 1 WHEN n_chars <= q.q2 THEN 2
+        |         WHEN n_chars <= q.q3 THEN 3 ELSE 4 END AS bucket
+        |  FROM documents CROSS JOIN q),
+        |c AS (SELECT bucket, count(*) AS bn FROM b GROUP BY 1),
+        |o AS (SELECT bucket,
+        |    sum(bn) OVER (ORDER BY bucket) - bn AS off FROM c),
+        |r AS (SELECT b.doc_id, b.bucket,
+        |    row_number() OVER (PARTITION BY b.bucket
+        |      ORDER BY md5(CAST(b.doc_id AS VARCHAR)), b.doc_id) AS rn
+        |  FROM b)
+        |SELECT r.doc_id, CAST(r.bucket AS INT) AS bucket,
+        |  CAST(o.off + r.rn AS BIGINT) AS ord
+        |FROM r JOIN o ON o.bucket = r.bucket
+        |ORDER BY doc_id""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val q = docs.agg(
+        expr("percentile(CAST(n_chars AS DOUBLE), 0.25)").as("q1"),
+        expr("percentile(CAST(n_chars AS DOUBLE), 0.5)").as("q2"),
+        expr("percentile(CAST(n_chars AS DOUBLE), 0.75)").as("q3"))
+      val b = docs.crossJoin(broadcast(q))
+        .select(col("doc_id"),
+          when(col("n_chars") <= col("q1"), 1)
+            .when(col("n_chars") <= col("q2"), 2)
+            .when(col("n_chars") <= col("q3"), 3)
+            .otherwise(4).as("bucket"))
+      val c = b.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+      val ow = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      val o = c // 4-row relation: the only unpartitioned window is here
+        .withColumn("off", sum(col("bn")).over(ow) - col("bn"))
+        .select(col("bucket"), col("off"))
+      val rw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      b.withColumn("rn", row_number().over(rw))
+        .join(broadcast(o), Seq("bucket"))
+        .select(col("doc_id"), col("bucket").cast("int").as("bucket"),
+          (col("off") + col("rn")).cast("long").as("ord"))
+        .orderBy(col("doc_id"))
+    },
+
+    // L-DIVERSITY audit (Machanavajjhala 2007) — the follow-up to
+    // pipe_privacy_kanon's k-anonymity: a class can be large (k-safe)
+    // yet still leak if every member shares the same SENSITIVE value.
+    // Same QI classes (nation, priority, order week), sensitive
+    // attribute = order status; per class, l = distinct sensitive
+    // values and the entropy of the sensitive distribution (entropy
+    // l-diversity), rolled up by l. Entropy terms are DECIMAL-quantized
+    // per (class, value) before summing so the per-class entropy is
+    // partition-invariant; everything else is exact integers.
+    Q("pipe_privacy_ldiversity",
+      """WITH q AS (SELECT c.c_nationkey AS nat, o.o_orderpriority AS pri,
+        |    date_trunc('week', o.o_orderdate) AS wk, o.o_orderstatus AS sens
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |cs AS (SELECT nat, pri, wk, sens, count(*) AS c FROM q
+        |  GROUP BY 1, 2, 3, 4),
+        |cls AS (SELECT nat, pri, wk, sum(c) AS sz, count(*) AS l
+        |  FROM cs GROUP BY 1, 2, 3),
+        |ent AS (SELECT cs.nat, cs.pri, cs.wk,
+        |    sum(CAST(round(-(cs.c / CAST(cls.sz AS DOUBLE))
+        |      * ln(cs.c / CAST(cls.sz AS DOUBLE)), 9) AS DECIMAL(18,9)))
+        |      AS ent
+        |  FROM cs JOIN cls USING (nat, pri, wk) GROUP BY 1, 2, 3)
+        |SELECT CAST(cls.l AS INT) AS l,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(cls.sz) AS BIGINT) AS n_rows,
+        |  round(CAST(min(ent.ent) AS DOUBLE), 4) AS min_entropy,
+        |  round(CAST(sum(ent.ent) AS DOUBLE) / count(*), 4) AS avg_entropy
+        |FROM cls JOIN ent USING (nat, pri, wk)
+        |GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      val q = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .select(col("c_nationkey").as("nat"), col("o_orderpriority").as("pri"),
+          date_trunc("week", col("o_orderdate")).as("wk"),
+          col("o_orderstatus").as("sens"))
+      val cs = q.groupBy(col("nat"), col("pri"), col("wk"), col("sens"))
+        .agg(count(lit(1)).as("c"))
+      val cls = cs.groupBy(col("nat"), col("pri"), col("wk"))
+        .agg(sum(col("c")).as("sz"), count(lit(1)).as("l"))
+      val p = col("c") / col("sz").cast("double")
+      val ent = cs.join(cls, Seq("nat", "pri", "wk"))
+        .select(col("nat"), col("pri"), col("wk"),
+          round(-p * log(p), 9).cast("decimal(18,9)").as("term"))
+        .groupBy(col("nat"), col("pri"), col("wk"))
+        .agg(sum(col("term")).as("ent"))
+      cls.join(ent, Seq("nat", "pri", "wk"))
+        .groupBy(col("l").cast("int").as("l"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("sz")).as("n_rows"),
+          round(min(col("ent")).cast("double"), 4).as("min_entropy"),
+          round(sum(col("ent")).cast("double") / count(lit(1)), 4)
+            .as("avg_entropy"))
+        .orderBy(col("l"))
     })
 }

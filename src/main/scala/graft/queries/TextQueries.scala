@@ -585,8 +585,23 @@ object TextQueries {
     // the S-curve's operating point on a sample, then freeze the
     // banding. Both relations reuse the family's shared signature/
     // shingle SQL; the compare is one full-outer join on the pair key.
+    //
+    // SAMPLING CONTRACT: the exhaustive ground truth (the co-shingle
+    // intersection join) is quadratic in co-shingle doc pairs, so the
+    // eval universe is capped at TRUTH_DOC_BUDGET documents chosen by
+    // deterministic md5 order — Spark plans the orderBy+limit as a
+    // distributed TakeOrdered (per-partition top-N merge, no full
+    // sort). Both the truth AND candidate sides run on the same capped
+    // universe, so precision/recall stay a valid paired comparison on
+    // the sample. The budget (100k docs) exceeds every test fixture —
+    // fixture outputs are the uncapped answer — and bites exactly when
+    // pointing this harness at a real corpus, which is the point: the
+    // S-curve is measured on a bounded sample, never corpus-wide.
     Q("text_near_dup_eval",
-      s"""WITH sh AS ($shinglesSql),
+      s"""WITH elig AS (SELECT doc_id FROM documents
+         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100000),
+         |sh0 AS ($shinglesSql),
+         |sh AS (SELECT sh0.* FROM sh0 JOIN elig USING (doc_id)),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) ni
          |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -624,7 +639,14 @@ object TextQueries {
          |    CAST(nullif(sum(CASE WHEN st IN ('tp','fn') THEN 1 ELSE 0 END), 0)
          |      AS DOUBLE), 4) AS recall
          |FROM cls""") { (s, d) =>
-      val sh = shinglesOf(Tables.documents(s, d))
+      val docsAll = Tables.documents(s, d)
+      // The md5-ordered doc budget (see contract note above): TakeOrdered
+      // top-100k of the universe, then one semi-join restricts the scan.
+      val elig = docsAll.select(col("doc_id"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .limit(100000)
+      val docs = docsAll.join(elig, Seq("doc_id"), "left_semi")
+      val sh = shinglesOf(docs)
         .distinct() // shinglesSql twin is per-doc distinct
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = sh.as("a").join(sh.as("b"),
@@ -637,7 +659,7 @@ object TextQueries {
         .filter(col("ni").cast("double") /
           (col("n1") + col("n2") - col("ni")) >= 0.5)
         .select(col("d1"), col("d2"))
-      val bnd = minhashSigsArrayOf(Tables.documents(s, d))
+      val bnd = minhashSigsArrayOf(docs) // same capped universe as truth
         .groupBy(col("doc_id"), expr("CAST(seed div 2 AS INT)").as("band"))
         .agg(min(when(col("seed") % 2 === 0, col("mh"))).as("m0"),
           min(when(col("seed") % 2 === 1, col("mh"))).as("m1"))
@@ -757,7 +779,11 @@ object TextQueries {
     // estimator-variance check that justifies a signature width before
     // scaling dedup to a full corpus (8 seeds ⇒ σ ≈ √(J(1−J)/8)).
     // Candidates come from the seed-agreement self-join (bucketed, never
-    // all-pairs); the exact side reuses the inverted-index intersection.
+    // all-pairs); the exact side intersects shingles for the CANDIDATE
+    // pairs only — the shingle relation is joined through the agree
+    // pair keys (the dedup_minhash_pairs shape), never the unbounded
+    // co-shingle self-join, so the exact-verify cost is proportional to
+    // the candidate set rather than to every pair sharing any shingle.
     Q("dedup_minhash_jaccard_est",
       s"""WITH sh AS ($shinglesSql),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -770,8 +796,10 @@ object TextQueries {
          |  FROM h a JOIN h b ON a.seed = b.seed AND a.mh = b.mh
          |    AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
-         |inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) ni
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |inter AS (SELECT g.d1, g.d2, count(*) AS ni
+         |  FROM agree g
+         |  JOIN sh a ON a.doc_id = g.d1
+         |  JOIN sh b ON b.doc_id = g.d2 AND b.sh = a.sh
          |  GROUP BY 1, 2)
          |SELECT g.d1, g.d2, round(g.na / 8.0, 4) AS est_jaccard,
          |  round(coalesce(i.ni, 0)
@@ -793,9 +821,13 @@ object TextQueries {
             col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("na"))
-      val inter = sh.as("a").join(sh.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      // Exact intersections for the candidate pairs ONLY: route the
+      // shingle relation through the agree pair keys instead of the
+      // unbounded sh⋈sh co-shingle self-join.
+      val inter = agree.select(col("d1"), col("d2"))
+        .join(sh.select(col("doc_id").as("d1"), col("sh")), Seq("d1"))
+        .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
+        .groupBy(col("d1"), col("d2"))
         .agg(count(lit(1)).as("ni"))
       val est = round(col("na") / 8.0, 4)
       val exact = round(coalesce(col("ni"), lit(0)) /

@@ -80,6 +80,19 @@ object ScaleUp {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/part.parquet")
 
+    // orders for the customer↔part bipartite family (graph_hits):
+    // o_orderkey remaps by the SAME offset as lineitem's l_orderkey so
+    // the join lines up within a replica; o_custkey remaps too, so each
+    // replica is its own disjoint customer-part graph — N× vertices and
+    // edges at source density, same discipline as lineitem/part.
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    ord.crossJoin(broadcast(reps))
+      .withColumn("o_orderkey", col("o_orderkey") + col("r") * 10000000L)
+      .withColumn("o_custkey", col("o_custkey") + col("r") * 10000000L)
+      .drop("r")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
     // events for the behavioral/temporal family (funnel, sessionize,
     // attribution, transitions, SCD2 joins): user AND event ids remap
     // per replica, timestamps stay — each replica is a disjoint user

@@ -180,9 +180,9 @@ class Round10OpsSpec extends SparkSpec {
     val out = SparkEntry.queries("agg_weighted_quantile")(spark, d).collect()
     assert(out.length == 1)
     val r = out.head
-    assert(r.getAs[java.math.BigDecimal]("wq25").doubleValue() == 10.0)
-    assert(r.getAs[java.math.BigDecimal]("wq50").doubleValue() == 20.0)
-    assert(r.getAs[java.math.BigDecimal]("wq75").doubleValue() == 30.0)
+    assert(r.getAs[Double]("wq25") == 10.0)
+    assert(r.getAs[Double]("wq50") == 20.0)
+    assert(r.getAs[Double]("wq75") == 30.0)
   }
 
   test("win_median: trailing-5 exact medians over a planted sequence") {
