@@ -1069,5 +1069,98 @@ object ClusterQueries {
           col("auth2").cast("long").as("auth_raw"),
           round(col("auth2") / col("t").cast("double"), 6).as("auth_score"))
         .orderBy(col("rk"))
+    },
+
+    // LABEL-PROPAGATION community detection (Raghavan 2007) over the
+    // co-purchase graph — the near-linear community detector run before
+    // heavier objectives (modularity/Louvain): every vertex starts as
+    // its own label; each synchronous round adopts the most frequent
+    // label among neighbors, ties broken by MIN label so the rounds are
+    // fully deterministic (classic LPA breaks ties randomly — useless
+    // for a reproducible pipeline). 3 unrolled rounds, each ONE
+    // neighbor-label count rollup + ONE per-vertex top-1 window, both
+    // keyed shuffles on the vertex id — the PageRank/BFS loop shape;
+    // the edge relation is the family's derive-once materialization.
+    // Output is the community rollup (label = min founding vertex).
+    Q("graph_label_propagation",
+      """WITH e0 AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT p1 AS u, p2 AS v FROM e0
+        |  UNION ALL SELECT p2, p1 FROM e0),
+        |l0 AS (SELECT DISTINCT u AS v, u AS lab FROM sym),
+        |c1 AS (SELECT s.u, l.lab, count(*) AS c FROM sym s
+        |  JOIN l0 l ON l.v = s.v GROUP BY 1, 2),
+        |l1 AS (SELECT u AS v, lab FROM (SELECT u, lab, row_number() OVER
+        |    (PARTITION BY u ORDER BY c DESC, lab) AS rk FROM c1) WHERE rk = 1),
+        |c2 AS (SELECT s.u, l.lab, count(*) AS c FROM sym s
+        |  JOIN l1 l ON l.v = s.v GROUP BY 1, 2),
+        |l2 AS (SELECT u AS v, lab FROM (SELECT u, lab, row_number() OVER
+        |    (PARTITION BY u ORDER BY c DESC, lab) AS rk FROM c2) WHERE rk = 1),
+        |c3 AS (SELECT s.u, l.lab, count(*) AS c FROM sym s
+        |  JOIN l2 l ON l.v = s.v GROUP BY 1, 2),
+        |l3 AS (SELECT u AS v, lab FROM (SELECT u, lab, row_number() OVER
+        |    (PARTITION BY u ORDER BY c DESC, lab) AS rk FROM c3) WHERE rk = 1)
+        |SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(min(v) AS BIGINT) AS min_member
+        |FROM l3 GROUP BY 1 ORDER BY community""") { (s, d) =>
+      val e0 = coPurchaseEdges(s, d)
+      val sym = e0.select(col("p1").as("u"), col("p2").as("v"))
+        .unionByName(e0.select(col("p2").as("u"), col("p1").as("v")))
+      val l0 = sym.select(col("u").as("v"), col("u").as("lab")).distinct()
+      def propagate(l: DataFrame): DataFrame = {
+        val c = sym.join(l, Seq("v"))
+          .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("u"))
+          .orderBy(col("c").desc, col("lab"))
+        c.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("u").as("v"), col("lab"))
+      }
+      propagate(propagate(propagate(l0)))
+        .groupBy(col("lab").as("community"))
+        .agg(count(lit(1)).as("n_members"), min(col("v")).as("min_member"))
+        .orderBy(col("community"))
+    },
+
+    // BIPARTITE PROJECTION: the customer↔part purchase relation
+    // (graph_hits' bipartite graph) projected onto customers —
+    // customers become linked when they share ≥ 3 distinct purchased
+    // parts, weighted by shared-part count and part-set Jaccard. This
+    // is the co-engagement graph every recommender/segmentation stack
+    // derives from its interaction log. The projection join is keyed on
+    // the shared PART (wedge fan-out bounded by part popularity — a
+    // viral part is a hot key: cap or salt it at scale, same discipline
+    // as any hot groupBy); degrees come from one rollup joined twice;
+    // support ≥ 3 bounds the emitted pair relation.
+    Q("graph_bipartite_project",
+      """WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |deg AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM cp GROUP BY 1),
+        |pr AS (SELECT a.c AS c1, b.c AS c2, CAST(count(*) AS BIGINT) AS shared
+        |  FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT c1, c2, shared,
+        |  round(shared / CAST(d1.d + d2.d - shared AS DOUBLE), 4) AS jaccard
+        |FROM pr JOIN deg d1 ON d1.c = pr.c1 JOIN deg d2 ON d2.c = pr.c2
+        |ORDER BY c1, c2""") { (s, d) =>
+      val cp = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      val deg = cp.groupBy(col("c")).agg(count(lit(1)).as("d"))
+      val pr = cp.as("a").join(cp.as("b"),
+          col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+        .groupBy(col("a.c").as("c1"), col("b.c").as("c2"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 3)
+      pr.join(deg.select(col("c").as("c1"), col("d").as("d1")), Seq("c1"))
+        .join(deg.select(col("c").as("c2"), col("d").as("d2")), Seq("c2"))
+        .select(col("c1"), col("c2"), col("shared"),
+          round(col("shared") / (col("d1") + col("d2") - col("shared"))
+            .cast("double"), 4).as("jaccard"))
+        .orderBy(col("c1"), col("c2"))
     })
 }

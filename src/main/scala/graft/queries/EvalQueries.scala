@@ -1019,6 +1019,81 @@ object EvalQueries {
         round(pa - pb, 4).as("lift"),
         round(z, 4).as("z_stat"),
         (abs(z) > 1.96).as("significant"))
+    },
+
+    // FLEISS' KAPPA multi-rater agreement (Fleiss 1971) — the
+    // chance-corrected agreement score for >2 annotators that Cohen's
+    // kappa (eval_kappa) can't express. Three deterministic raters are
+    // derived per item: each keeps the item's base category with md5
+    // probability 12/16 and otherwise reports an md5-derived category —
+    // a fixed labeling protocol both engines replay bit-identically, so
+    // the statistic (not a random fixture) is what's under test. The
+    // per-item agreement P_i = (Σn_ij² − n)/(n(n−1)) keeps its integer
+    // NUMERATOR through the corpus sum (denominator 6 applied once at
+    // the end — no per-item float), marginal P_e terms are
+    // DECIMAL-quantized before their 3-row sum; one (item, category)
+    // rollup is the only corpus-scale shuffle.
+    Q("eval_fleiss_kappa",
+      """WITH it AS (SELECT event_id,
+        |    CASE WHEN event_type IN ('click', 'view') THEN 0
+        |         WHEN event_type IN ('purchase', 'signup') THEN 1
+        |         ELSE 2 END AS base
+        |  FROM events WHERE event_id % 7 = 0),
+        |rt AS (SELECT it.event_id, r.r,
+        |    CASE WHEN substr(md5(CAST(it.event_id AS VARCHAR) || ':'
+        |        || CAST(r.r AS VARCHAR)), 1, 1) < 'c' THEN it.base
+        |      ELSE CAST(('0x' || substr(md5(CAST(it.event_id AS VARCHAR)
+        |        || ':' || CAST(r.r AS VARCHAR)), 2, 1))::BIGINT % 3 AS INT)
+        |    END AS cat
+        |  FROM it CROSS JOIN (SELECT unnest([0, 1, 2]) AS r) r),
+        |nij AS (SELECT event_id, cat, count(*) AS n FROM rt GROUP BY 1, 2),
+        |pi AS (SELECT event_id, sum(n * n) - 3 AS pin FROM nij GROUP BY 1),
+        |np AS (SELECT count(*) AS n_items, sum(pin) AS pn FROM pi),
+        |cj AS (SELECT cat, sum(n) AS cn FROM nij GROUP BY 1),
+        |pe AS (SELECT sum(CAST(round(
+        |    (cn / CAST(3 * np.n_items AS DOUBLE))
+        |      * (cn / CAST(3 * np.n_items AS DOUBLE)), 12)
+        |    AS DECIMAL(18,12))) AS pe
+        |  FROM cj CROSS JOIN np)
+        |SELECT CAST(np.n_items AS BIGINT) AS n_items,
+        |  round(np.pn / (6.0 * np.n_items), 4) AS p_bar,
+        |  round(CAST(pe.pe AS DOUBLE), 4) AS p_e,
+        |  round((np.pn / (6.0 * np.n_items) - CAST(pe.pe AS DOUBLE))
+        |    / (1 - CAST(pe.pe AS DOUBLE)), 4) AS kappa
+        |FROM np CROSS JOIN pe""") { (s, d) =>
+      val it = Tables.events(s, d)
+        .filter(col("event_id") % 7 === 0)
+        .select(col("event_id"),
+          when(col("event_type").isin("click", "view"), 0)
+            .when(col("event_type").isin("purchase", "signup"), 1)
+            .otherwise(2).as("base"))
+      val raters = s.range(0, 3).select(col("id").cast("int").as("r"))
+      val h = md5(concat(col("event_id").cast("string"), lit(":"),
+        col("r").cast("string")))
+      val rt = it.crossJoin(broadcast(raters))
+        .select(col("event_id"),
+          when(substring(h, 1, 1) < "c", col("base"))
+            .otherwise((expr(
+              """CAST(conv(substr(md5(concat(CAST(event_id AS STRING), ':',
+                |  CAST(r AS STRING))), 2, 1), 16, 10) AS BIGINT)"""
+                .stripMargin) % 3).cast("int")).as("cat"))
+      val nij = rt.groupBy(col("event_id"), col("cat"))
+        .agg(count(lit(1)).as("n"))
+      val np = nij.groupBy(col("event_id"))
+        .agg((sum(col("n") * col("n")) - 3).as("pin"))
+        .agg(count(lit(1)).as("n_items"), sum(col("pin")).as("pn"))
+      val pterm = col("cn") / (lit(3) * col("n_items")).cast("double")
+      val pe = nij.groupBy(col("cat")).agg(sum(col("n")).as("cn"))
+        .crossJoin(broadcast(np))
+        .select(round(pterm * pterm, 12).cast("decimal(18,12)").as("term"))
+        .agg(sum(col("term")).as("pe"))
+      val pbar = col("pn") / (lit(6.0) * col("n_items"))
+      np.crossJoin(broadcast(pe))
+        .select(col("n_items").cast("long").as("n_items"),
+          round(pbar, 4).as("p_bar"),
+          round(col("pe").cast("double"), 4).as("p_e"),
+          round((pbar - col("pe").cast("double")) /
+            (lit(1) - col("pe").cast("double")), 4).as("kappa"))
     }
   )
 }

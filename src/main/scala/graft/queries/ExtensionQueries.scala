@@ -583,5 +583,58 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("cnt"),
           expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)").as("total"))
         .orderBy(col("o_orderstatus"))
+    },
+
+    // Multimodal METADATA audit — the pre-decode sanity pass every
+    // media pipeline runs before paying for codecs: per (format,
+    // orientation) bucket, payload byte budget, dimension envelope,
+    // and mean aspect ratio. Decode never runs (metadata + byte length
+    // are scan-resident columns), so this is a pure projection +
+    // vocab-sized rollup at any corpus size — the report that decides
+    // which buckets are worth the GPU decode pass. Aspect terms are
+    // DECIMAL-quantized before the mean so the rollup is
+    // partition-invariant. The oracle reconstructs the same
+    // deterministic metadata the stub attaches (width/height derived
+    // from doc_id, payload = text bytes).
+    Q("mm_metadata_audit",
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    octet_length(text::BLOB) AS n_bytes, 'fake/raw' AS format,
+        |    64 + doc_id % 64 AS width, 64 + doc_id % 32 AS height
+        |  FROM documents),
+        |o AS (SELECT *, CASE WHEN width > height THEN 'landscape'
+        |    WHEN width < height THEN 'portrait' ELSE 'square' END
+        |      AS orientation,
+        |    CAST(round(width / CAST(height AS DOUBLE), 9) AS DECIMAL(18,9))
+        |      AS aspq
+        |  FROM m)
+        |SELECT format, orientation, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  round(sum(n_bytes) / CAST(count(*) AS DOUBLE), 4) AS avg_bytes,
+        |  CAST(min(width) AS INT) AS min_w, CAST(max(width) AS INT) AS max_w,
+        |  CAST(min(height) AS INT) AS min_h, CAST(max(height) AS INT) AS max_h,
+        |  round(CAST(sum(aspq) AS DOUBLE) / count(*), 4) AS avg_aspect
+        |FROM o GROUP BY 1, 2 ORDER BY format, orientation""") { (s, d) =>
+      val m = graft.multimodal.Multimodal
+        .attachPayload(Tables.documents(s, d))
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          octet_length(col("payload")).as("n_bytes"))
+      m.select(col("format"), col("n_bytes"), col("width"), col("height"),
+          when(col("width") > col("height"), "landscape")
+            .when(col("width") < col("height"), "portrait")
+            .otherwise("square").as("orientation"),
+          round(col("width") / col("height").cast("double"), 9)
+            .cast("decimal(18,9)").as("aspq"))
+        .groupBy(col("format"), col("orientation"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_bytes")).cast("long").as("total_bytes"),
+          round(sum(col("n_bytes")) / count(lit(1)).cast("double"), 4)
+            .as("avg_bytes"),
+          min(col("width")).cast("int").as("min_w"),
+          max(col("width")).cast("int").as("max_w"),
+          min(col("height")).cast("int").as("min_h"),
+          max(col("height")).cast("int").as("max_h"),
+          round(sum(col("aspq")).cast("double") / count(lit(1)), 4)
+            .as("avg_aspect"))
+        .orderBy(col("format"), col("orientation"))
     })
 }

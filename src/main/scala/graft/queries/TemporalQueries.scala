@@ -930,5 +930,72 @@ object TemporalQueries {
           round(sum(col("gap").cast("decimal(28,0)")).cast("double")
             / count(col("gap")), 4).as("mean_sec"))
         .orderBy(col("event_type"))
+    },
+
+    // BINARY-SEGMENTATION change-point detection (first split of the
+    // classic binseg/PELT family): per event type, the day boundary
+    // that maximizes the within-segment SSE reduction over the daily
+    // count series. Everything derives from exact BIGINT prefix sums
+    // (Σc, Σc²) in ONE keyed window pass — SSE(a..b) = S2 − S1²/n needs
+    // no second scan, so candidate splits cost O(days) after the day
+    // rollup, not O(days²). The winning split is picked on the gain
+    // rounded to 6dp (ulp-robust cross-engine) with earliest-day
+    // tie-break. This is the alarm the drift/CUSUM family escalates to
+    // when "did the level shift, and WHEN" needs an answer.
+    Q("ts_changepoint_binseg",
+      """WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, day, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY day) AS s1,
+        |    sum(c * c) OVER (PARTITION BY event_type ORDER BY day) AS s2
+        |  FROM dc),
+        |tot AS (SELECT event_type, max(t) AS n, max(s1) AS s1n,
+        |    max(s2) AS s2n FROM p GROUP BY 1),
+        |g AS (SELECT p.event_type, p.day, p.t, tot.n, p.s1, tot.s1n,
+        |    (tot.s2n - CAST(tot.s1n AS DOUBLE) * tot.s1n / tot.n)
+        |      - (p.s2 - CAST(p.s1 AS DOUBLE) * p.s1 / p.t)
+        |      - ((tot.s2n - p.s2) - CAST(tot.s1n - p.s1 AS DOUBLE)
+        |          * (tot.s1n - p.s1) / (tot.n - p.t)) AS gain
+        |  FROM p JOIN tot USING (event_type) WHERE p.t < tot.n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY round(gain, 6) DESC, day) AS rk FROM g)
+        |SELECT event_type, day AS split_day,
+        |  CAST(t AS BIGINT) AS n_left, CAST(n - t AS BIGINT) AS n_right,
+        |  round(s1 / CAST(t AS DOUBLE), 4) AS mean_left,
+        |  round((s1n - s1) / CAST(n - t AS DOUBLE), 4) AS mean_right,
+        |  round(gain, 4) AS gain
+        |FROM r WHERE rk = 1 ORDER BY event_type""") { (s, d) =>
+      val dc = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val p = dc
+        .withColumn("t", row_number().over(w))
+        .withColumn("s1", sum(col("c")).over(w))
+        .withColumn("s2", sum(col("c") * col("c")).over(w))
+      val tot = p.groupBy(col("event_type"))
+        .agg(max(col("t")).as("n"), max(col("s1")).as("s1n"),
+          max(col("s2")).as("s2n"))
+      val gain =
+        (col("s2n") - col("s1n").cast("double") * col("s1n") / col("n")) -
+        (col("s2") - col("s1").cast("double") * col("s1") / col("t")) -
+        ((col("s2n") - col("s2")) - (col("s1n") - col("s1")).cast("double") *
+          (col("s1n") - col("s1")) / (col("n") - col("t")))
+      val wr = Window.partitionBy(col("event_type"))
+        .orderBy(round(col("gain"), 6).desc, col("day"))
+      p.join(broadcast(tot), Seq("event_type"))
+        .filter(col("t") < col("n"))
+        .withColumn("gain", gain)
+        .withColumn("rk", row_number().over(wr))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("split_day"),
+          col("t").cast("long").as("n_left"),
+          (col("n") - col("t")).cast("long").as("n_right"),
+          round(col("s1") / col("t").cast("double"), 4).as("mean_left"),
+          round((col("s1n") - col("s1")) / (col("n") - col("t"))
+            .cast("double"), 4).as("mean_right"),
+          round(col("gain"), 4).as("gain"))
+        .orderBy(col("event_type"))
     })
 }

@@ -2122,5 +2122,83 @@ object TextQueries {
           round(sum(when(col("flagged1").isNotNull, 1).otherwise(0))
             / count(lit(1)).cast("double"), 4).as("dup_rate"))
         .orderBy(col("source"))
+    },
+
+    // ROUGE-2 overlap scoring on LSH candidate pairs — the summary/
+    // paraphrase overlap metric (Lin 2004, distinct-bigram variant)
+    // computed ONLY where the banded MinHash join proposes a pair:
+    // recall = |∩|/|ref bigrams|, precision = |∩|/|cand bigrams|, and
+    // the set-F1 2|∩|/(|A|+|B|). This is the "how much text do these
+    // near-dups actually share" report a curator reads after dedup
+    // flags pairs; at 100 TB the bigram intersection joins through the
+    // candidate pair keys (the dedup_minhash_pairs discipline), never
+    // doc×doc.
+    Q("text_rouge_pairs",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |bg AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS b
+         |  FROM t, unnest(range(1, len(toks))) u(i)),
+         |nb AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY 1),
+         |sh AS ($shinglesSql),
+         |sv AS (SELECT doc_id, $shingleIntDuck AS v FROM sh),
+         |h AS (SELECT doc_id, CAST(r.seed AS INT) AS seed,
+         |        min(${mhMixSql("v", "r.seed")}) AS mh
+         |      FROM sv, range(0, 8) r(seed)
+         |      GROUP BY doc_id, r.seed),
+         |bnd AS (SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         |          min(CASE WHEN seed % 2 = 0 THEN mh END) AS m0,
+         |          min(CASE WHEN seed % 2 = 1 THEN mh END) AS m1
+         |        FROM h GROUP BY doc_id, seed // 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bnd a JOIN bnd b ON a.band = b.band
+         |    AND a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id),
+         |inter AS (SELECT c.d1, c.d2, count(*) AS ni FROM cand c
+         |  JOIN bg a ON a.doc_id = c.d1
+         |  JOIN bg b ON b.doc_id = c.d2 AND b.b = a.b
+         |  GROUP BY 1, 2)
+         |SELECT c.d1, c.d2,
+         |  round(coalesce(i.ni, 0) / CAST(n1.n AS DOUBLE), 4) AS rouge2_r,
+         |  round(coalesce(i.ni, 0) / CAST(n2.n AS DOUBLE), 4) AS rouge2_p,
+         |  round(2.0 * coalesce(i.ni, 0) / (n1.n + n2.n), 4) AS rouge2_f
+         |FROM cand c
+         |LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+         |JOIN nb n1 ON n1.doc_id = c.d1
+         |JOIN nb n2 ON n2.doc_id = c.d2
+         |ORDER BY c.d1, c.d2""") { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val bg = t.select(col("doc_id"), explode(expr(
+          """if(size(toks) >= 2,
+            |  transform(sequence(1, size(toks) - 1),
+            |    i -> concat(element_at(toks, i), ' ',
+            |                element_at(toks, i + 1))),
+            |  array())""".stripMargin)).as("b"))
+        .distinct()
+      val nb = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val bnd = minhashSigsArrayOf(Tables.documents(s, d))
+        .groupBy(col("doc_id"), expr("CAST(seed div 2 AS INT)").as("band"))
+        .agg(min(when(col("seed") % 2 === 0, col("mh"))).as("m0"),
+          min(when(col("seed") % 2 === 1, col("mh"))).as("m1"))
+      val cand = bnd.as("a").join(bnd.as("b"),
+          col("a.band") === col("b.band") && col("a.m0") === col("b.m0") &&
+            col("a.m1") === col("b.m1") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val inter = cand
+        .join(bg.select(col("doc_id").as("d1"), col("b")), Seq("d1"))
+        .join(bg.select(col("doc_id").as("d2"), col("b")), Seq("d2", "b"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("ni"))
+      cand
+        .join(inter, Seq("d1", "d2"), "left_outer")
+        .join(nb.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+        .join(nb.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          round(coalesce(col("ni"), lit(0)) / col("n1").cast("double"), 4)
+            .as("rouge2_r"),
+          round(coalesce(col("ni"), lit(0)) / col("n2").cast("double"), 4)
+            .as("rouge2_p"),
+          round(lit(2.0) * coalesce(col("ni"), lit(0)) /
+            (col("n1") + col("n2")), 4).as("rouge2_f"))
+        .orderBy(col("d1"), col("d2"))
     })
 }

@@ -1167,5 +1167,87 @@ object VectorQueries {
           round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 4)
             .as("centroid_cos"))
         .orderBy(col("label"))
+    },
+
+    // MATRYOSHKA truncation evaluation (Kusupati 2022's MRL serving
+    // trick: rank with a PREFIX of the embedding, pay prefix-sized
+    // compute/storage): recall@5 of cosine top-5 using only the first
+    // 16 of 64 dimensions against full-dimension ground truth, per
+    // query. This is the measurement that licenses a truncated serving
+    // tier — if prefix recall holds, the ANN index stores 4× fewer
+    // bytes. Both retrievals are sequential-fold cosines over the same
+    // broadcast query set (the sim_knn_brute machinery, once on
+    // slice(e, 1, 16)); the overlap join compares two 40-row relations.
+    Q("vec_matryoshka_eval",
+      """WITH v AS (SELECT vec_id, embedding AS e,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+        |    sqrt(list_sum(list_transform(embedding[1:16],
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n16
+        |  FROM embeddings),
+        |qv AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, n16 AS qn16
+        |  FROM v WHERE vec_id < 8),
+        |pf AS (SELECT qv.qid, v.vec_id AS vid,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      CAST(qv.qe[CAST(i AS INT)] AS DOUBLE)
+        |        * CAST(v.e[CAST(i AS INT)] AS DOUBLE))) / (qv.qn * v.nrm)
+        |      AS cos
+        |  FROM qv, v WHERE qv.qid <> v.vec_id),
+        |full_k AS (SELECT qid, vid FROM (SELECT qid, vid, row_number()
+        |    OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM pf)
+        |  WHERE rk <= 5),
+        |pt AS (SELECT qv.qid, v.vec_id AS vid,
+        |    list_sum(list_transform(range(1, 17), i ->
+        |      CAST(qv.qe[CAST(i AS INT)] AS DOUBLE)
+        |        * CAST(v.e[CAST(i AS INT)] AS DOUBLE))) / (qv.qn16 * v.n16)
+        |      AS cos
+        |  FROM qv, v WHERE qv.qid <> v.vec_id),
+        |trunc_k AS (SELECT qid, vid FROM (SELECT qid, vid, row_number()
+        |    OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM pt)
+        |  WHERE rk <= 5),
+        |ov AS (SELECT f.qid, count(*) AS matched FROM full_k f
+        |  JOIN trunc_k t ON t.qid = f.qid AND t.vid = f.vid GROUP BY 1)
+        |SELECT q.qid, CAST(coalesce(ov.matched, 0) AS BIGINT) AS matched,
+        |  round(coalesce(ov.matched, 0) / 5.0, 4) AS recall
+        |FROM (SELECT DISTINCT qid FROM qv) q
+        |LEFT JOIN ov ON ov.qid = q.qid
+        |ORDER BY q.qid""") { (s, d) =>
+      val n16Spark =
+        """sqrt(aggregate(transform(slice(e, 1, 16),
+          |  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))""".stripMargin
+      val dot16Spark =
+        """aggregate(zip_with(slice(qe, 1, 16), slice(e, 1, 16),
+          |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("e"))
+        .withColumn("nrm", expr(normSpark))
+        .withColumn("n16", expr(n16Spark))
+      val qv = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("nrm").as("qn"), col("n16").as("qn16"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      val fullK = v.crossJoin(broadcast(qv))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("cos", expr(dotSpark) / (col("qn") * col("nrm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("vec_id").as("vid"))
+      val truncK = v.crossJoin(broadcast(qv))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("cos", expr(dot16Spark) / (col("qn16") * col("n16")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("vec_id").as("vid"))
+      val ov = fullK.join(truncK, Seq("qid", "vid"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("matched"))
+      qv.select(col("qid")).distinct()
+        .join(ov, Seq("qid"), "left_outer")
+        .select(col("qid"),
+          coalesce(col("matched"), lit(0L)).as("matched"),
+          round(coalesce(col("matched"), lit(0L)) / 5.0, 4).as("recall"))
+        .orderBy(col("qid"))
     })
 }

@@ -62,7 +62,11 @@ class PlanHygieneSpec extends SparkSpec {
     "eval_rbo",            // 20-row rank pairs x 20-row literal depth grid
     "pipe_privacy_kanon",  // class sizes x 3-row literal k grid + 1-row total
     "behavior_window_funnel", // 3 level counts x broadcast 1-row entrant total
-    "split_leakage_safe"   // 1-row doc stats x broadcast 1-row cluster stats
+    "split_leakage_safe",  // 1-row doc stats x broadcast 1-row cluster stats
+    "eval_fleiss_kappa",   // items x 3-row literal raters + 1-row P̄/Pe aggs
+    "pipe_curriculum_order", // docs x broadcast 1-row quartile bounds
+    "pipe_domain_temperature", // sources x broadcast 1-row total/Z scalars
+    "vec_matryoshka_eval"  // corpus x broadcast 8-query set (both retrievers)
   )
 
   private def offenders(name: String): Seq[String] = {
