@@ -89,6 +89,104 @@ object EvalQueries {
         .orderBy(col("grp"))
     },
 
+    // AVERAGE PRECISION / AUPRC per weekday group — the
+    // class-imbalance-robust summary the ROC AUC (eval_auc) overstates
+    // on rare positives. Exact step-interpolated AP over the DISTINCT
+    // score relation: AP = Σ_i (pos_i / P) · precision_i with one
+    // descending-cumulative window over distinct scores (the eval_auc
+    // machinery — never a global sort of raw rows); each AP term is
+    // DECIMAL-quantized before its order-free sum so the statistic is
+    // partition-invariant.
+    Q("eval_auprc",
+      s"""WITH e AS (SELECT CAST(date_part('isodow', ts) - 1 AS INT) AS grp,
+         |    value AS score, $lbl AS lbl FROM events),
+         |s AS (SELECT grp, score, count(*) AS cnt, sum(lbl) AS pos
+         |  FROM e GROUP BY 1, 2),
+         |r AS (SELECT grp, score, cnt, pos,
+         |    sum(cnt) OVER (PARTITION BY grp ORDER BY score DESC) AS cum_n,
+         |    sum(pos) OVER (PARTITION BY grp ORDER BY score DESC) AS cum_tp
+         |  FROM s),
+         |p AS (SELECT grp, sum(pos) AS pc, sum(cnt) - sum(pos) AS nc
+         |  FROM s GROUP BY 1)
+         |SELECT r.grp, CAST(p.pc AS BIGINT) AS p_cnt,
+         |  CAST(p.nc AS BIGINT) AS n_cnt,
+         |  round(CAST(sum(CAST(round((pos / CAST(p.pc AS DOUBLE))
+         |    * (cum_tp / CAST(cum_n AS DOUBLE)), 12) AS DECIMAL(28,12)))
+         |    AS DOUBLE), 4) AS auprc
+         |FROM r JOIN p USING (grp)
+         |GROUP BY r.grp, p.pc, p.nc ORDER BY r.grp""") { (s, d) =>
+      val e = Tables.events(s, d).select(
+        expr("weekday(ts)").as("grp"), col("value").as("score"),
+        expr(lbl).as("lbl"))
+      val sc = e.groupBy(col("grp"), col("score"))
+        .agg(count(lit(1)).as("cnt"), sum(col("lbl")).as("pos"))
+      val w = Window.partitionBy(col("grp")).orderBy(col("score").desc)
+      val r = sc
+        .withColumn("cum_n", sum(col("cnt")).over(w))
+        .withColumn("cum_tp", sum(col("pos")).over(w))
+      val p = sc.groupBy(col("grp"))
+        .agg(sum(col("pos")).as("pc"),
+          (sum(col("cnt")) - sum(col("pos"))).as("nc"))
+      r.join(p, Seq("grp"))
+        .groupBy(col("grp"), col("pc"), col("nc"))
+        .agg(round(sum(
+          round((col("pos") / col("pc").cast("double")) *
+            (col("cum_tp") / col("cum_n").cast("double")), 12)
+            .cast("decimal(28,12)")).cast("double"), 4).as("auprc"))
+        .select(col("grp"), col("pc").cast("long").as("p_cnt"),
+          col("nc").cast("long").as("n_cnt"), col("auprc"))
+        .orderBy(col("grp"))
+    },
+
+    // EXPECTED CALIBRATION ERROR — eval_calibration's per-bin gaps
+    // collapsed into the two numbers a model card reports: ECE =
+    // Σ (n_b/N)·|avg_pred_b − frac_pos_b| (bin-mass-weighted) and MCE =
+    // max gap. Same sigmoid pseudo-probability and 10 equal-width bins;
+    // per-bin means ride DECIMAL-quantized sums, and the weighted ECE
+    // terms are themselves quantized before the 10-row final sum.
+    Q("eval_ece",
+      s"""WITH e AS (SELECT 1 / (1 + exp(-("value" - 100) / 40.0)) AS p,
+         |    $lbl AS lbl FROM events),
+         |b AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin, p, lbl
+         |  FROM e),
+         |m AS (SELECT bin, count(*) AS n,
+         |    floor(CAST(sum(CAST(p AS DECIMAL(28,12))) AS DOUBLE)
+         |          / count(*) * 10000 + 0.5) / 10000.0 AS avg_pred,
+         |    round(sum(lbl) / CAST(count(*) AS DOUBLE), 4) AS frac_pos
+         |  FROM b GROUP BY 1),
+         |t AS (SELECT sum(n) AS total FROM m)
+         |SELECT CAST(t.total AS BIGINT) AS n,
+         |  CAST(count(*) AS BIGINT) AS n_bins,
+         |  round(CAST(sum(CAST(round((n / CAST(t.total AS DOUBLE))
+         |    * abs(avg_pred - frac_pos), 12) AS DECIMAL(28,12)))
+         |    AS DOUBLE), 4) AS ece,
+         |  round(max(abs(avg_pred - frac_pos)), 4) AS mce
+         |FROM m CROSS JOIN t GROUP BY t.total""") { (s, d) =>
+      val m = Tables.events(s, d)
+        .select(expr("1 / (1 + exp(-(value - 100) / 40.0))").as("p"),
+          expr(lbl).as("lbl"))
+        .select(expr("least(CAST(floor(p * 10) AS INT), 9)").as("bin"),
+          col("p"), col("lbl"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          expr("""CAST(floor(CAST(sum(CAST(p AS DECIMAL(28,12))) AS DOUBLE)
+                 |      / count(*) * 10000 + 0.5) / 10000.0 AS DOUBLE)"""
+            .stripMargin).as("avg_pred"),
+          round(sum(col("lbl")) / count(lit(1)).cast("double"), 4)
+            .as("frac_pos"))
+      val t = m.agg(sum(col("n")).as("total"))
+      m.crossJoin(broadcast(t))
+        .groupBy(col("total"))
+        .agg(count(lit(1)).as("n_bins"),
+          round(sum(
+            round((col("n") / col("total").cast("double")) *
+              abs(col("avg_pred") - col("frac_pos")), 12)
+              .cast("decimal(28,12)")).cast("double"), 4).as("ece"),
+          round(max(abs(col("avg_pred") - col("frac_pos"))), 4).as("mce"))
+        .select(col("total").cast("long").as("n"), col("n_bins"),
+          col("ece"), col("mce"))
+    },
+
     // Precision/recall/F1 swept over 10 score thresholds — the PR curve
     // a labelling pipeline reads before picking an operating point. One
     // pass over the events with a broadcast 10-row literal threshold

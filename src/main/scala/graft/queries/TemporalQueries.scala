@@ -997,5 +997,55 @@ object TemporalQueries {
             .cast("double"), 4).as("mean_right"),
           round(col("gain"), 4).as("gain"))
         .orderBy(col("event_type"))
+    },
+
+    // ROBUST (median/MAD) daily-volume anomaly census — the outlier
+    // screen ts_zscore's mean/stddev version gets WRONG when the
+    // anomaly itself inflates the baseline: modified z-score
+    // 0.6745·(c − median)/MAD (Iglewicz & Hoaglin 1993), |z| > 3.5
+    // flags. Two exact-percentile aggregates over the (type, day)
+    // rollup (days ≪ rows — the percentile runs on the bounded day
+    // relation, never raw events), medians broadcast back; MAD = 0
+    // (constant series) yields NULL z via nullif rather than a
+    // divide error, counting zero anomalies.
+    Q("ts_anomaly_mad",
+      """WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |md AS (SELECT event_type,
+        |    quantile_cont(CAST(c AS DOUBLE), 0.5) AS med FROM dc GROUP BY 1),
+        |ad AS (SELECT dc.event_type,
+        |    quantile_cont(abs(c - med), 0.5) AS mad
+        |  FROM dc JOIN md USING (event_type) GROUP BY 1),
+        |z AS (SELECT dc.event_type, day, c,
+        |    0.6745 * (c - med) / nullif(mad, 0) AS mz
+        |  FROM dc JOIN md USING (event_type) JOIN ad USING (event_type))
+        |SELECT z.event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  round(max(md.med), 4) AS med, round(max(ad.mad), 4) AS mad,
+        |  CAST(sum(CASE WHEN abs(mz) > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_anomalies,
+        |  min(CASE WHEN abs(mz) > 3.5 THEN day END) AS first_anomaly
+        |FROM z JOIN md ON md.event_type = z.event_type
+        |JOIN ad ON ad.event_type = z.event_type
+        |GROUP BY z.event_type ORDER BY z.event_type""") { (s, d) =>
+      val dc = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val md = dc.groupBy(col("event_type"))
+        .agg(expr("percentile(CAST(c AS DOUBLE), 0.5)").as("med"))
+      val ad = dc.join(broadcast(md), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(abs(c - med), 0.5)").as("mad"))
+      val z = dc.join(broadcast(md), Seq("event_type"))
+        .join(broadcast(ad), Seq("event_type"))
+        .withColumn("mz",
+          lit(0.6745) * (col("c") - col("med")) / nullif(col("mad"), lit(0d)))
+      z.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          round(max(col("med")), 4).as("med"),
+          round(max(col("mad")), 4).as("mad"),
+          sum(when(abs(col("mz")) > 3.5, 1).otherwise(0)).cast("long")
+            .as("n_anomalies"),
+          min(when(abs(col("mz")) > 3.5, col("day"))).as("first_anomaly"))
+        .orderBy(col("event_type"))
     })
 }

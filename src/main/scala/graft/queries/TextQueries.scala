@@ -2200,5 +2200,66 @@ object TextQueries {
           round(lit(2.0) * coalesce(col("ni"), lit(0)) /
             (col("n1") + col("n2")), 4).as("rouge2_f"))
         .orderBy(col("d1"), col("d2"))
+    },
+
+    // DEDUP BUDGET report — the cost-savings statement a curator
+    // attaches to a dedup proposal: under the keep-first policy (a
+    // doc is dropped when it is the HIGHER id of any banded-LSH
+    // candidate pair — dedup_rate_by_source's flag set restricted to
+    // d2), how many docs and how many TOKENS does each source shed?
+    // Token counts fuse into the same doc scan (size of the split
+    // array — no explode); the flag set joins on doc_id. This is the
+    // number that decides whether the dedup pass pays for itself at
+    // 100 TB: tokens dropped ≈ training compute saved.
+    Q("pipe_dedup_budget",
+      s"""WITH sh AS ($shinglesSql),
+         |sv AS (SELECT doc_id, $shingleIntDuck AS v FROM sh),
+         |h AS (SELECT doc_id, CAST(r.seed AS INT) AS seed,
+         |        min(${mhMixSql("v", "r.seed")}) AS mh
+         |      FROM sv, range(0, 8) r(seed)
+         |      GROUP BY doc_id, r.seed),
+         |bnd AS (SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         |          min(CASE WHEN seed % 2 = 0 THEN mh END) AS m0,
+         |          min(CASE WHEN seed % 2 = 1 THEN mh END) AS m1
+         |        FROM h GROUP BY doc_id, seed // 2),
+         |drop_set AS (SELECT DISTINCT b.doc_id
+         |  FROM bnd a JOIN bnd b ON a.band = b.band
+         |    AND a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id),
+         |tok AS (SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+         |  FROM documents)
+         |SELECT tok.source, CAST(count(*) AS BIGINT) AS docs,
+         |  CAST(sum(CASE WHEN ds.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS docs_dropped,
+         |  CAST(sum(nt) AS BIGINT) AS tok_total,
+         |  CAST(sum(CASE WHEN ds.doc_id IS NOT NULL THEN nt ELSE 0 END)
+         |    AS BIGINT) AS tok_dropped,
+         |  round(sum(CASE WHEN ds.doc_id IS NOT NULL THEN nt ELSE 0 END)
+         |    / CAST(sum(nt) AS DOUBLE), 4) AS savings
+         |FROM tok LEFT JOIN drop_set ds ON ds.doc_id = tok.doc_id
+         |GROUP BY 1 ORDER BY tok.source""") { (s, d) =>
+      val bnd = minhashSigsArrayOf(Tables.documents(s, d))
+        .groupBy(col("doc_id"), expr("CAST(seed div 2 AS INT)").as("band"))
+        .agg(min(when(col("seed") % 2 === 0, col("mh"))).as("m0"),
+          min(when(col("seed") % 2 === 1, col("mh"))).as("m1"))
+      val dropSet = bnd.as("a").join(bnd.as("b"),
+          col("a.band") === col("b.band") && col("a.m0") === col("b.m0") &&
+            col("a.m1") === col("b.m1") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("b.doc_id").as("doc_id")).distinct()
+        .withColumn("dropped", lit(1))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .join(dropSet, Seq("doc_id"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("dropped").isNotNull, 1).otherwise(0)).cast("long")
+            .as("docs_dropped"),
+          sum(col("nt")).as("tok_total"),
+          sum(when(col("dropped").isNotNull, col("nt")).otherwise(0L))
+            .as("tok_dropped"),
+          round(sum(when(col("dropped").isNotNull, col("nt")).otherwise(0L)) /
+            sum(col("nt")).cast("double"), 4).as("savings"))
+        .orderBy(col("source"))
     })
 }

@@ -1249,5 +1249,84 @@ object VectorQueries {
           coalesce(col("matched"), lit(0L)).as("matched"),
           round(coalesce(col("matched"), lit(0L)) / 5.0, 4).as("recall"))
         .orderBy(col("qid"))
+    },
+
+    // IVF RECALL CURVE — recall@3 of the materialized IVF index
+    // against exact-cosine ground truth at nprobe ∈ {1, 2}, per query:
+    // the measurement that picks the serving nprobe (FAISS's recall
+    // knob) before an index ships. Ground truth is the brute-force
+    // broadcast-query scan; both probe tiers hit the SAME on-disk
+    // index (partition-pruned posting reads — the build amortizes
+    // across the curve); recall at nprobe=2 can only improve since its
+    // candidate cells are a superset. Output is the per-(qid, nprobe)
+    // overlap of two 30-row relations.
+    Q("vec_ivf_recall_curve",
+      s"""WITH v AS (SELECT vec_id, embedding AS e,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |qv AS (SELECT vec_id AS qid, e AS qe, nrm AS qn
+         |  FROM v WHERE vec_id < 10),
+         |pf AS (SELECT qv.qid, v.vec_id AS vid,
+         |    list_sum(list_transform(range(1, 65), i ->
+         |      CAST(qv.qe[CAST(i AS INT)] AS DOUBLE)
+         |        * CAST(v.e[CAST(i AS INT)] AS DOUBLE))) / (qv.qn * v.nrm)
+         |      AS cos
+         |  FROM qv, v WHERE qv.qid <> v.vec_id),
+         |truth AS (SELECT qid, vid FROM (SELECT qid, vid, row_number()
+         |    OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM pf)
+         |  WHERE rk <= 3),
+         |ivf1 AS (SELECT qid, vid FROM (${ivfOracle(1)}) t1),
+         |ivf2 AS (SELECT qid, vid FROM (${ivfOracle(2)}) t2),
+         |o1 AS (SELECT t.qid, count(*) AS m FROM truth t
+         |  JOIN ivf1 i ON i.qid = t.qid AND i.vid = t.vid GROUP BY 1),
+         |o2 AS (SELECT t.qid, count(*) AS m FROM truth t
+         |  JOIN ivf2 i ON i.qid = t.qid AND i.vid = t.vid GROUP BY 1),
+         |u AS (SELECT q.qid, 1 AS nprobe, coalesce(o1.m, 0) AS matched
+         |  FROM (SELECT DISTINCT qid FROM qv) q
+         |  LEFT JOIN o1 ON o1.qid = q.qid
+         |  UNION ALL
+         |  SELECT q.qid, 2 AS nprobe, coalesce(o2.m, 0) AS matched
+         |  FROM (SELECT DISTINCT qid FROM qv) q
+         |  LEFT JOIN o2 ON o2.qid = q.qid)
+         |SELECT qid, CAST(nprobe AS INT) AS nprobe,
+         |  CAST(matched AS BIGINT) AS matched,
+         |  round(matched / 3.0, 4) AS recall
+         |FROM u ORDER BY qid, nprobe""") { (s, d) =>
+      val dir = tmpDir("ivfidx", d)
+      if (!graft.operators.AnnIndex.isBuilt(dir))
+        graft.operators.AnnIndex.build(Tables.embeddings(s, d), dir)
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("e"))
+        .withColumn("nrm", expr(normSpark))
+      val qv = v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("nrm").as("qn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      val truth = v.crossJoin(broadcast(qv))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("cos", expr(dotSpark) / (col("qn") * col("nrm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("vec_id").as("vid"))
+      val queries = Tables.embeddings(s, d)
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      def tier(np: Int): DataFrame = {
+        val got = graft.operators.AnnIndex.probe(s, dir, queries, 3, np)
+          .select(col("qid"), col("vid"))
+        val ov = truth.join(got, Seq("qid", "vid"))
+          .groupBy(col("qid")).agg(count(lit(1)).as("m"))
+        queries.select(col("qid")).distinct()
+          .join(ov, Seq("qid"), "left_outer")
+          .select(col("qid"), lit(np).as("nprobe"),
+            coalesce(col("m"), lit(0L)).as("matched"))
+      }
+      tier(1).unionByName(tier(2))
+        .select(col("qid"), col("nprobe").cast("int").as("nprobe"),
+          col("matched"),
+          round(col("matched") / 3.0, 4).as("recall"))
+        .orderBy(col("qid"), col("nprobe"))
     })
 }

@@ -66,7 +66,9 @@ class PlanHygieneSpec extends SparkSpec {
     "eval_fleiss_kappa",   // items x 3-row literal raters + 1-row P̄/Pe aggs
     "pipe_curriculum_order", // docs x broadcast 1-row quartile bounds
     "pipe_domain_temperature", // sources x broadcast 1-row total/Z scalars
-    "vec_matryoshka_eval"  // corpus x broadcast 8-query set (both retrievers)
+    "vec_matryoshka_eval", // corpus x broadcast 8-query set (both retrievers)
+    "eval_ece",            // 10 bin rows x broadcast 1-row grand total
+    "vec_ivf_recall_curve" // corpus x broadcast 10-query truth side
   )
 
   private def offenders(name: String): Seq[String] = {

@@ -204,6 +204,113 @@ class Round11OpsSpec extends SparkSpec {
     assert(pair.get.getAs[Double]("rouge2_f") == 1.0)
   }
 
+  test("eval_auprc: a perfect ranking scores AP 1; a worst-ranked positive scores its precision") {
+    val d = tempDir("r11ap")
+    // single weekday group; positives (purchase) outrank all negatives.
+    val rows = Seq(
+      (1L, t0, 1L, "purchase", 100.0, "{}"),
+      (2L, t0, 2L, "purchase", 90.0, "{}"),
+      (3L, t0, 3L, "view", 10.0, "{}"),
+      (4L, t0, 4L, "view", 5.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = SparkEntry.queries("eval_auprc")(spark, d).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("p_cnt") == 2L)
+    assert(out.head.getAs[Double]("auprc") == 1.0)
+    // one positive ranked LAST of three -> AP = 1/3
+    val d2 = tempDir("r11ap2")
+    Seq((1L, t0, 1L, "view", 100.0, "{}"),
+        (2L, t0, 2L, "view", 90.0, "{}"),
+        (3L, t0, 3L, "purchase", 10.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d2/events.parquet")
+    val out2 = SparkEntry.queries("eval_auprc")(spark, d2).collect()
+    assert(out2.head.getAs[Double]("auprc") == 0.3333)
+  }
+
+  test("eval_ece: saturated correct predictions give near-zero calibration error") {
+    val d = tempDir("r11ec")
+    // value 500 -> sigmoid((500-100)/40) = sigmoid(10) ~ 0.99995, all
+    // converting -> bin 9 gap ~ 0.
+    val rows = (1 to 20).map(i =>
+      (i.toLong, t0, i.toLong, "purchase", 500.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = SparkEntry.queries("eval_ece")(spark, d).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n") == 20L)
+    assert(out.head.getAs[Double]("ece") < 0.001)
+    assert(out.head.getAs[Double]("mce") >= out.head.getAs[Double]("ece"))
+  }
+
+  test("ts_anomaly_mad: a spike day flags against a jittered baseline; a constant baseline yields MAD 0 and no flags") {
+    val d = tempDir("r11md")
+    // counts 4,5,6,4,5,6,50 -> med 5, MAD 1, spike z = 30.4 > 3.5.
+    val baseline = Seq(4, 5, 6, 4, 5, 6, 50)
+    val rows = for {
+      (c, day) <- baseline.zipWithIndex
+      k <- 0 until c
+    } yield ((day * 1000 + k).toLong, plusDays(t0, day), 1L, "view", 0.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = SparkEntry.queries("ts_anomaly_mad")(spark, d).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_days") == 7L)
+    assert(r.getAs[Double]("med") == 5.0)
+    assert(r.getAs[Double]("mad") == 1.0)
+    assert(r.getAs[Long]("n_anomalies") == 1L)
+    assert(r.getAs[java.sql.Date]("first_anomaly").toString == "2024-01-07")
+    // constant series: MAD 0 -> guarded NULL z -> zero anomalies
+    val d2 = tempDir("r11md2")
+    val rows2 = for { day <- 0 until 5; k <- 0 until 3 }
+      yield ((day * 100 + k).toLong, plusDays(t0, day), 1L, "view", 0.0, "{}")
+    rows2.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d2/events.parquet")
+    val out2 = SparkEntry.queries("ts_anomaly_mad")(spark, d2).collect()
+    assert(out2.head.getAs[Long]("n_anomalies") == 0L)
+  }
+
+  test("pipe_dedup_budget: an identical pair drops the higher id and its exact token mass") {
+    val d = tempDir("r11db")
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    Seq(
+      (1L, shared, "en", "s", 10L),
+      (2L, shared, "en", "s", 10L),
+      (3L, (1 to 12).map(i => s"other$i").mkString(" "), "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("pipe_dedup_budget")(spark, d).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("docs") == 3L)
+    assert(r.getAs[Long]("docs_dropped") == 1L)
+    assert(r.getAs[Long]("tok_total") == 36L)
+    assert(r.getAs[Long]("tok_dropped") == 12L)
+    assert(r.getAs[Double]("savings") == 0.3333)
+  }
+
+  test("vec_ivf_recall_curve: clean label clusters give recall 1 at both nprobe tiers") {
+    val d = tempDir("r11rc")
+    // 12 vectors in 3 orthogonal label clusters (cluster = IVF cell):
+    // every query's true top-3 are its same-label peers, all in the
+    // probed cell, so both tiers recall 1.
+    val vecs = (0 until 12).map { i =>
+      val lab = i % 3
+      val e = Array.tabulate(64)(j =>
+        if (j >= lab * 21 && j < lab * 21 + 21)
+          (1.0 + 0.01 * ((i * 7 + j) % 5)).toFloat
+        else 0.0f)
+      (i.toLong, e.toSeq, lab)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = SparkEntry.queries("vec_ivf_recall_curve")(spark, d).collect()
+    assert(out.length == 20) // 10 queries x 2 tiers
+    assert(out.forall(_.getAs[Double]("recall") == 1.0))
+  }
+
   test("mm_metadata_audit: orientation buckets and byte budgets from planted metadata") {
     val d = tempDir("r11mm")
     // doc_id 0: 64x64 square; doc_id 40: 104x72 landscape (40%64=40,
