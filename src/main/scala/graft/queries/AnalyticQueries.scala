@@ -828,5 +828,63 @@ object AnalyticQueries {
               col("l_extendedprice").cast("decimal(28,2)"))).cast("double")
             / sum(when(kept, 1).otherwise(0)), 4).as("trimmed_mean"))
         .orderBy(col("flag"))
+    },
+
+    // Per-arm MEAN with 95% CONFIDENCE INTERVAL — the decision-grade
+    // readout of an experiment: revenue-per-user by deterministic A/B
+    // arm, with the normal-approximation interval mean ± 1.96·SE. Every
+    // user contributes (zero-purchase users included — dropping them
+    // biases the mean up), per-user revenue rides exact DECIMAL, and
+    // the variance derives from (Σx, Σx²) sufficient statistics — Σx²
+    // terms are per-user doubles quantized to DECIMAL before the ONE
+    // mergeable hash aggregate, so the interval is partition-invariant.
+    Q("agg_mean_ci",
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(28,4)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |q AS (SELECT arm, x,
+        |    CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 6)
+        |      AS DECIMAL(38,6)) AS xx FROM u),
+        |g AS (SELECT arm, count(*) AS n, CAST(sum(x) AS DOUBLE) AS sx,
+        |    CAST(sum(xx) AS DOUBLE) AS sxx
+        |  FROM q GROUP BY 1)
+        |SELECT arm, CAST(n AS BIGINT) AS n,
+        |  round(sx / n, 4) AS mean_rev,
+        |  round(sqrt((sxx - sx * sx / n) / nullif(n - 1, 0) / n), 4) AS se,
+        |  round(sx / n - 1.96
+        |    * sqrt((sxx - sx * sx / n) / nullif(n - 1, 0) / n), 4) AS ci_lo,
+        |  round(sx / n + 1.96
+        |    * sqrt((sxx - sx * sx / n) / nullif(n - 1, 0) / n), 4) AS ci_hi
+        |FROM g ORDER BY arm""") { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+            .otherwise("B").as("arm"))
+        .agg(sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(18,4)"))
+          .otherwise(lit(0).cast("decimal(18,4)")))
+          .cast("decimal(28,4)").as("x"))
+      val g = u
+        .withColumn("xx",
+          round(col("x").cast("double") * col("x").cast("double"), 6)
+            .cast("decimal(38,6)"))
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).cast("double").as("sx"),
+          sum(col("xx")).cast("double").as("sxx"))
+      val mean = col("sx") / col("n")
+      // nullif guard: a 1-user arm has no sample variance — the CI is
+      // NULL (both engines) instead of an ANSI divide error.
+      val se = sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+        nullif(col("n") - 1, lit(0L)) / col("n"))
+      g.select(col("arm"), col("n").cast("long").as("n"),
+          round(mean, 4).as("mean_rev"),
+          round(se, 4).as("se"),
+          round(mean - lit(1.96) * se, 4).as("ci_lo"),
+          round(mean + lit(1.96) * se, 4).as("ci_hi"))
+        .orderBy(col("arm"))
     })
 }

@@ -899,6 +899,60 @@ object StreamingQueries {
           sum(col("value").cast("decimal(18,4)")).cast("double")
             .as("attributed_value"))
         .orderBy(col("channel"))
+    },
+
+    // STREAMING volume-anomaly monitor — the lambda split (stream_psi /
+    // stream_freshness pattern) applied to the robust MAD census: the
+    // streaming aggregation maintains (type, day) counts in
+    // complete-mode state; the modified-z anomaly report
+    // (ts_anomaly_mad's exact tail, same oracle) computes on the
+    // completed days×types table — days ≪ events, so the serving-side
+    // percentile work never touches the stream's raw volume. In
+    // production the same report tails the live counts and the flag
+    // column IS the pager alert; the replay's final answer must equal
+    // the batch census exactly.
+    Q("stream_anomaly",
+      """WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |md AS (SELECT event_type,
+        |    quantile_cont(CAST(c AS DOUBLE), 0.5) AS med FROM dc GROUP BY 1),
+        |ad AS (SELECT dc.event_type,
+        |    quantile_cont(abs(c - med), 0.5) AS mad
+        |  FROM dc JOIN md USING (event_type) GROUP BY 1),
+        |z AS (SELECT dc.event_type, day, c,
+        |    0.6745 * (c - med) / nullif(mad, 0) AS mz
+        |  FROM dc JOIN md USING (event_type) JOIN ad USING (event_type))
+        |SELECT z.event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  round(max(md.med), 4) AS med, round(max(ad.mad), 4) AS mad,
+        |  CAST(sum(CASE WHEN abs(mz) > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_anomalies,
+        |  min(CASE WHEN abs(mz) > 3.5 THEN day END) AS first_anomaly
+        |FROM z JOIN md ON md.event_type = z.event_type
+        |JOIN ad ON ad.event_type = z.event_type
+        |GROUP BY z.event_type ORDER BY z.event_type""") { (s, d) =>
+      val perDay = runToTable(s, d, "complete") { src =>
+        src.groupBy(col("event_type"), window(col("ts"), "1 day"))
+          .agg(count(lit(1)).as("c"))
+      }.localCheckpoint(true)
+      val dc = perDay.select(col("event_type"),
+        col("window.start").cast("date").as("day"), col("c"))
+      val md = dc.groupBy(col("event_type"))
+        .agg(expr("percentile(CAST(c AS DOUBLE), 0.5)").as("med"))
+      val ad = dc.join(broadcast(md), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(abs(c - med), 0.5)").as("mad"))
+      dc.join(broadcast(md), Seq("event_type"))
+        .join(broadcast(ad), Seq("event_type"))
+        .withColumn("mz",
+          lit(0.6745) * (col("c") - col("med")) / nullif(col("mad"), lit(0d)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          round(max(col("med")), 4).as("med"),
+          round(max(col("mad")), 4).as("mad"),
+          sum(when(abs(col("mz")) > 3.5, 1).otherwise(0)).cast("long")
+            .as("n_anomalies"),
+          min(when(abs(col("mz")) > 3.5, col("day"))).as("first_anomaly"))
+        .orderBy(col("event_type"))
     })
 
   /** Staging key for dataset `d`: md5 over the ABSOLUTE PATH plus the

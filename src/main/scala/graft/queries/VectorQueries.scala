@@ -1328,5 +1328,31 @@ object VectorQueries {
           col("matched"),
           round(col("matched") / 3.0, 4).as("recall"))
         .orderBy(col("qid"), col("nprobe"))
+    },
+
+    // IVF CELL-BALANCE audit — the layout check run before freezing an
+    // ANN index: per cell, posting count and share, plus the skew
+    // factor vs the ideal N/k. A hot cell is the probe-side straggler
+    // (every query assigned there scans it all) and the partition-size
+    // ceiling at write time; past ~2-3× ideal the cell wants splitting
+    // (train more centroids) exactly like any hot shuffle key. One
+    // vocab-sized rollup + a 1-row broadcast of (N, k).
+    Q("sim_index_balance",
+      """WITH c AS (SELECT label AS cell, CAST(count(*) AS BIGINT) AS n
+        |  FROM embeddings GROUP BY 1),
+        |t AS (SELECT sum(n) AS total, count(*) AS k FROM c)
+        |SELECT cell, n,
+        |  round(n / CAST(t.total AS DOUBLE), 4) AS share,
+        |  round(n * t.k / CAST(t.total AS DOUBLE), 4) AS skew_vs_ideal
+        |FROM c CROSS JOIN t ORDER BY cell""") { (s, d) =>
+      val c = Tables.embeddings(s, d)
+        .groupBy(col("label").as("cell")).agg(count(lit(1)).as("n"))
+      val t = c.agg(sum(col("n")).as("total"), count(lit(1)).as("k"))
+      c.crossJoin(broadcast(t))
+        .select(col("cell"), col("n"),
+          round(col("n") / col("total").cast("double"), 4).as("share"),
+          round(col("n") * col("k") / col("total").cast("double"), 4)
+            .as("skew_vs_ideal"))
+        .orderBy(col("cell"))
     })
 }

@@ -68,7 +68,8 @@ class PlanHygieneSpec extends SparkSpec {
     "pipe_domain_temperature", // sources x broadcast 1-row total/Z scalars
     "vec_matryoshka_eval", // corpus x broadcast 8-query set (both retrievers)
     "eval_ece",            // 10 bin rows x broadcast 1-row grand total
-    "vec_ivf_recall_curve" // corpus x broadcast 10-query truth side
+    "vec_ivf_recall_curve", // corpus x broadcast 10-query truth side
+    "sim_index_balance"    // cell rows x broadcast 1-row (N, k) scalars
   )
 
   private def offenders(name: String): Seq[String] = {

@@ -311,6 +311,71 @@ class Round11OpsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("recall") == 1.0))
   }
 
+  test("stream_anomaly: the streaming replay equals the batch MAD census exactly") {
+    val d = tempDir("r11sa")
+    val baseline = Seq(4, 5, 6, 4, 5, 6, 50)
+    val rows = for {
+      (c, day) <- baseline.zipWithIndex
+      k <- 0 until c
+    } yield ((day * 1000 + k).toLong, plusDays(t0, day), 1L, "view", 0.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val stream = SparkEntry.queries("stream_anomaly")(spark, d)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = SparkEntry.queries("ts_anomaly_mad")(spark, d)
+      .collect().map(_.toString).sorted.toSeq
+    assert(stream == batch)
+    assert(stream.nonEmpty)
+  }
+
+  test("agg_mean_ci: per-arm means match a hand-computed md5 partition; interval brackets the mean") {
+    val d = tempDir("r11ci")
+    // one purchase per user; arms derive from md5(user_id) exactly as
+    // the query does, recomputed here independently.
+    val users = (1L to 6L).toSeq
+    val rows = users.map(u => (u, t0, u, "purchase", 10.0 * u, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    def arm(u: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      if (Integer.parseInt(f"${md(0) & 0xff}%02x".substring(0, 1), 16) < 8)
+        "A" else "B"
+    }
+    val expected = users.groupBy(arm).map { case (a, us) =>
+      val xs = us.map(10.0 * _)
+      a -> (us.size.toLong, xs.sum / xs.size)
+    }
+    val out = SparkEntry.queries("agg_mean_ci")(spark, d).collect()
+    assert(out.map(_.getAs[String]("arm")).toSet == expected.keySet)
+    for (r <- out) {
+      val (n, mean) = expected(r.getAs[String]("arm"))
+      assert(r.getAs[Long]("n") == n)
+      assert(math.abs(r.getAs[Double]("mean_rev") - mean) < 1e-6)
+      if (n > 1) {
+        assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("mean_rev"))
+        assert(r.getAs[Double]("ci_hi") >= r.getAs[Double]("mean_rev"))
+      }
+    }
+  }
+
+  test("sim_index_balance: cell shares and skew factors from a planted 6/3/3 layout") {
+    val d = tempDir("r11ib")
+    val vecs = (0 until 12).map { i =>
+      val lab = if (i < 6) 0 else if (i < 9) 1 else 2
+      (i.toLong, Seq.fill(64)(1.0f), lab)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = SparkEntry.queries("sim_index_balance")(spark, d).collect()
+    val m = out.map(r => r.getAs[Int]("cell") ->
+      (r.getAs[Long]("n"), r.getAs[Double]("share"),
+        r.getAs[Double]("skew_vs_ideal"))).toMap
+    assert(m(0) == ((6L, 0.5, 1.5)))
+    assert(m(1) == ((3L, 0.25, 0.75)))
+    assert(m(2) == ((3L, 0.25, 0.75)))
+  }
+
   test("mm_metadata_audit: orientation buckets and byte budgets from planted metadata") {
     val d = tempDir("r11mm")
     // doc_id 0: 64x64 square; doc_id 40: 104x72 landscape (40%64=40,
