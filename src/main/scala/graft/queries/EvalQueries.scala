@@ -1192,6 +1192,363 @@ object EvalQueries {
           round(col("pe").cast("double"), 4).as("p_e"),
           round((pbar - col("pe").cast("double")) /
             (lit(1) - col("pe").cast("double")), 4).as("kappa"))
+    },
+
+    // WELCH'S TWO-SAMPLE t-TEST on per-user total spend by hash arm —
+    // the continuous-metric companion to eval_ab_ztest (proportions).
+    // Unequal variances are the realistic default for revenue metrics,
+    // so the Welch form (separate variance terms + Satterthwaite df) is
+    // what an experimentation platform actually ships. Determinism by
+    // construction: the per-user metric is an EXACT decimal sum, and
+    // the arm moments (n, Σx, Σx²) stay decimal until the final scalar
+    // algebra — both engines then run the identical IEEE expression on
+    // identical inputs. Scale: one user-keyed rollup + one 2-row
+    // aggregate; partial-aggregable, partition-count invariant.
+    Q("eval_ttest_welch",
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT arm, count(*) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS s1,
+        |    CAST(sum(x * x) AS DOUBLE) AS s2
+        |  FROM u GROUP BY 1),
+        |w AS (SELECT
+        |    max(CASE WHEN arm = 'A' THEN n END) AS na,
+        |    max(CASE WHEN arm = 'A' THEN s1 END) AS s1a,
+        |    max(CASE WHEN arm = 'A' THEN s2 END) AS s2a,
+        |    max(CASE WHEN arm = 'B' THEN n END) AS nb,
+        |    max(CASE WHEN arm = 'B' THEN s1 END) AS s1b,
+        |    max(CASE WHEN arm = 'B' THEN s2 END) AS s2b
+        |  FROM g),
+        |v AS (SELECT na, nb, s1a / na AS ma, s1b / nb AS mb,
+        |    (s2a - s1a * s1a / na) / (na - 1) AS va,
+        |    (s2b - s1b * s1b / nb) / (nb - 1) AS vb
+        |  FROM w)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+        |  round((ma - mb) / nullif(sqrt(va / na + vb / nb), 0), 4)
+        |    AS t_stat,
+        |  round((va / na + vb / nb) * (va / na + vb / nb)
+        |    / nullif((va / na) * (va / na) / (na - 1)
+        |           + (vb / nb) * (vb / nb) / (nb - 1), 0), 4) AS df,
+        |  round((ma - mb) / nullif(sqrt(((na - 1) * va + (nb - 1) * vb)
+        |    / (na + nb - 2)), 0), 4) AS cohens_d,
+        |  CAST(abs((ma - mb) / nullif(sqrt(va / na + vb / nb), 0)) > 1.96
+        |    AS BOOLEAN) AS significant
+        |FROM v""") { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+            .otherwise("B").as("arm"))
+        .agg(sum(col("value").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("x"))
+      val w = u.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("double").as("s1"),
+          sum(col("x") * col("x")).cast("double").as("s2"))
+        .agg(max(when(col("arm") === "A", col("n"))).as("na"),
+          max(when(col("arm") === "A", col("s1"))).as("s1a"),
+          max(when(col("arm") === "A", col("s2"))).as("s2a"),
+          max(when(col("arm") === "B", col("n"))).as("nb"),
+          max(when(col("arm") === "B", col("s1"))).as("s1b"),
+          max(when(col("arm") === "B", col("s2"))).as("s2b"))
+      val v = w.select(col("na"), col("nb"),
+        (col("s1a") / col("na")).as("ma"),
+        (col("s1b") / col("nb")).as("mb"),
+        ((col("s2a") - col("s1a") * col("s1a") / col("na"))
+          / (col("na") - 1)).as("va"),
+        ((col("s2b") - col("s1b") * col("s1b") / col("nb"))
+          / (col("nb") - 1)).as("vb"))
+      val sea = col("va") / col("na")
+      val seb = col("vb") / col("nb")
+      val t = (col("ma") - col("mb")) / nullif(sqrt(sea + seb), lit(0d))
+      v.select(col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        round(col("ma"), 4).as("mean_a"),
+        round(col("mb"), 4).as("mean_b"),
+        round(t, 4).as("t_stat"),
+        round((sea + seb) * (sea + seb) /
+          nullif(sea * sea / (col("na") - 1)
+            + seb * seb / (col("nb") - 1), lit(0d)), 4).as("df"),
+        round((col("ma") - col("mb")) /
+          nullif(sqrt(((col("na") - 1) * col("va")
+            + (col("nb") - 1) * col("vb"))
+            / (col("na") + col("nb") - 2)), lit(0d)), 4).as("cohens_d"),
+        (abs(t) > 1.96).as("significant"))
+    },
+
+    // MANN-WHITNEY U (Wilcoxon rank-sum) with tie correction — the
+    // nonparametric A/B test for skewed metrics where the t-test's
+    // normality assumption fails (revenue is the canonical case). The
+    // scale move mirrors eval_auc: ranks are NEVER assigned by sorting
+    // raw rows — users collapse to an integer metric, the metric
+    // collapses to DISTINCT values with per-arm counts, and ONE window
+    // over the distinct-value relation (bounded by metric cardinality,
+    // not corpus size) assigns tied-average ranks. The tie term
+    // Σ(t³−t) rides the same rollup. All rank algebra is exact
+    // (integer counts, .0/.5 average ranks), so z is bit-stable.
+    Q("eval_mannwhitney",
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(floor(CAST(sum(CAST("value" AS DECIMAL(18,4)))
+        |      AS DOUBLE) / 100) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |dv AS (SELECT v,
+        |    sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS ca,
+        |    count(*) AS c
+        |  FROM u GROUP BY 1),
+        |r AS (SELECT v, ca, c,
+        |    sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+        |      AS cb
+        |  FROM dv),
+        |st AS (SELECT sum(ca * (cb + (c + 1) / 2.0)) AS ra,
+        |    sum(c * c * c - c) AS ties FROM r),
+        |n AS (SELECT
+        |    sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS nb
+        |  FROM u),
+        |z AS (SELECT na, nb, na + nb AS nn,
+        |    ra - na * (na + 1) / 2.0 AS u_a, ties
+        |  FROM st CROSS JOIN n)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(u_a, 1) AS u_stat,
+        |  round((u_a - na * nb / 2.0)
+        |    / nullif(sqrt((na * nb / 12.0)
+        |      * ((nn + 1) - ties / (CAST(nn AS DOUBLE) * (nn - 1)))), 0), 4)
+        |    AS z_stat,
+        |  CAST(abs((u_a - na * nb / 2.0)
+        |    / nullif(sqrt((na * nb / 12.0)
+        |      * ((nn + 1) - ties / (CAST(nn AS DOUBLE) * (nn - 1)))), 0))
+        |    > 1.96 AS BOOLEAN) AS significant
+        |FROM z""") { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+            .otherwise("B").as("arm"))
+        .agg(floor(sum(col("value").cast("decimal(18,4)"))
+          .cast("double") / 100).cast("long").as("v"))
+      val dv = u.groupBy(col("v"))
+        .agg(sum(when(col("arm") === "A", 1).otherwise(0)).as("ca"),
+          count(lit(1)).as("c"))
+      val win = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+      val r = dv.withColumn("cb", sum(col("c")).over(win) - col("c"))
+      val st = r.agg(
+        sum(col("ca") * (col("cb") + (col("c") + 1) / 2.0)).as("ra"),
+        sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
+      val n = u.agg(
+        sum(when(col("arm") === "A", 1).otherwise(0)).as("na"),
+        sum(when(col("arm") === "B", 1).otherwise(0)).as("nb"))
+      val z = st.crossJoin(broadcast(n))
+        .select(col("na"), col("nb"), (col("na") + col("nb")).as("nn"),
+          (col("ra") - col("na") * (col("na") + 1) / 2.0).as("u_a"),
+          col("ties"))
+      val zs = (col("u_a") - col("na") * col("nb") / 2.0) /
+        nullif(sqrt((col("na") * col("nb") / 12.0) *
+          ((col("nn") + 1) - col("ties") /
+            (col("nn").cast("double") * (col("nn") - 1)))), lit(0d))
+      z.select(col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        round(col("u_a"), 1).as("u_stat"),
+        round(zs, 4).as("z_stat"),
+        (abs(zs) > 1.96).as("significant"))
+    },
+
+    // CUPED variance reduction (Deng et al., WSDM'13) — adjust the
+    // experiment metric by the pre-period covariate: θ = cov(X,Y)/var(X)
+    // over users, adjusted mean = E[Y|arm] − θ·(E[X|arm] − E[X]). The
+    // workhorse of modern experimentation platforms: same decision, far
+    // tighter confidence intervals. Pre/post split at the fixture's
+    // mid-point epoch. All co-moments are exact decimal sums (ΣX, ΣY,
+    // ΣXY, ΣX²) pushed to one user rollup + one scalar aggregate; θ and
+    // the arm means meet in a 2-row broadcast cross join — no second
+    // pass over the data, which is the property that matters at 100 TB.
+    Q("eval_cuped",
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(sum(CASE WHEN epoch(ts) < 1705363200
+        |      THEN CAST("value" AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS x,
+        |    CAST(sum(CASE WHEN epoch(ts) >= 1705363200
+        |      THEN CAST("value" AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT count(*) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx
+        |  FROM u),
+        |th AS (SELECT sx / n AS xbar,
+        |    (sxy - sx * sy / n) / nullif(sxx - sx * sx / n, 0) AS theta
+        |  FROM m),
+        |a AS (SELECT arm, count(*) AS users,
+        |    CAST(sum(y) AS DOUBLE) / count(*) AS my,
+        |    CAST(sum(x) AS DOUBLE) / count(*) AS mx
+        |  FROM u GROUP BY 1)
+        |SELECT arm, CAST(users AS BIGINT) AS users,
+        |  round(my, 4) AS mean_post,
+        |  round(my - theta * (mx - xbar), 4) AS mean_cuped,
+        |  round(theta, 4) AS theta
+        |FROM a CROSS JOIN th ORDER BY arm""") { (s, d) =>
+      val dec = col("value").cast("decimal(18,4)")
+      val zero = lit(0).cast("decimal(18,4)")
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+            .otherwise("B").as("arm"))
+        .agg(
+          sum(when(unix_timestamp(col("ts")) < 1705363200L, dec)
+            .otherwise(zero)).cast("decimal(18,4)").as("x"),
+          sum(when(unix_timestamp(col("ts")) >= 1705363200L, dec)
+            .otherwise(zero)).cast("decimal(18,4)").as("y"))
+      val m = u.agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+      val th = m.select((col("sx") / col("n")).as("xbar"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) /
+          nullif(col("sxx") - col("sx") * col("sx") / col("n"), lit(0d)))
+          .as("theta"))
+      val a = u.groupBy(col("arm"))
+        .agg(count(lit(1)).as("users"),
+          (sum(col("y")).cast("double") / count(lit(1))).as("my"),
+          (sum(col("x")).cast("double") / count(lit(1))).as("mx"))
+      a.crossJoin(broadcast(th))
+        .select(col("arm"), col("users").cast("long").as("users"),
+          round(col("my"), 4).as("mean_post"),
+          round(col("my") - col("theta") * (col("mx") - col("xbar")), 4)
+            .as("mean_cuped"),
+          round(col("theta"), 4).as("theta"))
+        .orderBy(col("arm"))
+    },
+
+    // KENDALL'S τ-b rank correlation between two per-nation metrics
+    // (customer count vs total account balance) — the concordance
+    // statistic eval_spearman can't express (τ counts pair inversions;
+    // ρ correlates rank values). The pair join is over the AGGREGATED
+    // relation (25 nations → 300 pairs), never the raw rows — the same
+    // collapse-then-quadratic shape as ts_ewma: at 100 TB the rollup is
+    // the only corpus-scale pass, and the τ join stays O(groups²).
+    // Comparisons are on exact values (integer count, decimal→double
+    // balance), so concordant/discordant/tie counts are bit-stable.
+    Q("eval_kendall_tau",
+      """WITH m AS (SELECT c_nationkey AS nk, count(*) AS x,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS y
+        |  FROM customer GROUP BY 1),
+        |p AS (SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+        |  FROM m a JOIN m b ON a.nk < b.nk),
+        |s AS (SELECT count(*) AS n0,
+        |    sum(CASE WHEN (xa < xb AND ya < yb) OR (xa > xb AND ya > yb)
+        |      THEN 1 ELSE 0 END) AS conc,
+        |    sum(CASE WHEN (xa < xb AND ya > yb) OR (xa > xb AND ya < yb)
+        |      THEN 1 ELSE 0 END) AS disc,
+        |    sum(CASE WHEN xa = xb AND ya <> yb THEN 1 ELSE 0 END) AS tx,
+        |    sum(CASE WHEN ya = yb AND xa <> xb THEN 1 ELSE 0 END) AS ty
+        |  FROM p)
+        |SELECT CAST(n0 AS BIGINT) AS n_pairs,
+        |  CAST(conc AS BIGINT) AS concordant,
+        |  CAST(disc AS BIGINT) AS discordant,
+        |  round((conc - disc)
+        |    / nullif(sqrt(CAST((n0 - tx) AS DOUBLE) * (n0 - ty)), 0), 4)
+        |    AS tau_b
+        |FROM s""") { (s, d) =>
+      val m = Tables.customer(s, d)
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("x"),
+          sum(col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double").as("y"))
+      val p = m.as("a").join(m.as("b"), col("a.nk") < col("b.nk"))
+        .select(col("a.x").as("xa"), col("a.y").as("ya"),
+          col("b.x").as("xb"), col("b.y").as("yb"))
+      val st = p.agg(count(lit(1)).as("n0"),
+        sum(when((col("xa") < col("xb") && col("ya") < col("yb")) ||
+          (col("xa") > col("xb") && col("ya") > col("yb")), 1)
+          .otherwise(0)).as("conc"),
+        sum(when((col("xa") < col("xb") && col("ya") > col("yb")) ||
+          (col("xa") > col("xb") && col("ya") < col("yb")), 1)
+          .otherwise(0)).as("disc"),
+        sum(when(col("xa") === col("xb") && col("ya") =!= col("yb"), 1)
+          .otherwise(0)).as("tx"),
+        sum(when(col("ya") === col("yb") && col("xa") =!= col("xb"), 1)
+          .otherwise(0)).as("ty"))
+      st.select(col("n0").cast("long").as("n_pairs"),
+        col("conc").cast("long").as("concordant"),
+        col("disc").cast("long").as("discordant"),
+        round((col("conc") - col("disc")) /
+          nullif(sqrt((col("n0") - col("tx")).cast("double") *
+            (col("n0") - col("ty"))), lit(0d)), 4).as("tau_b"))
+    },
+
+    // POWER / MDE analysis for the two-proportion test — the question
+    // every experimenter asks BEFORE shipping: "is this test even able
+    // to detect the effect we saw?" From the observed arm sizes and the
+    // pooled rate: MDE at (α=.05, power=.80) via the standard
+    // (z_{α/2}+z_{β})·SE closed form, and the per-arm n required to
+    // power the OBSERVED lift. Pure scalar algebra on one user rollup —
+    // the z constants are exact double literals in both engines.
+    Q("eval_power_mde",
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS arm,
+        |    max(CASE WHEN event_type = 'purchase' AND "value" > 150
+        |      THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT arm, count(*) AS n, sum(conv) AS c FROM u GROUP BY 1),
+        |w AS (SELECT
+        |    max(CASE WHEN arm = 'A' THEN n END) AS na,
+        |    max(CASE WHEN arm = 'A' THEN c END) AS ca,
+        |    max(CASE WHEN arm = 'B' THEN n END) AS nb,
+        |    max(CASE WHEN arm = 'B' THEN c END) AS cb
+        |  FROM g),
+        |v AS (SELECT na, nb, ca / CAST(na AS DOUBLE) AS pa,
+        |    cb / CAST(nb AS DOUBLE) AS pb,
+        |    (ca + cb) / CAST(na + nb AS DOUBLE) AS pp
+        |  FROM w)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(pa, 4) AS rate_a, round(pb, 4) AS rate_b,
+        |  round((1.96 + 0.8416)
+        |    * sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb)), 4) AS mde_abs,
+        |  CAST(ceil(2 * pp * (1 - pp) * (1.96 + 0.8416) * (1.96 + 0.8416)
+        |    / nullif(abs(pa - pb) * abs(pa - pb), 0)) AS BIGINT)
+        |    AS n_required,
+        |  CAST(abs(pa - pb) >= (1.96 + 0.8416)
+        |    * sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb)) AS BOOLEAN)
+        |    AS powered
+        |FROM v""") { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+            .otherwise("B").as("arm"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 150,
+          1).otherwise(0)).as("conv"))
+      val w = u.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+        .agg(max(when(col("arm") === "A", col("n"))).as("na"),
+          max(when(col("arm") === "A", col("c"))).as("ca"),
+          max(when(col("arm") === "B", col("n"))).as("nb"),
+          max(when(col("arm") === "B", col("c"))).as("cb"))
+      val v = w.select(col("na"), col("nb"),
+        (col("ca") / col("na").cast("double")).as("pa"),
+        (col("cb") / col("nb").cast("double")).as("pb"),
+        ((col("ca") + col("cb")) / (col("na") + col("nb")).cast("double"))
+          .as("pp"))
+      val zsum = lit(1.96) + lit(0.8416)
+      val mde = zsum * sqrt(col("pp") * (lit(1) - col("pp")) *
+        (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+      v.select(col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        round(col("pa"), 4).as("rate_a"),
+        round(col("pb"), 4).as("rate_b"),
+        round(mde, 4).as("mde_abs"),
+        ceil(lit(2) * col("pp") * (lit(1) - col("pp")) * zsum * zsum /
+          nullif(abs(col("pa") - col("pb")) * abs(col("pa") - col("pb")),
+            lit(0d))).cast("long").as("n_required"),
+        (abs(col("pa") - col("pb")) >= mde).as("powered"))
     }
   )
 }

@@ -1658,5 +1658,47 @@ object PipelineQueries {
           round(sum(col("ent")).cast("double") / count(lit(1)), 4)
             .as("avg_entropy"))
         .orderBy(col("l"))
+    },
+
+    // LENGTH-BUCKETED BATCHING audit — group documents into 8
+    // equal-population token-length buckets (NTILE over a total order)
+    // and measure the padding waste each bucket would incur when padded
+    // to its max length. This is the batch-shaping decision every
+    // training loader makes: random batching pads everything to the
+    // global max; length bucketing bounds waste to the within-bucket
+    // spread. All quantities are exact integers; the NTILE order is
+    // total (tok, doc_id), so bucket membership is deterministic in
+    // both engines. Scale: the single-partition NTILE sort here is the
+    // sf-fixture form — at 100 TB the same audit runs on a
+    // quantile-sketch bucketization (agg_approx_percentiles) instead of
+    // a global sort; the waste algebra is unchanged.
+    Q("pipe_length_buckets",
+      """WITH t AS (SELECT doc_id,
+        |    len(string_split(text, ' ')) AS tok FROM documents),
+        |b AS (SELECT doc_id, tok,
+        |    ntile(8) OVER (ORDER BY tok, doc_id) AS bucket FROM t)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(tok) AS BIGINT) AS min_tok,
+        |  CAST(max(tok) AS BIGINT) AS max_tok,
+        |  round(avg(tok), 4) AS avg_tok,
+        |  CAST(max(tok) * count(*) - sum(tok) AS BIGINT) AS pad_waste,
+        |  round(1.0 - sum(tok) / CAST(max(tok) * count(*) AS DOUBLE), 4)
+        |    AS pad_frac
+        |FROM b GROUP BY 1 ORDER BY bucket""") { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("tok"))
+      val b = t.withColumn("bucket",
+        ntile(8).over(Window.orderBy(col("tok"), col("doc_id"))))
+      b.groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          min(col("tok")).cast("long").as("min_tok"),
+          max(col("tok")).cast("long").as("max_tok"),
+          round(avg(col("tok")), 4).as("avg_tok"),
+          (max(col("tok")) * count(lit(1)) - sum(col("tok"))).cast("long")
+            .as("pad_waste"),
+          round(lit(1.0) - sum(col("tok")) /
+            (max(col("tok")) * count(lit(1))).cast("double"), 4)
+            .as("pad_frac"))
+        .orderBy(col("bucket"))
     })
 }

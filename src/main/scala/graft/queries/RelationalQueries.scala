@@ -696,5 +696,76 @@ object RelationalQueries {
         .agg(count(lit(1)))
         .na.fill(0)
         .orderBy(col("day"))
+    },
+
+    // BATCH MERGE / UPSERT semantics (SQL MERGE INTO, CDC batch-apply):
+    // a change relation derived from events (per-user spend; a trailing
+    // 'error' event marks the key for deletion) applies onto the
+    // customer base as one FULL OUTER join + action decode —
+    // insert / update / delete / keep, exactly the matched/not-matched
+    // arms of ANSI MERGE. This is the batch twin of stream_cdc_apply:
+    // without a transactional table format, the join-and-rewrite IS the
+    // Spark MERGE plan (Delta/Iceberg compile MERGE to this same shape
+    // plus file-level pruning). Keys are remapped (user_id·11) so the
+    // change set genuinely exercises all four arms. Scale: one
+    // user-keyed rollup + one key-equi full outer join — shuffle on the
+    // merge key, which is the partitioning a bucketed base table would
+    // already have, making the apply co-located at 100 TB.
+    Q("rel_merge_upsert",
+      """WITH sp AS (SELECT user_id,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DECIMAL(18,2))
+        |      AS spend
+        |  FROM events GROUP BY 1),
+        |le AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |ch AS (SELECT sp.user_id * 11 AS key, sp.spend,
+        |    le.event_type = 'error' AS is_del
+        |  FROM sp JOIN le ON le.user_id = sp.user_id AND le.rn = 1),
+        |m AS (SELECT coalesce(c.c_custkey, ch.key) AS key,
+        |    CASE WHEN ch.key IS NULL THEN 'keep'
+        |         WHEN c.c_custkey IS NULL AND ch.is_del THEN 'noop'
+        |         WHEN c.c_custkey IS NULL THEN 'insert'
+        |         WHEN ch.is_del THEN 'delete'
+        |         ELSE 'update' END AS action,
+        |    CASE WHEN ch.key IS NULL THEN CAST(c.c_acctbal AS DOUBLE)
+        |         WHEN c.c_custkey IS NULL AND NOT ch.is_del
+        |           THEN CAST(ch.spend AS DOUBLE)
+        |         WHEN c.c_custkey IS NOT NULL AND NOT ch.is_del
+        |           THEN c.c_acctbal + CAST(ch.spend AS DOUBLE)
+        |         ELSE NULL END AS bal
+        |  FROM customer c FULL OUTER JOIN ch ON c.c_custkey = ch.key)
+        |SELECT key, action, round(bal, 2) AS balance
+        |FROM m ORDER BY key""") { (s, d) =>
+      val sp = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,4)"))
+          .cast("decimal(18,2)").as("spend"))
+      val le = Tables.events(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), (col("event_type") === "error").as("is_del"))
+      val ch = sp.join(le, Seq("user_id"))
+        .select((col("user_id") * 11).as("key"), col("spend"), col("is_del"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val m = c.join(ch, c("c_custkey") === ch("key"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("key")).as("key"),
+          when(col("key").isNull, "keep")
+            .when(col("c_custkey").isNull && col("is_del"), "noop")
+            .when(col("c_custkey").isNull, "insert")
+            .when(col("is_del"), "delete")
+            .otherwise("update").as("action"),
+          when(col("key").isNull, col("c_acctbal").cast("double"))
+            .when(col("c_custkey").isNull && !col("is_del"),
+              col("spend").cast("double"))
+            .when(col("c_custkey").isNotNull && !col("is_del"),
+              col("c_acctbal") + col("spend").cast("double"))
+            .otherwise(lit(null).cast("double")).as("bal"))
+      m.select(col("key"), col("action"), round(col("bal"), 2).as("balance"))
+        .orderBy(col("key"))
     })
 }

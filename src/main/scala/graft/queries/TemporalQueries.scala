@@ -1047,5 +1047,157 @@ object TemporalQueries {
             .as("n_anomalies"),
           min(when(abs(col("mz")) > 3.5, col("day"))).as("first_anomaly"))
         .orderBy(col("event_type"))
+    },
+
+    // BOLLINGER BANDS over the daily purchase-revenue series: 7-day
+    // trailing SMA ± 2σ with a breakout flag — the volatility-band
+    // anomaly screen (finance's take on ts_zscore, but with a moving
+    // baseline so level shifts don't poison the band). Daily totals are
+    // EXACT decimal sums, so both engines feed identical doubles into
+    // the window moments; only full 7-row frames emit (rn ≥ 7), so no
+    // partially-warmed band ever flags. Scale: one date rollup then a
+    // single-series window — at 100 TB the rollup is the only
+    // corpus-scale pass and the window runs on days, not events (a
+    // per-key PARTITION BY makes it many independent small series).
+    Q("ts_bollinger",
+      """WITH dt AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DECIMAL(18,4))
+        |      AS total
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |w AS (SELECT day, CAST(total AS DOUBLE) AS tot,
+        |    row_number() OVER (ORDER BY day) AS rn,
+        |    avg(CAST(total AS DOUBLE)) OVER (ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS sma,
+        |    stddev_samp(CAST(total AS DOUBLE)) OVER (ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS sd
+        |  FROM dt)
+        |SELECT day, round(tot, 2) AS total,
+        |  round(sma, 4) AS sma7, round(sd, 4) AS sd7,
+        |  round(sma + 2 * sd, 4) AS upper_band,
+        |  round(sma - 2 * sd, 4) AS lower_band,
+        |  CAST(tot > sma + 2 * sd OR tot < sma - 2 * sd AS BOOLEAN)
+        |    AS breakout
+        |FROM w WHERE rn >= 7 ORDER BY day""") { (s, d) =>
+      val dt = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(sum(col("value").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("total"))
+      val frame = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      val w = dt.select(col("day"), col("total").cast("double").as("tot"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("day"))))
+        .withColumn("sma", avg(col("tot")).over(frame))
+        .withColumn("sd", stddev_samp(col("tot")).over(frame))
+      w.filter(col("rn") >= 7)
+        .select(col("day"), round(col("tot"), 2).as("total"),
+          round(col("sma"), 4).as("sma7"), round(col("sd"), 4).as("sd7"),
+          round(col("sma") + lit(2) * col("sd"), 4).as("upper_band"),
+          round(col("sma") - lit(2) * col("sd"), 4).as("lower_band"),
+          (col("tot") > col("sma") + lit(2) * col("sd") ||
+            col("tot") < col("sma") - lit(2) * col("sd")).as("breakout"))
+        .orderBy(col("day"))
+    },
+
+    // ROLLING 7-day CORRELATION between the daily click and purchase
+    // count series — the co-movement monitor that catches a funnel
+    // decoupling (clicks up, purchases flat) before absolute-volume
+    // alarms fire. The engine-native window corr() is deliberately NOT
+    // used: its internal co-moment accumulation order differs between
+    // engines and its zero-variance behavior diverges (NaN vs NULL).
+    // Instead the five window sums (Σx, Σy, Σxy, Σx², Σy²) are exact
+    // integers and Pearson r is assembled once per row with a
+    // nullif-guarded denominator — bit-stable, and NULL (not NaN) on a
+    // constant window in both engines. Scale: same day-rollup-then-
+    // bounded-window shape as ts_bollinger.
+    Q("ts_rolling_corr",
+      """WITH dt AS (SELECT CAST(ts AS DATE) AS day,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT day, x, y,
+        |    row_number() OVER (ORDER BY day) AS rn,
+        |    sum(x) OVER w7 AS sx, sum(y) OVER w7 AS sy,
+        |    sum(x * y) OVER w7 AS sxy,
+        |    sum(x * x) OVER w7 AS sxx, sum(y * y) OVER w7 AS syy
+        |  FROM dt
+        |  WINDOW w7 AS (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, CAST(x AS BIGINT) AS clicks, CAST(y AS BIGINT)
+        |    AS purchases,
+        |  round((7.0 * sxy - sx * sy)
+        |    / nullif(sqrt((7.0 * sxx - CAST(sx * sx AS DOUBLE))
+        |      * (7.0 * syy - sy * sy)), 0), 4) AS corr7
+        |FROM w WHERE rn >= 7 ORDER BY day""") { (s, d) =>
+      val dt = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(sum(when(col("event_type") === "click", 1).otherwise(0)).as("x"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("y"))
+      val w7 = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      val w = dt
+        .withColumn("rn", row_number().over(Window.orderBy(col("day"))))
+        .withColumn("sx", sum(col("x")).over(w7))
+        .withColumn("sy", sum(col("y")).over(w7))
+        .withColumn("sxy", sum(col("x") * col("y")).over(w7))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w7))
+        .withColumn("syy", sum(col("y") * col("y")).over(w7))
+      w.filter(col("rn") >= 7)
+        .select(col("day"), col("x").cast("long").as("clicks"),
+          col("y").cast("long").as("purchases"),
+          round((lit(7.0) * col("sxy") - col("sx") * col("sy")) /
+            nullif(sqrt((lit(7.0) * col("sxx") -
+              (col("sx") * col("sx")).cast("double")) *
+              (lit(7.0) * col("syy") - col("sy") * col("sy"))), lit(0d)), 4)
+            .as("corr7"))
+        .orderBy(col("day"))
+    },
+
+    // SMA CROSSOVER signal (fast 5-day vs slow 15-day moving average of
+    // daily revenue) — the classic trend-change detector; the emitted
+    // `crossover` rows are exactly the regime flips. The comparison
+    // trick makes the signal bit-stable across engines: instead of
+    // comparing two float averages (sum5/5 > sum15/15, each division
+    // rounding differently), it compares 3·sum5 > sum15 on EXACT
+    // decimal window sums — same predicate, zero float ops. Averages
+    // are emitted (rounded) for display only. Scale posture matches
+    // ts_bollinger: day-grained window after a corpus rollup.
+    Q("ts_sma_crossover",
+      """WITH dt AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DECIMAL(18,4))
+        |      AS total
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT day,
+        |    row_number() OVER (ORDER BY day) AS rn,
+        |    sum(total) OVER (ORDER BY day
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS s5,
+        |    sum(total) OVER (ORDER BY day
+        |      ROWS BETWEEN 14 PRECEDING AND CURRENT ROW) AS s15
+        |  FROM dt),
+        |b AS (SELECT day, s5, s15, 3 * s5 > s15 AS golden
+        |  FROM w WHERE rn >= 15)
+        |SELECT day, round(CAST(s5 AS DOUBLE) / 5, 4) AS sma5,
+        |  round(CAST(s15 AS DOUBLE) / 15, 4) AS sma15, golden,
+        |  coalesce(golden <> lag(golden) OVER (ORDER BY day), false)
+        |    AS crossover
+        |FROM b ORDER BY day""") { (s, d) =>
+      val dt = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(sum(col("value").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("total"))
+      val w = dt
+        .withColumn("rn", row_number().over(Window.orderBy(col("day"))))
+        .withColumn("s5",
+          sum(col("total")).over(Window.orderBy(col("day")).rowsBetween(-4, 0)))
+        .withColumn("s15",
+          sum(col("total")).over(Window.orderBy(col("day")).rowsBetween(-14, 0)))
+      val b = w.filter(col("rn") >= 15)
+        .select(col("day"), col("s5"), col("s15"),
+          (col("s5") * 3 > col("s15")).as("golden"))
+      b.select(col("day"),
+          round(col("s5").cast("double") / 5, 4).as("sma5"),
+          round(col("s15").cast("double") / 15, 4).as("sma15"),
+          col("golden"),
+          coalesce(col("golden") =!= lag(col("golden"), 1)
+            .over(Window.orderBy(col("day"))), lit(false)).as("crossover"))
+        .orderBy(col("day"))
     })
 }

@@ -1354,5 +1354,53 @@ object VectorQueries {
           round(col("n") * col("k") / col("total").cast("double"), 4)
             .as("skew_vs_ideal"))
         .orderBy(col("cell"))
+    },
+
+    // PER-DIMENSION CLIPPING AUDIT — exact p05/p95 per embedding
+    // dimension plus the fraction of values falling outside the band:
+    // the preprocessing report behind quantile-clipping (winsorizing)
+    // an embedding space before SQ8/PQ quantization, where a single
+    // heavy-tailed dimension wrecks the codebook range. Exact
+    // percentile is safe cross-engine here because both implement the
+    // same (n−1)·p linear interpolation over identical float-exact
+    // doubles, and the clip comparison is against that interpolated
+    // value — strict inequalities can't straddle adjacent sorted
+    // values. Scale: explode + 64-group percentile; at 100 TB the
+    // exact percentile swaps for the KLL/approx sketch (sketch_kll
+    // _quantiles) with the same downstream algebra.
+    Q("vec_clip_outliers",
+      """WITH x AS (SELECT unnest(range(0, len(embedding))) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |q AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    quantile_cont(x, 0.05) AS p05,
+        |    quantile_cont(x, 0.95) AS p95
+        |  FROM x GROUP BY 1)
+        |SELECT CAST(q.dim AS INT) AS dim, q.n,
+        |  round(q.p05, 4) AS p05, round(q.p95, 4) AS p95,
+        |  CAST(sum(CASE WHEN x.x < q.p05 OR x.x > q.p95
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        |  round(sum(CASE WHEN x.x < q.p05 OR x.x > q.p95
+        |    THEN 1 ELSE 0 END) / CAST(q.n AS DOUBLE), 4) AS clip_frac
+        |FROM x JOIN q ON q.dim = x.dim
+        |GROUP BY q.dim, q.n, q.p05, q.p95
+        |ORDER BY dim""") { (s, d) =>
+      val x = Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim"), col("x").cast("double").as("x"))
+      val q = x.groupBy(col("dim"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          expr("percentile(x, 0.05)").as("p05"),
+          expr("percentile(x, 0.95)").as("p95"))
+      x.join(broadcast(q), Seq("dim"))
+        .groupBy(col("dim"), col("n"), col("p05"), col("p95"))
+        .agg(sum(when(col("x") < col("p05") || col("x") > col("p95"), 1)
+            .otherwise(0)).cast("long").as("n_clipped"),
+          round(sum(when(col("x") < col("p05") || col("x") > col("p95"), 1)
+            .otherwise(0)) / col("n").cast("double"), 4).as("clip_frac"))
+        .select(col("dim").cast("int").as("dim"), col("n"),
+          round(col("p05"), 4).as("p05"), round(col("p95"), 4).as("p95"),
+          col("n_clipped"), col("clip_frac"))
+        .orderBy(col("dim"))
     })
 }

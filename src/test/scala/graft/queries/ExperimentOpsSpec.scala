@@ -1,0 +1,234 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import java.sql.Timestamp
+
+/** Mathematical laws for the experimentation / signal-processing
+  * operator additions on planted fixtures: Welch's t matches the
+  * closed form on a hand-split cohort, perfectly separated arms give
+  * U = 0, a y = 2x covariate makes CUPED equalize the arms at θ = 2,
+  * a monotone nation ladder gives Kendall τ_b = 1, a constant series
+  * never breaks a Bollinger band, identical series correlate at 1, a
+  * level jump produces exactly one SMA crossover, a 1..16 token ramp
+  * wastes exactly 1 pad token per 2-doc bucket, MERGE decodes all
+  * five action arms, and a linear dimension clips exactly its two
+  * tail values. */
+class ExperimentOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = Timestamp.valueOf("2024-01-01 12:00:00")
+  private def plusDays(t: Timestamp, days: Int): Timestamp =
+    new Timestamp(t.getTime + days * 24L * 3600L * 1000L)
+  private def tempDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  /** The queries' hash-arm law, replicated: md5(user_id) nibble < '8'. */
+  private def arm(userId: Long): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(userId.toString.getBytes("UTF-8"))
+    if (Character.digit((f"${d(0)}%02x").charAt(0), 16) < 8) "A" else "B"
+  }
+
+  private def writeEvents(d: String,
+      rows: Seq[(Long, Timestamp, Long, String, Double, String)]): Unit =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+
+  test("eval_ttest_welch matches the closed form on a hand-split cohort") {
+    val d = tempDir("ttw")
+    // one event per user; per-arm values alternate so variance > 0.
+    val users = (0L until 40L).toSeq
+    val rows = users.zipWithIndex.map { case (u, i) =>
+      val base = if (arm(u) == "A") 100.0 else 140.0
+      (i.toLong, t0, u, "view", base + (u % 2) * 20.0, "{}")
+    }
+    writeEvents(d, rows)
+    val byArm = users.groupBy(arm).map { case (a, us) =>
+      a -> us.map(u => (if (a == "A") 100.0 else 140.0) + (u % 2) * 20.0)
+    }
+    def mv(xs: Seq[Double]): (Double, Double) = {
+      val n = xs.size; val m = xs.sum / n
+      (m, xs.map(x => (x - m) * (x - m)).sum / (n - 1))
+    }
+    val (ma, va) = mv(byArm("A")); val (mb, vb) = mv(byArm("B"))
+    val na = byArm("A").size; val nb = byArm("B").size
+    val expT = (ma - mb) / math.sqrt(va / na + vb / nb)
+    val r = SparkEntry.queries("eval_ttest_welch")(spark, d).collect().head
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+    // outputs are round(x, 4): allow the rounding half-ulp
+    assert(math.abs(r.getAs[Double]("mean_a") - ma) < 6e-5)
+    assert(math.abs(r.getAs[Double]("t_stat") - expT) < 1e-3)
+    assert(r.getAs[Boolean]("significant") == (math.abs(expT) > 1.96))
+  }
+
+  test("eval_mannwhitney: perfectly separated arms give U = 0 and z < 0") {
+    val d = tempDir("mwu")
+    // A users' integer metric (floor(spend/100)) = 1, B users' = 10.
+    val users = (0L until 30L).toSeq
+    val rows = users.zipWithIndex.map { case (u, i) =>
+      (i.toLong, t0, u, "view", if (arm(u) == "A") 100.0 else 1000.0, "{}")
+    }
+    writeEvents(d, rows)
+    val na = users.count(arm(_) == "A"); val nb = users.size - na
+    val r = SparkEntry.queries("eval_mannwhitney")(spark, d).collect().head
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+    assert(r.getAs[Double]("u_stat") == 0.0)
+    assert(r.getAs[Double]("z_stat") < 0)
+    assert(r.getAs[Boolean]("significant"))
+  }
+
+  test("eval_cuped: a y = 2x covariate gives theta = 2 and equal adjusted arms") {
+    val d = tempDir("cuped")
+    // pre-period event value x_u, post-period 2*x_u: theta = 2 exactly
+    // and both arms' adjusted means collapse to 2*E[x].
+    val pre = Timestamp.valueOf("2024-01-05 00:00:00")
+    val post = Timestamp.valueOf("2024-01-20 00:00:00")
+    val users = (0L until 24L).toSeq
+    val rows = users.zipWithIndex.flatMap { case (u, i) =>
+      val x = 10.0 + u
+      Seq((2L * i, pre, u, "view", x, "{}"),
+        (2L * i + 1, post, u, "view", 2 * x, "{}"))
+    }
+    writeEvents(d, rows)
+    val out = SparkEntry.queries("eval_cuped")(spark, d).collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Double]("theta") == 2.0))
+    val adj = out.map(_.getAs[Double]("mean_cuped")).distinct
+    assert(adj.length == 1)
+    val xbar = users.map(10.0 + _).sum / users.size
+    assert(math.abs(adj.head - 2 * xbar) < 1e-6)
+  }
+
+  test("eval_kendall_tau = 1 on a perfectly concordant nation ladder") {
+    val d = tempDir("ktau")
+    // nation k has k+1 customers of acctbal 10 each: x and y both
+    // strictly increase in k -> every pair concordant.
+    val rows = for {
+      k <- 0 until 6
+      c <- 0 to k
+    } yield ((k * 10 + c).toLong, k.toLong, 10.0)
+    rows.toDF("c_custkey", "c_nationkey", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    val r = SparkEntry.queries("eval_kendall_tau")(spark, d).collect().head
+    assert(r.getAs[Long]("n_pairs") == 15)
+    assert(r.getAs[Long]("concordant") == 15)
+    assert(r.getAs[Long]("discordant") == 0)
+    assert(r.getAs[Double]("tau_b") == 1.0)
+  }
+
+  test("eval_power_mde: powered flag is consistent with mde on the fixture") {
+    val r = SparkEntry.queries("eval_power_mde")(
+      spark, "/root/testdata/sf0.001").collect().head
+    assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+    assert(r.getAs[Double]("mde_abs") > 0)
+    val delta = math.abs(r.getAs[Double]("rate_a") - r.getAs[Double]("rate_b"))
+    // rounded outputs: allow the boundary slack of one rounding ulp
+    val mde = r.getAs[Double]("mde_abs")
+    if (delta > mde + 2e-4) assert(r.getAs[Boolean]("powered"))
+    if (delta < mde - 2e-4) assert(!r.getAs[Boolean]("powered"))
+  }
+
+  test("ts_bollinger: a constant series never breaks the band") {
+    val d = tempDir("boll")
+    val rows = (0 until 10).map(day =>
+      (day.toLong, plusDays(t0, day), 1L, "purchase", 100.0, "{}"))
+    writeEvents(d, rows)
+    val out = SparkEntry.queries("ts_bollinger")(spark, d).collect()
+    assert(out.length == 4) // rows 7..10 have a full 7-day frame
+    out.foreach { r =>
+      assert(r.getAs[Double]("sma7") == 100.0)
+      assert(r.getAs[Double]("sd7") == 0.0)
+      assert(!r.getAs[Boolean]("breakout"))
+    }
+  }
+
+  test("ts_rolling_corr = 1 when click and purchase series are identical") {
+    val d = tempDir("rcorr")
+    val rows = for {
+      day <- 0 until 10
+      ev <- Seq("click", "purchase")
+      k <- 0 to day // day i has i+1 of each type: non-constant windows
+    } yield ((day * 100 + k).toLong + (if (ev == "click") 0 else 5000),
+      plusDays(t0, day), 1L, ev, 1.0, "{}")
+    writeEvents(d, rows)
+    val out = SparkEntry.queries("ts_rolling_corr")(spark, d).collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.getAs[Long]("clicks") == r.getAs[Long]("purchases"))
+      assert(r.getAs[Double]("corr7") == 1.0)
+    }
+  }
+
+  test("ts_sma_crossover: one level jump yields exactly one upward cross") {
+    val d = tempDir("smax")
+    val rows = (0 until 30).map(day =>
+      (day.toLong, plusDays(t0, day), 1L, "view",
+        if (day < 20) 10.0 else 100.0, "{}"))
+    writeEvents(d, rows)
+    val out = SparkEntry.queries("ts_sma_crossover")(spark, d).collect()
+    assert(out.length == 16) // days 15..30
+    val crosses = out.filter(_.getAs[Boolean]("crossover"))
+    assert(crosses.length == 1)
+    assert(crosses.head.getAs[Boolean]("golden"))
+    // before the jump the fast and slow averages tie -> golden false
+    assert(!out.head.getAs[Boolean]("golden"))
+  }
+
+  test("pipe_length_buckets: a 1..16 token ramp wastes 1 token per bucket") {
+    val d = tempDir("lbuck")
+    val rows = (1 to 16).map(i =>
+      (i.toLong, Seq.fill(i)("w").mkString(" "), "en", "s", i.toLong))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("pipe_length_buckets")(spark, d).collect()
+    assert(out.length == 8)
+    out.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      assert(r.getAs[Long]("n_docs") == 2)
+      assert(r.getAs[Long]("min_tok") == 2 * b - 1)
+      assert(r.getAs[Long]("max_tok") == 2 * b)
+      assert(r.getAs[Long]("pad_waste") == 1)
+    }
+  }
+
+  test("rel_merge_upsert decodes all five MERGE arms") {
+    val d = tempDir("merge")
+    // base keys 0, 11, 99; users 0 (delete), 1 (update 11),
+    // 3 (insert 33), 5 ending in error with no base row (noop 55).
+    Seq((0L, 50.0), (11L, 60.0), (99L, 70.0))
+      .toDF("c_custkey", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    val rows = Seq(
+      (1L, t0, 0L, "purchase", 10.0, "{}"),
+      (2L, plusDays(t0, 1), 0L, "error", 1.0, "{}"),
+      (3L, t0, 1L, "purchase", 25.0, "{}"),
+      (4L, t0, 3L, "view", 40.0, "{}"),
+      (5L, t0, 5L, "error", 2.0, "{}"))
+    writeEvents(d, rows)
+    val out = SparkEntry.queries("rel_merge_upsert")(spark, d).collect()
+      .map(r => r.getAs[Long]("key") ->
+        ((r.getAs[String]("action"), Option(r.getAs[Any]("balance")))))
+      .toMap
+    assert(out(0L)._1 == "delete" && out(0L)._2.isEmpty)
+    assert(out(11L) == (("update", Some(85.0))))
+    assert(out(33L) == (("insert", Some(40.0))))
+    assert(out(55L)._1 == "noop" && out(55L)._2.isEmpty)
+    assert(out(99L) == (("keep", Some(70.0))))
+  }
+
+  test("vec_clip_outliers: a linear dim clips its two tails, a constant dim none") {
+    val d = tempDir("clip")
+    val rows = (1 to 20).map(i =>
+      (i.toLong, Array(i.toFloat, 5.0f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = SparkEntry.queries("vec_clip_outliers")(spark, d).collect()
+    assert(out.length == 2)
+    val d0 = out.find(_.getAs[Int]("dim") == 0).get
+    assert(d0.getAs[Long]("n_clipped") == 2) // the 1 and the 20
+    assert(d0.getAs[Double]("clip_frac") == 0.1)
+    val d1 = out.find(_.getAs[Int]("dim") == 1).get
+    assert(d1.getAs[Long]("n_clipped") == 0)
+    assert(d1.getAs[Double]("p05") == 5.0 && d1.getAs[Double]("p95") == 5.0)
+  }
+}
