@@ -1549,6 +1549,179 @@ object EvalQueries {
           nullif(abs(col("pa") - col("pb")) * abs(col("pa") - col("pb")),
             lit(0d))).cast("long").as("n_required"),
         (abs(col("pa") - col("pb")) >= mde).as("powered"))
+    },
+
+    // PAIRED t-TEST on per-user pre→post spend deltas — the
+    // within-subject design (each user is their own control), which
+    // eliminates between-user variance entirely rather than modeling it
+    // away (CUPED's regression form). The difference series d_u = y−x
+    // is an exact decimal per user; (n, Σd, Σd²) stay decimal to the
+    // final t = d̄/(s_d/√n). One user rollup + one scalar aggregate.
+    Q("eval_ttest_paired",
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN epoch(ts) < 1705363200
+        |      THEN CAST("value" AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS x,
+        |    CAST(sum(CASE WHEN epoch(ts) >= 1705363200
+        |      THEN CAST("value" AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS y
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT count(*) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum((y - x) * (y - x)) AS DOUBLE) AS sdd
+        |  FROM u),
+        |v AS (SELECT n, sx / n AS mx, sy / n AS my,
+        |    (sy - sx) / n AS md,
+        |    (sdd - (sy - sx) * (sy - sx) / n) / (n - 1) AS vd
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n_pairs,
+        |  round(mx, 4) AS mean_pre, round(my, 4) AS mean_post,
+        |  round(md, 4) AS mean_diff,
+        |  round(md / nullif(sqrt(vd / n), 0), 4) AS t_stat,
+        |  CAST(abs(md / nullif(sqrt(vd / n), 0)) > 1.96 AS BOOLEAN)
+        |    AS significant
+        |FROM v""") { (s, d) =>
+      val dec = col("value").cast("decimal(18,4)")
+      val zero = lit(0).cast("decimal(18,4)")
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(unix_timestamp(col("ts")) < 1705363200L, dec)
+            .otherwise(zero)).cast("decimal(18,4)").as("x"),
+          sum(when(unix_timestamp(col("ts")) >= 1705363200L, dec)
+            .otherwise(zero)).cast("decimal(18,4)").as("y"))
+      val m = u.agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum((col("y") - col("x")) * (col("y") - col("x")))
+          .cast("double").as("sdd"))
+      val v = m.select(col("n"),
+        (col("sx") / col("n")).as("mx"),
+        (col("sy") / col("n")).as("my"),
+        ((col("sy") - col("sx")) / col("n")).as("md"),
+        ((col("sdd") - (col("sy") - col("sx")) * (col("sy") - col("sx"))
+          / col("n")) / (col("n") - 1)).as("vd"))
+      val t = col("md") / nullif(sqrt(col("vd") / col("n")), lit(0d))
+      v.select(col("n").cast("long").as("n_pairs"),
+        round(col("mx"), 4).as("mean_pre"),
+        round(col("my"), 4).as("mean_post"),
+        round(col("md"), 4).as("mean_diff"),
+        round(t, 4).as("t_stat"),
+        (abs(t) > 1.96).as("significant"))
+    },
+
+    // DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator for
+    // a rollout without randomization: treated (arm A) vs control (B)
+    // change across the pre/post boundary, DiD = (Ā_post − Ā_pre) −
+    // (B̄_post − B̄_pre). The 2×2 cell means come from ONE (arm,
+    // period) rollup of exact decimal event sums; the estimate is
+    // scalar algebra on four cells. Parallel-trends is the analyst's
+    // assumption — the operator's job is the exact cell arithmetic.
+    Q("eval_diff_in_diff",
+      """WITH c AS (SELECT
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS arm,
+        |    CASE WHEN epoch(ts) < 1705363200 THEN 'pre' ELSE 'post' END
+        |      AS period,
+        |    count(*) AS n,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT
+        |    max(CASE WHEN arm = 'A' AND period = 'pre' THEN sv / n END)
+        |      AS a_pre,
+        |    max(CASE WHEN arm = 'A' AND period = 'post' THEN sv / n END)
+        |      AS a_post,
+        |    max(CASE WHEN arm = 'B' AND period = 'pre' THEN sv / n END)
+        |      AS b_pre,
+        |    max(CASE WHEN arm = 'B' AND period = 'post' THEN sv / n END)
+        |      AS b_post
+        |  FROM c)
+        |SELECT round(a_pre, 4) AS mean_a_pre,
+        |  round(a_post, 4) AS mean_a_post,
+        |  round(b_pre, 4) AS mean_b_pre,
+        |  round(b_post, 4) AS mean_b_post,
+        |  round((a_post - a_pre) - (b_post - b_pre), 4) AS did_estimate
+        |FROM w""") { (s, d) =>
+      val c = Tables.events(s, d)
+        .groupBy(
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+            .otherwise("B").as("arm"),
+          when(unix_timestamp(col("ts")) < 1705363200L, "pre")
+            .otherwise("post").as("period"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sv"))
+      def cell(a: String, p: String) =
+        max(when(col("arm") === a && col("period") === p,
+          col("sv") / col("n")))
+      val w = c.agg(cell("A", "pre").as("a_pre"),
+        cell("A", "post").as("a_post"),
+        cell("B", "pre").as("b_pre"),
+        cell("B", "post").as("b_post"))
+      w.select(round(col("a_pre"), 4).as("mean_a_pre"),
+        round(col("a_post"), 4).as("mean_a_post"),
+        round(col("b_pre"), 4).as("mean_b_pre"),
+        round(col("b_post"), 4).as("mean_b_post"),
+        round((col("a_post") - col("a_pre"))
+          - (col("b_post") - col("b_pre")), 4).as("did_estimate"))
+    },
+
+    // HETEROGENEOUS TREATMENT EFFECT by spend segment — the per-segment
+    // lift table behind "who did the experiment actually move?": users
+    // quartile by total spend (fully tie-broken NTILE over the USER
+    // aggregate, same discipline as rfm_segments), then per segment the
+    // two arms' conversion rates and lift. The global NTILE runs over
+    // users (≪ events); everything else is exact integer counts, so at
+    // 100 TB the sort input is the user dimension and the quartile cut
+    // would swap for sketch quantiles like pipe_length_buckets.
+    Q("eval_hte_segments",
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DECIMAL(18,4))
+        |      AS spend,
+        |    max(CASE WHEN event_type = 'purchase' AND "value" > 150
+        |      THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2),
+        |q AS (SELECT user_id, arm, conv,
+        |    CAST(ntile(4) OVER (ORDER BY spend, user_id) AS INT)
+        |      AS segment
+        |  FROM u),
+        |g AS (SELECT segment,
+        |    sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS ca,
+        |    sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS nb,
+        |    sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS cb
+        |  FROM q GROUP BY 1)
+        |SELECT segment, CAST(na AS BIGINT) AS users_a,
+        |  CAST(nb AS BIGINT) AS users_b,
+        |  round(ca / CAST(na AS DOUBLE), 4) AS rate_a,
+        |  round(cb / CAST(nb AS DOUBLE), 4) AS rate_b,
+        |  round(ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE), 4)
+        |    AS lift
+        |FROM g ORDER BY segment""") { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+            .otherwise("B").as("arm"))
+        .agg(sum(col("value").cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("spend"),
+          max(when(col("event_type") === "purchase" && col("value") > 150,
+            1).otherwise(0)).as("conv"))
+      val q = u.withColumn("segment",
+        ntile(4).over(Window.orderBy(col("spend"), col("user_id")))
+          .cast("int"))
+      val g = q.groupBy(col("segment"))
+        .agg(sum(when(col("arm") === "A", 1).otherwise(0)).as("na"),
+          sum(when(col("arm") === "A", col("conv")).otherwise(0)).as("ca"),
+          sum(when(col("arm") === "B", 1).otherwise(0)).as("nb"),
+          sum(when(col("arm") === "B", col("conv")).otherwise(0)).as("cb"))
+      g.select(col("segment"), col("na").cast("long").as("users_a"),
+        col("nb").cast("long").as("users_b"),
+        round(col("ca") / col("na").cast("double"), 4).as("rate_a"),
+        round(col("cb") / col("nb").cast("double"), 4).as("rate_b"),
+        round(col("ca") / col("na").cast("double")
+          - col("cb") / col("nb").cast("double"), 4).as("lift"))
+        .orderBy(col("segment"))
     }
   )
 }

@@ -1199,5 +1199,62 @@ object TemporalQueries {
           coalesce(col("golden") =!= lag(col("golden"), 1)
             .over(Window.orderBy(col("day"))), lit(false)).as("crossover"))
         .orderBy(col("day"))
+    },
+
+    // DRAWDOWN series over the cumulative daily net value (purchases
+    // positive, errors negative — a series that can actually fall):
+    // running peak, per-day drawdown from peak, and the underwater
+    // flag. Max drawdown is THE risk statistic for any cumulative KPI
+    // (revenue net of refunds, model-quality score, cache hit rate).
+    // Both cumulative sum and running max are windows over EXACT
+    // decimals, so peak/cum comparisons are bit-stable; only the final
+    // ratio touches floats. Day-grained window after one corpus rollup,
+    // same scale shape as the rest of the ts_* family.
+    Q("ts_drawdown",
+      """WITH dt AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST("value" AS DECIMAL(18,4))
+        |      WHEN event_type = 'error'
+        |        THEN -CAST("value" AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS net
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT day, net,
+        |    sum(net) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM dt),
+        |p AS (SELECT day, net, cum,
+        |    max(cum) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM c)
+        |SELECT day, round(CAST(net AS DOUBLE), 2) AS net,
+        |  round(CAST(cum AS DOUBLE), 2) AS cum,
+        |  round(CAST(peak AS DOUBLE), 2) AS peak,
+        |  round(CAST(peak - cum AS DOUBLE), 2) AS drawdown,
+        |  round(CAST(peak - cum AS DOUBLE)
+        |    / nullif(CAST(peak AS DOUBLE), 0), 4) + 0.0 AS drawdown_frac,
+        |  CAST(cum < peak AS BOOLEAN) AS underwater
+        |FROM p ORDER BY day""") { (s, d) =>
+      val dec = col("value").cast("decimal(18,4)")
+      val dt = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(sum(when(col("event_type") === "purchase", dec)
+            .when(col("event_type") === "error", -dec)
+            .otherwise(lit(0).cast("decimal(18,4)")))
+          .cast("decimal(18,4)").as("net"))
+      val cumw = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val p = dt
+        .withColumn("cum", sum(col("net")).over(cumw))
+        .withColumn("peak", max(col("cum")).over(cumw))
+      p.select(col("day"),
+          round(col("net").cast("double"), 2).as("net"),
+          round(col("cum").cast("double"), 2).as("cum"),
+          round(col("peak").cast("double"), 2).as("peak"),
+          round((col("peak") - col("cum")).cast("double"), 2).as("drawdown"),
+          (round((col("peak") - col("cum")).cast("double") /
+            nullif(col("peak").cast("double"), lit(0d)), 4) + lit(0.0))
+            .as("drawdown_frac"),
+          (col("cum") < col("peak")).as("underwater"))
+        .orderBy(col("day"))
     })
 }

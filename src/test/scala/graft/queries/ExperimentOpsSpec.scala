@@ -216,6 +216,82 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(out(99L) == (("keep", Some(70.0))))
   }
 
+  test("eval_ttest_paired: alternating +4/+6 deltas give mean_diff 5 and the closed-form t") {
+    val d = tempDir("tpair")
+    val pre = Timestamp.valueOf("2024-01-05 00:00:00")
+    val post = Timestamp.valueOf("2024-01-20 00:00:00")
+    val users = (0L until 20L).toSeq
+    val rows = users.zipWithIndex.flatMap { case (u, i) =>
+      Seq((2L * i, pre, u, "view", 10.0 + u, "{}"),
+        (2L * i + 1, post, u, "view", 10.0 + u + 4 + (u % 2) * 2, "{}"))
+    }
+    writeEvents(d, rows)
+    val diffs = users.map(u => 4.0 + (u % 2) * 2)
+    val n = diffs.size; val md = diffs.sum / n
+    val vd = diffs.map(x => (x - md) * (x - md)).sum / (n - 1)
+    val expT = md / math.sqrt(vd / n)
+    val r = SparkEntry.queries("eval_ttest_paired")(spark, d).collect().head
+    assert(r.getAs[Long]("n_pairs") == n)
+    assert(r.getAs[Double]("mean_diff") == 5.0)
+    assert(math.abs(r.getAs[Double]("t_stat") - expT) < 1e-3)
+  }
+
+  test("eval_diff_in_diff recovers a planted 2x2 effect of exactly 10") {
+    val d = tempDir("did")
+    val pre = Timestamp.valueOf("2024-01-05 00:00:00")
+    val post = Timestamp.valueOf("2024-01-20 00:00:00")
+    val users = (0L until 20L).toSeq
+    val rows = users.zipWithIndex.flatMap { case (u, i) =>
+      val (vPre, vPost) = if (arm(u) == "A") (10.0, 30.0) else (10.0, 20.0)
+      Seq((2L * i, pre, u, "view", vPre, "{}"),
+        (2L * i + 1, post, u, "view", vPost, "{}"))
+    }
+    writeEvents(d, rows)
+    val r = SparkEntry.queries("eval_diff_in_diff")(spark, d).collect().head
+    assert(r.getAs[Double]("mean_a_pre") == 10.0)
+    assert(r.getAs[Double]("mean_a_post") == 30.0)
+    assert(r.getAs[Double]("mean_b_post") == 20.0)
+    assert(r.getAs[Double]("did_estimate") == 10.0)
+  }
+
+  test("eval_hte_segments: one planted (A,B) pair per quartile gives lift 1 everywhere") {
+    val d = tempDir("hte")
+    // pick 4 A-users and 4 B-users, pair them with equal spend so each
+    // quartile holds exactly one converting A and one non-converting B.
+    val (as, bs) = (0L until 100L).partition(arm(_) == "A")
+    val pairs = as.take(4).zip(bs.take(4))
+    val rows = pairs.zipWithIndex.flatMap { case ((a, b), k) =>
+      // A converts: one purchase of 200 + filler to pin spend bucket k
+      Seq((10L * k, t0, a, "purchase", 200.0 + 100 * k, "{}"),
+        (10L * k + 1, t0, b, "view", 200.0 + 100 * k, "{}"))
+    }
+    writeEvents(d, rows)
+    val out = SparkEntry.queries("eval_hte_segments")(spark, d).collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.getAs[Long]("users_a") == 1 && r.getAs[Long]("users_b") == 1)
+      assert(r.getAs[Double]("rate_a") == 1.0)
+      assert(r.getAs[Double]("rate_b") == 0.0)
+      assert(r.getAs[Double]("lift") == 1.0)
+    }
+  }
+
+  test("ts_drawdown: an error day dips underwater, recovery resets the peak") {
+    val d = tempDir("ddown")
+    val rows = Seq(
+      (0L, plusDays(t0, 0), 1L, "purchase", 100.0, "{}"),
+      (1L, plusDays(t0, 1), 1L, "error", 30.0, "{}"),
+      (2L, plusDays(t0, 2), 1L, "purchase", 50.0, "{}"))
+    writeEvents(d, rows)
+    val out = SparkEntry.queries("ts_drawdown")(spark, d).collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Double]("cum")).toSeq == Seq(100.0, 70.0, 120.0))
+    assert(out.map(_.getAs[Double]("peak")).toSeq == Seq(100.0, 100.0, 120.0))
+    assert(out.map(_.getAs[Double]("drawdown")).toSeq == Seq(0.0, 30.0, 0.0))
+    assert(out.map(_.getAs[Boolean]("underwater")).toSeq ==
+      Seq(false, true, false))
+  }
+
   test("vec_clip_outliers: a linear dim clips its two tails, a constant dim none") {
     val d = tempDir("clip")
     val rows = (1 to 20).map(i =>
