@@ -953,6 +953,68 @@ object StreamingQueries {
             .as("n_anomalies"),
           min(when(abs(col("mz")) > 3.5, col("day"))).as("first_anomaly"))
         .orderBy(col("event_type"))
+    },
+
+    // STREAMING A/B experiment monitor — the live twin of eval_ab_ztest
+    // (same oracle): the stream maintains the per-(user, arm) converted
+    // flag in complete-mode aggregation state (one row per user — the
+    // exact state a production experiment dashboard tails), and the
+    // two-proportion z algebra runs on the completed user table — the
+    // stream_psi lambda split. The decision statistic over the replay
+    // must equal the batch test bit-for-bit; in deployment the same
+    // query reports a continuously-updating z as traffic arrives.
+    Q("stream_ab_monitor",
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS arm,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150
+        |      THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT arm, count(*) AS n, sum(conv) AS c FROM u GROUP BY 1),
+        |w AS (SELECT
+        |    max(CASE WHEN arm = 'A' THEN n END) AS na,
+        |    max(CASE WHEN arm = 'A' THEN c END) AS ca,
+        |    max(CASE WHEN arm = 'B' THEN n END) AS nb,
+        |    max(CASE WHEN arm = 'B' THEN c END) AS cb
+        |  FROM g)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+        |  CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+        |  round(ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE), 4)
+        |    AS lift,
+        |  round((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))
+        |    / nullif(sqrt(((ca + cb) / CAST(na + nb AS DOUBLE))
+        |      * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
+        |      * (1.0 / na + 1.0 / nb)), 0), 4) AS z_stat,
+        |  CAST(abs((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))
+        |    / nullif(sqrt(((ca + cb) / CAST(na + nb AS DOUBLE))
+        |      * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
+        |      * (1.0 / na + 1.0 / nb)), 0)) > 1.96 AS BOOLEAN) AS significant
+        |FROM w""") { (s, d) =>
+      val u = runToTable(s, d, "complete") { src =>
+        src.groupBy(col("user_id"),
+            when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+              "A").otherwise("B").as("arm"))
+          .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 150, 1).otherwise(0)).as("conv"))
+      }.localCheckpoint(true)
+      val w = u.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+        .agg(max(when(col("arm") === "A", col("n"))).as("na"),
+          max(when(col("arm") === "A", col("c"))).as("ca"),
+          max(when(col("arm") === "B", col("n"))).as("nb"),
+          max(when(col("arm") === "B", col("c"))).as("cb"))
+      val pa = col("ca") / col("na").cast("double")
+      val pb = col("cb") / col("nb").cast("double")
+      val pp = (col("ca") + col("cb")) / (col("na") + col("nb")).cast("double")
+      val z = (pa - pb) / nullif(sqrt(pp * (lit(1) - pp) *
+        (lit(1.0) / col("na") + lit(1.0) / col("nb"))), lit(0d))
+      w.select(col("na").cast("long").as("n_a"),
+        col("ca").cast("long").as("conv_a"),
+        col("nb").cast("long").as("n_b"),
+        col("cb").cast("long").as("conv_b"),
+        round(pa - pb, 4).as("lift"),
+        round(z, 4).as("z_stat"),
+        (abs(z) > 1.96).as("significant"))
     })
 
   /** Staging key for dataset `d`: md5 over the ABSOLUTE PATH plus the

@@ -292,6 +292,14 @@ class ExperimentOpsSpec extends SparkSpec {
       Seq(false, true, false))
   }
 
+  test("stream_ab_monitor replay equals the batch z-test row exactly") {
+    val d = "/root/testdata/sf0.001"
+    val st = SparkEntry.queries("stream_ab_monitor")(spark, d).collect()
+    val bt = SparkEntry.queries("eval_ab_ztest")(spark, d).collect()
+    assert(st.length == 1 && bt.length == 1)
+    assert(st.head == bt.head)
+  }
+
   test("vec_clip_outliers: a linear dim clips its two tails, a constant dim none") {
     val d = tempDir("clip")
     val rows = (1 to 20).map(i =>
