@@ -69,7 +69,11 @@ class PlanHygieneSpec extends SparkSpec {
     "vec_matryoshka_eval", // corpus x broadcast 8-query set (both retrievers)
     "eval_ece",            // 10 bin rows x broadcast 1-row grand total
     "vec_ivf_recall_curve", // corpus x broadcast 10-query truth side
-    "sim_index_balance"    // cell rows x broadcast 1-row (N, k) scalars
+    "sim_index_balance",   // cell rows x broadcast 1-row (N, k) scalars
+    "eval_cuped",          // 2 arm rows x broadcast 1-row (theta, xbar)
+    "eval_mannwhitney",    // 1-row rank stats x broadcast 1-row (na, nb)
+    "eval_kendall_tau"     // |nations|² theta self-join on the AGGREGATED
+                           // relation (25 rows) — collapse-then-quadratic
   )
 
   private def offenders(name: String): Seq[String] = {
