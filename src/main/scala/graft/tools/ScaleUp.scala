@@ -108,6 +108,18 @@ object ScaleUp {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
+    // customer for the linkage/merge/concordance family (rel_merge
+    // _upsert, eval_kendall_tau): custkey remaps per replica (disjoint
+    // key spaces, same discipline as orders' o_custkey); nationkey
+    // stays — nation is a fixed dimension, so 10× data means 10× the
+    // customers per nation (the density growth axis), not 10× nations.
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    cust.crossJoin(broadcast(reps))
+      .withColumn("c_custkey", col("c_custkey") + col("r") * 10000000L)
+      .drop("r")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+
     println(s"scaled x$factor -> $out: docs=" +
       spark.read.parquet(s"$out/documents.parquet").count() +
       " embeddings=" + spark.read.parquet(s"$out/embeddings.parquet").count() +
