@@ -886,5 +886,48 @@ object AnalyticQueries {
           round(mean - lit(1.96) * se, 4).as("ci_lo"),
           round(mean + lit(1.96) * se, 4).as("ci_hi"))
         .orderBy(col("arm"))
+    },
+
+    // WINSORIZED MEAN per return flag — clamp to the exact [p05, p95]
+    // band then average, the robust-mean alternative to
+    // agg_trimmed_mean that KEEPS the tail rows (at their clamped
+    // value) instead of dropping them — the standard estimator for
+    // revenue metrics where discarding whales biases low. The clamped
+    // values round to 4 decimals (finer than the data's cent scale)
+    // then quantize to decimal for the order-free sum, so the mean is
+    // bit-stable. Two passes at corpus scale: the per-group exact
+    // percentile (KLL sketch at 100 TB) and one clamp+rollup with the
+    // 3-row band broadcast back.
+    Q("agg_winsorized_mean",
+      """WITH q AS (SELECT l_returnflag AS rf,
+        |    quantile_cont(l_extendedprice, 0.05) AS p05,
+        |    quantile_cont(l_extendedprice, 0.95) AS p95
+        |  FROM lineitem GROUP BY 1),
+        |w AS (SELECT l.l_returnflag AS rf, q.p05, q.p95,
+        |    CAST(round(least(greatest(l.l_extendedprice, q.p05), q.p95), 4)
+        |      AS DECIMAL(28,12)) AS xw
+        |  FROM lineitem l JOIN q ON q.rf = l.l_returnflag)
+        |SELECT rf AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  round(max(p05), 4) AS p05, round(max(p95), 4) AS p95,
+        |  round(CAST(sum(xw) AS DOUBLE) / count(*), 4) AS winsorized_mean
+        |FROM w GROUP BY rf ORDER BY rf""") { (s, d) =>
+      val q = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("rf"))
+        .agg(expr("percentile(l_extendedprice, 0.05)").as("p05"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      Tables.lineitem(s, d)
+        .join(broadcast(q), col("l_returnflag") === col("rf"))
+        .select(col("rf"), col("p05"), col("p95"),
+          round(least(greatest(col("l_extendedprice"), col("p05")),
+            col("p95")), 4).cast("decimal(28,12)").as("xw"))
+        .groupBy(col("rf"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(max(col("p05")), 4).as("p05"),
+          round(max(col("p95")), 4).as("p95"),
+          round(sum(col("xw")).cast("double") / count(lit(1)), 4)
+            .as("winsorized_mean"))
+        .select(col("rf").as("l_returnflag"), col("n"), col("p05"),
+          col("p95"), col("winsorized_mean"))
+        .orderBy(col("l_returnflag"))
     })
 }

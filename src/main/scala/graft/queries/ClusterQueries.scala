@@ -1162,5 +1162,93 @@ object ClusterQueries {
           round(col("shared") / (col("d1") + col("d2") - col("shared"))
             .cast("double"), 4).as("jaccard"))
         .orderBy(col("c1"), col("c2"))
+    },
+
+    // PERSONALIZED PAGERANK from a seed set — "related items for THESE
+    // products": restart mass concentrates on the seeds (every 100th
+    // part), 3 unrolled degree-normalized power iterations over the
+    // derive-once co-purchase edges. The recommendation twin of
+    // graph_pagerank (whose restart is uniform). Determinism is the
+    // pagerank discipline: per-edge contributions r/deg quantize to
+    // DECIMAL(38,15) before each order-free sum, the output
+    // floor-quantizes at 1e-6, and every iteration's input is
+    // therefore bit-identical in both engines. Scale: 3 × (edge-keyed
+    // join + vertex rollup) — linear in edges, no adjacency matrix,
+    // no driver state; the restart vector is a 1-row broadcast scalar.
+    Q("graph_ppr",
+      """WITH e0 AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT p1, p2 FROM e0 UNION ALL SELECT p2, p1 FROM e0),
+        |deg AS (SELECT p1 AS x, CAST(count(*) AS DOUBLE) AS dg
+        |  FROM e GROUP BY 1),
+        |sn AS (SELECT count(*) AS ns FROM part WHERE p_partkey % 100 = 0),
+        |r0 AS (SELECT p_partkey AS x,
+        |    CASE WHEN p_partkey % 100 = 0 THEN 1.0 / sn.ns ELSE 0.0 END AS r
+        |  FROM part CROSS JOIN sn),
+        |m1 AS (SELECT e.p2 AS x,
+        |    CAST(sum(CAST(r.r / deg.dg AS DECIMAL(38,15))) AS DOUBLE) AS m
+        |  FROM r0 r JOIN e ON e.p1 = r.x JOIN deg ON deg.x = e.p1
+        |  WHERE r.r <> 0 GROUP BY 1),
+        |r1 AS (SELECT r0.x,
+        |    0.15 * (CASE WHEN r0.x % 100 = 0 THEN 1.0 / sn.ns ELSE 0 END)
+        |      + 0.85 * coalesce(m1.m, 0.0) AS r
+        |  FROM r0 LEFT JOIN m1 ON m1.x = r0.x CROSS JOIN sn),
+        |m2 AS (SELECT e.p2 AS x,
+        |    CAST(sum(CAST(r.r / deg.dg AS DECIMAL(38,15))) AS DOUBLE) AS m
+        |  FROM r1 r JOIN e ON e.p1 = r.x JOIN deg ON deg.x = e.p1
+        |  WHERE r.r <> 0 GROUP BY 1),
+        |r2 AS (SELECT r1.x,
+        |    0.15 * (CASE WHEN r1.x % 100 = 0 THEN 1.0 / sn.ns ELSE 0 END)
+        |      + 0.85 * coalesce(m2.m, 0.0) AS r
+        |  FROM r1 LEFT JOIN m2 ON m2.x = r1.x CROSS JOIN sn),
+        |m3 AS (SELECT e.p2 AS x,
+        |    CAST(sum(CAST(r.r / deg.dg AS DECIMAL(38,15))) AS DOUBLE) AS m
+        |  FROM r2 r JOIN e ON e.p1 = r.x JOIN deg ON deg.x = e.p1
+        |  WHERE r.r <> 0 GROUP BY 1),
+        |r3 AS (SELECT r2.x,
+        |    0.15 * (CASE WHEN r2.x % 100 = 0 THEN 1.0 / sn.ns ELSE 0 END)
+        |      + 0.85 * coalesce(m3.m, 0.0) AS r
+        |  FROM r2 LEFT JOIN m3 ON m3.x = r2.x CROSS JOIN sn)
+        |SELECT x AS partkey,
+        |  CAST(floor(r * 1000000 + 0.5) / 1000000.0 AS DOUBLE) AS score
+        |FROM r3 WHERE r > 0 ORDER BY partkey""") { (s0, d) =>
+      val s = graft.Sessions.withShufflePartitions(s0, 8)
+      val e0 = coPurchaseEdges(s, d)
+      val e = e0.unionByName(e0.select(col("p2").as("p1"), col("p1").as("p2")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      val deg = e.groupBy(col("p1").as("x"))
+        .agg(count(lit(1)).cast("double").as("dg"))
+      val parts = Tables.part(s, d).select(col("p_partkey").as("x"))
+      val sn = parts.filter(col("x") % 100 === 0)
+        .agg(count(lit(1)).as("ns"))
+      val seedMass = when(col("x") % 100 === 0,
+        lit(1.0) / col("ns")).otherwise(lit(0.0))
+      var r = parts.crossJoin(broadcast(sn)).select(col("x"),
+        seedMass.as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = r.filter(col("r") =!= 0)
+          .select(col("x").as("p1"), col("r"))
+          .join(e, Seq("p1"))
+          .join(deg.select(col("x").as("p1"), col("dg")), Seq("p1"))
+          .groupBy(col("p2").as("x"))
+          .agg(expr("CAST(sum(CAST(r / dg AS DECIMAL(38,15))) AS DOUBLE)")
+            .as("m"))
+        r = r.select(col("x")).join(contrib, Seq("x"), "left_outer")
+          .crossJoin(broadcast(sn))
+          .select(col("x"),
+            (lit(0.15) * seedMass +
+              lit(0.85) * coalesce(col("m"), lit(0.0))).as("r"))
+      }
+      val out = r.filter(col("r") > 0)
+        .select(col("x").as("partkey"),
+          expr("CAST(floor(r * 1000000 + 0.5) / 1000000.0 AS DOUBLE)")
+            .as("score"))
+        .orderBy(col("partkey"))
+      val res = out.localCheckpoint(true)
+      e.unpersist(blocking = false)
+      res
     })
 }

@@ -1722,6 +1722,64 @@ object EvalQueries {
         round(col("ca") / col("na").cast("double")
           - col("cb") / col("nb").cast("double"), 4).as("lift"))
         .orderBy(col("segment"))
+    },
+
+    // SEQUENTIAL PROBABILITY RATIO TEST (Wald) trace — the always-valid
+    // sequential monitor: per day, the Bernoulli log-likelihood-ratio
+    // increment for H1: p=0.04 vs H0: p=0.02 over purchase-conversion
+    // trials, the cumulative LLR, and the decision state against the
+    // ±ln(19) (α=β=0.05) boundaries. Determinism discipline: the two
+    // per-trial log terms are PRECOMPUTED design constants carried as
+    // exact decimal literals (ln(2) ≈ 0.6931472, ln(0.96/0.98) ≈
+    // −0.0206193) — no runtime ln, so no engine-libm ulp anywhere; the
+    // increments, running sum, and boundary compares are all
+    // exact-decimal arithmetic. One day rollup + one
+    // day-grained window — the ts_* scale shape.
+    Q("eval_sprt",
+      """WITH dd AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |    sum(CASE WHEN event_type = 'purchase' AND "value" > 150
+        |      THEN 1 ELSE 0 END) AS c
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT day, n, c,
+        |    CAST(c * CAST(0.6931472 AS DECIMAL(9,7))
+        |      - (n - c) * CAST(0.0206193 AS DECIMAL(9,7))
+        |      AS DECIMAL(28,12)) AS llr
+        |  FROM dd),
+        |w AS (SELECT day, n, c, llr,
+        |    sum(llr) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM l)
+        |SELECT day, CAST(n AS BIGINT) AS n_trials,
+        |  CAST(c AS BIGINT) AS conversions,
+        |  round(CAST(llr AS DOUBLE), 4) AS llr_day,
+        |  round(CAST(cum AS DOUBLE), 4) AS llr_cum,
+        |  CASE WHEN cum >= CAST(2.944439 AS DECIMAL(28,12))
+        |         THEN 'accept_h1'
+        |       WHEN cum <= CAST(-2.944439 AS DECIMAL(28,12))
+        |         THEN 'accept_h0'
+        |       ELSE 'continue' END AS decision
+        |FROM w ORDER BY day""") { (s, d) =>
+      val dd = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase" && col("value") > 150,
+            1).otherwise(0)).as("c"))
+      val l = dd.withColumn("llr",
+        (col("c") * lit(0.6931472).cast("decimal(9,7)")
+          - (col("n") - col("c")) * lit(0.0206193).cast("decimal(9,7)"))
+          .cast("decimal(28,12)"))
+      val cumw = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val w = l.withColumn("cum", sum(col("llr")).over(cumw))
+      val bound = lit(2.944439).cast("decimal(28,12)")
+      w.select(col("day"), col("n").cast("long").as("n_trials"),
+          col("c").cast("long").as("conversions"),
+          round(col("llr").cast("double"), 4).as("llr_day"),
+          round(col("cum").cast("double"), 4).as("llr_cum"),
+          when(col("cum") >= bound, "accept_h1")
+            .when(col("cum") <= -bound, "accept_h0")
+            .otherwise("continue").as("decision"))
+        .orderBy(col("day"))
     }
   )
 }

@@ -300,6 +300,54 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(st.head == bt.head)
   }
 
+  test("eval_sprt: a steady p1-rate stream crosses the H1 boundary on day 4") {
+    val d = tempDir("sprt")
+    // 100 trials/day, 4 conversions: llr_day = 4*ln2 - 96*0.0206193 =
+    // 0.793136; cum crosses ln(19)=2.944439 at day 4 (3.172544).
+    val rows = for {
+      day <- 0 until 10
+      k <- 0 until 100
+    } yield ((day * 1000 + k).toLong, plusDays(t0, day), k.toLong,
+      if (k < 4) "purchase" else "view", if (k < 4) 200.0 else 10.0, "{}")
+    writeEvents(d, rows)
+    val out = SparkEntry.queries("eval_sprt")(spark, d).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getAs[Double]("llr_day") == 0.7931)
+      || out.forall(r => math.abs(r.getAs[Double]("llr_day") - 0.7931) < 1e-9))
+    val dec = out.map(_.getAs[String]("decision")).toSeq
+    assert(dec.take(3).forall(_ == "continue"))
+    assert(dec.drop(3).forall(_ == "accept_h1"))
+  }
+
+  test("graph_ppr on a seeded triangle matches the hand-computed 3-iteration scores") {
+    val d = tempDir("ppr")
+    // triangle {0, 1, 2}, each edge support 2; the only seed is part 0.
+    val li = for {
+      ok <- Seq(1L, 2L)
+      p <- Seq(0L, 1L, 2L)
+    } yield (ok, p)
+    li.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    Seq(0L, 1L, 2L).toDF("p_partkey")
+      .write.mode("overwrite").parquet(s"$d/part.parquet")
+    val out = SparkEntry.queries("graph_ppr")(spark, d).collect()
+      .map(r => r.getAs[Long]("partkey") -> r.getAs[Double]("score")).toMap
+    assert(out(0L) == 0.357719) // 0.15 + 0.85*0.244375
+    assert(out(1L) == 0.321141) // 0.85*(0.255625 + 0.1221875)
+    assert(out(2L) == out(1L))  // symmetry of the non-seed pair
+  }
+
+  test("agg_winsorized_mean clamps a 1..20 ramp to [1.95, 19.05] -> mean 10.5") {
+    val d = tempDir("wins")
+    (1 to 20).map(i => ("A", i.toDouble))
+      .toDF("l_returnflag", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val r = SparkEntry.queries("agg_winsorized_mean")(spark, d).collect().head
+    assert(r.getAs[Long]("n") == 20)
+    assert(r.getAs[Double]("p05") == 1.95 && r.getAs[Double]("p95") == 19.05)
+    assert(r.getAs[Double]("winsorized_mean") == 10.5)
+  }
+
   test("vec_clip_outliers: a linear dim clips its two tails, a constant dim none") {
     val d = tempDir("clip")
     val rows = (1 to 20).map(i =>

@@ -72,8 +72,9 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_index_balance",   // cell rows x broadcast 1-row (N, k) scalars
     "eval_cuped",          // 2 arm rows x broadcast 1-row (theta, xbar)
     "eval_mannwhitney",    // 1-row rank stats x broadcast 1-row (na, nb)
-    "eval_kendall_tau"     // |nations|² theta self-join on the AGGREGATED
+    "eval_kendall_tau",    // |nations|² theta self-join on the AGGREGATED
                            // relation (25 rows) — collapse-then-quadratic
+    "graph_ppr"            // vertices x broadcast 1-row seed-count scalar
   )
 
   private def offenders(name: String): Seq[String] = {
