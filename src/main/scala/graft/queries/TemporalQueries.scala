@@ -1256,5 +1256,118 @@ object TemporalQueries {
             .as("drawdown_frac"),
           (col("cum") < col("peak")).as("underwater"))
         .orderBy(col("day"))
+    },
+
+    // MANN-KENDALL trend test over the daily revenue series — the
+    // nonparametric "is this metric trending?" check (no linearity or
+    // normality assumed; the question is pure pair concordance).
+    // S = Σ_{i<j} sign(x_j − x_i) with the tie-corrected variance;
+    // the pair join runs on the AGGREGATED day relation (30 days →
+    // 435 pairs), the same collapse-then-quadratic shape as
+    // eval_kendall_tau. Day totals are exact decimals, so sign
+    // comparisons, tie groups, and S are all integer-exact; only the
+    // final z touches floats.
+    Q("ts_trend_mk",
+      """WITH dt AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DECIMAL(18,4))
+        |      AS x
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT CASE WHEN b.x > a.x THEN 1
+        |    WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn
+        |  FROM dt a JOIN dt b ON a.day < b.day),
+        |sv AS (SELECT sum(sgn) AS s_stat FROM p),
+        |n AS (SELECT count(*) AS n FROM dt),
+        |tie AS (SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+        |    AS tt FROM (SELECT count(*) AS t FROM dt GROUP BY x
+        |      HAVING count(*) > 1)),
+        |z AS (SELECT s_stat, n.n, tie.tt,
+        |    (n.n * (n.n - 1) * (2 * n.n + 5) - tie.tt) / 18.0 AS var_s
+        |  FROM sv CROSS JOIN n CROSS JOIN tie)
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        |  CAST(s_stat AS BIGINT) AS s_stat,
+        |  round(var_s, 4) AS var_s,
+        |  round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+        |    WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+        |    ELSE 0.0 END, 4) AS z_stat,
+        |  CAST(abs(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+        |    WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+        |    ELSE 0.0 END) > 1.96 AS BOOLEAN) AS trending
+        |FROM z""") { (s, d) =>
+      val dt = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(sum(col("value").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("x"))
+      val p = dt.as("a").join(dt.as("b"), col("a.day") < col("b.day"))
+        .select(when(col("b.x") > col("a.x"), 1)
+          .when(col("b.x") < col("a.x"), -1).otherwise(0).as("sgn"))
+      val sv = p.agg(sum(col("sgn")).as("s_stat"))
+      val n = dt.agg(count(lit(1)).as("n"))
+      val tie = dt.groupBy(col("x")).agg(count(lit(1)).as("t"))
+        .filter(col("t") > 1)
+        .agg(coalesce(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)),
+          lit(0L)).as("tt"))
+      val z = sv.crossJoin(broadcast(n)).crossJoin(broadcast(tie))
+        .select(col("s_stat"), col("n"), col("tt"),
+          ((col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tt"))
+            / 18.0).as("var_s"))
+      val zs = when(col("s_stat") > 0,
+          (col("s_stat") - 1) / sqrt(col("var_s")))
+        .when(col("s_stat") < 0, (col("s_stat") + 1) / sqrt(col("var_s")))
+        .otherwise(lit(0.0))
+      z.select(col("n").cast("long").as("n_days"),
+        col("s_stat").cast("long").as("s_stat"),
+        round(col("var_s"), 4).as("var_s"),
+        round(zs, 4).as("z_stat"),
+        (abs(zs) > 1.96).as("trending"))
+    },
+
+    // THEIL-SEN slope — the robust trend magnitude to pair with
+    // ts_trend_mk's direction test: the MEDIAN of all pairwise slopes
+    // (x_j − x_i)/(j − i), immune to outlier days that wreck an OLS
+    // fit. Pairs again come from the aggregated day relation; the
+    // slope set is exact-decimal differences divided by exact integer
+    // day gaps (identical doubles in both engines), and the median is
+    // the same exact-percentile machinery as agg_percentiles. The OLS
+    // slope rides along for the robustness gap report.
+    Q("ts_slope_theil_sen",
+      """WITH dt AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DECIMAL(18,4))
+        |      AS x
+        |  FROM events GROUP BY 1),
+        |ix AS (SELECT day, x,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+        |  FROM dt),
+        |sl AS (SELECT CAST(b.x - a.x AS DOUBLE) / (b.i - a.i) AS slope
+        |  FROM ix a JOIN ix b ON a.i < b.i),
+        |ts AS (SELECT count(*) AS n_pairs,
+        |    quantile_cont(slope, 0.5) AS theil_sen FROM sl),
+        |ols AS (SELECT CAST(count(*) * sum(i * x) - sum(i) * sum(x)
+        |      AS DOUBLE)
+        |    / (count(*) * sum(i * i) - sum(i) * sum(i)) AS b1
+        |  FROM ix)
+        |SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  round(theil_sen, 4) AS theil_sen_slope,
+        |  round(b1, 4) AS ols_slope
+        |FROM ts CROSS JOIN ols""") { (s, d) =>
+      val dt = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(sum(col("value").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("x"))
+      val ix = dt.withColumn("i",
+        row_number().over(Window.orderBy(col("day"))).cast("long"))
+      val sl = ix.as("a").join(ix.as("b"), col("a.i") < col("b.i"))
+        .select(((col("b.x") - col("a.x")).cast("double") /
+          (col("b.i") - col("a.i"))).as("slope"))
+      val ts = sl.agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(slope, 0.5)").as("theil_sen"))
+      val ols = ix.agg(
+        ((count(lit(1)) * sum(col("i") * col("x"))
+          - sum(col("i")) * sum(col("x"))).cast("double")
+          / (count(lit(1)) * sum(col("i") * col("i"))
+            - sum(col("i")) * sum(col("i")))).as("b1"))
+      ts.crossJoin(broadcast(ols))
+        .select(col("n_pairs").cast("long").as("n_pairs"),
+          round(col("theil_sen"), 4).as("theil_sen_slope"),
+          round(col("b1"), 4).as("ols_slope"))
     })
 }

@@ -348,6 +348,30 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("winsorized_mean") == 10.5)
   }
 
+  test("ts_trend_mk: a strict ramp gives S = 45 and the closed-form z") {
+    val d = tempDir("mk")
+    val rows = (0 until 10).map(day =>
+      (day.toLong, plusDays(t0, day), 1L, "view", 10.0 * (day + 1), "{}"))
+    writeEvents(d, rows)
+    val r = SparkEntry.queries("ts_trend_mk")(spark, d).collect().head
+    assert(r.getAs[Long]("n_days") == 10)
+    assert(r.getAs[Long]("s_stat") == 45) // all 45 pairs concordant
+    assert(r.getAs[Double]("var_s") == 125.0) // 10*9*25/18, no ties
+    assert(r.getAs[Double]("z_stat") == 3.9355) // 44/sqrt(125)
+    assert(r.getAs[Boolean]("trending"))
+  }
+
+  test("ts_slope_theil_sen: a +10/day ramp yields slope 10 for both estimators") {
+    val d = tempDir("tsen")
+    val rows = (0 until 10).map(day =>
+      (day.toLong, plusDays(t0, day), 1L, "view", 10.0 * (day + 1), "{}"))
+    writeEvents(d, rows)
+    val r = SparkEntry.queries("ts_slope_theil_sen")(spark, d).collect().head
+    assert(r.getAs[Long]("n_pairs") == 45)
+    assert(r.getAs[Double]("theil_sen_slope") == 10.0)
+    assert(r.getAs[Double]("ols_slope") == 10.0)
+  }
+
   test("vec_clip_outliers: a linear dim clips its two tails, a constant dim none") {
     val d = tempDir("clip")
     val rows = (1 to 20).map(i =>

@@ -74,7 +74,11 @@ class PlanHygieneSpec extends SparkSpec {
     "eval_mannwhitney",    // 1-row rank stats x broadcast 1-row (na, nb)
     "eval_kendall_tau",    // |nations|² theta self-join on the AGGREGATED
                            // relation (25 rows) — collapse-then-quadratic
-    "graph_ppr"            // vertices x broadcast 1-row seed-count scalar
+    "graph_ppr",           // vertices x broadcast 1-row seed-count scalar
+    "ts_trend_mk",         // |days|² sign pairs on the AGGREGATED day
+                           // relation + 1-row S/n/tie scalars
+    "ts_slope_theil_sen"   // |days|² slope pairs on the aggregated days
+                           // + 1-row OLS scalar
   )
 
   private def offenders(name: String): Seq[String] = {
