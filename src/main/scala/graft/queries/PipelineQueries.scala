@@ -1700,5 +1700,117 @@ object PipelineQueries {
             (max(col("tok")) * count(lit(1))).cast("double"), 4)
             .as("pad_frac"))
         .orderBy(col("bucket"))
+    },
+
+    // CONTEXT-LENGTH PLANNING CURVE — for a grid of candidate sequence
+    // lengths, the exact corpus-wide consequences of choosing that
+    // length: docs that overflow (truncation loss in tokens), the
+    // bin-count lower bound for packing the kept tokens, and the best
+    // achievable utilization. This is the table a pipeline owner reads
+    // BEFORE committing pack_sequences to one length. Every quantity
+    // is an exact integer off one token-count rollup crossed with the
+    // 3-row literal grid — a constant-size broadcast, not a data join.
+    Q("pipe_pack_curve",
+      """WITH t AS (SELECT doc_id,
+        |    len(string_split(text, ' ')) AS tok FROM documents),
+        |g AS (SELECT unnest([128, 256, 512]) AS len),
+        |c AS (SELECT g.len,
+        |    count(*) AS n_docs,
+        |    sum(CASE WHEN t.tok > g.len THEN 1 ELSE 0 END) AS n_over,
+        |    sum(greatest(t.tok - g.len, 0)) AS trunc_tokens,
+        |    sum(least(t.tok, g.len)) AS kept_tokens
+        |  FROM t CROSS JOIN g GROUP BY 1)
+        |SELECT CAST(len AS INT) AS len, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_over AS BIGINT) AS n_over,
+        |  CAST(trunc_tokens AS BIGINT) AS trunc_tokens,
+        |  CAST(kept_tokens AS BIGINT) AS kept_tokens,
+        |  CAST(ceil(kept_tokens / CAST(len AS DOUBLE)) AS BIGINT)
+        |    AS bins_lb,
+        |  round(kept_tokens / (ceil(kept_tokens / CAST(len AS DOUBLE))
+        |    * len), 4) AS util_ub
+        |FROM c ORDER BY len""") { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("tok"))
+      val g = s.range(0, 3).select(
+        when(col("id") === 0, 128).when(col("id") === 1, 256)
+          .otherwise(512).as("len"))
+      val c = t.crossJoin(broadcast(g))
+        .groupBy(col("len"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("tok") > col("len"), 1).otherwise(0)).as("n_over"),
+          sum(greatest(col("tok") - col("len"), lit(0))).as("trunc_tokens"),
+          sum(least(col("tok"), col("len"))).as("kept_tokens"))
+      val bins = ceil(col("kept_tokens") / col("len").cast("double"))
+      c.select(col("len").cast("int").as("len"),
+          col("n_docs").cast("long").as("n_docs"),
+          col("n_over").cast("long").as("n_over"),
+          col("trunc_tokens").cast("long").as("trunc_tokens"),
+          col("kept_tokens").cast("long").as("kept_tokens"),
+          bins.cast("long").as("bins_lb"),
+          round(col("kept_tokens") / (bins * col("len")), 4).as("util_ub"))
+        .orderBy(col("len"))
+    },
+
+    // DSIR-style IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling") — score every
+    // document by how much its unigram distribution looks like a
+    // TARGET domain (here: source src0) vs the general corpus:
+    // w(d) = (1/|d|) Σ_w c_d(w)·[ln p̂_tgt(w) − ln p̂_all(w)] with
+    // add-1 smoothing over the corpus vocabulary. The curation op
+    // behind domain-targeted pretraining mixes. Determinism: both ln
+    // terms evaluate per DISTINCT WORD (vocab-sized relation) and
+    // their difference quantizes to DECIMAL(28,12) BEFORE the per-doc
+    // Σ c_d(w)·term (decimal × integer, order-free exact); corpus
+    // scalars ride a 1-row broadcast. Scale: tokenize-once rollups, a
+    // vocab-keyed join, one doc rollup — no all-pairs anywhere.
+    Q("pipe_dsir_weights",
+      """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' '))
+        |    AS w FROM documents),
+        |dw AS (SELECT doc_id, source, w, count(*) AS c
+        |  FROM tok GROUP BY 1, 2, 3),
+        |vt AS (SELECT w, sum(CASE WHEN source = 'src0' THEN c ELSE 0 END)
+        |      AS ct, sum(c) AS ca
+        |  FROM dw GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS nt, sum(ca) AS na,
+        |    CAST(count(*) AS BIGINT) AS v FROM vt),
+        |term AS (SELECT vt.w,
+        |    CAST(round(ln((vt.ct + 1.0) / (tot.nt + tot.v))
+        |      - ln((vt.ca + 1.0) / (tot.na + tot.v)), 12)
+        |      AS DECIMAL(28,12)) AS lt
+        |  FROM vt CROSS JOIN tot),
+        |docw AS (SELECT dw.doc_id, dw.source,
+        |    CAST(sum(dw.c * term.lt) AS DOUBLE) / sum(dw.c) AS wt
+        |  FROM dw JOIN term ON term.w = dw.w GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(wt), 4) AS mean_weight,
+        |  round(sum(CASE WHEN wt > 0 THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 4) AS frac_target_like
+        |FROM docw GROUP BY 1 ORDER BY source""") { (s, d) =>
+      val dw = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("source"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      val vt = dw.groupBy(col("w"))
+        .agg(sum(when(col("source") === "src0", col("c")).otherwise(0))
+            .as("ct"),
+          sum(col("c")).as("ca"))
+      val tot = vt.agg(sum(col("ct")).as("nt"), sum(col("ca")).as("na"),
+        count(lit(1)).cast("long").as("v"))
+      val term = vt.crossJoin(broadcast(tot))
+        .select(col("w"),
+          round(log((col("ct") + 1.0) / (col("nt") + col("v")))
+            - log((col("ca") + 1.0) / (col("na") + col("v"))), 12)
+            .cast("decimal(28,12)").as("lt"))
+      val docw = dw.join(term, Seq("w"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg((sum(col("c") * col("lt")).cast("double") / sum(col("c")))
+          .as("wt"))
+      docw.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          round(avg(col("wt")), 4).as("mean_weight"),
+          round(sum(when(col("wt") > 0, 1).otherwise(0))
+            / count(lit(1)).cast("double"), 4).as("frac_target_like"))
+        .orderBy(col("source"))
     })
 }

@@ -372,6 +372,39 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("ols_slope") == 10.0)
   }
 
+  test("pipe_pack_curve: exact truncation/bin accounting for a 100/200/300 corpus") {
+    val d = tempDir("pcurve")
+    Seq((1L, 100), (2L, 200), (3L, 300))
+      .map { case (id, n) => (id, Seq.fill(n)("w").mkString(" "), "en", "s", n.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("pipe_pack_curve")(spark, d).collect()
+      .map(r => r.getAs[Int]("len") ->
+        ((r.getAs[Long]("n_over"), r.getAs[Long]("trunc_tokens"),
+          r.getAs[Long]("kept_tokens"), r.getAs[Long]("bins_lb")))).toMap
+    assert(out(128) == ((2L, 244L, 356L, 3L)))
+    assert(out(256) == ((1L, 44L, 556L, 3L)))
+    assert(out(512) == ((0L, 0L, 600L, 2L)))
+  }
+
+  test("pipe_dsir_weights: target-pure vs off-target docs get the closed-form log ratios") {
+    val d = tempDir("dsir")
+    // src0 = all "a", src1 = all "b": term(a)=ln(1.8), term(b)=ln(0.2).
+    val rows = Seq(
+      (1L, "a a a a", "en", "src0", 7L), (2L, "a a a a", "en", "src0", 7L),
+      (3L, "b b b b", "en", "src1", 7L), (4L, "b b b b", "en", "src1", 7L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("pipe_dsir_weights")(spark, d).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Double]("mean_weight"), r.getAs[Double]("frac_target_like"))))
+      .toMap
+    assert(math.abs(out("src0")._1 - math.log(1.8)) < 1e-3)
+    assert(out("src0")._2 == 1.0)
+    assert(math.abs(out("src1")._1 - math.log(0.2)) < 1e-3)
+    assert(out("src1")._2 == 0.0)
+  }
+
   test("vec_clip_outliers: a linear dim clips its two tails, a constant dim none") {
     val d = tempDir("clip")
     val rows = (1 to 20).map(i =>

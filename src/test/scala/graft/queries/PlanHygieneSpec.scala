@@ -77,8 +77,10 @@ class PlanHygieneSpec extends SparkSpec {
     "graph_ppr",           // vertices x broadcast 1-row seed-count scalar
     "ts_trend_mk",         // |days|² sign pairs on the AGGREGATED day
                            // relation + 1-row S/n/tie scalars
-    "ts_slope_theil_sen"   // |days|² slope pairs on the aggregated days
+    "ts_slope_theil_sen",  // |days|² slope pairs on the aggregated days
                            // + 1-row OLS scalar
+    "pipe_pack_curve",     // docs x broadcast 3-row literal length grid
+    "pipe_dsir_weights"    // vocab x broadcast 1-row corpus totals
   )
 
   private def offenders(name: String): Seq[String] = {
