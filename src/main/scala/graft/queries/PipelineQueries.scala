@@ -801,6 +801,49 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     },
 
+    // MIN-MAX scaling per group — the third normalizer of the family
+    // (quantile → distribution match, robust → median/IQR, minmax →
+    // [0,1] range): per event type the exact (min, max) frame and the
+    // scaled-value distribution summary. The per-group extrema are a
+    // 5-row broadcast back onto the fact, so the fact is scanned twice
+    // and shuffled once; (x − min)/(max − min) runs on identical
+    // doubles in both engines (extrema are exact), nullif guards the
+    // constant-group case with NULL in both.
+    Q("norm_minmax",
+      """WITH st AS (SELECT event_type AS t, min("value") AS mn,
+        |    max("value") AS mx FROM events GROUP BY 1),
+        |sc AS (SELECT st.t, ("value" - mn) / nullif(mx - mn, 0) AS z
+        |  FROM events JOIN st ON st.t = events.event_type)
+        |SELECT sc.t AS event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(max(st2.mn), 4) AS v_min, round(max(st2.mx), 4) AS v_max,
+        |  floor(CAST(sum(CAST(z AS DECIMAL(28,12))) AS DOUBLE)
+        |    / count(*) * 10000 + 0.5) / 10000.0 AS scaled_mean,
+        |  CAST(sum(CASE WHEN z < 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low_decile
+        |FROM sc JOIN st st2 ON st2.t = sc.t
+        |GROUP BY sc.t ORDER BY event_type""") { (s, d) =>
+      val st = Tables.events(s, d)
+        .groupBy(col("event_type").as("t"))
+        .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+      val sc = Tables.events(s, d)
+        .join(broadcast(st), col("t") === col("event_type"))
+        .select(col("t"), col("mn"), col("mx"),
+          ((col("value") - col("mn")) /
+            nullif(col("mx") - col("mn"), lit(0d))).as("z"))
+      sc.groupBy(col("t"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(max(col("mn")), 4).as("v_min"),
+          round(max(col("mx")), 4).as("v_max"),
+          expr("""CAST(floor(CAST(sum(CAST(z AS DECIMAL(28,12))) AS DOUBLE)
+                 |  / count(1) * 10000 + 0.5) / 10000.0 AS DOUBLE)"""
+            .stripMargin).as("scaled_mean"),
+          sum(when(col("z") < 0.1, 1).otherwise(0)).cast("long")
+            .as("n_low_decile"))
+        .select(col("t").as("event_type"), col("n"), col("v_min"),
+          col("v_max"), col("scaled_mean"), col("n_low_decile"))
+        .orderBy(col("event_type"))
+    },
+
     // Robust (median/IQR) scaling summary per group: exact interpolated
     // quartiles, the Tukey 1.5·IQR outlier census, and the fences — the
     // feature-normalization profile a training pipeline computes before

@@ -405,6 +405,18 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(out("src1")._2 == 0.0)
   }
 
+  test("norm_minmax: a 0..100 ramp scales to mean 0.5 with exact extrema") {
+    val d = tempDir("minmax")
+    val rows = (0 to 100).map(i =>
+      (i.toLong, t0, 1L, "view", i.toDouble, "{}"))
+    writeEvents(d, rows)
+    val r = SparkEntry.queries("norm_minmax")(spark, d).collect().head
+    assert(r.getAs[Long]("n") == 101)
+    assert(r.getAs[Double]("v_min") == 0.0 && r.getAs[Double]("v_max") == 100.0)
+    assert(r.getAs[Double]("scaled_mean") == 0.5)
+    assert(r.getAs[Long]("n_low_decile") == 10) // z in [0, 0.1): values 0..9
+  }
+
   test("vec_clip_outliers: a linear dim clips its two tails, a constant dim none") {
     val d = tempDir("clip")
     val rows = (1 to 20).map(i =>
