@@ -767,5 +767,39 @@ object RelationalQueries {
             .otherwise(lit(null).cast("double")).as("bal"))
       m.select(col("key"), col("action"), round(col("bal"), 2).as("balance"))
         .orderBy(col("key"))
+    },
+
+    // RECURSIVE CTE — iterate-to-fixpoint inside the SQL surface
+    // (WITH RECURSIVE, new in Spark 4): walk every customer key up a
+    // derived parent hierarchy (parent = key ÷ 10) to its single-digit
+    // root and report the depth census. This is the declarative twin
+    // of the engine's hand-unrolled iterative operators (graph_bfs
+    // _khop, graph_pagerank): bounded-depth recursion the ENGINE
+    // drives, one UNION ALL step per level, each step an equi-free
+    // narrow projection — at 100 TB the recursion depth is log₁₀(key
+    // space), so the plan is ~5 chained scans of a keys-only column.
+    Q("rel_recursive_cte",
+      """WITH RECURSIVE chain AS (
+        |  SELECT c_custkey AS k, c_custkey AS cur, 0 AS depth
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT k, CAST(floor(cur / 10) AS BIGINT), depth + 1
+        |  FROM chain WHERE cur >= 10)
+        |SELECT depth, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(count(DISTINCT cur) AS BIGINT) AS n_roots
+        |FROM chain WHERE cur < 10
+        |GROUP BY depth ORDER BY depth""") { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("rcte_customer")
+      s.sql(
+        """WITH RECURSIVE chain AS (
+          |  SELECT c_custkey AS k, c_custkey AS cur, 0 AS depth
+          |  FROM rcte_customer
+          |  UNION ALL
+          |  SELECT k, CAST(floor(cur / 10) AS BIGINT), depth + 1
+          |  FROM chain WHERE cur >= 10)
+          |SELECT depth, CAST(count(*) AS BIGINT) AS n_customers,
+          |  CAST(count(DISTINCT cur) AS BIGINT) AS n_roots
+          |FROM chain WHERE cur < 10
+          |GROUP BY depth ORDER BY depth""".stripMargin)
     })
 }

@@ -417,6 +417,18 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_low_decile") == 10) // z in [0, 0.1): values 0..9
   }
 
+  test("rel_recursive_cte: keys 0..99 split into depth 0 (0..9) and depth 1 (10..99)") {
+    val d = tempDir("rcte")
+    (0L until 100L).map(k => (k, 0.0)).toDF("c_custkey", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    val out = SparkEntry.queries("rel_recursive_cte")(spark, d).collect()
+      .map(r => r.getAs[Int]("depth") ->
+        ((r.getAs[Long]("n_customers"), r.getAs[Long]("n_roots")))).toMap
+    // depth-0 roots are keys 0..9 themselves; keys 10..99 walk one
+    // step to roots 1..9 (10..19 -> 1, ..., 90..99 -> 9)
+    assert(out == Map(0 -> ((10L, 10L)), 1 -> ((90L, 9L))))
+  }
+
   test("vec_clip_outliers: a linear dim clips its two tails, a constant dim none") {
     val d = tempDir("clip")
     val rows = (1 to 20).map(i =>
