@@ -769,6 +769,31 @@ object RelationalQueries {
         .orderBy(col("key"))
     },
 
+    // CORRELATED EXISTS with a NON-EQUI correlation — "customers who
+    // placed an order exceeding their own account balance": the
+    // predicate correlates on the key AND an inequality against the
+    // outer row, so this is a semi-join with a compound condition, not
+    // a plain IN. Spark plans the equi part as the join key and the
+    // inequality as a join-side filter — the shape that stays a hash
+    // semi-join at scale (the non-equi residual never forces a
+    // nested loop when an equi conjunct exists).
+    Q("sub_exists_corr",
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_totalprice > c.c_acctbal)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_totalprice"))
+      Tables.customer(s, d)
+        .join(o, col("o_custkey") === col("c_custkey") &&
+          col("o_totalprice") > col("c_acctbal"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // RECURSIVE CTE — iterate-to-fixpoint inside the SQL surface
     // (WITH RECURSIVE, new in Spark 4): walk every customer key up a
     // derived parent hierarchy (parent = key ÷ 10) to its single-digit
