@@ -220,6 +220,33 @@ object ScalarQueries2 {
 
     // RANGE frame: value-based window (peers included by value distance,
     // so tie order between engines cannot matter).
+    // EVENT-TIME RANGE frame — the batch analog of a sliding stream
+    // window: per user, the trailing-1-hour event count and spend by
+    // EVENT TIME (RANGE over a timestamp ORDER BY, not ROWS — gaps and
+    // bursts change the frame population, which is the point). The
+    // same per-key time-frame a stream_slide window maintains as
+    // state, here as one keyed window pass; sums ride exact decimals.
+    Q("win_time_range",
+      """SELECT event_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    AS spend_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""") { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          expr("""CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+            |RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            |AS BIGINT)""".stripMargin).as("n_1h"),
+          expr("""CAST(sum(CAST(value AS DECIMAL(18,4)))
+            |OVER (PARTITION BY user_id ORDER BY ts
+            |RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            |AS DOUBLE)""".stripMargin).as("spend_1h"))
+        .orderBy(col("event_id"))
+    },
+
     Q("win_range_frame",
       """SELECT o_orderkey,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (

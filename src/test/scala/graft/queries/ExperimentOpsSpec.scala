@@ -429,6 +429,19 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(out == Map(0 -> ((10L, 10L)), 1 -> ((90L, 9L))))
   }
 
+  test("win_time_range: trailing-1h frame follows event-time gaps, not row counts") {
+    val d = tempDir("wtr")
+    def plusMin(m: Int) = new Timestamp(t0.getTime + m * 60000L)
+    val rows = Seq(
+      (1L, plusMin(0), 7L, "view", 10.0, "{}"),
+      (2L, plusMin(30), 7L, "view", 10.0, "{}"),   // within 1h of #1
+      (3L, plusMin(150), 7L, "view", 10.0, "{}"))  // 2h gap: frame resets
+    writeEvents(d, rows)
+    val out = SparkEntry.queries("win_time_range")(spark, d).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n_1h")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
   test("vec_clip_outliers: a linear dim clips its two tails, a constant dim none") {
     val d = tempDir("clip")
     val rows = (1 to 20).map(i =>
