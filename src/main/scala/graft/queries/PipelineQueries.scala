@@ -801,6 +801,77 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     },
 
+    // FILTER ABLATION over the quality-gate rule stack — for each rule
+    // (lang, too_short, low_stopword, repetitive): how many docs it
+    // flags, and how many it SOLELY rejects (n_flags = 1) — the number
+    // that answers "what does dropping this filter buy back?". Same
+    // per-row signals as pipeline_quality_gate, one boolean rollup;
+    // rule rows come from a 4-way sum over the flag columns, so the
+    // corpus is scanned once and shuffled once at any SF.
+    Q("pipe_filter_ablation",
+      """WITH t AS (SELECT doc_id, lang,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |    CASE WHEN lang <> 'en' THEN 1 ELSE 0 END AS f_lang,
+        |    CASE WHEN len(toks) < 20 THEN 1 ELSE 0 END AS f_short,
+        |    CASE WHEN CAST(len(list_filter(toks,
+        |        x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        |        / len(toks) < 0.02 THEN 1 ELSE 0 END AS f_stop,
+        |    CASE WHEN CAST(list_max(list_transform(list_distinct(toks),
+        |        x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE)
+        |        / len(toks) > 0.15 THEN 1 ELSE 0 END AS f_rep
+        |  FROM t),
+        |n AS (SELECT *, f_lang + f_short + f_stop + f_rep AS nf FROM s),
+        |r AS (
+        |  SELECT 'lang' AS rule, sum(f_lang) AS n_flagged,
+        |    sum(CASE WHEN f_lang = 1 AND nf = 1 THEN 1 ELSE 0 END)
+        |      AS n_sole, count(*) AS n FROM n
+        |  UNION ALL SELECT 'low_stopword', sum(f_stop),
+        |    sum(CASE WHEN f_stop = 1 AND nf = 1 THEN 1 ELSE 0 END),
+        |    count(*) FROM n
+        |  UNION ALL SELECT 'repetitive', sum(f_rep),
+        |    sum(CASE WHEN f_rep = 1 AND nf = 1 THEN 1 ELSE 0 END),
+        |    count(*) FROM n
+        |  UNION ALL SELECT 'too_short', sum(f_short),
+        |    sum(CASE WHEN f_short = 1 AND nf = 1 THEN 1 ELSE 0 END),
+        |    count(*) FROM n)
+        |SELECT rule, CAST(n_flagged AS BIGINT) AS n_flagged,
+        |  CAST(n_sole AS BIGINT) AS n_sole_reject,
+        |  round(n_flagged / CAST(n AS DOUBLE), 4) AS frac_flagged
+        |FROM r ORDER BY rule""") { (s, d) =>
+      val sig = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          when(col("lang") =!= "en", 1).otherwise(0).as("f_lang"),
+          when(size(col("toks")) < 20, 1).otherwise(0).as("f_short"),
+          when(expr("""CAST(size(filter(toks,
+              |x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)"""
+              .stripMargin) / size(col("toks")) < 0.02, 1)
+            .otherwise(0).as("f_stop"),
+          when(expr("""CAST(array_max(transform(array_distinct(toks),
+              |x -> size(filter(toks, y -> y = x)))) AS DOUBLE)"""
+              .stripMargin) / size(col("toks")) > 0.15, 1)
+            .otherwise(0).as("f_rep"))
+        .withColumn("nf",
+          col("f_lang") + col("f_short") + col("f_stop") + col("f_rep"))
+      def ruleRow(name: String, f: String) =
+        sig.agg(sum(col(f)).as("n_flagged"),
+          sum(when(col(f) === 1 && col("nf") === 1, 1).otherwise(0))
+            .as("n_sole"),
+          count(lit(1)).as("n"))
+          .select(lit(name).as("rule"), col("n_flagged"), col("n_sole"),
+            col("n"))
+      ruleRow("lang", "f_lang")
+        .unionByName(ruleRow("low_stopword", "f_stop"))
+        .unionByName(ruleRow("repetitive", "f_rep"))
+        .unionByName(ruleRow("too_short", "f_short"))
+        .select(col("rule"), col("n_flagged").cast("long").as("n_flagged"),
+          col("n_sole").cast("long").as("n_sole_reject"),
+          round(col("n_flagged") / col("n").cast("double"), 4)
+            .as("frac_flagged"))
+        .orderBy(col("rule"))
+    },
+
     // MIN-MAX scaling per group — the third normalizer of the family
     // (quantile → distribution match, robust → median/IQR, minmax →
     // [0,1] range): per event type the exact (min, max) frame and the

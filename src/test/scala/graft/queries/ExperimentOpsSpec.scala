@@ -442,6 +442,29 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("pipe_filter_ablation attributes sole rejects to the right rule") {
+    val d = tempDir("ablate")
+    // doc 1: healthy en doc (no flags); doc 2: fails ONLY too_short;
+    // doc 3: fails ONLY lang. Both failing docs carry stopwords and
+    // varied tokens so the other rules stay quiet.
+    val healthy = (1 to 30).map(i => s"w$i").mkString(" ") +
+      " the a of and to the a of and to"
+    val shortDoc = "the a of and to w1 w2 w3 w4 w5"
+    val rows = Seq(
+      (1L, healthy, "en", "s", 1L),
+      (2L, shortDoc, "en", "s", 2L),
+      (3L, healthy, "fr", "s", 3L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("pipe_filter_ablation")(spark, d).collect()
+      .map(r => r.getAs[String]("rule") ->
+        ((r.getAs[Long]("n_flagged"), r.getAs[Long]("n_sole_reject")))).toMap
+    assert(out("too_short") == ((1L, 1L)))
+    assert(out("lang") == ((1L, 1L)))
+    assert(out("low_stopword") == ((0L, 0L)))
+    assert(out("repetitive") == ((0L, 0L)))
+  }
+
   test("vec_clip_outliers: a linear dim clips its two tails, a constant dim none") {
     val d = tempDir("clip")
     val rows = (1 to 20).map(i =>
