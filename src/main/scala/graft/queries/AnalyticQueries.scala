@@ -888,6 +888,37 @@ object AnalyticQueries {
         .orderBy(col("arm"))
     },
 
+    // MEAN FAMILIES — arithmetic, geometric, and harmonic means of
+    // l_quantity per return flag (AM ≥ GM ≥ HM, the Pythagorean
+    // inequality doubles as a built-in sanity check). Geometric rides
+    // log-space (each ln term DECIMAL-quantized before the order-free
+    // sum, one exp at the end absorbs the libm ulp in the 4dp round);
+    // harmonic sums DECIMAL-quantized reciprocals. All three are
+    // partial-aggregable single-pass rollups.
+    Q("agg_mean_families",
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    / count(*), 4) AS mean_arith,
+        |  round(exp(CAST(sum(CAST(round(ln(l_quantity), 12)
+        |    AS DECIMAL(28,12))) AS DOUBLE) / count(*)), 4) AS mean_geo,
+        |  round(count(*) / CAST(sum(CAST(round(1.0 / l_quantity, 12)
+        |    AS DECIMAL(28,12))) AS DOUBLE), 4) AS mean_harm
+        |FROM lineitem WHERE l_quantity > 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 0)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            / count(lit(1)), 4).as("mean_arith"),
+          round(exp(sum(round(log(col("l_quantity")), 12)
+            .cast("decimal(28,12)")).cast("double") / count(lit(1))), 4)
+            .as("mean_geo"),
+          round(count(lit(1)) / sum(round(lit(1.0) / col("l_quantity"), 12)
+            .cast("decimal(28,12)")).cast("double"), 4).as("mean_harm"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // WINSORIZED MEAN per return flag — clamp to the exact [p05, p95]
     // band then average, the robust-mean alternative to
     // agg_trimmed_mean that KEEPS the tail rows (at their clamped

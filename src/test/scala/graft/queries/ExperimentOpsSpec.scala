@@ -465,6 +465,20 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(out("repetitive") == ((0L, 0L)))
   }
 
+  test("agg_mean_families: AM/GM/HM of {1,2,4} hit the closed forms and AM>=GM>=HM") {
+    val d = tempDir("means")
+    Seq(("A", 1.0), ("A", 2.0), ("A", 4.0))
+      .toDF("l_returnflag", "l_quantity")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val r = SparkEntry.queries("agg_mean_families")(spark, d).collect().head
+    val (am, gm, hm) = (r.getAs[Double]("mean_arith"),
+      r.getAs[Double]("mean_geo"), r.getAs[Double]("mean_harm"))
+    assert(am == 2.3333)
+    assert(gm == 2.0)          // cbrt(8)
+    assert(math.abs(hm - 12.0 / 7) < 1e-3)
+    assert(am >= gm && gm >= hm)
+  }
+
   test("vec_clip_outliers: a linear dim clips its two tails, a constant dim none") {
     val d = tempDir("clip")
     val rows = (1 to 20).map(i =>
