@@ -1015,6 +1015,62 @@ object StreamingQueries {
         round(pa - pb, 4).as("lift"),
         round(z, 4).as("z_stat"),
         (abs(z) > 1.96).as("significant"))
+    },
+
+    // STREAMING SPRT — the live twin of eval_sprt (same oracle): the
+    // stream maintains per-day (trials, conversions) in event-time
+    // windowed aggregation state; the Wald LLR walk and boundary
+    // decisions compute on the completed day table with the same
+    // exact-decimal literal terms as the batch form. In deployment the
+    // trace grows a row per day and the decision column flips exactly
+    // once — the always-valid sequential monitor over live traffic.
+    Q("stream_sprt",
+      """WITH dd AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |    sum(CASE WHEN event_type = 'purchase' AND "value" > 150
+        |      THEN 1 ELSE 0 END) AS c
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT day, n, c,
+        |    CAST(c * CAST(0.6931472 AS DECIMAL(9,7))
+        |      - (n - c) * CAST(0.0206193 AS DECIMAL(9,7))
+        |      AS DECIMAL(28,12)) AS llr
+        |  FROM dd),
+        |w AS (SELECT day, n, c, llr,
+        |    sum(llr) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM l)
+        |SELECT day, CAST(n AS BIGINT) AS n_trials,
+        |  CAST(c AS BIGINT) AS conversions,
+        |  round(CAST(llr AS DOUBLE), 4) AS llr_day,
+        |  round(CAST(cum AS DOUBLE), 4) AS llr_cum,
+        |  CASE WHEN cum >= CAST(2.944439 AS DECIMAL(28,12))
+        |         THEN 'accept_h1'
+        |       WHEN cum <= CAST(-2.944439 AS DECIMAL(28,12))
+        |         THEN 'accept_h0'
+        |       ELSE 'continue' END AS decision
+        |FROM w ORDER BY day""") { (s, d) =>
+      val dd = runToTable(s, d, "complete") { src =>
+        src.groupBy(window(col("ts"), "1 day"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "purchase" && col("value") > 150,
+              1).otherwise(0)).as("c"))
+      }.select(col("window.start").cast("date").as("day"),
+        col("n"), col("c")).localCheckpoint(true)
+      val l = dd.withColumn("llr",
+        (col("c") * lit(0.6931472).cast("decimal(9,7)")
+          - (col("n") - col("c")) * lit(0.0206193).cast("decimal(9,7)"))
+          .cast("decimal(28,12)"))
+      val cumw = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val w = l.withColumn("cum", sum(col("llr")).over(cumw))
+      val bound = lit(2.944439).cast("decimal(28,12)")
+      w.select(col("day"), col("n").cast("long").as("n_trials"),
+          col("c").cast("long").as("conversions"),
+          round(col("llr").cast("double"), 4).as("llr_day"),
+          round(col("cum").cast("double"), 4).as("llr_cum"),
+          when(col("cum") >= bound, "accept_h1")
+            .when(col("cum") <= -bound, "accept_h0")
+            .otherwise("continue").as("decision"))
+        .orderBy(col("day"))
     })
 
   /** Staging key for dataset `d`: md5 over the ABSOLUTE PATH plus the

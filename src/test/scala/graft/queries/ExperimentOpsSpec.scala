@@ -479,6 +479,14 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(am >= gm && gm >= hm)
   }
 
+  test("stream_sprt replay equals the batch SPRT trace exactly") {
+    val d = "/root/testdata/sf0.001"
+    val st = SparkEntry.queries("stream_sprt")(spark, d).collect()
+    val bt = SparkEntry.queries("eval_sprt")(spark, d).collect()
+    assert(st.length == bt.length && st.nonEmpty)
+    assert(st.toSeq == bt.toSeq)
+  }
+
   test("vec_clip_outliers: a linear dim clips its two tails, a constant dim none") {
     val d = tempDir("clip")
     val rows = (1 to 20).map(i =>
