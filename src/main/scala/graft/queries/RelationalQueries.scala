@@ -803,6 +803,10 @@ object RelationalQueries {
     // drives, one UNION ALL step per level, each step an equi-free
     // narrow projection — at 100 TB the recursion depth is log₁₀(key
     // space), so the plan is ~5 chained scans of a keys-only column.
+    // The accumulated CTE is n_rows × depth (linear, small constant),
+    // but Spark's default recursion ROW limit (1e6) is a safety valve
+    // that binds first at 10× sf0.1 — raised on a session clone to
+    // match the linear growth (measured: the 10× run needs ~1.6M).
     Q("rel_recursive_cte",
       """WITH RECURSIVE chain AS (
         |  SELECT c_custkey AS k, c_custkey AS cur, 0 AS depth
@@ -813,7 +817,9 @@ object RelationalQueries {
         |SELECT depth, CAST(count(*) AS BIGINT) AS n_customers,
         |  CAST(count(DISTINCT cur) AS BIGINT) AS n_roots
         |FROM chain WHERE cur < 10
-        |GROUP BY depth ORDER BY depth""") { (s, d) =>
+        |GROUP BY depth ORDER BY depth""") { (s0, d) =>
+      val s = graft.Sessions.withShufflePartitions(s0, 8)
+      s.conf.set("spark.sql.cteRecursionRowLimit", (100 * 1000 * 1000).toString)
       Tables.customer(s, d).createOrReplaceTempView("rcte_customer")
       s.sql(
         """WITH RECURSIVE chain AS (
