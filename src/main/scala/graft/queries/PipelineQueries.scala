@@ -801,6 +801,39 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     },
 
+    // CONTENT-ADDRESSED SHARD MANIFEST — per shard: row count, byte
+    // volume, and a FINGERPRINT (md5 over the shard's sorted per-doc
+    // content hashes). The manifest is what makes a pipeline
+    // INCREMENTAL: re-run the corpus, diff fingerprints, reprocess
+    // only shards whose digest moved (pipe_dataset_diff's row-level
+    // diff, lifted to shard granularity where the scheduler works).
+    // The order-sensitive digest is made deterministic by sorting the
+    // hash list INSIDE each shard group before concatenation — an
+    // 8-shard grouped sort of short strings, bounded per shard.
+    Q("pipe_shard_manifest",
+      """WITH h AS (SELECT
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT
+        |      % 8 AS shard,
+        |    md5(text) AS ch, length(text) AS b
+        |  FROM documents),
+        |m AS (SELECT shard, count(*) AS n_docs, sum(b) AS n_bytes,
+        |    md5(string_agg(ch, '' ORDER BY ch)) AS fingerprint
+        |  FROM h GROUP BY 1)
+        |SELECT shard, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_bytes AS BIGINT) AS n_bytes, fingerprint
+        |FROM m ORDER BY shard""") { (s, d) =>
+      val h = Tables.documents(s, d).select(
+        (expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS INT)")
+          % 8).as("shard"),
+        md5(col("text")).as("ch"), length(col("text")).as("b"))
+      h.groupBy(col("shard"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("b")).cast("long").as("n_bytes"),
+          md5(concat_ws("", sort_array(collect_list(col("ch")))))
+            .as("fingerprint"))
+        .orderBy(col("shard"))
+    },
+
     // FILTER ABLATION over the quality-gate rule stack — for each rule
     // (lang, too_short, low_stopword, repetitive): how many docs it
     // flags, and how many it SOLELY rejects (n_flags = 1) — the number

@@ -487,6 +487,25 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(st.toSeq == bt.toSeq)
   }
 
+  test("pipe_shard_manifest: fingerprint is order-invariant and content-sensitive") {
+    val d1 = tempDir("man1"); val d2 = tempDir("man2"); val d3 = tempDir("man3")
+    def write(dir: String, rows: Seq[(Long, String)]): Unit =
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = (1L to 40L).map(i => (i, s"doc body $i"))
+    write(d1, docs)
+    write(d2, docs.reverse) // same content, different row order
+    write(d3, docs.updated(5, (docs(5)._1, "mutated body"))) // one doc changed
+    def fps(dir: String) =
+      SparkEntry.queries("pipe_shard_manifest")(spark, dir).collect()
+        .map(r => r.getAs[Int]("shard") -> r.getAs[String]("fingerprint")).toMap
+    val (f1, f2, f3) = (fps(d1), fps(d2), fps(d3))
+    assert(f1 == f2)   // row order never moves a shard digest
+    assert(f1 != f3)   // a single mutated doc moves exactly its shard
+    assert((f1.toSet -- f3.toSet).size == 1)
+  }
+
   test("vec_clip_outliers: a linear dim clips its two tails, a constant dim none") {
     val d = tempDir("clip")
     val rows = (1 to 20).map(i =>
