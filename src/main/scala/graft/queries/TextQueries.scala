@@ -2261,5 +2261,80 @@ object TextQueries {
           round(sum(when(col("dropped").isNotNull, col("nt")).otherwise(0L)) /
             sum(col("nt")).cast("double"), 4).as("savings"))
         .orderBy(col("source"))
+    },
+
+    // RELATED-DOCUMENTS TOP-K — per document, the 3 most similar
+    // neighbors by EXACT Jaccard, computed only over banded-LSH
+    // candidate pairs (the dedup_minhash_pairs machinery re-used as a
+    // retrieval surface: "more like this" for corpus exploration and
+    // semantic-near-dup triage). Candidates symmetrize, then ONE
+    // per-doc window ranks by (exact_j DESC, neighbor id) — exact_j is
+    // an exact integer ratio, so the ranking is bit-stable; the window
+    // runs over candidate pairs (LSH-bounded), never the corpus².
+    Q("text_related_topk",
+      s"""WITH sh AS ($shinglesSql),
+         |sv AS (SELECT doc_id, $shingleIntDuck AS v FROM sh),
+         |h AS (SELECT doc_id, r.seed AS seed,
+         |        min(${mhMixSql("v", "r.seed")}) AS mh
+         |      FROM sv, range(0, 8) r(seed)
+         |      GROUP BY doc_id, r.seed),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM h a JOIN h b ON a.seed = b.seed AND a.mh = b.mh
+         |           AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.d1, c.d2, count(*) AS ni
+         |          FROM cand c
+         |          JOIN sh a ON a.doc_id = c.d1
+         |          JOIN sh b ON b.doc_id = c.d2 AND b.sh = a.sh
+         |          GROUP BY c.d1, c.d2),
+         |sc AS (SELECT c.d1, c.d2,
+         |    CAST(coalesce(i.ni, 0) AS DOUBLE)
+         |      / (s1.n + s2.n - coalesce(i.ni, 0)) AS j
+         |  FROM cand c
+         |  JOIN sizes s1 ON s1.doc_id = c.d1
+         |  JOIN sizes s2 ON s2.doc_id = c.d2
+         |  LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2),
+         |sym AS (SELECT d1 AS doc, d2 AS nbr, j FROM sc
+         |  UNION ALL SELECT d2, d1, j FROM sc),
+         |r AS (SELECT doc, nbr, j,
+         |    row_number() OVER (PARTITION BY doc
+         |      ORDER BY j DESC, nbr) AS rk
+         |  FROM sym)
+         |SELECT doc AS doc_id, nbr AS related_id,
+         |  round(j, 4) AS jaccard, CAST(rk AS INT) AS rk
+         |FROM r WHERE rk <= 3
+         |ORDER BY doc_id, rk""") { (s, d) =>
+      val sh = shingles(s, d).cache()
+      val h = minhashSigsOf(
+        sh.select(col("doc_id"), expr(shingleIntSpark).as("v")))
+      val cand = h.as("a").join(h.as("b"),
+          col("a.seed") === col("b.seed") && col("a.mh") === col("b.mh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+        .cache()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("d1"), col("sh")), Seq("d1"))
+        .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
+        .groupBy(col("d1"), col("d2"))
+        .agg(count(lit(1)).as("ni"))
+      val sc = cand
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+        .join(inter, Seq("d1", "d2"), "left_outer")
+        .select(col("d1"), col("d2"),
+          (coalesce(col("ni"), lit(0L)).cast("double") /
+            (col("n1") + col("n2") - coalesce(col("ni"), lit(0L)))).as("j"))
+      val sym = sc.select(col("d1").as("doc"), col("d2").as("nbr"), col("j"))
+        .unionByName(sc.select(col("d2").as("doc"), col("d1").as("nbr"),
+          col("j")))
+      sym.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc")).orderBy(col("j").desc, col("nbr"))))
+        .filter(col("rk") <= 3)
+        .select(col("doc").as("doc_id"), col("nbr").as("related_id"),
+          round(col("j"), 4).as("jaccard"), col("rk").cast("int").as("rk"))
+        .orderBy(col("doc_id"), col("rk"))
     })
 }

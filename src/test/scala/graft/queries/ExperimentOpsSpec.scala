@@ -506,6 +506,26 @@ class ExperimentOpsSpec extends SparkSpec {
     assert((f1.toSet -- f3.toSet).size == 1)
   }
 
+  test("text_related_topk: near-identical docs rank each other first") {
+    val d = tempDir("reltk")
+    // doc 1 and 2 share almost all shingles; doc 3 shares fewer.
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val rows = Seq(
+      (1L, base + " endA", "en", "s", 1L),
+      (2L, base + " endB", "en", "s", 2L),
+      (3L, (1 to 15).map(i => s"tok$i").mkString(" ") + " other tail here",
+        "en", "s", 3L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("text_related_topk")(spark, d).collect()
+    val first = out.filter(_.getAs[Int]("rk") == 1)
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("related_id")).toMap
+    assert(first(1L) == 2L && first(2L) == 1L)
+    out.foreach { r =>
+      assert(r.getAs[Double]("jaccard") >= 0 && r.getAs[Double]("jaccard") <= 1)
+    }
+  }
+
   test("vec_clip_outliers: a linear dim clips its two tails, a constant dim none") {
     val d = tempDir("clip")
     val rows = (1 to 20).map(i =>
