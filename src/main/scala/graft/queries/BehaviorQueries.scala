@@ -1138,6 +1138,75 @@ object BehaviorQueries {
         .select(col("level").cast("int").as("level"), col("users"),
           round(col("users") / col("total").cast("double"), 4).as("frac"))
         .orderBy(col("level"))
+    },
+
+    // REPEAT-PURCHASE CURVE — for k = 1..5, how many purchasers reach
+    // their k-th purchase, the retention-of-monetization ladder
+    // (repeat rate = the k=2 row over the k=1 row). One user rollup to
+    // purchase counts, then a 5-row literal grid ≥-join — integers
+    // throughout, and the grid side is a constant broadcast.
+    Q("behavior_repeat_curve",
+      """WITH u AS (SELECT user_id, count(*) AS np FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |g AS (SELECT unnest([1, 2, 3, 4, 5]) AS k),
+        |c AS (SELECT g.k,
+        |    sum(CASE WHEN u.np >= g.k THEN 1 ELSE 0 END) AS users
+        |  FROM u CROSS JOIN g GROUP BY 1),
+        |t AS (SELECT count(*) AS total FROM u)
+        |SELECT k, CAST(users AS BIGINT) AS users,
+        |  round(users / CAST(t.total AS DOUBLE), 4) AS frac_of_buyers
+        |FROM c CROSS JOIN t ORDER BY k""") { (s, d) =>
+      val u = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("np"))
+      val g = s.range(1, 6).select(col("id").cast("int").as("k"))
+      val c = u.crossJoin(broadcast(g))
+        .groupBy(col("k"))
+        .agg(sum(when(col("np") >= col("k"), 1).otherwise(0)).as("users"))
+      val t = u.agg(count(lit(1)).as("total"))
+      c.crossJoin(broadcast(t))
+        .select(col("k"), col("users").cast("long").as("users"),
+          round(col("users") / col("total").cast("double"), 4)
+            .as("frac_of_buyers"))
+        .orderBy(col("k"))
+    },
+
+    // WEEK-OVER-WEEK change per event type — weekly exact-decimal
+    // volume, the previous week via one keyed lag, and the relative
+    // change; the reporting primitive behind every growth dashboard.
+    // ISO weeks from epoch-day arithmetic ((epoch_day + 3) / 7 —
+    // 1970-01-01 was a Thursday) so both engines bucket identically
+    // with no locale-dependent week rules.
+    Q("behavior_wow_change",
+      """WITH w AS (SELECT event_type,
+        |    CAST(floor((epoch(ts) / 86400 + 3) / 7) AS BIGINT) AS wk,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DECIMAL(18,4))
+        |      AS vol
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, wk, vol,
+        |    lag(vol) OVER (PARTITION BY event_type ORDER BY wk) AS prev
+        |  FROM w)
+        |SELECT event_type, wk,
+        |  round(CAST(vol AS DOUBLE), 2) AS volume,
+        |  round(CAST(prev AS DOUBLE), 2) AS prev_volume,
+        |  round((CAST(vol AS DOUBLE) - CAST(prev AS DOUBLE))
+        |    / nullif(CAST(prev AS DOUBLE), 0), 4) AS wow_change
+        |FROM l ORDER BY event_type, wk""") { (s, d) =>
+      val w = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          floor((unix_timestamp(col("ts")) / 86400 + 3) / 7)
+            .cast("long").as("wk"))
+        .agg(sum(col("value").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("vol"))
+      val l = w.withColumn("prev", lag(col("vol"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("wk"))))
+      l.select(col("event_type"), col("wk"),
+          round(col("vol").cast("double"), 2).as("volume"),
+          round(col("prev").cast("double"), 2).as("prev_volume"),
+          round((col("vol").cast("double") - col("prev").cast("double")) /
+            nullif(col("prev").cast("double"), lit(0d)), 4).as("wow_change"))
+        .orderBy(col("event_type"), col("wk"))
     }
   )
 }

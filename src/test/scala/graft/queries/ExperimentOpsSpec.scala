@@ -526,6 +526,37 @@ class ExperimentOpsSpec extends SparkSpec {
     }
   }
 
+  test("behavior_repeat_curve: planted 3/2/1-purchase users produce the exact ladder") {
+    val d = tempDir("repeat")
+    // user 1: 3 purchases, user 2: 2, user 3: 1 -> reach counts 3,2,1,0,0
+    val rows = Seq(
+      (1L, t0, 1L, "purchase", 10.0, "{}"),
+      (2L, plusDays(t0, 1), 1L, "purchase", 10.0, "{}"),
+      (3L, plusDays(t0, 2), 1L, "purchase", 10.0, "{}"),
+      (4L, t0, 2L, "purchase", 10.0, "{}"),
+      (5L, plusDays(t0, 1), 2L, "purchase", 10.0, "{}"),
+      (6L, t0, 3L, "purchase", 10.0, "{}"))
+    writeEvents(d, rows)
+    val out = SparkEntry.queries("behavior_repeat_curve")(spark, d).collect()
+      .map(r => r.getAs[Int]("k") -> r.getAs[Long]("users")).toMap
+    assert(out == Map(1 -> 3L, 2 -> 2L, 3 -> 1L, 4 -> 0L, 5 -> 0L))
+  }
+
+  test("behavior_wow_change: a doubling weekly series reports +1.0 change") {
+    val d = tempDir("wow")
+    // Mondays three weeks apart; volumes 100, 200, 400.
+    val monday = Timestamp.valueOf("2024-01-08 12:00:00")
+    val rows = Seq((1L, monday, 1L, "view", 100.0, "{}"),
+      (2L, plusDays(monday, 7), 1L, "view", 200.0, "{}"),
+      (3L, plusDays(monday, 14), 1L, "view", 400.0, "{}"))
+    writeEvents(d, rows)
+    val out = SparkEntry.queries("behavior_wow_change")(spark, d).collect()
+    assert(out.length == 3)
+    assert(out.head.isNullAt(out.head.fieldIndex("wow_change")))
+    assert(out(1).getAs[Double]("wow_change") == 1.0)
+    assert(out(2).getAs[Double]("wow_change") == 1.0)
+  }
+
   test("vec_clip_outliers: a linear dim clips its two tails, a constant dim none") {
     val d = tempDir("clip")
     val rows = (1 to 20).map(i =>
