@@ -80,6 +80,8 @@ class PlanHygieneSpec extends SparkSpec {
     "ts_slope_theil_sen",  // |days|² slope pairs on the aggregated days
                            // + 1-row OLS scalar
     "pipe_pack_curve",     // docs x broadcast 3-row literal length grid
+    "behavior_repeat_curve", // buyers x broadcast 5-row literal k grid
+                           // + 1-row buyer total
     "pipe_dsir_weights"    // vocab x broadcast 1-row corpus totals
   )
 
