@@ -1258,6 +1258,57 @@ object TemporalQueries {
         .orderBy(col("day"))
     },
 
+    // HAMPEL DESPIKER — the robust outlier filter for sensor-style
+    // series: flag a point when it sits more than 3·1.4826·MAD from
+    // its rolling-window median (window = 5 trailing same-user
+    // events). Both the median and the MAD are computed EXACTLY from
+    // the 5-element frame array (odd size → middle element, no
+    // interpolation, no engine aggregate differences): collect the
+    // frame, sort, index — per-row O(w log w) on a constant w, fused
+    // into one keyed window pass. The classic use: de-spiking a
+    // metric BEFORE ts_zscore/ts_cusum so one glitch doesn't poison
+    // the baseline.
+    Q("ts_hampel",
+      """WITH w AS (SELECT user_id, event_id, "value",
+        |    list("value") OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS fr
+        |  FROM events WHERE user_id % 20 = 0),
+        |m AS (SELECT user_id, event_id, "value",
+        |    list_sort(fr)[3] AS med
+        |  FROM w WHERE len(fr) = 5),
+        |h AS (SELECT m.user_id, m.event_id, m."value", m.med,
+        |    list_sort(list_transform(w.fr, x -> abs(x - m.med)))[3] AS mad
+        |  FROM m JOIN w ON w.user_id = m.user_id
+        |    AND w.event_id = m.event_id)
+        |SELECT user_id, event_id, round("value", 2) AS value,
+        |  round(med, 2) AS med5, round(mad, 2) AS mad5,
+        |  CAST(abs("value" - med) > 3 * 1.4826 * mad AS BOOLEAN)
+        |    AS is_spike
+        |FROM h ORDER BY user_id, event_id""") { (s, d) =>
+      val win = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      val w = Tables.events(s, d)
+        .filter(col("user_id") % 20 === 0)
+        .select(col("user_id"), col("event_id"), col("value"),
+          collect_list(col("value")).over(win).as("fr"))
+        .filter(size(col("fr")) === 5)
+      val med = element_at(sort_array(col("fr")), 3)
+      w.select(col("user_id"), col("event_id"), col("value"),
+          med.as("med"), col("fr"))
+        .select(col("user_id"), col("event_id"), col("value"), col("med"),
+          element_at(sort_array(expr("transform(fr, x -> abs(x - med))")), 3)
+            .as("mad"))
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 2).as("value"),
+          round(col("med"), 2).as("med5"),
+          round(col("mad"), 2).as("mad5"),
+          (abs(col("value") - col("med")) >
+            lit(3) * lit(1.4826) * col("mad")).as("is_spike"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
     // MANN-KENDALL trend test over the daily revenue series — the
     // nonparametric "is this metric trending?" check (no linearity or
     // normality assumed; the question is pure pair concordance).

@@ -557,6 +557,22 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(out(2).getAs[Double]("wow_change") == 1.0)
   }
 
+  test("ts_hampel flags a lone spike against a constant baseline (MAD = 0)") {
+    val d = tempDir("hampel")
+    // user 0 (passes the %20 cut): constant 10s with one 100 spike.
+    val vals = Seq(10.0, 10.0, 10.0, 10.0, 100.0, 10.0, 10.0, 10.0, 10.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, new Timestamp(t0.getTime + i * 60000L), 0L, "view", v, "{}")
+    }
+    writeEvents(d, rows)
+    val out = SparkEntry.queries("ts_hampel")(spark, d).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Boolean]("is_spike"))
+      .toMap
+    assert(out.size == 5) // rows with a full 5-frame
+    assert(out(4L))        // the 100 against med 10, mad 0
+    assert(!out(5L) && !out(6L) && !out(7L) && !out(8L))
+  }
+
   test("vec_clip_outliers: a linear dim clips its two tails, a constant dim none") {
     val d = tempDir("clip")
     val rows = (1 to 20).map(i =>
