@@ -928,11 +928,15 @@ object AnalyticQueries {
     // then quantize to decimal for the order-free sum, so the mean is
     // bit-stable. Two passes at corpus scale: the per-group exact
     // percentile (KLL sketch at 100 TB) and one clamp+rollup with the
-    // 3-row band broadcast back.
+    // 3-row band broadcast back. The oracle casts the DECIMAL price to
+    // DOUBLE before quantile_cont — DuckDB's DECIMAL overload truncates
+    // the interpolated quantile to the column scale (cents), while
+    // Spark's percentile() interpolates in full DOUBLE precision
+    // (agg_trimmed_mean precedent).
     Q("agg_winsorized_mean",
       """WITH q AS (SELECT l_returnflag AS rf,
-        |    quantile_cont(l_extendedprice, 0.05) AS p05,
-        |    quantile_cont(l_extendedprice, 0.95) AS p95
+        |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS p05,
+        |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS p95
         |  FROM lineitem GROUP BY 1),
         |w AS (SELECT l.l_returnflag AS rf, q.p05, q.p95,
         |    CAST(round(least(greatest(l.l_extendedprice, q.p05), q.p95), 4)

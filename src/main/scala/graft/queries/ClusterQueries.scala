@@ -21,6 +21,21 @@ import org.apache.spark.storage.StorageLevel
   * Convergence is detected distributively (a count of changed labels —
   * a 1-row action per round, no data on the driver).
   */
+/** Hot-key discipline knobs for the graph family's wedge joins. A wedge
+  * join (adj ⋈ adj on a shared endpoint, or a bipartite projection keyed
+  * on the shared item) emits C(d,2) pairs for a degree-d center — so one
+  * viral key dominates the whole stage at corpus scale. Every wedge in
+  * the family therefore drops centers with degree > WedgeCap BEFORE the
+  * self-join, and the truncation is itself a first-class oracle-verified
+  * output (graph_bipartite_truncation). 256 ⇒ ≤ 32,640 pairs per center
+  * worst-case; the shipped fixtures' max degrees (53 bipartite / 15
+  * co-purchase at sf0.1) never reach it, so fixture hashes are
+  * cap-invariant, and the planted hot-part fixture (ScaleUp --hotpart)
+  * is what exercises the guard. */
+private[queries] object GraphConfig {
+  val WedgeCap = 256
+}
+
 object ClusterQueries {
 
   /** 8-seed MinHash signature relation (doc_id, seed, mh) — the same
@@ -805,11 +820,17 @@ object ClusterQueries {
     // recommender/record-linkage primitive: score non-adjacent part
     // pairs by shared neighborhood). Same support-thresholded edge
     // relation as graph_triangles; candidates come from a WEDGE join on
-    // the shared neighbor (fan-out bounded by degree, never all-pairs),
-    // degrees are one keyed rollup joined twice, and
-    // jaccard = cn / (deg_a + deg_b − cn) stays exact integers until the
-    // final ratio. cn >= 2 bounds the emitted pair relation the same way
-    // the triangle query's support threshold does.
+    // the shared neighbor. The wedge center is DEGREE-CAPPED
+    // (GraphConfig.WedgeCap = 256): a hub neighbor of degree d emits
+    // C(d,2) candidate pairs, so hubs are excluded as wedge centers —
+    // which is also the statistically right call (a neighbor shared
+    // with everyone carries no link-prediction signal; Adamic-Adar
+    // formalizes the same intuition as a 1/ln(deg) weight). Degrees in
+    // the jaccard denominator still come from the UNCAPPED adjacency,
+    // so surviving scores are exact. Fixture max degree is 15 — the cap
+    // never binds there (hash-invariant); the planted hot-part fixture
+    // is what exercises it. cn >= 2 bounds the emitted pair relation
+    // the same way the triangle query's support threshold does.
     Q("graph_jaccard",
       """WITH e0 AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
         |  FROM lineitem a JOIN lineitem b
@@ -818,8 +839,10 @@ object ClusterQueries {
         |adj AS (SELECT p1 AS u, p2 AS v FROM e0
         |  UNION ALL SELECT p2, p1 FROM e0),
         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |adjc AS (SELECT adj.u, adj.v FROM adj
+        |  JOIN deg dv ON dv.u = adj.v WHERE dv.d <= 256),
         |cw AS (SELECT a.u AS x, b.u AS y, CAST(count(*) AS BIGINT) AS cn
-        |  FROM adj a JOIN adj b ON a.v = b.v AND a.u < b.u
+        |  FROM adjc a JOIN adjc b ON a.v = b.v AND a.u < b.u
         |  GROUP BY 1, 2 HAVING count(*) >= 2)
         |SELECT x, y, cn,
         |  round(cn / CAST(da.d + db.d - cn AS DOUBLE), 4) AS jaccard,
@@ -833,7 +856,11 @@ object ClusterQueries {
       val adj = e0.select(col("p1").as("u"), col("p2").as("v"))
         .unionByName(e0.select(col("p2").as("u"), col("p1").as("v")))
       val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("d"))
-      val cn = adj.as("a").join(adj.as("b"),
+      // cap the wedge CENTER's degree before the self-join (hub guard)
+      val keepV = deg.filter(col("d") <= GraphConfig.WedgeCap)
+        .select(col("u").as("v"))
+      val adjc = adj.join(keepV, Seq("v"), "left_semi")
+      val cn = adjc.as("a").join(adjc.as("b"),
           col("a.v") === col("b.v") && col("a.u") < col("b.u"))
         .groupBy(col("a.u").as("x"), col("b.u").as("y"))
         .agg(count(lit(1)).as("cn"))
@@ -982,10 +1009,15 @@ object ClusterQueries {
     // neighbors on the Web", 2003) over the co-purchase graph: score a
     // candidate pair by Σ_z 1/ln(deg(z)) over its common neighbors —
     // rare shared neighbors count more than hubs. Same
-    // skew-bounded wedge join as graph_jaccard (adj ⋈ adj on the shared
-    // endpoint), but each wedge carries its centre's 1/ln(deg) weight;
-    // per-wedge terms are DECIMAL-quantized so the per-pair sum is
-    // order-free. A common neighbour has ≥2 edges, so ln(deg) > 0.
+    // degree-capped wedge join as graph_jaccard (adj ⋈ adj on the
+    // shared endpoint, centers with deg > GraphConfig.WedgeCap = 256
+    // excluded — here the cap is doubly principled, since AA already
+    // down-weights hubs by 1/ln(deg): a capped hub contributes ≤
+    // 1/ln 256 ≈ 0.18 per wedge while emitting C(d,2) of them); each
+    // wedge carries its centre's 1/ln(deg) weight with deg from the
+    // UNCAPPED adjacency; per-wedge terms are DECIMAL-quantized so the
+    // per-pair sum is order-free. A common neighbour has ≥2 edges, so
+    // ln(deg) > 0.
     Q("graph_adamic_adar",
       """WITH e0 AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
         |  FROM lineitem a JOIN lineitem b
@@ -994,8 +1026,10 @@ object ClusterQueries {
         |adj AS (SELECT p1 AS u, p2 AS v FROM e0
         |  UNION ALL SELECT p2, p1 FROM e0),
         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |adjc AS (SELECT adj.u, adj.v FROM adj
+        |  JOIN deg dv ON dv.u = adj.v WHERE dv.d <= 256),
         |w AS (SELECT a.u AS x, b.u AS y, a.v AS z
-        |  FROM adj a JOIN adj b ON a.v = b.v AND a.u < b.u),
+        |  FROM adjc a JOIN adjc b ON a.v = b.v AND a.u < b.u),
         |sc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cn,
         |    CAST(sum(CAST(1.0 / ln(dz.d) AS DECIMAL(28,12))) AS DOUBLE)
         |      AS aa
@@ -1007,7 +1041,11 @@ object ClusterQueries {
       val adj = e0.select(col("p1").as("u"), col("p2").as("v"))
         .unionByName(e0.select(col("p2").as("u"), col("p1").as("v")))
       val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("d"))
-      adj.as("a").join(adj.as("b"),
+      // hub guard: cap the wedge center's degree before the self-join
+      val keepV = deg.filter(col("d") <= GraphConfig.WedgeCap)
+        .select(col("u").as("v"))
+      val adjc = adj.join(keepV, Seq("v"), "left_semi")
+      adjc.as("a").join(adjc.as("b"),
           col("a.v") === col("b.v") && col("a.u") < col("b.u"))
         .select(col("a.u").as("x"), col("b.u").as("y"), col("a.v").as("z"))
         .join(deg.select(col("u").as("z"), col("d")), Seq("z"))
@@ -1130,16 +1168,31 @@ object ClusterQueries {
     // parts, weighted by shared-part count and part-set Jaccard. This
     // is the co-engagement graph every recommender/segmentation stack
     // derives from its interaction log. The projection join is keyed on
-    // the shared PART (wedge fan-out bounded by part popularity — a
-    // viral part is a hot key: cap or salt it at scale, same discipline
-    // as any hot groupBy); degrees come from one rollup joined twice;
-    // support ≥ 3 bounds the emitted pair relation.
+    // the shared PART, and a viral part is a hot key emitting C(d,2)
+    // customer pairs — so the wedge is DEGREE-CAPPED: parts bought by
+    // more than WedgeCap (256) distinct customers are EXCLUDED from the
+    // projection (the standard co-engagement discipline — a part half
+    // the corpus bought carries no pairwise signal, and at 100 TB a
+    // 1M-customer part alone would emit 5·10¹¹ pairs). The cap is
+    // mirrored in the oracle, and the truncation it causes is itself an
+    // oracle-verified output: `graph_bipartite_truncation` reports every
+    // capped part with its suppressed-pair count, so a production run
+    // sees exactly what the cap dropped. At the shipped fixtures the max
+    // part degree is 53 (sf0.1), so the cap never binds there; the
+    // planted hot-part ScaleUp fixture (tools/ScaleUp --hotpart) is what
+    // exercises it — see COVERAGE.md's hot-key table. Customer degrees
+    // (for Jaccard) still come from the UNCAPPED relation, so scores of
+    // surviving pairs are exact, not conditioned on the cap. Support
+    // ≥ 3 bounds the emitted pair relation.
     Q("graph_bipartite_project",
       """WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
         |deg AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM cp GROUP BY 1),
+        |pdeg AS (SELECT p, count(*) AS pd FROM cp GROUP BY 1),
+        |cpk AS (SELECT cp.c, cp.p FROM cp
+        |  JOIN pdeg ON pdeg.p = cp.p WHERE pdeg.pd <= 256),
         |pr AS (SELECT a.c AS c1, b.c AS c2, CAST(count(*) AS BIGINT) AS shared
-        |  FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+        |  FROM cpk a JOIN cpk b ON a.p = b.p AND a.c < b.c
         |  GROUP BY 1, 2 HAVING count(*) >= 3)
         |SELECT c1, c2, shared,
         |  round(shared / CAST(d1.d + d2.d - shared AS DOUBLE), 4) AS jaccard
@@ -1151,7 +1204,12 @@ object ClusterQueries {
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .distinct()
       val deg = cp.groupBy(col("c")).agg(count(lit(1)).as("d"))
-      val pr = cp.as("a").join(cp.as("b"),
+      // degree-cap the wedge side: drop viral parts (> WedgeCap buyers)
+      // BEFORE the self-join — the C(d,2) hot-key guard
+      val keepP = cp.groupBy(col("p")).agg(count(lit(1)).as("pd"))
+        .filter(col("pd") <= GraphConfig.WedgeCap).select(col("p"))
+      val cpk = cp.join(keepP, Seq("p"), "left_semi")
+      val pr = cpk.as("a").join(cpk.as("b"),
           col("a.p") === col("b.p") && col("a.c") < col("b.c"))
         .groupBy(col("a.c").as("c1"), col("b.c").as("c2"))
         .agg(count(lit(1)).as("shared"))
@@ -1162,6 +1220,54 @@ object ClusterQueries {
           round(col("shared") / (col("d1") + col("d2") - col("shared"))
             .cast("double"), 4).as("jaccard"))
         .orderBy(col("c1"), col("c2"))
+    },
+
+    // TRUNCATION REPORT for the degree-capped bipartite projection —
+    // the audit half of the WedgeCap discipline: every production run
+    // of graph_bipartite_project should ship with this row so the cap
+    // is never a silent data loss. Reports how many parts the cap
+    // excluded, the wedge pairs that suppressed (Σ C(pd,2) — exact
+    // integer arithmetic), the surviving wedge volume, and the max part
+    // degree seen — on the shipped fixtures n_capped = 0 (max degree 53
+    // ≪ 256), which is itself the oracle-verified proof that the cap is
+    // hash-invariant there. One rollup over the distinct (customer,
+    // part) relation; output is a single row at any SF.
+    Q("graph_bipartite_truncation",
+      """WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |pdeg AS (SELECT p, CAST(count(*) AS BIGINT) AS pd
+        |  FROM cp GROUP BY 1)
+        |SELECT CAST(256 AS BIGINT) AS wedge_cap,
+        |  CAST(count(*) AS BIGINT) AS n_parts,
+        |  max(pd) AS max_part_degree,
+        |  CAST(sum(CASE WHEN pd > 256 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_capped_parts,
+        |  CAST(sum(CASE WHEN pd > 256 THEN (pd * (pd - 1)) // 2 ELSE 0 END)
+        |    AS BIGINT) AS pairs_suppressed,
+        |  CAST(sum(CASE WHEN pd <= 256 THEN (pd * (pd - 1)) // 2 ELSE 0 END)
+        |    AS BIGINT) AS pairs_kept
+        |FROM pdeg""") { (s, d) =>
+      val cp = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      val cap = lit(GraphConfig.WedgeCap.toLong)
+      cp.groupBy(col("p")).agg(count(lit(1)).as("pd"))
+        .agg(max(cap).as("wedge_cap"),
+          count(lit(1)).as("n_parts"),
+          max(col("pd")).as("max_part_degree"),
+          sum(when(col("pd") > cap, 1L).otherwise(0L)).as("n_capped_parts"),
+          sum(when(col("pd") > cap, expr("(pd * (pd - 1)) div 2"))
+            .otherwise(0L)).as("pairs_suppressed"),
+          sum(when(col("pd") <= cap, expr("(pd * (pd - 1)) div 2"))
+            .otherwise(0L)).as("pairs_kept"))
+        .select(col("wedge_cap").cast("long").as("wedge_cap"),
+          col("n_parts").cast("long").as("n_parts"),
+          col("max_part_degree").cast("long").as("max_part_degree"),
+          col("n_capped_parts").cast("long").as("n_capped_parts"),
+          col("pairs_suppressed").cast("long").as("pairs_suppressed"),
+          col("pairs_kept").cast("long").as("pairs_kept"))
     },
 
     // PERSONALIZED PAGERANK from a seed set — "related items for THESE

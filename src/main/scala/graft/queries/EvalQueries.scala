@@ -1436,6 +1436,10 @@ object EvalQueries {
     // the only corpus-scale pass, and the τ join stays O(groups²).
     // Comparisons are on exact values (integer count, decimal→double
     // balance), so concordant/discordant/tie counts are bit-stable.
+    // Tie terms follow the standard τ-b denominator: tx counts ALL
+    // pairs tied on x (and ty all pairs tied on y), INCLUDING pairs
+    // tied on both metrics — excluding double-ties understates |τ-b|
+    // (Kendall 1945 form: τ_b = (C−D)/√((n0−tx)(n0−ty))).
     Q("eval_kendall_tau",
       """WITH m AS (SELECT c_nationkey AS nk, count(*) AS x,
         |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS y
@@ -1447,8 +1451,8 @@ object EvalQueries {
         |      THEN 1 ELSE 0 END) AS conc,
         |    sum(CASE WHEN (xa < xb AND ya > yb) OR (xa > xb AND ya < yb)
         |      THEN 1 ELSE 0 END) AS disc,
-        |    sum(CASE WHEN xa = xb AND ya <> yb THEN 1 ELSE 0 END) AS tx,
-        |    sum(CASE WHEN ya = yb AND xa <> xb THEN 1 ELSE 0 END) AS ty
+        |    sum(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS tx,
+        |    sum(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS ty
         |  FROM p)
         |SELECT CAST(n0 AS BIGINT) AS n_pairs,
         |  CAST(conc AS BIGINT) AS concordant,
@@ -1472,10 +1476,8 @@ object EvalQueries {
         sum(when((col("xa") < col("xb") && col("ya") > col("yb")) ||
           (col("xa") > col("xb") && col("ya") < col("yb")), 1)
           .otherwise(0)).as("disc"),
-        sum(when(col("xa") === col("xb") && col("ya") =!= col("yb"), 1)
-          .otherwise(0)).as("tx"),
-        sum(when(col("ya") === col("yb") && col("xa") =!= col("xb"), 1)
-          .otherwise(0)).as("ty"))
+        sum(when(col("xa") === col("xb"), 1).otherwise(0)).as("tx"),
+        sum(when(col("ya") === col("yb"), 1).otherwise(0)).as("ty"))
       st.select(col("n0").cast("long").as("n_pairs"),
         col("conc").cast("long").as("concordant"),
         col("disc").cast("long").as("discordant"),

@@ -887,17 +887,24 @@ object PipelineQueries {
             .otherwise(0).as("f_rep"))
         .withColumn("nf",
           col("f_lang") + col("f_short") + col("f_stop") + col("f_rep"))
-      def ruleRow(name: String, f: String) =
-        sig.agg(sum(col(f)).as("n_flagged"),
-          sum(when(col(f) === 1 && col("nf") === 1, 1).otherwise(0))
-            .as("n_sole"),
+      // ONE aggregate emits all 12 measures (2 per rule + the count),
+      // then a 4-row stack() unpivots — the corpus really is tokenized
+      // and scanned once (the union-of-4-aggregates form recomputed the
+      // per-token lambda signals 4×).
+      def sole(f: String) =
+        sum(when(col(f) === 1 && col("nf") === 1, 1).otherwise(0))
+      sig.agg(
+          sum(col("f_lang")).as("fl"), sole("f_lang").as("sl"),
+          sum(col("f_stop")).as("fs"), sole("f_stop").as("ss"),
+          sum(col("f_rep")).as("fr"), sole("f_rep").as("sr"),
+          sum(col("f_short")).as("fh"), sole("f_short").as("sh"),
           count(lit(1)).as("n"))
-          .select(lit(name).as("rule"), col("n_flagged"), col("n_sole"),
-            col("n"))
-      ruleRow("lang", "f_lang")
-        .unionByName(ruleRow("low_stopword", "f_stop"))
-        .unionByName(ruleRow("repetitive", "f_rep"))
-        .unionByName(ruleRow("too_short", "f_short"))
+        .select(expr("""stack(4,
+            |  'lang', fl, sl,
+            |  'low_stopword', fs, ss,
+            |  'repetitive', fr, sr,
+            |  'too_short', fh, sh) AS (rule, n_flagged, n_sole)"""
+            .stripMargin), col("n"))
         .select(col("rule"), col("n_flagged").cast("long").as("n_flagged"),
           col("n_sole").cast("long").as("n_sole_reject"),
           round(col("n_flagged") / col("n").cast("double"), 4)
