@@ -803,10 +803,21 @@ object RelationalQueries {
     // drives, one UNION ALL step per level, each step an equi-free
     // narrow projection — at 100 TB the recursion depth is log₁₀(key
     // space), so the plan is ~5 chained scans of a keys-only column.
-    // The accumulated CTE is n_rows × depth (linear, small constant),
-    // but Spark's default recursion ROW limit (1e6) is a safety valve
-    // that binds first at 10× sf0.1 — raised on a session clone to
-    // match the linear growth (measured: the 10× run needs ~1.6M).
+    // LIMIT DERIVATION (the operator's formal bound, not a tuning
+    // anecdote): WITH RECURSIVE materializes the UNION ALL of every
+    // level, so the accumulated row count is exactly
+    //   Σ_k |{customers with depth ≥ k}| ≈ |customers| × (⌊log₁₀ max
+    //   custkey⌋ + 1)
+    // — every key of the same magnitude walks the same number of
+    // levels. sf0.1: 15k × 7 ≈ 105k rows (default 1e6 limit holds);
+    // 10×: 150k × ~9 ≈ 1.4M (measured 1.6M — the default BINDS);
+    // 100×: ~15M. The engine knob `spark.sql.cteRecursionRowLimit`
+    // must therefore scale as |customers| × depth, which this query
+    // sets on a session clone (1e8 ⇒ headroom to ~700× sf0.1). When
+    // the corpus outgrows any fixed limit, the walk itself must stop
+    // accumulating: `rel_recursive_frontier` (next query) is the same
+    // computation in per-level frontier form — O(|frontier|) live rows,
+    // no accumulation, no engine limit — the shape to prefer at 100 TB.
     Q("rel_recursive_cte",
       """WITH RECURSIVE chain AS (
         |  SELECT c_custkey AS k, c_custkey AS cur, 0 AS depth
@@ -832,5 +843,68 @@ object RelationalQueries {
           |  CAST(count(DISTINCT cur) AS BIGINT) AS n_roots
           |FROM chain WHERE cur < 10
           |GROUP BY depth ORDER BY depth""".stripMargin)
+    },
+
+    // FRONTIER-FORM RECURSION — the same parent-hierarchy walk as
+    // rel_recursive_cte, but engine-scale: instead of letting WITH
+    // RECURSIVE accumulate |customers| × depth rows (and trip the
+    // engine's recursion row limit at scale — see the derivation on
+    // the previous query), the walk is driver-unrolled per LEVEL like
+    // graph_bfs_khop: each round keeps only the ACTIVE frontier (keys
+    // still ≥ 10), and terminal rows collapse to their ≤10-row
+    // (depth, count, distinct-roots) aggregate immediately — so live
+    // state is O(|frontier|) regardless of depth, the union across
+    // levels is of AGGREGATE rows (≤ 10 per level), and no engine
+    // limit exists to raise. Rounds = ⌊log₁₀ max key⌋ + 1 (~9 at 10×);
+    // each round is a narrow projection + one bounded rollup, with
+    // eager localCheckpoint truncating the loop's lineage and the
+    // previous round's blocks released as soon as the next
+    // materializes. The only driver values are per-round frontier
+    // counts (one Long each). Same oracle as rel_recursive_cte —
+    // the two forms must agree bit-for-bit.
+    Q("rel_recursive_frontier",
+      """WITH RECURSIVE chain AS (
+        |  SELECT c_custkey AS k, c_custkey AS cur, 0 AS depth
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT k, CAST(floor(cur / 10) AS BIGINT), depth + 1
+        |  FROM chain WHERE cur >= 10)
+        |SELECT depth, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(count(DISTINCT cur) AS BIGINT) AS n_roots
+        |FROM chain WHERE cur < 10
+        |GROUP BY depth ORDER BY depth""") { (s0, d) =>
+      val s = graft.Sessions.withShufflePartitions(s0, 8)
+      def release(df: DataFrame): Unit =
+        try df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        }.foreach(_.unpersist(blocking = false))
+        catch { case _: Throwable => () }
+      var frontier = Tables.customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_custkey").as("cur"),
+          lit(0).as("depth"))
+        .localCheckpoint(true)
+      var levels = List.empty[DataFrame]
+      var active = frontier.count()
+      while (active > 0) {
+        // the ≤10-row level aggregate materializes eagerly BEFORE its
+        // source frontier's checkpoint blocks are released below
+        levels = levels :+ frontier.filter(col("cur") < 10)
+          .groupBy(col("depth"))
+          .agg(count(lit(1)).as("n_customers"),
+            countDistinct(col("cur")).as("n_roots"))
+          .localCheckpoint(true)
+        val next = frontier.filter(col("cur") >= 10)
+          .select(col("k"),
+            floor(col("cur") / 10).cast("long").as("cur"),
+            (col("depth") + 1).as("depth"))
+          .localCheckpoint(true)
+        active = next.count()
+        release(frontier)
+        frontier = next
+      }
+      levels.reduce(_ unionByName _)
+        .select(col("depth"), col("n_customers").cast("long").as("n_customers"),
+          col("n_roots").cast("long").as("n_roots"))
+        .orderBy(col("depth"))
     })
 }

@@ -35,6 +35,17 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args(0); val out = args(1); val factor = args(2).toInt
+    // --hotpart: PLANT a viral part across all replicas. The disjoint-
+    // replica remap is structurally incapable of growing a hot key (every
+    // replica's keys are disjoint, so max degree stays the source's), but
+    // the wedge-cap guards exist precisely for hot keys — this mode
+    // rewrites the first line of every 3rd order to the UN-REMAPPED
+    // part key 1, so one part accumulates ~|customers|/3 distinct buyers
+    // across the whole N× corpus (C(d,2) ≈ 1.2e9 wedge pairs at 10×
+    // sf0.1 — the load the degree cap must suppress). Used by the
+    // COVERAGE.md hot-key datapoints for graph_bipartite_project /
+    // graph_jaccard / graph_adamic_adar.
+    val hotPart = args.length > 3 && args(3) == "--hotpart"
     val spark = GraftSession.configure(SparkSession.builder())
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -68,7 +79,12 @@ object ScaleUp {
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     li.crossJoin(broadcast(reps))
       .withColumn("l_orderkey", col("l_orderkey") + col("r") * 10000000L)
-      .withColumn("l_partkey", col("l_partkey") + col("r") * 10000000L)
+      .withColumn("l_partkey",
+        if (hotPart)
+          when(col("l_orderkey") % 3 === 0 && col("l_linenumber") === 1,
+            lit(1L))
+            .otherwise(col("l_partkey") + col("r") * 10000000L)
+        else col("l_partkey") + col("r") * 10000000L)
       .drop("r")
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")

@@ -103,6 +103,76 @@ class PlanHygieneSpec extends SparkSpec {
   // regressed query from the hygiene law exactly when it matters.
   private val buildExempt: Set[String] = Set.empty
 
+  // ---- streaming half of the law ----------------------------------
+  // Streaming plans can regress to BNLJ too (typically on a static
+  // side), and a streaming DataFrame can't be explain()'d from here —
+  // the builders encapsulate start()/processAllAvailable(). So the
+  // sweep captures the PHYSICAL PLAN OF EVERY MICRO-BATCH as Spark
+  // reports it: SparkListenerSQLExecutionStart events carry the full
+  // physicalPlanDescription for each execution on the shared context,
+  // including streaming micro-batches. Each stream_* builder runs at
+  // sf0.001 with the listener attached; every captured plan is held to
+  // the same CartesianProduct/BNLJ law.
+  private val streamAllowed: Set[String] = Set(
+    // 1-row broadcast scalars on the STATIC side of the final-state
+    // computation (same bounded shapes as the batch whitelist):
+    "stream_sprt",     // per-batch LLR x broadcast 1-row ln-constant row
+    "stream_psi",      // bucket counts x broadcast 1-row baseline total
+    "stream_ab_monitor", // arm aggregates x broadcast 1-row pooled stats
+    "stream_freshness" // per-type extrema x broadcast 1-row watermark row
+  )
+
+  test("no streaming micro-batch plans CartesianProduct/BNLJ (outside the whitelist)") {
+    val streamQueries = SparkEntry.queries.keys.toSeq.sorted
+      .filter(_.startsWith("stream_"))
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case e: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            plans.add(e.physicalPlanDescription)
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val bad = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    val broken = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var totalPlans = 0 // guard against a vacuous pass (listener saw nothing)
+    try {
+      for (q <- streamQueries) {
+        plans.clear()
+        try {
+          SparkEntry.queries(q)(spark, dir)
+          // drain the async listener bus before attributing plans
+          org.apache.spark.graft.ListenerBusFlush.drain(
+            spark.sparkContext, 30000L)
+          totalPlans += plans.size()
+          val offending = plans.iterator()
+          while (offending.hasNext) {
+            val p = offending.next()
+            for (shape <- Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+                 if p.contains(shape) && !streamAllowed(q))
+              bad += ((q, shape))
+          }
+        } catch {
+          case e: Throwable =>
+            broken += ((q, e.toString.linesIterator.next()))
+        }
+        spark.catalog.clearCache()
+        spark.catalog.listTables().collect()
+          .filter(t => t.isTemporary && t.name.startsWith("st_"))
+          .foreach(t => spark.catalog.dropTempView(t.name))
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(broken.isEmpty,
+      s"stream queries failed to BUILD (hygiene law couldn't run):\n${broken.mkString("\n")}")
+    assert(totalPlans > 0,
+      "listener captured zero execution plans — the sweep checked nothing")
+    assert(bad.distinct.isEmpty,
+      s"quadratic join shapes in streaming micro-batches:\n${bad.distinct.mkString("\n")}")
+  }
+
   test("no batch query plans CartesianProduct/BNLJ (outside the whitelist)") {
     val bad = scala.collection.mutable.ListBuffer.empty[(String, Seq[String])]
     val broken = scala.collection.mutable.ListBuffer.empty[(String, String)]
