@@ -43,7 +43,7 @@ object ClusterQueries {
     * the affine permutation family, TextQueries.mhMixSql), shared here to
     * build the candidate-pair graph. */
   private def minhashSigs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    TextQueries.minhashSigsArrayOf(Tables.documents(s, d))
+    TextQueries.minhashSigs(s, d)
 
   /** MinHash LSH candidate-pair edges (u < v, distinct) — the graph both
     * CC formulations resolve. Returned persisted + materialized (the
@@ -67,29 +67,20 @@ object ClusterQueries {
     * train-once/probe-many shape. Two variants: support counted over
     * raw lineitems vs over distinct (order, part) baskets — both
     * appear in the family's contracts. */
-  private val coPurchaseBuilding = new java.util.concurrent.ConcurrentHashMap[
-    String, AnyRef]()
-
   private[queries] def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
       d: String, distinctBaskets: Boolean = false): DataFrame = {
     val tag = if (distinctBaskets) "copurch-dist" else "copurch"
-    val dir = s"/tmp/graft-rt-$tag-${math.abs(d.hashCode)}"
-    coPurchaseBuilding.computeIfAbsent(dir, _ => {
-      if (!new java.io.File(s"$dir/_SUCCESS").exists) {
-        val li0 = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val li = if (distinctBaskets) li0.distinct() else li0
-        li.as("a").join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
-          .agg(count(lit(1)).as("sup"))
-          .filter(col("sup") >= 2)
-          .select(col("p1"), col("p2"))
-          .write.mode("overwrite").parquet(dir)
-      }
-      java.lang.Boolean.TRUE
-    })
-    s.read.parquet(dir)
+    Derived.memo(s, d, "lineitem", tag) {
+      val li0 = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val li = if (distinctBaskets) li0.distinct() else li0
+      li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select(col("p1"), col("p2"))
+    }
   }
 
   /** Same candidate cut over an arbitrary signature frame — the skew

@@ -28,7 +28,16 @@ object TextQueries {
     * degenerate case must be guarded explicitly to match DuckDB's empty
     * range(1, 1) — and to avoid toks[-1] under ANSI mode. */
   private[queries] def shingles(s: SparkSession, d: String): DataFrame =
-    shinglesOf(Tables.documents(s, d))
+    Derived.memo(s, d, "documents", "shingles")(
+      shinglesOf(Tables.documents(s, d)))
+
+  /** Derive-once memo of the 8-seed signature relation over the corpus
+    * table — the [[minhashSigsArrayOf]] map stage materialized via
+    * [[Derived]] so the ~10 MinHash-derived batch queries scan one small
+    * artifact instead of re-hashing every shingle per query. */
+  private[graft] def minhashSigs(s: SparkSession, d: String): DataFrame =
+    Derived.memo(s, d, "documents", "mhsigs")(
+      minhashSigsArrayOf(Tables.documents(s, d)))
 
   /** Shingle ARRAY construction (pre-explode), the single source of
     * truth for both the batch relation below and the streaming signature
@@ -142,7 +151,10 @@ object TextQueries {
       |  GROUP BY doc_id, b.bit)
       |GROUP BY doc_id""".stripMargin
 
-  private[queries] def simhashDf(s: SparkSession, d: String): DataFrame = {
+  private[queries] def simhashDf(s: SparkSession, d: String): DataFrame =
+    Derived.memo(s, d, "documents", "simhash")(simhashBuild(s, d))
+
+  private def simhashBuild(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val hv = tok.withColumn("v", expr(
@@ -469,7 +481,7 @@ object TextQueries {
          |      GROUP BY doc_id, r.seed)
          |SELECT doc_id, seed, mh FROM h
          |ORDER BY doc_id, seed""") { (s, d) =>
-      minhashSigsArrayOf(Tables.documents(s, d))
+      minhashSigs(s, d)
         .orderBy(col("doc_id"), col("seed"))
     },
 
@@ -563,7 +575,7 @@ object TextQueries {
          |  AND a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id
          |GROUP BY a.doc_id, b.doc_id
          |ORDER BY d1, d2""") { (s, d) =>
-      val bnd = minhashSigsArrayOf(Tables.documents(s, d))
+      val bnd = minhashSigs(s, d)
         .groupBy(col("doc_id"), expr("CAST(seed div 2 AS INT)").as("band"))
         .agg(min(when(col("seed") % 2 === 0, col("mh"))).as("m0"),
           min(when(col("seed") % 2 === 1, col("mh"))).as("m1"))
@@ -736,7 +748,7 @@ object TextQueries {
          |  (SELECT round(sum(CASE WHEN safe = 'train' THEN 1 ELSE 0 END)
          |    / CAST(count(*) AS DOUBLE), 4) FROM sp) AS safe_train_frac""") { (s0, d) =>
       val s = graft.Sessions.withShufflePartitions(s0, 8)
-      val bnd = minhashSigsArrayOf(Tables.documents(s, d))
+      val bnd = minhashSigs(s, d)
         .groupBy(col("doc_id"), expr("CAST(seed div 2 AS INT)").as("band"))
         .agg(min(when(col("seed") % 2 === 0, col("mh"))).as("m0"),
           min(when(col("seed") % 2 === 1, col("mh"))).as("m1"))
@@ -815,7 +827,7 @@ object TextQueries {
          |ORDER BY g.d1, g.d2""") { (s, d) =>
       val sh = shinglesOf(Tables.documents(s, d)).distinct()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val h = minhashSigsArrayOf(Tables.documents(s, d))
+      val h = minhashSigs(s, d)
       val agree = h.as("a").join(h.as("b"),
           col("a.seed") === col("b.seed") && col("a.mh") === col("b.mh") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -2100,7 +2112,7 @@ object TextQueries {
          |    / CAST(count(*) AS DOUBLE), 4) AS dup_rate
          |FROM documents d LEFT JOIN fl ON fl.doc_id = d.doc_id
          |GROUP BY 1 ORDER BY d.source""") { (s, d) =>
-      val bnd = minhashSigsArrayOf(Tables.documents(s, d))
+      val bnd = minhashSigs(s, d)
         .groupBy(col("doc_id"), expr("CAST(seed div 2 AS INT)").as("band"))
         .agg(min(when(col("seed") % 2 === 0, col("mh"))).as("m0"),
           min(when(col("seed") % 2 === 1, col("mh"))).as("m1"))
@@ -2175,7 +2187,7 @@ object TextQueries {
             |  array())""".stripMargin)).as("b"))
         .distinct()
       val nb = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val bnd = minhashSigsArrayOf(Tables.documents(s, d))
+      val bnd = minhashSigs(s, d)
         .groupBy(col("doc_id"), expr("CAST(seed div 2 AS INT)").as("band"))
         .agg(min(when(col("seed") % 2 === 0, col("mh"))).as("m0"),
           min(when(col("seed") % 2 === 1, col("mh"))).as("m1"))
@@ -2238,7 +2250,7 @@ object TextQueries {
          |    / CAST(sum(nt) AS DOUBLE), 4) AS savings
          |FROM tok LEFT JOIN drop_set ds ON ds.doc_id = tok.doc_id
          |GROUP BY 1 ORDER BY tok.source""") { (s, d) =>
-      val bnd = minhashSigsArrayOf(Tables.documents(s, d))
+      val bnd = minhashSigs(s, d)
         .groupBy(col("doc_id"), expr("CAST(seed div 2 AS INT)").as("band"))
         .agg(min(when(col("seed") % 2 === 0, col("mh"))).as("m0"),
           min(when(col("seed") % 2 === 1, col("mh"))).as("m1"))
