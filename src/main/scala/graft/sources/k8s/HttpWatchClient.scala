@@ -282,6 +282,21 @@ class HttpWatchClient[T](base: String, resourcePath: String,
     if (toRv <= fromRv) Seq.empty
     else buffer.subMap(fromRv, false, toRv, true).values.asScala.toSeq
 
+  /** Admission-control cursor: the rv that admits at most `maxCount`
+    * buffered records above `fromRv` — the source's maxEventsPerTrigger
+    * cap resolves through this. If fewer than `maxCount` records are
+    * buffered, returns [[latestRv]] (everything decoded is admitted,
+    * including a collection-level rv advance with no items, which
+    * yields a watermark-advancing empty batch exactly like the
+    * uncapped path). O(maxCount) skip-list walk, no copying. */
+  def rvAfter(fromRv: Long, maxCount: Int): Long = {
+    var n = 0
+    var rv = fromRv
+    val it = buffer.tailMap(fromRv, false).keySet.iterator()
+    while (it.hasNext && n < maxCount) { rv = it.next(); n += 1 }
+    if (n < maxCount) latestRv() else rv
+  }
+
   /** Called on offset commit: everything ≤ rv is durably downstream, so
     * the replay window has moved past it; trim to keep the buffer
     * bounded (a watch left running for weeks must not grow without

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -57,7 +57,17 @@ class K8sEventSource extends TableProvider {
       Option(properties.get("token")).filter(_.nonEmpty),
       Option(properties.get("namespace")).filter(_.nonEmpty),
       Option(properties.get("relistIntervalMs")).filter(_.nonEmpty)
-        .map(_.toLong).getOrElse(Long.MaxValue))
+        .map(_.toLong).getOrElse(Long.MaxValue),
+      // watch reconnect pacing: 1 s default matches the reference
+      // informer's steady backoff; soak/high-churn deployments tune it
+      Option(properties.get("resyncBackoffMs")).filter(_.nonEmpty)
+        .map(_.toLong).getOrElse(1000L),
+      // admission control: cap how many buffered events one micro-batch
+      // may admit (Kafka's maxOffsetsPerTrigger analog). Unset = drain
+      // all available — correct for steady state, but a catch-up batch
+      // after downtime then swallows the whole backlog in one plan.
+      Option(properties.get("maxEventsPerTrigger")).filter(_.nonEmpty)
+        .map(_.toInt))
   }
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -70,7 +80,9 @@ object K8sEventSource {
 
 private[k8s] class K8sEventTable(path: String, endpoint: String,
     token: Option[String], namespace: Option[String],
-    relistIntervalMs: Long = Long.MaxValue)
+    relistIntervalMs: Long = Long.MaxValue,
+    resyncBackoffMs: Long = 1000L,
+    maxEventsPerTrigger: Option[Int] = None)
     extends Table with SupportsRead {
   override def name(): String =
     if (endpoint != null && endpoint.nonEmpty) s"k8s_events($endpoint)"
@@ -85,7 +97,7 @@ private[k8s] class K8sEventTable(path: String, endpoint: String,
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           if (endpoint != null && endpoint.nonEmpty)
             new K8sHttpMicroBatchStream(endpoint, token, namespace,
-              relistIntervalMs)
+              relistIntervalMs, resyncBackoffMs, maxEventsPerTrigger)
           else new K8sMicroBatchStream(path)
       }
     }
@@ -135,11 +147,28 @@ private[k8s] object K8sReaderFactory extends PartitionReaderFactory {
   * buffer, so memory holds only the uncommitted replay window. */
 private[k8s] class K8sHttpMicroBatchStream(endpoint: String,
     token: Option[String], namespace: Option[String],
-    relistIntervalMs: Long = Long.MaxValue) extends MicroBatchStream {
+    relistIntervalMs: Long = Long.MaxValue,
+    resyncBackoffMs: Long = 1000L,
+    maxEventsPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
   private val client = HttpWatchClient.events(endpoint, token, namespace,
-    relistIntervalMs = relistIntervalMs)
+    resyncBackoffMs = resyncBackoffMs, relistIntervalMs = relistIntervalMs)
   override def initialOffset(): Offset = K8sOffset(0L)
-  override def latestOffset(): Offset = K8sOffset(client.latestRv())
+  // With SupportsAdmissionControl mixed in, the engine resolves offsets
+  // through the 2-arg overload below (same contract as the Kafka source).
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this")
+  override def getDefaultReadLimit: ReadLimit =
+    maxEventsPerTrigger.map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[K8sOffset].rv
+    limit match {
+      case mr: ReadMaxRows => K8sOffset(client.rvAfter(from, mr.maxRows().toInt))
+      case _ => K8sOffset(client.latestRv())
+    }
+  }
   override def deserializeOffset(json: String): Offset = K8sOffset(json.toLong)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     Array(K8sBufferPartition(client.fetch(

@@ -197,6 +197,51 @@ class K8sSourceSpec extends SparkSpec {
     } finally { q.stop(); srv.stop() }
   }
 
+  test("admission control: maxEventsPerTrigger caps each micro-batch; " +
+    "every event still lands exactly once") {
+    val srv = new StubApiServer
+    for (i <- 1 to 6) srv.put(i.toLong, s"a$i")
+    val q = spark.readStream
+      .format(classOf[K8sEventSource].getName)
+      .option("endpoint", srv.url)
+      .option("maxEventsPerTrigger", "2")
+      .load()
+      .writeStream.format("memory").queryName("k8scapped")
+      .start()
+    try {
+      assert(awaitTrue(30000) {
+        q.processAllAvailable()
+        spark.table("k8scapped").count() == 6L
+      }, "all 6 events should land across capped batches")
+      // no batch admitted more than the cap
+      val batchRows = q.recentProgress.toSeq.map(_.numInputRows)
+      assert(batchRows.forall(_ <= 2),
+        s"a batch exceeded maxEventsPerTrigger=2: $batchRows")
+      // ...and the backlog genuinely needed >1 admitting batch
+      assert(batchRows.count(_ > 0) >= 3,
+        s"expected >=3 non-empty batches, got $batchRows")
+      val uids = spark.table("k8scapped").select("uid")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(uids == (1 to 6).map(i => s"a$i").sorted)
+    } finally { q.stop(); srv.stop() }
+  }
+
+  test("rvAfter: admission cursor walks at most maxCount buffered rvs, " +
+    "falls through to latestRv when fewer remain") {
+    val srv = new StubApiServer
+    srv.put(10, "x1"); srv.put(20, "x2"); srv.put(30, "x3")
+    val client = graft.sources.k8s.HttpWatchClient.events(srv.url,
+      resyncBackoffMs = 50)
+    try {
+      assert(awaitTrue(10000)(client.latestRv() == 30L))
+      assert(client.rvAfter(0L, 1) == 10L)
+      assert(client.rvAfter(0L, 2) == 20L)
+      assert(client.rvAfter(10L, 1) == 20L)
+      assert(client.rvAfter(0L, 99) == 30L)  // fewer than cap → latest
+      assert(client.rvAfter(30L, 5) == 30L)  // nothing above → latest
+    } finally { client.close(); srv.stop() }
+  }
+
   test("a malformed watch line is skipped; later lines on the SAME " +
     "connection still decode (no forced resync)") {
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()

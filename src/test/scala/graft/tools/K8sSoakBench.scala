@@ -41,7 +41,9 @@ object K8sSoakBench {
     val store = new java.util.concurrent.ConcurrentSkipListMap[Long, String]()
     private val srv = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
-    srv.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(2))
+    private val pool = java.util.concurrent.Executors.newFixedThreadPool(2,
+      r => { val t = new Thread(r, "soak-stub-http"); t.setDaemon(true); t })
+    srv.setExecutor(pool)
     srv.createContext("/api/v1/events", { ex =>
       val query = Option(ex.getRequestURI.getQuery).getOrElse("")
       if (query.contains("watch=true")) {
@@ -54,7 +56,7 @@ object K8sSoakBench {
         // resync loop is exercised continuously, and no single response
         // materializes the whole backlog as one string.
         val lines = store.tailMap(fromRv, false).values.asScala
-          .take(20000)
+          .take(50000)
           .map(j => s"""{"type":"ADDED","object":$j}""").mkString("\n")
         val body = (if (lines.isEmpty) "" else lines + "\n").getBytes("UTF-8")
         ex.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length)
@@ -73,7 +75,7 @@ object K8sSoakBench {
     })
     srv.start()
     def url: String = s"http://127.0.0.1:${srv.getAddress.getPort}"
-    def stop(): Unit = srv.stop(0)
+    def stop(): Unit = { srv.stop(0); pool.shutdownNow() }
   }
 
   def main(args: Array[String]): Unit = {
@@ -108,6 +110,13 @@ object K8sSoakBench {
     val stream = spark.readStream
       .format(classOf[graft.sources.k8s.K8sEventSource].getName)
       .option("endpoint", srv.url)
+      // high-churn pacing: reconnect fast after each watch close so the
+      // measured ceiling is the pipeline's, not the reconnect backoff
+      .option("resyncBackoffMs", "50")
+      // bound each micro-batch's admitted volume: a catch-up batch must
+      // not swallow the whole backlog in one plan (state-store memory
+      // scales with batch size, not backlog size)
+      .option("maxEventsPerTrigger", "100000")
       .load()
     val q = StreamPipeline.run(stream, objects, nodes, conf, ckpt,
       triggerMs = Some(100))
