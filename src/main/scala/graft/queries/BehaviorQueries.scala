@@ -1207,6 +1207,104 @@ object BehaviorQueries {
           round((col("vol").cast("double") - col("prev").cast("double")) /
             nullif(col("prev").cast("double"), lit(0d)), 4).as("wow_change"))
         .orderBy(col("event_type"), col("wk"))
+    },
+
+    // RFM SEGMENTATION (Hughes 1994) — the classic customer-value cut
+    // every CRM/retention stack starts from: per customer Recency (last
+    // order date), Frequency (order count), Monetary (total spend),
+    // each quintiled, then the (r,f,m) cell census with its revenue
+    // share. The quintile windows ride the AGGREGATED customer relation
+    // (one row per customer — the collapse-then-window discipline), and
+    // every ntile ORDER BY ends in the unique custkey, so bucket
+    // boundaries are total-order deterministic in both engines (ntile's
+    // remainder-to-first-buckets rule is shared). Monetary stays an
+    // exact DECIMAL until the final share division. At 100 TB the
+    // quintile cut becomes percentile-boundary binning (one KLL sketch
+    // + a broadcast join) instead of a global window — same output
+    // contract.
+    Q("behavior_rfm",
+      """WITH u AS (SELECT o_custkey AS c, max(o_orderdate) AS last_d,
+        |    CAST(count(*) AS BIGINT) AS f,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders GROUP BY 1),
+        |q AS (SELECT c, f, m,
+        |    ntile(5) OVER (ORDER BY last_d DESC, c) AS r_q,
+        |    ntile(5) OVER (ORDER BY f DESC, c) AS f_q,
+        |    ntile(5) OVER (ORDER BY m DESC, c) AS m_q
+        |  FROM u),
+        |tot AS (SELECT sum(m) AS tm FROM u)
+        |SELECT r_q, f_q, m_q,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  floor(CAST(sum(m) AS DOUBLE) / count(*) * 100 + 0.5) / 100.0
+        |    AS avg_monetary,
+        |  round(CAST(sum(m) AS DOUBLE) / CAST(tot.tm AS DOUBLE), 4)
+        |    AS revenue_share
+        |FROM q CROSS JOIN tot
+        |GROUP BY r_q, f_q, m_q, tot.tm
+        |ORDER BY r_q, f_q, m_q""") { (s, d) =>
+      val u = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("c"))
+        .agg(max(col("o_orderdate")).as("last_d"),
+          count(lit(1)).as("f"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("m"))
+      val q = u.select(col("c"), col("f"), col("m"),
+        ntile(5).over(Window.orderBy(col("last_d").desc, col("c"))).as("r_q"),
+        ntile(5).over(Window.orderBy(col("f").desc, col("c"))).as("f_q"),
+        ntile(5).over(Window.orderBy(col("m").desc, col("c"))).as("m_q"))
+      val tot = u.agg(sum(col("m")).as("tm"))
+      q.crossJoin(broadcast(tot))
+        .groupBy(col("r_q"), col("f_q"), col("m_q"), col("tm"))
+        .agg(count(lit(1)).as("n_customers"),
+          // explicit half-up floor form: round() half-behavior differs
+          // across engines exactly at cent boundaries (DETERMINISM.md §7)
+          (floor(sum(col("m")).cast("double") / count(lit(1)) * 100
+            + 0.5) / 100.0).as("avg_monetary"),
+          round(sum(col("m")).cast("double") / col("tm").cast("double"), 4)
+            .as("revenue_share"))
+        .select(col("r_q"), col("f_q"), col("m_q"),
+          col("n_customers").cast("long").as("n_customers"),
+          col("avg_monetary"), col("revenue_share"))
+        .orderBy(col("r_q"), col("f_q"), col("m_q"))
+    },
+
+    // STICKINESS (DAU/WAU) per calendar week — the engagement-depth
+    // ratio product analytics reads daily ("how much of the weekly
+    // audience shows up on an average day?"), the metric
+    // behavior_new_returning/churn don't express. Two distinct-user
+    // rollups — per (day) and per (week) — then one bounded per-week
+    // join; stickiness = (Σ daily actives)/(active days × weekly
+    // actives), exact integers until the one final division. date_trunc
+    // 'week' is Monday-start in both engines.
+    Q("behavior_stickiness",
+      """WITH da AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM events GROUP BY 1),
+        |wa AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM events GROUP BY 1)
+        |SELECT wk, CAST(count(*) AS BIGINT) AS active_days,
+        |  CAST(sum(dau) AS BIGINT) AS dau_sum, wau,
+        |  round(sum(dau) / CAST(count(*) * wau AS DOUBLE), 4)
+        |    AS stickiness
+        |FROM da JOIN wa ON CAST(date_trunc('week', day) AS DATE) = wk
+        |GROUP BY wk, wau ORDER BY wk""") { (s, d) =>
+      val da = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val wa = Tables.events(s, d)
+        .groupBy(date_trunc("week", col("ts")).cast("date").as("wk"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      da.join(wa, date_trunc("week", col("day")).cast("date") === col("wk"))
+        .groupBy(col("wk"), col("wau"))
+        .agg(count(lit(1)).as("active_days"),
+          sum(col("dau")).as("dau_sum"))
+        .select(col("wk"),
+          col("active_days").cast("long").as("active_days"),
+          col("dau_sum").cast("long").as("dau_sum"),
+          col("wau").cast("long").as("wau"),
+          round(col("dau_sum") / (col("active_days") * col("wau"))
+            .cast("double"), 4).as("stickiness"))
+        .orderBy(col("wk"))
     }
   )
 }

@@ -1782,6 +1782,179 @@ object EvalQueries {
             .when(col("cum") <= -bound, "accept_h0")
             .otherwise("continue").as("decision"))
         .orderBy(col("day"))
+    },
+
+    // ONE-WAY ANOVA across event types — "does the metric differ across
+    // these k segments at all?", the omnibus test run before any
+    // pairwise t-test family (eval_ttest_welch covers k=2). Classic
+    // sums-of-squares decomposition from exact moments: per-group
+    // (n, Σx, Σx²) with every term quantized to DECIMAL before the
+    // order-free sum (docs/DETERMINISM.md rule 5), then
+    // SSB = Σ s_g²/n_g − S²/N and SSW = SStot − Σ s_g²/n_g in plain
+    // IEEE arithmetic on those exact aggregates — bit-stable at any
+    // partitioning. One corpus pass, k-row rollup; the F ratio is
+    // driver-free scalar algebra on a 1-row frame.
+    Q("eval_anova_oneway",
+      """WITH g AS (SELECT event_type AS grp,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round("value", 12) AS DECIMAL(28,12)))
+        |      AS DOUBLE) AS s,
+        |    CAST(sum(CAST(round("value" * "value", 12) AS DECIMAL(28,12)))
+        |      AS DOUBLE) AS ss
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS nn, sum(s) AS st, sum(ss) AS sst,
+        |    sum(s * s / n) AS sb FROM g)
+        |SELECT k, nn AS n_total,
+        |  round(sb - st * st / nn, 4) AS ss_between,
+        |  round(sst - sb, 4) AS ss_within,
+        |  round(((sb - st * st / nn) / (k - 1))
+        |    / nullif((sst - sb) / (nn - k), 0), 4) AS f_stat
+        |FROM t""") { (s, d) =>
+      val g = Tables.events(s, d)
+        .groupBy(col("event_type").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value"), 12).cast("decimal(28,12)"))
+            .cast("double").as("s"),
+          sum(round(col("value") * col("value"), 12).cast("decimal(28,12)"))
+            .cast("double").as("ss"))
+      g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+          sum(col("s")).as("st"), sum(col("ss")).as("sst"),
+          sum(col("s") * col("s") / col("n")).as("sb"))
+        .select(col("k").cast("long").as("k"),
+          col("nn").cast("long").as("n_total"),
+          round(col("sb") - col("st") * col("st") / col("nn"), 4)
+            .as("ss_between"),
+          round(col("sst") - col("sb"), 4).as("ss_within"),
+          round(((col("sb") - col("st") * col("st") / col("nn"))
+              / (col("k") - 1))
+            / nullif((col("sst") - col("sb")) / (col("nn") - col("k")),
+              lit(0d)), 4).as("f_stat"))
+    },
+
+    // McNEMAR'S TEST on paired binary predictions — the right test for
+    // "is classifier B better than A on the SAME examples?" (a two-
+    // proportion z-test ignores the pairing and wastes power). Two
+    // deterministic md5-derived classifiers predict the high-value flag
+    // per event; the statistic depends only on the DISCORDANT cells
+    // b (A right, B wrong) and c (A wrong, B right):
+    // χ² = (b−c)²/(b+c), continuity-corrected variant also emitted
+    // ((|b−c|−1)²/(b+c), Edwards 1948). Pure integer cell counts from
+    // one corpus pass — bit-stable by construction.
+    Q("eval_mcnemar",
+      """WITH p AS (SELECT
+        |    ("value" > 50) AS y,
+        |    (substring(md5(CAST(event_id AS VARCHAR) || '#a'), 1, 1)
+        |      < '8') AS pa,
+        |    (substring(md5(CAST(event_id AS VARCHAR) || '#b'), 1, 1)
+        |      < 'a') AS pb
+        |  FROM events),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM p)
+        |SELECT n, b AS only_a_correct, c AS only_b_correct,
+        |  round((b - c) * (b - c) / CAST(nullif(b + c, 0) AS DOUBLE), 4)
+        |    AS mcnemar_chi2,
+        |  round((abs(b - c) - 1) * (abs(b - c) - 1)
+        |    / CAST(nullif(b + c, 0) AS DOUBLE), 4) AS mcnemar_cc
+        |FROM c""") { (s, d) =>
+      val p = Tables.events(s, d).select(
+        (col("value") > 50).as("y"),
+        (substring(md5(concat(col("event_id").cast("string"), lit("#a"))),
+          1, 1) < "8").as("pa"),
+        (substring(md5(concat(col("event_id").cast("string"), lit("#b"))),
+          1, 1) < "a").as("pb"))
+      p.agg(count(lit(1)).as("n"),
+          sum(when(col("pa") === col("y") && col("pb") =!= col("y"), 1)
+            .otherwise(0)).as("b"),
+          sum(when(col("pa") =!= col("y") && col("pb") === col("y"), 1)
+            .otherwise(0)).as("c"))
+        .select(col("n").cast("long").as("n"),
+          col("b").cast("long").as("only_a_correct"),
+          col("c").cast("long").as("only_b_correct"),
+          round((col("b") - col("c")) * (col("b") - col("c"))
+            / nullif(col("b") + col("c"), lit(0)).cast("double"), 4)
+            .as("mcnemar_chi2"),
+          round((abs(col("b") - col("c")) - 1)
+              * (abs(col("b") - col("c")) - 1)
+            / nullif(col("b") + col("c"), lit(0)).cast("double"), 4)
+            .as("mcnemar_cc"))
+    },
+
+    // TOST EQUIVALENCE TEST (two one-sided tests, Schuirmann 1987) —
+    // the experiment readout eval_ttest_welch CANNOT give: failing to
+    // reject "no difference" never shows the arms are the SAME; TOST
+    // rejects both "diff ≤ −δ" and "diff ≥ +δ" to conclude equivalence
+    // within margin δ (here δ = 5.0 on the event value, an absolute
+    // margin). Large-sample z form (dfs in the thousands, so the
+    // normal quantile 1.6449 — a literal, no libm quantile function):
+    // equivalent ⟺ min(t_lower, t_upper) > 1.6449. Same md5 arm split
+    // and DECIMAL-quantized exact moments as the Welch test; se is one
+    // sqrt on exact aggregates.
+    Q("eval_tost",
+      """WITH u AS (SELECT
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |      < '8' THEN 'A' ELSE 'B' END AS arm,
+        |    "value" AS x FROM events),
+        |m AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(x, 12) AS DECIMAL(28,12))) AS DOUBLE)
+        |      AS s,
+        |    CAST(sum(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS DOUBLE)
+        |      AS ss
+        |  FROM u GROUP BY 1),
+        |w AS (SELECT
+        |    max(CASE WHEN arm = 'A' THEN n END) AS na,
+        |    max(CASE WHEN arm = 'B' THEN n END) AS nb,
+        |    max(CASE WHEN arm = 'A' THEN s / n END) AS ma,
+        |    max(CASE WHEN arm = 'B' THEN s / n END) AS mb,
+        |    max(CASE WHEN arm = 'A' THEN (ss - s * s / n) / (n - 1) END)
+        |      AS va,
+        |    max(CASE WHEN arm = 'B' THEN (ss - s * s / n) / (n - 1) END)
+        |      AS vb
+        |  FROM m)
+        |SELECT round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+        |  round(ma - mb, 4) AS diff,
+        |  round(sqrt(va / na + vb / nb), 4) AS se,
+        |  round((ma - mb + 5.0) / sqrt(va / na + vb / nb), 4) AS t_lower,
+        |  round((5.0 - (ma - mb)) / sqrt(va / na + vb / nb), 4)
+        |    AS t_upper,
+        |  CASE WHEN (ma - mb + 5.0) / sqrt(va / na + vb / nb) > 1.6449
+        |        AND (5.0 - (ma - mb)) / sqrt(va / na + vb / nb) > 1.6449
+        |       THEN 1 ELSE 0 END AS equivalent
+        |FROM w""") { (s, d) =>
+      val u = Tables.events(s, d).select(
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+          .otherwise("B").as("arm"),
+        col("value").as("x"))
+      val m = u.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("x"), 12).cast("decimal(28,12)"))
+            .cast("double").as("s"),
+          sum(round(col("x") * col("x"), 12).cast("decimal(28,12)"))
+            .cast("double").as("ss"))
+      val w = m.agg(
+        max(when(col("arm") === "A", col("n"))).as("na"),
+        max(when(col("arm") === "B", col("n"))).as("nb"),
+        max(when(col("arm") === "A", col("s") / col("n"))).as("ma"),
+        max(when(col("arm") === "B", col("s") / col("n"))).as("mb"),
+        max(when(col("arm") === "A",
+          (col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1)))
+          .as("va"),
+        max(when(col("arm") === "B",
+          (col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1)))
+          .as("vb"))
+      val se = sqrt(col("va") / col("na") + col("vb") / col("nb"))
+      val tl = (col("ma") - col("mb") + 5.0) / se
+      val tu = (lit(5.0) - (col("ma") - col("mb"))) / se
+      w.select(round(col("ma"), 4).as("mean_a"),
+        round(col("mb"), 4).as("mean_b"),
+        round(col("ma") - col("mb"), 4).as("diff"),
+        round(se, 4).as("se"),
+        round(tl, 4).as("t_lower"), round(tu, 4).as("t_upper"),
+        when(tl > 1.6449 && tu > 1.6449, 1).otherwise(0).as("equivalent"))
     }
   )
 }

@@ -1966,5 +1966,70 @@ object PipelineQueries {
           round(sum(when(col("wt") > 0, 1).otherwise(0))
             / count(lit(1)).cast("double"), 4).as("frac_target_like"))
         .orderBy(col("source"))
+    },
+
+    // GOPHER-STYLE RULE CENSUS (Rae et al. 2021, "Scaling Language
+    // Models: ... Gopher", §A1.1 MassiveText filters, thresholds
+    // adapted to the fixture's synthetic scale) — the rule-COMBINATION
+    // histogram pipe_filter_ablation doesn't give: each doc gets a
+    // 4-bit mask (r1 word count in [20,1000] · r2 mean word length in
+    // [3,10] · r3 stopword fraction ≥ 0.02 · r4 alphabetic-token
+    // fraction ≥ 0.8), and the census over the 16 masks shows which
+    // rule CO-OCCURRENCE actually rejects documents — the readout that
+    // decides which filters are redundant. All four signals are exact
+    // integer/ratio arithmetic on the token array; the mask census is
+    // one ≤16-row rollup.
+    Q("pipe_gopher_rules",
+      """WITH t AS (SELECT doc_id, text,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |f AS (SELECT doc_id,
+        |    CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
+        |      AS r1,
+        |    CASE WHEN CAST(length(text) - len(toks) + 1 AS DOUBLE)
+        |        / len(toks) BETWEEN 3 AND 10 THEN 1 ELSE 0 END AS r2,
+        |    CASE WHEN CAST(len(list_filter(toks,
+        |        x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        |        / len(toks) >= 0.02 THEN 1 ELSE 0 END AS r3,
+        |    CASE WHEN CAST(len(list_filter(toks,
+        |        x -> regexp_full_match(x, '[a-z]+'))) AS DOUBLE)
+        |        / len(toks) >= 0.8 THEN 1 ELSE 0 END AS r4
+        |  FROM t),
+        |c AS (SELECT r1 + 2 * r2 + 4 * r3 + 8 * r4 AS mask,
+        |    count(*) AS n, min(doc_id) AS example_doc FROM f
+        |  GROUP BY 1),
+        |tot AS (SELECT count(*) AS nt FROM f)
+        |SELECT CAST(mask AS INT) AS rule_mask,
+        |  CAST(n AS BIGINT) AS n_docs,
+        |  CAST(example_doc AS BIGINT) AS example_doc,
+        |  round(n / CAST(tot.nt AS DOUBLE), 4) AS frac,
+        |  CASE WHEN mask = 15 THEN 1 ELSE 0 END AS passes_all
+        |FROM c CROSS JOIN tot ORDER BY rule_mask""") { (s, d) =>
+      val f = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          when(size(col("toks")).between(20, 1000), 1).otherwise(0)
+            .as("r1"),
+          when(((length(col("text")) - size(col("toks")) + 1)
+              .cast("double") / size(col("toks"))).between(3, 10), 1)
+            .otherwise(0).as("r2"),
+          when(expr("""CAST(size(filter(toks,
+              |x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)"""
+              .stripMargin) / size(col("toks")) >= 0.02, 1)
+            .otherwise(0).as("r3"),
+          when(expr("CAST(size(filter(toks, x -> x rlike '^[a-z]+$')) AS DOUBLE)")
+              / size(col("toks")) >= 0.8, 1)
+            .otherwise(0).as("r4"))
+      val c = f
+        .groupBy((col("r1") + col("r2") * 2 + col("r3") * 4
+          + col("r4") * 8).as("mask"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("example_doc"))
+      val tot = f.agg(count(lit(1)).as("nt"))
+      c.crossJoin(broadcast(tot))
+        .select(col("mask").cast("int").as("rule_mask"),
+          col("n").cast("long").as("n_docs"),
+          col("example_doc").cast("long").as("example_doc"),
+          round(col("n") / col("nt").cast("double"), 4).as("frac"),
+          when(col("mask") === 15, 1).otherwise(0).as("passes_all"))
+        .orderBy(col("rule_mask"))
     })
 }

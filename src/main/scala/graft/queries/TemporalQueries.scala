@@ -1420,5 +1420,58 @@ object TemporalQueries {
         .select(col("n_pairs").cast("long").as("n_pairs"),
           round(col("theil_sen"), 4).as("theil_sen_slope"),
           round(col("b1"), 4).as("ols_slope"))
+    },
+
+    // SIMPLE EXPONENTIAL SMOOTHING (Brown 1956) over the daily revenue
+    // series — the level-tracking forecaster between ts_forecast_naive
+    // (no memory) and ts_ewma (whose span is an API choice): S_t =
+    // α·y_t + (1−α)·S_{t−1}, S_1 = y_1, one-step-ahead forecast
+    // ŷ_{t+1} = S_t. α is pinned at the DYADIC value 0.5 so every
+    // weight in the unrolled form S_t = Σ_{i<t−1} 0.5^{i+1} y_{t−i} +
+    // 0.5^{t−1} y_1 is an exact power of two: the weight is computed as
+    // 1/(1<<k) (integer shift, never libm pow), the product w·y is an
+    // exact IEEE scaling, and each term DECIMAL-quantizes before the
+    // order-free sum — the recursion computes identically on any
+    // partitioning and any engine. The day relation is bounded (30
+    // rows), so the unrolled pair join is |days|²/2 on an aggregated
+    // relation — the same collapse-then-quadratic shape as ts_trend_mk.
+    Q("ts_ses",
+      """WITH y AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round("value", 6) AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS yv
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT day, yv,
+        |    row_number() OVER (ORDER BY day) AS rn FROM y),
+        |s AS (SELECT a.day, a.yv, a.rn,
+        |    CAST(sum(CAST(round(b.yv /
+        |        (CAST(1 AS BIGINT) << least(CASE WHEN b.rn = 1 THEN a.rn - 1
+        |               ELSE a.rn - b.rn + 1 END, 50)), 10)
+        |      AS DECIMAL(28,10))) AS DOUBLE) AS ses
+        |  FROM r a JOIN r b ON b.rn <= a.rn
+        |  GROUP BY 1, 2, 3)
+        |SELECT day, round(yv, 4) AS revenue,
+        |  round(ses, 4) AS ses_level,
+        |  round(abs(yv - ses), 4) AS abs_err
+        |FROM s ORDER BY day""") { (s, d) =>
+      val y = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(sum(round(col("value"), 6).cast("decimal(18,6)"))
+          .cast("double").as("yv"))
+      val r = y.select(col("day"), col("yv"),
+        row_number().over(Window.orderBy(col("day"))).as("rn"))
+      val sdf = r.as("a").join(r.as("b"), col("b.rn") <= col("a.rn"))
+        .groupBy(col("a.day").as("day"), col("a.yv").as("yv"),
+          col("a.rn").as("rn"))
+        // shift clamped at 50: a 2^-50 weight is below the quantization
+        // floor anyway, and an unclamped 1<<k overflows past day 62
+        .agg(sum(round(col("b.yv") /
+            expr("""shiftleft(1L, least(CASE WHEN b.rn = 1 THEN a.rn - 1
+                   |  ELSE a.rn - b.rn + 1 END, 50))""".stripMargin), 10)
+            .cast("decimal(28,10)"))
+          .cast("double").as("ses"))
+      sdf.select(col("day"), round(col("yv"), 4).as("revenue"),
+          round(col("ses"), 4).as("ses_level"),
+          round(abs(col("yv") - col("ses")), 4).as("abs_err"))
+        .orderBy(col("day"))
     })
 }

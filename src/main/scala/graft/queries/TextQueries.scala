@@ -2348,5 +2348,112 @@ object TextQueries {
         .select(col("doc").as("doc_id"), col("nbr").as("related_id"),
           round(col("j"), 4).as("jaccard"), col("rk").cast("int").as("rk"))
         .orderBy(col("doc_id"), col("rk"))
+    },
+
+    // COMPRESSION-RATIO PROXY per source — the "would gzip shrink this
+    // a lot?" quality signal production filters use (highly
+    // compressible text = repeated boilerplate; cf. the entropy rules
+    // in CCNet/Gopher) WITHOUT shelling out to a codec: the proxy is
+    // the mean of the distinct-token ratio and the distinct-4-gram
+    // ratio (both exact integer ratios per doc — a doc that repeats
+    // itself has few distinct n-grams per n-gram). Per-source rollup
+    // with the low-diversity census; per-doc ratios quantize to
+    // DECIMAL before the order-free mean. One pass over the corpus,
+    // |sources| output rows.
+    Q("text_compression_ratio",
+      """WITH t AS (SELECT doc_id, source,
+        |    string_split(text, ' ') AS toks, text FROM documents),
+        |m AS (SELECT doc_id, source,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS u1,
+        |    CAST(len(list_distinct(list_transform(
+        |        range(1, greatest(length(text) - 2, 1)),
+        |        i -> substring(text, CAST(i AS INT), 4)))) AS DOUBLE)
+        |      / greatest(length(text) - 3, 1) AS u4
+        |  FROM t),
+        |r AS (SELECT doc_id, source,
+        |    CAST(round((u1 + u4) / 2, 12) AS DECIMAL(28,12)) AS cr
+        |  FROM m)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(CAST(sum(cr) AS DOUBLE) / count(*), 4) AS mean_ratio,
+        |  CAST(sum(CASE WHEN cr < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low_diversity
+        |FROM r GROUP BY source ORDER BY source""") { (s, d) =>
+      val m = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("source"),
+          (size(array_distinct(col("toks"))).cast("double")
+            / size(col("toks"))).as("u1"),
+          (expr("""size(array_distinct(transform(
+              |  if(length(text) >= 4, sequence(1, length(text) - 3),
+              |     array()),
+              |  i -> substring(text, i, 4))))""".stripMargin)
+              .cast("double")
+            / greatest(length(col("text")) - 3, lit(1))).as("u4"))
+      m.select(col("source"),
+          round((col("u1") + col("u4")) / 2, 12).cast("decimal(28,12)")
+            .as("cr"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("cr")).cast("double") / count(lit(1)), 4)
+            .as("mean_ratio"),
+          sum(when(col("cr") < 0.5, 1).otherwise(0)).as("n_low_diversity"))
+        .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+          col("mean_ratio"),
+          col("n_low_diversity").cast("long").as("n_low_diversity"))
+        .orderBy(col("source"))
+    },
+
+    // TOKEN BURSTINESS (Church & Gale 1995, "Poisson mixtures") — the
+    // vocabulary diagnostic TF-IDF and Zipf don't give: a token that
+    // appears 100 times in 3 documents behaves differently from one
+    // that appears once in 100 documents, even at equal corpus
+    // frequency. For each token with document frequency ≥ 20: the mean
+    // occurrences per CONTAINING doc (T/df) and the variance-to-mean
+    // ratio of those per-doc counts (VMR = 1 for Poisson; ≫1 = bursty
+    // topic/boilerplate words, the ones content-dedup should weigh
+    // down). All moments are exact BIGINTs from one (token, doc)
+    // rollup; top-20 by VMR with the token as tiebreak — the window
+    // rides the df-filtered VOCABULARY relation, not the corpus.
+    Q("text_burstiness",
+      """WITH td AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |v AS (SELECT tok, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(c) AS BIGINT) AS t,
+        |    CAST(sum(c * c) AS BIGINT) AS t2
+        |  FROM td GROUP BY 1 HAVING count(*) >= 20),
+        |sc AS (SELECT tok, df, t,
+        |    round(t / CAST(df AS DOUBLE), 4) AS mean_per_doc,
+        |    round(((t2 - t * t / CAST(df AS DOUBLE)) / (df - 1))
+        |      / (t / CAST(df AS DOUBLE)), 4) AS vmr
+        |  FROM v),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY vmr DESC, tok)
+        |    AS rn FROM sc)
+        |SELECT CAST(rn AS INT) AS rn, tok, df, t AS total,
+        |  mean_per_doc, vmr
+        |FROM rk WHERE rn <= 20 ORDER BY rn""") { (s, d) =>
+      val td = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+      val v = td.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"), sum(col("c")).as("t"),
+          sum(col("c") * col("c")).as("t2"))
+        .filter(col("df") >= 20)
+      val sc = v.select(col("tok"), col("df"), col("t"),
+        round(col("t") / col("df").cast("double"), 4).as("mean_per_doc"),
+        round(((col("t2") - col("t") * col("t") / col("df").cast("double"))
+            / (col("df") - 1))
+          / (col("t") / col("df").cast("double")), 4).as("vmr"))
+      sc.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("vmr").desc, col("tok"))))
+        .filter(col("rn") <= 20)
+        .select(col("rn").cast("int").as("rn"), col("tok"),
+          col("df").cast("long").as("df"),
+          col("t").cast("long").as("total"),
+          col("mean_per_doc"), col("vmr"))
+        .orderBy(col("rn"))
     })
 }

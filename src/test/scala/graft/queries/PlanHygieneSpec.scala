@@ -82,7 +82,10 @@ class PlanHygieneSpec extends SparkSpec {
     "pipe_pack_curve",     // docs x broadcast 3-row literal length grid
     "behavior_repeat_curve", // buyers x broadcast 5-row literal k grid
                            // + 1-row buyer total
-    "pipe_dsir_weights"    // vocab x broadcast 1-row corpus totals
+    "pipe_dsir_weights",   // vocab x broadcast 1-row corpus totals
+    "behavior_rfm",        // quintiled customers x broadcast 1-row
+                           // total-revenue scalar
+    "pipe_gopher_rules"    // <=16 mask rows x broadcast 1-row doc total
   )
 
   private def offenders(name: String): Seq[String] = {

@@ -1,0 +1,237 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import java.sql.Timestamp
+
+/** Mathematical laws for the round-12 additions on planted fixtures:
+  * ANOVA matches the closed form on two hand-built groups, McNemar's
+  * discordant cells match a re-derivation of the md5 classifiers, TOST
+  * declares equivalence exactly when the margin covers the diff, RFM
+  * quintiles separate five hand-ranked customers, stickiness is
+  * DAU-sum over days×WAU, the Gopher mask census lands each planted
+  * doc in its designed cell, SES reproduces S₁=y₁ / Sₜ=½yₜ+½Sₜ₋₁ by
+  * hand, burstiness VMR matches the planted per-doc count variance,
+  * the wedge cap excises a planted over-degree part and reports
+  * exactly C(d,2) suppressed pairs, and the Derived memo invalidates
+  * when its source table's mtime moves. */
+class Round12OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = Timestamp.valueOf("2024-01-01 12:00:00")
+  private def plusDays(t: Timestamp, days: Int): Timestamp =
+    new Timestamp(t.getTime + days * 24L * 3600L * 1000L)
+  private def tempDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  private def writeEvents(d: String,
+      rows: Seq[(Long, Timestamp, Long, String, Double, String)]): Unit =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+
+  private def writeDocs(d: String,
+      rows: Seq[(Long, String, String, String, Int)]): Unit =
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+  test("eval_anova_oneway matches the closed form on two planted groups") {
+    val d = tempDir("anova")
+    // X = {1,3} (mean 2), Y = {5,7} (mean 6): grand 4, SSB = 16,
+    // SSW = 4, F = (16/1)/(4/2) = 8.
+    writeEvents(d, Seq(
+      (1L, t0, 1L, "X", 1.0, "{}"), (2L, t0, 2L, "X", 3.0, "{}"),
+      (3L, t0, 3L, "Y", 5.0, "{}"), (4L, t0, 4L, "Y", 7.0, "{}")))
+    val r = SparkEntry.queries("eval_anova_oneway")(spark, d).collect().head
+    assert(r.getAs[Long]("k") == 2 && r.getAs[Long]("n_total") == 4)
+    assert(math.abs(r.getAs[Double]("ss_between") - 16.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ss_within") - 4.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("f_stat") - 8.0) < 1e-9)
+  }
+
+  test("eval_mcnemar cells match a re-derivation of the md5 classifiers") {
+    val d = tempDir("mcn")
+    val rows = (1L to 200L).map { i =>
+      (i, t0, i, "view", if (i % 3 == 0) 80.0 else 20.0, "{}")
+    }
+    writeEvents(d, rows)
+    def pred(id: Long, salt: String, bound: Char): Boolean =
+      md5hex(s"$id#$salt").charAt(0) < bound
+    val cells = rows.map { case (id, _, _, _, v, _) =>
+      val y = v > 50
+      (pred(id, "a", '8') == y, pred(id, "b", 'a') == y)
+    }
+    val b = cells.count { case (ca, cb) => ca && !cb }
+    val c = cells.count { case (ca, cb) => !ca && cb }
+    val r = SparkEntry.queries("eval_mcnemar")(spark, d).collect().head
+    assert(r.getAs[Long]("only_a_correct") == b)
+    assert(r.getAs[Long]("only_b_correct") == c)
+    val exp = (b - c).toDouble * (b - c) / (b + c)
+    assert(math.abs(r.getAs[Double]("mcnemar_chi2") - exp) < 1e-3)
+  }
+
+  test("eval_tost: tight arms are equivalent within the ±5 margin, " +
+    "a 20-unit shift is not") {
+    def armOf(u: Long): String =
+      if (Character.digit(md5hex(u.toString).charAt(0), 16) < 8) "A" else "B"
+    def run(shift: Double): Int = {
+      val d = tempDir("tost")
+      val rows = (0L until 400L).map { u =>
+        val base = if (armOf(u) == "A") 100.0 else 100.0 + shift
+        (u, t0, u, "view", base + (u % 2) * 2.0, "{}")
+      }
+      writeEvents(d, rows)
+      SparkEntry.queries("eval_tost")(spark, d)
+        .collect().head.getAs[Int]("equivalent")
+    }
+    assert(run(0.0) == 1, "identical arms must be equivalent")
+    assert(run(20.0) == 0, "a shift far past the margin must not be")
+  }
+
+  test("behavior_rfm: five hand-ranked customers land in five quintiles") {
+    val d = tempDir("rfm")
+    // customer i (1..5): recency day −i (1 most recent), frequency 6−i
+    // orders, monetary 1000·(6−i) total — so customer 1 is (r,f,m) =
+    // (1,1,1) and customer 5 is (5,5,5).
+    val orders = (1 to 5).flatMap { i =>
+      (1 to (6 - i)).map { j =>
+        (i * 100L + j, i.toLong, "O",
+          1000.0 * (6 - i) / (6 - i), // o_totalprice per order
+          plusDays(t0, -i), "P")
+      }
+    }
+    orders.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val rows = SparkEntry.queries("behavior_rfm")(spark, d).collect()
+    assert(rows.length == 5)
+    for (r <- rows) {
+      assert(r.getAs[Int]("r_q") == r.getAs[Int]("f_q"))
+      assert(r.getAs[Int]("f_q") == r.getAs[Int]("m_q"))
+      assert(r.getAs[Long]("n_customers") == 1)
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("revenue_share")).sum - 1.0)
+      < 1e-3)
+  }
+
+  test("behavior_stickiness = dau_sum / (active_days * wau)") {
+    val d = tempDir("stick")
+    // Mon 2024-01-01 .. Sun 2024-01-07, one calendar week: user 1
+    // active all 7 days, user 2 active exactly one day.
+    val rows = (0 until 7).map { i =>
+      (i.toLong, plusDays(t0, i), 1L, "view", 1.0, "{}")
+    } :+ (99L, t0, 2L, "view", 1.0, "{}")
+    writeEvents(d, rows)
+    val r = SparkEntry.queries("behavior_stickiness")(spark, d)
+      .collect().head
+    assert(r.getAs[Long]("active_days") == 7)
+    assert(r.getAs[Long]("dau_sum") == 8)   // 2 on day 1, 1 on days 2-7
+    assert(r.getAs[Long]("wau") == 2)
+    assert(math.abs(r.getAs[Double]("stickiness") - 8.0 / 14.0) < 1e-4)
+  }
+
+  test("pipe_gopher_rules lands each planted doc in its designed mask cell") {
+    val d = tempDir("gopher")
+    val good = (("the of and to a" + " word" * 20) + " tail").trim
+    val short = "the of and tiny"                  // fails r1 (word count)
+    val numeric = ("the of and to a " + "12345 " * 30).trim // fails r4
+    writeDocs(d, Seq(
+      (1L, good, "en", "s1", good.length),
+      (2L, short, "en", "s1", short.length),
+      (3L, numeric, "en", "s1", numeric.length)))
+    val cells = SparkEntry.queries("pipe_gopher_rules")(spark, d)
+      .collect().map(r => r.getAs[Int]("rule_mask") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Int]("passes_all"))).toMap
+    assert(cells(15) == ((1L, 1)), s"good doc should pass all: $cells")
+    assert(cells.exists { case (m, (n, _)) => (m & 1) == 0 && n >= 1 },
+      s"short doc should fail r1: $cells")
+    assert(cells.exists { case (m, (n, _)) => (m & 8) == 0 && n >= 1 },
+      s"numeric doc should fail r4: $cells")
+  }
+
+  test("ts_ses reproduces S1=y1, St=y_t/2+S_{t-1}/2 by hand") {
+    val d = tempDir("ses")
+    // daily revenue 4, 8, 16 -> S = 4, 6, 11
+    writeEvents(d, Seq(
+      (1L, plusDays(t0, 0), 1L, "view", 4.0, "{}"),
+      (2L, plusDays(t0, 1), 1L, "view", 8.0, "{}"),
+      (3L, plusDays(t0, 2), 1L, "view", 16.0, "{}")))
+    val ses = SparkEntry.queries("ts_ses")(spark, d)
+      .collect().map(_.getAs[Double]("ses_level")).toSeq
+    assert(ses == Seq(4.0, 6.0, 11.0), s"got $ses")
+  }
+
+  test("text_burstiness VMR matches the planted per-doc count variance") {
+    val d = tempDir("burst")
+    // token 'bursty': counts alternate 1 and 9 across 20 docs ->
+    // T = 100, mean 5, sample var = 20*16/19, VMR = 16*20/(19*5).
+    // token 'flat': exactly 5 per doc -> VMR = 0.
+    val docs = (1L to 20L).map { i =>
+      val c = if (i % 2 == 0) 9 else 1
+      (i, ("bursty " * c + "flat " * 5).trim, "en", "s1", 1)
+    }
+    writeDocs(d, docs)
+    val rows = SparkEntry.queries("text_burstiness")(spark, d).collect()
+      .map(r => r.getAs[String]("tok") ->
+        (r.getAs[Long]("df"), r.getAs[Long]("total"),
+          r.getAs[Double]("vmr"))).toMap
+    assert(rows("bursty")._1 == 20 && rows("bursty")._2 == 100)
+    assert(math.abs(rows("bursty")._3 - 16.0 * 20 / (19 * 5)) < 1e-3)
+    assert(rows("flat") == ((20L, 100L, 0.0)))
+  }
+
+  test("wedge cap excises a planted over-degree part and reports " +
+    "exactly C(d,2) suppressed pairs") {
+    val d = tempDir("wedge")
+    val hot = 1L          // 300 distinct buyers > WedgeCap = 256
+    val cold1 = 2L; val cold2 = 3L // 4 shared buyers, support >= 3
+    val orders = (1L to 300L).map { c =>
+      (c, c, "O", 1.0, t0, "P") // order c by customer c
+    }
+    orders.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val li = (1L to 300L).map(c => (c, hot, 1L, 1, 1.0, 1.0, 0.0, 0.0,
+        "N", "O", t0)) ++
+      (1L to 4L).flatMap(c => Seq(
+        (c, cold1, 1L, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", t0),
+        (c, cold2, 1L, 3, 1.0, 1.0, 0.0, 0.0, "N", "O", t0)))
+    li.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val tr = SparkEntry.queries("graph_bipartite_truncation")(spark, d)
+      .collect().head
+    assert(tr.getAs[Long]("n_capped_parts") == 1)
+    assert(tr.getAs[Long]("max_part_degree") == 300)
+    assert(tr.getAs[Long]("pairs_suppressed") == 300L * 299 / 2)
+    // the projection itself: hot-part wedges gone; customers 1..4 share
+    // BOTH cold parts but shared = 2 < 3 support -> no pairs at all...
+    // except via the cold parts if support were lower. With the hot part
+    // capped, no customer pair shares >= 3 parts here.
+    val pr = SparkEntry.queries("graph_bipartite_project")(spark, d)
+    assert(pr.count() == 0,
+      "capped projection must emit nothing (hot part excised, " +
+        "cold support below threshold)")
+  }
+
+  test("Derived memo invalidates when the source table's mtime moves") {
+    val d = tempDir("memo")
+    writeDocs(d, Seq((1L, "alpha beta gamma delta", "en", "s1", 1)))
+    val first = TextQueries.shingles(spark, d).count()
+    assert(first == 2) // 4 tokens -> 2 distinct 3-shingles
+    // regenerate the fixture at the same path with MORE content and a
+    // strictly newer mtime (the memo key folds in the max child mtime)
+    writeDocs(d, Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "s1", 1),
+      (2L, "one two three four", "en", "s1", 1)))
+    val dir = new java.io.File(s"$d/documents.parquet")
+    val bump = System.currentTimeMillis() + 5000
+    dir.setLastModified(bump)
+    dir.listFiles().foreach(_.setLastModified(bump))
+    val second = TextQueries.shingles(spark, d).count()
+    assert(second == 5, s"stale memo served: got $second shingles")
+  }
+}
