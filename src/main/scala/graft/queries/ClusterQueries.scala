@@ -46,11 +46,19 @@ object ClusterQueries {
     TextQueries.minhashSigs(s, d)
 
   /** MinHash LSH candidate-pair edges (u < v, distinct) — the graph both
-    * CC formulations resolve. Returned persisted + materialized (the
-    * signature relation it self-joins is released here); the caller owns
-    * unpersisting the result once its own derivation is materialized. */
-  private def candidateEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    candidateEdgesOf(minhashSigs(s, d))
+    * CC formulations resolve. Materialized ONCE per dataset via the
+    * [[Derived]] parquet memo (the band self-join used to rerun for each
+    * of the 4 CC-family queries); the transient persisted frame the
+    * builder uses is released as soon as the artifact is written. Callers
+    * may still call unpersist on the returned scan — a harmless no-op. */
+  private def candidateEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    var built: DataFrame = null
+    val out = Derived.memo(s, d, "documents", "lshcand") {
+      built = candidateEdgesOf(minhashSigs(s, d)); built
+    }
+    if (built != null) built.unpersist(blocking = false)
+    out
+  }
 
   /** Derive-once materialization of the support-≥2 co-purchase edge
     * relation (parts appearing together in ≥2 orders) that the whole

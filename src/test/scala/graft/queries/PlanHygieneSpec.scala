@@ -85,7 +85,9 @@ class PlanHygieneSpec extends SparkSpec {
     "pipe_dsir_weights",   // vocab x broadcast 1-row corpus totals
     "behavior_rfm",        // quintiled customers x broadcast 1-row
                            // total-revenue scalar
-    "pipe_gopher_rules"    // <=16 mask rows x broadcast 1-row doc total
+    "pipe_gopher_rules",   // <=16 mask rows x broadcast 1-row doc total
+    "ts_ses"               // |days|² dyadic-weight pairs on the AGGREGATED
+                           // day relation (ts_trend_mk shape)
   )
 
   private def offenders(name: String): Seq[String] = {
