@@ -1269,6 +1269,146 @@ object ClusterQueries {
           col("pairs_kept").cast("long").as("pairs_kept"))
     },
 
+    // GRID-DBSCAN over the embedding space (the cell/grid variant of
+    // DBSCAN — Ester et al. 1996 semantics, STING/GriDBSCAN-style
+    // execution): density clustering that, unlike cluster_kmeans,
+    // needs no k and emits NOISE — the right tool for "how many blobs
+    // does this embedding space actually have". The 2-D projection is
+    // dims 1-2 (at 100 TB, the vec_pca_power projections — the cell
+    // machinery is dimension-agnostic). Every step is a rollup or an
+    // EQUI-join: points bucket to ε-cells (ε = 0.125, a power of two,
+    // so the float→cell floor-divide is EXACT in both engines); cells
+    // with ≥ minPts (8) points are core; core cells link to adjacent
+    // core cells through an exploded 8-neighbor key set (generator +
+    // equi-join — no spatial join, no BNLJ); components resolve via
+    // the family's large-star/small-star contraction (oracle: the
+    // same labeling by recursive closure — cell graph is tiny);
+    // border points join their neighborhood's core cells with a
+    // deterministic min-rep tie-break; everything else is noise
+    // (cluster_id = −1). Output clusters are keyed by their min core
+    // vec_id — stable under any partitioning.
+    Q("cluster_dbscan_grid",
+      """WITH RECURSIVE p AS (SELECT vec_id,
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.03125) AS BIGINT)
+        |      AS cx,
+        |    CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.03125) AS BIGINT)
+        |      AS cy
+        |  FROM embeddings),
+        |pc AS (SELECT vec_id, cx, cy,
+        |    (cx + 1000) * 1000000 + (cy + 1000) AS cell FROM p),
+        |cc AS (SELECT cell, cx, cy, count(*) AS n FROM pc GROUP BY 1, 2, 3),
+        |core AS (SELECT * FROM cc WHERE n >= 6),
+        |nb AS (SELECT c.cell AS u,
+        |    (c.cx + o.dx + 1000) * 1000000 + (c.cy + o.dy + 1000) AS v
+        |  FROM core c, (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+        |    (1,-1),(1,0),(1,1)) o(dx, dy)),
+        |ed AS (SELECT n.u, n.v FROM nb n JOIN core k ON k.cell = n.v),
+        |sym AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed),
+        |reach(u, v) AS (
+        |  SELECT cell, cell FROM core
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+        |lab AS (SELECT u AS cell, min(v) AS rep FROM reach GROUP BY 1),
+        |corepts AS (SELECT pc.vec_id, lab.rep, pc.cell
+        |  FROM pc JOIN lab ON lab.cell = pc.cell),
+        |cid AS (SELECT rep, min(vec_id) AS cluster_id
+        |  FROM corepts GROUP BY 1),
+        |border AS (SELECT pc.vec_id, min(lab.rep) AS rep
+        |  FROM pc
+        |  LEFT JOIN core k0 ON k0.cell = pc.cell
+        |  JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+        |    (1,-1),(1,0),(1,1)) o(dx, dy) ON true
+        |  JOIN lab ON lab.cell =
+        |    (pc.cx + o.dx + 1000) * 1000000 + (pc.cy + o.dy + 1000)
+        |  WHERE k0.cell IS NULL
+        |  GROUP BY 1),
+        |asg AS (SELECT vec_id, rep FROM corepts
+        |  UNION ALL SELECT vec_id, rep FROM border),
+        |res AS (SELECT a.vec_id, cid.cluster_id FROM asg a
+        |  JOIN cid USING (rep)),
+        |ncc AS (SELECT cid.cluster_id, CAST(count(*) AS BIGINT)
+        |    AS n_core_cells
+        |  FROM lab JOIN cid USING (rep) GROUP BY 1),
+        |outp AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_points
+        |    FROM res GROUP BY 1
+        |  UNION ALL
+        |  SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT)
+        |  FROM pc WHERE vec_id NOT IN (SELECT vec_id FROM res)
+        |  HAVING count(*) > 0)
+        |SELECT o.cluster_id, o.n_points,
+        |  coalesce(ncc.n_core_cells, 0) AS n_core_cells
+        |FROM outp o LEFT JOIN ncc ON ncc.cluster_id = o.cluster_id
+        |ORDER BY o.cluster_id""") { (s0, d) =>
+      val s = graft.Sessions.withShufflePartitions(s0, 8)
+      val pc = s.read.parquet(graft.Tables.path(d, "embeddings"))
+        .select(col("vec_id"),
+          floor(expr("CAST(element_at(embedding, 1) AS DOUBLE)") / 0.03125)
+            .cast("long").as("cx"),
+          floor(expr("CAST(element_at(embedding, 2) AS DOUBLE)") / 0.03125)
+            .cast("long").as("cy"))
+        .withColumn("cell",
+          (col("cx") + 1000) * 1000000 + (col("cy") + 1000))
+      val core = pc.groupBy(col("cell"), col("cx"), col("cy"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 6)
+        .localCheckpoint(true) // feeds edges, border, corepts
+      val offsets = expr(
+        """array(struct(-1,-1), struct(-1,0), struct(-1,1), struct(0,-1),
+          |  struct(0,1), struct(1,-1), struct(1,0), struct(1,1))"""
+          .stripMargin)
+      val nb = core.select(col("cell").as("u"), col("cx"), col("cy"),
+          explode(offsets).as("o"))
+        .select(col("u"),
+          ((col("cx") + col("o.col1") + 1000) * 1000000
+            + (col("cy") + col("o.col2") + 1000)).as("v"))
+      val ed = nb.join(core.select(col("cell").as("v")), Seq("v"))
+        .select(col("u"), col("v"))
+      // orient for starLabels (v < u), both directions collapse to one
+      val edges = ed.filter(col("v") < col("u"))
+        .unionByName(ed.filter(col("u") < col("v"))
+          .select(col("v").as("u"), col("u").as("v")))
+        .distinct()
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      val lab = core.select(col("cell"))
+        .join(starLabels(edges).withColumnRenamed("doc_id", "cell"),
+          Seq("cell"), "left_outer")
+        .select(col("cell"), coalesce(col("rep"), col("cell")).as("rep"))
+      val corepts = pc.join(lab, Seq("cell"))
+        .select(col("vec_id"), col("rep"))
+      val cid = corepts.groupBy(col("rep"))
+        .agg(min(col("vec_id")).as("cluster_id"))
+      val border = pc
+        .join(core.select(col("cell"), lit(1).as("isCore")),
+          Seq("cell"), "left_outer")
+        .filter(col("isCore").isNull)
+        .select(col("vec_id"), col("cx"), col("cy"),
+          explode(offsets).as("o"))
+        .select(col("vec_id"),
+          ((col("cx") + col("o.col1") + 1000) * 1000000
+            + (col("cy") + col("o.col2") + 1000)).as("cell"))
+        .join(lab, Seq("cell"))
+        .groupBy(col("vec_id")).agg(min(col("rep")).as("rep"))
+      val res = corepts.unionByName(border).join(cid, Seq("rep"))
+        .select(col("vec_id"), col("cluster_id"))
+      val ncc = lab.join(cid, Seq("rep"))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_core_cells"))
+      val noise = pc.select(col("vec_id"))
+        .join(res.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("n_points"))
+        .filter(col("n_points") > 0)
+        .select(lit(-1L).as("cluster_id"), col("n_points"))
+      val outp = res.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_points"))
+        .unionByName(noise)
+      outp.join(ncc, Seq("cluster_id"), "left_outer")
+        .select(col("cluster_id"),
+          col("n_points").cast("long").as("n_points"),
+          coalesce(col("n_core_cells"), lit(0L)).cast("long")
+            .as("n_core_cells"))
+        .orderBy(col("cluster_id"))
+    },
+
     // PERSONALIZED PAGERANK from a seed set — "related items for THESE
     // products": restart mass concentrates on the seeds (every 100th
     // part), 3 unrolled degree-normalized power iterations over the

@@ -89,6 +89,96 @@ object EvalQueries {
         .orderBy(col("grp"))
     },
 
+    // DeLONG AUC STANDARD ERROR (DeLong, DeLong & Clarke-Pearson 1988,
+    // midrank form per Sun & Xu 2014) — the error bar eval_auc's point
+    // estimate needs before two models can be compared: per-group
+    // SE(AUC) from the variance of the per-observation structural
+    // components V10 (positives) and V01 (negatives), plus the normal
+    // 95% CI. The components are PURE MIDRANK algebra, so everything
+    // rides the DISTINCT-score relation (the eval_auc machinery — one
+    // window over distinct scores, never a raw-row sort): all rows at
+    // one score share a component value, and the 2×-scaled component
+    // differences (2·R_all − 2·R_class) stay exact BIGINTs until the
+    // final ratios. Variance terms quantize to DECIMAL before the
+    // order-free weighted sum — partition-invariant to the last bit.
+    Q("eval_delong",
+      s"""WITH e AS (SELECT CAST(date_part('isodow', ts) - 1 AS INT)
+         |    AS grp, value AS score, $lbl AS lbl FROM events),
+         |s AS (SELECT grp, score, count(*) AS cnt, sum(lbl) AS pos
+         |  FROM e GROUP BY 1, 2),
+         |r AS (SELECT grp, score, cnt, pos, cnt - pos AS neg,
+         |    sum(cnt) OVER w - cnt AS call,
+         |    sum(pos) OVER w - pos AS cpos,
+         |    sum(cnt - pos) OVER w - (cnt - pos) AS cneg
+         |  FROM s WINDOW w AS (PARTITION BY grp ORDER BY score)),
+         |t AS (SELECT grp, CAST(sum(pos) AS BIGINT) AS p,
+         |    CAST(sum(neg) AS BIGINT) AS n FROM r GROUP BY 1),
+         |v AS (SELECT r.grp, pos, neg, t.p, t.n,
+         |    ((2 * call + cnt + 1) - (2 * cpos + pos + 1))
+         |      / (2.0 * t.n) AS v10,
+         |    1.0 - ((2 * call + cnt + 1) - (2 * cneg + neg + 1))
+         |      / (2.0 * t.p) AS v01
+         |  FROM r JOIN t ON t.grp = r.grp),
+         |a AS (SELECT grp, p, n,
+         |    CAST(sum(CAST(round(pos * v10, 12) AS DECIMAL(38,12)))
+         |      AS DOUBLE) / p AS auc
+         |  FROM v GROUP BY 1, 2, 3),
+         |vr AS (SELECT v.grp, a.p, a.n, a.auc,
+         |    CAST(sum(CAST(round(pos * (v10 - a.auc) * (v10 - a.auc), 12)
+         |      AS DECIMAL(38,12))) AS DOUBLE) / (a.p - 1) AS s10,
+         |    CAST(sum(CAST(round(neg * (v01 - a.auc) * (v01 - a.auc), 12)
+         |      AS DECIMAL(38,12))) AS DOUBLE) / (a.n - 1) AS s01
+         |  FROM v JOIN a ON a.grp = v.grp GROUP BY 1, 2, 3, 4)
+         |SELECT grp, p AS n_pos, n AS n_neg, round(auc, 4) AS auc,
+         |  round(sqrt(s10 / p + s01 / n), 6) AS se_delong,
+         |  round(auc - 1.96 * sqrt(s10 / p + s01 / n), 4) AS ci_lo,
+         |  round(auc + 1.96 * sqrt(s10 / p + s01 / n), 4) AS ci_hi
+         |FROM vr ORDER BY grp""") { (s, d) =>
+      val e = Tables.events(s, d).select(
+        expr("weekday(ts)").as("grp"), col("value").as("score"),
+        expr(lbl).as("lbl"))
+      val grouped = e.groupBy(col("grp"), col("score"))
+        .agg(count(lit(1)).as("cnt"), sum(col("lbl")).as("pos"))
+        .withColumn("neg", col("cnt") - col("pos"))
+      val w = Window.partitionBy(col("grp")).orderBy(col("score"))
+      val r = grouped
+        .withColumn("call", sum(col("cnt")).over(w) - col("cnt"))
+        .withColumn("cpos", sum(col("pos")).over(w) - col("pos"))
+        .withColumn("cneg", sum(col("neg")).over(w) - col("neg"))
+      val t = r.groupBy(col("grp"))
+        .agg(sum(col("pos")).as("p"), sum(col("neg")).as("n"))
+      val v = r.join(t, Seq("grp"))
+        .withColumn("v10",
+          ((lit(2) * col("call") + col("cnt") + 1)
+            - (lit(2) * col("cpos") + col("pos") + 1))
+            / (lit(2.0) * col("n")))
+        .withColumn("v01",
+          lit(1.0) - ((lit(2) * col("call") + col("cnt") + 1)
+            - (lit(2) * col("cneg") + col("neg") + 1))
+            / (lit(2.0) * col("p")))
+      val a = v.groupBy(col("grp"), col("p"), col("n"))
+        .agg((sum(round(col("pos") * col("v10"), 12)
+          .cast("decimal(38,12)")).cast("double") / col("p")).as("auc"))
+      val vr = v.join(a.select(col("grp"), col("auc")), Seq("grp"))
+        .groupBy(col("grp"), col("p"), col("n"), col("auc"))
+        .agg(
+          (sum(round(col("pos") * (col("v10") - col("auc"))
+              * (col("v10") - col("auc")), 12).cast("decimal(38,12)"))
+            .cast("double") / (col("p") - 1)).as("s10"),
+          (sum(round(col("neg") * (col("v01") - col("auc"))
+              * (col("v01") - col("auc")), 12).cast("decimal(38,12)"))
+            .cast("double") / (col("n") - 1)).as("s01"))
+      val se = sqrt(col("s10") / col("p") + col("s01") / col("n"))
+      vr.select(col("grp"),
+          col("p").cast("long").as("n_pos"),
+          col("n").cast("long").as("n_neg"),
+          round(col("auc"), 4).as("auc"),
+          round(se, 6).as("se_delong"),
+          round(col("auc") - lit(1.96) * se, 4).as("ci_lo"),
+          round(col("auc") + lit(1.96) * se, 4).as("ci_hi"))
+        .orderBy(col("grp"))
+    },
+
     // AVERAGE PRECISION / AUPRC per weekday group — the
     // class-imbalance-robust summary the ROC AUC (eval_auc) overstates
     // on rare positives. Exact step-interpolated AP over the DISTINCT

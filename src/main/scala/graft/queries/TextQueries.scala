@@ -2350,6 +2350,129 @@ object TextQueries {
         .orderBy(col("doc_id"), col("rk"))
     },
 
+    // BLEU-2 PAIR SCORING (Papineni et al. 2002) on banded-LSH
+    // candidate pairs — the precision-oriented MT metric twin of
+    // text_rouge_pairs (which is recall-oriented and uses DISTINCT
+    // bigrams; BLEU needs COUNTED n-grams with per-gram CLIPPING:
+    // min(count_cand, count_ref), so a candidate can't farm credit by
+    // repeating one matched word). d1 = reference, d2 = candidate.
+    // p_n = Σ min(c_cand, c_ref) / Σ c_cand for n = 1, 2; the
+    // geometric mean is an exact sqrt; the brevity penalty
+    // exp(1 − r/c) quantizes its EXPONENT to 6 decimals before the one
+    // libm exp and rounds to 6 after (the agg_mean_families exp
+    // discipline) — cross-engine-stable at the output's 4-decimal
+    // quantum. Every join keys on (candidate pair, gram) — bounded by
+    // candidates × doc length, never corpus².
+    Q("text_bleu_pairs",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |ug AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+         |  GROUP BY 1, 2),
+         |bgc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS b
+         |        FROM t, unnest(range(1, len(toks))) u(i))
+         |  GROUP BY 1, 2),
+         |ln1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM ug
+         |  GROUP BY 1),
+         |ln2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM bgc
+         |  GROUP BY 1),
+         |sh AS ($shinglesSql),
+         |sv AS (SELECT doc_id, $shingleIntDuck AS v FROM sh),
+         |h AS (SELECT doc_id, CAST(r.seed AS INT) AS seed,
+         |        min(${mhMixSql("v", "r.seed")}) AS mh
+         |      FROM sv, range(0, 8) r(seed)
+         |      GROUP BY doc_id, r.seed),
+         |bnd AS (SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         |          min(CASE WHEN seed % 2 = 0 THEN mh END) AS m0,
+         |          min(CASE WHEN seed % 2 = 1 THEN mh END) AS m1
+         |        FROM h GROUP BY doc_id, seed // 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bnd a JOIN bnd b ON a.band = b.band
+         |    AND a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id),
+         |m1 AS (SELECT c.d1, c.d2,
+         |    CAST(sum(least(cu.c, coalesce(ru.c, 0))) AS BIGINT) AS m
+         |  FROM cand c
+         |  JOIN ug cu ON cu.doc_id = c.d2
+         |  LEFT JOIN ug ru ON ru.doc_id = c.d1 AND ru.tok = cu.tok
+         |  GROUP BY 1, 2),
+         |m2 AS (SELECT c.d1, c.d2,
+         |    CAST(sum(least(cb.c, coalesce(rb.c, 0))) AS BIGINT) AS m
+         |  FROM cand c
+         |  JOIN bgc cb ON cb.doc_id = c.d2
+         |  LEFT JOIN bgc rb ON rb.doc_id = c.d1 AND rb.b = cb.b
+         |  GROUP BY 1, 2)
+         |SELECT c.d1, c.d2,
+         |  round(m1.m / CAST(l1c.n AS DOUBLE), 4) AS p1,
+         |  round(coalesce(m2.m, 0) / CAST(l2c.n AS DOUBLE), 4) AS p2,
+         |  round(CASE WHEN l1c.n >= l1r.n THEN 1.0
+         |        ELSE round(exp(round(1.0 - l1r.n
+         |          / CAST(l1c.n AS DOUBLE), 6)), 6) END
+         |    * sqrt((m1.m / CAST(l1c.n AS DOUBLE))
+         |         * (coalesce(m2.m, 0) / CAST(l2c.n AS DOUBLE))), 4)
+         |    AS bleu2
+         |FROM cand c
+         |JOIN m1 ON m1.d1 = c.d1 AND m1.d2 = c.d2
+         |LEFT JOIN m2 ON m2.d1 = c.d1 AND m2.d2 = c.d2
+         |JOIN ln1 l1c ON l1c.doc_id = c.d2
+         |JOIN ln1 l1r ON l1r.doc_id = c.d1
+         |JOIN ln2 l2c ON l2c.doc_id = c.d2
+         |ORDER BY c.d1, c.d2""") { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val ug = t.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      val bgc = t.select(col("doc_id"), explode(expr(
+          """if(size(toks) >= 2,
+            |  transform(sequence(1, size(toks) - 1),
+            |    i -> concat(element_at(toks, i), ' ',
+            |                element_at(toks, i + 1))),
+            |  array())""".stripMargin)).as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      val ln1 = ug.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+      val ln2 = bgc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+      val bnd = minhashSigs(s, d)
+        .groupBy(col("doc_id"), expr("CAST(seed div 2 AS INT)").as("band"))
+        .agg(min(when(col("seed") % 2 === 0, col("mh"))).as("m0"),
+          min(when(col("seed") % 2 === 1, col("mh"))).as("m1"))
+      val cand = bnd.as("a").join(bnd.as("b"),
+          col("a.band") === col("b.band") && col("a.m0") === col("b.m0") &&
+            col("a.m1") === col("b.m1") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      def clipped(grams: DataFrame, key: String) = cand
+        .join(grams.select(col("doc_id").as("d2"), col(key),
+          col("c").as("cc")), Seq("d2"))
+        .join(grams.select(col("doc_id").as("d1"), col(key),
+          col("c").as("cr")), Seq("d1", key), "left_outer")
+        .groupBy(col("d1"), col("d2"))
+        .agg(sum(least(col("cc"), coalesce(col("cr"), lit(0L)))).as("m"))
+      val mm1 = clipped(ug, "tok")
+      val mm2 = clipped(bgc, "b")
+      val bp = when(col("n1c") >= col("n1r"), lit(1.0))
+        .otherwise(round(exp(round(lit(1.0) - col("n1r")
+          / col("n1c").cast("double"), 6)), 6))
+      cand
+        .join(mm1.select(col("d1"), col("d2"), col("m").as("ma")),
+          Seq("d1", "d2"))
+        .join(mm2.select(col("d1"), col("d2"), col("m").as("mb")),
+          Seq("d1", "d2"), "left_outer")
+        .join(ln1.select(col("doc_id").as("d2"), col("n").as("n1c")),
+          Seq("d2"))
+        .join(ln1.select(col("doc_id").as("d1"), col("n").as("n1r")),
+          Seq("d1"))
+        .join(ln2.select(col("doc_id").as("d2"), col("n").as("n2c")),
+          Seq("d2"))
+        .select(col("d1"), col("d2"),
+          round(col("ma") / col("n1c").cast("double"), 4).as("p1"),
+          round(coalesce(col("mb"), lit(0L)) / col("n2c").cast("double"), 4)
+            .as("p2"),
+          round(bp * sqrt((col("ma") / col("n1c").cast("double"))
+            * (coalesce(col("mb"), lit(0L)) / col("n2c").cast("double"))), 4)
+            .as("bleu2"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
     // COMPRESSION-RATIO PROXY per source — the "would gzip shrink this
     // a lot?" quality signal production filters use (highly
     // compressible text = repeated boilerplate; cf. the entropy rules

@@ -217,6 +217,86 @@ class Round12OpsSpec extends SparkSpec {
         "cold support below threshold)")
   }
 
+  test("behavior_lifecycle_grid: new/retained/resurrected/churned " +
+    "match a hand-built 3-week cohort") {
+    val d = tempDir("lifec")
+    // A active wk 1,2,3; B active wk 1 only; C active wk 1 and 3.
+    val rows = Seq(
+      (1L, plusDays(t0, 0), 1L), (2L, plusDays(t0, 7), 1L),
+      (3L, plusDays(t0, 14), 1L),
+      (4L, plusDays(t0, 0), 2L),
+      (5L, plusDays(t0, 0), 3L), (6L, plusDays(t0, 14), 3L)
+    ).map { case (e, ts, u) => (e, ts, u, "view", 1.0, "{}") }
+    writeEvents(d, rows)
+    val g = SparkEntry.queries("behavior_lifecycle_grid")(spark, d)
+      .collect().sortBy(_.getAs[Long]("wk"))
+    assert(g.length == 3)
+    def cells(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("n_new"), r.getAs[Long]("n_retained"),
+        r.getAs[Long]("n_resurrected"), r.getAs[Long]("n_churned"))
+    assert(cells(g(0)) == ((3L, 0L, 0L, 0L)))
+    assert(cells(g(1)) == ((0L, 1L, 0L, 2L))) // A retained; B,C churned
+    assert(cells(g(2)) == ((0L, 1L, 1L, 0L))) // A retained; C resurrected
+  }
+
+  test("text_bleu_pairs: clipping caps repeated-token credit; " +
+    "identical docs score 1") {
+    val d = tempDir("bleu")
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    // identical pair (1,2): p1 = p2 = bleu2 = 1. Pair (1,3): doc 3 is
+    // doc 1 with 'w1' duplicated 5 extra times at the end — the extra
+    // w1 occurrences are CLIPPED to doc 1's single w1.
+    writeDocs(d, Seq(
+      (1L, base, "en", "s", 1), (2L, base, "en", "s", 1),
+      (3L, base + " w1" * 5, "en", "s", 1)))
+    val rows = SparkEntry.queries("text_bleu_pairs")(spark, d).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) ->
+        (r.getAs[Double]("p1"), r.getAs[Double]("p2"),
+          r.getAs[Double]("bleu2"))).toMap
+    assert(rows((1L, 2L)) == ((1.0, 1.0, 1.0)))
+    val (p1, p2, bleu) = rows((1L, 3L))
+    // candidate d2=doc3 has 35 tokens; all 6 w1 occurrences clip to
+    // doc 1's single w1, so clipped matches = 29 + 1 = 30 of 35.
+    assert(math.abs(p1 - 30.0 / 35) < 6e-5, s"p1=$p1")
+    assert(p2 < 1.0 && bleu < 1.0 && bleu > 0)
+  }
+
+  test("eval_delong: perfect separation gives auc 1 with zero variance") {
+    val d = tempDir("delong")
+    // one weekday group: every positive outscores every negative
+    val rows = (1L to 40L).map { i =>
+      val pos = i <= 20
+      (i, t0, i, if (pos) "purchase" else "view",
+        if (pos) 100.0 + i else i.toDouble, "{}")
+    }
+    writeEvents(d, rows)
+    val r = SparkEntry.queries("eval_delong")(spark, d).collect().head
+    assert(r.getAs[Long]("n_pos") == 20 && r.getAs[Long]("n_neg") == 20)
+    assert(r.getAs[Double]("auc") == 1.0)
+    assert(r.getAs[Double]("se_delong") == 0.0)
+    assert(r.getAs[Double]("ci_lo") == 1.0 && r.getAs[Double]("ci_hi") == 1.0)
+  }
+
+  test("cluster_dbscan_grid: two planted blobs resolve to two clusters, " +
+    "stragglers to noise") {
+    val d = tempDir("dbscan")
+    // blob A: 8 points in cell (0,0) [coords ~0.01]; blob B: 8 points
+    // in cell (100,100) [coords ~3.13]; 2 isolated noise points.
+    def v(id: Long, x: Double, y: Double) =
+      (id, Array(x.toFloat, y.toFloat, 0f), "l")
+    val pts = (1L to 8L).map(i => v(i, 0.001 * i, 0.002 * i)) ++
+      (11L to 18L).map(i => v(i, 3.130 + 0.0001 * i, 3.130)) ++
+      Seq(v(90L, -2.0, -2.0), v(91L, 2.0, -2.0))
+    pts.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val rows = SparkEntry.queries("cluster_dbscan_grid")(spark, d)
+      .collect().map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("n_points"), r.getAs[Long]("n_core_cells"))).toMap
+    assert(rows.keySet == Set(-1L, 1L, 11L), s"got $rows")
+    assert(rows(1L)._1 == 8 && rows(11L)._1 == 8)
+    assert(rows(-1L) == ((2L, 0L)))
+  }
+
   test("Derived memo invalidates when the source table's mtime moves") {
     val d = tempDir("memo")
     writeDocs(d, Seq((1L, "alpha beta gamma delta", "en", "s1", 1)))
