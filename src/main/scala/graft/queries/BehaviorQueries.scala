@@ -1307,6 +1307,52 @@ object BehaviorQueries {
         .orderBy(col("wk"))
     },
 
+    // L28 ENGAGEMENT HISTOGRAM (the "Lness" curve — days-active per
+    // user in the trailing 28-day window, the histogram DAU/MAU
+    // averages away): a smile-shaped curve means a power-user core
+    // plus a drive-by tail; the shape, not the ratio, is what product
+    // teams actually act on. One distinct (user, day) relation
+    // filtered to the corpus's last 28 days (1-row max-day broadcast),
+    // one per-user count, one ≤28-row histogram with cumulative user
+    // share — every step partial-aggregable.
+    Q("behavior_l28",
+      """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS d0 FROM events),
+        |ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |w AS (SELECT u, CAST(count(*) AS BIGINT) AS days_active
+        |  FROM ud CROSS JOIN mx
+        |  WHERE day > d0 - 28 GROUP BY 1),
+        |h AS (SELECT days_active, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM w GROUP BY 1),
+        |t AS (SELECT sum(n_users) AS tu FROM h)
+        |SELECT days_active, n_users,
+        |  round(n_users / CAST(t.tu AS DOUBLE), 4) AS user_share,
+        |  round(sum(n_users) OVER (ORDER BY days_active)
+        |    / CAST(t.tu AS DOUBLE), 4) AS cum_share
+        |FROM h CROSS JOIN t ORDER BY days_active""") { (s, d) =>
+      val mx = Tables.events(s, d)
+        .agg(max(col("ts").cast("date")).as("d0"))
+      val w = Tables.events(s, d)
+        .select(col("user_id").as("u"), col("ts").cast("date").as("day"))
+        .distinct()
+        .crossJoin(broadcast(mx))
+        .filter(col("day") > date_sub(col("d0"), 28))
+        .groupBy(col("u")).agg(count(lit(1)).as("days_active"))
+      val h = w.groupBy(col("days_active"))
+        .agg(count(lit(1)).as("n_users"))
+      val t = h.agg(sum(col("n_users")).as("tu"))
+      h.crossJoin(broadcast(t))
+        .select(col("days_active").cast("long").as("days_active"),
+          col("n_users").cast("long").as("n_users"),
+          round(col("n_users") / col("tu").cast("double"), 4)
+            .as("user_share"),
+          round(sum(col("n_users"))
+              .over(Window.orderBy(col("days_active"))
+                .rowsBetween(Window.unboundedPreceding, 0))
+            / col("tu").cast("double"), 4).as("cum_share"))
+        .orderBy(col("days_active"))
+    },
+
     // GROWTH-ACCOUNTING LIFECYCLE GRID (the Social Capital "growth
     // accounting" decomposition) — every active user-week classified
     // NEW (first week ever) / RETAINED (also active the previous week)

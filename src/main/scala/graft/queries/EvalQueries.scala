@@ -179,6 +179,92 @@ object EvalQueries {
         .orderBy(col("grp"))
     },
 
+    // MURPHY DECOMPOSITION OF THE BRIER SCORE (Murphy 1973) —
+    // reliability − resolution + uncertainty: splits eval_brier's
+    // single number into "how miscalibrated" (REL, lower better),
+    // "how discriminating" (RES, higher better) and the irreducible
+    // base-rate term (UNC) — the readout that says WHY a probability
+    // model is bad. Same sigmoid score and 10-bin layout as
+    // eval_calibration; all three terms come from the bin aggregates
+    // (n_k, Σp, Σy) with each bin's term DECIMAL-quantized before the
+    // 10-term order-free sum; the residual (brier − rel + res − unc)
+    // is emitted too — it is the within-bin variance the binned
+    // decomposition leaves behind, and reporting it keeps the identity
+    // honest instead of pretending the binned terms are exact.
+    Q("eval_brier_decomp",
+      s"""WITH e AS (SELECT 1 / (1 + exp(-(value - 100) / 40.0)) AS p,
+         |    $lbl AS y FROM events),
+         |b AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin, p, y
+         |  FROM e),
+         |m AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(round(p, 12) AS DECIMAL(28,12))) AS DOUBLE)
+         |      AS sp,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(CAST(round((p - y) * (p - y), 12)
+         |      AS DECIMAL(28,12))) AS DOUBLE) AS sq
+         |  FROM b GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |    CAST(sum(sy) AS BIGINT) AS ny,
+         |    CAST(sum(CAST(round(sq, 12) AS DECIMAL(38,12))) AS DOUBLE)
+         |      AS brier_sum,
+         |    CAST(sum(CAST(round(n * (sp / n - CAST(sy AS DOUBLE) / n)
+         |        * (sp / n - CAST(sy AS DOUBLE) / n), 12)
+         |      AS DECIMAL(38,12))) AS DOUBLE) AS rel_sum
+         |  FROM m),
+         |r AS (SELECT t.nn, t.ny, t.brier_sum, t.rel_sum,
+         |    CAST(sum(CAST(round(m.n * (CAST(m.sy AS DOUBLE) / m.n
+         |        - CAST(t.ny AS DOUBLE) / t.nn)
+         |        * (CAST(m.sy AS DOUBLE) / m.n
+         |        - CAST(t.ny AS DOUBLE) / t.nn), 12)
+         |      AS DECIMAL(38,12))) AS DOUBLE) AS res_sum
+         |  FROM m CROSS JOIN t GROUP BY 1, 2, 3, 4)
+         |SELECT round(brier_sum / nn, 6) AS brier,
+         |  round(rel_sum / nn, 6) AS reliability,
+         |  round(res_sum / nn, 6) AS resolution,
+         |  round(CAST(ny AS DOUBLE) / nn
+         |    * (1 - CAST(ny AS DOUBLE) / nn), 6) AS uncertainty,
+         |  round(brier_sum / nn - (rel_sum / nn - res_sum / nn
+         |    + CAST(ny AS DOUBLE) / nn * (1 - CAST(ny AS DOUBLE) / nn)),
+         |    6) AS within_bin_residual
+         |FROM r""") { (s, d) =>
+      val e = Tables.events(s, d).select(
+        expr("1 / (1 + exp(-(value - 100) / 40.0))").as("p"),
+        expr(lbl).as("y"))
+      val m = e
+        .select(expr("least(CAST(floor(p * 10) AS INT), 9)").as("bin"),
+          col("p"), col("y"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("p"), 12).cast("decimal(28,12)"))
+            .cast("double").as("sp"),
+          sum(col("y")).as("sy"),
+          sum(round((col("p") - col("y")) * (col("p") - col("y")), 12)
+            .cast("decimal(28,12)")).cast("double").as("sq"))
+      val t = m.agg(sum(col("n")).as("nn"), sum(col("sy")).as("ny"),
+        sum(round(col("sq"), 12).cast("decimal(38,12)"))
+          .cast("double").as("brier_sum"),
+        sum(round(col("n") * (col("sp") / col("n")
+            - col("sy").cast("double") / col("n"))
+          * (col("sp") / col("n")
+            - col("sy").cast("double") / col("n")), 12)
+          .cast("decimal(38,12)")).cast("double").as("rel_sum"))
+      val r = m.crossJoin(broadcast(t))
+        .groupBy(col("nn"), col("ny"), col("brier_sum"), col("rel_sum"))
+        .agg(sum(round(col("n") * (col("sy").cast("double") / col("n")
+            - col("ny").cast("double") / col("nn"))
+          * (col("sy").cast("double") / col("n")
+            - col("ny").cast("double") / col("nn")), 12)
+          .cast("decimal(38,12)")).cast("double").as("res_sum"))
+      val base = col("ny").cast("double") / col("nn")
+      r.select(round(col("brier_sum") / col("nn"), 6).as("brier"),
+        round(col("rel_sum") / col("nn"), 6).as("reliability"),
+        round(col("res_sum") / col("nn"), 6).as("resolution"),
+        round(base * (lit(1) - base), 6).as("uncertainty"),
+        round(col("brier_sum") / col("nn") - (col("rel_sum") / col("nn")
+          - col("res_sum") / col("nn") + base * (lit(1) - base)), 6)
+          .as("within_bin_residual"))
+    },
+
     // AVERAGE PRECISION / AUPRC per weekday group — the
     // class-imbalance-robust summary the ROC AUC (eval_auc) overstates
     // on rare positives. Exact step-interpolated AP over the DISTINCT

@@ -1968,6 +1968,60 @@ object PipelineQueries {
         .orderBy(col("source"))
     },
 
+    // SEQUENCE-GAP AUDIT over an id ledger — the completeness check a
+    // billing/ingest ledger runs ("did we skip ids?"): the audited
+    // sequence is the click events' id set (a genuinely sparse subset
+    // of the dense event_id space, so the machinery meets real gaps).
+    // Every statistic avoids a global window over the key relation:
+    // missing_total is pure aggregates ((max−min+1) − n_distinct),
+    // gap RUNS are an anti-self-join (ids whose successor id is
+    // absent, excluding the ledger max) — both scale as one shuffle
+    // on the id hash, no sort, no corpus-scale window (the lifecycle
+    // grid's present/absent idiom on an integer sequence).
+    Q("dq_sequence_gaps",
+      """WITH k AS (SELECT DISTINCT event_id AS id FROM events
+        |  WHERE event_type = 'click'),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(min(id) AS BIGINT) AS key_min,
+        |    CAST(max(id) AS BIGINT) AS key_max FROM k),
+        |runs AS (SELECT CAST(count(*) AS BIGINT) AS n_gap_runs
+        |  FROM k a LEFT JOIN k b ON b.id = a.id + 1
+        |  CROSS JOIN agg
+        |  WHERE b.id IS NULL AND a.id < agg.key_max)
+        |SELECT n_keys, key_min, key_max,
+        |  key_max - key_min + 1 - n_keys AS missing_total,
+        |  n_gap_runs,
+        |  round((key_max - key_min + 1 - n_keys)
+        |    / CAST(nullif(n_gap_runs, 0) AS DOUBLE), 4) AS avg_gap_len,
+        |  round(n_keys / CAST(key_max - key_min + 1 AS DOUBLE), 4)
+        |    AS density
+        |FROM agg CROSS JOIN runs""") { (s, d) =>
+      val k = Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("id")).distinct()
+      val agg = k.agg(count(lit(1)).as("n_keys"),
+        min(col("id")).as("key_min"), max(col("id")).as("key_max"))
+      val runs = k.as("a")
+        .join(k.select((col("id") - 1).as("id"), lit(1).as("nx")).as("b"),
+          Seq("id"), "left_outer")
+        .crossJoin(broadcast(agg))
+        .filter(col("nx").isNull && col("id") < col("key_max"))
+        .agg(count(lit(1)).as("n_gap_runs"))
+      agg.crossJoin(broadcast(runs))
+        .select(col("n_keys").cast("long").as("n_keys"),
+          col("key_min").cast("long").as("key_min"),
+          col("key_max").cast("long").as("key_max"),
+          (col("key_max") - col("key_min") + 1 - col("n_keys"))
+            .cast("long").as("missing_total"),
+          col("n_gap_runs").cast("long").as("n_gap_runs"),
+          round((col("key_max") - col("key_min") + 1 - col("n_keys"))
+            / nullif(col("n_gap_runs"), lit(0L)).cast("double"), 4)
+            .as("avg_gap_len"),
+          round(col("n_keys")
+            / (col("key_max") - col("key_min") + 1).cast("double"), 4)
+            .as("density"))
+    },
+
     // GOPHER-STYLE RULE CENSUS (Rae et al. 2021, "Scaling Language
     // Models: ... Gopher", §A1.1 MassiveText filters, thresholds
     // adapted to the fixture's synthetic scale) — the rule-COMBINATION

@@ -2526,6 +2526,44 @@ object TextQueries {
         .orderBy(col("source"))
     },
 
+    // CROSS-SOURCE VOCABULARY OVERLAP — the pairwise Jaccard matrix of
+    // per-source vocabularies, the diagnostic a corpus-mixing pipeline
+    // reads before setting pipe_mix_sources weights (two sources with
+    // 0.9 vocabulary overlap are near-redundant; a 0.05 outlier is the
+    // domain worth upsampling). The pair relation is keyed on the
+    // TOKEN (a token in s sources emits C(s,2) pairs — fan-out bounded
+    // by the SOURCE count, ≤ C(20,2) = 190 pairs total), never on
+    // vocabularies; sizes come from one rollup joined twice — the
+    // graph_jaccard shape on the source-token bipartite graph.
+    Q("text_source_overlap",
+      """WITH v AS (SELECT DISTINCT source AS s,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |sz AS (SELECT s, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+        |iw AS (SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT)
+        |    AS ni
+        |  FROM v a JOIN v b ON a.tok = b.tok AND a.s < b.s
+        |  GROUP BY 1, 2)
+        |SELECT s1, s2, ni AS n_shared,
+        |  round(ni / CAST(z1.n + z2.n - ni AS DOUBLE), 4) AS jaccard
+        |FROM iw JOIN sz z1 ON z1.s = s1 JOIN sz z2 ON z2.s = s2
+        |ORDER BY s1, s2""") { (s, d) =>
+      val v = Tables.documents(s, d)
+        .select(col("source").as("s"),
+          explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+      val sz = v.groupBy(col("s")).agg(count(lit(1)).as("n"))
+      val iw = v.as("a").join(v.as("b"),
+          col("a.tok") === col("b.tok") && col("a.s") < col("b.s"))
+        .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
+        .agg(count(lit(1)).as("ni"))
+      iw.join(sz.select(col("s").as("s1"), col("n").as("n1")), Seq("s1"))
+        .join(sz.select(col("s").as("s2"), col("n").as("n2")), Seq("s2"))
+        .select(col("s1"), col("s2"), col("ni").cast("long").as("n_shared"),
+          round(col("ni") / (col("n1") + col("n2") - col("ni"))
+            .cast("double"), 4).as("jaccard"))
+        .orderBy(col("s1"), col("s2"))
+    },
+
     // TOKEN BURSTINESS (Church & Gale 1995, "Poisson mixtures") — the
     // vocabulary diagnostic TF-IDF and Zipf don't give: a token that
     // appears 100 times in 3 documents behaves differently from one

@@ -86,8 +86,11 @@ class PlanHygieneSpec extends SparkSpec {
     "behavior_rfm",        // quintiled customers x broadcast 1-row
                            // total-revenue scalar
     "pipe_gopher_rules",   // <=16 mask rows x broadcast 1-row doc total
-    "ts_ses"               // |days|² dyadic-weight pairs on the AGGREGATED
+    "ts_ses",              // |days|² dyadic-weight pairs on the AGGREGATED
                            // day relation (ts_trend_mk shape)
+    "eval_brier_decomp",   // 10 bin rows x broadcast 1-row corpus scalars
+    "behavior_l28",        // user day-counts x broadcast 1-row max-day
+    "dq_sequence_gaps"     // id anti-join x broadcast 1-row extrema
   )
 
   private def offenders(name: String): Seq[String] = {

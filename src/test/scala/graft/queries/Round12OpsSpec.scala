@@ -297,6 +297,72 @@ class Round12OpsSpec extends SparkSpec {
     assert(rows(-1L) == ((2L, 0L)))
   }
 
+  test("behavior_l28: histogram and cumulative share match a " +
+    "hand-built two-user window") {
+    val d = tempDir("l28")
+    val rows = Seq(
+      (1L, plusDays(t0, 0), 1L), (2L, plusDays(t0, 1), 1L),
+      (3L, plusDays(t0, 2), 1L),
+      (4L, plusDays(t0, 2), 2L)
+    ).map { case (e, ts, u) => (e, ts, u, "view", 1.0, "{}") }
+    writeEvents(d, rows)
+    val g = SparkEntry.queries("behavior_l28")(spark, d).collect()
+      .map(r => r.getAs[Long]("days_active") ->
+        (r.getAs[Long]("n_users"), r.getAs[Double]("user_share"),
+          r.getAs[Double]("cum_share"))).toMap
+    assert(g == Map(1L -> ((1L, 0.5, 0.5)), 3L -> ((1L, 0.5, 1.0))))
+  }
+
+  test("eval_brier_decomp: the constant p=0.5 predictor has zero " +
+    "resolution and the closed-form reliability") {
+    val d = tempDir("brierd")
+    // value = 100 -> sigmoid p = exactly 0.5 for every event; 30% of
+    // events are positives (purchase).
+    val rows = (1L to 100L).map { i =>
+      (i, t0, i, if (i % 10 < 3) "purchase" else "view", 100.0, "{}")
+    }
+    writeEvents(d, rows)
+    val r = SparkEntry.queries("eval_brier_decomp")(spark, d)
+      .collect().head
+    val o = 0.3
+    assert(math.abs(r.getAs[Double]("reliability")
+      - (0.5 - o) * (0.5 - o)) < 1e-6)
+    assert(r.getAs[Double]("resolution") == 0.0)
+    assert(math.abs(r.getAs[Double]("uncertainty") - o * (1 - o)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("within_bin_residual")) < 1e-6)
+    assert(math.abs(r.getAs[Double]("brier")
+      - ((0.5 - o) * (0.5 - o) + o * (1 - o))) < 1e-6)
+  }
+
+  test("dq_sequence_gaps: planted ledger {1,2,3,7,10,11} has 2 gap " +
+    "runs, 4 missing") {
+    val d = tempDir("gaps")
+    val clicks = Seq(1L, 2L, 3L, 7L, 10L, 11L)
+    val rows = clicks.map(i => (i, t0, i, "click", 1.0, "{}")) ++
+      Seq(4L, 5L).map(i => (100L + i, t0, i, "view", 1.0, "{}"))
+    writeEvents(d, rows)
+    val r = SparkEntry.queries("dq_sequence_gaps")(spark, d)
+      .collect().head
+    assert(r.getAs[Long]("n_keys") == 6)
+    assert(r.getAs[Long]("key_min") == 1 && r.getAs[Long]("key_max") == 11)
+    assert(r.getAs[Long]("missing_total") == 5) // 4,5,6,8,9
+    assert(r.getAs[Long]("n_gap_runs") == 2)    // after 3, after 7
+    assert(math.abs(r.getAs[Double]("avg_gap_len") - 2.5) < 1e-9)
+  }
+
+  test("text_source_overlap: hand-built vocabularies give exact " +
+    "Jaccard, disjoint sources emit no row") {
+    val d = tempDir("srcov")
+    writeDocs(d, Seq(
+      (1L, "a b c dd", "en", "s1", 1),
+      (2L, "c dd e f", "en", "s2", 1),
+      (3L, "zz", "en", "s3", 1)))
+    val rows = SparkEntry.queries("text_source_overlap")(spark, d)
+      .collect().map(r => (r.getAs[String]("s1"), r.getAs[String]("s2")) ->
+        (r.getAs[Long]("n_shared"), r.getAs[Double]("jaccard"))).toMap
+    assert(rows == Map(("s1", "s2") -> ((2L, math.round(2.0 / 6 * 1e4) / 1e4))))
+  }
+
   test("Derived memo invalidates when the source table's mtime moves") {
     val d = tempDir("memo")
     writeDocs(d, Seq((1L, "alpha beta gamma delta", "en", "s1", 1)))
