@@ -20,8 +20,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * serving stale rows — the staleness hazard the bare dir-hash key of
   * the original coPurchaseEdges memo carried. */
 private[queries] object Derived {
-  private val building =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private def stamp(p: String): Long = {
     val f = new java.io.File(p)
@@ -30,17 +30,22 @@ private[queries] object Derived {
   }
 
   /** Memoize `build` as a parquet artifact keyed on (tag, dataset dir,
-    * source-table mtime). Thread-safe: concurrent first callers race on
-    * one computeIfAbsent guard, never on the file. */
+    * source-table mtime). Thread-safe via a per-artifact monitor; the
+    * build deliberately runs OUTSIDE any ConcurrentHashMap compute —
+    * builds NEST (candidateEdges' build calls the signature memo), and
+    * a nested computeIfAbsent on one map is a "Recursive update" error.
+    * Nested monitors can't deadlock here: nesting is one-directional
+    * (pair-level artifacts depend on signature-level ones, never the
+    * reverse). */
   def memo(s: SparkSession, d: String, table: String, tag: String)(
       build: => DataFrame): DataFrame = {
     val key = math.abs((d + "@" + stamp(graft.Tables.path(d, table))).hashCode)
     val dir = s"/tmp/graft-rt-$tag-$key"
-    building.computeIfAbsent(dir, _ => {
+    val lock = locks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized {
       if (!new java.io.File(s"$dir/_SUCCESS").exists)
         build.write.mode("overwrite").parquet(dir)
-      java.lang.Boolean.TRUE
-    })
+    }
     s.read.parquet(dir)
   }
 }
