@@ -36,8 +36,11 @@ object ExtensionQueries {
       |      CASE WHEN 64 * pix[CAST(8*b + j + 1 AS INT)] > total
       |           THEN CAST(1 AS BIGINT) << j ELSE 0 END))) AS bs
       |  FROM bd),
-      |e AS (SELECT media_id, r.b AS b, bs[CAST(r.b + 1 AS INT)] AS v
+      |e0 AS (SELECT media_id, r.b AS b, bs[CAST(r.b + 1 AS INT)] AS v
       |  FROM bands, range(0, 8) r(b)),
+      |keepb AS (SELECT b, v FROM e0 GROUP BY 1, 2
+      |  HAVING count(*) <= 256),
+      |e AS (SELECT e0.* FROM e0 JOIN keepb USING (b, v)),
       |cand AS (SELECT DISTINCT a.media_id AS m1, b.media_id AS m2
       |  FROM e a JOIN e b
       |    ON a.b = b.b AND a.v = b.v AND a.media_id < b.media_id),
@@ -72,8 +75,24 @@ object ExtensionQueries {
         |      shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))))"""
         .stripMargin).as("bs"))
       .cache() // hash relation feeds both candidate sides + 2 verify lookups
-    val e = bands.select(col("media_id"), posexplode(col("bs")))
+    val e0 = bands.select(col("media_id"), posexplode(col("bs")))
       .withColumnRenamed("pos", "b").withColumnRenamed("col", "v")
+    // BAND-BUCKET CAP (the wedge-cap discipline applied to LSH
+    // buckets): a (band, value) bucket holding d media emits C(d,2)
+    // candidate pairs, so a degenerate bucket — value shared by more
+    // media than any real near-dup cluster — is excised BEFORE the
+    // self-join (buckets > 256 members; exact duplicates are handled
+    // UPSTREAM by dedup_exact, so a true 256+-clone bucket has already
+    // collapsed by the time near-dup runs). On the shipped fixtures
+    // the cap never binds (max bucket ~40 at sf0.1); on the 30×
+    // uniform-stub fixture it is what keeps the family sub-quadratic
+    // (uniform random "pixels" make EVERY bucket n/256-dense — the
+    // degenerate regime by construction; real corpora are sparse with
+    // clustered collisions). Mirrored in [[phashCtes]].
+    val keepB = e0.groupBy(col("b"), col("v"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= 256).select(col("b"), col("v"))
+    val e = e0.join(keepB, Seq("b", "v"), "left_semi")
     val cand = e.as("a").join(e.as("b"),
         col("a.b") === col("b.b") && col("a.v") === col("b.v") &&
           col("a.media_id") < col("b.media_id"))

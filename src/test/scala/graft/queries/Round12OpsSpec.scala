@@ -363,6 +363,25 @@ class Round12OpsSpec extends SparkSpec {
     assert(rows == Map(("s1", "s2") -> ((2L, math.round(2.0 / 6 * 1e4) / 1e4))))
   }
 
+  test("phash band-bucket cap: a 300-clone degenerate bucket is excised, " +
+    "a 10-clone cluster still pairs") {
+    val d = tempDir("phashcap")
+    // identical text -> identical stub pixels -> identical bands: group
+    // A (300 docs) lands one 300-member bucket per band (> cap 256,
+    // excised — exact dedup upstream owns that case); group B (10
+    // docs) stays under the cap and must emit its C(10,2) = 45
+    // hamming-0 pairs.
+    val docs = (1L to 300L).map(i => (i, "alpha beta gamma", "en", "a", 1)) ++
+      (1001L to 1010L).map(i => (i, "delta epsilon zeta", "en", "b", 1))
+    writeDocs(d, docs)
+    val pairs = SparkEntry.queries("mm_phash_pairs")(spark, d).collect()
+    assert(pairs.forall(r => r.getAs[Long]("m1") > 1000L),
+      "no pair may touch the degenerate 300-clone bucket")
+    assert(pairs.length == 45,
+      s"10-clone cluster must emit C(10,2)=45 pairs, got ${pairs.length}")
+    assert(pairs.forall(_.getAs[Int]("hamming") == 0))
+  }
+
   test("Derived memo invalidates when the source table's mtime moves") {
     val d = tempDir("memo")
     writeDocs(d, Seq((1L, "alpha beta gamma delta", "en", "s1", 1)))
