@@ -959,25 +959,49 @@ object TextQueries {
     // necessarily agree on ≥1 band; wider radii trade recall, the
     // standard banded-simhash dial), verified by exact popcount on the
     // XOR. Candidates come from two equi-joins — never all-pairs — and
-    // signatures travel as one BIGINT per doc.
+    // signatures travel as one BIGINT per doc. The bands are
+    // BUCKET-CAPPED (the mm_phash / wedge-cap discipline): an 8-bit
+    // band value shared by > 256 docs is chance-level dense on a
+    // 16-bit signature and emits C(d,2) candidates of pure collision
+    // noise, so those buckets are excised before the self-join in both
+    // dialects (never binds on the shipped fixtures — max bucket ~40
+    // at sf0.1; at 30× uniform-stub scale it is what keeps the plan
+    // sub-quadratic). The corpus-scale fix is a WIDER signature
+    // (64-bit SimHash with 4 16-bit bands); the cap keeps the
+    // 16-bit exemplar's plan safe meanwhile.
     Q("dedup_simhash_pairs",
       s"""WITH sh AS ($simhashSql),
+         |hik AS (SELECT simhash // 256 AS k FROM sh GROUP BY 1
+         |  HAVING count(*) <= 256),
+         |lok AS (SELECT simhash % 256 AS k FROM sh GROUP BY 1
+         |  HAVING count(*) <= 256),
          |cand AS (
          |  SELECT a.doc_id AS d1, b.doc_id AS d2,
          |         a.simhash AS h1, b.simhash AS h2
          |  FROM sh a JOIN sh b
          |    ON a.simhash // 256 = b.simhash // 256 AND a.doc_id < b.doc_id
+         |  JOIN hik ON hik.k = a.simhash // 256
          |  UNION
          |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
          |  FROM sh a JOIN sh b
-         |    ON a.simhash % 256 = b.simhash % 256 AND a.doc_id < b.doc_id)
+         |    ON a.simhash % 256 = b.simhash % 256 AND a.doc_id < b.doc_id
+         |  JOIN lok ON lok.k = a.simhash % 256)
          |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
          |FROM cand
          |WHERE bit_count(xor(h1, h2)) <= 3
          |ORDER BY d1, d2""") { (s, d) =>
       val sh = simhashDf(s, d).cache()
+      val hik = sh.groupBy(expr("simhash div 256").as("k"))
+        .agg(count(lit(1)).as("bn")).filter(col("bn") <= 256)
+        .select(col("k"))
+      val lok = sh.groupBy((col("simhash") % 256).as("k"))
+        .agg(count(lit(1)).as("bn")).filter(col("bn") <= 256)
+        .select(col("k"))
       val a = sh.select(col("doc_id").as("d1"), col("simhash").as("h1"))
+        .join(hik, expr("h1 div 256") === col("k"), "left_semi")
       val b = sh.select(col("doc_id").as("d2"), col("simhash").as("h2"))
+      val aLo = sh.select(col("doc_id").as("d1"), col("simhash").as("h1"))
+        .join(lok, (col("h1") % 256) === col("k"), "left_semi")
       // Verify INSIDE each band branch: the popcount filter runs on join
       // output rows before they ever reach the union's distinct, so the
       // dedup shuffle carries only verified pairs (~1% of candidates at
@@ -988,7 +1012,7 @@ object TextQueries {
         .select(col("d1"), col("d2"), col("hamming"))
       val hi = verified(a.join(b,
         expr("h1 div 256") === expr("h2 div 256") && col("d1") < col("d2")))
-      val lo = verified(a.join(b,
+      val lo = verified(aLo.join(b,
         col("h1") % 256 === col("h2") % 256 && col("d1") < col("d2")))
       hi.unionByName(lo).distinct()
         .orderBy(col("d1"), col("d2"))
