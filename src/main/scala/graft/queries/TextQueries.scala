@@ -1018,6 +1018,89 @@ object TextQueries {
         .orderBy(col("d1"), col("d2"))
     },
 
+    // WIDE (60-bit) SimHash near-dup pairs — the corpus-scale form the
+    // 16-bit exemplar's scaladoc points at: with 60 signature bits and
+    // 4 × 15-bit bands the band value space is 32,768, so buckets stay
+    // sparse at ANY corpus size without leaning on the bucket cap
+    // (P[two random docs within hamming 7 of 60] ≈ 3e-10 — chance
+    // pairs vanish, and what survives the exact popcount verify is
+    // genuine near-duplication). 60 bits (15 md5 hex chars), not 64,
+    // keeps the integer signed-BIGINT-safe in both engines with no
+    // unsigned-hex edge case. Same one-pass shape as the 16-bit
+    // version: all 60 majority votes are aggregate expressions in ONE
+    // groupBy over the token relation; candidates come from 4 banded
+    // equi-joins (bucket-capped for belt-and-braces, though the cap is
+    // not expected to bind at any scale); verify is one popcount.
+    Q("dedup_simhash64_pairs",
+      """WITH tv AS (SELECT doc_id,
+        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT AS v
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)),
+        |bits AS (SELECT doc_id, b.bit AS bit,
+        |    sum(CASE WHEN (v >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM tv, range(0, 60) b(bit) GROUP BY doc_id, b.bit),
+        |sh AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0
+        |      THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT)
+        |      AS sh60
+        |  FROM bits GROUP BY doc_id),
+        |e0 AS (SELECT doc_id, r.k AS band,
+        |    (sh60 >> (15 * r.k)) & 32767 AS bv
+        |  FROM sh, range(0, 4) r(k)),
+        |keepb AS (SELECT band, bv FROM e0 GROUP BY 1, 2
+        |  HAVING count(*) <= 256),
+        |e AS (SELECT e0.* FROM e0 JOIN keepb USING (band, bv)),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM e a JOIN e b ON a.band = b.band AND a.bv = b.bv
+        |    AND a.doc_id < b.doc_id)
+        |SELECT c.d1, c.d2,
+        |  CAST(bit_count(xor(x.sh60, y.sh60)) AS INT) AS hamming
+        |FROM cand c
+        |JOIN sh x ON x.doc_id = c.d1
+        |JOIN sh y ON y.doc_id = c.d2
+        |WHERE bit_count(xor(x.sh60, y.sh60)) <= 7
+        |ORDER BY c.d1, c.d2""") { (s, d) =>
+      val sh = Derived.memo(s, d, "documents", "simhash60") {
+        val tv = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .select(col("doc_id"),
+            expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)")
+              .as("v"))
+        val votes = (0 until 60).map(i =>
+          sum(when(expr(s"(v >> $i) & 1 = 1"), 1).otherwise(-1)).as(s"s$i"))
+        tv.groupBy(col("doc_id"))
+          .agg(votes.head, votes.tail: _*)
+          .select(col("doc_id"),
+            (0 until 60).map(i =>
+              when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+              .reduce(_ + _).cast("bigint").as("sh60"))
+      }.cache()
+      val e0 = sh.select(col("doc_id"), explode(expr(
+          """transform(sequence(0, 3), k -> struct(
+            |  CAST(k AS INT) AS band,
+            |  shiftright(sh60, 15 * k) & 32767 AS bv))""".stripMargin))
+          .as("x"))
+        .select(col("doc_id"), col("x.band").as("band"), col("x.bv").as("bv"))
+      val keepb = e0.groupBy(col("band"), col("bv"))
+        .agg(count(lit(1)).as("bn")).filter(col("bn") <= 256)
+        .select(col("band"), col("bv"))
+      val e = e0.join(keepb, Seq("band", "bv"), "left_semi")
+      val cand = e.as("a").join(e.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("d1"), col("sh60").as("h1")),
+          Seq("d1"))
+        .join(sh.select(col("doc_id").as("d2"), col("sh60").as("h2")),
+          Seq("d2"))
+        .withColumn("hamming", expr("CAST(bit_count(h1 ^ h2) AS INT)"))
+        .filter(col("hamming") <= 7)
+        .select(col("d1"), col("d2"), col("hamming"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
     // Character 4-gram Jaccard similarity over a bounded doc subset —
     // the n-gram flavor of near-dup scoring.
     Q("dedup_ngram_jaccard",

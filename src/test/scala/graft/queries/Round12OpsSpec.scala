@@ -382,6 +382,22 @@ class Round12OpsSpec extends SparkSpec {
     assert(pairs.forall(_.getAs[Int]("hamming") == 0))
   }
 
+  test("dedup_simhash64_pairs: a 1-token edit stays within the hamming " +
+    "ball; unrelated docs never pair") {
+    val d = tempDir("sh60")
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val edited = base.replace("tok7", "changed")
+    val other = (1 to 60).map(i => s"zzz$i").mkString(" ")
+    writeDocs(d, Seq(
+      (1L, base, "en", "s", 1), (2L, edited, "en", "s", 1),
+      (3L, other, "en", "s", 1)))
+    val rows = SparkEntry.queries("dedup_simhash64_pairs")(spark, d)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) ->
+        r.getAs[Int]("hamming")).toMap
+    assert(rows.keySet == Set((1L, 2L)), s"got $rows")
+    assert(rows((1L, 2L)) <= 7 && rows((1L, 2L)) >= 0)
+  }
+
   test("Derived memo invalidates when the source table's mtime moves") {
     val d = tempDir("memo")
     writeDocs(d, Seq((1L, "alpha beta gamma delta", "en", "s1", 1)))
