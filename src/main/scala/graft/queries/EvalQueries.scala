@@ -265,6 +265,158 @@ object EvalQueries {
           .as("within_bin_residual"))
     },
 
+    // PAIRED DeLONG TEST (two correlated AUCs, DeLong et al. 1988 §3)
+    // — the question the single-model SE (eval_delong) can't answer:
+    // "is model B actually better than model A ON THE SAME examples?"
+    // A naive z on two independent SEs overstates the variance because
+    // both models' errors correlate through the shared data; the
+    // paired test subtracts twice the COVARIANCE of the per-
+    // observation structural components. Components come from the same
+    // distinct-score midrank machinery, then join back to the rows by
+    // score so each observation carries its (V_A, V_B) PAIR; all
+    // second moments (including the cross term) are DECIMAL-quantized
+    // exact sums. Model A = the raw value; model B = value degraded by
+    // a deterministic md5 perturbation (a strictly worse model, so the
+    // z-score's sign is known). One corpus pass per model + two
+    // score-keyed joins — no per-pair O(P·N) work anywhere.
+    Q("eval_delong_compare",
+      s"""WITH e AS (SELECT value AS sa,
+         |    value + ((('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+         |      1, 1))::BIGINT) * 2 - 15) * 20 AS sb,
+         |    $lbl AS lbl FROM events),
+         |t AS (SELECT CAST(sum(lbl) AS BIGINT) AS p,
+         |    CAST(count(*) - sum(lbl) AS BIGINT) AS n FROM e),
+         |ga AS (SELECT sa, count(*) AS cnt, sum(lbl) AS pos
+         |  FROM e GROUP BY 1),
+         |ra AS (SELECT sa,
+         |    sum(cnt) OVER w - cnt AS call, cnt,
+         |    sum(pos) OVER w - pos AS cpos, pos,
+         |    sum(cnt - pos) OVER w - (cnt - pos) AS cneg, cnt - pos AS neg
+         |  FROM ga WINDOW w AS (ORDER BY sa)),
+         |va AS (SELECT sa,
+         |    ((2 * call + cnt + 1) - (2 * cpos + pos + 1))
+         |      / (2.0 * t.n) AS v10a,
+         |    1.0 - ((2 * call + cnt + 1) - (2 * cneg + neg + 1))
+         |      / (2.0 * t.p) AS v01a
+         |  FROM ra CROSS JOIN t),
+         |gb AS (SELECT sb, count(*) AS cnt, sum(lbl) AS pos
+         |  FROM e GROUP BY 1),
+         |rb AS (SELECT sb,
+         |    sum(cnt) OVER w - cnt AS call, cnt,
+         |    sum(pos) OVER w - pos AS cpos, pos,
+         |    sum(cnt - pos) OVER w - (cnt - pos) AS cneg, cnt - pos AS neg
+         |  FROM gb WINDOW w AS (ORDER BY sb)),
+         |vb AS (SELECT sb,
+         |    ((2 * call + cnt + 1) - (2 * cpos + pos + 1))
+         |      / (2.0 * t.n) AS v10b,
+         |    1.0 - ((2 * call + cnt + 1) - (2 * cneg + neg + 1))
+         |      / (2.0 * t.p) AS v01b
+         |  FROM rb CROSS JOIN t),
+         |pe AS (SELECT e.lbl, va.v10a, va.v01a, vb.v10b, vb.v01b
+         |  FROM e JOIN va ON va.sa = e.sa JOIN vb ON vb.sb = e.sb),
+         |mom AS (SELECT
+         |    CAST(sum(CASE WHEN lbl = 1 THEN CAST(round(v10a, 12)
+         |      AS DECIMAL(38,12)) END) AS DOUBLE) AS sa10,
+         |    CAST(sum(CASE WHEN lbl = 1 THEN CAST(round(v10b, 12)
+         |      AS DECIMAL(38,12)) END) AS DOUBLE) AS sb10,
+         |    CAST(sum(CASE WHEN lbl = 1 THEN CAST(round(v10a * v10a, 12)
+         |      AS DECIMAL(38,12)) END) AS DOUBLE) AS saa10,
+         |    CAST(sum(CASE WHEN lbl = 1 THEN CAST(round(v10b * v10b, 12)
+         |      AS DECIMAL(38,12)) END) AS DOUBLE) AS sbb10,
+         |    CAST(sum(CASE WHEN lbl = 1 THEN CAST(round(v10a * v10b, 12)
+         |      AS DECIMAL(38,12)) END) AS DOUBLE) AS sab10,
+         |    CAST(sum(CASE WHEN lbl = 0 THEN CAST(round(v01a, 12)
+         |      AS DECIMAL(38,12)) END) AS DOUBLE) AS sa01,
+         |    CAST(sum(CASE WHEN lbl = 0 THEN CAST(round(v01b, 12)
+         |      AS DECIMAL(38,12)) END) AS DOUBLE) AS sb01,
+         |    CAST(sum(CASE WHEN lbl = 0 THEN CAST(round(v01a * v01a, 12)
+         |      AS DECIMAL(38,12)) END) AS DOUBLE) AS saa01,
+         |    CAST(sum(CASE WHEN lbl = 0 THEN CAST(round(v01b * v01b, 12)
+         |      AS DECIMAL(38,12)) END) AS DOUBLE) AS sbb01,
+         |    CAST(sum(CASE WHEN lbl = 0 THEN CAST(round(v01a * v01b, 12)
+         |      AS DECIMAL(38,12)) END) AS DOUBLE) AS sab01
+         |  FROM pe)
+         |SELECT round(sa10 / t.p, 4) AS auc_a,
+         |  round(sb10 / t.p, 4) AS auc_b,
+         |  round(sa10 / t.p - sb10 / t.p, 4) AS auc_diff,
+         |  round(sqrt(
+         |    ((saa10 - sa10 * sa10 / t.p) / (t.p - 1)
+         |     + (sbb10 - sb10 * sb10 / t.p) / (t.p - 1)
+         |     - 2 * (sab10 - sa10 * sb10 / t.p) / (t.p - 1)) / t.p
+         |    + ((saa01 - sa01 * sa01 / t.n) / (t.n - 1)
+         |     + (sbb01 - sb01 * sb01 / t.n) / (t.n - 1)
+         |     - 2 * (sab01 - sa01 * sb01 / t.n) / (t.n - 1)) / t.n),
+         |    6) AS se_diff,
+         |  round((sa10 / t.p - sb10 / t.p) / nullif(sqrt(
+         |    ((saa10 - sa10 * sa10 / t.p) / (t.p - 1)
+         |     + (sbb10 - sb10 * sb10 / t.p) / (t.p - 1)
+         |     - 2 * (sab10 - sa10 * sb10 / t.p) / (t.p - 1)) / t.p
+         |    + ((saa01 - sa01 * sa01 / t.n) / (t.n - 1)
+         |     + (sbb01 - sb01 * sb01 / t.n) / (t.n - 1)
+         |     - 2 * (sab01 - sa01 * sb01 / t.n) / (t.n - 1)) / t.n),
+         |    0), 4) AS z
+         |FROM mom CROSS JOIN t""") { (s, d) =>
+      val e = Tables.events(s, d).select(
+        col("value").as("sa"),
+        (col("value") + (expr(
+          "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 1), 16, 10) AS BIGINT)")
+          * 2 - 15) * 20).as("sb"),
+        expr(lbl).as("lbl"))
+      val t = e.agg(sum(col("lbl")).as("p"),
+        (count(lit(1)) - sum(col("lbl"))).as("n"))
+      def comp(key: String, v10: String, v01: String) = {
+        val g = e.groupBy(col(key))
+          .agg(count(lit(1)).as("cnt"), sum(col("lbl")).as("pos"))
+          .withColumn("neg", col("cnt") - col("pos"))
+        val w = Window.orderBy(col(key))
+        g.withColumn("call", sum(col("cnt")).over(w) - col("cnt"))
+          .withColumn("cpos", sum(col("pos")).over(w) - col("pos"))
+          .withColumn("cneg", sum(col("neg")).over(w) - col("neg"))
+          .crossJoin(broadcast(t))
+          .select(col(key),
+            (((lit(2) * col("call") + col("cnt") + 1)
+              - (lit(2) * col("cpos") + col("pos") + 1))
+              / (lit(2.0) * col("n"))).as(v10),
+            (lit(1.0) - ((lit(2) * col("call") + col("cnt") + 1)
+              - (lit(2) * col("cneg") + col("neg") + 1))
+              / (lit(2.0) * col("p"))).as(v01))
+      }
+      val pe = e
+        .join(comp("sa", "v10a", "v01a"), Seq("sa"))
+        .join(comp("sb", "v10b", "v01b"), Seq("sb"))
+      def dsum(c: org.apache.spark.sql.Column, onLbl: Int, name: String) =
+        sum(when(col("lbl") === onLbl,
+          round(c, 12).cast("decimal(38,12)"))).cast("double").as(name)
+      val mom = pe.agg(
+        dsum(col("v10a"), 1, "sa10"), dsum(col("v10b"), 1, "sb10"),
+        dsum(col("v10a") * col("v10a"), 1, "saa10"),
+        dsum(col("v10b") * col("v10b"), 1, "sbb10"),
+        dsum(col("v10a") * col("v10b"), 1, "sab10"),
+        dsum(col("v01a"), 0, "sa01"), dsum(col("v01b"), 0, "sb01"),
+        dsum(col("v01a") * col("v01a"), 0, "saa01"),
+        dsum(col("v01b") * col("v01b"), 0, "sbb01"),
+        dsum(col("v01a") * col("v01b"), 0, "sab01"))
+      val r = mom.crossJoin(broadcast(t))
+      def cv(ss: String, a: String, b: String, nn: org.apache.spark.sql.Column) =
+        (col(ss) - col(a) * col(b) / nn) / (nn - 1)
+      val varDiff =
+        (cv("saa10", "sa10", "sa10", col("p"))
+          + cv("sbb10", "sb10", "sb10", col("p"))
+          - lit(2) * cv("sab10", "sa10", "sb10", col("p"))) / col("p") +
+        (cv("saa01", "sa01", "sa01", col("n"))
+          + cv("sbb01", "sb01", "sb01", col("n"))
+          - lit(2) * cv("sab01", "sa01", "sb01", col("n"))) / col("n")
+      val se = sqrt(varDiff)
+      r.select(
+        round(col("sa10") / col("p"), 4).as("auc_a"),
+        round(col("sb10") / col("p"), 4).as("auc_b"),
+        round(col("sa10") / col("p") - col("sb10") / col("p"), 4)
+          .as("auc_diff"),
+        round(se, 6).as("se_diff"),
+        round((col("sa10") / col("p") - col("sb10") / col("p"))
+          / nullif(se, lit(0d)), 4).as("z"))
+    },
+
     // AVERAGE PRECISION / AUPRC per weekday group — the
     // class-imbalance-robust summary the ROC AUC (eval_auc) overstates
     // on rare positives. Exact step-interpolated AP over the DISTINCT

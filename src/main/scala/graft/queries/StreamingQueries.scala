@@ -1071,6 +1071,87 @@ object StreamingQueries {
             .when(col("cum") <= -bound, "accept_h0")
             .otherwise("continue").as("decision"))
         .orderBy(col("day"))
+    },
+
+    // STREAMING GROWTH-ACCOUNTING MONITOR — the live twin of
+    // behavior_lifecycle_grid (same oracle: the two must agree
+    // bit-for-bit on the replay's final state). The STREAM maintains
+    // the distinct (user, week) activity relation as complete-mode
+    // aggregation state — users × active weeks, the same state a
+    // production engagement monitor carries (with watermarked
+    // eviction of closed weeks at true scale); the
+    // new/retained/resurrected/churned classification is pure batch
+    // algebra on the completed tiny table, recomputed per trigger —
+    // the stream_psi lambda split. Weeks are the wow_change
+    // epoch-day buckets, computed INSIDE the streaming groupBy.
+    Q("stream_lifecycle",
+      """WITH uw AS (SELECT DISTINCT user_id AS u,
+        |    CAST(floor((epoch(ts) / 86400 + 3) / 7) AS BIGINT) AS wk
+        |  FROM events),
+        |fw AS (SELECT u, min(wk) AS fwk FROM uw GROUP BY 1),
+        |st AS (SELECT a.u, a.wk,
+        |    CASE WHEN a.wk = fw.fwk THEN 'new'
+        |         WHEN p.u IS NOT NULL THEN 'retained'
+        |         ELSE 'resurrected' END AS state
+        |  FROM uw a JOIN fw ON fw.u = a.u
+        |  LEFT JOIN uw p ON p.u = a.u AND p.wk = a.wk - 1),
+        |act AS (SELECT wk,
+        |    CAST(sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_resurrected
+        |  FROM st GROUP BY 1),
+        |ch AS (SELECT a.wk + 1 AS wk, CAST(count(*) AS BIGINT)
+        |    AS n_churned
+        |  FROM uw a LEFT JOIN uw n ON n.u = a.u AND n.wk = a.wk + 1
+        |  WHERE n.u IS NULL GROUP BY 1)
+        |SELECT act.wk, n_new, n_retained, n_resurrected,
+        |  coalesce(ch.n_churned, 0) AS n_churned,
+        |  round((n_new + n_resurrected)
+        |    / CAST(nullif(coalesce(ch.n_churned, 0), 0) AS DOUBLE), 4)
+        |    AS quick_ratio
+        |FROM act LEFT JOIN ch ON ch.wk = act.wk
+        |ORDER BY act.wk""") { (s, d) =>
+      val t = runToTable(s, d, "complete") { src =>
+        src.groupBy(col("user_id").as("u"),
+            floor((unix_timestamp(col("ts")) / 86400 + 3) / 7)
+              .cast("long").as("wk"))
+          .agg(count(lit(1)).as("c"))
+      }
+      val uw = t.select(col("u"), col("wk")).localCheckpoint(true)
+      val fw = uw.groupBy(col("u")).agg(min(col("wk")).as("fwk"))
+      val st = uw.as("a")
+        .join(fw, Seq("u"))
+        .join(uw.select(col("u"), (col("wk") + 1).as("wk"),
+          lit(1).as("p")).as("p"), Seq("u", "wk"), "left_outer")
+        .select(col("wk"),
+          when(col("wk") === col("fwk"), "new")
+            .when(col("p").isNotNull, "retained")
+            .otherwise("resurrected").as("state"))
+      val act = st.groupBy(col("wk"))
+        .agg(sum(when(col("state") === "new", 1).otherwise(0)).as("n_new"),
+          sum(when(col("state") === "retained", 1).otherwise(0))
+            .as("n_retained"),
+          sum(when(col("state") === "resurrected", 1).otherwise(0))
+            .as("n_resurrected"))
+      val ch = uw.as("a")
+        .join(uw.select(col("u"), (col("wk") - 1).as("wk"),
+          lit(1).as("nx")).as("n"), Seq("u", "wk"), "left_outer")
+        .filter(col("nx").isNull)
+        .groupBy((col("wk") + 1).as("wk"))
+        .agg(count(lit(1)).as("n_churned"))
+      act.join(ch, Seq("wk"), "left_outer")
+        .select(col("wk"),
+          col("n_new").cast("long").as("n_new"),
+          col("n_retained").cast("long").as("n_retained"),
+          col("n_resurrected").cast("long").as("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).cast("long").as("n_churned"),
+          round((col("n_new") + col("n_resurrected"))
+            / nullif(coalesce(col("n_churned"), lit(0L)), lit(0L))
+              .cast("double"), 4).as("quick_ratio"))
+        .orderBy(col("wk"))
     })
 
   /** Staging key for dataset `d`: md5 over the ABSOLUTE PATH plus the

@@ -398,6 +398,26 @@ class Round12OpsSpec extends SparkSpec {
     assert(rows((1L, 2L)) <= 7 && rows((1L, 2L)) >= 0)
   }
 
+  test("eval_delong_compare: a perfect model beats its md5-degraded " +
+    "twin with positive z") {
+    val d = tempDir("delongc")
+    // model A (the raw value) separates perfectly; model B adds a
+    // +-300-amplitude md5 perturbation that swamps the 100-unit margin
+    val rows = (1L to 200L).map { i =>
+      val pos = i <= 100
+      (i, t0, i, if (pos) "purchase" else "view",
+        if (pos) 200.0 + i else i.toDouble, "{}")
+    }
+    writeEvents(d, rows)
+    val r = SparkEntry.queries("eval_delong_compare")(spark, d)
+      .collect().head
+    assert(r.getAs[Double]("auc_a") == 1.0)
+    assert(r.getAs[Double]("auc_b") < 1.0)
+    assert(r.getAs[Double]("se_diff") > 0)
+    assert(r.getAs[Double]("z") > 0,
+      s"degrading the score must lower AUC: $r")
+  }
+
   test("Derived memo invalidates when the source table's mtime moves") {
     val d = tempDir("memo")
     writeDocs(d, Seq((1L, "alpha beta gamma delta", "en", "s1", 1)))
