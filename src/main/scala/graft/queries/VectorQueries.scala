@@ -1402,5 +1402,55 @@ object VectorQueries {
           round(col("p05"), 4).as("p05"), round(col("p95"), 4).as("p95"),
           col("n_clipped"), col("clip_frac"))
         .orderBy(col("dim"))
+    },
+
+    // EMBEDDING NORM CENSUS — the first audit run on any vector drop:
+    // are these normalized (cosine-ready), and are there zero/degenerate
+    // vectors that will NaN a cosine or collapse an IVF cell? Per-vector
+    // L2 norm (one aggregate HOF pass, per-term squares quantized to
+    // DECIMAL before the order-free sum so the norm is bit-stable on
+    // any partitioning), bucketed to a 0.25-wide histogram, plus the
+    // unit-norm fraction (|‖v‖−1| ≤ 0.01) and the zero-vector count —
+    // the three numbers that decide whether sim_* queries may skip
+    // re-normalization. One corpus pass; output bounded by the norm
+    // range.
+    Q("vec_norm_census",
+      """WITH n AS (SELECT vec_id, label,
+        |    sqrt(CAST(list_sum(list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 12)
+        |        AS DECIMAL(28,12)))) AS DOUBLE)) AS nrm
+        |  FROM embeddings),
+        |b AS (SELECT CAST(floor(nrm / 0.25) AS BIGINT) AS bucket,
+        |    count(*) AS c,
+        |    sum(CASE WHEN abs(nrm - 1) <= 0.01 THEN 1 ELSE 0 END) AS u,
+        |    sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS z
+        |  FROM n GROUP BY 1),
+        |t AS (SELECT sum(c) AS tc FROM b)
+        |SELECT bucket, CAST(round(bucket * 0.25, 2) AS DOUBLE) AS norm_lo,
+        |  CAST(c AS BIGINT) AS n_vectors,
+        |  round(c / CAST(t.tc AS DOUBLE), 4) AS frac,
+        |  CAST(u AS BIGINT) AS n_unit, CAST(z AS BIGINT) AS n_zero
+        |FROM b CROSS JOIN t ORDER BY bucket""") { (s, d) =>
+      val n = s.read.parquet(graft.Tables.path(d, "embeddings"))
+        .select(col("vec_id"), col("label"),
+          sqrt(expr(
+            """CAST(aggregate(embedding, CAST(0 AS DECIMAL(28,12)),
+              |  (acc, x) -> CAST(acc + CAST(round(CAST(x AS DOUBLE)
+              |    * CAST(x AS DOUBLE), 12) AS DECIMAL(28,12))
+              |    AS DECIMAL(28,12)),
+              |  acc -> acc) AS DOUBLE)""".stripMargin)).as("nrm"))
+      val b = n.groupBy(floor(col("nrm") / 0.25).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("c"),
+          sum(when(abs(col("nrm") - 1) <= 0.01, 1).otherwise(0)).as("u"),
+          sum(when(col("nrm") === 0, 1).otherwise(0)).as("z"))
+      val t = b.agg(sum(col("c")).as("tc"))
+      b.crossJoin(broadcast(t))
+        .select(col("bucket"),
+          round(col("bucket") * 0.25, 2).as("norm_lo"),
+          col("c").cast("long").as("n_vectors"),
+          round(col("c") / col("tc").cast("double"), 4).as("frac"),
+          col("u").cast("long").as("n_unit"),
+          col("z").cast("long").as("n_zero"))
+        .orderBy(col("bucket"))
     })
 }

@@ -91,7 +91,8 @@ class PlanHygieneSpec extends SparkSpec {
     "eval_brier_decomp",   // 10 bin rows x broadcast 1-row corpus scalars
     "behavior_l28",        // user day-counts x broadcast 1-row max-day
     "dq_sequence_gaps",    // id anti-join x broadcast 1-row extrema
-    "eval_delong_compare"  // score components x broadcast 1-row (P, N)
+    "eval_delong_compare", // score components x broadcast 1-row (P, N)
+    "vec_norm_census"      // norm buckets x broadcast 1-row total
   )
 
   private def offenders(name: String): Seq[String] = {

@@ -418,6 +418,25 @@ class Round12OpsSpec extends SparkSpec {
       s"degrading the score must lower AUC: $r")
   }
 
+  test("vec_norm_census: unit, zero, and 3-4-5 vectors land in their " +
+    "exact buckets") {
+    val d = tempDir("norms")
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f), "l"),     // norm 1 (unit)
+      (2L, Array(0.6f, 0.8f, 0f), "l"), // norm 1 (unit, 3-4-5 scaled)
+      (3L, Array(0f, 0f, 0f), "l"),     // zero vector
+      (4L, Array(3f, 4f, 0f), "l"))     // norm 5
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val rows = SparkEntry.queries("vec_norm_census")(spark, d).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_vectors"), r.getAs[Long]("n_unit"),
+          r.getAs[Long]("n_zero"))).toMap
+    assert(rows(0L) == ((1L, 0L, 1L)))  // the zero vector
+    assert(rows(4L) == ((2L, 2L, 0L)))  // both unit vectors (1.0/0.25)
+    assert(rows(20L) == ((1L, 0L, 0L))) // norm 5 → bucket 20
+  }
+
   test("Derived memo invalidates when the source table's mtime moves") {
     val d = tempDir("memo")
     writeDocs(d, Seq((1L, "alpha beta gamma delta", "en", "s1", 1)))
