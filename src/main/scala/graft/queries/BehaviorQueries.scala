@@ -847,10 +847,16 @@ object BehaviorQueries {
     // prefix that accounts for ≥80% of all events, plus the share of
     // users that prefix represents — "do 20% of users generate 80% of
     // the traffic?". Raw rows collapse to per-user counts by hash
-    // aggregate first; the window then runs over USERS (cardinality
-    // ≪ events), ordered by the unique (count desc, user_id) composite
-    // so the cumulative share is deterministic under ties. The reach-80
-    // pick is the same min-CASE idiom as the weighted-quantile family.
+    // aggregate first; the rank/cumulative layer then runs over USERS
+    // (cardinality ≪ events), ordered by the unique (count desc,
+    // user_id) composite so the cumulative share is deterministic
+    // under ties. Users are still unbounded, so rank + running sum +
+    // grand totals all come from ONE Ranks.withRankAndCumSum pass —
+    // range-repartition on the order key, per-partition rank/cumsum,
+    // 32-row count/sum offset rollup — with no single-partition window
+    // in the plan (the DuckDB oracle keeps the window text; parity
+    // proves the forms identical). The reach-80 pick is the same
+    // min-CASE idiom as the weighted-quantile family.
     Q("behavior_pareto",
       """WITH u AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
         |r AS (SELECT c,
@@ -869,13 +875,9 @@ object BehaviorQueries {
         |FROM r ORDER BY n_users""") { (s, d) =>
       val u = Tables.events(s, d)
         .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
-      val wOrd = Window.orderBy(col("c").desc, col("user_id"))
-      val wAll = Window.partitionBy()
-      u.select(col("c"),
-          row_number().over(wOrd).as("rk"),
-          sum(col("c")).over(wOrd).as("cum"),
-          sum(col("c")).over(wAll).as("tot"),
-          count(lit(1)).over(wAll).as("n_users"))
+      Ranks.withRankAndCumSum(u,
+          Seq(col("c").desc, col("user_id")), col("c"),
+          "rk", "cum", "tot", "n_users")
         .agg(max(col("n_users")).cast("long").as("n_users"),
           max(col("tot")).cast("long").as("n_events"),
           min(when(col("cum") / col("tot").cast("double") >= 0.8,
@@ -1213,15 +1215,19 @@ object BehaviorQueries {
     // every CRM/retention stack starts from: per customer Recency (last
     // order date), Frequency (order count), Monetary (total spend),
     // each quintiled, then the (r,f,m) cell census with its revenue
-    // share. The quintile windows ride the AGGREGATED customer relation
+    // share. The quintile cuts ride the AGGREGATED customer relation
     // (one row per customer — the collapse-then-window discipline), and
-    // every ntile ORDER BY ends in the unique custkey, so bucket
+    // every quintile order ends in the unique custkey, so bucket
     // boundaries are total-order deterministic in both engines (ntile's
     // remainder-to-first-buckets rule is shared). Monetary stays an
-    // exact DECIMAL until the final share division. At 100 TB the
-    // quintile cut becomes percentile-boundary binning (one KLL sketch
-    // + a broadcast join) instead of a global window — same output
-    // contract.
+    // exact DECIMAL until the final share division. Scale: customers
+    // are unbounded (1e9 at 100 TB), so each quintile is computed by
+    // Ranks.withNtile — range-repartition on the quintile key +
+    // per-partition rank + a 32-row offset rollup — never a
+    // single-partition ntile window; three cuts = three entity-level
+    // range exchanges, each numPartitions-way parallel. The DuckDB
+    // oracle keeps the literal ntile text; hash parity proves the
+    // distributed form bucket-identical.
     Q("behavior_rfm",
       """WITH u AS (SELECT o_custkey AS c, max(o_orderdate) AS last_d,
         |    CAST(count(*) AS BIGINT) AS f,
@@ -1247,10 +1253,14 @@ object BehaviorQueries {
         .agg(max(col("o_orderdate")).as("last_d"),
           count(lit(1)).as("f"),
           sum(col("o_totalprice").cast("decimal(18,2)")).as("m"))
-      val q = u.select(col("c"), col("f"), col("m"),
-        ntile(5).over(Window.orderBy(col("last_d").desc, col("c"))).as("r_q"),
-        ntile(5).over(Window.orderBy(col("f").desc, col("c"))).as("f_q"),
-        ntile(5).over(Window.orderBy(col("m").desc, col("c"))).as("m_q"))
+      val q = Ranks.withNtile(
+        Ranks.withNtile(
+          Ranks.withNtile(u,
+            Seq(col("last_d").desc, col("c")), 5, "r_q"),
+          Seq(col("f").desc, col("c")), 5, "f_q"),
+        Seq(col("m").desc, col("c")), 5, "m_q")
+        .select(col("c"), col("f"), col("m"),
+          col("r_q"), col("f_q"), col("m_q"))
       val tot = u.agg(sum(col("m")).as("tm"))
       q.crossJoin(broadcast(tot))
         .groupBy(col("r_q"), col("f_q"), col("m_q"), col("tm"))

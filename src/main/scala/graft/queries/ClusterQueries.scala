@@ -1276,9 +1276,9 @@ object ClusterQueries {
     // does this embedding space actually have". The 2-D projection is
     // dims 1-2 (at 100 TB, the vec_pca_power projections — the cell
     // machinery is dimension-agnostic). Every step is a rollup or an
-    // EQUI-join: points bucket to ε-cells (ε = 0.125, a power of two,
-    // so the float→cell floor-divide is EXACT in both engines); cells
-    // with ≥ minPts (8) points are core; core cells link to adjacent
+    // EQUI-join: points bucket to ε-cells (cell width 0.03125 = 2^-5,
+    // a power of two, so the float→cell floor-divide is EXACT in both
+    // engines); cells with ≥ 6 points are core; core cells link to adjacent
     // core cells through an exploded 8-neighbor key set (generator +
     // equi-join — no spatial join, no BNLJ); components resolve via
     // the family's large-star/small-star contraction (oracle: the
@@ -1295,11 +1295,11 @@ object ClusterQueries {
         |      AS cy
         |  FROM embeddings),
         |pc AS (SELECT vec_id, cx, cy,
-        |    (cx + 1000) * 1000000 + (cy + 1000) AS cell FROM p),
+        |    (cx + 4194304) * 8388608 + (cy + 4194304) AS cell FROM p),
         |cc AS (SELECT cell, cx, cy, count(*) AS n FROM pc GROUP BY 1, 2, 3),
         |core AS (SELECT * FROM cc WHERE n >= 6),
         |nb AS (SELECT c.cell AS u,
-        |    (c.cx + o.dx + 1000) * 1000000 + (c.cy + o.dy + 1000) AS v
+        |    (c.cx + o.dx + 4194304) * 8388608 + (c.cy + o.dy + 4194304) AS v
         |  FROM core c, (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
         |    (1,-1),(1,0),(1,1)) o(dx, dy)),
         |ed AS (SELECT n.u, n.v FROM nb n JOIN core k ON k.cell = n.v),
@@ -1319,7 +1319,7 @@ object ClusterQueries {
         |  JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
         |    (1,-1),(1,0),(1,1)) o(dx, dy) ON true
         |  JOIN lab ON lab.cell =
-        |    (pc.cx + o.dx + 1000) * 1000000 + (pc.cy + o.dy + 1000)
+        |    (pc.cx + o.dx + 4194304) * 8388608 + (pc.cy + o.dy + 4194304)
         |  WHERE k0.cell IS NULL
         |  GROUP BY 1),
         |asg AS (SELECT vec_id, rep FROM corepts
@@ -1346,8 +1346,12 @@ object ClusterQueries {
             .cast("long").as("cx"),
           floor(expr("CAST(element_at(embedding, 2) AS DOUBLE)") / 0.03125)
             .cast("long").as("cy"))
+        // cell key packs (cx, cy) into one long: offset 2^22, stride
+        // 2^23 → injective for |coordinate| < 2^22 · 0.03125 = 131072,
+        // i.e. any embedding this side of astronomically out-of-range
+        // (the old ±1000/1e6 packing aliased beyond coordinate ~31)
         .withColumn("cell",
-          (col("cx") + 1000) * 1000000 + (col("cy") + 1000))
+          (col("cx") + 4194304L) * 8388608L + (col("cy") + 4194304L))
       val core = pc.groupBy(col("cell"), col("cx"), col("cy"))
         .agg(count(lit(1)).as("n"))
         .filter(col("n") >= 6)
@@ -1359,8 +1363,8 @@ object ClusterQueries {
       val nb = core.select(col("cell").as("u"), col("cx"), col("cy"),
           explode(offsets).as("o"))
         .select(col("u"),
-          ((col("cx") + col("o.col1") + 1000) * 1000000
-            + (col("cy") + col("o.col2") + 1000)).as("v"))
+          ((col("cx") + col("o.col1") + 4194304L) * 8388608L
+            + (col("cy") + col("o.col2") + 4194304L)).as("v"))
       val ed = nb.join(core.select(col("cell").as("v")), Seq("v"))
         .select(col("u"), col("v"))
       // orient for starLabels (v < u), both directions collapse to one
@@ -1385,8 +1389,8 @@ object ClusterQueries {
         .select(col("vec_id"), col("cx"), col("cy"),
           explode(offsets).as("o"))
         .select(col("vec_id"),
-          ((col("cx") + col("o.col1") + 1000) * 1000000
-            + (col("cy") + col("o.col2") + 1000)).as("cell"))
+          ((col("cx") + col("o.col1") + 4194304L) * 8388608L
+            + (col("cy") + col("o.col2") + 4194304L)).as("cell"))
         .join(lab, Seq("cell"))
         .groupBy(col("vec_id")).agg(min(col("rep")).as("rep"))
       val res = corepts.unionByName(border).join(cid, Seq("rep"))

@@ -39,7 +39,15 @@ private[queries] object Derived {
     * reverse). */
   def memo(s: SparkSession, d: String, table: String, tag: String)(
       build: => DataFrame): DataFrame = {
-    val key = math.abs((d + "@" + stamp(graft.Tables.path(d, table))).hashCode)
+    // Collision-resistant artifact key: md5 hex of (dataset dir, raw
+    // mtime stamp). The earlier 32-bit String.hashCode key could alias
+    // two datasets/mtime states onto one dir and silently serve the
+    // wrong artifact to a correctness sweep (and abs(Int.MinValue) is
+    // negative); a 128-bit digest cannot collide in practice.
+    val keySrc = d + "@" + stamp(graft.Tables.path(d, table))
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(keySrc.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     val dir = s"/tmp/graft-rt-$tag-$key"
     val lock = locks.computeIfAbsent(dir, _ => new Object)
     lock.synchronized {

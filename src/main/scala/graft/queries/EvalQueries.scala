@@ -1997,12 +1997,15 @@ object EvalQueries {
 
     // HETEROGENEOUS TREATMENT EFFECT by spend segment — the per-segment
     // lift table behind "who did the experiment actually move?": users
-    // quartile by total spend (fully tie-broken NTILE over the USER
-    // aggregate, same discipline as rfm_segments), then per segment the
-    // two arms' conversion rates and lift. The global NTILE runs over
-    // users (≪ events); everything else is exact integer counts, so at
-    // 100 TB the sort input is the user dimension and the quartile cut
-    // would swap for sketch quantiles like pipe_length_buckets.
+    // quartile by total spend (fully tie-broken ntile semantics over
+    // the USER aggregate, same discipline as rfm_segments), then per
+    // segment the two arms' conversion rates and lift. The quartile cut
+    // runs over users (≪ events) but users are unbounded, so it is
+    // computed by Ranks.withNtile (range-repartition + per-partition
+    // rank + offset rollup) — no single-partition window at any user
+    // count; the DuckDB oracle keeps the ntile text and hash parity
+    // proves the distributed cut bucket-identical. Everything else is
+    // exact integer counts.
     Q("eval_hte_segments",
       """WITH u AS (SELECT user_id,
         |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
@@ -2037,9 +2040,8 @@ object EvalQueries {
             .cast("decimal(18,4)").as("spend"),
           max(when(col("event_type") === "purchase" && col("value") > 150,
             1).otherwise(0)).as("conv"))
-      val q = u.withColumn("segment",
-        ntile(4).over(Window.orderBy(col("spend"), col("user_id")))
-          .cast("int"))
+      val q = Ranks.withNtile(u,
+        Seq(col("spend"), col("user_id")), 4, "segment")
       val g = q.groupBy(col("segment"))
         .agg(sum(when(col("arm") === "A", 1).otherwise(0)).as("na"),
           sum(when(col("arm") === "A", col("conv")).otherwise(0)).as("ca"),

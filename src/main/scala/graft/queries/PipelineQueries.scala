@@ -450,13 +450,17 @@ object PipelineQueries {
 
     // Equi-depth histogram — the complement of agg_histogram's equi-WIDTH
     // buckets: four buckets holding (as near as possible) equal row
-    // counts, via ntile over a fully-tiebroken total order. Rank-based
-    // bucketing dodges the cross-engine trap of comparing rows against
-    // interpolated float boundaries (a 1-ulp percentile difference can
-    // flip a boundary row's bucket); ntile is pure integer arithmetic on
-    // row positions. The bounded filter keeps the single total-order
-    // window honest at bench scale; the 100 TB form replaces ntile with
-    // approx-quantile boundary assignment and accepts approximate depth.
+    // counts, via ntile semantics over a fully-tiebroken total order.
+    // Rank-based bucketing dodges the cross-engine trap of comparing
+    // rows against interpolated float boundaries (a 1-ulp percentile
+    // difference can flip a boundary row's bucket); ntile is pure
+    // integer arithmetic on row positions. The Spark side computes that
+    // arithmetic DISTRIBUTED (Ranks.withNtile: range-repartition +
+    // per-partition rank + offset rollup — no single-partition
+    // WindowExec anywhere in the plan), so the raw-row relation never
+    // funnels onto one core at any corpus size; the DuckDB oracle keeps
+    // the literal ntile text, and hash parity proves the two forms
+    // position-identical.
     Q("agg_histogram_eqdepth",
       """WITH t AS (SELECT l_extendedprice,
         |    ntile(4) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber,
@@ -467,11 +471,11 @@ object PipelineQueries {
         |  round(max(l_extendedprice), 4) AS hi
         |FROM t GROUP BY bucket
         |ORDER BY bucket""") { (s, d) =>
-      val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"),
+      val ord = Seq(col("l_extendedprice"), col("l_orderkey"),
         col("l_linenumber"), col("l_partkey"), col("l_quantity"))
-      Tables.lineitem(s, d)
-        .filter(col("l_partkey") < 2000)
-        .withColumn("bucket", ntile(4).over(w))
+      Ranks.withNtile(
+          Tables.lineitem(s, d).filter(col("l_partkey") < 2000),
+          ord, 4, "bucket")
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),
           round(min(col("l_extendedprice")), 4).as("lo"),

@@ -902,7 +902,16 @@ object RelationalQueries {
         release(frontier)
         frontier = next
       }
-      levels.reduce(_ unionByName _)
+      // empty-input guard: with zero customers the loop never runs and a
+      // bare reduce would throw where the SQL oracle returns 0 rows —
+      // seed the fold with an empty frame of the level schema instead
+      val emptyLevels = Tables.customer(s, d)
+        .select(col("c_custkey").as("cur"), lit(0).as("depth"))
+        .filter(lit(false))
+        .groupBy(col("depth"))
+        .agg(count(lit(1)).as("n_customers"),
+          countDistinct(col("cur")).as("n_roots"))
+      levels.foldLeft(emptyLevels)(_ unionByName _)
         .select(col("depth"), col("n_customers").cast("long").as("n_customers"),
           col("n_roots").cast("long").as("n_roots"))
         .orderBy(col("depth"))

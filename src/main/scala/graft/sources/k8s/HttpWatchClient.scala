@@ -285,16 +285,26 @@ class HttpWatchClient[T](base: String, resourcePath: String,
   /** Admission-control cursor: the rv that admits at most `maxCount`
     * buffered records above `fromRv` — the source's maxEventsPerTrigger
     * cap resolves through this. If fewer than `maxCount` records are
-    * buffered, returns [[latestRv]] (everything decoded is admitted,
+    * buffered, returns a cursor snapshotted BEFORE the walk
+    * (everything decoded as of batch-planning time is admitted,
     * including a collection-level rv advance with no items, which
     * yields a watermark-advancing empty batch exactly like the
-    * uncapped path). O(maxCount) skip-list walk, no copying. */
+    * uncapped path). The snapshot-first order makes the cap STRICT
+    * under concurrent watch traffic: reading latestRv() after the
+    * walk would admit records decoded between the walk and the
+    * fallback, letting a micro-batch exceed maxEventsPerTrigger.
+    * O(maxCount) skip-list walk, no copying. */
   def rvAfter(fromRv: Long, maxCount: Int): Long = {
+    val snapshotRv = latestRv()
     var n = 0
     var rv = fromRv
     val it = buffer.tailMap(fromRv, false).keySet.iterator()
-    while (it.hasNext && n < maxCount) { rv = it.next(); n += 1 }
-    if (n < maxCount) latestRv() else rv
+    while (it.hasNext && n < maxCount && rv < snapshotRv) {
+      rv = it.next(); n += 1
+    }
+    // under-cap: admit exactly through the pre-walk snapshot — records
+    // decoded mid-walk (rv > snapshotRv) wait for the next batch
+    if (n < maxCount) snapshotRv else math.min(rv, snapshotRv)
   }
 
   /** Called on offset commit: everything ≤ rv is durably downstream, so
