@@ -1826,10 +1826,11 @@ object PipelineQueries {
     // global max; length bucketing bounds waste to the within-bucket
     // spread. All quantities are exact integers; the NTILE order is
     // total (tok, doc_id), so bucket membership is deterministic in
-    // both engines. Scale: the single-partition NTILE sort here is the
-    // sf-fixture form — at 100 TB the same audit runs on a
-    // quantile-sketch bucketization (agg_approx_percentiles) instead of
-    // a global sort; the waste algebra is unchanged.
+    // both engines. Scale: the bucketization is Ranks.withNtile —
+    // range-repartition + per-partition rank + offset rollup, never a
+    // single-partition window — so the global sort is Spark's
+    // distributed ORDER BY machinery and the audit runs at any corpus
+    // size; the DuckDB oracle keeps the literal ntile text.
     Q("pipe_length_buckets",
       """WITH t AS (SELECT doc_id,
         |    len(string_split(text, ' ')) AS tok FROM documents),
@@ -1845,8 +1846,7 @@ object PipelineQueries {
         |FROM b GROUP BY 1 ORDER BY bucket""") { (s, d) =>
       val t = Tables.documents(s, d)
         .select(col("doc_id"), size(split(col("text"), " ")).as("tok"))
-      val b = t.withColumn("bucket",
-        ntile(8).over(Window.orderBy(col("tok"), col("doc_id"))))
+      val b = Ranks.withNtile(t, Seq(col("tok"), col("doc_id")), 8, "bucket")
       b.groupBy(col("bucket"))
         .agg(count(lit(1)).cast("long").as("n_docs"),
           min(col("tok")).cast("long").as("min_tok"),

@@ -183,6 +183,77 @@ class PlanHygieneSpec extends SparkSpec {
       s"quadratic join shapes in streaming micro-batches:\n${bad.distinct.mkString("\n")}")
   }
 
+  // ---- unpartitioned-window half of the law -----------------------
+  // A WindowExec with an EMPTY partition spec moves its whole input to
+  // ONE task ("No Partition Defined for Window operation") — the shape
+  // that single-cores a 100 TB relation no matter how fast it looks at
+  // test scale (the round-12 weak class: raw-row/entity-level global
+  // ntile). The law: every empty-partition-spec WindowExec /
+  // WindowGroupLimitExec must sit over an AGGREGATE-REDUCED child (a
+  // rollup someone already collapsed — day grids, deciles, bucket
+  // offsets: bounded by the group-key domain, not the corpus), or be
+  // whitelisted here with the boundedness reason pinned. Raw-row and
+  // joined-raw inputs fail. Ranks.* is the sanctioned alternative.
+  private val windowAllowed: Set[String] = Set(
+    // Add entries ONLY with a reason why the window input cannot grow
+    // with the corpus:
+    "win_rank_ntile" // the declared SQL rank/dense_rank/ntile function
+                     // exemplar, over a CONSTANT key slice (o_custkey
+                     // < 20 → ≤20 customers' orders). Unbounded global
+                     // rank/ntile forms ride Ranks.* instead
+                     // (agg_histogram_eqdepth, behavior_rfm, ...).
+  )
+
+  private def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p +: (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        unwrap(a.inputPlan)
+      case a: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        unwrap(a.plan)
+      case other => other.children.flatMap(unwrap)
+    })
+
+  private def hasAggBelow(p: org.apache.spark.sql.execution.SparkPlan)
+      : Boolean =
+    unwrap(p).exists {
+      case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+      case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+      case _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
+      case _ => false
+    }
+
+  private def unpartitionedWindows(name: String): Seq[String] = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    unwrap(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty && !hasAggBelow(w.child) =>
+        "WindowExec(no partition, non-aggregated child)"
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          if w.partitionSpec.isEmpty && !hasAggBelow(w.child) =>
+        "WindowGroupLimitExec(no partition, non-aggregated child)"
+    }
+  }
+
+  test("no batch query plans an unpartitioned window over non-aggregated input (outside the whitelist)") {
+    val bad = scala.collection.mutable.ListBuffer.empty[(String, Seq[String])]
+    val broken = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    for (q <- batchQueries if !windowAllowed(q)) {
+      try {
+        val off = unpartitionedWindows(q)
+        if (off.nonEmpty) bad += ((q, off.distinct))
+      } catch {
+        case e: Throwable if !buildExempt(q) =>
+          broken += ((q, e.toString.linesIterator.next()))
+      }
+      spark.catalog.clearCache()
+    }
+    assert(broken.isEmpty,
+      s"queries failed to BUILD (window law couldn't run):\n${broken.mkString("\n")}")
+    assert(bad.isEmpty,
+      s"single-partition window over non-aggregated input:\n${bad.mkString("\n")}")
+  }
+
   test("no batch query plans CartesianProduct/BNLJ (outside the whitelist)") {
     val bad = scala.collection.mutable.ListBuffer.empty[(String, Seq[String])]
     val broken = scala.collection.mutable.ListBuffer.empty[(String, String)]
