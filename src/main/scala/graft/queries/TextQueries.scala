@@ -31,6 +31,28 @@ object TextQueries {
     Derived.memo(s, d, "documents", "shingles")(
       shinglesOf(Tables.documents(s, d)))
 
+  /** Derive-once memo of the PPJoin global-order relation (doc_id,
+    * shs, n): each doc's shingle list sorted by ascending document
+    * frequency (rarest first), tie on the shingle. Shared by
+    * dedup_prefix_jaccard and dedup_containment, which previously
+    * rebuilt dfreq + the per-doc sort per run (round-12 verdict #4).
+    * The candidate-pair relations are memoized separately (per
+    * threshold) — the warm path then pays only the candidate-bounded
+    * exact verify, one array_intersect per pair over this doc-level
+    * relation (docs ≪ shingle rows; AQE broadcasts it at bench scale
+    * and degrades to a doc-keyed shuffle join at corpus scale). */
+  private[queries] def orderedShingles(s: SparkSession, d: String): DataFrame =
+    Derived.memo(s, d, "documents", "ppjoin-ordered") {
+      val toks = shingles(s, d)
+      val dfreq = toks.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      toks.join(dfreq, Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("st"))
+        .select(col("doc_id"),
+          expr("transform(st, x -> x.sh)").as("shs"),
+          size(col("st")).as("n"))
+    }
+
   /** Derive-once memo of the 8-seed signature relation over the corpus
     * table — the [[minhashSigsArrayOf]] map stage materialized via
     * [[Derived]] so the ~10 MinHash-derived batch queries scan one small
@@ -1171,24 +1193,45 @@ object TextQueries {
         |JOIN sizes s2 ON s2.doc_id = d2
         |WHERE CAST(ni AS DOUBLE) / (s1.n + s2.n - ni) >= 0.6
         |ORDER BY d1, d2""") { (s, d) =>
-      val toks = shingles(s, d)
-      val dfreq = toks.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      // Per-doc shingle list in global (df, sh) order; prefix length
-      // p = n − ⌈t·n⌉ + 1 for t = 0.6.
-      val ordered = toks.join(dfreq, Seq("sh"))
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("st"))
-        .select(col("doc_id"),
-          expr("transform(st, x -> x.sh)").as("shs"),
-          size(col("st")).as("n"))
-      val prefix = ordered
-        .withColumn("p", expr("CAST(n - ceil(0.6 * n) + 1 AS INT)"))
-        .select(col("doc_id"), explode(expr("slice(shs, 1, p)")).as("sh"))
-      val cand = prefix.as("a")
-        .join(prefix.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
+      // Per-doc shingle list in global (df, sh) order (memoized —
+      // orderedShingles); prefix = first p = n − ⌈t·n⌉ + 1 elements
+      // for t = 0.6.
+      val ordered = orderedShingles(s, d)
+      // Candidate pairs are a derive-once artifact too (the same memo
+      // discipline as the MinHash/SimHash candidate-edge relations):
+      // deterministic per (corpus, threshold), tiny on disk, and the
+      // warm path then pays only the candidate-bounded verify. The
+      // join carries PPJoin's LENGTH filter — j ≥ t forces
+      // min(n1,n2) ≥ t·max(n1,n2), checked in exact integer form
+      // (10·min ≥ 6·max) — and its POSITIONAL filter: at a common
+      // prefix token at positions (i, j), total overlap ≤ 1 +
+      // min(n1−i, n2−j), which must reach the equivalent overlap
+      // threshold α = ⌈t·(n1+n2)/(1+t)⌉ = ⌈3(n1+n2)/8⌉; in integer
+      // form 8·(1 + min(n1−i, n2−j)) ≥ 3(n1+n2). A true pair always
+      // passes at its first in-prefix common token (all its common
+      // tokens sit at positions ≥ (i, j) there), so both filters are
+      // lossless — size- or position-incompatible matches never reach
+      // distinct(), let alone verification.
+      val cand = Derived.memo(s, d, "documents", "ppjoin-cand06") {
+        val prefix = ordered
+          .withColumn("p", expr("CAST(n - ceil(0.6 * n) + 1 AS INT)"))
+          .select(col("doc_id"), col("n"),
+            posexplode(expr("slice(shs, 1, p)")).as(Seq("i0", "sh")))
+          .select(col("doc_id"), col("n"), (col("i0") + 1).as("pos"),
+            col("sh"))
+        prefix.as("a")
+          .join(prefix.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id")
+              && least(col("a.n"), col("b.n")) * 10 >=
+                 greatest(col("a.n"), col("b.n")) * 6
+              && (lit(1) + least(col("a.n") - col("a.pos"),
+                   col("b.n") - col("b.pos"))) * 8 >=
+                 (col("a.n") + col("b.n")) * 3)
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+      }
+      // Exact verify on candidates only: one array_intersect per pair
+      // against the doc-level ordered relation.
       cand
         .join(ordered.select(col("doc_id").as("d1"), col("shs").as("t1"),
           col("n").as("n1")), Seq("d1"))
@@ -1225,22 +1268,26 @@ object TextQueries {
         |JOIN sizes s1 ON s1.doc_id = da
         |WHERE CAST(ni AS DOUBLE) / s1.n >= 0.9
         |ORDER BY contained, container""") { (s, d) =>
-      val toks = shingles(s, d)
-      val dfreq = toks.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      val ordered = toks.join(dfreq, Seq("sh"))
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("st"))
-        .select(col("doc_id"),
-          expr("transform(st, x -> x.sh)").as("shs"),
-          size(col("st")).as("n"))
-      val prefix = ordered
-        .withColumn("p", expr("CAST(n - ceil(0.9 * n) + 1 AS INT)"))
-        .select(col("doc_id"), explode(expr("slice(shs, 1, p)")).as("sh"))
-      val cand = prefix.as("a")
-        .join(toks.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
-        .select(col("a.doc_id").as("contained"), col("b.doc_id").as("container"))
-        .distinct()
+      val ordered = orderedShingles(s, d)
+      // Candidate memo with the containment LENGTH filter: C(A→B) ≥ t
+      // forces n2 ≥ t·n1 (the overlap can't exceed the container), in
+      // exact integer form 10·n2 ≥ 9·n1.
+      val cand = Derived.memo(s, d, "documents", "ppjoin-cand90") {
+        val prefix = ordered
+          .withColumn("p", expr("CAST(n - ceil(0.9 * n) + 1 AS INT)"))
+          .select(col("doc_id"), col("n"),
+            explode(expr("slice(shs, 1, p)")).as("sh"))
+        val full = ordered
+          .select(col("doc_id"), col("n"), explode(col("shs")).as("sh"))
+        prefix.as("a")
+          .join(full.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id")
+              && col("b.n") * 10 >= col("a.n") * 9)
+          .select(col("a.doc_id").as("contained"),
+            col("b.doc_id").as("container"))
+          .distinct()
+      }
+      // Exact verify: one array_intersect per candidate pair.
       cand
         .join(ordered.select(col("doc_id").as("contained"),
           col("shs").as("t1"), col("n").as("n1")), Seq("contained"))
