@@ -23,6 +23,16 @@ import org.apache.spark.sql.expressions.Window
   * Float accumulation (DCG terms, mean predictions) is quantized to
   * DECIMAL(28,12) per term before the order-free sum, the same law the
   * text-entropy family pins.
+  *
+  * The DISTINCT-score windows (eval_lift/eval_ks/eval_mannwhitney/
+  * eval_auc) lean on a FIXED-PRECISION score domain — a DECIMAL(p,s)
+  * column has finitely many representable values, so "distinct
+  * scores" is bounded by the score grammar, not the corpus
+  * (DETERMINISM.md rule 21). For genuinely continuous scores (raw
+  * model logits) the binned fallback applies: quantize scores to a
+  * fixed grid first (the eval_ece / eval_pr_thresholds pattern) or
+  * swap the exact rank for a sketch-quantile rank; the metric laws
+  * are unchanged.
   */
 object EvalQueries {
 
