@@ -838,6 +838,64 @@ object PipelineQueries {
         .orderBy(col("shard"))
     },
 
+    // GLOBAL TRAINING SHUFFLE — the deterministic corpus-wide
+    // presentation order every epoch-0 training run needs: order =
+    // global row_number over (md5(doc_id), doc_id). The md5 key makes
+    // the order pseudo-random but reproducible (no engine RNG, rule
+    // 12), join-stable, and independent of partitioning; the rank
+    // itself is Ranks.withGlobalRowNumber — range-repartition on the
+    // hash + per-partition row_number + a 32-row offset rollup — so
+    // the "shuffle" never single-tasks the corpus (DETERMINISM.md
+    // rule 20). The DuckDB oracle is the literal one-window form;
+    // hash parity proves the distributed rank position-identical.
+    Q("pipe_global_shuffle",
+      """WITH r AS (SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS ord
+        |FROM r ORDER BY doc_id""") { (s, d) =>
+      val r = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      Ranks.withGlobalRowNumber(r, Seq(col("h"), col("doc_id")), "ord")
+        .select(col("doc_id"), col("ord"))
+        .orderBy(col("doc_id"))
+    },
+
+    // TOKEN-BUDGET SHARDING — contiguous training shards cut by
+    // CUMULATIVE TOKEN COUNT (not doc count): walk the corpus in the
+    // deterministic md5 shuffle order and start a new shard each time
+    // the running token total crosses a 25k-token budget; a doc
+    // belongs to the shard its FIRST token lands in ((cum − tok) div
+    // budget — greedy sequential packing, the unit of work a data
+    // loader actually streams). The running sum is
+    // Ranks.withRankAndCumSum — per-partition cumsum + a 32-row sum
+    // offset rollup in exact LONG arithmetic — never an unpartitioned
+    // running-sum window; the oracle keeps the literal
+    // sum() OVER (ORDER BY ...) text. Output is the shard manifest
+    // (docs, tokens) — exact integers.
+    Q("pipe_token_budget_split",
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |w AS (SELECT doc_id, tok,
+        |    sum(tok) OVER (ORDER BY h, doc_id) AS cum FROM t)
+        |SELECT CAST((cum - tok) // 25000 AS INT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS n_tokens
+        |FROM w GROUP BY 1 ORDER BY shard""") { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tok"),
+          md5(col("doc_id").cast("string")).as("h"))
+      Ranks.withRankAndCumSum(t, Seq(col("h"), col("doc_id")), col("tok"),
+          "rk", "cum", "tot", "nn")
+        .select(expr("CAST((cum - tok) div 25000 AS INT)").as("shard"),
+          col("tok"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("tok")).cast("long").as("n_tokens"))
+        .orderBy(col("shard"))
+    },
+
     // FILTER ABLATION over the quality-gate rule stack — for each rule
     // (lang, too_short, low_stopword, repetitive): how many docs it
     // flags, and how many it SOLELY rejects (n_flags = 1) — the number
