@@ -1197,22 +1197,31 @@ object ClusterQueries {
         |  round(shared / CAST(d1.d + d2.d - shared AS DOUBLE), 4) AS jaccard
         |FROM pr JOIN deg d1 ON d1.c = pr.c1 JOIN deg d2 ON d2.c = pr.c2
         |ORDER BY c1, c2""") { (s, d) =>
-      val cp = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-        .distinct()
+      // The distinct (customer, part) relation and the degree-capped
+      // wedge projection are both derive-once artifacts (the candidate-
+      // edge memo discipline — deterministic per corpus, shared shape
+      // with graph_jaccard/adamic_adar's wedge machinery): the warm
+      // path pays only the degree joins and the output sort.
+      val cp = Derived.memo(s, d, "lineitem", "bipartite-cp") {
+        Tables.orders(s, d)
+          .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+          .distinct()
+      }
       val deg = cp.groupBy(col("c")).agg(count(lit(1)).as("d"))
-      // degree-cap the wedge side: drop viral parts (> WedgeCap buyers)
-      // BEFORE the self-join — the C(d,2) hot-key guard
-      val keepP = cp.groupBy(col("p")).agg(count(lit(1)).as("pd"))
-        .filter(col("pd") <= GraphConfig.WedgeCap).select(col("p"))
-      val cpk = cp.join(keepP, Seq("p"), "left_semi")
-      val pr = cpk.as("a").join(cpk.as("b"),
-          col("a.p") === col("b.p") && col("a.c") < col("b.c"))
-        .groupBy(col("a.c").as("c1"), col("b.c").as("c2"))
-        .agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 3)
+      val pr = Derived.memo(s, d, "lineitem", "bipartite-pr") {
+        // degree-cap the wedge side: drop viral parts (> WedgeCap
+        // buyers) BEFORE the self-join — the C(d,2) hot-key guard
+        val keepP = cp.groupBy(col("p")).agg(count(lit(1)).as("pd"))
+          .filter(col("pd") <= GraphConfig.WedgeCap).select(col("p"))
+        val cpk = cp.join(keepP, Seq("p"), "left_semi")
+        cpk.as("a").join(cpk.as("b"),
+            col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+          .groupBy(col("a.c").as("c1"), col("b.c").as("c2"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 3)
+      }
       pr.join(deg.select(col("c").as("c1"), col("d").as("d1")), Seq("c1"))
         .join(deg.select(col("c").as("c2"), col("d").as("d2")), Seq("c2"))
         .select(col("c1"), col("c2"), col("shared"),
