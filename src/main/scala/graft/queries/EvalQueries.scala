@@ -564,6 +564,51 @@ object EvalQueries {
         .orderBy(col("thr"))
     },
 
+    // ROC CURVE POINTS at the same fixed threshold grid as
+    // eval_pr_thresholds — the (FPR, TPR) trace plus Youden's J
+    // (TPR − FPR, whose max picks the operating point) that AUC alone
+    // doesn't give an operator. All exact integer counts off one scan
+    // × a 10-row literal broadcast grid; TN completes the confusion
+    // square so TPR/FPR are both closed-form.
+    Q("eval_roc_points",
+      s"""WITH e AS (SELECT value AS score, $lbl AS lbl FROM events),
+         |t AS (SELECT CAST(x * 50 AS DOUBLE) AS thr FROM range(0, 10) r(x)),
+         |m AS (SELECT thr,
+         |    CAST(sum(CASE WHEN score >= thr AND lbl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN score >= thr AND lbl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN score < thr AND lbl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN score < thr AND lbl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM e, t GROUP BY 1)
+         |SELECT thr, tp, fp, fn, tn,
+         |  CASE WHEN tp + fn > 0
+         |       THEN round(tp / CAST(tp + fn AS DOUBLE), 4) ELSE 0.0 END AS tpr,
+         |  CASE WHEN fp + tn > 0
+         |       THEN round(fp / CAST(fp + tn AS DOUBLE), 4) ELSE 0.0 END AS fpr,
+         |  round(CASE WHEN tp + fn > 0
+         |      THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END
+         |    - CASE WHEN fp + tn > 0
+         |      THEN fp / CAST(fp + tn AS DOUBLE) ELSE 0.0 END, 4) + 0.0
+         |    AS youden_j
+         |FROM m ORDER BY thr""") { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("value").as("score"), expr(lbl).as("lbl"))
+      val t = s.range(0, 10)
+        .select((col("id") * 50).cast("double").as("thr"))
+      e.crossJoin(broadcast(t))
+        .groupBy(col("thr"))
+        .agg(
+          sum(expr("CASE WHEN score >= thr AND lbl = 1 THEN 1 ELSE 0 END")).as("tp"),
+          sum(expr("CASE WHEN score >= thr AND lbl = 0 THEN 1 ELSE 0 END")).as("fp"),
+          sum(expr("CASE WHEN score < thr AND lbl = 1 THEN 1 ELSE 0 END")).as("fn"),
+          sum(expr("CASE WHEN score < thr AND lbl = 0 THEN 1 ELSE 0 END")).as("tn"))
+        .select(col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("CASE WHEN tp + fn > 0 THEN round(tp / CAST(tp + fn AS DOUBLE), 4) ELSE 0.0 END").as("tpr"),
+          expr("CASE WHEN fp + tn > 0 THEN round(fp / CAST(fp + tn AS DOUBLE), 4) ELSE 0.0 END").as("fpr"),
+          expr("""round(CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END
+                 |  - CASE WHEN fp + tn > 0 THEN fp / CAST(fp + tn AS DOUBLE) ELSE 0.0 END, 4) + 0.0""".stripMargin).as("youden_j"))
+        .orderBy(col("thr"))
+    },
+
     // NDCG@10 per user: the model ranking orders each user's events by
     // score, graded relevance derives from the props payload (k mod 4),
     // and the ideal ranking re-sorts by relevance. Two row_numbers over

@@ -838,6 +838,51 @@ object PipelineQueries {
         .orderBy(col("shard"))
     },
 
+    // MINORITY-CLASS OVERSAMPLING PLAN — the deterministic rebalance
+    // table a training pipeline applies before class-sensitive
+    // finetuning: per language, an integer replication factor
+    // ceil(max_class / class) capped at 4× (unbounded oversampling of
+    // a tiny class just memorizes it), the post-rebalance counts, and
+    // both share columns. Exact integer arithmetic throughout (ceil
+    // division as (a + b − 1) div b); the class rollup is one hash
+    // aggregate × a broadcast 1-row max — dimension-bounded at any
+    // corpus size. The REALIZATION is a generator (explode over a
+    // factor-length sequence) a loader applies per shard; this is the
+    // audited plan.
+    Q("pipe_oversample_minority",
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |m AS (SELECT max(n) AS maxn, sum(n) AS tot FROM c),
+        |f AS (SELECT c.lang, c.n,
+        |    CAST(least((m.maxn + c.n - 1) // c.n, 4) AS BIGINT) AS factor,
+        |    m.tot
+        |  FROM c CROSS JOIN m),
+        |t AS (SELECT sum(n * factor) AS tot_after FROM f)
+        |SELECT f.lang, f.n AS n_docs, f.factor,
+        |  CAST(f.n * f.factor AS BIGINT) AS n_after,
+        |  round(f.n / CAST(f.tot AS DOUBLE), 4) AS share_before,
+        |  round(f.n * f.factor / CAST(t.tot_after AS DOUBLE), 4)
+        |    AS share_after
+        |FROM f CROSS JOIN t
+        |ORDER BY f.lang""") { (s, d) =>
+      val c = Tables.documents(s, d)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val m = c.agg(max(col("n")).as("maxn"), sum(col("n")).as("tot"))
+      val f = c.crossJoin(broadcast(m))
+        .select(col("lang"), col("n"),
+          least(expr("(maxn + n - 1) div n"), lit(4L)).cast("long")
+            .as("factor"),
+          col("tot"))
+      val t = f.agg(sum(col("n") * col("factor")).as("tot_after"))
+      f.crossJoin(broadcast(t))
+        .select(col("lang"), col("n").as("n_docs"), col("factor"),
+          (col("n") * col("factor")).cast("long").as("n_after"),
+          round(col("n") / col("tot").cast("double"), 4).as("share_before"),
+          round(col("n") * col("factor") / col("tot_after").cast("double"), 4)
+            .as("share_after"))
+        .orderBy(col("lang"))
+    },
+
     // GLOBAL TRAINING SHUFFLE — the deterministic corpus-wide
     // presentation order every epoch-0 training run needs: order =
     // global row_number over (md5(doc_id), doc_id). The md5 key makes

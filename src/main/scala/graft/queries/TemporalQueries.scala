@@ -1473,5 +1473,62 @@ object TemporalQueries {
           round(col("ses"), 4).as("ses_level"),
           round(abs(col("yv") - col("ses")), 4).as("abs_err"))
         .orderBy(col("day"))
+    },
+
+    // CLASSICAL SEASONAL DECOMPOSITION (moving-average STL-lite):
+    // daily volume = trend + weekly seasonal + residual. Trend is the
+    // centered 7-day MA (defined only where the full 7-day frame
+    // exists — edge days get NULL, never a shrunken-window estimate);
+    // seasonal is the day-of-week mean of the detrended series with
+    // the detrended values quantized to DECIMAL(18,6) BEFORE the
+    // order-free per-dow sum (the pagerank/entropy quantization law);
+    // residual is what remains. Day-of-week is epoch-day arithmetic
+    // ((days since 1970-01-01 + 4) % 7 — Thursday anchor), no locale
+    // week rules in either engine. Everything rides the day-level
+    // rollup: the windows are aggregate-reduced (≤|days| rows), the
+    // raw scan is one hash aggregate — the ts_* scale shape.
+    Q("ts_stl_ma",
+      """WITH dd AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |tr AS (SELECT day, n,
+        |    CAST((day - DATE '1970-01-01') + 4 AS BIGINT) % 7 AS dow,
+        |    CASE WHEN count(*) OVER w = 7
+        |      THEN CAST(sum(n) OVER w AS DOUBLE) / 7 END AS trend
+        |  FROM dd
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |de AS (SELECT day, n, dow, trend,
+        |    CAST(round(n - trend, 6) AS DECIMAL(18,6)) AS detr
+        |  FROM tr),
+        |se AS (SELECT dow,
+        |    CAST(sum(detr) AS DOUBLE) / count(detr) AS seasonal
+        |  FROM de WHERE detr IS NOT NULL GROUP BY 1)
+        |SELECT CAST(de.day AS VARCHAR) AS day, de.n,
+        |  round(de.trend, 4) AS trend,
+        |  round(se.seasonal, 4) AS seasonal,
+        |  round(CAST(de.detr AS DOUBLE) - se.seasonal, 4) AS residual
+        |FROM de LEFT JOIN se ON se.dow = de.dow
+        |ORDER BY de.day""") { (s, d) =>
+      val dd = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val tr = dd.select(col("day"), col("n"),
+        (datediff(col("day"), lit("1970-01-01").cast("date")) + 4)
+          .cast("long").mod(7).as("dow"),
+        when(count(lit(1)).over(w) === 7,
+          sum(col("n")).over(w).cast("double") / 7).as("trend"))
+      val de = tr.withColumn("detr",
+        round(col("n") - col("trend"), 6).cast("decimal(18,6)"))
+      val se = de.filter(col("detr").isNotNull)
+        .groupBy(col("dow"))
+        .agg((sum(col("detr")).cast("double") / count(col("detr")))
+          .as("seasonal"))
+      de.join(se, Seq("dow"), "left_outer")
+        .select(col("day").cast("string").as("day"), col("n"),
+          round(col("trend"), 4).as("trend"),
+          round(col("seasonal"), 4).as("seasonal"),
+          round(col("detr").cast("double") - col("seasonal"), 4)
+            .as("residual"))
+        .orderBy(col("day"))
     })
 }

@@ -1301,6 +1301,86 @@ object TextQueries {
         .orderBy(col("contained"), col("container"))
     },
 
+    // DEDUP-RATE-VS-THRESHOLD ABLATION — the curve a pipeline owner
+    // reads before committing to ONE near-dup threshold: for t in
+    // {0.6, 0.7, 0.8, 0.9}, the verified pair count, the docs a
+    // keep-first policy would drop (any doc with a smaller-id
+    // neighbor at j ≥ t), and the corpus dedup rate. Pairs come from
+    // the PPJoin machinery (t = 0.6 candidates are a superset of
+    // every grid point's, so one candidate set serves the whole
+    // curve); the threshold compare is EXACT INTEGER arithmetic
+    // (j ≥ t ⟺ 10·ni ≥ t10·(n1+n2−ni)) — no double-boundary
+    // flakiness anywhere. One 4-row literal grid broadcast; the
+    // oracle is the naive inverted-index form over the same grid.
+    Q("pipe_dedup_threshold_curve",
+      s"""WITH sh AS ($shinglesSql),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ni
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pj AS (SELECT d1, d2, ni, s1.n AS n1, s2.n AS n2 FROM inter
+        |  JOIN sizes s1 ON s1.doc_id = d1
+        |  JOIN sizes s2 ON s2.doc_id = d2),
+        |g AS (SELECT unnest([6, 7, 8, 9]) AS t10),
+        |hits AS (SELECT g.t10, pj.d1, pj.d2 FROM pj CROSS JOIN g
+        |  WHERE 10 * pj.ni >= g.t10 * (pj.n1 + pj.n2 - pj.ni)),
+        |tot AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT round(g.t10 / 10.0, 1) AS threshold,
+        |  CAST(coalesce(count(h.d1), 0) AS BIGINT) AS n_pairs,
+        |  CAST(coalesce(count(DISTINCT h.d2), 0) AS BIGINT) AS n_dropped,
+        |  round(coalesce(count(DISTINCT h.d2), 0)
+        |    / CAST(tot.n_docs AS DOUBLE), 4) AS dedup_rate
+        |FROM g CROSS JOIN tot LEFT JOIN hits h ON h.t10 = g.t10
+        |GROUP BY g.t10, tot.n_docs
+        |ORDER BY threshold""") { (s, d) =>
+      val ordered = orderedShingles(s, d)
+      val cand = Derived.memo(s, d, "documents", "ppjoin-cand06") {
+        // identical build to dedup_prefix_jaccard's — Derived.memo
+        // dedupes on the tag, so whichever query runs first pays it
+        val prefix = ordered
+          .withColumn("p", expr("CAST(n - ceil(0.6 * n) + 1 AS INT)"))
+          .select(col("doc_id"), col("n"),
+            posexplode(expr("slice(shs, 1, p)")).as(Seq("i0", "sh")))
+          .select(col("doc_id"), col("n"), (col("i0") + 1).as("pos"),
+            col("sh"))
+        prefix.as("a")
+          .join(prefix.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id")
+              && least(col("a.n"), col("b.n")) * 10 >=
+                 greatest(col("a.n"), col("b.n")) * 6
+              && (lit(1) + least(col("a.n") - col("a.pos"),
+                   col("b.n") - col("b.pos"))) * 8 >=
+                 (col("a.n") + col("b.n")) * 3)
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+      }
+      val pj = cand
+        .join(ordered.select(col("doc_id").as("d1"), col("shs").as("t1"),
+          col("n").as("n1")), Seq("d1"))
+        .join(ordered.select(col("doc_id").as("d2"), col("shs").as("t2"),
+          col("n").as("n2")), Seq("d2"))
+        .withColumn("ni",
+          size(array_intersect(col("t1"), col("t2"))).cast("long"))
+        .select(col("d1"), col("d2"), col("ni"), col("n1"), col("n2"))
+      val g = s.range(0, 4).select((col("id") + 6).cast("int").as("t10"))
+      val hits = pj.crossJoin(broadcast(g))
+        .filter(lit(10) * col("ni") >=
+          col("t10") * (col("n1") + col("n2") - col("ni")))
+        .select(col("t10"), col("d1"), col("d2"))
+      val tot = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      g.crossJoin(broadcast(tot))
+        .join(hits, Seq("t10"), "left_outer")
+        .groupBy(col("t10"), col("n_docs"))
+        .agg(coalesce(count(col("d1")), lit(0L)).as("n_pairs"),
+          coalesce(countDistinct(col("d2")), lit(0L)).as("n_dropped"))
+        .select(round(col("t10") / 10.0, 1).as("threshold"),
+          col("n_pairs").cast("long").as("n_pairs"),
+          col("n_dropped").cast("long").as("n_dropped"),
+          round(col("n_dropped") / col("n_docs").cast("double"), 4)
+            .as("dedup_rate"))
+        .orderBy(col("threshold"))
+    },
+
     // Unigram-LM negative log-likelihood per document — the cheapest
     // perplexity-style quality signal (a doc far from the corpus
     // distribution is boilerplate, code, or another language; the

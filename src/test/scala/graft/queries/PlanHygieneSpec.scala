@@ -92,7 +92,11 @@ class PlanHygieneSpec extends SparkSpec {
     "behavior_l28",        // user day-counts x broadcast 1-row max-day
     "dq_sequence_gaps",    // id anti-join x broadcast 1-row extrema
     "eval_delong_compare", // score components x broadcast 1-row (P, N)
-    "vec_norm_census"      // norm buckets x broadcast 1-row total
+    "vec_norm_census",     // norm buckets x broadcast 1-row total
+    "eval_roc_points",     // events x broadcast 10-row literal thresholds
+    "pipe_dedup_threshold_curve", // verified pairs x 4-row literal t grid
+                           // + 1-row corpus total
+    "pipe_oversample_minority" // |langs| rows x broadcast 1-row max/total
   )
 
   private def offenders(name: String): Seq[String] = {
