@@ -118,8 +118,13 @@ object ExtensionQueries {
       .select(col("m1"), col("m2"), col("hamming"))
   }
 
-  private def tmpDir(tag: String, d: String): String =
-    s"/tmp/graft-rt-$tag-${math.abs(d.hashCode)}"
+  private def tmpDir(tag: String, d: String): String = {
+    // md5 key, same discipline as Derived.memo: the 32-bit hashCode
+    // could alias two dataset dirs onto one staging dir
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"/tmp/graft-rt-$tag-$key"
+  }
 
   def all: Seq[Q] = Seq(
 
