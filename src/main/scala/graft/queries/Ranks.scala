@@ -78,8 +78,22 @@ private[queries] object Ranks {
       out: String, numParts: Int = 32): DataFrame = {
     val l = layout(df, order, numParts, None)
     val rk = "__gr_rk_" + out
+    // exact INTEGER arithmetic (`div`, never Column `/` which is
+    // double division and could round across a bucket boundary at
+    // extreme ranks): with n rows, base = n/k and rem = n%k, ranks
+    // ≤ rem*(base+1) fall in the first rem (fat) buckets, the rest
+    // in base-sized ones — SQL ntile's remainder-to-first rule.
+    val n = l.nRows
+    val base = n / k
+    val rem = n % k
+    val cut = rem * (base + 1)
+    val baseSafe = math.max(base, 1L)
     joinRanked(l, order, rk)
-      .withColumn(out, ntileOf(col(rk), l.nRows, k))
+      .withColumn(out, expr(
+        s"""CAST(CASE WHEN $rk <= $cut
+           |  THEN ($rk - 1) div ${base + 1} + 1
+           |  ELSE $rem + ($rk - $cut - 1) div $baseSafe + 1
+           |END AS INT)""".stripMargin))
       .drop(rk, "__gr_pid")
   }
 
@@ -125,15 +139,4 @@ private[queries] object Ranks {
       .drop("__gr_off")
   }
 
-  /** SQL ntile(k) as literal arithmetic on a 1-based global rank:
-    * with n rows, base = n/k and rem = n%k, ranks ≤ rem*(base+1) fall
-    * in the first rem (fat) buckets, the rest in base-sized ones. */
-  def ntileOf(rank: Column, n: Long, k: Int): Column = {
-    val base = n / k
-    val rem = n % k
-    val cut = rem * (base + 1)
-    val fat = (rank - 1L) / (base + 1L) + 1L
-    val thin = lit(rem) + (rank - cut - 1L) / (if (base == 0) 1L else base) + 1L
-    when(rank <= cut, fat).otherwise(thin).cast("int")
-  }
 }

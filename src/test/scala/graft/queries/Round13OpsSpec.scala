@@ -73,6 +73,20 @@ class Round13OpsSpec extends SparkSpec {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("three CHAINED withNtile cuts equal the chained window form (rfm shape)") {
+    val df = fixture(1000).withColumn("m", (col("id") * 7) % 1000)
+    val got = Ranks.withNtile(
+      Ranks.withNtile(
+        Ranks.withNtile(df, Seq(col("key").desc, col("id")), 5, "a", 8),
+        Seq(col("w").desc, col("id")), 5, "b", 8),
+      Seq(col("m").desc, col("id")), 5, "c", 8)
+    val want = df
+      .withColumn("a", ntile(5).over(Window.orderBy(col("key").desc, col("id"))))
+      .withColumn("b", ntile(5).over(Window.orderBy(col("w").desc, col("id"))))
+      .withColumn("c", ntile(5).over(Window.orderBy(col("m").desc, col("id"))))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("Ranks helpers return empty on empty input (no throw)") {
     val empty = fixture(10).filter(lit(false))
     assert(Ranks.withGlobalRowNumber(empty, Seq(col("id")), "rn").count() == 0)
