@@ -128,6 +128,47 @@ object ExtensionQueries {
 
   def all: Seq[Q] = Seq(
 
+    // OBSERVED SCAN METRICS (Dataset.observe / Observation API) — the
+    // 100 TB observability posture: pipeline health metrics (row
+    // count, exact value sum, extrema, null count) accumulate ON the
+    // production scan itself, not via a second pass over the corpus —
+    // observe() metrics ride the task completion path (an
+    // AccumulatorV2 under the hood), so a 100 TB filter job emits its
+    // own audit row for free. The query materializes the scan through
+    // the noop sink (columnar decode, nothing written), then returns
+    // the observation as a 1-row frame; the oracle recomputes the
+    // same aggregates declaratively — parity proves the piggybacked
+    // metrics equal the ground truth. Sum rides DECIMAL before the
+    // final double cast (order-free exactness, DETERMINISM.md §2).
+    Q("obs_scan_metrics",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS val_sum,
+        |  CAST(min("value") AS DOUBLE) AS val_min,
+        |  CAST(max("value") AS DOUBLE) AS val_max,
+        |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_props
+        |FROM events WHERE event_type = 'purchase'""") { (s, d) =>
+      val obs = org.apache.spark.sql.Observation()
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("val_sum"),
+          min(col("value")).cast("double").as("val_min"),
+          max(col("value")).cast("double").as("val_max"),
+          sum(when(col("props").isNull, 1).otherwise(0)).cast("long")
+            .as("null_props"))
+        .write.mode("overwrite").format("noop").save()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("val_sum").asInstanceOf[Double],
+        m("val_min").asInstanceOf[Double],
+        m("val_max").asInstanceOf[Double],
+        m("null_props").asInstanceOf[Long]))
+        .toDF("n_rows", "val_sum", "val_min", "val_max", "null_props")
+    },
+
     // Typed UDAF arg-max per group (deterministic tie-break: smaller key).
     Q("udaf_argmax",
       """SELECT o_orderpriority,
