@@ -1443,6 +1443,97 @@ object BehaviorQueries {
             / nullif(coalesce(col("n_churned"), lit(0L)), lit(0L))
               .cast("double"), 4).as("quick_ratio"))
         .orderBy(col("wk"))
+    },
+
+    // BLOOM FILTER build + measured false-positive rate — the
+    // membership sketch the engine's own join prefilter rides
+    // (join_bloom_prefilter uses Spark's native bloom; THIS query
+    // builds one from first principles so the mechanism itself is
+    // oracle-checked): m = 4096 bits, k = 4 md5-derived hash rows; the
+    // bit array is the DISTINCT set of (salted-hash mod m) positions
+    // over build keys (customers that ordered), so shards OR
+    // trivially — the reduced state is ≤ m rows no matter the corpus.
+    // Probes (ALL customers, a strict superset by FK) hit-count their
+    // k positions against the broadcast bit set; a probe is positive
+    // iff all k bits are set. Every true member is positive (no false
+    // negatives — asserted by true_pos = n_build), and the measured
+    // FPR over the true negatives sits next to the fill-ratio
+    // prediction (1-(1-1/m)^{kn} ≈ fill)^k — computed by
+    // multiplication, not pow(), which is libm-dependent.
+    Q("sketch_bloom",
+      """WITH bld AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        |bits AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+        |      || CAST(k AS VARCHAR)), 1, 3))::BIGINT AS pos
+        |  FROM bld, range(0, 4) r(r)),
+        |nb AS (SELECT count(*) AS bits_set FROM bits),
+        |probe AS (SELECT c_custkey AS k FROM customer),
+        |pp AS (SELECT p.k,
+        |    ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+        |      || CAST(p.k AS VARCHAR)), 1, 3))::BIGINT AS pos
+        |  FROM probe p, range(0, 4) r(r)),
+        |hits AS (SELECT pp.k, count(b.pos) AS nhit
+        |  FROM pp LEFT JOIN bits b ON b.pos = pp.pos
+        |  GROUP BY pp.k),
+        |fl AS (SELECT h.k, h.nhit = 4 AS positive,
+        |    bl.k IS NOT NULL AS in_build
+        |  FROM hits h LEFT JOIN bld bl ON bl.k = h.k),
+        |ag AS (SELECT count(*) AS n_probe,
+        |    sum(CASE WHEN in_build THEN 1 ELSE 0 END) AS n_build,
+        |    sum(CASE WHEN NOT in_build THEN 1 ELSE 0 END) AS n_neg,
+        |    sum(CASE WHEN positive AND NOT in_build THEN 1 ELSE 0 END)
+        |      AS n_fp,
+        |    sum(CASE WHEN positive AND in_build THEN 1 ELSE 0 END)
+        |      AS true_pos
+        |  FROM fl)
+        |SELECT CAST(n_build AS BIGINT) AS n_build,
+        |  CAST(bits_set AS BIGINT) AS bits_set,
+        |  round(bits_set / 4096.0, 4) AS fill_ratio,
+        |  CAST(n_probe AS BIGINT) AS n_probe,
+        |  CAST(n_neg AS BIGINT) AS n_neg,
+        |  CAST(n_fp AS BIGINT) AS n_fp,
+        |  round(n_fp / CAST(nullif(n_neg, 0) AS DOUBLE), 4) AS fpr,
+        |  round((bits_set / 4096.0) * (bits_set / 4096.0)
+        |    * (bits_set / 4096.0) * (bits_set / 4096.0), 4)
+        |    AS predicted_fpr,
+        |  CAST(true_pos = n_build AS BOOLEAN) AS no_false_neg
+        |FROM ag CROSS JOIN nb""") { (s, d) =>
+      def posOf(key: String) = expr(
+        s"""CAST(conv(substr(md5(concat(CAST(r AS STRING), ':',
+           |  CAST($key AS STRING))), 1, 3), 16, 10) AS BIGINT)"""
+          .stripMargin)
+      val bld = Tables.orders(s, d).select(col("o_custkey").as("k")).distinct()
+      val bits = bld.withColumn("r", explode(expr("sequence(0, 3)")))
+        .select(posOf("k").as("pos")).distinct()
+      val nb = bits.agg(count(lit(1)).as("bits_set"))
+      val hits = Tables.customer(s, d).select(col("c_custkey").as("k"))
+        .withColumn("r", explode(expr("sequence(0, 3)")))
+        .withColumn("pos", posOf("k"))
+        .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
+        .groupBy(col("k")).agg(sum(coalesce(col("hit"), lit(0))).as("nhit"))
+      val fl = hits
+        .join(bld.withColumn("inb", lit(true)), Seq("k"), "left")
+        .select((col("nhit") === 4).as("positive"),
+          coalesce(col("inb"), lit(false)).as("in_build"))
+      val ag = fl.agg(count(lit(1)).as("n_probe"),
+        sum(when(col("in_build"), 1).otherwise(0)).as("n_build"),
+        sum(when(!col("in_build"), 1).otherwise(0)).as("n_neg"),
+        sum(when(col("positive") && !col("in_build"), 1).otherwise(0))
+          .as("n_fp"),
+        sum(when(col("positive") && col("in_build"), 1).otherwise(0))
+          .as("true_pos"))
+      val fill = col("bits_set") / 4096.0
+      ag.crossJoin(broadcast(nb))
+        .select(col("n_build").cast("long").as("n_build"),
+          col("bits_set").cast("long").as("bits_set"),
+          round(fill, 4).as("fill_ratio"),
+          col("n_probe").cast("long").as("n_probe"),
+          col("n_neg").cast("long").as("n_neg"),
+          col("n_fp").cast("long").as("n_fp"),
+          round(col("n_fp") /
+            nullif(col("n_neg"), lit(0)).cast("double"), 4).as("fpr"),
+          round(fill * fill * fill * fill, 4).as("predicted_fpr"),
+          (col("true_pos") === col("n_build")).as("no_false_neg"))
     }
   )
 }

@@ -2340,6 +2340,152 @@ object EvalQueries {
         round(se, 4).as("se"),
         round(tl, 4).as("t_lower"), round(tu, 4).as("t_upper"),
         when(tl > 1.6449 && tu > 1.6449, 1).otherwise(0).as("equivalent"))
+    },
+
+    // WILCOXON SIGNED-RANK — the paired nonparametric test (the
+    // rank-based twin of eval_ttest_paired, as eval_mannwhitney is of
+    // eval_ttest_welch): per-user pre/post revenue (the eval_cuped
+    // epoch split), zero differences dropped per the classic
+    // procedure, |d| quantized to integer units (the fixed-precision
+    // discipline of this file's header — rank algebra runs over
+    // DISTINCT quantized magnitudes with per-sign counts, so the ONE
+    // unpartitioned window is over an aggregate-reduced relation
+    // bounded by the magnitude grammar, never the corpus). Tied
+    // magnitudes get exact .0/.5 average ranks; the normal
+    // approximation carries the standard Σ(t³−t)/48 tie correction.
+    // W⁺ and all counts are exact integers/halves, so z is bit-stable.
+    Q("eval_wilcoxon_signed",
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN epoch(ts) < 1705363200
+        |      THEN CAST("value" AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS x,
+        |    CAST(sum(CASE WHEN epoch(ts) >= 1705363200
+        |      THEN CAST("value" AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS y
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT
+        |    CAST(floor(abs(CAST(y - x AS DOUBLE))) AS BIGINT) AS dq,
+        |    CASE WHEN y > x THEN 1 ELSE 0 END AS pos
+        |  FROM u),
+        |f AS (SELECT dq, pos FROM p WHERE dq >= 1),
+        |dv AS (SELECT dq, count(*) AS c, sum(pos) AS cp
+        |  FROM f GROUP BY 1),
+        |r AS (SELECT dq, c, cp,
+        |    sum(c) OVER (ORDER BY dq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS cb
+        |  FROM dv),
+        |st AS (SELECT sum(c) AS n,
+        |    sum(cp * (cb + (c + 1) / 2.0)) AS wp,
+        |    sum(c * c * c - c) AS ties
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_pairs,
+        |  round(wp, 1) AS w_plus,
+        |  round((wp - n * (n + 1) / 4.0)
+        |    / nullif(sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0),
+        |        0), 4) AS z_stat,
+        |  CAST(abs((wp - n * (n + 1) / 4.0)
+        |    / nullif(sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0),
+        |        0)) > 1.96 AS BOOLEAN) AS significant
+        |FROM st""") { (s, d) =>
+      val dec = col("value").cast("decimal(18,4)")
+      val zero = lit(0).cast("decimal(18,4)")
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(unix_timestamp(col("ts")) < 1705363200L, dec)
+            .otherwise(zero)).cast("decimal(18,4)").as("x"),
+          sum(when(unix_timestamp(col("ts")) >= 1705363200L, dec)
+            .otherwise(zero)).cast("decimal(18,4)").as("y"))
+      val f = u.select(
+          floor(abs((col("y") - col("x")).cast("double"))).cast("long")
+            .as("dq"),
+          when(col("y") > col("x"), 1).otherwise(0).as("pos"))
+        .filter(col("dq") >= 1)
+      val dv = f.groupBy(col("dq"))
+        .agg(count(lit(1)).as("c"), sum(col("pos")).as("cp"))
+      val win = Window.orderBy(col("dq"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val r = dv.withColumn("cb", sum(col("c")).over(win) - col("c"))
+      val st = r.agg(sum(col("c")).as("n"),
+        sum(col("cp") * (col("cb") + (col("c") + 1) / 2.0)).as("wp"),
+        sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
+      val z = (col("wp") - col("n") * (col("n") + 1) / 4.0) /
+        nullif(sqrt(col("n") * (col("n") + 1) * (col("n") * 2 + 1) / 24.0 -
+          col("ties") / 48.0), lit(0d))
+      st.select(col("n").cast("long").as("n_pairs"),
+        round(col("wp"), 1).as("w_plus"),
+        round(z, 4).as("z_stat"),
+        (abs(z) > 1.96).as("significant"))
+    },
+
+    // CLIFF'S DELTA — the ordinal effect SIZE companion to
+    // eval_mannwhitney's significance test: δ = P(A>B) − P(A<B)
+    // = 2·U_A/(n_A·n_B) − 1, read directly off the same
+    // distinct-value rank rollup (no new machinery, no raw-row sort).
+    // Where the z-test says "arms differ", δ says BY HOW MUCH in a
+    // scale-free way that survives any monotone transform of the
+    // metric. Magnitude labels follow Romano et al. 2006 thresholds
+    // (0.147 / 0.33 / 0.474); the CASE runs on the identical double in
+    // both engines, so the label is deterministic.
+    Q("eval_cliffs_delta",
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(floor(CAST(sum(CAST("value" AS DECIMAL(18,4)))
+        |      AS DOUBLE) / 100) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |dv AS (SELECT v,
+        |    sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS ca,
+        |    count(*) AS c
+        |  FROM u GROUP BY 1),
+        |r AS (SELECT v, ca, c,
+        |    sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+        |      AS cb
+        |  FROM dv),
+        |st AS (SELECT sum(ca * (cb + (c + 1) / 2.0)) AS ra FROM r),
+        |n AS (SELECT
+        |    sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS nb
+        |  FROM u),
+        |z AS (SELECT na, nb,
+        |    2.0 * (ra - na * (na + 1) / 2.0) / (na * nb) - 1 AS delta
+        |  FROM st CROSS JOIN n)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(delta, 4) AS delta,
+        |  CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+        |       WHEN abs(delta) < 0.33 THEN 'small'
+        |       WHEN abs(delta) < 0.474 THEN 'medium'
+        |       ELSE 'large' END AS magnitude
+        |FROM z""") { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+            .otherwise("B").as("arm"))
+        .agg(floor(sum(col("value").cast("decimal(18,4)"))
+          .cast("double") / 100).cast("long").as("v"))
+      val dv = u.groupBy(col("v"))
+        .agg(sum(when(col("arm") === "A", 1).otherwise(0)).as("ca"),
+          count(lit(1)).as("c"))
+      val win = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val r = dv.withColumn("cb", sum(col("c")).over(win) - col("c"))
+      val st = r.agg(
+        sum(col("ca") * (col("cb") + (col("c") + 1) / 2.0)).as("ra"))
+      val n = u.agg(
+        sum(when(col("arm") === "A", 1).otherwise(0)).as("na"),
+        sum(when(col("arm") === "B", 1).otherwise(0)).as("nb"))
+      val z = st.crossJoin(broadcast(n))
+        .select(col("na"), col("nb"),
+          (lit(2.0) * (col("ra") - col("na") * (col("na") + 1) / 2.0) /
+            (col("na") * col("nb")) - 1).as("delta"))
+      z.select(col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        round(col("delta"), 4).as("delta"),
+        when(abs(col("delta")) < 0.147, "negligible")
+          .when(abs(col("delta")) < 0.33, "small")
+          .when(abs(col("delta")) < 0.474, "medium")
+          .otherwise("large").as("magnitude"))
     }
   )
 }

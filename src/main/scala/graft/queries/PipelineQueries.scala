@@ -2192,5 +2192,41 @@ object PipelineQueries {
           round(col("n") / col("nt").cast("double"), 4).as("frac"),
           when(col("mask") === 15, 1).otherwise(0).as("passes_all"))
         .orderBy(col("rule_mask"))
+    },
+
+    // BINOMIAL-MECHANISM noised release of the (lang, source) corpus
+    // histogram — the differential-privacy exemplar next to
+    // pipe_privacy_kanon/ldiversity: additive noise = centered
+    // Binomial(16, 1/2) (Dwork et al. 2006's binomial mechanism;
+    // DP for counting queries at the released granularity), clamped at
+    // zero, with a release threshold (true n ≥ 5) so singleton cells
+    // never publish. The 16 coins come from the first 16 md5 bits of
+    // the group key + a round salt — a SEEDED exemplar: both engines
+    // derive the identical noise (that is what makes it oracle-
+    // checkable; production would draw the coins from a CSPRNG, the
+    // query shape is unchanged). True counts are never emitted. One
+    // hash aggregate + per-row integer popcount — scan-shaped at any
+    // corpus size.
+    Q("pipe_privacy_dp_binomial",
+      """WITH g AS (SELECT lang, source, count(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |z AS (SELECT lang, source, n,
+        |    bit_count(('0x' || substr(md5(lang || '|' || source
+        |      || '|dp1'), 1, 4))::BIGINT) - 8 AS noise
+        |  FROM g WHERE n >= 5)
+        |SELECT lang, source,
+        |  CAST(greatest(n + noise, 0) AS BIGINT) AS noisy_n
+        |FROM z ORDER BY lang, source""") { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+        .withColumn("noise",
+          expr("""bit_count(CAST(conv(substr(md5(concat(lang, '|', source,
+                 |  '|dp1')), 1, 4), 16, 10) AS BIGINT)) - 8""".stripMargin))
+        .select(col("lang"), col("source"),
+          greatest(col("n") + col("noise"), lit(0)).cast("long")
+            .as("noisy_n"))
+        .orderBy(col("lang"), col("source"))
     })
 }
