@@ -2486,6 +2486,94 @@ object EvalQueries {
           .when(abs(col("delta")) < 0.33, "small")
           .when(abs(col("delta")) < 0.474, "medium")
           .otherwise("large").as("magnitude"))
+    },
+
+    // COCHRAN–MANTEL–HAENSZEL — the stratified 2×2 test: does the
+    // arm → conversion association hold AFTER controlling for a
+    // confounder (here event_type as the stratum), and what is the
+    // common odds ratio? This is the Simpson's-paradox guard every
+    // experimentation readout needs when traffic mix differs by arm.
+    // One hash aggregate builds the K 2×2 tables (a/b/c/d per
+    // stratum); the CMH statistic (with the standard 0.5 continuity
+    // correction) and the Mantel-Haenszel pooled odds ratio are
+    // per-stratum double terms QUANTIZED to DECIMAL(28,12) before the
+    // order-free sum (the house law — K summands in arbitrary shuffle
+    // order must still hash-match). Products ride doubles, not longs,
+    // so stratum sizes can't overflow at any SF.
+    Q("eval_cmh",
+      """WITH e AS (SELECT
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS arm,
+        |    event_type AS stratum,
+        |    CASE WHEN "value" >= 100 THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |k AS (SELECT stratum,
+        |    sum(CASE WHEN arm = 'A' AND pos = 1 THEN 1 ELSE 0 END) AS a,
+        |    sum(CASE WHEN arm = 'A' AND pos = 0 THEN 1 ELSE 0 END) AS b,
+        |    sum(CASE WHEN arm = 'B' AND pos = 1 THEN 1 ELSE 0 END) AS c,
+        |    sum(CASE WHEN arm = 'B' AND pos = 0 THEN 1 ELSE 0 END) AS d
+        |  FROM e GROUP BY 1),
+        |t AS (SELECT stratum, a, b, c, d,
+        |    CAST(a + b + c + d AS DOUBLE) AS n FROM k),
+        |s AS (SELECT sum(a) AS sa,
+        |    sum(CAST(round(CAST(a + b AS DOUBLE) * (a + c) / n, 12)
+        |      AS DECIMAL(28,12))) AS se,
+        |    CAST(sum(CAST(round(CAST(a + b AS DOUBLE) * (c + d)
+        |      * (a + c) * (b + d)
+        |      / (n * n * (n - 1)), 12) AS DECIMAL(28,12))) AS DOUBLE) AS sv,
+        |    CAST(sum(CAST(round(CAST(a AS DOUBLE) * d / n, 12)
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS sad,
+        |    CAST(sum(CAST(round(CAST(b AS DOUBLE) * c / n, 12)
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS sbc,
+        |    count(*) AS ks
+        |  FROM t)
+        |SELECT CAST(ks AS BIGINT) AS n_strata,
+        |  CAST(sa AS BIGINT) AS sum_a,
+        |  round((abs(sa - CAST(se AS DOUBLE)) - 0.5)
+        |    * (abs(sa - CAST(se AS DOUBLE)) - 0.5) / nullif(sv, 0), 4)
+        |    AS chi2_cmh,
+        |  round(sad / nullif(sbc, 0), 4) AS or_mh,
+        |  CAST((abs(sa - CAST(se AS DOUBLE)) - 0.5)
+        |    * (abs(sa - CAST(se AS DOUBLE)) - 0.5) / nullif(sv, 0)
+        |    > 3.8415 AS BOOLEAN) AS significant
+        |FROM s""") { (s, d) =>
+      val e = Tables.events(s, d).select(
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+          .otherwise("B").as("arm"),
+        col("event_type").as("stratum"),
+        when(col("value") >= 100, 1).otherwise(0).as("pos"))
+      val k = e.groupBy(col("stratum")).agg(
+        sum(when(col("arm") === "A" && col("pos") === 1, 1).otherwise(0))
+          .as("a"),
+        sum(when(col("arm") === "A" && col("pos") === 0, 1).otherwise(0))
+          .as("b"),
+        sum(when(col("arm") === "B" && col("pos") === 1, 1).otherwise(0))
+          .as("c"),
+        sum(when(col("arm") === "B" && col("pos") === 0, 1).otherwise(0))
+          .as("d"))
+      val t = k.withColumn("n",
+        (col("a") + col("b") + col("c") + col("d")).cast("double"))
+      val st = t.agg(sum(col("a")).as("sa"),
+        sum(round((col("a") + col("b")).cast("double") *
+          (col("a") + col("c")) / col("n"),
+          12).cast("decimal(28,12)")).as("se"),
+        sum(round((col("a") + col("b")).cast("double") *
+          (col("c") + col("d")) *
+          (col("a") + col("c")) * (col("b") + col("d")) /
+          (col("n") * col("n") * (col("n") - 1)), 12)
+          .cast("decimal(28,12)")).cast("double").as("sv"),
+        sum(round(col("a").cast("double") * col("d") / col("n"), 12)
+          .cast("decimal(28,12)")).cast("double").as("sad"),
+        sum(round(col("b").cast("double") * col("c") / col("n"), 12)
+          .cast("decimal(28,12)")).cast("double").as("sbc"),
+        count(lit(1)).as("ks"))
+      val dev = abs(col("sa") - col("se").cast("double")) - 0.5
+      val chi2 = dev * dev / nullif(col("sv"), lit(0d))
+      st.select(col("ks").cast("long").as("n_strata"),
+        col("sa").cast("long").as("sum_a"),
+        round(chi2, 4).as("chi2_cmh"),
+        round(col("sad") / nullif(col("sbc"), lit(0d)), 4).as("or_mh"),
+        (chi2 > 3.8415).as("significant"))
     }
   )
 }

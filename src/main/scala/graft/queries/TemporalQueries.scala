@@ -1530,5 +1530,69 @@ object TemporalQueries {
           round(col("detr").cast("double") - col("seasonal"), 4)
             .as("residual"))
         .orderBy(col("day"))
+    },
+
+    // HOLT LINEAR TREND (double exponential smoothing) — the
+    // trend-aware step past ts_ses: level + trend state folded through
+    // the per-type daily count series with EXACT DYADIC smoothing
+    // weights (α = 1/2, β = 1/4: every multiply is /2, /4, ·3/4 — no
+    // libm anywhere, and both engines execute the IDENTICAL
+    // left-to-right IEEE fold, so the state is bit-stable without
+    // quantization). The recurrence does not unroll into a weighted
+    // sum the way SES does, so the execution shape is a per-key FOLD:
+    // Spark `aggregate()` over the sorted day array, DuckDB
+    // `list_reduce` over `list(... ORDER BY day)` — one hash
+    // aggregate per series, state O(1), series length bounded by the
+    // calendar (days), keys unbounded — the scalable axis is the key
+    // count, exactly where groupBy scales. Init: l₀ = y₁, b₀ = y₂−y₁
+    // (the classical two-point init); forecast_7 = level + 7·trend.
+    Q("ts_holt",
+      """WITH y AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS DOUBLE) AS yv
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT event_type, list(yv ORDER BY day) AS ys,
+        |    count(*) AS n_days
+        |  FROM y GROUP BY 1 HAVING count(*) >= 2),
+        |st AS (SELECT event_type, n_days,
+        |    list_reduce(
+        |      list_prepend([ys[2] / 2 + (ys[1] + (ys[2] - ys[1])) / 2,
+        |                    ((ys[2] / 2 + (ys[1] + (ys[2] - ys[1])) / 2)
+        |                      - ys[1]) / 4 + ((ys[2] - ys[1]) * 3) / 4],
+        |        list_transform(list_slice(ys, 3, len(ys)), v -> [v, v])),
+        |      (a, p) -> [p[1] / 2 + (a[1] + a[2]) / 2,
+        |        ((p[1] / 2 + (a[1] + a[2]) / 2) - a[1]) / 4
+        |          + (a[2] * 3) / 4]) AS s
+        |  FROM ser)
+        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        |  round(s[1], 4) AS level, round(s[2], 4) AS trend,
+        |  round(s[1] + 7 * s[2], 4) AS forecast_7
+        |FROM st ORDER BY event_type""") { (s, d) =>
+      val y = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).cast("double").as("yv"))
+      val ser = y.groupBy(col("event_type"))
+        .agg(expr("transform(array_sort(collect_list(struct(day, yv))), x -> x.yv)")
+            .as("ys"),
+          count(lit(1)).as("n_days"))
+        .filter(col("n_days") >= 2)
+      // The seed applies the t=2 update to (l0=y1, b0=y2−y1) so the
+      // fold body is uniform from t=3 on; the level expression is
+      // repeated inside the trend term because SQL lambdas cannot
+      // bind intermediates — both engines compute it identically.
+      val st = ser.withColumn("s", expr(
+        """aggregate(slice(ys, 3, greatest(size(ys) - 2, 0)),
+          |  named_struct(
+          |    'l', ys[1] / 2D + (ys[0] + (ys[1] - ys[0])) / 2D,
+          |    'b', ((ys[1] / 2D + (ys[0] + (ys[1] - ys[0])) / 2D)
+          |      - ys[0]) / 4D + ((ys[1] - ys[0]) * 3D) / 4D),
+          |  (a, v) -> named_struct(
+          |    'l', v / 2D + (a.l + a.b) / 2D,
+          |    'b', ((v / 2D + (a.l + a.b) / 2D) - a.l) / 4D
+          |      + (a.b * 3D) / 4D))""".stripMargin))
+      st.select(col("event_type"), col("n_days").cast("long").as("n_days"),
+          round(col("s.l"), 4).as("level"),
+          round(col("s.b"), 4).as("trend"),
+          round(col("s.l") + lit(7) * col("s.b"), 4).as("forecast_7"))
+        .orderBy(col("event_type"))
     })
 }

@@ -2852,5 +2852,84 @@ object TextQueries {
           col("t").cast("long").as("total"),
           col("mean_per_doc"), col("vmr"))
         .orderBy(col("rn"))
+    },
+
+    // EXACT-SUBSTRING duplication coverage (the ExactSubstr signal of
+    // Lee et al. 2022, "Deduplicating Training Data Makes Language
+    // Models Better", arXiv:2107.06499, approximated at k-gram
+    // granularity): for every document, the fraction of its tokens
+    // covered by some word 3-gram that also occurs in ANOTHER
+    // document. Where the MinHash family asks "are these documents
+    // near-identical?", this asks "how much of this document is
+    // boilerplate shared with the rest of the corpus?" — the signal
+    // that drives substring-level trimming rather than whole-doc
+    // removal. Execution is suffix-array-free: positional k-grams →
+    // md5-prefix FINGERPRINTS (the Rabin-Karp move: the shuffle key is
+    // 16 hex chars, not raw text — at 100 TB the gram shuffle is the
+    // dominant cost and the fingerprint caps its width; a 64-bit
+    // collision would count an extra covered gram IDENTICALLY in both
+    // engines), cross-doc duplicated fingerprints by one distinct-doc
+    // rollup, covered token positions by a bounded 3-offset explode +
+    // distinct. Everything is hash shuffles on gram/doc keys — no
+    // windows, no sorts, linear in corpus size.
+    Q("text_dup_kgram_coverage",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |    substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+        |      1, 16) AS fp
+        |  FROM t, unnest(range(1, greatest(len(toks) - 1, 1))) r(i)),
+        |dup AS (SELECT fp FROM g GROUP BY fp
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |dp AS (SELECT DISTINCT g.doc_id, g.pos
+        |  FROM g JOIN dup ON dup.fp = g.fp),
+        |cov AS (SELECT doc_id, count(*) AS covered FROM (
+        |    SELECT DISTINCT doc_id, pos + o.o AS cp
+        |    FROM dp, unnest([0, 1, 2]) o(o)) c
+        |  GROUP BY doc_id),
+        |nd AS (SELECT doc_id, count(*) AS n_dup_grams FROM dp GROUP BY 1),
+        |nt AS (SELECT doc_id, len(toks) AS n_tokens FROM t)
+        |SELECT nt.doc_id, CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(nd.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+        |  CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_tokens,
+        |  round(coalesce(cov.covered, 0)
+        |    / CAST(nt.n_tokens AS DOUBLE), 4) AS coverage_frac
+        |FROM nt LEFT JOIN nd ON nd.doc_id = nt.doc_id
+        |LEFT JOIN cov ON cov.doc_id = nt.doc_id
+        |ORDER BY nt.doc_id""") { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      // sequence is clamped ascending then re-filtered: Spark's
+      // sequence(1, 0) would COUNT DOWN, so the guard keeps it one
+      // element long and the filter drops the out-of-range gram.
+      val g = t.select(col("doc_id"), explode(expr(
+          """filter(transform(sequence(1, greatest(size(toks) - 2, 1)),
+            |  i -> struct(i AS pos,
+            |    substr(md5(concat_ws(' ', toks[i-1], toks[i], toks[i+1])),
+            |      1, 16) AS fp)),
+            |  x -> x.pos <= size(toks) - 2)""".stripMargin)).as("pg"))
+        .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.fp").as("fp"))
+      val dup = g.groupBy(col("fp"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("fp"))
+      val dp = g.join(dup, Seq("fp")).select(col("doc_id"), col("pos"))
+        .distinct()
+      val cov = dp.select(col("doc_id"),
+          explode(expr("array(pos, pos + 1, pos + 2)")).as("cp"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("covered"))
+      val nd = dp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_grams"))
+      val nt = t.select(col("doc_id"), size(col("toks")).as("n_tokens"))
+      nt.join(nd, Seq("doc_id"), "left_outer")
+        .join(cov, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          coalesce(col("n_dup_grams"), lit(0L)).cast("long")
+            .as("n_dup_grams"),
+          coalesce(col("covered"), lit(0L)).cast("long")
+            .as("covered_tokens"),
+          round(coalesce(col("covered"), lit(0L)) /
+            col("n_tokens").cast("double"), 4).as("coverage_frac"))
+        .orderBy(col("doc_id"))
     })
 }

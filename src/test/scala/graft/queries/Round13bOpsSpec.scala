@@ -125,4 +125,90 @@ class Round13bOpsSpec extends SparkSpec {
       ("fr", "web", math.max(6 + noise("fr", "web"), 0L)))
     assert(got == want, s"got $got want $want")
   }
+
+  test("ts_holt tracks an exactly linear series (level=y_n, trend=slope)") {
+    val d = tmp("holt")
+    // y_t = 10 + 2t events on day t, t = 1..10: Holt with the
+    // two-point init reproduces a linear series EXACTLY — level y_10
+    // = 30, trend 2, forecast_7 = 44 (closed form, no tolerance).
+    var id = 0L
+    val rows = for {
+      t <- 1 to 10
+      _ <- 1 to (10 + 2 * t)
+    } yield {
+      id += 1
+      (id, Timestamp.valueOf(f"2024-01-$t%02d 12:00:00"), id % 5,
+        "linear", 1.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = graft.SparkEntry.queries("ts_holt")(spark, d).collect()(0)
+    assert(r.getAs[String]("event_type") == "linear")
+    assert(r.getAs[Long]("n_days") == 10L)
+    assert(r.getAs[Double]("level") == 30.0)
+    assert(r.getAs[Double]("trend") == 2.0)
+    assert(r.getAs[Double]("forecast_7") == 44.0)
+  }
+
+  test("text_dup_kgram_coverage: interval union, cross-doc-only grams") {
+    val d = tmp("kgram")
+    // doc1 ≡ doc4 (all 4 grams duplicated → coverage 1.0, covered 6
+    // NOT 12 — the distinct-position union law); doc2 shares only
+    // "a b c" (one gram → 3/6); doc3 untouched.
+    val docs = Seq(
+      (1L, "a b c d e f", "en", "s", 11L),
+      (2L, "x y a b c z", "en", "s", 11L),
+      (3L, "p q r s", "en", "s", 7L),
+      (4L, "a b c d e f", "en", "s", 11L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = graft.SparkEntry.queries("text_dup_kgram_coverage")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (1L, 6L, 4L, 6L, 1.0),
+      (2L, 6L, 1L, 3L, 0.5),
+      (3L, 4L, 0L, 0L, 0.0),
+      (4L, 6L, 4L, 6L, 1.0)), s"got $got")
+  }
+
+  test("eval_cmh equals the JVM brute force on planted strata") {
+    val d = tmp("cmh")
+    val pre = Timestamp.valueOf("2024-01-10 00:00:00")
+    // 200 events over 2 strata; value pattern varies by user so both
+    // outcomes appear in every (arm, stratum) cell
+    val rows = (1L to 200L).map { i =>
+      val stratum = if (i % 2 == 0) "click" else "purchase"
+      (i, pre, i % 37, stratum, ((i * 13) % 190).toDouble, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    // brute force
+    val cells = rows.groupBy(r => (r._4,
+      md5hex((r._3).toString).charAt(0) < '8', r._5 >= 100))
+      .map { case (k, v) => k -> v.size.toLong }
+    def cell(s: String, a: Boolean, p: Boolean) =
+      cells.getOrElse((s, a, p), 0L)
+    val strata = rows.map(_._4).distinct
+    var sa = 0L; var se = 0.0; var sv = 0.0; var sad = 0.0; var sbc = 0.0
+    def q12(x: Double) = math.rint(x * 1e12) / 1e12
+    for (s0 <- strata) {
+      val (a, b, c, dd) = (cell(s0, true, true), cell(s0, true, false),
+        cell(s0, false, true), cell(s0, false, false))
+      val n = (a + b + c + dd).toDouble
+      sa += a
+      se += q12((a + b).toDouble * (a + c) / n)
+      sv += q12((a + b).toDouble * (c + dd) * (a + c) * (b + dd) /
+        (n * n * (n - 1)))
+      sad += q12(a.toDouble * dd / n)
+      sbc += q12(b.toDouble * c / n)
+    }
+    val dev = math.abs(sa - se) - 0.5
+    val chi2 = dev * dev / sv
+    val r = graft.SparkEntry.queries("eval_cmh")(spark, d).collect()(0)
+    assert(r.getAs[Long]("n_strata") == strata.size.toLong)
+    assert(r.getAs[Long]("sum_a") == sa)
+    assert(math.abs(r.getAs[Double]("chi2_cmh") - chi2) < 1e-3)
+    assert(math.abs(r.getAs[Double]("or_mh") - sad / sbc) < 1e-3)
+  }
 }
