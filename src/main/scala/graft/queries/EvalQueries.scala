@@ -2574,6 +2574,69 @@ object EvalQueries {
         round(chi2, 4).as("chi2_cmh"),
         round(col("sad") / nullif(col("sbc"), lit(0d)), 4).as("or_mh"),
         (chi2 > 3.8415).as("significant"))
+    },
+
+    // OFF-POLICY EVALUATION via inverse propensity scoring — "what
+    // would the new policy have earned on the logged traffic?" The
+    // logged bandit feedback is (context = user, action = event_type,
+    // reward = value); the logging policy's propensities are the
+    // EMPIRICAL action shares (one broadcast aggregate — the standard
+    // estimated-propensity variant); the target policy is a
+    // deterministic rule (purchase for the md5-A cohort, click
+    // otherwise). Reported: IPS (unbiased, high variance), SNIPS
+    // (self-normalized — the production default), and the effective
+    // sample size (Σw)²/Σw² that tells you whether the overlap is
+    // good enough to trust either. Per-event weight terms are
+    // DECIMAL(28,10)-quantized before the order-free sums (house
+    // law); everything is two hash aggregates + a broadcast — one
+    // pass over the log at any scale.
+    Q("eval_ips_offpolicy",
+      """WITH e AS (SELECT user_id, event_type AS act,
+        |    CAST("value" AS DOUBLE) AS r,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 'purchase' ELSE 'click' END AS pi_act
+        |  FROM events),
+        |p AS (SELECT act, count(*) AS na FROM e GROUP BY 1),
+        |n AS (SELECT count(*) AS nn FROM e),
+        |w AS (SELECT e.user_id, e.r,
+        |    CASE WHEN e.act = e.pi_act
+        |      THEN CAST(n.nn AS DOUBLE) / p.na ELSE 0.0 END AS wt
+        |  FROM e JOIN p ON p.act = e.act CROSS JOIN n),
+        |s AS (SELECT count(*) AS cnt,
+        |    CAST(sum(CAST(round(wt * r, 10) AS DECIMAL(28,10)))
+        |      AS DOUBLE) AS swr,
+        |    CAST(sum(CAST(round(wt, 10) AS DECIMAL(28,10)))
+        |      AS DOUBLE) AS sw,
+        |    CAST(sum(CAST(round(wt * wt, 10) AS DECIMAL(28,10)))
+        |      AS DOUBLE) AS sw2
+        |  FROM w)
+        |SELECT CAST(cnt AS BIGINT) AS n_events,
+        |  round(swr / cnt, 4) AS ips,
+        |  round(swr / nullif(sw, 0), 4) AS snips,
+        |  round(sw * sw / nullif(sw2, 0), 2) AS eff_sample_size
+        |FROM s""") { (s, d) =>
+      val e = Tables.events(s, d).select(col("user_id"),
+        col("event_type").as("act"), col("value").cast("double").as("r"),
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+          "purchase").otherwise("click").as("pi_act"))
+      val p = e.groupBy(col("act")).agg(count(lit(1)).as("na"))
+      val n = e.agg(count(lit(1)).as("nn"))
+      val w = e.join(broadcast(p), Seq("act")).crossJoin(broadcast(n))
+        .select(col("r"),
+          when(col("act") === col("pi_act"),
+            col("nn").cast("double") / col("na")).otherwise(0.0).as("wt"))
+      val st = w.agg(count(lit(1)).as("cnt"),
+        sum(round(col("wt") * col("r"), 10).cast("decimal(28,10)"))
+          .cast("double").as("swr"),
+        sum(round(col("wt"), 10).cast("decimal(28,10)"))
+          .cast("double").as("sw"),
+        sum(round(col("wt") * col("wt"), 10).cast("decimal(28,10)"))
+          .cast("double").as("sw2"))
+      st.select(col("cnt").cast("long").as("n_events"),
+        round(col("swr") / col("cnt"), 4).as("ips"),
+        round(col("swr") / nullif(col("sw"), lit(0d)), 4).as("snips"),
+        round(col("sw") * col("sw") / nullif(col("sw2"), lit(0d)), 2)
+          .as("eff_sample_size"))
     }
   )
 }

@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import graft.functions.{ArgMaxAggregator, GraftFunctions}
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Queries exercising the engine's extension points (SURVEY.md §2.2 UDF
   * table + §4.3): the codegen'd custom expressions, the exemplar typed
@@ -348,6 +349,73 @@ object ExtensionQueries {
           Multimodal.attachPayload(Tables.documents(s, d)),
           frameBytes = 64, maxSamples = 4)
         .orderBy(col("media_id"), col("frame_idx"))
+    },
+
+    // VIDEO SCENE-CUT detection on the stubbed decode path: each
+    // media's payload is frame-sampled (16 × 64-byte "frames" — the
+    // same byte-slice decode stub as mm_framesample), every frame gets
+    // an integer luma signature (byte sum — a real pipeline uses the
+    // decoded frame's luma histogram; the comparison dataflow is
+    // identical), and a cut fires where consecutive frames differ by
+    // more than 32/byte on average. The lag window partitions PER
+    // MEDIA over ≤ 16 frame rows — no global window, no shuffle wider
+    // than the media key — so scene segmentation stays scan-shaped at
+    // video-corpus scale. Output: per-media scene profile.
+    Q("mm_video_scene_cut",
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |    least(greatest(1, length(text) // 64), 16) AS frames
+        |  FROM documents),
+        |f AS (SELECT media_id, CAST(w AS INT) AS frame_idx,
+        |    substring(text, CAST(w * 64 + 1 AS INT), 64) AS sl
+        |  FROM m, unnest(range(0, frames)) t(w)),
+        |sig AS (SELECT media_id, frame_idx,
+        |    CAST(coalesce(list_sum(list_transform(
+        |      range(1, length(sl) + 1),
+        |      i -> ord(substring(sl, CAST(i AS INT), 1)))), 0)
+        |      AS BIGINT) AS luma
+        |  FROM f),
+        |dd AS (SELECT media_id, frame_idx, luma,
+        |    luma - lag(luma) OVER (PARTITION BY media_id
+        |      ORDER BY frame_idx) AS diff
+        |  FROM sig)
+        |SELECT media_id,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(CASE WHEN abs(diff) > 2048 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_cuts,
+        |  CAST(sum(CASE WHEN abs(diff) > 2048 THEN 1 ELSE 0 END) + 1
+        |    AS BIGINT) AS n_scenes,
+        |  CAST(min(CASE WHEN abs(diff) > 2048 THEN frame_idx END)
+        |    AS INT) AS first_cut_idx
+        |FROM dd GROUP BY media_id
+        |ORDER BY media_id""") { (s, d) =>
+      val m = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"), col("text"),
+          least(greatest(lit(1), expr("length(text) div 64")), lit(16))
+            .as("frames"))
+      val f = m.select(col("media_id"),
+          explode(expr("sequence(0, frames - 1)")).as("frame_idx"),
+          col("text"))
+        .select(col("media_id"), col("frame_idx").cast("int").as("frame_idx"),
+          expr("substring(text, frame_idx * 64 + 1, 64)").as("sl"))
+      val sig = f.select(col("media_id"), col("frame_idx"),
+        expr("""CAST(coalesce(aggregate(transform(sequence(1, length(sl)),
+          |  i -> ascii(substring(sl, i, 1))), 0L,
+          |  (a, x) -> a + x), 0L) AS BIGINT)""".stripMargin).as("luma"))
+      val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+      val dd = sig.withColumn("diff", col("luma") - lag(col("luma"), 1).over(w))
+      dd.groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(abs(col("diff")) > 2048, 1).otherwise(0)).as("n_cuts"),
+          (sum(when(abs(col("diff")) > 2048, 1).otherwise(0)) + 1)
+            .as("n_scenes"),
+          min(when(abs(col("diff")) > 2048, col("frame_idx")))
+            .as("first_cut_idx"))
+        .select(col("media_id"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("n_cuts").cast("long").as("n_cuts"),
+          col("n_scenes").cast("long").as("n_scenes"),
+          col("first_cut_idx").cast("int").as("first_cut_idx"))
+        .orderBy(col("media_id"))
     },
 
     // Audio windowing: the payload bytes as 8-bit PCM samples cut into

@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
 /** LLM-training-data text operators over `documents` (BASELINE.json north
   * star): exact + near-duplicate detection, text analysis, fingerprinting.
   *
@@ -1121,6 +1122,169 @@ object TextQueries {
         .filter(col("hamming") <= 7)
         .select(col("d1"), col("d2"), col("hamming"))
         .orderBy(col("d1"), col("d2"))
+    },
+
+    // MULTI-INDEX HAMMING top-k (Norouzi, Punjani & Fleet, "Fast
+    // search in Hamming space with multi-index hashing", CVPR 2012):
+    // per-document k-nearest neighbors in SimHash space. The pigeonhole
+    // property of the 4 × 15-bit band index guarantees every neighbor
+    // within Hamming radius 3 shares at least one exact band (radius <
+    // band count), so top-k at small radii is EXACT over the banded
+    // candidates; the radius-7 tail is best-effort (same candidates the
+    // pair query uses). Rides the SAME Derived simhash60 memo and
+    // band/bucket-cap discipline as dedup_simhash64_pairs — the ranking
+    // window partitions per query doc over candidate rows only, so no
+    // global sort, no all-pairs, at any corpus size.
+    Q("sim_mih_topk",
+      """WITH tv AS (SELECT doc_id,
+        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT AS v
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)),
+        |bits AS (SELECT doc_id, b.bit AS bit,
+        |    sum(CASE WHEN (v >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM tv, range(0, 60) b(bit) GROUP BY doc_id, b.bit),
+        |sh AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0
+        |      THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT)
+        |      AS sh60
+        |  FROM bits GROUP BY doc_id),
+        |e0 AS (SELECT doc_id, r.k AS band,
+        |    (sh60 >> (15 * r.k)) & 32767 AS bv
+        |  FROM sh, range(0, 4) r(k)),
+        |keepb AS (SELECT band, bv FROM e0 GROUP BY 1, 2
+        |  HAVING count(*) <= 256),
+        |e AS (SELECT e0.* FROM e0 JOIN keepb USING (band, bv)),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM e a JOIN e b ON a.band = b.band AND a.bv = b.bv
+        |    AND a.doc_id <> b.doc_id),
+        |h AS (SELECT c.d1, c.d2,
+        |    CAST(bit_count(xor(x.sh60, y.sh60)) AS INT) AS hamming
+        |  FROM cand c
+        |  JOIN sh x ON x.doc_id = c.d1
+        |  JOIN sh y ON y.doc_id = c.d2
+        |  WHERE bit_count(xor(x.sh60, y.sh60)) <= 7),
+        |r AS (SELECT d1, d2, hamming,
+        |    row_number() OVER (PARTITION BY d1
+        |      ORDER BY hamming, d2) AS rk
+        |  FROM h)
+        |SELECT d1 AS doc_id, CAST(rk AS INT) AS rk, d2 AS nbr, hamming
+        |FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""") { (s, d) =>
+      val sh = Derived.memo(s, d, "documents", "simhash60") {
+        val tv = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .select(col("doc_id"),
+            expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)")
+              .as("v"))
+        val votes = (0 until 60).map(i =>
+          sum(when(expr(s"(v >> $i) & 1 = 1"), 1).otherwise(-1)).as(s"s$i"))
+        tv.groupBy(col("doc_id"))
+          .agg(votes.head, votes.tail: _*)
+          .select(col("doc_id"),
+            (0 until 60).map(i =>
+              when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+              .reduce(_ + _).cast("bigint").as("sh60"))
+      }.cache()
+      val e0 = sh.select(col("doc_id"), explode(expr(
+          """transform(sequence(0, 3), k -> struct(
+            |  CAST(k AS INT) AS band,
+            |  shiftright(sh60, 15 * k) & 32767 AS bv))""".stripMargin))
+          .as("x"))
+        .select(col("doc_id"), col("x.band").as("band"), col("x.bv").as("bv"))
+      val keepb = e0.groupBy(col("band"), col("bv"))
+        .agg(count(lit(1)).as("bn")).filter(col("bn") <= 256)
+        .select(col("band"), col("bv"))
+      val e = e0.join(keepb, Seq("band", "bv"), "left_semi")
+      val cand = e.as("a").join(e.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val h = cand
+        .join(sh.select(col("doc_id").as("d1"), col("sh60").as("h1")),
+          Seq("d1"))
+        .join(sh.select(col("doc_id").as("d2"), col("sh60").as("h2")),
+          Seq("d2"))
+        .withColumn("hamming", expr("CAST(bit_count(h1 ^ h2) AS INT)"))
+        .filter(col("hamming") <= 7)
+      val w = Window.partitionBy(col("d1"))
+        .orderBy(col("hamming"), col("d2"))
+      h.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("d1").as("doc_id"), col("rk").cast("int").as("rk"),
+          col("d2").as("nbr"), col("hamming"))
+        .orderBy(col("doc_id"), col("rk"))
+    },
+
+    // CONTENT-DEFINED CHUNKING dedup ratio (the storage/corpus dedup
+    // primitive behind FastCDC / restic / LLM-corpus chunk stores):
+    // chunk boundaries are set by the CONTENT (positions whose 8-char
+    // window hash ≡ 0 mod 64), so an insertion early in a document
+    // shifts byte offsets without invalidating downstream chunk
+    // identities — the property fixed-size blocks lack. This toy form
+    // hashes each window with md5 over the first 512 chars (a
+    // production engine rolls a Rabin fingerprint incrementally and
+    // enforces min/max chunk sizes; the dataflow — per-doc boundary
+    // scan, per-chunk hash, global distinct — is identical). Per-doc
+    // work is bounded (≤ 512 windows) and fuses with the scan; the
+    // only shuffle is the chunk-hash distinct. Output: corpus-level
+    // chunking profile + dedup ratio (1 − distinct/total).
+    Q("dedup_cdc_chunks",
+      """WITH t AS (SELECT doc_id, substring(text, 1, 512) AS tx
+        |  FROM documents),
+        |cuts AS (SELECT doc_id, i AS p
+        |  FROM t, unnest(range(2, greatest(length(tx) - 6, 2))) r(i)
+        |  WHERE ('0x' || substr(md5(substring(tx, CAST(i AS INT), 8)),
+        |      1, 8))::BIGINT % 64 = 0
+        |  UNION ALL SELECT doc_id, 1 FROM t),
+        |seg AS (SELECT doc_id, p,
+        |    lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS np
+        |  FROM cuts),
+        |ch AS (SELECT c.doc_id,
+        |    md5(substring(t.tx, CAST(c.p AS INT),
+        |      CAST(coalesce(c.np, length(t.tx) + 1) - c.p AS INT)))
+        |      AS chunk_hash,
+        |    coalesce(c.np, length(t.tx) + 1) - c.p AS clen
+        |  FROM seg c JOIN t ON t.doc_id = c.doc_id
+        |  WHERE coalesce(c.np, length(t.tx) + 1) - c.p > 0)
+        |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(DISTINCT chunk_hash) AS BIGINT) AS n_distinct_chunks,
+        |  round(1 - count(DISTINCT chunk_hash)
+        |    / CAST(count(*) AS DOUBLE), 4) AS dedup_ratio,
+        |  round(avg(CAST(clen AS DOUBLE)), 2) AS mean_chunk_len
+        |FROM ch""") { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), expr("substring(text, 1, 512)").as("tx"))
+      // DuckDB's range(2, n-6) is EXCLUSIVE of the upper bound (max
+      // i = n-7, full 8-char windows only) — mirror that exactly.
+      val cuts = t.select(col("doc_id"), col("tx"), explode(expr(
+          """filter(sequence(2, greatest(length(tx) - 7, 2)),
+            |  i -> i <= length(tx) - 7 AND
+            |    CAST(conv(substr(md5(substring(tx, i, 8)), 1, 8), 16, 10)
+            |      AS BIGINT) % 64 = 0)""".stripMargin)).as("p"))
+        .select(col("doc_id"), col("p").cast("long").as("p"))
+        .unionByName(t.select(col("doc_id"), lit(1L).as("p")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val seg = cuts.withColumn("np", lead(col("p"), 1).over(w))
+      val ch = seg.join(t, Seq("doc_id"))
+        .withColumn("np2",
+          coalesce(col("np"), length(col("tx")) + 1))
+        .filter(col("np2") - col("p") > 0)
+        .select(col("doc_id"),
+          expr("md5(substring(tx, CAST(p AS INT), CAST(np2 - p AS INT)))")
+            .as("chunk_hash"),
+          (col("np2") - col("p")).as("clen"))
+      ch.agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          countDistinct(col("chunk_hash")).as("n_distinct_chunks"),
+          round(lit(1) - countDistinct(col("chunk_hash")) /
+            count(lit(1)).cast("double"), 4).as("dedup_ratio"),
+          round(avg(col("clen").cast("double")), 2).as("mean_chunk_len"))
+        .select(col("n_docs").cast("long").as("n_docs"),
+          col("n_chunks").cast("long").as("n_chunks"),
+          col("n_distinct_chunks").cast("long").as("n_distinct_chunks"),
+          col("dedup_ratio"), col("mean_chunk_len"))
     },
 
     // Character 4-gram Jaccard similarity over a bounded doc subset —

@@ -211,4 +211,121 @@ class Round13bOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("chi2_cmh") - chi2) < 1e-3)
     assert(math.abs(r.getAs[Double]("or_mh") - sad / sbc) < 1e-3)
   }
+
+  test("sim_mih_topk equals a full JVM reimplementation (bands+verify+rank)") {
+    val d = tmp("mih")
+    // clusters of docs sharing most tokens → small hamming distances;
+    // singletons → no neighbors
+    val base = (1 to 40).map(i => s"w$i")
+    def doc(drop: Int*) =
+      base.zipWithIndex.collect { case (w, i) if !drop.contains(i) => w }
+        .mkString(" ")
+    val docs = Seq(
+      (1L, doc(), "en", "s", 100L), (2L, doc(0), "en", "s", 100L),
+      (3L, doc(1), "en", "s", 100L), (4L, doc(0, 1), "en", "s", 100L),
+      (5L, (1 to 40).map(i => s"x$i").mkString(" "), "en", "s", 100L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // JVM simhash60 (independent reimplementation)
+    def sh60(text: String): Long = {
+      val votes = Array.fill(60)(0)
+      for (tok <- text.split(" ")) {
+        val v = java.lang.Long.parseLong(md5hex(tok).substring(0, 15), 16)
+        for (b <- 0 until 60)
+          votes(b) += (if (((v >> b) & 1L) == 1L) 1 else -1)
+      }
+      (0 until 60).map(b => if (votes(b) > 0) 1L << b else 0L).sum
+    }
+    val hs = docs.map(r => r._1 -> sh60(r._2)).toMap
+    def band(h: Long, k: Int): Long = (h >> (15 * k)) & 32767L
+    val want = (for {
+      a <- hs.keys; b <- hs.keys if a != b
+      if (0 until 4).exists(k => band(hs(a), k) == band(hs(b), k))
+      ham = java.lang.Long.bitCount(hs(a) ^ hs(b))
+      if ham <= 7
+    } yield (a, b, ham)).toSeq
+      .groupBy(_._1)
+      .flatMap { case (q, ns) =>
+        ns.sortBy(t => (t._3, t._2)).take(3).zipWithIndex
+          .map { case ((_, n, h), i) => (q, i + 1, n, h) }
+      }.toSet
+    val got = graft.SparkEntry.queries("sim_mih_topk")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("dedup_cdc_chunks: JVM brute force + shift-resilience property") {
+    val d = tmp("cdc")
+    val rng = new scala.util.Random(7)
+    val a = (1 to 400).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val b = "PREFIX-SHIFT " + a // same content, shifted offsets
+    Seq((1L, a, "en", "s", a.length.toLong),
+        (2L, b, "en", "s", b.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    def chunks(text: String): Seq[String] = {
+      val tx = text.take(512)
+      val cutsAt = 1L +: (2 to tx.length - 7).collect {
+        case i if java.lang.Long.parseLong(
+          md5hex(tx.substring(i - 1, i + 7)).substring(0, 8), 16) % 64 == 0 =>
+          i.toLong
+      }
+      val ps = cutsAt.sorted
+      ps.zip(ps.drop(1) :+ (tx.length + 1).toLong).collect {
+        case (p, np) if np > p => md5hex(tx.substring(p.toInt - 1, np.toInt - 1))
+      }
+    }
+    val all = chunks(a) ++ chunks(b)
+    val r = graft.SparkEntry.queries("dedup_cdc_chunks")(spark, d).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 2L)
+    assert(r.getAs[Long]("n_chunks") == all.size.toLong)
+    assert(r.getAs[Long]("n_distinct_chunks") == all.distinct.size.toLong)
+    // content-defined boundaries re-sync after the shifted prefix:
+    // at least one chunk is shared between the two documents
+    assert(all.size > all.distinct.size,
+      "CDC must re-sync chunk identities across the shifted copy")
+  }
+
+  test("mm_video_scene_cut: planted luma jump fires exactly one cut") {
+    val d = tmp("scene")
+    val jump = "a" * 128 + " " * 128 // frames 0-1 luma 6208, 2-3 luma 2048
+    val flat = "b" * 256
+    Seq((1L, jump, "en", "s", 256L), (2L, flat, "en", "s", 256L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = graft.SparkEntry.queries("mm_video_scene_cut")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1 else r.getInt(4))).toSeq
+    assert(got == Seq((1L, 4L, 1L, 2L, 2), (2L, 4L, 0L, 1L, -1)),
+      s"got $got")
+  }
+
+  test("eval_ips_offpolicy equals the JVM brute force") {
+    val d = tmp("ips")
+    val pre = Timestamp.valueOf("2024-01-10 00:00:00")
+    val rows = (1L to 120L).map { i =>
+      val act = Seq("purchase", "click", "view")((i % 3).toInt)
+      (i, pre, i % 41, act, (i % 17).toDouble, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val nn = rows.size.toDouble
+    val na = rows.groupBy(_._4).map { case (k, v) => k -> v.size }
+    def q10(x: Double) = math.rint(x * 1e10) / 1e10
+    var swr = 0.0; var sw = 0.0; var sw2 = 0.0
+    for (r <- rows) {
+      val pi = if (md5hex((r._3).toString).charAt(0) < '8') "purchase"
+               else "click"
+      val wt = if (r._4 == pi) nn / na(r._4) else 0.0
+      swr += q10(wt * r._5); sw += q10(wt); sw2 += q10(wt * wt)
+    }
+    val row = graft.SparkEntry.queries("eval_ips_offpolicy")(spark, d)
+      .collect()(0)
+    assert(row.getAs[Long]("n_events") == 120L)
+    assert(math.abs(row.getAs[Double]("ips") - swr / nn) < 1e-3)
+    assert(math.abs(row.getAs[Double]("snips") - swr / sw) < 1e-3)
+    assert(math.abs(row.getAs[Double]("eff_sample_size") - sw * sw / sw2)
+      < 0.02)
+  }
 }
