@@ -2637,6 +2637,81 @@ object EvalQueries {
         round(col("swr") / nullif(col("sw"), lit(0d)), 4).as("snips"),
         round(col("sw") * col("sw") / nullif(col("sw2"), lit(0d)), 2)
           .as("eff_sample_size"))
+    },
+
+    // DOUBLY-ROBUST off-policy evaluation (Dudík, Langford & Li,
+    // ICML 2011) — the estimator that stays consistent if EITHER the
+    // reward model OR the propensities are right: DR = E[Q̂(π(x))] +
+    // E[w·(r − Q̂(a))], with the direct-method estimate E[Q̂(π(x))]
+    // alongside for the bias/variance picture. The reward model here
+    // is the simplest honest one — per-action empirical mean reward
+    // (sum/count off one broadcast rollup, DECIMAL-quantized) — and
+    // the propensities are the empirical action shares, both derived
+    // from the log itself. Execution: two tiny broadcast aggregates
+    // joined back to one scan; per-event correction terms
+    // DECIMAL(28,10)-quantized before the order-free sums. One pass
+    // at any log size.
+    Q("eval_dr_offpolicy",
+      """WITH e AS (SELECT user_id, event_type AS act,
+        |    CAST("value" AS DOUBLE) AS r,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 'purchase' ELSE 'click' END AS pi_act
+        |  FROM events),
+        |q AS (SELECT act,
+        |    CAST(sum(CAST(round(r, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*) AS qa,
+        |    count(*) AS na
+        |  FROM e GROUP BY 1),
+        |n AS (SELECT count(*) AS nn FROM e),
+        |w AS (SELECT e.r,
+        |    qp.qa AS qpi,
+        |    ql.qa AS qlog,
+        |    CASE WHEN e.act = e.pi_act
+        |      THEN CAST(n.nn AS DOUBLE) / ql.na ELSE 0.0 END AS wt
+        |  FROM e JOIN q ql ON ql.act = e.act
+        |  JOIN q qp ON qp.act = e.pi_act CROSS JOIN n),
+        |s AS (SELECT count(*) AS cnt,
+        |    CAST(sum(CAST(round(qpi, 10) AS DECIMAL(28,10)))
+        |      AS DOUBLE) AS sdm,
+        |    CAST(sum(CAST(round(qpi + wt * (r - qlog), 10)
+        |      AS DECIMAL(28,10))) AS DOUBLE) AS sdr,
+        |    CAST(sum(CAST(round(wt * r, 10) AS DECIMAL(28,10)))
+        |      AS DOUBLE) AS swr
+        |  FROM w)
+        |SELECT CAST(cnt AS BIGINT) AS n_events,
+        |  round(sdm / cnt, 4) AS dm,
+        |  round(sdr / cnt, 4) AS dr,
+        |  round(swr / cnt, 4) AS ips
+        |FROM s""") { (s, d) =>
+      val e = Tables.events(s, d).select(col("user_id"),
+        col("event_type").as("act"), col("value").cast("double").as("r"),
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+          "purchase").otherwise("click").as("pi_act"))
+      val q = e.groupBy(col("act")).agg(
+        (sum(round(col("r"), 6).cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("qa"),
+        count(lit(1)).as("na"))
+      val n = e.agg(count(lit(1)).as("nn"))
+      val w = e
+        .join(broadcast(q.select(col("act"), col("qa").as("qlog"),
+          col("na"))), Seq("act"))
+        .join(broadcast(q.select(col("act").as("pi_act"),
+          col("qa").as("qpi"))), Seq("pi_act"))
+        .crossJoin(broadcast(n))
+        .select(col("r"), col("qpi"), col("qlog"),
+          when(col("act") === col("pi_act"),
+            col("nn").cast("double") / col("na")).otherwise(0.0).as("wt"))
+      val st = w.agg(count(lit(1)).as("cnt"),
+        sum(round(col("qpi"), 10).cast("decimal(28,10)"))
+          .cast("double").as("sdm"),
+        sum(round(col("qpi") + col("wt") * (col("r") - col("qlog")), 10)
+          .cast("decimal(28,10)")).cast("double").as("sdr"),
+        sum(round(col("wt") * col("r"), 10).cast("decimal(28,10)"))
+          .cast("double").as("swr"))
+      st.select(col("cnt").cast("long").as("n_events"),
+        round(col("sdm") / col("cnt"), 4).as("dm"),
+        round(col("sdr") / col("cnt"), 4).as("dr"),
+        round(col("swr") / col("cnt"), 4).as("ips"))
     }
   )
 }

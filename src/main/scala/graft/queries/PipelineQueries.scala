@@ -2228,5 +2228,27 @@ object PipelineQueries {
           greatest(col("n") + col("noise"), lit(0)).cast("long")
             .as("noisy_n"))
         .orderBy(col("lang"), col("source"))
+    },
+
+    // EXACT-SIZE uniform sample (the distributed reservoir): exactly
+    // k = 1000 rows at ANY corpus size, reproducibly — rank every row
+    // by a salted md5 coin and keep the k smallest. The rate-based
+    // samplers (sample_stratified/weighted) can only promise k IN
+    // EXPECTATION; training-data budgets are exact-row contracts, and
+    // this is the operator that meets them. Execution is the
+    // distributed top-k shape (TakeOrderedAndProject: per-partition
+    // k-heaps, one k-bounded merge — NO global sort, no single big
+    // partition), so the cost is a scan + O(k) state per partition.
+    // The hash column rides along as the output's unique order key,
+    // making re-draws with a different salt trivially auditable.
+    Q("sample_reservoir_k",
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|rsv1') AS u
+        |FROM documents
+        |ORDER BY u, doc_id LIMIT 1000""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat(col("doc_id").cast("string"), lit("|rsv1"))).as("u"))
+        .orderBy(col("u"), col("doc_id"))
+        .limit(1000)
     })
 }

@@ -1152,6 +1152,95 @@ object StreamingQueries {
             / nullif(coalesce(col("n_churned"), lit(0L)), lit(0L))
               .cast("double"), 4).as("quick_ratio"))
         .orderBy(col("wk"))
+    },
+
+    // STREAMING FORECAST MONITOR — the live twin of ts_holt: the
+    // stream maintains per-(type, day) counts in complete-mode state
+    // (the exact state a deployed monitor tails), and the Holt
+    // level+trend fold runs over the completed day series TWICE — pass
+    // one accumulates the one-step-ahead |error| alongside the state
+    // (same O(1)-state fold, no per-day materialization), pass two
+    // re-runs the fold counting days whose forecast error exceeds
+    // 2×MAE. Both passes are left-to-right IEEE folds with exact
+    // dyadic weights, so every emitted figure is bit-stable across
+    // engines. In deployment the same query emits a fresh
+    // level/trend/surprise row per trigger; series length is bounded
+    // by the calendar, keys scale out with the groupBy.
+    {
+      val seedL = "ys[2] / 2 + (ys[1] + (ys[2] - ys[1])) / 2"
+      val seedB = s"(($seedL) - ys[1]) / 4 + ((ys[2] - ys[1]) * 3) / 4"
+      val upL = "p[1] / 2 + (a[1] + a[2]) / 2"
+      val upB = s"(($upL) - a[1]) / 4 + (a[2] * 3) / 4"
+      val sSeedL = "ys[1] / 2D + (ys[0] + (ys[1] - ys[0])) / 2D"
+      val sSeedB = s"(($sSeedL) - ys[0]) / 4D + ((ys[1] - ys[0]) * 3D) / 4D"
+      val sUpL = "v / 2D + (a.l + a.b) / 2D"
+      val sUpB = s"(($sUpL) - a.l) / 4D + (a.b * 3D) / 4D"
+      Q("stream_forecast_monitor",
+        s"""WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          |    CAST(count(*) AS DOUBLE) AS yv
+          |  FROM events GROUP BY 1, 2),
+          |ser AS (SELECT event_type, list(yv ORDER BY day) AS ys,
+          |    count(*) AS n_days
+          |  FROM dc GROUP BY 1 HAVING count(*) >= 3),
+          |f1 AS (SELECT event_type, n_days, ys,
+          |    list_reduce(list_prepend(
+          |      [$seedL, $seedB, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
+          |      list_transform(list_slice(ys, 3, len(ys)),
+          |        v -> [v, v, v, v])),
+          |      (a, p) -> [$upL, $upB,
+          |        a[3] + abs(p[1] - (a[1] + a[2])),
+          |        a[4] + 1]) AS s
+          |  FROM ser),
+          |m AS (SELECT event_type, n_days, ys, s,
+          |    s[3] / s[4] AS mae FROM f1),
+          |f2 AS (SELECT event_type, n_days, s, mae,
+          |    list_reduce(list_prepend(
+          |      [$seedL, $seedB, CAST(0 AS DOUBLE)],
+          |      list_transform(list_slice(ys, 3, len(ys)),
+          |        v -> [v, v, v])),
+          |      (a, p) -> [$upL, $upB,
+          |        a[3] + CAST(CASE WHEN abs(p[1] - (a[1] + a[2]))
+          |          > 2 * mae THEN 1 ELSE 0 END AS DOUBLE)]) AS t
+          |  FROM m)
+          |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+          |  round(s[1], 4) AS level, round(s[2], 4) AS trend,
+          |  round(mae, 4) AS mae,
+          |  CAST(t[3] AS BIGINT) AS n_surprises
+          |FROM f2 ORDER BY event_type""") { (s, d) =>
+        val perDay = runToTable(s, d, "complete") { src =>
+          src.groupBy(col("event_type"), window(col("ts"), "1 day"))
+            .agg(count(lit(1)).cast("double").as("yv"))
+        }.localCheckpoint(true)
+        val ser = perDay
+          .select(col("event_type"),
+            col("window.start").cast("date").as("day"), col("yv"))
+          .groupBy(col("event_type"))
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(day, yv))), x -> x.yv)")
+            .as("ys"), count(lit(1)).as("n_days"))
+          .filter(col("n_days") >= 3)
+        val f1 = ser.withColumn("s", expr(
+          s"""aggregate(slice(ys, 3, greatest(size(ys) - 2, 0)),
+            |  named_struct('l', $sSeedL, 'b', $sSeedB,
+            |    'serr', 0D, 'nerr', 0D),
+            |  (a, v) -> named_struct('l', $sUpL, 'b', $sUpB,
+            |    'serr', a.serr + abs(v - (a.l + a.b)),
+            |    'nerr', a.nerr + 1D))""".stripMargin))
+        val m = f1.withColumn("mae", col("s.serr") / col("s.nerr"))
+        val f2 = m.withColumn("t", expr(
+          s"""aggregate(slice(ys, 3, greatest(size(ys) - 2, 0)),
+            |  named_struct('l', $sSeedL, 'b', $sSeedB, 'surp', 0D),
+            |  (a, v) -> named_struct('l', $sUpL, 'b', $sUpB,
+            |    'surp', a.surp +
+            |      IF(abs(v - (a.l + a.b)) > 2D * mae, 1D, 0D)))"""
+            .stripMargin))
+        f2.select(col("event_type"), col("n_days").cast("long").as("n_days"),
+            round(col("s.l"), 4).as("level"),
+            round(col("s.b"), 4).as("trend"),
+            round(col("mae"), 4).as("mae"),
+            col("t.surp").cast("long").as("n_surprises"))
+          .orderBy(col("event_type"))
+      }
     })
 
   /** Staging key for dataset `d`: md5 over the ABSOLUTE PATH plus the

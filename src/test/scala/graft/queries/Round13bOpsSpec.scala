@@ -329,4 +329,99 @@ class Round13bOpsSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("eff_sample_size") - sw * sw / sw2)
       < 0.02)
   }
+
+  test("eval_dr_offpolicy equals the JVM brute force (DM + DR + IPS)") {
+    val d = tmp("dr")
+    val pre = Timestamp.valueOf("2024-01-10 00:00:00")
+    val rows = (1L to 150L).map { i =>
+      val act = Seq("purchase", "click", "view")((i % 3).toInt)
+      (i, pre, i % 43, act, (i % 23).toDouble, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    def q10(x: Double) = math.rint(x * 1e10) / 1e10
+    val nn = rows.size.toDouble
+    val byAct = rows.groupBy(_._4)
+    val qa = byAct.map { case (k, v) => k -> v.map(r => q6(r._5)).sum / v.size }
+    val na = byAct.map { case (k, v) => k -> v.size }
+    var sdm = 0.0; var sdr = 0.0; var swr = 0.0
+    for (r <- rows) {
+      val pi = if (md5hex((r._3).toString).charAt(0) < '8') "purchase"
+               else "click"
+      val wt = if (r._4 == pi) nn / na(r._4) else 0.0
+      sdm += q10(qa(pi)); sdr += q10(qa(pi) + wt * (r._5 - qa(r._4)))
+      swr += q10(wt * r._5)
+    }
+    val row = graft.SparkEntry.queries("eval_dr_offpolicy")(spark, d)
+      .collect()(0)
+    assert(row.getAs[Long]("n_events") == 150L)
+    assert(math.abs(row.getAs[Double]("dm") - sdm / nn) < 1e-3)
+    assert(math.abs(row.getAs[Double]("dr") - sdr / nn) < 1e-3)
+    assert(math.abs(row.getAs[Double]("ips") - swr / nn) < 1e-3)
+  }
+
+  test("sample_reservoir_k: exactly min(k,n) rows, the k hash-smallest") {
+    val d = tmp("rsv")
+    val docs = (1L to 2500L).map(i => (i, s"text$i", "en", "s", 10L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val want = docs.map(_._1)
+      .sortBy(i => (md5hex(s"$i|rsv1"), i)).take(1000)
+    val got = graft.SparkEntry.queries("sample_reservoir_k")(spark, d)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.size == 1000 && got == want)
+  }
+
+  test("stream_forecast_monitor: linear series exact, planted spike surprises") {
+    val d = tmp("sfm")
+    // type 'lin': y_t = 10 + 2t for t=1..10 (errors all 0 → mae 0,
+    // no surprises); type 'spk': constant 20 with one day at 60 —
+    // the spike day's forecast error dominates the MAE → surprise.
+    var id = 0L
+    def day(t: Int) = Timestamp.valueOf(f"2024-01-$t%02d 12:00:00")
+    val lin = for { t <- 1 to 10; _ <- 1 to (10 + 2 * t) } yield {
+      id += 1; (id, day(t), id % 5, "lin", 1.0, "{}")
+    }
+    val spk = for { t <- 1 to 10; _ <- 1 to (if (t == 7) 60 else 20) }
+      yield { id += 1; (id, day(t), id % 5, "spk", 1.0, "{}") }
+    (lin ++ spk).toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    // JVM Holt fold oracle for the spike series
+    def holt(ys: Seq[Double]): (Double, Double, Double, Long) = {
+      var l = ys(1) / 2 + (ys(0) + (ys(1) - ys(0))) / 2
+      var b = (l - ys(0)) / 4 + ((ys(1) - ys(0)) * 3) / 4
+      var serr = 0.0; var n = 0
+      for (v <- ys.drop(2)) {
+        serr += math.abs(v - (l + b)); n += 1
+        val nl = v / 2 + (l + b) / 2
+        b = (nl - l) / 4 + b * 3 / 4; l = nl
+      }
+      val mae = serr / n
+      var l2 = ys(1) / 2 + (ys(0) + (ys(1) - ys(0))) / 2
+      var b2 = (l2 - ys(0)) / 4 + ((ys(1) - ys(0)) * 3) / 4
+      var surp = 0L
+      for (v <- ys.drop(2)) {
+        if (math.abs(v - (l2 + b2)) > 2 * mae) surp += 1
+        val nl = v / 2 + (l2 + b2) / 2
+        b2 = (nl - l2) / 4 + b2 * 3 / 4; l2 = nl
+      }
+      (l, b, mae, surp)
+    }
+    val spkSeries = (1 to 10).map(t => if (t == 7) 60.0 else 20.0)
+    val (el, eb, emae, esurp) = holt(spkSeries)
+    val got = graft.SparkEntry.queries("stream_forecast_monitor")(spark, d)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("level"),
+         r.getAs[Double]("trend"), r.getAs[Double]("mae"),
+         r.getAs[Long]("n_surprises"))).toMap
+    assert(got("lin") == ((10L, 30.0, 2.0, 0.0, 0L)), s"lin: ${got("lin")}")
+    val s = got("spk")
+    assert(s._1 == 10L)
+    assert(math.abs(s._2 - math.rint(el * 1e4) / 1e4) < 1e-9)
+    assert(math.abs(s._3 - math.rint(eb * 1e4) / 1e4) < 1e-9)
+    assert(math.abs(s._4 - math.rint(emae * 1e4) / 1e4) < 1e-9)
+    assert(s._5 == esurp && esurp >= 1L, s"spk: $s want surprises=$esurp")
+  }
 }
