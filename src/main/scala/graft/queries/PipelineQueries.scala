@@ -2250,5 +2250,65 @@ object PipelineQueries {
           md5(concat(col("doc_id").cast("string"), lit("|rsv1"))).as("u"))
         .orderBy(col("u"), col("doc_id"))
         .limit(1000)
+    },
+
+    // DECLARATIVE CONSTRAINT SUITE (the Deequ/Great-Expectations
+    // shape): a battery of data-quality expectations over one table,
+    // each reduced to a [0,1] metric with a pass verdict — uniqueness,
+    // completeness, range membership, domain membership, freshness,
+    // volume — ALL computed in a single scan: every metric is an
+    // aggregate expression in one hash-aggregate pass (plus one
+    // distinct-count), stacked to constraint rows afterwards. This is
+    // the admission gate a 100 TB ingest runs before publishing a
+    // partition; one pass, no per-constraint rescans. Metrics are
+    // exact integer ratios — bit-stable everywhere.
+    Q("dq_constraint_suite",
+      """WITH m AS (SELECT
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(count(DISTINCT o_orderkey) AS DOUBLE) AS nk,
+        |    CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS nc,
+        |    CAST(sum(CASE WHEN o_totalprice >= 0
+        |      AND o_totalprice < 1000000 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS nr,
+        |    CAST(sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+        |      THEN 1 ELSE 0 END) AS DOUBLE) AS nd,
+        |    CAST(CASE WHEN max(o_orderdate) >= DATE '1995-01-01'
+        |      THEN 1 ELSE 0 END AS DOUBLE) AS fresh
+        |  FROM orders),
+        |c AS (
+        |  SELECT 'complete_custkey' AS check_name, nc / n AS metric,
+        |    nc = n AS pass FROM m
+        |  UNION ALL SELECT 'domain_status', nd / n, nd = n FROM m
+        |  UNION ALL SELECT 'fresh_orderdate', fresh, fresh = 1 FROM m
+        |  UNION ALL SELECT 'range_totalprice', nr / n, nr = n FROM m
+        |  UNION ALL SELECT 'row_count_min', least(n / 100, 1),
+        |    n >= 100 FROM m
+        |  UNION ALL SELECT 'unique_orderkey', nk / n, nk = n FROM m)
+        |SELECT check_name, round(metric, 4) AS metric, pass
+        |FROM c ORDER BY check_name""") { (s, d) =>
+      val m = Tables.orders(s, d).agg(
+        count(lit(1)).cast("double").as("n"),
+        countDistinct(col("o_orderkey")).cast("double").as("nk"),
+        sum(when(col("o_custkey").isNotNull, 1).otherwise(0))
+          .cast("double").as("nc"),
+        sum(when(col("o_totalprice") >= 0 && col("o_totalprice") < 1000000,
+          1).otherwise(0)).cast("double").as("nr"),
+        sum(when(col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0))
+          .cast("double").as("nd"),
+        when(max(col("o_orderdate")) >= lit("1995-01-01").cast("date"),
+          1d).otherwise(0d).as("fresh"))
+      m.selectExpr(
+          """stack(6,
+            |  'complete_custkey', nc / n, nc = n,
+            |  'domain_status', nd / n, nd = n,
+            |  'fresh_orderdate', fresh, fresh = 1D,
+            |  'range_totalprice', nr / n, nr = n,
+            |  'row_count_min', least(n / 100, 1D), n >= 100,
+            |  'unique_orderkey', nk / n, nk = n
+            |) AS (check_name, metric, pass)""".stripMargin)
+        .select(col("check_name"), round(col("metric"), 4).as("metric"),
+          col("pass"))
+        .orderBy(col("check_name"))
     })
 }

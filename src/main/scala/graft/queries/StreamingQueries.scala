@@ -1241,6 +1241,57 @@ object StreamingQueries {
             col("t.surp").cast("long").as("n_surprises"))
           .orderBy(col("event_type"))
       }
+    },
+
+    // STREAMING HISTOGRAM QUANTILES — how a live monitor reports
+    // p50/p95/p99 without holding raw values: streaming state is the
+    // per-(type, bucket) COUNT histogram (value bucketed to width-10
+    // cells — a few hundred rows per key forever, the only state
+    // shape that survives unbounded streams), and the quantile
+    // read-out walks the bucket cumsum per type. The reported figure
+    // is the quantile's BUCKET FLOOR — an exact integer with a
+    // declared ±bucket-width error bar, which is the honest contract
+    // of histogram quantiles (and why both engines agree bit-for-bit
+    // where interpolated quantiles would not). Rank rule: smallest
+    // bucket whose cumulative count reaches ceil(q·n).
+    Q("stream_quantile_hist",
+      """WITH b AS (SELECT event_type,
+        |    CAST(floor(CAST("value" AS DOUBLE) / 10) AS BIGINT) AS bucket,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, bucket, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM b)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cum >= CAST(ceil(0.50 * n) AS BIGINT)
+        |    THEN bucket * 10 END) AS BIGINT) AS p50_floor,
+        |  CAST(min(CASE WHEN cum >= CAST(ceil(0.95 * n) AS BIGINT)
+        |    THEN bucket * 10 END) AS BIGINT) AS p95_floor,
+        |  CAST(min(CASE WHEN cum >= CAST(ceil(0.99 * n) AS BIGINT)
+        |    THEN bucket * 10 END) AS BIGINT) AS p99_floor
+        |FROM r GROUP BY event_type
+        |ORDER BY event_type""") { (s, d) =>
+      val hist = runToTable(s, d, "complete") { src =>
+        src.groupBy(col("event_type"),
+            floor(col("value").cast("double") / 10).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("c"))
+      }.localCheckpoint(true)
+      val wc = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wn = Window.partitionBy(col("event_type"))
+      val r = hist.withColumn("cum", sum(col("c")).over(wc))
+        .withColumn("n", sum(col("c")).over(wn))
+      def pf(q: Double) = min(when(
+        col("cum") >= ceil(lit(q) * col("n")).cast("long"),
+        col("bucket") * 10)).cast("long")
+      r.groupBy(col("event_type"))
+        .agg(max(col("n")).cast("long").as("n"),
+          pf(0.50).as("p50_floor"),
+          pf(0.95).as("p95_floor"),
+          pf(0.99).as("p99_floor"))
+        .orderBy(col("event_type"))
     })
 
   /** Staging key for dataset `d`: md5 over the ABSOLUTE PATH plus the

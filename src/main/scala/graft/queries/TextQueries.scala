@@ -610,6 +610,63 @@ object TextQueries {
         .orderBy(col("d1"), col("d2"))
     },
 
+    // INCREMENTAL DEDUP AGAINST A FROZEN INDEX — the ingest-time shape
+    // of the MinHash family: a new shard (20% of docs by id residue)
+    // is checked against the already-ingested corpus (the other 80%)
+    // WITHOUT ever comparing old-vs-old or new-vs-new. This is the
+    // operator a continuously-growing corpus runs on every arriving
+    // shard: the frozen side's band index is built once (here it rides
+    // the shared signature memo; in production it is the persisted
+    // LSH index), and the join cost is |new| × bucket density, not
+    // corpus². A new doc is flagged dup when it collides with an old
+    // doc on ≥ 2 of the 4 bands (the same geometry the S-curve eval
+    // tuned); the best match is the most-colliding old doc.
+    Q("pipe_dedup_against_index",
+      s"""WITH sh AS ($shinglesSql),
+         |sv AS (SELECT doc_id, $shingleIntDuck AS v FROM sh),
+         |h AS (SELECT doc_id, CAST(r.seed AS INT) AS seed,
+         |        min(${mhMixSql("v", "r.seed")}) AS mh
+         |      FROM sv, range(0, 8) r(seed)
+         |      GROUP BY doc_id, r.seed),
+         |bnd AS (SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         |          min(CASE WHEN seed % 2 = 0 THEN mh END) AS m0,
+         |          min(CASE WHEN seed % 2 = 1 THEN mh END) AS m1
+         |        FROM h GROUP BY doc_id, seed // 2),
+         |oldx AS (SELECT * FROM bnd WHERE doc_id % 10 < 8),
+         |newx AS (SELECT * FROM bnd WHERE doc_id % 10 >= 8),
+         |cand AS (SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+         |    CAST(count(*) AS INT) AS n_bands
+         |  FROM newx n JOIN oldx o ON n.band = o.band
+         |    AND n.m0 = o.m0 AND n.m1 = o.m1
+         |  GROUP BY 1, 2),
+         |best AS (SELECT new_id, old_id, n_bands,
+         |    row_number() OVER (PARTITION BY new_id
+         |      ORDER BY n_bands DESC, old_id) AS rk
+         |  FROM cand)
+         |SELECT new_id AS doc_id, old_id AS best_match, n_bands,
+         |  CAST(n_bands >= 2 AS BOOLEAN) AS is_dup
+         |FROM best WHERE rk = 1
+         |ORDER BY doc_id""") { (s, d) =>
+      val bnd = minhashSigs(s, d)
+        .groupBy(col("doc_id"), expr("CAST(seed div 2 AS INT)").as("band"))
+        .agg(min(when(col("seed") % 2 === 0, col("mh"))).as("m0"),
+          min(when(col("seed") % 2 === 1, col("mh"))).as("m1"))
+      val oldx = bnd.filter(col("doc_id") % 10 < 8)
+      val newx = bnd.filter(col("doc_id") % 10 >= 8)
+      val cand = newx.as("n").join(oldx.as("o"),
+          col("n.band") === col("o.band") && col("n.m0") === col("o.m0") &&
+            col("n.m1") === col("o.m1"))
+        .groupBy(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+        .agg(count(lit(1)).cast("int").as("n_bands"))
+      val w = Window.partitionBy(col("new_id"))
+        .orderBy(col("n_bands").desc, col("old_id"))
+      cand.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("new_id").as("doc_id"), col("old_id").as("best_match"),
+          col("n_bands"), (col("n_bands") >= 2).as("is_dup"))
+        .orderBy(col("doc_id"))
+    },
+
     // NEAR-DUP DETECTOR EVALUATION — the tuning loop for the MinHash
     // family closed into one operator: exact shingle-Jaccard ≥ 0.5
     // pairs are the ground truth (inverted-index intersection join —

@@ -424,4 +424,65 @@ class Round13bOpsSpec extends SparkSpec {
     assert(math.abs(s._4 - math.rint(emae * 1e4) / 1e4) < 1e-9)
     assert(s._5 == esurp && esurp >= 1L, s"spk: $s want surprises=$esurp")
   }
+
+  test("pipe_dedup_against_index: identical new→old flagged, old-old never compared") {
+    val d = tmp("incdedup")
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared, "en", "s", 60L),                       // old
+      (2L, shared, "en", "s", 60L),                       // old, dup of 1
+      (3L, "alpha beta gamma delta eps", "en", "s", 30L), // old
+      (8L, shared, "en", "s", 60L),                       // new ≡ old 1,2
+      (9L, "one two three four five six", "en", "s", 30L))// new, disjoint
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = graft.SparkEntry.queries("pipe_dedup_against_index")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getBoolean(3))).toSeq
+    // new doc 8 collides with old 1 on all 4 bands (identical shingle
+    // sets → identical signatures); tie on n_bands breaks to the
+    // smaller old id. Old-old (1,2) and new-only 9 must be absent.
+    assert(got == Seq((8L, 1L, 4, true)), s"got $got")
+  }
+
+  test("dq_constraint_suite: planted violations move exactly their metric") {
+    val d = tmp("dqcs")
+    val day = java.sql.Date.valueOf("2024-03-01")
+    val rows = Seq(
+      (1L, Some(10L), "O", 100.0, day),
+      (2L, Some(11L), "F", 200.0, day),
+      (2L, Some(12L), "P", 300.0, day),      // dup orderkey
+      (4L, None, "O", 400.0, day),           // null custkey
+      (5L, Some(14L), "X", 500.0, day),      // bad status
+      (6L, Some(15L), "O", -1.0, day))       // out of range
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val got = graft.SparkEntry.queries("dq_constraint_suite")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2)))
+      .toMap
+    assert(got("complete_custkey") == ((math.rint(5.0 / 6 * 1e4) / 1e4, false)))
+    assert(got("unique_orderkey") == ((math.rint(5.0 / 6 * 1e4) / 1e4, false)))
+    assert(got("domain_status") == ((math.rint(5.0 / 6 * 1e4) / 1e4, false)))
+    assert(got("range_totalprice") == ((math.rint(5.0 / 6 * 1e4) / 1e4, false)))
+    assert(got("fresh_orderdate") == ((1.0, true)))
+    assert(got("row_count_min") == ((0.06, false)))
+  }
+
+  test("stream_quantile_hist: uniform 0..99 yields exact bucket floors") {
+    val d = tmp("sqh")
+    val pre = Timestamp.valueOf("2024-01-10 00:00:00")
+    val rows = (0 until 100).map(v =>
+      ((v + 1).toLong, pre, v.toLong, "lat", v.toDouble, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = graft.SparkEntry.queries("stream_quantile_hist")(spark, d)
+      .collect()(0)
+    // ranks: p50 → ceil(50)=50 → bucket 4 (cum 50) → floor 40;
+    // p95 → 95 → bucket 9 (cum 100; bucket 8 cum 90 < 95) → 90;
+    // p99 → 99 → bucket 9 → 90
+    assert((r.getAs[String]("event_type"), r.getAs[Long]("n"),
+      r.getAs[Long]("p50_floor"), r.getAs[Long]("p95_floor"),
+      r.getAs[Long]("p99_floor")) == (("lat", 100L, 40L, 90L, 90L)))
+  }
 }
