@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1534,6 +1535,59 @@ object BehaviorQueries {
             nullif(col("n_neg"), lit(0)).cast("double"), 4).as("fpr"),
           round(fill * fill * fill * fill, 4).as("predicted_fpr"),
           (col("true_pos") === col("n_build")).as("no_false_neg"))
+    },
+
+    // SEGMENT MIGRATION MATRIX — where behavior_rfm scores customers
+    // once, this tracks how they MOVE: frequency quintiles computed
+    // independently over two halves of the order history (split at
+    // 1998-01-01), then the 5×5 transition matrix over customers
+    // active in both halves, with the row-share that makes churn/
+    // upgrade flows readable. Both quintile cuts ride the DISTRIBUTED
+    // rank machinery (Ranks.withNtile — range repartition +
+    // per-partition rank + offset rollup; no single-partition window
+    // at any customer count), while the DuckDB oracle keeps the
+    // literal ntile text — hash parity proves the distributed form
+    // position-identical twice over. The matrix rollup itself is a
+    // 25-cell aggregate — nothing here outgrows a groupBy.
+    Q("behavior_rfm_migration",
+      """WITH h1 AS (SELECT o_custkey AS ck, count(*) AS f
+        |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |  GROUP BY 1),
+        |h2 AS (SELECT o_custkey AS ck, count(*) AS f
+        |  FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+        |  GROUP BY 1),
+        |q1 AS (SELECT ck, ntile(5) OVER (ORDER BY f DESC, ck) AS q FROM h1),
+        |q2 AS (SELECT ck, ntile(5) OVER (ORDER BY f DESC, ck) AS q FROM h2),
+        |m AS (SELECT q1.q AS q_before, q2.q AS q_after,
+        |    count(*) AS n_customers
+        |  FROM q1 JOIN q2 ON q2.ck = q1.ck GROUP BY 1, 2),
+        |r AS (SELECT q_before, sum(n_customers) AS rn FROM m GROUP BY 1)
+        |SELECT CAST(m.q_before AS INT) AS q_before,
+        |  CAST(m.q_after AS INT) AS q_after,
+        |  CAST(m.n_customers AS BIGINT) AS n_customers,
+        |  round(m.n_customers / CAST(r.rn AS DOUBLE), 4) AS row_share
+        |FROM m JOIN r ON r.q_before = m.q_before
+        |ORDER BY q_before, q_after""") { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey").as("ck"),
+          col("o_orderdate").cast("date").as("dt"))
+      def half(cond: Column) = Ranks.withNtile(
+        o.filter(cond).groupBy(col("ck")).agg(count(lit(1)).as("f")),
+        Seq(col("f").desc, col("ck")), 5, "q")
+      val cut = lit("1998-01-01").cast("date")
+      val q1 = half(col("dt") < cut).select(col("ck"), col("q").as("q_before"))
+      val q2 = half(col("dt") >= cut).select(col("ck"), col("q").as("q_after"))
+      val m = q1.join(q2, Seq("ck"))
+        .groupBy(col("q_before"), col("q_after"))
+        .agg(count(lit(1)).as("n_customers"))
+      val r = m.groupBy(col("q_before")).agg(sum(col("n_customers")).as("rn"))
+      m.join(broadcast(r), Seq("q_before"))
+        .select(col("q_before").cast("int").as("q_before"),
+          col("q_after").cast("int").as("q_after"),
+          col("n_customers").cast("long").as("n_customers"),
+          round(col("n_customers") / col("rn").cast("double"), 4)
+            .as("row_share"))
+        .orderBy(col("q_before"), col("q_after"))
     }
   )
 }

@@ -1508,5 +1508,76 @@ object ClusterQueries {
       val res = out.localCheckpoint(true)
       e.unpersist(blocking = false)
       res
+    },
+
+    // INCREMENTAL connected components — the ingest-time form of the CC
+    // family: 90% of the candidate edges are the "already-resolved"
+    // corpus (labels computed once, then FROZEN), the remaining 10%
+    // arrive as a delta, and the delta is resolved by CONTRACTION:
+    // each delta edge's endpoints map through the frozen labels, the
+    // star contraction then runs on the TINY contracted graph (old
+    // components become single vertices), and final labels compose
+    // rep∘rep. At 100 TB this is the difference between re-clustering
+    // the corpus per ingest batch and touching O(|delta|) state. The
+    // oracle is the full-graph recursive closure — the hash gate
+    // PROVES incremental ≡ from-scratch, which is the correctness
+    // theorem this operator rests on (min-label CC is confluent under
+    // edge-order). Output matches dedup_cluster_cc exactly.
+    Q("graph_cc_incremental", ccOracleSql) { (s0, d) =>
+      val s = graft.Sessions.withShufflePartitions(s0, 8)
+      val e = candidateEdges(s, d)
+      // starLabels' invariant: oriented larger → smaller (v < u),
+      // eagerly checkpointed — same preparation as dedup_cluster_cc2.
+      val oldE = e.filter((col("u") + col("v")) % 10 < 9)
+        .select(col("v").as("u"), col("u").as("v"))
+        .localCheckpoint(true)
+      val deltaE = e.filter((col("u") + col("v")) % 10 >= 9)
+      // starLabels emits (member, center) for every NON-center member;
+      // the centers label themselves — without this union an old
+      // component's rep would fall through to the singleton path and
+      // detach from its own cluster.
+      val oldL0 = starLabels(oldE)
+      val oldL = oldL0
+        .unionByName(oldL0.select(col("rep").as("doc_id"), col("rep")))
+        .distinct()
+        .localCheckpoint(true)
+      val mapped = deltaE
+        .join(oldL.select(col("doc_id").as("u"), col("rep").as("ru")),
+          Seq("u"), "left_outer")
+        .join(oldL.select(col("doc_id").as("v"), col("rep").as("rv")),
+          Seq("v"), "left_outer")
+        .select(coalesce(col("ru"), col("u")).as("u0"),
+          coalesce(col("rv"), col("v")).as("v0"))
+        .filter(col("u0") =!= col("v0"))
+        .select(greatest(col("u0"), col("v0")).as("u"),
+          least(col("u0"), col("v0")).as("v"))
+        .distinct()
+        // eager checkpoint: starLabels releases every LogicalRDD in its
+        // input's lineage after round 1 — cutting the plan here keeps
+        // oldL's checkpoint (still needed for the rep∘rep composition)
+        // out of reach
+        .localCheckpoint(true)
+      val repL = starLabels(mapped)
+        .select(col("doc_id").as("node"), col("rep").as("rep2"))
+        .localCheckpoint(true)
+      val oldFinal = oldL
+        .join(repL, col("rep") === col("node"), "left_outer")
+        .select(col("doc_id"), coalesce(col("rep2"), col("rep")).as("rep"))
+      val deltaNodes = deltaE.select(col("u").as("doc_id"))
+        .unionByName(deltaE.select(col("v").as("doc_id"))).distinct()
+        .join(oldL.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      val deltaFinal = deltaNodes
+        .join(repL, col("doc_id") === col("node"), "left_outer")
+        .select(col("doc_id"), coalesce(col("rep2"), col("doc_id")).as("rep"))
+      val edgeLabels = oldFinal.unionByName(deltaFinal)
+      val singles = Tables.documents(s, d).select(col("doc_id"))
+        .join(edgeLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("rep"))
+      val labels = edgeLabels.unionByName(singles)
+      val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("nr"))
+      labels.join(sizes, Seq("rep"))
+        .select(col("doc_id"), col("rep").as("cluster_rep"),
+          col("nr").cast("long").as("n_reachable"))
+        .orderBy(col("doc_id"))
     })
 }

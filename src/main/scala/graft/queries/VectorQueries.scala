@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over `embeddings` (array<float>, dim 64).
   *
@@ -1451,6 +1452,82 @@ object VectorQueries {
           round(col("c") / col("tc").cast("double"), 4).as("frac"),
           col("u").cast("long").as("n_unit"),
           col("z").cast("long").as("n_zero"))
+        .orderBy(col("bucket"))
+    },
+
+    // CLIP-SCORE pair filtering (the LAION/DataComp admission gate for
+    // image-text pairs): every candidate pair gets a cross-modal
+    // alignment score — cosine between the text-tower and image-tower
+    // embeddings — and the corpus keeps only pairs above a threshold.
+    // The IMAGE tower is the embeddings table (first 8 dims); the TEXT
+    // tower is STUBBED deterministically from md5 bytes of the text
+    // (this container ships no encoder — the stub preserves the real
+    // dataflow: one embedding per row, join on pair id, per-row cosine,
+    // threshold histogram; a production run swaps the stub for a batch
+    // encoder behind the same column). Cosine is a FIXED-ORDER 8-term
+    // sum (written out, not aggregated), so both engines produce the
+    // identical double. Output: the score histogram (0.2-wide cells)
+    // with the running keep-fraction a threshold sweep reads off.
+    Q("mm_clip_score_filter",
+      """WITH tpair AS (SELECT d.doc_id,
+        |    list_transform(range(0, 8), k ->
+        |      CAST(('0x' || substr(md5(d.text), CAST(2 * k + 1 AS INT), 2))
+        |        ::BIGINT - 128 AS DOUBLE) / 128) AS t,
+        |    list_transform(range(0, 8), k ->
+        |      CAST(e.embedding[CAST(k + 1 AS INT)] AS DOUBLE)) AS v
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |sc AS (SELECT doc_id,
+        |    (t[1]*v[1] + t[2]*v[2] + t[3]*v[3] + t[4]*v[4]
+        |     + t[5]*v[5] + t[6]*v[6] + t[7]*v[7] + t[8]*v[8])
+        |    / nullif(sqrt(t[1]*t[1] + t[2]*t[2] + t[3]*t[3] + t[4]*t[4]
+        |        + t[5]*t[5] + t[6]*t[6] + t[7]*t[7] + t[8]*t[8])
+        |      * sqrt(v[1]*v[1] + v[2]*v[2] + v[3]*v[3] + v[4]*v[4]
+        |        + v[5]*v[5] + v[6]*v[6] + v[7]*v[7] + v[8]*v[8]), 0)
+        |      AS score
+        |  FROM tpair),
+        |b AS (SELECT CAST(floor(score * 5) AS BIGINT) AS bucket,
+        |    count(*) AS n
+        |  FROM sc WHERE score IS NOT NULL GROUP BY 1),
+        |t2 AS (SELECT sum(n) AS total FROM b)
+        |SELECT CAST(bucket AS INT) AS bucket,
+        |  round(bucket / 5.0, 1) AS score_lo,
+        |  CAST(n AS BIGINT) AS n_pairs,
+        |  round(sum(n) OVER (ORDER BY bucket DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    / CAST(t2.total AS DOUBLE), 4) AS keep_frac_at_lo
+        |FROM b CROSS JOIN t2
+        |ORDER BY bucket""") { (s, d) =>
+      // Both tower projections are computed BEFORE the join (lambda
+      // expressions resolved against their own source relation — also
+      // the production shape: encode per modality, then join pairs).
+      val docsT = Tables.documents(s, d).select(col("doc_id"),
+        expr("""transform(sequence(0, 7), k ->
+          |  CAST(CAST(conv(substr(md5(text), 2 * k + 1, 2), 16, 10)
+          |    AS BIGINT) - 128 AS DOUBLE) / 128)""".stripMargin).as("t"))
+      val embV = Tables.embeddings(s, d).select(col("vec_id"),
+        expr("transform(sequence(0, 7), k -> CAST(embedding[k] AS DOUBLE))")
+          .as("v"))
+      val pair = docsT.join(embV, col("vec_id") === col("doc_id"))
+        .select(col("doc_id"), col("t"), col("v"))
+      def dot8(a: String, b: String) = expr(
+        (1 to 8).map(i => s"element_at($a, $i) * element_at($b, $i)")
+          .mkString(" + "))
+      val sc = pair.select(col("doc_id"),
+        (dot8("t", "v") /
+          nullif(sqrt(dot8("t", "t")) * sqrt(dot8("v", "v")), lit(0d)))
+          .as("score"))
+      val b = sc.filter(col("score").isNotNull)
+        .groupBy(floor(col("score") * 5).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val t2 = b.agg(sum(col("n")).as("total"))
+      val wk = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      b.crossJoin(broadcast(t2))
+        .select(col("bucket").cast("int").as("bucket"),
+          round(col("bucket") / 5.0, 1).as("score_lo"),
+          col("n").cast("long").as("n_pairs"),
+          round(sum(col("n")).over(wk) / col("total").cast("double"), 4)
+            .as("keep_frac_at_lo"))
         .orderBy(col("bucket"))
     })
 }

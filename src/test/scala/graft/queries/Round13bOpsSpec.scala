@@ -485,4 +485,90 @@ class Round13bOpsSpec extends SparkSpec {
       r.getAs[Long]("p50_floor"), r.getAs[Long]("p95_floor"),
       r.getAs[Long]("p99_floor")) == (("lat", 100L, 40L, 90L, 90L)))
   }
+
+  test("graph_cc_incremental ≡ from-scratch CC on a planted clustered corpus") {
+    val d = tmp("incc")
+    // three identical-text groups with ids spread across edge residues
+    // (the old/delta split is (u+v)%10, so group edges land on both
+    // sides), plus singletons
+    def grp(tag: Int) = (1 to 14).map(i => s"g$tag-w$i").mkString(" ")
+    val docs =
+      Seq(1L, 2L, 8L, 17L).map(id => (id, grp(1), "en", "s", 50L)) ++
+      Seq(4L, 5L, 23L).map(id => (id, grp(2), "en", "s", 50L)) ++
+      Seq(3L, 6L).map(id => (id, s"uniq$id " + grp(3).drop(5), "en", "s", 50L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    def rows(q: String) =
+      graft.SparkEntry.queries(q)(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val inc = rows("graph_cc_incremental")
+    val full = rows("dedup_cluster_cc")
+    assert(inc == full, s"incremental $inc != from-scratch $full")
+    // and the planted truth: group reps are the min ids
+    val m = inc.map(t => t._1 -> t._2).toMap
+    assert(Seq(1L, 2L, 8L, 17L).forall(m(_) == 1L))
+    assert(Seq(4L, 5L, 23L).forall(m(_) == 4L))
+  }
+
+  test("behavior_rfm_migration matches the one-partition window form") {
+    val d = tmp("rfmm")
+    // 12 customers; order counts differ per half so quintiles move
+    val rows = for {
+      ck <- 1L to 12L
+      half <- Seq(0, 1)
+      n = if (half == 0) ck else 13 - ck
+      i <- 1L to n
+    } yield (ck * 1000 + half * 100 + i, ck,
+      if (half == 0) java.sql.Date.valueOf("1997-05-01")
+      else java.sql.Date.valueOf("1999-05-01"), "O", 10.0)
+    rows.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus",
+        "o_totalprice")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    import org.apache.spark.sql.expressions.{Window => W}
+    val o = spark.read.parquet(s"$d/orders.parquet")
+    def q(cond: org.apache.spark.sql.Column) = o.filter(cond)
+      .groupBy(col("o_custkey").as("ck")).agg(count(lit(1)).as("f"))
+      .withColumn("q", ntile(5).over(W.orderBy(col("f").desc, col("ck"))))
+    val cut = lit("1998-01-01").cast("date")
+    val want = q(col("o_orderdate").cast("date") < cut)
+      .select(col("ck"), col("q").as("q_before"))
+      .join(q(col("o_orderdate").cast("date") >= cut)
+        .select(col("ck"), col("q").as("q_after")), Seq("ck"))
+      .groupBy("q_before", "q_after").count()
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val got = graft.SparkEntry.queries("behavior_rfm_migration")(spark, d)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("mm_clip_score_filter equals the JVM cosine brute force") {
+    val d = tmp("clip")
+    val docs = (0L to 59L).map(i => (i, s"caption number $i", "en", "s", 20L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rng = new scala.util.Random(11)
+    val embs = (0L to 59L).map(i =>
+      (i, Array.fill(12)(rng.nextFloat() * 2 - 1), i.toInt % 3))
+    embs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    def tvec(text: String): Array[Double] = {
+      val h = md5hex(text)
+      (0 until 8).map(k =>
+        (java.lang.Long.parseLong(h.substring(2 * k, 2 * k + 2), 16) - 128)
+          .toDouble / 128).toArray
+    }
+    val buckets = scala.collection.mutable.Map.empty[Long, Long]
+    for ((id, e, _) <- embs) {
+      val t = tvec(s"caption number $id")
+      val v = e.take(8).map(_.toDouble)
+      var dot = 0.0; var nt = 0.0; var nv = 0.0
+      for (k <- 0 until 8) { dot += t(k) * v(k); nt += t(k) * t(k); nv += v(k) * v(k) }
+      val score = dot / (math.sqrt(nt) * math.sqrt(nv))
+      val b = math.floor(score * 5).toLong
+      buckets(b) = buckets.getOrElse(b, 0L) + 1
+    }
+    val got = graft.SparkEntry.queries("mm_clip_score_filter")(spark, d)
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(2)).toMap
+    assert(got == buckets.toMap, s"got $got want $buckets")
+  }
 }
