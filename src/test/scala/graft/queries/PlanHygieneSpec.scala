@@ -96,7 +96,12 @@ class PlanHygieneSpec extends SparkSpec {
     "eval_roc_points",     // events x broadcast 10-row literal thresholds
     "pipe_dedup_threshold_curve", // verified pairs x 4-row literal t grid
                            // + 1-row corpus total
-    "pipe_oversample_minority" // |langs| rows x broadcast 1-row max/total
+    "pipe_oversample_minority", // |langs| rows x broadcast 1-row max/total
+    "eval_cliffs_delta",   // 1-row rank stats x broadcast 1-row (na, nb)
+    "eval_ips_offpolicy",  // events x broadcast 1-row log total (nn)
+    "eval_dr_offpolicy",   // events x broadcast 1-row log total (nn)
+    "sketch_bloom",        // 1-row probe stats x broadcast 1-row bits_set
+    "mm_clip_score_filter" // <=10 bucket rows x broadcast 1-row total
   )
 
   private def offenders(name: String): Seq[String] = {
