@@ -2712,6 +2712,299 @@ object EvalQueries {
         round(col("sdm") / col("cnt"), 4).as("dm"),
         round(col("sdr") / col("cnt"), 4).as("dr"),
         round(col("swr") / col("cnt"), 4).as("ips"))
+    },
+
+    // SAMPLE-RATIO MISMATCH — the first guardrail of every A/B
+    // readout: does the observed unit split per stratum match the
+    // designed 50/50 allocation? The md5-nibble assignment puts hex
+    // 0-7 in A (exactly half the nibble space), so any stratum whose
+    // distinct-user split deviates beyond the 1-df chi-square bound
+    // signals broken bucketing/logging, and every downstream metric
+    // for that stratum is suspect. chi2 = (na-nb)^2/(na+nb) is exact
+    // integer arithmetic until one final double division — nothing
+    // libm-dependent. One distinct + one hash aggregate; scales as a
+    // pure shuffle on (stratum, user).
+    Q("eval_srm",
+      """WITH e AS (SELECT DISTINCT event_type AS stratum, user_id
+        |  FROM events),
+        |a AS (SELECT stratum,
+        |    sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |      < '8' THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |      < '8' THEN 0 ELSE 1 END) AS nb
+        |  FROM e GROUP BY 1)
+        |SELECT stratum, CAST(na AS BIGINT) AS n_a,
+        |  CAST(nb AS BIGINT) AS n_b,
+        |  round(CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb), 4)
+        |    AS chi2,
+        |  CAST(CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb)
+        |    > 3.8415 AS BOOLEAN) AS srm_flag
+        |FROM a ORDER BY stratum""") { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("event_type").as("stratum"), col("user_id")).distinct()
+      val inA = substring(md5(col("user_id").cast("string")), 1, 1) < "8"
+      val a = e.groupBy(col("stratum")).agg(
+        sum(when(inA, 1).otherwise(0)).as("na"),
+        sum(when(inA, 0).otherwise(1)).as("nb"))
+      val chi2 = ((col("na") - col("nb")) * (col("na") - col("nb")))
+        .cast("double") / (col("na") + col("nb"))
+      a.select(col("stratum"), col("na").cast("long").as("n_a"),
+          col("nb").cast("long").as("n_b"),
+          round(chi2, 4).as("chi2"), (chi2 > 3.8415).as("srm_flag"))
+        .orderBy(col("stratum"))
+    },
+
+    // FRIEDMAN TEST — the nonparametric repeated-measures ANOVA:
+    // does per-user spend differ across the three ten-day periods of
+    // the month, judged only on WITHIN-user rank order (so user-level
+    // scale differences cancel)? Blocks are users present in all
+    // three periods; within each block the k=3 period totals get mean
+    // ranks (rank() + (ties-1)/2 — exact halves, carried as
+    // DECIMAL(10,1) so the order-free rank sums are exact), and the
+    // tie-corrected statistic chi2 = [sum R_j^2 / n - 12n] / C with
+    // C = 1 - sum(t^3 - t)/(24n) is pure rational arithmetic against
+    // the literal chi-square(2) 0.05 bound 5.9915 — no libm anywhere.
+    // The only window is partitioned by user (3 rows per partition);
+    // everything else is hash aggregates. The final assembly is a
+    // 1-row x 1-row cross (hygiene-whitelisted).
+    Q("eval_friedman",
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN extract(day FROM ts) <= 10 THEN 1
+        |         WHEN extract(day FROM ts) <= 20 THEN 2
+        |         ELSE 3 END AS t,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DECIMAL(18,4))
+        |      AS x
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id FROM u GROUP BY 1 HAVING count(*) = 3),
+        |v AS (SELECT u.user_id, t, x FROM u JOIN b USING (user_id)),
+        |r AS (SELECT user_id, t,
+        |    CAST(rank() OVER (PARTITION BY user_id ORDER BY x)
+        |      + (count(*) OVER (PARTITION BY user_id, x) - 1) / 2.0
+        |      AS DECIMAL(10,1)) AS rk
+        |  FROM v),
+        |rj AS (SELECT
+        |    CAST(sum(CASE WHEN t = 1 THEN rk
+        |      ELSE CAST(0 AS DECIMAL(10,1)) END) AS DOUBLE) AS r1,
+        |    CAST(sum(CASE WHEN t = 2 THEN rk
+        |      ELSE CAST(0 AS DECIMAL(10,1)) END) AS DOUBLE) AS r2,
+        |    CAST(sum(CASE WHEN t = 3 THEN rk
+        |      ELSE CAST(0 AS DECIMAL(10,1)) END) AS DOUBLE) AS r3,
+        |    CAST(count(DISTINCT user_id) AS DOUBLE) AS n
+        |  FROM r),
+        |tt AS (SELECT CAST(sum(m * m * m - m) AS DOUBLE) AS tcorr
+        |  FROM (SELECT user_id, x, count(*) AS m FROM v GROUP BY 1, 2)),
+        |z AS (SELECT n, r1, r2, r3,
+        |    (r1 * r1 + r2 * r2 + r3 * r3) / n - 12.0 * n AS chi2raw,
+        |    1.0 - tcorr / (24.0 * n) AS cfac
+        |  FROM rj CROSS JOIN tt)
+        |SELECT CAST(n AS BIGINT) AS n_blocks,
+        |  r1 AS rank_sum_1, r2 AS rank_sum_2, r3 AS rank_sum_3,
+        |  round(chi2raw / nullif(cfac, 0), 4) AS chi2,
+        |  CAST(chi2raw / nullif(cfac, 0) > 5.9915 AS BOOLEAN)
+        |    AS significant
+        |FROM z""") { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          when(dayofmonth(col("ts")) <= 10, 1)
+            .when(dayofmonth(col("ts")) <= 20, 2)
+            .otherwise(3).as("t"))
+        .agg(sum(col("value").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("x"))
+      val b = u.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") === 3).select(col("user_id"))
+      val v = u.join(b, Seq("user_id"))
+      val wRank = Window.partitionBy(col("user_id")).orderBy(col("x"))
+      val wTie = Window.partitionBy(col("user_id"), col("x"))
+      val r = v.select(col("user_id"), col("t"),
+        (rank().over(wRank) + (count(lit(1)).over(wTie) - 1) / 2.0)
+          .cast("decimal(10,1)").as("rk"))
+      val zeroRk = lit(0).cast("decimal(10,1)")
+      val rj = r.agg(
+        sum(when(col("t") === 1, col("rk")).otherwise(zeroRk))
+          .cast("double").as("r1"),
+        sum(when(col("t") === 2, col("rk")).otherwise(zeroRk))
+          .cast("double").as("r2"),
+        sum(when(col("t") === 3, col("rk")).otherwise(zeroRk))
+          .cast("double").as("r3"),
+        countDistinct(col("user_id")).cast("double").as("n"))
+      val tt = v.groupBy(col("user_id"), col("x"))
+        .agg(count(lit(1)).as("m"))
+        .agg(sum(col("m") * col("m") * col("m") - col("m"))
+          .cast("double").as("tcorr"))
+      val z = rj.crossJoin(broadcast(tt)).select(col("n"),
+        col("r1"), col("r2"), col("r3"),
+        (((col("r1") * col("r1") + col("r2") * col("r2") +
+          col("r3") * col("r3")) / col("n")) - lit(12.0) * col("n"))
+          .as("chi2raw"),
+        (lit(1.0) - col("tcorr") / (lit(24.0) * col("n"))).as("cfac"))
+      val chi2 = col("chi2raw") / nullif(col("cfac"), lit(0d))
+      z.select(col("n").cast("long").as("n_blocks"),
+        col("r1").as("rank_sum_1"), col("r2").as("rank_sum_2"),
+        col("r3").as("rank_sum_3"),
+        round(chi2, 4).as("chi2"), (chi2 > 5.9915).as("significant"))
+    },
+
+    // PAGE'S L TREND TEST — the ordered-alternative companion to
+    // eval_friedman on the same complete-block construction: is spend
+    // MONOTONICALLY drifting across the three periods (early < mid <
+    // late), not merely "different somewhere"? L = sum_j j*R_j off
+    // the identical exact-decimal rank sums; under H0 the literal
+    // moments for k=3 are mu = 12n and var = 2n, so
+    // z = (L - 12n)/sqrt(2n) — sqrt is IEEE-correctly-rounded, so the
+    // whole statistic is cross-engine deterministic. One-sided 0.05
+    // bound 1.6449 (upward trend). Same scale shape as friedman:
+    // user-partitioned 3-row windows + hash aggregates.
+    Q("eval_page_trend",
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN extract(day FROM ts) <= 10 THEN 1
+        |         WHEN extract(day FROM ts) <= 20 THEN 2
+        |         ELSE 3 END AS t,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DECIMAL(18,4))
+        |      AS x
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id FROM u GROUP BY 1 HAVING count(*) = 3),
+        |v AS (SELECT u.user_id, t, x FROM u JOIN b USING (user_id)),
+        |r AS (SELECT user_id, t,
+        |    CAST(rank() OVER (PARTITION BY user_id ORDER BY x)
+        |      + (count(*) OVER (PARTITION BY user_id, x) - 1) / 2.0
+        |      AS DECIMAL(10,1)) AS rk
+        |  FROM v),
+        |rj AS (SELECT
+        |    CAST(sum(CASE WHEN t = 1 THEN rk
+        |      ELSE CAST(0 AS DECIMAL(10,1)) END) AS DOUBLE) AS r1,
+        |    CAST(sum(CASE WHEN t = 2 THEN rk
+        |      ELSE CAST(0 AS DECIMAL(10,1)) END) AS DOUBLE) AS r2,
+        |    CAST(sum(CASE WHEN t = 3 THEN rk
+        |      ELSE CAST(0 AS DECIMAL(10,1)) END) AS DOUBLE) AS r3,
+        |    CAST(count(DISTINCT user_id) AS DOUBLE) AS n
+        |  FROM r),
+        |z AS (SELECT n, r1 + 2.0 * r2 + 3.0 * r3 AS l FROM rj)
+        |SELECT CAST(n AS BIGINT) AS n_blocks,
+        |  round(l, 1) AS l_stat,
+        |  round((l - 12.0 * n) / sqrt(2.0 * n), 4) AS z_stat,
+        |  CAST((l - 12.0 * n) / sqrt(2.0 * n) > 1.6449 AS BOOLEAN)
+        |    AS trend_up
+        |FROM z""") { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          when(dayofmonth(col("ts")) <= 10, 1)
+            .when(dayofmonth(col("ts")) <= 20, 2)
+            .otherwise(3).as("t"))
+        .agg(sum(col("value").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("x"))
+      val b = u.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") === 3).select(col("user_id"))
+      val v = u.join(b, Seq("user_id"))
+      val wRank = Window.partitionBy(col("user_id")).orderBy(col("x"))
+      val wTie = Window.partitionBy(col("user_id"), col("x"))
+      val r = v.select(col("user_id"), col("t"),
+        (rank().over(wRank) + (count(lit(1)).over(wTie) - 1) / 2.0)
+          .cast("decimal(10,1)").as("rk"))
+      val zeroRk = lit(0).cast("decimal(10,1)")
+      val rj = r.agg(
+        sum(when(col("t") === 1, col("rk")).otherwise(zeroRk))
+          .cast("double").as("r1"),
+        sum(when(col("t") === 2, col("rk")).otherwise(zeroRk))
+          .cast("double").as("r2"),
+        sum(when(col("t") === 3, col("rk")).otherwise(zeroRk))
+          .cast("double").as("r3"),
+        countDistinct(col("user_id")).cast("double").as("n"))
+      val z = rj.select(col("n"),
+        (col("r1") + lit(2.0) * col("r2") + lit(3.0) * col("r3"))
+          .as("l"))
+      val zs = (col("l") - lit(12.0) * col("n")) /
+        sqrt(lit(2.0) * col("n"))
+      z.select(col("n").cast("long").as("n_blocks"),
+        round(col("l"), 1).as("l_stat"),
+        round(zs, 4).as("z_stat"), (zs > 1.6449).as("trend_up"))
+    },
+
+    // KRIPPENDORFF'S ALPHA (nominal) — the inter-annotator agreement
+    // coefficient that, unlike eval_fleiss_kappa, handles MISSING
+    // ratings natively (units rated by any subset of >= 2 raters
+    // count, weighted by their pairable ratings). Raters are the five
+    // event types, a unit is a user, and a rating is the literal-
+    // bucketed per-(user,rater) exact-decimal spend (cuts 500/650/800
+    // — integer literals against DECIMAL sums, no tie ambiguity).
+    // alpha = 1 - Do/De off the coincidence-matrix identities:
+    // per-unit observed-disagreement terms (mu^2 - sum nuc^2)/(mu-1)
+    // are DECIMAL(28,12)-quantized before the order-free sum (house
+    // law); De = (n^2 - sum nc^2)/(n(n-1)) is exact-integer until the
+    // final division. Hash aggregates end-to-end; the final assembly
+    // is three 1-row relations crossed (hygiene-whitelisted).
+    Q("eval_krippendorff",
+      """WITH e AS (SELECT user_id, event_type AS rater,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DECIMAL(18,4))
+        |      AS sv
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT user_id, rater,
+        |    CASE WHEN sv < 500 THEN 0 WHEN sv < 650 THEN 1
+        |         WHEN sv < 800 THEN 2 ELSE 3 END AS cat
+        |  FROM e),
+        |m AS (SELECT user_id, count(*) AS mu FROM c GROUP BY 1
+        |  HAVING count(*) >= 2),
+        |uc AS (SELECT c.user_id, cat, count(*) AS nuc
+        |  FROM c JOIN m USING (user_id) GROUP BY 1, 2),
+        |du AS (SELECT uc.user_id, max(mu) AS mu,
+        |    sum(nuc * nuc) AS s2
+        |  FROM uc JOIN m USING (user_id) GROUP BY 1),
+        |dosum AS (SELECT
+        |    CAST(sum(CAST(round(CAST(mu * mu - s2 AS DOUBLE)
+        |      / (mu - 1), 12) AS DECIMAL(28,12))) AS DOUBLE) AS don,
+        |    count(*) AS nu
+        |  FROM du),
+        |nn AS (SELECT CAST(sum(mu) AS BIGINT) AS n FROM m),
+        |des AS (SELECT CAST(sum(CAST(nc AS BIGINT) * nc) AS BIGINT)
+        |      AS s2c, count(*) AS ncats
+        |  FROM (SELECT cat, CAST(sum(nuc) AS BIGINT) AS nc
+        |    FROM uc GROUP BY 1)),
+        |fin AS (SELECT nu, n, ncats,
+        |    don / n AS dob,
+        |    CAST(n * n - s2c AS DOUBLE) / (n * (n - 1.0)) AS de
+        |  FROM dosum CROSS JOIN nn CROSS JOIN des)
+        |SELECT CAST(nu AS BIGINT) AS n_units,
+        |  CAST(n AS BIGINT) AS n_ratings,
+        |  CAST(ncats AS BIGINT) AS n_categories,
+        |  round(dob, 6) AS d_o, round(de, 6) AS d_e,
+        |  round(1.0 - dob / nullif(de, 0), 4) AS alpha
+        |FROM fin""") { (s, d) =>
+      val e = Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type").as("rater"))
+        .agg(sum(col("value").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("sv"))
+      val c = e.select(col("user_id"), col("rater"),
+        when(col("sv") < 500, 0).when(col("sv") < 650, 1)
+          .when(col("sv") < 800, 2).otherwise(3).as("cat"))
+      val m = c.groupBy(col("user_id")).agg(count(lit(1)).as("mu"))
+        .filter(col("mu") >= 2)
+      val uc = c.join(m.select(col("user_id")), Seq("user_id"))
+        .groupBy(col("user_id"), col("cat"))
+        .agg(count(lit(1)).as("nuc"))
+      val du = uc.join(m, Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(max(col("mu")).as("mu"),
+          sum(col("nuc") * col("nuc")).as("s2"))
+      val dosum = du.agg(
+        sum(round((col("mu") * col("mu") - col("s2")).cast("double") /
+          (col("mu") - 1), 12).cast("decimal(28,12)"))
+          .cast("double").as("don"),
+        count(lit(1)).as("nu"))
+      val nn = m.agg(sum(col("mu")).cast("long").as("n"))
+      val des = uc.groupBy(col("cat"))
+        .agg(sum(col("nuc")).cast("long").as("nc"))
+        .agg(sum(col("nc") * col("nc")).cast("long").as("s2c"),
+          count(lit(1)).as("ncats"))
+      val fin = dosum.crossJoin(broadcast(nn)).crossJoin(broadcast(des))
+        .select(col("nu"), col("n"), col("ncats"),
+          (col("don") / col("n")).as("dob"),
+          ((col("n") * col("n") - col("s2c")).cast("double") /
+            (col("n") * (col("n") - lit(1.0)))).as("de"))
+      fin.select(col("nu").cast("long").as("n_units"),
+        col("n").cast("long").as("n_ratings"),
+        col("ncats").cast("long").as("n_categories"),
+        round(col("dob"), 6).as("d_o"), round(col("de"), 6).as("d_e"),
+        round(lit(1.0) - col("dob") / nullif(col("de"), lit(0d)), 4)
+          .as("alpha"))
     }
   )
 }

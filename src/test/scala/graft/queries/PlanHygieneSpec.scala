@@ -101,7 +101,9 @@ class PlanHygieneSpec extends SparkSpec {
     "eval_ips_offpolicy",  // events x broadcast 1-row log total (nn)
     "eval_dr_offpolicy",   // events x broadcast 1-row log total (nn)
     "sketch_bloom",        // 1-row probe stats x broadcast 1-row bits_set
-    "mm_clip_score_filter" // <=10 bucket rows x broadcast 1-row total
+    "mm_clip_score_filter", // <=10 bucket rows x broadcast 1-row total
+    "eval_friedman",       // 1-row rank sums x broadcast 1-row tie term
+    "eval_krippendorff"    // 1-row Do x broadcast 1-row n x 1-row De
   )
 
   private def offenders(name: String): Seq[String] = {

@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.SparkSpec
+
+import java.sql.Timestamp
+
+/** Laws for the round-13 third batch — the rank-based experiment
+  * guardrails, each re-derived by hand on a planted fixture:
+  *
+  *  - eval_srm: arm counts must equal a JVM md5 recount of the same
+  *    nibble coin, and a planted 20-vs-5 imbalance must fire the flag
+  *    with the exact chi-square value 9.0.
+  *  - eval_friedman: a strictly-increasing fixture hits the closed
+  *    form chi2 = 2n (the k=3 maximum); adding one tied block engages
+  *    the tie-correction C = 1 - 6/(24n) and the hand-computed 266/23.
+  *  - eval_page_trend: same strict fixture gives L = 14n and
+  *    z = sqrt(2n) exactly.
+  *  - eval_krippendorff: the textbook 2-unit alpha = 0 configuration,
+  *    and a 3-unit mixed-agreement case hand-computed to 0.4444.
+  */
+class Round13cOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def writeEvents(
+      d: String, rows: Seq[(Long, Timestamp, Long, String, Double, String)])
+      : Unit =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+
+  private def day(dom: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$dom%02d 12:00:00")
+
+  test("eval_srm: counts equal a JVM md5 recount; planted imbalance fires") {
+    // Walk user ids upward, taking the first 20 whose md5 nibble says
+    // arm A and the first 5 that say B — the query must see exactly
+    // that split and chi2 = (20-5)^2/25 = 9 > 3.8415.
+    def isA(u: Long): Boolean = md5hex(u.toString).charAt(0) < '8'
+    val aIds = Iterator.from(1).map(_.toLong).filter(isA).take(20).toSeq
+    val bIds = Iterator.from(1).map(_.toLong).filterNot(isA).take(5).toSeq
+    val d = tmp("srm")
+    val rows = (aIds ++ bIds).zipWithIndex.map { case (u, i) =>
+      (i.toLong, day(10), u, "click", 1.0, "{}")
+    }
+    // a second stratum with a balanced 10/10 split must NOT flag
+    val aB = aIds.take(10); val bB = bIds ++
+      Iterator.from(1).map(_.toLong).filterNot(isA).slice(5, 10).toSeq
+    val balanced = (aB ++ bB).zipWithIndex.map { case (u, i) =>
+      (1000L + i, day(12), u, "view", 1.0, "{}")
+    }
+    writeEvents(d, rows ++ balanced)
+    val out = graft.SparkEntry.queries("eval_srm")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(out == Seq(
+      ("click", 20L, 5L, 9.0, true),
+      ("view", 10L, 10L, 0.0, false)))
+  }
+
+  test("eval_friedman: strict order hits chi2 = 2n; a tied block engages C") {
+    val d = tmp("friedman")
+    // 5 users, strictly increasing period sums 10 < 20 < 30
+    val strict = (1 to 5).flatMap { u =>
+      Seq((u * 10L, day(5), u.toLong, "click", 10.0, "{}"),
+        (u * 10L + 1, day(15), u.toLong, "click", 20.0, "{}"),
+        (u * 10L + 2, day(25), u.toLong, "click", 30.0, "{}"))
+    }
+    writeEvents(d, strict)
+    val r1 = graft.SparkEntry.queries("eval_friedman")(spark, d)
+      .collect()(0)
+    assert(r1.getAs[Long]("n_blocks") == 5L)
+    assert(r1.getAs[Double]("rank_sum_1") == 5.0 &&
+      r1.getAs[Double]("rank_sum_2") == 10.0 &&
+      r1.getAs[Double]("rank_sum_3") == 15.0)
+    assert(r1.getAs[Double]("chi2") == 10.0) // 2n, the k=3 maximum
+    assert(r1.getAs[Boolean]("significant"))
+
+    // user 6 ties periods 1 and 2 (10,10,30): ranks 1.5/1.5/3 ⇒
+    // R = (6.5, 11.5, 18), chi2raw = 498.5/6 - 72 = 133/12,
+    // C = 1 - 6/144 = 23/24 ⇒ chi2 = 266/23 = 11.5652
+    val d2 = tmp("friedman2")
+    writeEvents(d2, strict ++ Seq(
+      (100L, day(5), 6L, "click", 10.0, "{}"),
+      (101L, day(15), 6L, "click", 10.0, "{}"),
+      (102L, day(25), 6L, "click", 30.0, "{}")))
+    val r2 = graft.SparkEntry.queries("eval_friedman")(spark, d2)
+      .collect()(0)
+    assert(r2.getAs[Long]("n_blocks") == 6L)
+    assert(r2.getAs[Double]("rank_sum_1") == 6.5 &&
+      r2.getAs[Double]("rank_sum_2") == 11.5 &&
+      r2.getAs[Double]("rank_sum_3") == 18.0)
+    assert(r2.getAs[Double]("chi2") == 11.5652)
+    // rank-sum identity: sum R_j = n*k(k+1)/2 = 6n
+    assert(r2.getAs[Double]("rank_sum_1") +
+      r2.getAs[Double]("rank_sum_2") +
+      r2.getAs[Double]("rank_sum_3") == 36.0)
+  }
+
+  test("eval_page_trend: strict fixture gives L = 14n, z = sqrt(2n)") {
+    val d = tmp("page")
+    val strict = (1 to 5).flatMap { u =>
+      Seq((u * 10L, day(5), u.toLong, "click", 10.0, "{}"),
+        (u * 10L + 1, day(15), u.toLong, "click", 20.0, "{}"),
+        (u * 10L + 2, day(25), u.toLong, "click", 30.0, "{}"))
+    }
+    writeEvents(d, strict)
+    val r = graft.SparkEntry.queries("eval_page_trend")(spark, d)
+      .collect()(0)
+    assert(r.getAs[Long]("n_blocks") == 5L)
+    assert(r.getAs[Double]("l_stat") == 70.0) // 14n
+    assert(r.getAs[Double]("z_stat") == 3.1623) // sqrt(10)
+    assert(r.getAs[Boolean]("trend_up"))
+  }
+
+  test("eval_krippendorff: textbook alpha = 0 and a hand-computed 0.4444") {
+    // cat 0 = sv < 500, cat 1 = 500 <= sv < 650 (literal cuts)
+    val d = tmp("kripp0")
+    writeEvents(d, Seq(
+      (1L, day(5), 1L, "click", 100.0, "{}"),
+      (2L, day(5), 1L, "view", 100.0, "{}"),
+      (3L, day(5), 2L, "click", 100.0, "{}"),
+      (4L, day(5), 2L, "view", 550.0, "{}")))
+    val r0 = graft.SparkEntry.queries("eval_krippendorff")(spark, d)
+      .collect()(0)
+    assert(r0.getAs[Long]("n_units") == 2L &&
+      r0.getAs[Long]("n_ratings") == 4L &&
+      r0.getAs[Long]("n_categories") == 2L)
+    assert(r0.getAs[Double]("d_o") == 0.5 &&
+      r0.getAs[Double]("d_e") == 0.5 &&
+      r0.getAs[Double]("alpha") == 0.0)
+
+    // u1 agree cat0, u2 agree cat1, u3 split ⇒ Do = 1/3, De = 0.6,
+    // alpha = 1 - (1/3)/0.6 = 4/9 = 0.4444
+    val d2 = tmp("kripp1")
+    writeEvents(d2, Seq(
+      (1L, day(5), 1L, "click", 100.0, "{}"),
+      (2L, day(5), 1L, "view", 100.0, "{}"),
+      (3L, day(5), 2L, "click", 550.0, "{}"),
+      (4L, day(5), 2L, "view", 550.0, "{}"),
+      (5L, day(5), 3L, "click", 100.0, "{}"),
+      (6L, day(5), 3L, "view", 550.0, "{}")))
+    val r1 = graft.SparkEntry.queries("eval_krippendorff")(spark, d2)
+      .collect()(0)
+    assert(r1.getAs[Double]("d_o") == 0.333333 &&
+      r1.getAs[Double]("d_e") == 0.6 &&
+      r1.getAs[Double]("alpha") == 0.4444)
+  }
+}
