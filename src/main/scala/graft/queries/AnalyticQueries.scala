@@ -964,5 +964,42 @@ object AnalyticQueries {
         .select(col("rf").as("l_returnflag"), col("n"), col("p05"),
           col("p95"), col("winsorized_mean"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // SYSTEMATIC SAMPLING — the classic every-k-th design on a hashed
+    // frame: order the population by (md5(event_id), event_id) — a
+    // deterministic pseudo-random total order both engines agree on —
+    // and take rank ≡ 1 (mod 25). Unlike Bernoulli sampling the draw
+    // count is EXACTLY ceil(n/25), and unlike reservoir sampling it
+    // needs no k-sized state: the global rank comes from the
+    // distributed range-partitioned Ranks machinery (per-partition
+    // counts + offset join), so there is no single-task sort at any
+    // scale; the SQL window below is the DuckDB oracle only. Reported
+    // per stratum so the output is the frame-coverage audit (rate ≈
+    // 1/25 everywhere is the law of the hashed frame).
+    Q("sample_systematic",
+      """WITH r AS (SELECT event_type,
+        |    row_number() OVER (
+        |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN (rn - 1) % 25 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_sampled,
+        |  round(sum(CASE WHEN (rn - 1) % 25 = 0 THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 4) AS rate
+        |FROM r GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      val base = Tables.events(s, d).select(col("event_type"),
+        md5(col("event_id").cast("string")).as("mk"), col("event_id"))
+      val ranked = Ranks.withGlobalRowNumber(base,
+        Seq(col("mk"), col("event_id")), "rn")
+      ranked.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_total"),
+          sum(when((col("rn") - 1) % 25 === 0, 1).otherwise(0))
+            .cast("long").as("n_sampled"))
+        .select(col("event_type"), col("n_total"), col("n_sampled"),
+          round(col("n_sampled") / col("n_total").cast("double"), 4)
+            .as("rate"))
+        .orderBy(col("event_type"))
     })
 }

@@ -2310,5 +2310,125 @@ object PipelineQueries {
         .select(col("check_name"), round(col("metric"), 4).as("metric"),
           col("pass"))
         .orderBy(col("check_name"))
+    },
+
+    // SCHEMA / DISTRIBUTION DRIFT between two snapshots — the ingest
+    // regression monitor that catches "the upstream changed its
+    // encoding" before a training run does: for each profiled column,
+    // compare the month's first half (ref) against the second (cur)
+    // on row count, exact distinct cardinality, and categorical PSI
+    // over the column's bucket grid (event_type = its own domain,
+    // user_id = 16 hash buckets, value = the clamped /25 bins —
+    // literal bucketing, same in both dialects). The PSI machinery is
+    // eval_psi's: add-one smoothing over the union grid, per-term
+    // DECIMAL(28,12) quantization before the order-free sum, runtime
+    // ln only inside a quantized term. One stacked scan builds all
+    // three profiles; everything downstream is keyed hash aggregates
+    // and a |cols|x|buckets| grid join — no raw-row windows, scales
+    // as a pure shuffle.
+    Q("dq_schema_drift",
+      """WITH s AS (SELECT
+        |    CASE WHEN extract(day FROM ts) <= 15 THEN 'ref'
+        |      ELSE 'cur' END AS win,
+        |    event_type,
+        |    CAST(least(greatest(CAST(floor("value" / 25) AS INT), -4),
+        |      7) AS VARCHAR) AS vb,
+        |    CAST(user_id % 16 AS VARCHAR) AS ub,
+        |    CAST(user_id AS VARCHAR) AS uraw,
+        |    CAST("value" AS VARCHAR) AS vraw
+        |  FROM events),
+        |u AS (
+        |  SELECT win, 'event_type' AS cname, event_type AS cat,
+        |    event_type AS dv FROM s
+        |  UNION ALL
+        |  SELECT win, 'user_id' AS cname, ub AS cat, uraw AS dv FROM s
+        |  UNION ALL
+        |  SELECT win, 'value' AS cname, vb AS cat, vraw AS dv FROM s),
+        |c AS (SELECT cname, win, cat, count(*) AS c
+        |  FROM u GROUP BY 1, 2, 3),
+        |nd AS (SELECT cname, win, count(DISTINCT dv) AS ndv,
+        |    count(*) AS n
+        |  FROM u GROUP BY 1, 2),
+        |g AS (SELECT cname, cat,
+        |    CAST(count(*) OVER (PARTITION BY cname) AS BIGINT) AS nb
+        |  FROM (SELECT DISTINCT cname, cat FROM c)),
+        |x AS (SELECT g.cname, g.cat,
+        |    (coalesce(cr.c, 0) + 1) / CAST(nr.n + g.nb AS DOUBLE) AS p,
+        |    (coalesce(cc.c, 0) + 1) / CAST(nc.n + g.nb AS DOUBLE) AS q
+        |  FROM g
+        |  JOIN nd nr ON nr.cname = g.cname AND nr.win = 'ref'
+        |  JOIN nd nc ON nc.cname = g.cname AND nc.win = 'cur'
+        |  LEFT JOIN c cr ON cr.cname = g.cname AND cr.cat = g.cat
+        |    AND cr.win = 'ref'
+        |  LEFT JOIN c cc ON cc.cname = g.cname AND cc.cat = g.cat
+        |    AND cc.win = 'cur'),
+        |p AS (SELECT cname,
+        |    floor(CAST(sum(CAST((p - q) * ln(p / q) AS DECIMAL(28,12)))
+        |      AS DOUBLE) * 10000 + 0.5) / 10000.0 AS psi
+        |  FROM x GROUP BY 1)
+        |SELECT p.cname AS column_name,
+        |  CAST(nr.n AS BIGINT) AS n_ref, CAST(nc.n AS BIGINT) AS n_cur,
+        |  CAST(nr.ndv AS BIGINT) AS distinct_ref,
+        |  CAST(nc.ndv AS BIGINT) AS distinct_cur,
+        |  psi, CAST(psi > 0.25 AS BOOLEAN) AS drift_flag
+        |FROM p
+        |JOIN nd nr ON nr.cname = p.cname AND nr.win = 'ref'
+        |JOIN nd nc ON nc.cname = p.cname AND nc.win = 'cur'
+        |ORDER BY p.cname""") { (s, d) =>
+      val base = Tables.events(s, d).select(
+        when(dayofmonth(col("ts")) <= 15, "ref").otherwise("cur")
+          .as("win"),
+        col("event_type"),
+        least(greatest(floor(col("value") / 25).cast("int"), lit(-4)),
+          lit(7)).cast("string").as("vb"),
+        (col("user_id") % 16).cast("string").as("ub"),
+        col("user_id").cast("string").as("uraw"),
+        col("value").cast("string").as("vraw"))
+      val u = base.selectExpr("win",
+        """stack(3,
+          |  'event_type', event_type, event_type,
+          |  'user_id', ub, uraw,
+          |  'value', vb, vraw) AS (cname, cat, dv)""".stripMargin)
+      val c = u.groupBy(col("cname"), col("win"), col("cat"))
+        .agg(count(lit(1)).as("c")).cache()
+      val nd = u.groupBy(col("cname"), col("win"))
+        .agg(countDistinct(col("dv")).as("ndv"), count(lit(1)).as("n"))
+        .cache()
+      val g = c.select(col("cname"), col("cat")).distinct()
+        .withColumn("nb",
+          count(lit(1)).over(Window.partitionBy(col("cname"))))
+      val x = g
+        .join(nd.filter(col("win") === "ref")
+          .select(col("cname"), col("n").as("n_ref")), Seq("cname"))
+        .join(nd.filter(col("win") === "cur")
+          .select(col("cname"), col("n").as("n_cur")), Seq("cname"))
+        .join(c.filter(col("win") === "ref")
+          .select(col("cname"), col("cat"), col("c").as("c_ref")),
+          Seq("cname", "cat"), "left")
+        .join(c.filter(col("win") === "cur")
+          .select(col("cname"), col("cat"), col("c").as("c_cur")),
+          Seq("cname", "cat"), "left")
+        .select(col("cname"),
+          ((coalesce(col("c_ref"), lit(0L)) + 1) /
+            (col("n_ref") + col("nb")).cast("double")).as("p"),
+          ((coalesce(col("c_cur"), lit(0L)) + 1) /
+            (col("n_cur") + col("nb")).cast("double")).as("q"))
+      val p = x.groupBy(col("cname"))
+        .agg(expr("""CAST(floor(CAST(sum(CAST((p - q) * ln(p / q)
+               |  AS DECIMAL(28,12))) AS DOUBLE) * 10000 + 0.5)
+               |  / 10000.0 AS DOUBLE)""".stripMargin).as("psi"))
+      p.join(nd.filter(col("win") === "ref")
+          .select(col("cname"), col("n").as("nr"), col("ndv").as("dr")),
+          Seq("cname"))
+        .join(nd.filter(col("win") === "cur")
+          .select(col("cname"), col("n").as("nc"), col("ndv").as("dc")),
+          Seq("cname"))
+        .select(col("cname").as("column_name"),
+          col("nr").cast("long").as("n_ref"),
+          col("nc").cast("long").as("n_cur"),
+          col("dr").cast("long").as("distinct_ref"),
+          col("dc").cast("long").as("distinct_cur"),
+          col("psi"), (col("psi") > 0.25).as("drift_flag"))
+        .orderBy(col("column_name"))
     })
 }

@@ -1529,5 +1529,93 @@ object VectorQueries {
           round(sum(col("n")).over(wk) / col("total").cast("double"), 4)
             .as("keep_frac_at_lo"))
         .orderBy(col("bucket"))
+    },
+
+    // EMBEDDING-DISTRIBUTION TWO-SAMPLE TEST — MMD with the quadratic
+    // polynomial kernel k(x,y) = (x·y)², which admits a closed moment
+    // form: MMD² = ||E_A[xxᵀ] − E_B[xxᵀ]||²_F. So instead of any pair
+    // join over vectors (n² and dead at corpus scale), each group
+    // reduces to its d×d second-moment matrix — n·d² linear work,
+    // constant d² state — and the statistic is the Frobenius distance
+    // between two 64×64 matrices. Per-cell products are
+    // DECIMAL(28,10)-quantized before the order-free sums, so the
+    // matrices (and hence the statistic) are partition-invariant and
+    // engine-exact; no libm anywhere. Groups are the label parity
+    // halves of the embedding corpus (a same-distribution null — the
+    // expected answer is "small"); frob_a/frob_b give the scale
+    // context. The final step crosses the d² moment grid with the
+    // 1-row group counts (hygiene-whitelisted).
+    Q("vec_mmd_poly",
+      """WITH v AS (SELECT vec_id, label % 2 AS grp, embedding
+        |  FROM embeddings),
+        |cnt AS (SELECT
+        |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na,
+        |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb
+        |  FROM v),
+        |u AS (SELECT vec_id, grp,
+        |    CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS xi
+        |  FROM v),
+        |pr AS (SELECT a.grp, a.i AS i, b.i AS j,
+        |    CAST(round(a.xi * b.xi, 10) AS DECIMAL(28,10)) AS prod
+        |  FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.grp = b.grp),
+        |m AS (SELECT grp, i, j, CAST(sum(prod) AS DOUBLE) AS sp
+        |  FROM pr GROUP BY 1, 2, 3),
+        |f AS (SELECT i, j,
+        |    max(CASE WHEN grp = 0 THEN sp END) AS sa,
+        |    max(CASE WHEN grp = 1 THEN sp END) AS sb
+        |  FROM m GROUP BY 1, 2),
+        |z AS (SELECT
+        |    count(*) AS cells,
+        |    CAST(sum(CAST(round(
+        |      (sa / na - sb / nb) * (sa / na - sb / nb), 12)
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS mmd2,
+        |    CAST(sum(CAST(round(sa / na * (sa / na), 12)
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS fa,
+        |    CAST(sum(CAST(round(sb / nb * (sb / nb), 12)
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS fb,
+        |    max(na) AS na, max(nb) AS nb
+        |  FROM f CROSS JOIN cnt)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(cells AS BIGINT) AS n_cells,
+        |  round(mmd2, 8) AS mmd2_poly2,
+        |  round(fa, 6) AS frob_a, round(fb, 6) AS frob_b
+        |FROM z""") { (s, d) =>
+      val v = Tables.embeddings(s, d).select(col("vec_id"),
+        (col("label") % 2).as("grp"), col("embedding"))
+      val cnt = v.agg(
+        sum(when(col("grp") === 0, 1).otherwise(0)).cast("long")
+          .as("na"),
+        sum(when(col("grp") === 1, 1).otherwise(0)).cast("long")
+          .as("nb"))
+      val u = v.select(col("vec_id"), col("grp"),
+          posexplode(col("embedding")).as(Seq("i", "xi")))
+        .withColumn("xi", col("xi").cast("double"))
+      val pr = u.alias("a").join(u.alias("b"), Seq("vec_id", "grp"))
+        .select(col("grp"), col("a.i").as("i"), col("b.i").as("j"),
+          round(col("a.xi") * col("b.xi"), 10).cast("decimal(28,10)")
+            .as("prod"))
+      val m = pr.groupBy(col("grp"), col("i"), col("j"))
+        .agg(sum(col("prod")).cast("double").as("sp"))
+      val f = m.groupBy(col("i"), col("j"))
+        .agg(max(when(col("grp") === 0, col("sp"))).as("sa"),
+          max(when(col("grp") === 1, col("sp"))).as("sb"))
+      val ma = col("sa") / col("na"); val mb = col("sb") / col("nb")
+      val z = f.crossJoin(broadcast(cnt)).agg(
+        count(lit(1)).as("cells"),
+        sum(round((ma - mb) * (ma - mb), 12).cast("decimal(28,12)"))
+          .cast("double").as("mmd2"),
+        sum(round(ma * ma, 12).cast("decimal(28,12)")).cast("double")
+          .as("fa"),
+        sum(round(mb * mb, 12).cast("decimal(28,12)")).cast("double")
+          .as("fb"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"))
+      z.select(col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        col("cells").cast("long").as("n_cells"),
+        round(col("mmd2"), 8).as("mmd2_poly2"),
+        round(col("fa"), 6).as("frob_a"), round(col("fb"), 6).as("frob_b"))
     })
 }

@@ -103,7 +103,8 @@ class PlanHygieneSpec extends SparkSpec {
     "sketch_bloom",        // 1-row probe stats x broadcast 1-row bits_set
     "mm_clip_score_filter", // <=10 bucket rows x broadcast 1-row total
     "eval_friedman",       // 1-row rank sums x broadcast 1-row tie term
-    "eval_krippendorff"    // 1-row Do x broadcast 1-row n x 1-row De
+    "eval_krippendorff",   // 1-row Do x broadcast 1-row n x 1-row De
+    "vec_mmd_poly"         // d^2 moment grid x broadcast 1-row counts
   )
 
   private def offenders(name: String): Seq[String] = {

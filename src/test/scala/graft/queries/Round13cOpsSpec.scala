@@ -151,4 +151,83 @@ class Round13cOpsSpec extends SparkSpec {
       r1.getAs[Double]("d_e") == 0.6 &&
       r1.getAs[Double]("alpha") == 0.4444)
   }
+
+  test("dq_schema_drift: mirrored halves give psi = 0; disjoint domains 2.1459") {
+    // identical ref/cur distributions ⇒ p = q on every bucket ⇒ psi 0
+    val d = tmp("drift0")
+    val rows = (1 to 8).map { i =>
+      (i.toLong, day(if (i <= 4) 5 else 20), (i % 4).toLong, "click",
+        10.0 * (i % 4), "{}")
+    }
+    writeEvents(d, rows)
+    val out = graft.SparkEntry.queries("dq_schema_drift")(spark, d)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("event_type", "user_id", "value"))
+    assert(out.values.forall(r => r.getAs[Double]("psi") == 0.0 &&
+      !r.getAs[Boolean]("drift_flag")))
+    assert(out("user_id").getAs[Long]("distinct_ref") == 4 &&
+      out("user_id").getAs[Long]("distinct_cur") == 4)
+
+    // ref all 'a', cur all 'b' ⇒ smoothed psi = (4/3)·ln 5 = 2.1459
+    val d2 = tmp("drift1")
+    writeEvents(d2,
+      (1 to 4).map(i => (i.toLong, day(5), 1L, "a", 10.0, "{}")) ++
+      (5 to 8).map(i => (i.toLong, day(20), 1L, "b", 10.0, "{}")))
+    val et = graft.SparkEntry.queries("dq_schema_drift")(spark, d2)
+      .collect().find(_.getString(0) == "event_type").get
+    assert(et.getAs[Double]("psi") == 2.1459)
+    assert(et.getAs[Boolean]("drift_flag"))
+    assert(et.getAs[Long]("distinct_ref") == 1 &&
+      et.getAs[Long]("distinct_cur") == 1)
+  }
+
+  test("sample_systematic equals the JVM every-25th draw on the md5 frame") {
+    val d = tmp("syst")
+    // 100 events, type = parity of the id
+    val rows = (1 to 100).map { i =>
+      (i.toLong, day(10), i.toLong,
+        if (i % 2 == 0) "even" else "odd", 1.0, "{}")
+    }
+    writeEvents(d, rows)
+    val order = (1L to 100L).sortBy(id => (md5hex(id.toString), id))
+    val picked = order.zipWithIndex.collect {
+      case (id, rn) if rn % 25 == 0 => id
+    }
+    val wantEven = picked.count(_ % 2 == 0)
+    val out = graft.SparkEntry.queries("sample_systematic")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(picked.size == 4) // exactly ceil(100/25)
+    assert(out("even") == ((50L, wantEven.toLong)))
+    assert(out("odd") == ((50L, (4 - wantEven).toLong)))
+  }
+
+  test("vec_mmd_poly: orthogonal one-hot groups give exactly 2; equal groups 0") {
+    val d = tmp("mmd")
+    def oneHot(k: Int): Array[Float] =
+      Array.tabulate(8)(i => if (i == k) 1.0f else 0.0f)
+    // labels 0 (grp 0) all e0; labels 1 (grp 1) all e1:
+    // M_A = diag(1,0..), M_B = diag(0,1,0..) ⇒ ||M_A - M_B||_F^2 = 2
+    val rows = (1 to 10).map { i =>
+      (i.toLong, oneHot(i % 2), i % 2)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val r = graft.SparkEntry.queries("vec_mmd_poly")(spark, d)
+      .collect()(0)
+    assert(r.getAs[Long]("n_a") == 5L && r.getAs[Long]("n_b") == 5L)
+    assert(r.getAs[Long]("n_cells") == 64L)
+    assert(r.getAs[Double]("mmd2_poly2") == 2.0)
+    assert(r.getAs[Double]("frob_a") == 1.0 &&
+      r.getAs[Double]("frob_b") == 1.0)
+
+    // both groups the same one-hot ⇒ identical moments ⇒ MMD 0
+    val d2 = tmp("mmd0")
+    (1 to 10).map(i => (i.toLong, oneHot(3), i % 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d2/embeddings.parquet")
+    val r0 = graft.SparkEntry.queries("vec_mmd_poly")(spark, d2)
+      .collect()(0)
+    assert(r0.getAs[Double]("mmd2_poly2") == 0.0)
+  }
 }
