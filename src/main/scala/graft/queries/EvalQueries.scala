@@ -3005,6 +3005,85 @@ object EvalQueries {
         round(col("dob"), 6).as("d_o"), round(col("de"), 6).as("d_e"),
         round(lit(1.0) - col("dob") / nullif(col("de"), lit(0d)), 4)
           .as("alpha"))
+    },
+
+    // UPLIFT-BY-DECILE / QINI — the targeting-model report card: rank
+    // users by predicted responsiveness (here the exact-decimal spend
+    // score), cut into deciles, and per decile compare treated vs
+    // control conversion; the running Qini numerator
+    // ct - cc*nt/nc says how many INCREMENTAL conversions targeting
+    // the top-k deciles would have bought. The decile cut rides the
+    // distributed range-partitioned ntile (no single-task sort; the
+    // SQL window is the DuckDB oracle only) with the house unique
+    // tiebreak (score DESC, user_id) so the remainder rule lands
+    // identically in both engines; the only unpartitioned window runs
+    // over the 10-row aggregated decile table. Arms are the md5 coin.
+    Q("eval_uplift_qini",
+      """WITH u0 AS (SELECT user_id,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DECIMAL(18,4))
+        |      AS score,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY 1),
+        |u AS (SELECT user_id, score, conv,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 1 ELSE 0 END AS treat
+        |  FROM u0),
+        |dc AS (SELECT treat, conv,
+        |    ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+        |  FROM u),
+        |g AS (SELECT decile,
+        |    CAST(sum(treat) AS BIGINT) AS n_t,
+        |    CAST(sum(1 - treat) AS BIGINT) AS n_c,
+        |    CAST(sum(CASE WHEN treat = 1 THEN conv ELSE 0 END)
+        |      AS BIGINT) AS c_t,
+        |    CAST(sum(CASE WHEN treat = 0 THEN conv ELSE 0 END)
+        |      AS BIGINT) AS c_c
+        |  FROM dc GROUP BY 1),
+        |q AS (SELECT decile, n_t, n_c, c_t, c_c,
+        |    sum(c_t) OVER w AS ct, sum(c_c) OVER w AS cc,
+        |    sum(n_t) OVER w AS nt, sum(n_c) OVER w AS nc
+        |  FROM g WINDOW w AS (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT decile, n_t AS n_treat, n_c AS n_ctrl,
+        |  c_t AS conv_treat, c_c AS conv_ctrl,
+        |  round(c_t / CAST(nullif(n_t, 0) AS DOUBLE)
+        |    - c_c / CAST(nullif(n_c, 0) AS DOUBLE), 4) AS uplift,
+        |  round(ct - cc * nt / CAST(nullif(nc, 0) AS DOUBLE), 4)
+        |    AS qini_cum
+        |FROM q ORDER BY decile""") { (s, d) =>
+      val u0 = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("score"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("conv"))
+      val u = u0.select(col("user_id"), col("score"), col("conv"),
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+          1).otherwise(0).as("treat"))
+      val dc = Ranks.withNtile(u,
+        Seq(col("score").desc, col("user_id")), 10, "decile")
+      val g = dc.groupBy(col("decile")).agg(
+        sum(col("treat")).cast("long").as("n_t"),
+        sum(lit(1) - col("treat")).cast("long").as("n_c"),
+        sum(when(col("treat") === 1, col("conv")).otherwise(0))
+          .cast("long").as("c_t"),
+        sum(when(col("treat") === 0, col("conv")).otherwise(0))
+          .cast("long").as("c_c"))
+      val w = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val q = g.select(col("decile"), col("n_t"), col("n_c"),
+        col("c_t"), col("c_c"),
+        sum(col("c_t")).over(w).as("ct"), sum(col("c_c")).over(w).as("cc"),
+        sum(col("n_t")).over(w).as("nt"), sum(col("n_c")).over(w).as("nc"))
+      q.select(col("decile"), col("n_t").as("n_treat"),
+          col("n_c").as("n_ctrl"), col("c_t").as("conv_treat"),
+          col("c_c").as("conv_ctrl"),
+          round(col("c_t") / nullif(col("n_t"), lit(0L)).cast("double") -
+            col("c_c") / nullif(col("n_c"), lit(0L)).cast("double"), 4)
+            .as("uplift"),
+          round(col("ct") - col("cc") * col("nt") /
+            nullif(col("nc"), lit(0L)).cast("double"), 4).as("qini_cum"))
+        .orderBy(col("decile"))
     }
   )
 }

@@ -1292,6 +1292,75 @@ object StreamingQueries {
           pf(0.95).as("p95_floor"),
           pf(0.99).as("p99_floor"))
         .orderBy(col("event_type"))
+    },
+
+    // STREAMING CUSUM DRIFT MONITOR — the page-one change detector on
+    // the live path: the STREAM maintains per-(type, day) decimal
+    // sum + count aggregation state (bounded by types x calendar, the
+    // same state the quantile monitor carries), and the one-sided
+    // CUSUM walk S⁺_t = max(0, S⁺ + (x̄_t − 105)) with alarm bound
+    // h = 20 folds over the completed daily-mean series — Spark
+    // `aggregate()`, DuckDB `list_reduce`, identical left-to-right
+    // IEEE arithmetic (literal reference 100 + slack 5; no libm, no
+    // quantization needed). Reported per type: final and max walk
+    // height, alarm-day count, drift verdict — the monitor a training
+    // pipeline puts on ingest value distributions to catch upstream
+    // scale changes the day they happen.
+    Q("stream_cusum",
+      """WITH y AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*) AS yv
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT event_type, list(yv ORDER BY day) AS ys,
+        |    count(*) AS n_days
+        |  FROM y GROUP BY 1),
+        |st AS (SELECT event_type, n_days,
+        |    list_reduce(
+        |      list_prepend(
+        |        [CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
+        |        list_transform(ys, v -> [v, v, v])),
+        |      (a, p) -> [
+        |        greatest(0, a[1] + (p[1] - 105)),
+        |        greatest(a[2], greatest(0, a[1] + (p[1] - 105))),
+        |        a[3] + CASE WHEN greatest(0, a[1] + (p[1] - 105)) > 20
+        |          THEN 1 ELSE 0 END]) AS s
+        |  FROM ser)
+        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        |  round(s[1], 4) AS s_plus, round(s[2], 4) AS s_max,
+        |  CAST(s[3] AS BIGINT) AS n_alarm_days,
+        |  CAST(s[2] > 20 AS BOOLEAN) AS drifted
+        |FROM st ORDER BY event_type""") { (s, d) =>
+      val daily = runToTable(s, d, "complete") { src =>
+        src.groupBy(col("event_type"), window(col("ts"), "1 day"))
+          .agg(sum(col("value").cast("decimal(18,4)")).as("sv"),
+            count(lit(1)).as("n"))
+      }.select(col("event_type"),
+          col("window.start").cast("date").as("day"),
+          (col("sv").cast("double") / col("n")).as("yv"))
+        .localCheckpoint(true)
+      val ser = daily.groupBy(col("event_type"))
+        .agg(expr("transform(array_sort(collect_list(struct(day, yv))), x -> x.yv)")
+            .as("ys"),
+          count(lit(1)).as("n_days"))
+      // S⁺ repeats inside the max/alarm slots because SQL lambdas
+      // cannot bind intermediates — identical IEEE sequence in both
+      // engines.
+      val st = ser.withColumn("s", expr(
+        """aggregate(ys,
+          |  named_struct('sp', CAST(0 AS DOUBLE),
+          |    'sm', CAST(0 AS DOUBLE), 'al', CAST(0 AS DOUBLE)),
+          |  (a, v) -> named_struct(
+          |    'sp', greatest(0D, a.sp + (v - 105D)),
+          |    'sm', greatest(a.sm, greatest(0D, a.sp + (v - 105D))),
+          |    'al', a.al + IF(greatest(0D, a.sp + (v - 105D)) > 20D,
+          |      1D, 0D)))""".stripMargin))
+      st.select(col("event_type"),
+          col("n_days").cast("long").as("n_days"),
+          round(col("s.sp"), 4).as("s_plus"),
+          round(col("s.sm"), 4).as("s_max"),
+          col("s.al").cast("long").as("n_alarm_days"),
+          (col("s.sm") > 20).as("drifted"))
+        .orderBy(col("event_type"))
     })
 
   /** Staging key for dataset `d`: md5 over the ABSOLUTE PATH plus the

@@ -1594,5 +1594,70 @@ object TemporalQueries {
           round(col("s.b"), 4).as("trend"),
           round(col("s.l") + lit(7) * col("s.b"), 4).as("forecast_7"))
         .orderBy(col("event_type"))
+    },
+
+    // 1-D KALMAN LEVEL FILTER — the probabilistically-weighted cousin
+    // of ts_ses: a random-walk state with literal process noise
+    // q = 1/4 and observation noise r = 1 filtered through each
+    // type's daily-mean series. Unlike fixed-α smoothing the gain is
+    // TIME-VARYING — k_t = (p+q)/(p+q+r) — which is exactly what the
+    // fold shape buys: state [level, error variance, Σ innovation²]
+    // advances left-to-right through the sorted day array (Spark
+    // `aggregate()`, DuckDB `list_reduce`), and because +,−,×,/ are
+    // all IEEE-correctly-rounded, the identical fold is bit-stable
+    // across engines with NO quantization and no libm (the one sqrt
+    // at output is correctly rounded too). Per-key state O(1), series
+    // bounded by the calendar, keys unbounded — the groupBy axis.
+    // Init: l₀ = y₁, p₀ = 1; innovations accumulate from t = 2.
+    Q("ts_kalman_level",
+      """WITH y AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*) AS yv
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT event_type, list(yv ORDER BY day) AS ys,
+        |    count(*) AS n_days
+        |  FROM y GROUP BY 1 HAVING count(*) >= 2),
+        |st AS (SELECT event_type, n_days,
+        |    list_reduce(
+        |      list_prepend([ys[1], CAST(1 AS DOUBLE), CAST(0 AS DOUBLE)],
+        |        list_transform(list_slice(ys, 2, len(ys)),
+        |          v -> [v, v, v])),
+        |      (a, p) -> [
+        |        a[1] + ((a[2] + 0.25) / (a[2] + 1.25)) * (p[1] - a[1]),
+        |        (1 - (a[2] + 0.25) / (a[2] + 1.25)) * (a[2] + 0.25),
+        |        a[3] + (p[1] - a[1]) * (p[1] - a[1])]) AS s
+        |  FROM ser)
+        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        |  round(s[1], 4) AS level,
+        |  round(s[2], 6) AS err_var,
+        |  round(sqrt(s[3] / (n_days - 1)), 4) AS innov_rmse
+        |FROM st ORDER BY event_type""") { (s, d) =>
+      val y = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg((sum(col("value").cast("decimal(18,4)")).cast("double") /
+          count(lit(1))).as("yv"))
+      val ser = y.groupBy(col("event_type"))
+        .agg(expr("transform(array_sort(collect_list(struct(day, yv))), x -> x.yv)")
+            .as("ys"),
+          count(lit(1)).as("n_days"))
+        .filter(col("n_days") >= 2)
+      // The gain expression repeats inside level/variance because SQL
+      // lambdas cannot bind intermediates — both engines compute the
+      // identical IEEE sequence.
+      val st = ser.withColumn("s", expr(
+        """aggregate(slice(ys, 2, greatest(size(ys) - 1, 0)),
+          |  named_struct('l', ys[0], 'p', CAST(1 AS DOUBLE),
+          |    'q', CAST(0 AS DOUBLE)),
+          |  (a, v) -> named_struct(
+          |    'l', a.l + ((a.p + 0.25D) / (a.p + 1.25D)) * (v - a.l),
+          |    'p', (1D - (a.p + 0.25D) / (a.p + 1.25D)) * (a.p + 0.25D),
+          |    'q', a.q + (v - a.l) * (v - a.l)))""".stripMargin))
+      st.select(col("event_type"),
+          col("n_days").cast("long").as("n_days"),
+          round(col("s.l"), 4).as("level"),
+          round(col("s.p"), 6).as("err_var"),
+          round(sqrt(col("s.q") / (col("n_days") - 1)), 4)
+            .as("innov_rmse"))
+        .orderBy(col("event_type"))
     })
 }

@@ -230,4 +230,84 @@ class Round13cOpsSpec extends SparkSpec {
       .collect()(0)
     assert(r0.getAs[Double]("mmd2_poly2") == 0.0)
   }
+
+  test("eval_uplift_qini equals the JVM brute force on a planted frame") {
+    val d = tmp("qini")
+    // user u has score u (one event, value u); treated users (md5
+    // coin) additionally convert via a zero-value purchase event
+    def isA(u: Long): Boolean = md5hex(u.toString).charAt(0) < '8'
+    val base = (1 to 20).map(u =>
+      (u.toLong, day(10), u.toLong, "click", u.toDouble, "{}"))
+    val convs = (1 to 20).filter(u => isA(u.toLong)).map(u =>
+      (100L + u, day(11), u.toLong, "purchase", 0.0, "{}"))
+    writeEvents(d, base ++ convs)
+
+    // JVM brute force: deciles by (score desc, user) — 2 users each
+    val ordered = (1L to 20L).sortBy(u => (-u, u)) // score = u
+    val perDec = ordered.grouped(2).toSeq
+    var ct = 0L; var cc = 0L; var nt = 0L; var nc = 0L
+    val want = perDec.zipWithIndex.map { case (us, i) =>
+      val t = us.count(isA); val c = us.size - t
+      val convT = us.count(isA) // every treated converts
+      nt += t; nc += c; ct += convT
+      val uplift =
+        if (t == 0 || c == 0) None
+        else Some(BigDecimal(convT.toDouble / t - 0.0)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val qini =
+        if (nc == 0) None
+        else Some(BigDecimal(ct - cc.toDouble * nt / nc)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (i + 1, t.toLong, c.toLong, convT.toLong, 0L, uplift, qini)
+    }
+    val got = graft.SparkEntry.queries("eval_uplift_qini")(spark, d)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        Option(r.get(5)).map(_.asInstanceOf[Double]),
+        Option(r.get(6)).map(_.asInstanceOf[Double]))).toSeq
+    assert(got == want, s"got $got\nwant $want")
+  }
+
+  test("ts_kalman_level: constant series gives level = c, rmse = 0, JVM p") {
+    val d = tmp("kalman")
+    // one type, 10 days, two events of 50 per day ⇒ daily mean 50
+    val rows = (1 to 10).flatMap { dd =>
+      Seq((dd * 2L, day(dd), 1L, "click", 50.0, "{}"),
+        (dd * 2L + 1, day(dd), 2L, "click", 50.0, "{}"))
+    }
+    writeEvents(d, rows)
+    var p = 1.0
+    for (_ <- 2 to 10) p = (p + 0.25) / (p + 1.25)
+    val r = graft.SparkEntry.queries("ts_kalman_level")(spark, d)
+      .collect()(0)
+    assert(r.getAs[Long]("n_days") == 10L)
+    assert(r.getAs[Double]("level") == 50.0)
+    assert(r.getAs[Double]("innov_rmse") == 0.0)
+    assert(r.getAs[Double]("err_var") ==
+      BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("stream_cusum: calm series never alarms; a planted 150 shift walks 45/day") {
+    val d = tmp("cusum")
+    // 'calm': 10 days at mean exactly 100 (drift term -5, clamped at 0)
+    // 'shift': 5 days at 100 then 5 at 150 (+45/day ⇒ 45..225, all >20)
+    val calm = (1 to 10).map(dd =>
+      (dd.toLong, day(dd), 1L, "calm", 100.0, "{}"))
+    val shift = (1 to 10).map(dd =>
+      (100L + dd, day(dd), 2L, "shift",
+        if (dd <= 5) 100.0 else 150.0, "{}"))
+    writeEvents(d, calm ++ shift)
+    val out = graft.SparkEntry.queries("stream_cusum")(spark, d)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val c = out("calm")
+    assert(c.getAs[Double]("s_plus") == 0.0 &&
+      c.getAs[Double]("s_max") == 0.0 &&
+      c.getAs[Long]("n_alarm_days") == 0L &&
+      !c.getAs[Boolean]("drifted"))
+    val sft = out("shift")
+    assert(sft.getAs[Double]("s_plus") == 225.0 &&
+      sft.getAs[Double]("s_max") == 225.0 &&
+      sft.getAs[Long]("n_alarm_days") == 5L &&
+      sft.getAs[Boolean]("drifted"))
+  }
 }
