@@ -3180,5 +3180,95 @@ object TextQueries {
           round(coalesce(col("covered"), lit(0L)) /
             col("n_tokens").cast("double"), 4).as("coverage_frac"))
         .orderBy(col("doc_id"))
+    },
+
+    // RAKE KEYWORD EXTRACTION — Rose et al. 2010's rapid automatic
+    // keyword extraction, the data-card staple: candidate phrases are
+    // maximal stopword-free token runs (chunked at 4 tokens so no
+    // phrase is unbounded — the wedge-cap discipline applied to text
+    // runs), each word scores deg/freq over the candidate set (deg =
+    // summed lengths of phrases containing it), and a phrase scores
+    // the sum of its members' scores. The islands come from the
+    // classic gaps-and-islands rank difference PARTITIONED PER DOC
+    // (no global window); word stats are two hash aggregates;
+    // per-member scores are DECIMAL(18,6)-quantized before the
+    // order-free phrase sum; the global top-20 is a distributed
+    // TakeOrderedAndProject (sort+limit), never a one-task sort.
+    // Identical occurrences of a phrase share one global-stat score,
+    // so dedup-by-text with max() is exact.
+    Q("text_rake_keywords",
+      """WITH t0 AS (SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |t AS (SELECT doc_id, pos, w,
+        |    CASE WHEN w IN ('a', 'the', 'and', 'or', 'of', 'to', 'in',
+        |      'is', 'on') THEN 1 ELSE 0 END AS stop
+        |  FROM t0 WHERE w <> ''),
+        |ns AS (SELECT doc_id, pos, w,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS grp
+        |  FROM t WHERE stop = 0),
+        |ph AS (SELECT doc_id, grp,
+        |    (row_number() OVER (PARTITION BY doc_id, grp ORDER BY pos)
+        |      - 1) // 4 AS chunk,
+        |    pos, w
+        |  FROM ns),
+        |pid AS (SELECT doc_id, grp, chunk,
+        |    string_agg(w, ' ' ORDER BY pos) AS phrase,
+        |    count(*) AS plen
+        |  FROM ph GROUP BY 1, 2, 3),
+        |mem AS (SELECT ph.doc_id, ph.grp, ph.chunk, ph.w, pid.phrase,
+        |    pid.plen
+        |  FROM ph JOIN pid USING (doc_id, grp, chunk)),
+        |ws AS (SELECT w, CAST(sum(plen) AS DOUBLE) / count(*) AS wscore
+        |  FROM mem GROUP BY 1),
+        |psc AS (SELECT m.doc_id, m.grp, m.chunk, m.phrase,
+        |    CAST(sum(CAST(round(ws.wscore, 6) AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS score
+        |  FROM mem m JOIN ws ON ws.w = m.w
+        |  GROUP BY 1, 2, 3, 4),
+        |agg AS (SELECT phrase, count(*) AS n_occurrences,
+        |    max(score) AS score
+        |  FROM psc GROUP BY 1)
+        |SELECT phrase,
+        |  CAST(len(string_split(phrase, ' ')) AS INT) AS n_words,
+        |  CAST(n_occurrences AS BIGINT) AS n_occurrences,
+        |  round(score, 4) AS score
+        |FROM agg ORDER BY score DESC, phrase LIMIT 20""") { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .filter(col("w") =!= "")
+        .withColumn("stop",
+          when(col("w").isin("a", "the", "and", "or", "of", "to", "in",
+            "is", "on"), 1).otherwise(0))
+      val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val ns = t.filter(col("stop") === 0)
+        .withColumn("grp", col("pos") - row_number().over(wIsl))
+      val wRun = Window.partitionBy(col("doc_id"), col("grp"))
+        .orderBy(col("pos"))
+      val ph = ns.withColumn("chunk",
+        ((row_number().over(wRun) - 1) / 4).cast("int"))
+      val pid = ph.groupBy(col("doc_id"), col("grp"), col("chunk"))
+        .agg(expr("array_join(transform(array_sort(" +
+            "collect_list(struct(pos, w))), x -> x.w), ' ')").as("phrase"),
+          count(lit(1)).as("plen"))
+      val mem = ph.join(pid, Seq("doc_id", "grp", "chunk"))
+      val ws = mem.groupBy(col("w"))
+        .agg((sum(col("plen")).cast("double") / count(lit(1)))
+          .as("wscore"))
+      val psc = mem.join(ws, Seq("w"))
+        .groupBy(col("doc_id"), col("grp"), col("chunk"), col("phrase"))
+        .agg(sum(round(col("wscore"), 6).cast("decimal(18,6)"))
+          .cast("double").as("score"))
+      val agg = psc.groupBy(col("phrase"))
+        .agg(count(lit(1)).as("n_occurrences"), max(col("score")).as("score"))
+      agg.select(col("phrase"),
+          size(split(col("phrase"), " ")).cast("int").as("n_words"),
+          col("n_occurrences").cast("long").as("n_occurrences"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("phrase"))
+        .limit(20)
     })
 }

@@ -1617,5 +1617,85 @@ object VectorQueries {
         col("cells").cast("long").as("n_cells"),
         round(col("mmd2"), 8).as("mmd2_poly2"),
         round(col("fa"), 6).as("frob_a"), round(col("fb"), 6).as("frob_b"))
+    },
+
+    // JOHNSON–LINDENSTRAUSS DISTORTION CENSUS — does a 64→16 random
+    // sign projection (R_ij = ±1/4, the exact-dyadic 1/√16 scale,
+    // sign = the md5(i:j) nibble coin) preserve pairwise distances
+    // well enough to run downstream dedup/ANN in the cheap space?
+    // Each vector folds its 16 projections IN-ROW via a left-to-right
+    // HOF fold (no shuffle, no grid join — at production scale the
+    // sign matrix would be materialized once; the HOF form keeps the
+    // exemplar self-contained), pairs are a deterministic linear ring
+    // (vec_id + 1, vec_id + 7 — 2n pairs, never n²), and the census
+    // reports the squared-distance ratio ||Rx−Ry||²/||x−y||²: mean,
+    // extremes, and the fraction inside [0.5, 2]. Fold order is fixed
+    // (dims ascending), +,−,×,/ are IEEE-correctly-rounded, so both
+    // engines agree exactly; the mean's pair terms are
+    // DECIMAL(28,10)-quantized before the order-free sum.
+    Q("vec_jl_distortion",
+      """WITH pv AS (SELECT vec_id,
+        |    list_transform(range(0, 16), j -> 0.25 * list_sum(
+        |      list_transform(range(0, 64), i ->
+        |        CASE WHEN substr(md5(CAST(i AS VARCHAR) || ':' ||
+        |          CAST(j AS VARCHAR)), 1, 1) < '8' THEN 1.0
+        |          ELSE -1.0 END * CAST(embedding[i + 1] AS DOUBLE))))
+        |      AS proj,
+        |    embedding
+        |  FROM embeddings),
+        |pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    list_sum(list_transform(range(0, 64), i ->
+        |      (CAST(a.embedding[i + 1] AS DOUBLE) - b.embedding[i + 1])
+        |      * (CAST(a.embedding[i + 1] AS DOUBLE)
+        |        - b.embedding[i + 1]))) AS d2,
+        |    list_sum(list_transform(range(0, 16), j ->
+        |      (a.proj[j + 1] - b.proj[j + 1])
+        |      * (a.proj[j + 1] - b.proj[j + 1]))) AS p2
+        |  FROM (SELECT pv.*, o.off FROM pv
+        |        CROSS JOIN (VALUES (1), (7)) AS o(off)) a
+        |  JOIN pv b ON b.vec_id = a.vec_id + a.off),
+        |r AS (SELECT id1, id2, p2 / d2 AS ratio
+        |  FROM pr WHERE d2 > 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(sum(CAST(round(ratio, 10) AS DECIMAL(28,10)))
+        |    AS DOUBLE) / count(*), 4) AS mean_ratio,
+        |  round(min(ratio), 4) AS min_ratio,
+        |  round(max(ratio), 4) AS max_ratio,
+        |  round(sum(CASE WHEN ratio >= 0.5 AND ratio <= 2 THEN 1
+        |    ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
+        |    AS frac_within_2x
+        |FROM r""") { (s, d) =>
+      val pv = Tables.embeddings(s, d).select(col("vec_id"),
+        expr("""transform(sequence(0, 15), j -> 0.25D * aggregate(
+            |  sequence(0, 63), 0D, (acc, i) ->
+            |    acc + IF(substring(md5(concat(CAST(i AS STRING), ':',
+            |      CAST(j AS STRING))), 1, 1) < '8', 1D, -1D)
+            |      * CAST(embedding[i] AS DOUBLE)))""".stripMargin)
+          .as("proj"),
+        col("embedding"))
+      val a = pv.select(col("vec_id").as("id1"),
+        col("proj").as("pa"), col("embedding").as("ea"))
+      val b = pv.select(col("vec_id").as("id2"),
+        col("proj").as("pb"), col("embedding").as("eb"))
+      val pr = a
+        .withColumn("off", explode(array(lit(1), lit(7))))
+        .join(b, col("id2") === col("id1") + col("off"))
+        .select(col("id1"), col("id2"),
+          expr("""aggregate(sequence(0, 63), 0D, (acc, i) ->
+              |  acc + (CAST(ea[i] AS DOUBLE) - eb[i])
+              |    * (CAST(ea[i] AS DOUBLE) - eb[i]))""".stripMargin)
+            .as("d2"),
+          expr("""aggregate(sequence(0, 15), 0D, (acc, j) ->
+              |  acc + (pa[j] - pb[j]) * (pa[j] - pb[j]))""".stripMargin)
+            .as("p2"))
+      val r = pr.filter(col("d2") > 0)
+        .select((col("p2") / col("d2")).as("ratio"))
+      r.agg(count(lit(1)).cast("long").as("n_pairs"),
+        round(sum(round(col("ratio"), 10).cast("decimal(28,10)"))
+          .cast("double") / count(lit(1)), 4).as("mean_ratio"),
+        round(min(col("ratio")), 4).as("min_ratio"),
+        round(max(col("ratio")), 4).as("max_ratio"),
+        round(sum(when(col("ratio").between(0.5, 2), 1).otherwise(0)) /
+          count(lit(1)).cast("double"), 4).as("frac_within_2x"))
     })
 }

@@ -310,4 +310,79 @@ class Round13cOpsSpec extends SparkSpec {
       sft.getAs[Long]("n_alarm_days") == 5L &&
       sft.getAs[Boolean]("drifted"))
   }
+
+  private def writeDocs(d: String, rows: Seq[(Long, String)]): Unit =
+    rows.map { case (id, t) => (id, t, "en", "s1", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+  test("text_rake_keywords: hand-computed deg/freq scores and the 4-token chunk law") {
+    val d = tmp("rake")
+    // phrases: "alpha beta" ×2 (doc1), "gamma", "alpha" (doc2)
+    // deg/freq: alpha 5/3, beta 2, gamma 1 ⇒ scores: "alpha beta"
+    // = 5/3 + 2 = 3.6667, "alpha" = 1.6667, "gamma" = 1.0
+    writeDocs(d, Seq(
+      (1L, "alpha beta the alpha beta"),
+      (2L, "gamma the alpha")))
+    val got = graft.SparkEntry.queries("text_rake_keywords")(spark, d)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(
+      ("alpha beta", 2, 2L, 3.6667),
+      ("alpha", 1, 1L, 1.6667),
+      ("gamma", 1, 1L, 1.0)))
+
+    // a 9-token stopword-free run chunks into phrases of 4, 4, 1
+    val d2 = tmp("rake2")
+    writeDocs(d2, Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")))
+    val lens = graft.SparkEntry.queries("text_rake_keywords")(spark, d2)
+      .collect().map(r => r.getInt(1)).toSeq.sorted
+    assert(lens == Seq(1, 4, 4))
+  }
+
+  test("vec_jl_distortion equals the JVM projection + ring-pair brute force") {
+    val d = tmp("jl")
+    // deterministic non-trivial vectors: x_v[i] = ((v*17 + i*3) % 7) - 3
+    def vec(v: Int): Array[Float] =
+      Array.tabulate(64)(i => (((v * 17 + i * 3) % 7) - 3).toFloat)
+    (1 to 12).map(v => (v.toLong, vec(v)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+
+    def sign(i: Int, j: Int): Double =
+      if (md5hex(s"$i:$j").charAt(0) < '8') 1.0 else -1.0
+    def proj(x: Array[Float]): Array[Double] =
+      Array.tabulate(16) { j =>
+        var acc = 0.0
+        for (i <- 0 until 64) acc += sign(i, j) * x(i).toDouble
+        0.25 * acc
+      }
+    val vs = (1 to 12).map(v => v.toLong -> vec(v)).toMap
+    val ratios = for {
+      a <- 1 to 12; off <- Seq(1, 7); b = a + off; if b <= 12
+    } yield {
+      val (xa, xb) = (vs(a.toLong), vs(b.toLong))
+      var d2 = 0.0
+      for (i <- 0 until 64)
+        d2 += (xa(i).toDouble - xb(i)) * (xa(i).toDouble - xb(i))
+      val (pa, pb) = (proj(xa), proj(xb))
+      var p2 = 0.0
+      for (j <- 0 until 16) p2 += (pa(j) - pb(j)) * (pa(j) - pb(j))
+      (d2, p2)
+    }
+    val kept = ratios.filter(_._1 > 0).map { case (d2, p2) => p2 / d2 }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val meanQ = kept.map(x => BigDecimal(x)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble /
+      kept.size
+    val r = graft.SparkEntry.queries("vec_jl_distortion")(spark, d)
+      .collect()(0)
+    assert(r.getAs[Long]("n_pairs") == kept.size.toLong)
+    assert(r.getAs[Double]("min_ratio") == r4(kept.min))
+    assert(r.getAs[Double]("max_ratio") == r4(kept.max))
+    assert(r.getAs[Double]("mean_ratio") == r4(meanQ))
+    assert(r.getAs[Double]("frac_within_2x") ==
+      r4(kept.count(x => x >= 0.5 && x <= 2) / kept.size.toDouble))
+  }
 }
