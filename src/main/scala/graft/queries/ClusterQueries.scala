@@ -1526,21 +1526,25 @@ object ClusterQueries {
     Q("graph_cc_incremental", ccOracleSql) { (s0, d) =>
       val s = graft.Sessions.withShufflePartitions(s0, 8)
       val e = candidateEdges(s, d)
-      // starLabels' invariant: oriented larger → smaller (v < u),
-      // eagerly checkpointed — same preparation as dedup_cluster_cc2.
-      val oldE = e.filter((col("u") + col("v")) % 10 < 9)
-        .select(col("v").as("u"), col("u").as("v"))
-        .localCheckpoint(true)
       val deltaE = e.filter((col("u") + col("v")) % 10 >= 9)
-      // starLabels emits (member, center) for every NON-center member;
-      // the centers label themselves — without this union an old
-      // component's rep would fall through to the singleton path and
-      // detach from its own cluster.
-      val oldL0 = starLabels(oldE)
-      val oldL = oldL0
-        .unionByName(oldL0.select(col("rep").as("doc_id"), col("rep")))
-        .distinct()
-        .localCheckpoint(true)
+      // The frozen-side labels ARE the "already-resolved corpus" of the
+      // incremental contract — derive them once per dataset through the
+      // parquet memo (the production posture: the old corpus's labels
+      // live in storage; an ingest batch only READS them). starLabels'
+      // invariant: oriented larger → smaller (v < u); starLabels emits
+      // (member, center) for every NON-center member; the centers label
+      // themselves — without that union an old component's rep would
+      // fall through to the singleton path and detach from its own
+      // cluster.
+      val oldL = Derived.memo(s, d, "documents", "ccincr-oldl") {
+        val oldE = e.filter((col("u") + col("v")) % 10 < 9)
+          .select(col("v").as("u"), col("u").as("v"))
+          .localCheckpoint(true)
+        val oldL0 = starLabels(oldE)
+        oldL0
+          .unionByName(oldL0.select(col("rep").as("doc_id"), col("rep")))
+          .distinct()
+      }.localCheckpoint(true)
       val mapped = deltaE
         .join(oldL.select(col("doc_id").as("u"), col("rep").as("ru")),
           Seq("u"), "left_outer")
