@@ -3084,6 +3084,88 @@ object EvalQueries {
           round(col("ct") - col("cc") * col("nt") /
             nullif(col("nc"), lit(0L)).cast("double"), 4).as("qini_cum"))
         .orderBy(col("decile"))
+    },
+
+    // GROUP-SEQUENTIAL TEST with O'Brien–Fleming boundaries — the
+    // committee-grade interim-analysis design: four planned looks
+    // (day cutoffs 8/16/23/31), and at each look the cumulative
+    // two-proportion z compares against the LITERAL OBF ladder
+    // 4.333 / 2.963 / 2.359 / 2.014 (alpha spent vanishingly early,
+    // nearly-nominal at the final look — the opposite temperament to
+    // eval_sprt's always-valid walk). A user enters at their first
+    // event day and converts at their first qualifying purchase day,
+    // so each look's population is exactly "users known by the
+    // cutoff": one user-level rollup, a users×4 literal-grid stack
+    // (linear), pooled-z arithmetic + one IEEE sqrt — no libm.
+    Q("eval_group_sequential",
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 1 ELSE 0 END AS treat,
+        |    min(extract(day FROM ts)) AS firstday,
+        |    min(CASE WHEN event_type = 'purchase' AND "value" > 150
+        |      THEN extract(day FROM ts) END) AS convday
+        |  FROM events GROUP BY 1, 2),
+        |lk AS (SELECT u.*, l.look, l.cutoff
+        |  FROM u CROSS JOIN (VALUES (1, 8), (2, 16), (3, 23), (4, 31))
+        |    AS l(look, cutoff)
+        |  WHERE u.firstday <= l.cutoff),
+        |g AS (SELECT look, max(cutoff) AS cutoff,
+        |    CAST(sum(treat) AS BIGINT) AS n_a,
+        |    CAST(sum(1 - treat) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN treat = 1 AND convday <= cutoff
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(sum(CASE WHEN treat = 0 AND convday <= cutoff
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+        |  FROM lk GROUP BY 1),
+        |z AS (SELECT look, n_a, n_b, c_a, c_b,
+        |    CAST(CASE look WHEN 1 THEN 4.333 WHEN 2 THEN 2.963
+        |      WHEN 3 THEN 2.359 ELSE 2.014 END AS DOUBLE) AS boundary,
+        |    (c_a / CAST(n_a AS DOUBLE) - c_b / CAST(n_b AS DOUBLE))
+        |      / nullif(sqrt(
+        |        ((c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+        |        * (1 - (c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+        |        * (1.0 / n_a + 1.0 / n_b)), 0) AS zs
+        |  FROM g)
+        |SELECT look, n_a, n_b, c_a AS conv_a, c_b AS conv_b,
+        |  round(zs, 4) AS z_stat, boundary,
+        |  CAST(abs(zs) > boundary AS BOOLEAN) AS crossed
+        |FROM z ORDER BY look""") { (s, d) =>
+      val u = Tables.events(s, d).groupBy(col("user_id"),
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+            1).otherwise(0).as("treat"))
+        .agg(min(dayofmonth(col("ts"))).as("firstday"),
+          min(when(col("event_type") === "purchase" && col("value") > 150,
+            dayofmonth(col("ts")))).as("convday"))
+      import s.implicits._
+      val looks = Seq((1, 8), (2, 16), (3, 23), (4, 31))
+        .toDF("look", "cutoff")
+      val lk = u.crossJoin(broadcast(looks))
+        .filter(col("firstday") <= col("cutoff"))
+      val g = lk.groupBy(col("look")).agg(
+        max(col("cutoff")).as("cutoff"),
+        sum(col("treat")).cast("long").as("n_a"),
+        sum(lit(1) - col("treat")).cast("long").as("n_b"),
+        sum(when(col("treat") === 1 && col("convday") <= col("cutoff"),
+          1).otherwise(0)).cast("long").as("c_a"),
+        sum(when(col("treat") === 0 && col("convday") <= col("cutoff"),
+          1).otherwise(0)).cast("long").as("c_b"))
+      val pp = (col("c_a") + col("c_b")) /
+        (col("n_a") + col("n_b")).cast("double")
+      val zs = (col("c_a") / col("n_a").cast("double") -
+        col("c_b") / col("n_b").cast("double")) /
+        nullif(sqrt(pp * (lit(1) - pp) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), lit(0d))
+      g.select(col("look"), col("n_a"), col("n_b"),
+          col("c_a").as("conv_a"), col("c_b").as("conv_b"),
+          round(zs, 4).as("z_stat"),
+          when(col("look") === 1, 4.333).when(col("look") === 2, 2.963)
+            .when(col("look") === 3, 2.359).otherwise(2.014)
+            .as("boundary"),
+          (abs(zs) > when(col("look") === 1, 4.333)
+            .when(col("look") === 2, 2.963)
+            .when(col("look") === 3, 2.359).otherwise(2.014))
+            .as("crossed"))
+        .orderBy(col("look"))
     }
   )
 }

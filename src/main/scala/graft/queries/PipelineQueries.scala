@@ -2430,5 +2430,55 @@ object PipelineQueries {
           col("dc").cast("long").as("distinct_cur"),
           col("psi"), (col("psi") > 0.25).as("drift_flag"))
         .orderBy(col("column_name"))
+    },
+
+    // DAILY VOLUME CONTROL CHART — the Shewhart x̄ guardrail on ingest
+    // VOLUME (where stream_cusum watches value drift): each
+    // (type, day) count is judged against the trailing 7 days' mean
+    // ± 3σ, with mean and sample variance computed from EXACT integer
+    // window sums (Σn, Σn²) so the only doubles are one division and
+    // one IEEE sqrt — cross-engine exact. Days with fewer than 7
+    // trailing observations stay unflagged (the chart needs its
+    // baseline). All windows run over the |types|×|days| aggregated
+    // relation partitioned per type — never raw rows.
+    Q("dq_volume_anomaly",
+      """WITH dd AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, n,
+        |    count(*) OVER tw AS k,
+        |    sum(n) OVER tw AS s1,
+        |    sum(n * n) OVER tw AS s2
+        |  FROM dd WINDOW tw AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT event_type, day, n, k,
+        |    s1 / CAST(k AS DOUBLE) AS m,
+        |    sqrt(greatest((s2 - s1 * s1 / CAST(k AS DOUBLE))
+        |      / (k - 1), 0)) AS sd
+        |  FROM w WHERE k = 7)
+        |SELECT event_type, CAST(day AS VARCHAR) AS day,
+        |  CAST(n AS BIGINT) AS n,
+        |  round(m, 4) AS expected_mean, round(sd, 4) AS sd,
+        |  CAST(abs(n - m) > 3 * sd AS BOOLEAN) AS anomaly
+        |FROM z ORDER BY event_type, day""") { (s, d) =>
+      val dd = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val tw = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-7, -1)
+      val w = dd.select(col("event_type"), col("day"), col("n"),
+        count(lit(1)).over(tw).as("k"),
+        sum(col("n")).over(tw).as("s1"),
+        sum(col("n") * col("n")).over(tw).as("s2"))
+      val m = col("s1") / col("k").cast("double")
+      val sd = sqrt(greatest(
+        (col("s2") - col("s1") * col("s1") / col("k").cast("double")) /
+          (col("k") - 1), lit(0d)))
+      w.filter(col("k") === 7)
+        .select(col("event_type"), col("day").cast("string").as("day"),
+          col("n").cast("long").as("n"),
+          round(m, 4).as("expected_mean"), round(sd, 4).as("sd"),
+          (abs(col("n") - m) > lit(3) * sd).as("anomaly"))
+        .orderBy(col("event_type"), col("day"))
     })
 }

@@ -1361,6 +1361,46 @@ object StreamingQueries {
           col("s.al").cast("long").as("n_alarm_days"),
           (col("s.sm") > 20).as("drifted"))
         .orderBy(col("event_type"))
+    },
+
+    // STREAMING SRM GUARDRAIL — the live twin of eval_srm (same
+    // oracle): the stream maintains the distinct (stratum, user)
+    // exposure relation as complete-mode aggregation state — the
+    // first thing an experimentation platform watches in real time,
+    // because a broken bucketing SDK poisons every metric downstream.
+    // The chi-square readout on the completed tiny table is the exact
+    // integer arithmetic of the batch form; the md5 nibble coin makes
+    // the expected split exactly 50/50.
+    Q("stream_srm",
+      """WITH e AS (SELECT DISTINCT event_type AS stratum, user_id
+        |  FROM events),
+        |a AS (SELECT stratum,
+        |    sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |      < '8' THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |      < '8' THEN 0 ELSE 1 END) AS nb
+        |  FROM e GROUP BY 1)
+        |SELECT stratum, CAST(na AS BIGINT) AS n_a,
+        |  CAST(nb AS BIGINT) AS n_b,
+        |  round(CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb), 4)
+        |    AS chi2,
+        |  CAST(CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb)
+        |    > 3.8415 AS BOOLEAN) AS srm_flag
+        |FROM a ORDER BY stratum""") { (s, d) =>
+      val pairs = runToTable(s, d, "complete") { src =>
+        src.groupBy(col("event_type").as("stratum"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+      }.localCheckpoint(true)
+      val inA = substring(md5(col("user_id").cast("string")), 1, 1) < "8"
+      val a = pairs.groupBy(col("stratum")).agg(
+        sum(when(inA, 1).otherwise(0)).as("na"),
+        sum(when(inA, 0).otherwise(1)).as("nb"))
+      val chi2 = ((col("na") - col("nb")) * (col("na") - col("nb")))
+        .cast("double") / (col("na") + col("nb"))
+      a.select(col("stratum"), col("na").cast("long").as("n_a"),
+          col("nb").cast("long").as("n_b"),
+          round(chi2, 4).as("chi2"), (chi2 > 3.8415).as("srm_flag"))
+        .orderBy(col("stratum"))
     })
 
   /** Staging key for dataset `d`: md5 over the ABSOLUTE PATH plus the

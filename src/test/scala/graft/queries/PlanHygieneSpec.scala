@@ -104,7 +104,8 @@ class PlanHygieneSpec extends SparkSpec {
     "mm_clip_score_filter", // <=10 bucket rows x broadcast 1-row total
     "eval_friedman",       // 1-row rank sums x broadcast 1-row tie term
     "eval_krippendorff",   // 1-row Do x broadcast 1-row n x 1-row De
-    "vec_mmd_poly"         // d^2 moment grid x broadcast 1-row counts
+    "vec_mmd_poly",        // d^2 moment grid x broadcast 1-row counts
+    "eval_group_sequential" // users x broadcast 4-row literal look grid
   )
 
   private def offenders(name: String): Seq[String] = {

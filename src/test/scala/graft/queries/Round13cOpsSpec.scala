@@ -385,4 +385,80 @@ class Round13cOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("frac_within_2x") ==
       r4(kept.count(x => x >= 0.5 && x <= 2) / kept.size.toDouble))
   }
+
+  test("stream_srm agrees with batch eval_srm on the planted fixture (twin law)") {
+    def isA(u: Long): Boolean = md5hex(u.toString).charAt(0) < '8'
+    val aIds = Iterator.from(1).map(_.toLong).filter(isA).take(12).toSeq
+    val bIds = Iterator.from(1).map(_.toLong).filterNot(isA).take(3).toSeq
+    val d = tmp("ssrm")
+    writeEvents(d, (aIds ++ bIds).zipWithIndex.map { case (u, i) =>
+      (i.toLong, day(10), u, "click", 1.0, "{}")
+    })
+    val live = graft.SparkEntry.queries("stream_srm")(spark, d).collect()
+    val batch = graft.SparkEntry.queries("eval_srm")(spark, d).collect()
+    assert(live.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+    assert(live(0).getAs[Long]("n_a") == 12L &&
+      live(0).getAs[Long]("n_b") == 3L)
+    // chi2 = (12-3)^2/15 = 5.4 > 3.8415
+    assert(live(0).getAs[Double]("chi2") == 5.4 &&
+      live(0).getAs[Boolean]("srm_flag"))
+  }
+
+  test("eval_group_sequential equals the JVM look-by-look recount") {
+    def isA(u: Long): Boolean = md5hex(u.toString).charAt(0) < '8'
+    val d = tmp("gst")
+    // users enter across all four look windows; every TREATED user
+    // converts (purchase, value 200) two days after entry
+    val users = (1 to 40).map { i =>
+      val entry = Seq(3, 10, 20, 28)(i % 4)
+      (i.toLong, entry)
+    }
+    val rows = users.flatMap { case (u, e) =>
+      val click = Seq((u * 10L, day(e), u, "click", 10.0, "{}"))
+      val conv = if (isA(u) && e + 2 <= 30)
+        Seq((u * 10L + 1, day(e + 2), u, "purchase", 200.0, "{}"))
+      else Seq.empty
+      click ++ conv
+    }
+    writeEvents(d, rows)
+
+    val cuts = Seq(1 -> 8, 2 -> 16, 3 -> 23, 4 -> 31)
+    val bounds = Map(1 -> 4.333, 2 -> 2.963, 3 -> 2.359, 4 -> 2.014)
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = cuts.map { case (look, c) =>
+      val in = users.filter(_._2 <= c)
+      val na = in.count(u => isA(u._1)); val nb = in.size - na
+      val ca = in.count { case (u, e) => isA(u) && e + 2 <= math.min(c, 30) }
+      val cb = 0
+      val pp = (ca + cb).toDouble / (na + nb)
+      val z = (ca.toDouble / na - cb.toDouble / nb) /
+        math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb))
+      (look, na.toLong, nb.toLong, ca.toLong, cb.toLong, r4(z),
+        bounds(look), math.abs(z) > bounds(look))
+    }
+    val got = graft.SparkEntry.queries("eval_group_sequential")(spark, d)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+        r.getBoolean(7))).toSeq
+    assert(got == want, s"got $got\nwant $want")
+  }
+
+  test("dq_volume_anomaly: flat baseline stays quiet, a 5x day fires") {
+    val d = tmp("volanom")
+    // days 1..8 carry 10 events each; day 9 carries 50
+    val rows = (1 to 9).flatMap { dd =>
+      val n = if (dd == 9) 50 else 10
+      (1 to n).map(i =>
+        ((dd * 100 + i).toLong, day(dd), i.toLong, "click", 1.0, "{}"))
+    }
+    writeEvents(d, rows)
+    val out = graft.SparkEntry.queries("dq_volume_anomaly")(spark, d)
+      .collect().map(r => (r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toSeq
+    // only days 8 and 9 have a full 7-day baseline
+    assert(out == Seq(
+      ("2024-01-08", 10L, 10.0, 0.0, false),
+      ("2024-01-09", 50L, 10.0, 0.0, true)))
+  }
 }
