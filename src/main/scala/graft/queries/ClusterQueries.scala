@@ -1583,5 +1583,90 @@ object ClusterQueries {
         .select(col("doc_id"), col("rep").as("cluster_rep"),
           col("nr").cast("long").as("n_reachable"))
         .orderBy(col("doc_id"))
+    },
+
+    // SAMPLED CLOSENESS / HARMONIC CENTRALITY — "how central are
+    // these landmark nodes?", the exact-BFS complement to
+    // graph_pagerank's diffusion view: a simultaneous multi-seed BFS
+    // from four literal landmark parts over the co-purchase graph,
+    // TRUNCATED at 8 hops (the literal radius cap — harmonic
+    // centrality is well-defined under truncation, and the cap bounds
+    // the frontier loop at any scale exactly like the wedge caps
+    // bound pair joins). Each round is one equi-join (frontier ⋈
+    // edges) + one anti-join (visited), eagerly checkpointed — the
+    // rel_recursive_frontier discipline — so first-visit depth IS the
+    // BFS distance. Harmonic terms 1/d are DECIMAL-quantized before
+    // the order-free sum. Landmark count is the scale knob: K seeds =
+    // K× the frontier volume, independent of graph size.
+    Q("graph_closeness_sampled",
+      """WITH RECURSIVE e AS (
+        |  SELECT p1, p2 FROM (
+        |    SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |    FROM lineitem a JOIN lineitem b
+        |      ON a.l_orderkey = b.l_orderkey
+        |      AND a.l_partkey < b.l_partkey
+        |    GROUP BY 1, 2 HAVING count(*) >= 2)
+        |  UNION ALL SELECT p2, p1 FROM (
+        |    SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |    FROM lineitem a JOIN lineitem b
+        |      ON a.l_orderkey = b.l_orderkey
+        |      AND a.l_partkey < b.l_partkey
+        |    GROUP BY 1, 2 HAVING count(*) >= 2)),
+        |r(seed, node, d) AS (
+        |  SELECT CAST(seed AS BIGINT), CAST(seed AS BIGINT), 0
+        |  FROM (VALUES (1), (2), (3), (4)) AS s(seed)
+        |  UNION
+        |  SELECT r.seed, e.p2, r.d + 1
+        |  FROM r JOIN e ON e.p1 = r.node WHERE r.d < 8),
+        |m AS (SELECT seed, node, min(d) AS d FROM r GROUP BY 1, 2),
+        |g AS (SELECT seed,
+        |    count(*) AS n_reached,
+        |    CAST(sum(d) AS BIGINT) AS sum_dist,
+        |    CAST(sum(CAST(round(1.0 / d, 12) AS DECIMAL(28,12)))
+        |      AS DOUBLE) AS h
+        |  FROM m WHERE d > 0 GROUP BY 1)
+        |SELECT CAST(s.seed AS BIGINT) AS seed,
+        |  CAST(coalesce(g.n_reached, 0) AS BIGINT) AS n_reached,
+        |  coalesce(g.sum_dist, 0) AS sum_dist,
+        |  round(coalesce(g.h, 0), 4) AS harmonic
+        |FROM (VALUES (1), (2), (3), (4)) AS s(seed)
+        |LEFT JOIN g ON g.seed = s.seed
+        |ORDER BY s.seed""") { (s0, d) =>
+      val s = graft.Sessions.withShufflePartitions(s0, 8)
+      import s.implicits._
+      val e0 = coPurchaseEdges(s, d)
+      val e = e0
+        .unionByName(e0.select(col("p2").as("p1"), col("p1").as("p2")))
+        .localCheckpoint(true)
+      val seeds = Seq(1L, 2L, 3L, 4L).toDF("seed")
+      var visited = seeds
+        .select(col("seed"), col("seed").as("node"), lit(0).as("d"))
+        .localCheckpoint(true)
+      var frontier = visited
+      var depth = 0
+      while (depth < 8) {
+        depth += 1
+        val next = frontier
+          .join(e, frontier("node") === e("p1"))
+          .select(col("seed"), col("p2").as("node")).distinct()
+          .join(visited.select(col("seed"), col("node")),
+            Seq("seed", "node"), "left_anti")
+          .withColumn("d", lit(depth))
+          .localCheckpoint(true)
+        visited = visited.unionByName(next).localCheckpoint(true)
+        frontier = next
+      }
+      val g = visited.filter(col("d") > 0).groupBy(col("seed"))
+        .agg(count(lit(1)).as("n_reached"),
+          sum(col("d")).cast("long").as("sum_dist"),
+          sum(round(lit(1.0) / col("d"), 12).cast("decimal(28,12)"))
+            .cast("double").as("h"))
+      seeds.join(g, Seq("seed"), "left_outer")
+        .select(col("seed"),
+          coalesce(col("n_reached"), lit(0L)).cast("long")
+            .as("n_reached"),
+          coalesce(col("sum_dist"), lit(0L)).as("sum_dist"),
+          round(coalesce(col("h"), lit(0d)), 4).as("harmonic"))
+        .orderBy(col("seed"))
     })
 }

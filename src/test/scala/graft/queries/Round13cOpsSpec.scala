@@ -461,4 +461,34 @@ class Round13cOpsSpec extends SparkSpec {
       ("2024-01-08", 10L, 10.0, 0.0, false),
       ("2024-01-09", 50L, 10.0, 0.0, true)))
   }
+
+  test("graph_closeness_sampled: path-graph BFS with the 8-hop truncation law") {
+    val d = tmp("closeness")
+    // chain 1—2—…—10, each consecutive pair co-purchased twice
+    val rows = (1 to 9).flatMap { i =>
+      Seq((i * 10L, i.toLong), (i * 10L, i + 1L),
+        (i * 10L + 1, i.toLong), (i * 10L + 1, i + 1L))
+    }
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+
+    // JVM BFS on the chain with the same 8-hop cap and quantization
+    def expect(seed: Int): (Long, Long, Double) = {
+      val ds = (1 to 10).filter(_ != seed)
+        .map(n => math.abs(n - seed)).filter(_ <= 8)
+      val h = ds.map(dd => BigDecimal(1.0 / dd)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
+      (ds.size.toLong, ds.map(_.toLong).sum,
+        BigDecimal(h.toDouble)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = graft.SparkEntry.queries("graph_closeness_sampled")(spark, d)
+      .collect().map(r => r.getLong(0).toInt ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    for (seed <- 1 to 4)
+      assert(got(seed) == expect(seed),
+        s"seed $seed: got ${got(seed)} want ${expect(seed)}")
+    // the truncation is real: node 10 is 9 hops from seed 1
+    assert(got(1)._1 == 8L)
+  }
 }
