@@ -3166,6 +3166,464 @@ object EvalQueries {
             .when(col("look") === 3, 2.359).otherwise(2.014))
             .as("crossed"))
         .orderBy(col("look"))
+    },
+
+    // JARQUE-BERA NORMALITY TEST (Jarque & Bera 1980) per event type —
+    // the distribution-shape gate a pipeline runs before parametric
+    // tests (eval_ttest_welch assumes approximate normality; JB is the
+    // cheap one-pass check of that assumption). Rides the agg_moments
+    // machinery verbatim: per-row value powers quantize to DECIMAL so
+    // the four power sums are ONE order-free hash aggregate
+    // (partial+final, partition-count invariant); skewness g1 and
+    // excess kurtosis g2 derive in double from the exact sums, and
+    // JB = n·(g1²/6 + g2²/24) ~ χ²(2), whose survival function is the
+    // CLOSED FORM exp(−JB/2) — no erf, no incomplete gamma. Powers are
+    // spelled x*x (left-assoc) rather than pow(): std::pow carries no
+    // correct-rounding guarantee while IEEE multiply does, so both
+    // engines walk the identical rounding sequence. χ²(2) 0.95
+    // critical value 5.991 gives the decision flag. At 100 TB: one
+    // map-side-combinable scan, 5-row output.
+    Q("eval_jarque_bera",
+      """WITH t AS (SELECT event_type,
+        |    CAST(value AS DECIMAL(18,6)) AS x1,
+        |    CAST(value * value AS DECIMAL(28,8)) AS x2,
+        |    CAST(value * value * value AS DECIMAL(28,6)) AS x3,
+        |    CAST(value * value * value * value AS DECIMAL(32,4)) AS x4
+        |  FROM events),
+        |s AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+        |    CAST(sum(x3) AS DOUBLE) AS s3, CAST(sum(x4) AS DOUBLE) AS s4
+        |  FROM t GROUP BY 1),
+        |m AS (SELECT event_type, n, s1 / n AS mu,
+        |    s2 / n - (s1 / n) * (s1 / n) AS m2,
+        |    s3 / n - 3 * (s1 / n) * s2 / n
+        |      + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+        |    s4 / n - 4 * (s1 / n) * s3 / n
+        |      + 6 * (s1 / n) * (s1 / n) * s2 / n
+        |      - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        |  FROM s),
+        |j AS (SELECT event_type, n,
+        |    m3 / (m2 * sqrt(m2)) AS g1,
+        |    m4 / (m2 * m2) - 3 AS g2
+        |  FROM m),
+        |jb AS (SELECT event_type, n, g1, g2,
+        |    n * (g1 * g1 / 6 + g2 * g2 / 24) AS jb FROM j)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  round(g1, 4) AS skewness, round(g2, 4) AS ex_kurtosis,
+        |  round(jb, 4) AS jb_stat,
+        |  round(exp(-jb / 2), 4) AS p_value,
+        |  CAST(jb > 5.991 AS BOOLEAN) AS reject_normal
+        |FROM jb ORDER BY event_type""") { (s, d) =>
+      val t = Tables.events(s, d).select(col("event_type"),
+        col("value").cast("decimal(18,6)").as("x1"),
+        (col("value") * col("value")).cast("decimal(28,8)").as("x2"),
+        (col("value") * col("value") * col("value")).cast("decimal(28,6)")
+          .as("x3"),
+        (col("value") * col("value") * col("value") * col("value"))
+          .cast("decimal(32,4)").as("x4"))
+      val mu = col("s1") / col("n")
+      val m = t.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x1")).cast("double").as("s1"),
+          sum(col("x2")).cast("double").as("s2"),
+          sum(col("x3")).cast("double").as("s3"),
+          sum(col("x4")).cast("double").as("s4"))
+        .select(col("event_type"), col("n"),
+          (col("s2") / col("n") - mu * mu).as("m2"),
+          (col("s3") / col("n") - lit(3) * mu * col("s2") / col("n")
+            + lit(2) * mu * mu * mu).as("m3"),
+          (col("s4") / col("n") - lit(4) * mu * col("s3") / col("n")
+            + lit(6) * mu * mu * col("s2") / col("n")
+            - lit(3) * mu * mu * mu * mu).as("m4"))
+      val g1 = col("m3") / (col("m2") * sqrt(col("m2")))
+      val g2 = col("m4") / (col("m2") * col("m2")) - 3
+      m.select(col("event_type"), col("n"), g1.as("g1"), g2.as("g2"),
+          (col("n") * (g1 * g1 / 6 + g2 * g2 / 24)).as("jb"))
+        .select(col("event_type"), col("n").cast("long").as("n"),
+          round(col("g1"), 4).as("skewness"),
+          round(col("g2"), 4).as("ex_kurtosis"),
+          round(col("jb"), 4).as("jb_stat"),
+          round(exp(-col("jb") / 2), 4).as("p_value"),
+          (col("jb") > 5.991).as("reject_normal"))
+        .orderBy(col("event_type"))
+    },
+
+    // BROWN-FORSYTHE VARIANCE-HOMOGENEITY TEST (Levene 1960 with
+    // Brown & Forsythe 1974's median center) across the five event
+    // types — the precondition check for pooled-variance tests and
+    // for eval_anova_oneway: a one-way ANOVA on |x − median_g|, the
+    // robust spread proxy. Two corpus passes, both distributed: the
+    // per-group exact median (the agg_winsorized_mean pattern —
+    // quantile_cont(DOUBLE) in DuckDB ≡ Spark percentile(); a KLL
+    // sketch at 100 TB), then one rollup of the broadcast-joined
+    // absolute deviations. Per-row deviations quantize to DECIMAL so
+    // the group sums are exact; group-level between/within terms
+    // quantize again before their 5-row sum — the whole statistic is
+    // order-free. F critical value at (4, ∞) and α = .05 is 2.372.
+    Q("eval_levene_bf",
+      """WITH med AS (SELECT event_type,
+        |    quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |z AS (SELECT e.event_type,
+        |    CAST(round(abs(e.value - m.med), 6) AS DECIMAL(18,6)) AS z1,
+        |    CAST(round(abs(e.value - m.med) * abs(e.value - m.med), 8)
+        |      AS DECIMAL(28,8)) AS z2
+        |  FROM events e JOIN med m ON m.event_type = e.event_type),
+        |g AS (SELECT event_type, count(*) AS n,
+        |    sum(z1) AS s1, sum(z2) AS s2 FROM z GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(s1) AS DOUBLE) / sum(n) AS grand FROM g),
+        |q AS (SELECT t.nn, t.k,
+        |    CAST(round(g.n * (CAST(g.s1 AS DOUBLE) / g.n - t.grand)
+        |      * (CAST(g.s1 AS DOUBLE) / g.n - t.grand), 6)
+        |      AS DECIMAL(28,6)) AS bterm,
+        |    CAST(round(CAST(g.s2 AS DOUBLE)
+        |      - CAST(g.s1 AS DOUBLE) * CAST(g.s1 AS DOUBLE) / g.n, 6)
+        |      AS DECIMAL(28,6)) AS wterm
+        |  FROM g CROSS JOIN t),
+        |f AS (SELECT nn, k, CAST(sum(bterm) AS DOUBLE) AS between_ss,
+        |    CAST(sum(wterm) AS DOUBLE) AS within_ss
+        |  FROM q GROUP BY 1, 2)
+        |SELECT nn AS n_total, k AS n_groups,
+        |  CAST(k - 1 AS BIGINT) AS df1, CAST(nn - k AS BIGINT) AS df2,
+        |  round(between_ss, 4) AS between_ss,
+        |  round(within_ss, 4) AS within_ss,
+        |  round(((nn - k) * between_ss) / ((k - 1) * within_ss), 4)
+        |    AS f_stat,
+        |  CAST(((nn - k) * between_ss) / ((k - 1) * within_ss) > 2.372
+        |    AS BOOLEAN) AS reject_equal_var
+        |FROM f""") { (s, d) =>
+      val med = Tables.events(s, d).groupBy(col("event_type"))
+        .agg(expr("percentile(CAST(value AS DOUBLE), 0.5)").as("med"))
+      val dev = abs(col("value") - col("med"))
+      val z = Tables.events(s, d)
+        .join(broadcast(med.withColumnRenamed("event_type", "et")),
+          col("event_type") === col("et"))
+        .select(col("event_type"),
+          round(dev, 6).cast("decimal(18,6)").as("z1"),
+          round(dev * dev, 8).cast("decimal(28,8)").as("z2"))
+      val g = z.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("z1")).as("s1"),
+          sum(col("z2")).as("s2"))
+      val t = g.agg(sum(col("n")).cast("long").as("nn"),
+        count(lit(1)).cast("long").as("k"),
+        (sum(col("s1")).cast("double") / sum(col("n"))).as("grand"))
+      val gm = col("s1").cast("double") / col("n")
+      val f = g.crossJoin(broadcast(t))
+        .select(col("nn"), col("k"),
+          round(col("n") * (gm - col("grand")) * (gm - col("grand")), 6)
+            .cast("decimal(28,6)").as("bterm"),
+          round(col("s2").cast("double")
+            - col("s1").cast("double") * col("s1").cast("double") / col("n"),
+            6).cast("decimal(28,6)").as("wterm"))
+        .groupBy(col("nn"), col("k"))
+        .agg(sum(col("bterm")).cast("double").as("between_ss"),
+          sum(col("wterm")).cast("double").as("within_ss"))
+      val fstat = ((col("nn") - col("k")) * col("between_ss")) /
+        ((col("k") - 1) * col("within_ss"))
+      f.select(col("nn").as("n_total"), col("k").as("n_groups"),
+        (col("k") - 1).cast("long").as("df1"),
+        (col("nn") - col("k")).cast("long").as("df2"),
+        round(col("between_ss"), 4).as("between_ss"),
+        round(col("within_ss"), 4).as("within_ss"),
+        round(fstat, 4).as("f_stat"),
+        (fstat > 2.372).as("reject_equal_var"))
+    },
+
+    // BENJAMINI-HOCHBERG FDR CONTROL (Benjamini & Hochberg 1995) over
+    // the 35 (event_type × weekday) A/B hypotheses — the
+    // multiple-testing correction every metrics platform needs once it
+    // runs eval_ab_ztest per segment: without it, 35 tests at α = .05
+    // expect ~2 false positives. Per-cell two-proportion z rides the
+    // eval_ab_ztest arithmetic on event-level conversions (one hash
+    // aggregate over the corpus — the only corpus-scale shuffle); the
+    // two-sided p-value is erfc(|z|/√2) via the Abramowitz & Stegun
+    // 7.1.26 rational approximation, spelled with explicit t·t·t
+    // products (IEEE multiply is correctly rounded; std::pow isn't) so
+    // both engines walk identical rounding sequences. The BH step-up
+    // itself — rank by p, adj = min_{j≥i}(p_j·m/j) capped at 1 — is two
+    // windows over the 35-row AGGREGATE-REDUCED relation (the
+    // PlanHygiene-whitelisted shape: hypothesis count, not corpus,
+    // bounds the window input). FDR level q = 0.10.
+    Q("eval_fdr_bh",
+      """WITH e AS (SELECT event_type,
+        |    CAST(date_part('isodow', ts) - 1 AS INT) AS grp,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN value > 100 THEN 1 ELSE 0 END AS conv
+        |  FROM events),
+        |g AS (SELECT event_type, grp,
+        |    sum(a) AS na, sum(a * conv) AS ca,
+        |    sum(1 - a) AS nb, sum((1 - a) * conv) AS cb
+        |  FROM e GROUP BY 1, 2),
+        |z AS (SELECT event_type, grp,
+        |    abs((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))
+        |      / nullif(sqrt(((ca + cb) / CAST(na + nb AS DOUBLE))
+        |        * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
+        |        * (1.0 / na + 1.0 / nb)), 0)) AS az
+        |  FROM g),
+        |p AS (SELECT event_type, grp, az,
+        |    (0.254829592 * (1 / (1 + 0.3275911 * (az * 0.7071067811865476)))
+        |     - 0.284496736 * (1 / (1 + 0.3275911 * (az * 0.7071067811865476)))
+        |       * (1 / (1 + 0.3275911 * (az * 0.7071067811865476)))
+        |     + 1.421413741 * (1 / (1 + 0.3275911 * (az * 0.7071067811865476)))
+        |       * (1 / (1 + 0.3275911 * (az * 0.7071067811865476)))
+        |       * (1 / (1 + 0.3275911 * (az * 0.7071067811865476)))
+        |     - 1.453152027 * (1 / (1 + 0.3275911 * (az * 0.7071067811865476)))
+        |       * (1 / (1 + 0.3275911 * (az * 0.7071067811865476)))
+        |       * (1 / (1 + 0.3275911 * (az * 0.7071067811865476)))
+        |       * (1 / (1 + 0.3275911 * (az * 0.7071067811865476)))
+        |     + 1.061405429 * (1 / (1 + 0.3275911 * (az * 0.7071067811865476)))
+        |       * (1 / (1 + 0.3275911 * (az * 0.7071067811865476)))
+        |       * (1 / (1 + 0.3275911 * (az * 0.7071067811865476)))
+        |       * (1 / (1 + 0.3275911 * (az * 0.7071067811865476)))
+        |       * (1 / (1 + 0.3275911 * (az * 0.7071067811865476))))
+        |    * exp(-((az * 0.7071067811865476)
+        |      * (az * 0.7071067811865476))) AS pv
+        |  FROM z),
+        |r AS (SELECT event_type, grp, az, pv,
+        |    row_number() OVER (ORDER BY pv, event_type, grp) AS rk,
+        |    count(*) OVER () AS m
+        |  FROM p),
+        |adj AS (SELECT event_type, grp, az, pv,
+        |    least(min((pv * m) / rk) OVER (ORDER BY rk DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0)
+        |      AS p_adj
+        |  FROM r)
+        |SELECT event_type, grp, round(az, 4) AS abs_z,
+        |  round(pv, 4) AS p_value, round(p_adj, 4) AS p_adj,
+        |  CAST(p_adj <= 0.1 AS BOOLEAN) AS reject
+        |FROM adj ORDER BY event_type, grp""") { (s, d) =>
+      val e = Tables.events(s, d).select(col("event_type"),
+        expr("weekday(ts)").cast("int").as("grp"),
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", 1)
+          .otherwise(0).as("a"),
+        when(col("value") > 100, 1).otherwise(0).as("conv"))
+      val g = e.groupBy(col("event_type"), col("grp"))
+        .agg(sum(col("a")).as("na"), sum(col("a") * col("conv")).as("ca"),
+          sum(lit(1) - col("a")).as("nb"),
+          sum((lit(1) - col("a")) * col("conv")).as("cb"))
+      val pp = (col("ca") + col("cb")) /
+        (col("na") + col("nb")).cast("double")
+      val az = abs((col("ca") / col("na").cast("double") -
+        col("cb") / col("nb").cast("double")) /
+        nullif(sqrt(pp * (lit(1) - pp) *
+          (lit(1.0) / col("na") + lit(1.0) / col("nb"))), lit(0d)))
+      // Abramowitz & Stegun 7.1.26 erfc on x = |z|/√2 — the Scala vals
+      // build ONE shared expression tree, the exact arithmetic the SQL
+      // text spells out longhand (lambda-less SQL can't bind t).
+      val x = az * lit(0.7071067811865476)
+      val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+      val pv = (lit(0.254829592) * t
+        - lit(0.284496736) * t * t
+        + lit(1.421413741) * t * t * t
+        - lit(1.453152027) * t * t * t * t
+        + lit(1.061405429) * t * t * t * t * t) * exp(-(x * x))
+      val p = g.select(col("event_type"), col("grp"),
+        az.as("az"), pv.as("pv"))
+      val r = p
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("pv"), col("event_type"), col("grp"))))
+        .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      val wmin = Window.orderBy(col("rk").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      r.withColumn("p_adj",
+          least(min((col("pv") * col("m")) / col("rk")).over(wmin),
+            lit(1.0)))
+        .select(col("event_type"), col("grp"),
+          round(col("az"), 4).as("abs_z"),
+          round(col("pv"), 4).as("p_value"),
+          round(col("p_adj"), 4).as("p_adj"),
+          (col("p_adj") <= 0.1).as("reject"))
+        .orderBy(col("event_type"), col("grp"))
+    },
+
+    // BAYESIAN A/B POSTERIOR (Beta-Binomial, uniform Beta(1,1) prior) —
+    // the decision layer teams increasingly prefer over eval_ab_ztest's
+    // frequentist flag: P(B beats A) and a ship decision at 95%
+    // confidence. Conversions ride the ztest fixture (per-user
+    // high-value purchase, md5 arms); the posterior is conjugate so
+    // means/variances are CLOSED FORM in the integer counts, and
+    // P(B > A) uses the normal approximation to the Beta difference
+    // (both posteriors have n ≫ 30) through the same A&S erfc
+    // machinery as eval_fdr_bh — Φ(s) = erfc(−s/√2)/2 folded to the
+    // sign-split form. One user rollup + a 2-row pivot: every number
+    // after the corpus scan is O(1).
+    Q("eval_bayes_ab",
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS arm,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150
+        |      THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT arm, count(*) AS n, sum(conv) AS c FROM u GROUP BY 1),
+        |w AS (SELECT
+        |    max(CASE WHEN arm = 'A' THEN n END) AS na,
+        |    max(CASE WHEN arm = 'A' THEN c END) AS ca,
+        |    max(CASE WHEN arm = 'B' THEN n END) AS nb,
+        |    max(CASE WHEN arm = 'B' THEN c END) AS cb
+        |  FROM g),
+        |b AS (SELECT na, ca, nb, cb,
+        |    (1.0 + ca) / (2.0 + na) AS ma, (1.0 + cb) / (2.0 + nb) AS mb,
+        |    ((1.0 + ca) * (1.0 + na - ca))
+        |      / (((2.0 + na) * (2.0 + na)) * (3.0 + na)) AS va,
+        |    ((1.0 + cb) * (1.0 + nb - cb))
+        |      / (((2.0 + nb) * (2.0 + nb)) * (3.0 + nb)) AS vb
+        |  FROM w),
+        |sdef AS (SELECT na, ca, nb, cb, ma, mb,
+        |    (mb - ma) / sqrt(va + vb) AS sc FROM b),
+        |e AS (SELECT na, ca, nb, cb, ma, mb, sc,
+        |    (0.254829592
+        |       * (1 / (1 + 0.3275911 * (abs(sc) * 0.7071067811865476)))
+        |     - 0.284496736
+        |       * (1 / (1 + 0.3275911 * (abs(sc) * 0.7071067811865476)))
+        |       * (1 / (1 + 0.3275911 * (abs(sc) * 0.7071067811865476)))
+        |     + 1.421413741
+        |       * (1 / (1 + 0.3275911 * (abs(sc) * 0.7071067811865476)))
+        |       * (1 / (1 + 0.3275911 * (abs(sc) * 0.7071067811865476)))
+        |       * (1 / (1 + 0.3275911 * (abs(sc) * 0.7071067811865476)))
+        |     - 1.453152027
+        |       * (1 / (1 + 0.3275911 * (abs(sc) * 0.7071067811865476)))
+        |       * (1 / (1 + 0.3275911 * (abs(sc) * 0.7071067811865476)))
+        |       * (1 / (1 + 0.3275911 * (abs(sc) * 0.7071067811865476)))
+        |       * (1 / (1 + 0.3275911 * (abs(sc) * 0.7071067811865476)))
+        |     + 1.061405429
+        |       * (1 / (1 + 0.3275911 * (abs(sc) * 0.7071067811865476)))
+        |       * (1 / (1 + 0.3275911 * (abs(sc) * 0.7071067811865476)))
+        |       * (1 / (1 + 0.3275911 * (abs(sc) * 0.7071067811865476)))
+        |       * (1 / (1 + 0.3275911 * (abs(sc) * 0.7071067811865476)))
+        |       * (1 / (1 + 0.3275911 * (abs(sc) * 0.7071067811865476))))
+        |    * exp(-((abs(sc) * 0.7071067811865476)
+        |      * (abs(sc) * 0.7071067811865476))) AS ec
+        |  FROM sdef)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+        |  CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+        |  round(ma, 4) AS post_mean_a, round(mb, 4) AS post_mean_b,
+        |  round(CASE WHEN sc >= 0 THEN 1 - ec / 2 ELSE ec / 2 END, 4)
+        |    AS prob_b_beats_a,
+        |  CAST((CASE WHEN sc >= 0 THEN 1 - ec / 2 ELSE ec / 2 END) > 0.95
+        |    AS BOOLEAN) AS ship_b
+        |FROM e""") { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+            "A").otherwise("B").as("arm"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 150,
+          1).otherwise(0)).as("conv"))
+      val w = u.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+        .agg(max(when(col("arm") === "A", col("n"))).as("na"),
+          max(when(col("arm") === "A", col("c"))).as("ca"),
+          max(when(col("arm") === "B", col("n"))).as("nb"),
+          max(when(col("arm") === "B", col("c"))).as("cb"))
+      val ma = (lit(1.0) + col("ca")) / (lit(2.0) + col("na"))
+      val mb = (lit(1.0) + col("cb")) / (lit(2.0) + col("nb"))
+      val va = ((lit(1.0) + col("ca")) * (lit(1.0) + col("na") - col("ca"))) /
+        (((lit(2.0) + col("na")) * (lit(2.0) + col("na"))) *
+          (lit(3.0) + col("na")))
+      val vb = ((lit(1.0) + col("cb")) * (lit(1.0) + col("nb") - col("cb"))) /
+        (((lit(2.0) + col("nb")) * (lit(2.0) + col("nb"))) *
+          (lit(3.0) + col("nb")))
+      val b = w.select(col("na"), col("ca"), col("nb"), col("cb"),
+        ma.as("ma"), mb.as("mb"),
+        ((mb - ma) / sqrt(va + vb)).as("sc"))
+      val x = abs(col("sc")) * lit(0.7071067811865476)
+      val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+      val ec = (lit(0.254829592) * t
+        - lit(0.284496736) * t * t
+        + lit(1.421413741) * t * t * t
+        - lit(1.453152027) * t * t * t * t
+        + lit(1.061405429) * t * t * t * t * t) * exp(-(x * x))
+      val prob = when(col("sc") >= 0, lit(1) - col("ec") / 2)
+        .otherwise(col("ec") / 2)
+      b.withColumn("ec", ec)
+        .select(col("na").cast("long").as("n_a"),
+          col("ca").cast("long").as("conv_a"),
+          col("nb").cast("long").as("n_b"),
+          col("cb").cast("long").as("conv_b"),
+          round(col("ma"), 4).as("post_mean_a"),
+          round(col("mb"), 4).as("post_mean_b"),
+          round(prob, 4).as("prob_b_beats_a"),
+          (prob > 0.95).as("ship_b"))
+    },
+
+    // PERMUTATION TEST on per-user spend (two-sample mean difference,
+    // R = 200 re-randomizations) — the assumption-free significance
+    // test for the metrics where eval_ttest_welch's normality and
+    // eval_mannwhitney's rank model both feel wrong (heavy-tailed
+    // revenue). The permutations are DETERMINISTIC: replicate r
+    // re-assigns each user by the md5 of user:r (the same '8'-nibble
+    // law as the real assignment), so both engines replay the
+    // identical 200 shuffles — a fixed re-randomization protocol, not
+    // RNG. Shape at 100 TB: the corpus collapses to the user-level
+    // spend relation FIRST (the only corpus-scale shuffle); the ×200
+    // replicate explode is entity-level and embarrassingly parallel
+    // (users × 200 → 200 partial-aggregated rows), and per-user spend
+    // is DECIMAL-exact so every T_r is the same IEEE double in both
+    // engines — the |T_r| ≥ |T_obs| comparison needs no tolerance.
+    // p = (1 + #extreme)/(R+1), the add-one permutation convention.
+    Q("eval_permutation",
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 1 ELSE 0 END AS a,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS spend
+        |  FROM events GROUP BY 1, 2),
+        |obs AS (SELECT
+        |    CAST(sum(CASE WHEN a = 1 THEN spend END) AS DOUBLE)
+        |      / nullif(sum(a), 0)
+        |    - CAST(sum(CASE WHEN a = 0 THEN spend END) AS DOUBLE)
+        |      / nullif(sum(1 - a), 0) AS t_obs
+        |  FROM u),
+        |reps AS (SELECT unnest(range(1, 201)) AS r),
+        |perm AS (SELECT r.r,
+        |    CASE WHEN substr(md5(CAST(u.user_id AS VARCHAR) || ':'
+        |      || CAST(r.r AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE 0 END AS a,
+        |    u.spend
+        |  FROM u CROSS JOIN reps r),
+        |ts AS (SELECT r,
+        |    CAST(sum(CASE WHEN a = 1 THEN spend END) AS DOUBLE)
+        |      / nullif(sum(a), 0)
+        |    - CAST(sum(CASE WHEN a = 0 THEN spend END) AS DOUBLE)
+        |      / nullif(sum(1 - a), 0) AS t_r
+        |  FROM perm GROUP BY 1)
+        |SELECT CAST(200 AS BIGINT) AS n_perm,
+        |  round(o.t_obs, 4) AS t_obs,
+        |  CAST(sum(CASE WHEN abs(ts.t_r) >= abs(o.t_obs) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_extreme,
+        |  round((1 + sum(CASE WHEN abs(ts.t_r) >= abs(o.t_obs)
+        |    THEN 1 ELSE 0 END)) / 201.0, 4) AS p_value
+        |FROM ts CROSS JOIN obs o GROUP BY o.t_obs""") { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", 1)
+            .otherwise(0).as("a"))
+        .agg(sum(col("value").cast("decimal(18,4)")).as("spend"))
+      // nullif-guarded: an all-one-side md5 draw (possible on tiny
+      // inputs) yields a NULL T_r in both engines — it drops out of
+      // the ≥ count instead of tripping ANSI divide-by-zero.
+      def tdiff(df: org.apache.spark.sql.RelationalGroupedDataset) =
+        df.agg((sum(when(col("a") === 1, col("spend"))).cast("double") /
+          nullif(sum(col("a")), lit(0)) -
+          sum(when(col("a") === 0, col("spend"))).cast("double") /
+            nullif(sum(lit(1) - col("a")), lit(0))).as("t"))
+      val obs = tdiff(u.groupBy()).select(col("t").as("t_obs"))
+      val reps = s.range(1, 201).select(col("id").cast("int").as("r"))
+      val perm = u.crossJoin(broadcast(reps))
+        .select(col("r"),
+          when(substring(md5(concat(col("user_id").cast("string"), lit(":"),
+            col("r").cast("string"))), 1, 1) < "8", 1).otherwise(0).as("a"),
+          col("spend"))
+      val ts = tdiff(perm.groupBy(col("r"))).select(col("t").as("t_r"))
+      ts.crossJoin(broadcast(obs))
+        .groupBy(col("t_obs"))
+        .agg(
+          sum(when(abs(col("t_r")) >= abs(col("t_obs")), 1).otherwise(0))
+            .cast("long").as("n_extreme"))
+        .select(lit(200L).as("n_perm"),
+          round(col("t_obs"), 4).as("t_obs"),
+          col("n_extreme"),
+          round((lit(1) + col("n_extreme")) / 201.0, 4).as("p_value"))
     }
   )
 }

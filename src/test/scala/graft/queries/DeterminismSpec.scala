@@ -96,7 +96,14 @@ class DeterminismSpec extends SparkSpec {
       "text_jsd", "text_boilerplate", "graph_jaccard", "win_streaks",
       "agg_weighted_median", "ts_cusum", "agg_mode", "ts_autocorr",
       "behavior_ab_assign", "norm_quantile", "graph_degree_dist",
-      "text_readability"))
+      "text_readability",
+      // round-13 fourth batch: the DECIMAL power sums (JB), the
+      // quantized between/within terms (Brown-Forsythe), the erfc
+      // p-value + 35-row BH windows, the conjugate-posterior algebra,
+      // and the exact per-user DECIMAL spends under 200 md5 replays
+      // are each partition-sensitive if their disciplines slip
+      "eval_jarque_bera", "eval_levene_bf", "eval_fdr_bh",
+      "eval_bayes_ab", "eval_permutation"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
       assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
     }

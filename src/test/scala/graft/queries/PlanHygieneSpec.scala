@@ -105,7 +105,10 @@ class PlanHygieneSpec extends SparkSpec {
     "eval_friedman",       // 1-row rank sums x broadcast 1-row tie term
     "eval_krippendorff",   // 1-row Do x broadcast 1-row n x 1-row De
     "vec_mmd_poly",        // d^2 moment grid x broadcast 1-row counts
-    "eval_group_sequential" // users x broadcast 4-row literal look grid
+    "eval_group_sequential", // users x broadcast 4-row literal look grid
+    "eval_levene_bf",      // 5 group rows x broadcast 1-row grand scalars
+    "eval_permutation"     // users x broadcast 200-row literal replicate
+                           // grid + 200 T_r rows x broadcast 1-row T_obs
   )
 
   private def offenders(name: String): Seq[String] = {

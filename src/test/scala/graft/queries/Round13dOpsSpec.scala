@@ -1,0 +1,188 @@
+package graft.queries
+
+import graft.SparkSpec
+
+import java.sql.Timestamp
+
+/** Laws for the round-13 fourth batch — the distribution-shape and
+  * multiple-testing operators, each re-derived by hand or replayed in
+  * plain JVM arithmetic on a planted fixture:
+  *
+  *  - eval_jarque_bera: skewness/kurtosis must equal agg_moments'
+  *    columns (same machinery, independent query text), and a planted
+  *    symmetric fixture must hit the hand-computed g2 exactly.
+  *  - eval_levene_bf: the textbook two-group fixture {1..5} vs
+  *    {10,20..50} hand-computes to F = 8·291.6/282.8.
+  *  - eval_fdr_bh: the step-up procedure replayed in JVM arithmetic
+  *    from the query's own p-values must reproduce p_adj (extensional
+  *    equality of the BH law), and p_adj must be ≥ p and monotone in
+  *    the p-rank.
+  *  - eval_bayes_ab: a planted 3-vs-2-user fixture hand-computes the
+  *    conjugate posterior (0.6 vs 0.5) and the A&S erfc replay must
+  *    match prob_b_beats_a to the printed 4 decimals.
+  *  - eval_permutation: complete JVM replay — per-user md5 arms for
+  *    r = 0 (observed) and r = 1..200, exact spend sums, the same
+  *    |T_r| ≥ |T_obs| count.
+  */
+class Round13dOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def writeEvents(
+      d: String, rows: Seq[(Long, Timestamp, Long, String, Double, String)])
+      : Unit =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+
+  private def day(dom: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$dom%02d 12:00:00")
+
+  /** A&S 7.1.26 erfc(x/√2)·(the two-sided normal p) — the exact
+    * arithmetic the queries inline, replayed in plain doubles. */
+  private def erfcOverSqrt2(az: Double): Double = {
+    val x = az * 0.7071067811865476
+    val t = 1.0 / (1.0 + 0.3275911 * x)
+    (0.254829592 * t - 0.284496736 * t * t + 1.421413741 * t * t * t
+      - 1.453152027 * t * t * t * t
+      + 1.061405429 * t * t * t * t * t) * math.exp(-(x * x))
+  }
+
+  test("eval_jarque_bera: shape columns equal agg_moments on sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    val jb = graft.SparkEntry.queries("eval_jarque_bera")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val mo = graft.SparkEntry.queries("agg_moments")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(jb.keySet == mo.keySet)
+    for ((k, (sk, ku)) <- jb) {
+      assert(math.abs(sk - mo(k)._1) < 1e-9, s"$k skewness")
+      assert(math.abs(ku - mo(k)._2) < 1e-9, s"$k kurtosis")
+    }
+  }
+
+  test("eval_jarque_bera: symmetric planted fixture hits the closed form") {
+    // {1,2,3,4,5}: mu=3, m2=2, m3=0 (symmetric), m4=6.8.
+    // g1=0, g2=6.8/4-3=-1.3, JB = 5·(0 + 1.69/24) = 0.352083…
+    val d = tmp("jb")
+    writeEvents(d, (1 to 5).map(i =>
+      (i.toLong, day(10), i.toLong, "view", i.toDouble, "{}")))
+    val r = graft.SparkEntry.queries("eval_jarque_bera")(spark, d)
+      .collect().head
+    assert(r.getString(0) == "view" && r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 0.0, "skewness")
+    assert(r.getDouble(3) == -1.3, "ex_kurtosis")
+    assert(math.abs(r.getDouble(4) - 0.3521) < 1e-9, "jb_stat")
+    assert(!r.getBoolean(6), "JB 0.35 < 5.991 must not reject")
+  }
+
+  test("eval_levene_bf: textbook two-group fixture hand-computes") {
+    // view {1..5}: med 3, |dev| sums s1=6, s2=10; click {10,20..50}:
+    // med 30, s1=60, s2=1000. grand=6.6; between=291.6; within=282.8;
+    // F = (10-2)/(2-1) · 291.6/282.8 = 8.24894…
+    val d = tmp("lev")
+    val rows = (1 to 5).map(i =>
+      (i.toLong, day(10), i.toLong, "view", i.toDouble, "{}")) ++
+      (1 to 5).map(i =>
+        (10L + i, day(11), 10L + i, "click", i * 10.0, "{}"))
+    writeEvents(d, rows)
+    val r = graft.SparkEntry.queries("eval_levene_bf")(spark, d)
+      .collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 8L)
+    assert(math.abs(r.getDouble(4) - 291.6) < 1e-9, "between_ss")
+    assert(math.abs(r.getDouble(5) - 282.8) < 1e-9, "within_ss")
+    assert(math.abs(r.getDouble(6) - 8.2489) < 1e-9, "f_stat")
+    assert(r.getBoolean(7), "8.25 > 2.372 must reject")
+  }
+
+  test("eval_fdr_bh: JVM replay of the step-up law on sf0.001") {
+    val rows = graft.SparkEntry.queries("eval_fdr_bh")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 35, "5 types × 7 weekdays")
+    val ps = rows.map(_.getDouble(3))
+    val adj = rows.map(_.getDouble(4))
+    // p_adj ≥ p (each BH term p_j·m/j with j ≥ rank(p) is ≥ p).
+    for (i <- rows.indices)
+      assert(adj(i) >= ps(i) - 2e-4, s"row $i p_adj < p")
+    // Replay the step-up from the reported p-values: sort ascending,
+    // adj_i = min_{j≥i}(p_j·35/j) capped at 1. The replay works on the
+    // 4-dp printed p's, so allow 2e-4 of re-rounding slack.
+    val sorted = ps.sorted
+    val bh = sorted.zipWithIndex
+      .map { case (p, i) => p * 35.0 / (i + 1) }
+    val stepUp = bh.scanRight(1.0)(math.min).init.map(math.min(_, 1.0))
+    val expect = sorted.zip(stepUp).toMap
+    for (i <- rows.indices)
+      assert(math.abs(adj(i) - expect(ps(i))) < 2e-4,
+        s"row $i: adj ${adj(i)} vs replay ${expect(ps(i))}")
+    // reject ⇔ p_adj ≤ 0.1 (modulo the 4-dp print of p_adj)
+    for (r <- rows)
+      assert(r.getBoolean(5) == (r.getDouble(4) <= 0.1 + 1e-9) ||
+        math.abs(r.getDouble(4) - 0.1) < 2e-4)
+  }
+
+  test("eval_bayes_ab: planted conjugate posterior hand-computes") {
+    // 3 A-users (2 convert) vs 2 B-users (1 converts):
+    // post means (1+2)/(2+3)=0.6, (1+1)/(2+2)=0.5;
+    // va = 3·2/(25·6) = 0.04, vb = 2·2/(16·5) = 0.05,
+    // sc = -0.1/0.3 = -1/3 → prob = erfc(|sc|/√2)/2.
+    def isA(u: Long): Boolean = md5hex(u.toString).charAt(0) < '8'
+    val aIds = Iterator.from(1).map(_.toLong).filter(isA).take(3).toSeq
+    val bIds = Iterator.from(1).map(_.toLong).filterNot(isA).take(2).toSeq
+    val d = tmp("bayes")
+    val conv = Set(aIds(0), aIds(1), bIds(0))
+    val rows = (aIds ++ bIds).zipWithIndex.map { case (u, i) =>
+      val (tpe, v) = if (conv(u)) ("purchase", 200.0) else ("view", 10.0)
+      (i.toLong, day(10), u, tpe, v, "{}")
+    }
+    writeEvents(d, rows)
+    val r = graft.SparkEntry.queries("eval_bayes_ab")(spark, d)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 2L, 2L, 1L)))
+    assert(r.getDouble(4) == 0.6 && r.getDouble(5) == 0.5)
+    val sc = (0.5 - 0.6) / math.sqrt(0.04 + 0.05)
+    val prob = erfcOverSqrt2(math.abs(sc)) / 2
+    assert(math.abs(r.getDouble(6) -
+      math.rint(prob * 10000) / 10000.0) < 1e-9, "prob_b_beats_a")
+    assert(!r.getBoolean(7), "prob ≈ 0.37 must not ship")
+  }
+
+  test("eval_permutation: complete JVM replay on a planted fixture") {
+    val d = tmp("perm")
+    val users = (1L to 8L).toSeq
+    val spend = users.map(u => u -> (u * 7 % 5 + 1) * 10.0).toMap
+    writeEvents(d, users.zipWithIndex.map { case (u, i) =>
+      (i.toLong, day(10), u, "view", spend(u), "{}")
+    })
+    def arm(u: Long, r: Int): Boolean =
+      if (r == 0) md5hex(u.toString).charAt(0) < '8'
+      else md5hex(s"$u:$r").charAt(0) < '8'
+    def tdiff(r: Int): Option[Double] = {
+      val (a, b) = users.partition(arm(_, r))
+      if (a.isEmpty || b.isEmpty) None
+      else Some(a.map(spend).sum / a.size - b.map(spend).sum / b.size)
+    }
+    val tObs = tdiff(0).get
+    // One-sided md5 draws yield a NULL T_r in BOTH engines (sum over
+    // empty side) — those rows drop out of the ≥ count identically.
+    val extreme = (1 to 200).flatMap(tdiff)
+      .count(t => math.abs(t) >= math.abs(tObs))
+    val r = graft.SparkEntry.queries("eval_permutation")(spark, d)
+      .collect().head
+    assert(r.getLong(0) == 200L)
+    assert(math.abs(r.getDouble(1) - math.rint(tObs * 10000) / 10000.0)
+      < 1e-9, "t_obs")
+    assert(r.getLong(2) == extreme.toLong, "n_extreme replay")
+    assert(math.abs(r.getDouble(3) -
+      math.rint((1.0 + extreme) / 201.0 * 10000) / 10000.0) < 1e-9)
+  }
+}
