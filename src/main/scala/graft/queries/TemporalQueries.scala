@@ -1659,5 +1659,204 @@ object TemporalQueries {
           round(sqrt(col("s.q") / (col("n_days") - 1)), 4)
             .as("innov_rmse"))
         .orderBy(col("event_type"))
+    },
+
+    // HOLT-WINTERS ADDITIVE SEASONAL smoothing (triple exponential,
+    // weekly period m = 7, α = 1/2, β = 1/4, γ = 1/4 — all dyadic, so
+    // every update is IEEE-exact and the fold is bit-identical across
+    // engines with no quantization) — the seasonal-aware forecast
+    // ts_holt can't produce: level, trend AND a 7-slot seasonal
+    // profile advance left-to-right through each type's daily series.
+    // The seasonal state is a QUEUE, not an indexed array: each step
+    // consumes the head (this weekday's seasonal), appends the updated
+    // value at the tail — which keeps the lambda free of index
+    // arithmetic in both engines (Spark `aggregate`, DuckDB
+    // `list_reduce` over 9-wide arrays [l, b, s1..s7]). Seed: l₀ =
+    // mean of the first week (explicit left-assoc sum), b₀ = 0,
+    // sᵢ = yᵢ − l₀. Per-key state O(1), series calendar-bounded, keys
+    // unbounded — the groupBy axis, same contract as ts_holt/ts_ses.
+    Q("ts_holt_winters",
+      """WITH y AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS DOUBLE) AS yv
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT event_type, list(yv ORDER BY day) AS ys,
+        |    count(*) AS n_days
+        |  FROM y GROUP BY 1 HAVING count(*) >= 8),
+        |sd AS (SELECT event_type, n_days, ys,
+        |    ((((((ys[1] + ys[2]) + ys[3]) + ys[4]) + ys[5]) + ys[6])
+        |      + ys[7]) / 7 AS l0
+        |  FROM ser),
+        |st AS (SELECT event_type, n_days,
+        |    list_reduce(
+        |      list_prepend([l0, CAST(0 AS DOUBLE),
+        |          ys[1] - l0, ys[2] - l0, ys[3] - l0, ys[4] - l0,
+        |          ys[5] - l0, ys[6] - l0, ys[7] - l0],
+        |        list_transform(list_slice(ys, 8, len(ys)),
+        |          v -> [v, v, v, v, v, v, v, v, v])),
+        |      (a, p) -> [
+        |        (p[1] - a[3]) / 2 + (a[1] + a[2]) / 2,
+        |        (((p[1] - a[3]) / 2 + (a[1] + a[2]) / 2) - a[1]) / 4
+        |          + (a[2] * 3) / 4,
+        |        a[4], a[5], a[6], a[7], a[8], a[9],
+        |        (p[1] - ((p[1] - a[3]) / 2 + (a[1] + a[2]) / 2)) / 4
+        |          + (a[3] * 3) / 4]) AS s
+        |  FROM sd)
+        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        |  round(s[1], 4) AS level, round(s[2], 4) AS trend,
+        |  round(s[3], 4) AS s_next,
+        |  round((s[1] + s[2]) + s[3], 4) AS forecast_1
+        |FROM st ORDER BY event_type""") { (s, d) =>
+      val y = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).cast("double").as("yv"))
+      val ser = y.groupBy(col("event_type"))
+        .agg(expr("transform(array_sort(collect_list(struct(day, yv))), x -> x.yv)")
+            .as("ys"),
+          count(lit(1)).as("n_days"))
+        .filter(col("n_days") >= 8)
+        .withColumn("l0", expr(
+          """((((((ys[0] + ys[1]) + ys[2]) + ys[3]) + ys[4]) + ys[5])
+            |  + ys[6]) / 7""".stripMargin))
+      // The level expression repeats inside trend/seasonal because SQL
+      // lambdas cannot bind intermediates — both engines compute the
+      // identical IEEE sequence. The seasonal queue rotates via
+      // slice+append: a.s[0] is always "this step's weekday".
+      val st = ser.withColumn("s", expr(
+        """aggregate(slice(ys, 8, greatest(size(ys) - 7, 0)),
+          |  named_struct('l', l0, 'b', CAST(0 AS DOUBLE),
+          |    's', array(ys[0] - l0, ys[1] - l0, ys[2] - l0, ys[3] - l0,
+          |      ys[4] - l0, ys[5] - l0, ys[6] - l0)),
+          |  (a, v) -> named_struct(
+          |    'l', (v - a.s[0]) / 2D + (a.l + a.b) / 2D,
+          |    'b', (((v - a.s[0]) / 2D + (a.l + a.b) / 2D) - a.l) / 4D
+          |      + (a.b * 3D) / 4D,
+          |    's', concat(slice(a.s, 2, 6),
+          |      array((v - ((v - a.s[0]) / 2D + (a.l + a.b) / 2D)) / 4D
+          |        + (a.s[0] * 3D) / 4D))))""".stripMargin))
+      st.select(col("event_type"), col("n_days").cast("long").as("n_days"),
+          round(col("s.l"), 4).as("level"),
+          round(col("s.b"), 4).as("trend"),
+          round(col("s.s")(0), 4).as("s_next"),
+          round((col("s.l") + col("s.b")) + col("s.s")(0), 4)
+            .as("forecast_1"))
+        .orderBy(col("event_type"))
+    },
+
+    // PEAK DETECTION over each type's daily-count series — strict
+    // local maxima (greater than BOTH neighbors, so plateaus and
+    // series edges never fire) with the neighbor-gap prominence proxy
+    // every alerting stack ranks spikes by. Counts stay BIGINT end to
+    // end: the peak predicate and the prominence are exact integer
+    // comparisons, immune to partitioning and engine float quirks.
+    // All windows partition by event_type over the day-level rollup —
+    // the calendar bounds the window input, keys scale out.
+    Q("ts_peaks",
+      """WITH y AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS yv
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, yv,
+        |    lag(yv) OVER (PARTITION BY event_type ORDER BY day) AS pv,
+        |    lead(yv) OVER (PARTITION BY event_type ORDER BY day) AS nv
+        |  FROM y),
+        |pk AS (SELECT event_type, day, yv,
+        |    yv - greatest(pv, nv) AS prominence
+        |  FROM w WHERE pv IS NOT NULL AND nv IS NOT NULL
+        |    AND yv > pv AND yv > nv),
+        |r AS (SELECT event_type, day, yv, prominence,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY prominence DESC, day) AS rk
+        |  FROM pk)
+        |SELECT event_type, day, CAST(yv AS BIGINT) AS yv,
+        |  CAST(prominence AS BIGINT) AS prominence,
+        |  CAST(rk = 1 AS BOOLEAN) AS is_top_peak
+        |FROM r ORDER BY event_type, day""") { (s, d) =>
+      val y = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("yv"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val pk = y
+        .withColumn("pv", lag(col("yv"), 1).over(w))
+        .withColumn("nv", lead(col("yv"), 1).over(w))
+        .filter(col("pv").isNotNull && col("nv").isNotNull &&
+          col("yv") > col("pv") && col("yv") > col("nv"))
+        .withColumn("prominence", col("yv") - greatest(col("pv"), col("nv")))
+      val wr = Window.partitionBy(col("event_type"))
+        .orderBy(col("prominence").desc, col("day"))
+      pk.withColumn("rk", row_number().over(wr))
+        .select(col("event_type"), col("day"),
+          col("yv").cast("long").as("yv"),
+          col("prominence").cast("long").as("prominence"),
+          (col("rk") === 1).as("is_top_peak"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    // GOERTZEL-STYLE PERIODOGRAM at candidate periods {2,3,5,7,14}
+    // days — single-bin DFT power per (type, period), the seasonality
+    // DETECTOR behind ts_seasonality_strength's fixed weekly
+    // assumption: argue the period from the data instead of assuming
+    // it. The trig argument is reduced EXACTLY before libm sees it —
+    // 2π·(t mod p)/p with integer t mod p — so both engines evaluate
+    // cos/sin at the same ≤14 small arguments (never a 300-radian
+    // argument whose reduction could diverge); per-term products
+    // quantize to DECIMAL before the order-free sum, the family law.
+    // Demeaning kills the DC leak; power normalizes by series length.
+    // Shape: day-level rollup × a 5-row literal period grid, one hash
+    // aggregate — corpus-scale work is the events→day rollup only.
+    Q("ts_periodogram",
+      """WITH y AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS yv
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, day, yv,
+        |    datediff('day', min(day) OVER (PARTITION BY event_type), day)
+        |      AS t,
+        |    avg(yv) OVER (PARTITION BY event_type) AS mu
+        |  FROM y),
+        |g AS (SELECT b.event_type, p.p, b.t, b.yv - b.mu AS x
+        |  FROM b CROSS JOIN (SELECT unnest([2, 3, 5, 7, 14]) AS p) p),
+        |s AS (SELECT event_type, p, count(*) AS n,
+        |    CAST(sum(CAST(round(x * cos(2 * pi() * (t % p) / p), 12)
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS c,
+        |    CAST(sum(CAST(round(x * sin(2 * pi() * (t % p) / p), 12)
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS sn
+        |  FROM g GROUP BY 1, 2),
+        |pw AS (SELECT event_type, p, n,
+        |    (c * c + sn * sn) / n AS power FROM s),
+        |r AS (SELECT event_type, p, n, power,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY power DESC, p) AS rk
+        |  FROM pw)
+        |SELECT event_type, CAST(p AS INT) AS period,
+        |  CAST(n AS BIGINT) AS n_days, round(power, 4) AS power,
+        |  CAST(rk = 1 AS BOOLEAN) AS is_dominant
+        |FROM r ORDER BY event_type, period""") { (s, d) =>
+      import s.implicits._
+      val y = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("yv"))
+      val wt = Window.partitionBy(col("event_type"))
+      val b = y
+        .withColumn("t", datediff(col("day"), min(col("day")).over(wt)))
+        .withColumn("mu", avg(col("yv")).over(wt))
+      val grid = Seq(2, 3, 5, 7, 14).toDF("p")
+      val ang = lit(2) * expr("pi()") * (col("t") % col("p")) / col("p")
+      val x = col("yv") - col("mu")
+      val g = b.crossJoin(broadcast(grid))
+        .select(col("event_type"), col("p"),
+          round(x * cos(ang), 12).cast("decimal(28,12)").as("tc"),
+          round(x * sin(ang), 12).cast("decimal(28,12)").as("tsn"))
+      val sdf = g.groupBy(col("event_type"), col("p"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("tc")).cast("double").as("c"),
+          sum(col("tsn")).cast("double").as("sn"))
+      val pw = sdf.withColumn("power",
+        (col("c") * col("c") + col("sn") * col("sn")) / col("n"))
+      val wr = Window.partitionBy(col("event_type"))
+        .orderBy(col("power").desc, col("p"))
+      pw.withColumn("rk", row_number().over(wr))
+        .select(col("event_type"), col("p").cast("int").as("period"),
+          col("n").cast("long").as("n_days"),
+          round(col("power"), 4).as("power"),
+          (col("rk") === 1).as("is_dominant"))
+        .orderBy(col("event_type"), col("period"))
     })
 }

@@ -103,7 +103,11 @@ class DeterminismSpec extends SparkSpec {
       // and the exact per-user DECIMAL spends under 200 md5 replays
       // are each partition-sensitive if their disciplines slip
       "eval_jarque_bera", "eval_levene_bf", "eval_fdr_bh",
-      "eval_bayes_ab", "eval_permutation"))
+      "eval_bayes_ab", "eval_permutation",
+      // round-13 fifth batch: the HW fold rides collect_list order,
+      // peaks ride integer windows, the periodogram rides quantized
+      // trig terms — each partition-sensitive if the discipline slips
+      "ts_holt_winters", "ts_peaks", "ts_periodogram"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
       assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
     }

@@ -107,8 +107,9 @@ class PlanHygieneSpec extends SparkSpec {
     "vec_mmd_poly",        // d^2 moment grid x broadcast 1-row counts
     "eval_group_sequential", // users x broadcast 4-row literal look grid
     "eval_levene_bf",      // 5 group rows x broadcast 1-row grand scalars
-    "eval_permutation"     // users x broadcast 200-row literal replicate
+    "eval_permutation",    // users x broadcast 200-row literal replicate
                            // grid + 200 T_r rows x broadcast 1-row T_obs
+    "ts_periodogram"       // day-level rollup x 5-row literal period grid
   )
 
   private def offenders(name: String): Seq[String] = {

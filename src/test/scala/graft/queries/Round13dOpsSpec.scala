@@ -156,6 +156,62 @@ class Round13dOpsSpec extends SparkSpec {
     assert(!r.getBoolean(7), "prob ≈ 0.37 must not ship")
   }
 
+  /** Events with a prescribed per-day count: day d gets counts(d)
+    * rows, so the daily-count series IS the planted vector. */
+  private def writeDailySeries(d: String, counts: Seq[Int]): Unit = {
+    var id = 0L
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      (1 to c).map { _ =>
+        id += 1
+        (id, day(i + 1), id % 97, "view", 1.0, "{}")
+      }
+    }
+    writeEvents(d, rows)
+  }
+
+  test("ts_holt_winters: a perfectly weekly series is a fixed point") {
+    // Two exact weeks of [10,20,30,40,50,60,70]: seed l0 = 40, b0 = 0,
+    // s = y - 40. Every update then reproduces itself (the additive HW
+    // fixed point): level 40, trend 0, head seasonal -30, forecast_1
+    // = 40 + 0 - 30 = 10 — day 15's true count.
+    val d = tmp("hw")
+    val week = Seq(10, 20, 30, 40, 50, 60, 70)
+    writeDailySeries(d, week ++ week)
+    val r = graft.SparkEntry.queries("ts_holt_winters")(spark, d)
+      .collect().head
+    assert(r.getLong(1) == 14L)
+    assert(r.getDouble(2) == 40.0, "level")
+    assert(r.getDouble(3) == 0.0, "trend")
+    assert(r.getDouble(4) == -30.0, "s_next")
+    assert(r.getDouble(5) == 10.0, "forecast_1")
+  }
+
+  test("ts_peaks: planted [1,5,2,7,3] finds both strict maxima") {
+    val d = tmp("peaks")
+    writeDailySeries(d, Seq(1, 5, 2, 7, 3))
+    val out = graft.SparkEntry.queries("ts_peaks")(spark, d)
+      .collect().map(r => (r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      ("2024-01-02", 5L, 3L, false),  // 5 > 1, 5 > 2; prom 5-2
+      ("2024-01-04", 7L, 4L, true))) // 7 > 2, 7 > 3; prom 7-3, top
+  }
+
+  test("ts_periodogram: a pure period-2 series puts all power at p=2") {
+    // 14 days of [10,30] alternating: mean 20, x = ∓10; at p = 2 the
+    // cos terms are all -10 (C = -140, S = 0 exactly — sin(0) = 0 and
+    // the sin(π) leak dies in the 12-dp quantization), so power =
+    // 140²/14 = 1400 exactly and p=2 dominates.
+    val d = tmp("pgram")
+    writeDailySeries(d, Seq.tabulate(14)(i => if (i % 2 == 0) 10 else 30))
+    val rows = graft.SparkEntry.queries("ts_periodogram")(spark, d)
+      .collect().map(r => r.getInt(1) -> (r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(rows(2)._1 == 1400.0, "p=2 power")
+    assert(rows(2)._2, "p=2 dominant")
+    assert(rows(7)._1 < 1400.0 && !rows(7)._2)
+  }
+
   test("eval_permutation: complete JVM replay on a planted fixture") {
     val d = tmp("perm")
     val users = (1L to 8L).toSeq
