@@ -3270,5 +3270,137 @@ object TextQueries {
           round(col("score"), 4).as("score"))
         .orderBy(col("score").desc, col("phrase"))
         .limit(20)
+    },
+
+    // HEAPS'-LAW VOCABULARY GROWTH — V(n) = K·n^β, the companion of
+    // text_zipf's frequency law and the capacity-planning curve for
+    // tokenizer vocab sizing: how fast does the type inventory grow as
+    // the corpus grows? The corpus is cut into 20 equal doc-id ranges
+    // (the ingest order proxy; floor(doc_id·20/N) — one IEEE divide,
+    // identical in both engines); each token's FIRST bucket is a
+    // min-aggregate, so cumulative vocabulary is a running sum of
+    // new-type counts over the 20-row bucket grid — never a re-scan
+    // per prefix (the naive V(n) costs 20 corpus passes; this costs
+    // one). β and ln K fit by explicit least squares on the 20 ln-ln
+    // points (spelled-out sums — no engine regr_* convention risk),
+    // with per-term 12-dp DECIMAL quantization for order-free
+    // addition. Shape at 100 TB: one token explode + two hash
+    // aggregates; the windows and the fit live on the 20-row grid.
+    Q("text_heaps_law",
+      """WITH mx AS (SELECT max(doc_id) + 1 AS n FROM documents),
+        |t AS (SELECT CAST(floor(d.doc_id * 20 / mx.n) AS INT) AS b,
+        |    unnest(string_split(d.text, ' ')) AS tok
+        |  FROM documents d CROSS JOIN mx),
+        |bt AS (SELECT b, count(*) AS toks FROM t GROUP BY 1),
+        |ft AS (SELECT tok, min(b) AS fb FROM t GROUP BY 1),
+        |nt AS (SELECT fb AS b, count(*) AS newtypes FROM ft GROUP BY 1),
+        |c AS (SELECT bt.b,
+        |    sum(bt.toks) OVER (ORDER BY bt.b) AS cum_tokens,
+        |    sum(coalesce(nt.newtypes, 0)) OVER (ORDER BY bt.b) AS cum_vocab
+        |  FROM bt LEFT JOIN nt ON nt.b = bt.b),
+        |s AS (SELECT count(*) AS m,
+        |    CAST(sum(CAST(round(ln(CAST(cum_tokens AS DOUBLE)), 12)
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(round(ln(CAST(cum_vocab AS DOUBLE)), 12)
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(round(ln(CAST(cum_tokens AS DOUBLE))
+        |        * ln(CAST(cum_tokens AS DOUBLE)), 12)
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(round(ln(CAST(cum_tokens AS DOUBLE))
+        |        * ln(CAST(cum_vocab AS DOUBLE)), 12)
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+        |  FROM c)
+        |SELECT c.b AS bucket, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |  CAST(cum_vocab AS BIGINT) AS cum_vocab,
+        |  round((s.m * s.sxy - s.sx * s.sy)
+        |    / (s.m * s.sxx - s.sx * s.sx), 4) AS heaps_beta,
+        |  round(exp((s.sy - ((s.m * s.sxy - s.sx * s.sy)
+        |    / (s.m * s.sxx - s.sx * s.sx)) * s.sx) / s.m), 4) AS heaps_k
+        |FROM c CROSS JOIN s ORDER BY bucket""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val mx = docs.agg((max(col("doc_id")) + 1).as("n"))
+      val t = docs.crossJoin(broadcast(mx))
+        .select(floor(col("doc_id") * 20 / col("n")).cast("int").as("b"),
+          explode(split(col("text"), " ")).as("tok"))
+      val bt = t.groupBy(col("b")).agg(count(lit(1)).as("toks"))
+      val nt = t.groupBy(col("tok")).agg(min(col("b")).as("fb"))
+        .groupBy(col("fb").as("nb")).agg(count(lit(1)).as("newtypes"))
+      val wc = Window.orderBy(col("b"))
+      val c = bt.join(nt, col("nb") === col("b"), "left_outer")
+        .withColumn("cum_tokens", sum(col("toks")).over(wc))
+        .withColumn("cum_vocab",
+          sum(coalesce(col("newtypes"), lit(0L))).over(wc))
+        .select(col("b"), col("cum_tokens"), col("cum_vocab"))
+      val lx = log(col("cum_tokens").cast("double"))
+      val ly = log(col("cum_vocab").cast("double"))
+      val st = c.agg(count(lit(1)).as("m"),
+        sum(round(lx, 12).cast("decimal(28,12)")).cast("double").as("sx"),
+        sum(round(ly, 12).cast("decimal(28,12)")).cast("double").as("sy"),
+        sum(round(lx * lx, 12).cast("decimal(28,12)")).cast("double")
+          .as("sxx"),
+        sum(round(lx * ly, 12).cast("decimal(28,12)")).cast("double")
+          .as("sxy"))
+      val beta = (col("m") * col("sxy") - col("sx") * col("sy")) /
+        (col("m") * col("sxx") - col("sx") * col("sx"))
+      c.crossJoin(broadcast(st))
+        .select(col("b").as("bucket"),
+          col("cum_tokens").cast("long").as("cum_tokens"),
+          col("cum_vocab").cast("long").as("cum_vocab"),
+          round(beta, 4).as("heaps_beta"),
+          round(exp((col("sy") - beta * col("sx")) / col("m")), 4)
+            .as("heaps_k"))
+        .orderBy(col("bucket"))
+    },
+
+    // CHARACTER-CLASS CENSUS per language — the script-mix profile a
+    // multilingual corpus pipeline gates on before tokenizer training
+    // (a "lang=en" shard that is 40% digits or 30% non-letter symbols
+    // is a extraction bug, not English). Four disjoint ASCII classes
+    // via count-by-deletion: length(text) − length(regexp_replace) is
+    // exact integer arithmetic, and the classes use literal character
+    // sets that mean the same thing to RE2 (DuckDB) and Java regex
+    // (Spark). One scan, one rollup; ratios derive from exact BIGINT
+    // sums — nothing here can diverge across engines or partitionings.
+    Q("text_unicode_census",
+      """WITH per AS (SELECT lang, length(text) AS n,
+        |    length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))
+        |      AS letters,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS digits,
+        |    length(text) - length(regexp_replace(text, ' ', '', 'g'))
+        |      AS spaces
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_chars,
+        |  round(sum(n) / CAST(count(*) AS DOUBLE), 4) AS avg_chars,
+        |  round(sum(letters) / CAST(sum(n) AS DOUBLE), 4) AS letter_ratio,
+        |  round(sum(digits) / CAST(sum(n) AS DOUBLE), 4) AS digit_ratio,
+        |  round(sum(spaces) / CAST(sum(n) AS DOUBLE), 4) AS space_ratio,
+        |  round((sum(n) - sum(letters) - sum(digits) - sum(spaces))
+        |    / CAST(sum(n) AS DOUBLE), 4) AS other_ratio
+        |FROM per GROUP BY lang ORDER BY lang""") { (s, d) =>
+      val per = Tables.documents(s, d).select(col("lang"),
+        length(col("text")).as("n"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[a-z]", ""))).as("letters"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", ""))).as("digits"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), " ", ""))).as("spaces"))
+      per.groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n")).cast("long").as("n_chars"),
+          round(sum(col("n")) / count(lit(1)).cast("double"), 4)
+            .as("avg_chars"),
+          round(sum(col("letters")) / sum(col("n")).cast("double"), 4)
+            .as("letter_ratio"),
+          round(sum(col("digits")) / sum(col("n")).cast("double"), 4)
+            .as("digit_ratio"),
+          round(sum(col("spaces")) / sum(col("n")).cast("double"), 4)
+            .as("space_ratio"),
+          round((sum(col("n")) - sum(col("letters")) - sum(col("digits"))
+            - sum(col("spaces"))) / sum(col("n")).cast("double"), 4)
+            .as("other_ratio"))
+        .orderBy(col("lang"))
     })
 }

@@ -107,7 +107,10 @@ class DeterminismSpec extends SparkSpec {
       // round-13 fifth batch: the HW fold rides collect_list order,
       // peaks ride integer windows, the periodogram rides quantized
       // trig terms — each partition-sensitive if the discipline slips
-      "ts_holt_winters", "ts_peaks", "ts_periodogram"))
+      "ts_holt_winters", "ts_peaks", "ts_periodogram",
+      // the min-bucket first-occurrence aggregate and the exact
+      // char-class integer sums
+      "text_heaps_law", "text_unicode_census"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
       assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
     }

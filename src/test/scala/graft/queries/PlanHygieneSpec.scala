@@ -109,7 +109,9 @@ class PlanHygieneSpec extends SparkSpec {
     "eval_levene_bf",      // 5 group rows x broadcast 1-row grand scalars
     "eval_permutation",    // users x broadcast 200-row literal replicate
                            // grid + 200 T_r rows x broadcast 1-row T_obs
-    "ts_periodogram"       // day-level rollup x 5-row literal period grid
+    "ts_periodogram",      // day-level rollup x 5-row literal period grid
+    "text_heaps_law"       // docs x broadcast 1-row max-id + 20-row grid
+                           // x broadcast 1-row fit sums
   )
 
   private def offenders(name: String): Seq[String] = {

@@ -212,6 +212,53 @@ class Round13dOpsSpec extends SparkSpec {
     assert(rows(7)._1 < 1400.0 && !rows(7)._2)
   }
 
+  test("text_heaps_law: planted 20-doc corpus cumulates exactly; beta matches JVM fit") {
+    // Doc i (one per bucket) holds the shared token plus one unique
+    // token: cum_tokens(b) = 2(b+1), cum_vocab(b) = b+2.
+    val d = tmp("heaps")
+    import spark.implicits._
+    (0 to 19).map(i => (i.toLong, s"shared u$i", "en", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = graft.SparkEntry.queries("text_heaps_law")(spark, d)
+      .collect()
+    assert(rows.length == 20)
+    for (r <- rows) {
+      val b = r.getInt(0)
+      assert(r.getLong(1) == 2L * (b + 1), s"bucket $b cum_tokens")
+      assert(r.getLong(2) == b + 2L, s"bucket $b cum_vocab")
+    }
+    // JVM least-squares replay on the same quantized ln-ln points.
+    def q(v: Double) = math.rint(v * 1e12) / 1e12
+    val xs = (0 to 19).map(b => q(math.log(2.0 * (b + 1))))
+    val ys = (0 to 19).map(b => q(math.log(b + 2.0)))
+    val xy = (0 to 19).map(b =>
+      q(math.log(2.0 * (b + 1)) * math.log(b + 2.0)))
+    val xx = (0 to 19).map(b =>
+      q(math.log(2.0 * (b + 1)) * math.log(2.0 * (b + 1))))
+    val (m, sx, sy, sxx, sxy) =
+      (20.0, xs.sum, ys.sum, xx.sum, xy.sum)
+    val beta = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    assert(math.abs(rows.head.getDouble(3) -
+      math.rint(beta * 10000) / 10000.0) < 1e-9, "heaps_beta")
+  }
+
+  test("text_unicode_census: planted class mix hand-computes") {
+    val d = tmp("census")
+    import spark.implicits._
+    // "ab 12 ??" per doc: 8 chars = 2 letters + 2 digits + 2 spaces
+    // + 2 other → ratios 0.25 each; 2 docs so n_chars = 16.
+    Seq((0L, "ab 12 ??", "en", "t", 0L), (1L, "ab 12 ??", "en", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = graft.SparkEntry.queries("text_unicode_census")(spark, d)
+      .collect().head
+    assert(r.getString(0) == "en" && r.getLong(1) == 2L &&
+      r.getLong(2) == 16L)
+    assert(r.getDouble(3) == 8.0)
+    assert((4 to 7).map(r.getDouble).toSeq == Seq(0.25, 0.25, 0.25, 0.25))
+  }
+
   test("eval_permutation: complete JVM replay on a planted fixture") {
     val d = tmp("perm")
     val users = (1L to 8L).toSeq
