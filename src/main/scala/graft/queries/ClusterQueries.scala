@@ -1668,5 +1668,126 @@ object ClusterQueries {
           coalesce(col("sum_dist"), lit(0L)).as("sum_dist"),
           round(coalesce(col("h"), lit(0d)), 4).as("harmonic"))
         .orderBy(col("seed"))
+    },
+
+    // BUTTERFLY CENSUS of the customer↔part bipartite graph — the
+    // 4-cycle (c1–p–c2–q) is the bipartite analogue of the triangle
+    // (graph_triangles), and butterfly density is the standard
+    // bipartite clustering signal (Wang et al., "Butterfly Counting in
+    // Bipartite Networks", VLDB'19 semantics). Counting is EXACT and
+    // never materializes cycles: every customer pair with w co-parts
+    // carries C(w,2) butterflies and each butterfly has exactly one
+    // customer pair, so total = Σ_pairs C(w,2) over the same
+    // degree-capped wedge join graph_bipartite_project rides (the cp
+    // relation is the family's derive-once parquet memo; the cap is
+    // the C(d,2) hot-key guard, its truncation oracle-reported by
+    // graph_bipartite_truncation). All arithmetic is integer div —
+    // bit-stable anywhere. Output: wedge volume, co-degree-≥2 pair
+    // count, butterflies, and butterflies per wedge pair.
+    Q("graph_butterflies",
+      """WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |pdeg AS (SELECT p, count(*) AS pd FROM cp GROUP BY 1),
+        |cpk AS (SELECT cp.c, cp.p FROM cp
+        |  JOIN pdeg ON pdeg.p = cp.p WHERE pdeg.pd <= 256),
+        |wp AS (SELECT CAST(sum((pd * (pd - 1)) // 2) AS BIGINT)
+        |    AS wedge_pairs
+        |  FROM pdeg WHERE pd <= 256),
+        |pr AS (SELECT a.c AS c1, b.c AS c2, count(*) AS w
+        |  FROM cpk a JOIN cpk b ON a.p = b.p AND a.c < b.c
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |bf AS (SELECT CAST(count(*) AS BIGINT) AS codeg2_pairs,
+        |    CAST(sum((w * (w - 1)) // 2) AS BIGINT) AS butterflies
+        |  FROM pr)
+        |SELECT wp.wedge_pairs, bf.codeg2_pairs, bf.butterflies,
+        |  round(bf.butterflies / CAST(wp.wedge_pairs AS DOUBLE), 4)
+        |    AS butterflies_per_wedge
+        |FROM wp CROSS JOIN bf""") { (s, d) =>
+      val cp = Derived.memo(s, d, "lineitem", "bipartite-cp") {
+        Tables.orders(s, d)
+          .join(Tables.lineitem(s, d)
+              .select(col("l_orderkey"), col("l_partkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+          .distinct()
+      }
+      val pdeg = cp.groupBy(col("p")).agg(count(lit(1)).as("pd"))
+        .filter(col("pd") <= GraphConfig.WedgeCap)
+      val wp = pdeg.agg(sum(expr("(pd * (pd - 1)) div 2")).cast("long")
+        .as("wedge_pairs"))
+      val cpk = cp.join(pdeg.select(col("p")), Seq("p"), "left_semi")
+      val bf = cpk.as("a").join(cpk.as("b"),
+          col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+        .groupBy(col("a.c").as("c1"), col("b.c").as("c2"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .agg(count(lit(1)).cast("long").as("codeg2_pairs"),
+          sum(expr("(w * (w - 1)) div 2")).cast("long").as("butterflies"))
+      wp.crossJoin(broadcast(bf))
+        .select(col("wedge_pairs"), col("codeg2_pairs"), col("butterflies"),
+          round(col("butterflies") / col("wedge_pairs").cast("double"), 4)
+            .as("butterflies_per_wedge"))
+    },
+
+    // RICH-CLUB COEFFICIENT φ(k) of the co-purchase graph (Zhou &
+    // Mondragón 2004): do high-degree parts preferentially co-occur
+    // with each other? φ(k) = 2·E_k / (N_k(N_k−1)) over the subgraph
+    // of vertices with degree > k, at k ∈ {1,2,4,8,16}. The corpus
+    // never meets the k grid: edges and degrees collapse FIRST to a
+    // degree histogram and a min-endpoint-degree histogram (both
+    // bounded by max degree, not corpus size), and the 5-row literal
+    // grid scans those — the collapse-then-small-product discipline
+    // (ts_trend_mk / eval_kendall_tau precedent). Degrees come from
+    // the family's memoized support-≥2 edge relation. The NULL φ when
+    // N_k < 2 is the declared degenerate value in both engines.
+    Q("graph_rich_club",
+      """WITH e0 AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT v, count(*) AS dg FROM (
+        |    SELECT p1 AS v FROM e0 UNION ALL SELECT p2 FROM e0)
+        |  GROUP BY 1),
+        |dh AS (SELECT dg, count(*) AS n_nodes FROM deg GROUP BY 1),
+        |em AS (SELECT least(d1.dg, d2.dg) AS md FROM e0
+        |  JOIN deg d1 ON d1.v = e0.p1 JOIN deg d2 ON d2.v = e0.p2),
+        |eh AS (SELECT md, count(*) AS n_edges FROM em GROUP BY 1),
+        |ks AS (SELECT unnest([1, 2, 4, 8, 16]) AS k),
+        |nk AS (SELECT ks.k, CAST(coalesce(sum(CASE WHEN dh.dg > ks.k
+        |      THEN dh.n_nodes END), 0) AS BIGINT) AS n_k
+        |  FROM ks CROSS JOIN dh GROUP BY 1),
+        |ek AS (SELECT ks.k, CAST(coalesce(sum(CASE WHEN eh.md > ks.k
+        |      THEN eh.n_edges END), 0) AS BIGINT) AS e_k
+        |  FROM ks CROSS JOIN eh GROUP BY 1)
+        |SELECT nk.k, nk.n_k, ek.e_k,
+        |  round(2.0 * ek.e_k / nullif(nk.n_k * (nk.n_k - 1), 0), 4)
+        |    AS phi
+        |FROM nk JOIN ek ON ek.k = nk.k ORDER BY nk.k""") { (s, d) =>
+      import s.implicits._
+      val e0 = coPurchaseEdges(s, d)
+      val deg = e0.select(col("p1").as("v"))
+        .unionByName(e0.select(col("p2").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+      val dh = deg.groupBy(col("dg")).agg(count(lit(1)).as("n_nodes"))
+      val eh = e0
+        .join(deg.select(col("v").as("p1"), col("dg").as("d1")), Seq("p1"))
+        .join(deg.select(col("v").as("p2"), col("dg").as("d2")), Seq("p2"))
+        .select(least(col("d1"), col("d2")).as("md"))
+        .groupBy(col("md")).agg(count(lit(1)).as("n_edges"))
+      val ks = Seq(1, 2, 4, 8, 16).toDF("k")
+      val nk = broadcast(ks).crossJoin(dh)
+        .groupBy(col("k"))
+        .agg(coalesce(sum(when(col("dg") > col("k"), col("n_nodes"))),
+          lit(0L)).cast("long").as("n_k"))
+      val ek = broadcast(ks).crossJoin(eh)
+        .groupBy(col("k"))
+        .agg(coalesce(sum(when(col("md") > col("k"), col("n_edges"))),
+          lit(0L)).cast("long").as("e_k"))
+      nk.join(ek, Seq("k"))
+        .select(col("k"), col("n_k"), col("e_k"),
+          round(lit(2.0) * col("e_k") /
+            nullif(col("n_k") * (col("n_k") - 1), lit(0L)).cast("double"),
+            4).as("phi"))
+        .orderBy(col("k"))
     })
 }

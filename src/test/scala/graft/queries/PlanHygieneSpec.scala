@@ -110,8 +110,11 @@ class PlanHygieneSpec extends SparkSpec {
     "eval_permutation",    // users x broadcast 200-row literal replicate
                            // grid + 200 T_r rows x broadcast 1-row T_obs
     "ts_periodogram",      // day-level rollup x 5-row literal period grid
-    "text_heaps_law"       // docs x broadcast 1-row max-id + 20-row grid
+    "text_heaps_law",      // docs x broadcast 1-row max-id + 20-row grid
                            // x broadcast 1-row fit sums
+    "graph_butterflies",   // 1-row wedge total x 1-row butterfly total
+    "graph_rich_club"      // 5-row literal k grid x degree histograms
+                           // (bounded by max degree, not corpus)
   )
 
   private def offenders(name: String): Seq[String] = {

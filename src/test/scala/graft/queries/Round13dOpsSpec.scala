@@ -259,6 +259,43 @@ class Round13dOpsSpec extends SparkSpec {
     assert((4 to 7).map(r.getDouble).toSeq == Seq(0.25, 0.25, 0.25, 0.25))
   }
 
+  test("graph_butterflies: planted K_{2,3} biclique hand-computes") {
+    // Customers {1,2} both buy parts {10,11,12}: every part has
+    // degree 2 (wedge_pairs = 3·C(2,2) = 3), the single customer pair
+    // has co-degree 3 → C(3,2) = 3 butterflies, 1.0 per wedge pair.
+    val d = tmp("bfly")
+    import spark.implicits._
+    Seq((100L, 1L), (200L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq(10L, 11L, 12L).flatMap(p => Seq((100L, p), (200L, p)))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val r = graft.SparkEntry.queries("graph_butterflies")(spark, d)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 1L, 3L)))
+    assert(r.getDouble(3) == 1.0)
+  }
+
+  test("graph_rich_club: planted clique + pendant pair hand-computes") {
+    // Two orders over parts {1,2,3,4} (a 4-clique, every pair support
+    // 2, degree 3) plus two orders over {5,6} (a support-2 pendant
+    // edge, degree 1). φ(1) = φ(2) = 2·6/(4·3) = 1.0 over the clique;
+    // k ≥ 4 empties the club → NULL φ.
+    val d = tmp("rclub")
+    import spark.implicits._
+    (Seq(301L, 302L).flatMap(o => Seq(1L, 2L, 3L, 4L).map(p => (o, p))) ++
+      Seq(303L, 304L).flatMap(o => Seq(5L, 6L).map(p => (o, p))))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val rows = graft.SparkEntry.queries("graph_rich_club")(spark, d)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(rows.toSeq == Seq(
+      (1, 4L, 6L, Some(1.0)), (2, 4L, 6L, Some(1.0)),
+      (4, 0L, 0L, None), (8, 0L, 0L, None), (16, 0L, 0L, None)))
+  }
+
   test("eval_permutation: complete JVM replay on a planted fixture") {
     val d = tmp("perm")
     val users = (1L to 8L).toSeq
