@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -2480,5 +2481,75 @@ object PipelineQueries {
           round(m, 4).as("expected_mean"), round(sd, 4).as("sd"),
           (abs(col("n") - m) > lit(3) * sd).as("anomaly"))
         .orderBy(col("event_type"), col("day"))
+    },
+
+    // CANDIDATE-KEY DISCOVERY — the schema-inference census a pipeline
+    // runs before it can dedup, upsert, or join a new feed: for each
+    // declared candidate column set, uniqueness = |distinct|/|rows|
+    // and the is_key verdict. The probe list pins the two canonical
+    // TPC-H traps: o_orderkey IS a key; (l_orderkey, l_linenumber)
+    // famously is NOT in this fixture (the generator repeats line
+    // numbers — the same trap FIXTURES.md documents for row-level
+    // lineitem ordering), while the full physical row is. Each probe
+    // is one column-pruned scan + DISTINCT rollup — exact at test
+    // scale; at 100 TB the same census stacks approx_count_distinct
+    // (agg_approx_distinct's machinery, one shared scan) and promotes
+    // only near-1.0 candidates to an exact confirm pass. Counts stay
+    // BIGINT; the ratio is one divide.
+    Q("dq_key_discovery",
+      """WITH probes AS (
+        |  SELECT 'orders' AS tbl, 'o_orderkey' AS key_cols,
+        |    (SELECT count(*) FROM orders) AS n_rows,
+        |    (SELECT count(*) FROM (SELECT DISTINCT o_orderkey FROM orders))
+        |      AS n_distinct
+        |  UNION ALL
+        |  SELECT 'orders', 'o_custkey',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders))
+        |  UNION ALL
+        |  SELECT 'orders', 'o_custkey,o_orderdate',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM (SELECT DISTINCT o_custkey, o_orderdate
+        |      FROM orders))
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_orderkey,l_linenumber',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber
+        |      FROM lineitem))
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_orderkey,l_partkey,l_suppkey,l_linenumber',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_partkey,
+        |      l_suppkey, l_linenumber FROM lineitem)))
+        |SELECT tbl, key_cols, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  round(n_distinct / CAST(n_rows AS DOUBLE), 4) AS uniqueness,
+        |  CAST(n_distinct = n_rows AS BOOLEAN) AS is_key
+        |FROM probes ORDER BY tbl, key_cols""") { (s, d) =>
+      def probe(df: DataFrame, tbl: String, cols: Seq[String]): DataFrame = {
+        val n = df.count()
+        df.select(cols.map(col): _*).distinct()
+          .agg(count(lit(1)).as("n_distinct"))
+          .select(lit(tbl).as("tbl"),
+            lit(cols.mkString(",")).as("key_cols"),
+            lit(n).as("n_rows"), col("n_distinct"))
+      }
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      Seq(
+        probe(o, "orders", Seq("o_orderkey")),
+        probe(o, "orders", Seq("o_custkey")),
+        probe(o, "orders", Seq("o_custkey", "o_orderdate")),
+        probe(li, "lineitem", Seq("l_orderkey", "l_linenumber")),
+        probe(li, "lineitem",
+          Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")))
+        .reduce(_ unionByName _)
+        .select(col("tbl"), col("key_cols"),
+          col("n_rows").cast("long").as("n_rows"),
+          col("n_distinct").cast("long").as("n_distinct"),
+          round(col("n_distinct") / col("n_rows").cast("double"), 4)
+            .as("uniqueness"),
+          (col("n_distinct") === col("n_rows")).as("is_key"))
+        .orderBy(col("tbl"), col("key_cols"))
     })
 }

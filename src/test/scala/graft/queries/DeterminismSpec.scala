@@ -110,7 +110,9 @@ class DeterminismSpec extends SparkSpec {
       "ts_holt_winters", "ts_peaks", "ts_periodogram",
       // the min-bucket first-occurrence aggregate and the exact
       // char-class integer sums
-      "text_heaps_law", "text_unicode_census"))
+      "text_heaps_law", "text_unicode_census",
+      // exact DISTINCT rollups per key probe
+      "dq_key_discovery"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
       assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
     }

@@ -296,6 +296,31 @@ class Round13dOpsSpec extends SparkSpec {
       (4, 0L, 0L, None), (8, 0L, 0L, None), (16, 0L, 0L, None)))
   }
 
+  test("dq_key_discovery: planted duplicate flips exactly the right probes") {
+    val d = tmp("keys")
+    import spark.implicits._
+    // orders: o_orderkey unique; one customer places two orders on
+    // one date so (o_custkey, o_orderdate) is NOT a key here.
+    Seq((1L, 10L, "2024-01-05"), (2L, 10L, "2024-01-05"),
+      (3L, 11L, "2024-01-06"))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    // lineitem: (orderkey, linenumber) repeats once; the 4-col
+    // composite stays unique.
+    Seq((1L, 100L, 7L, 1), (1L, 101L, 7L, 1), (2L, 100L, 8L, 1))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val out = graft.SparkEntry.queries("dq_key_discovery")(spark, d)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      ("l_orderkey,l_linenumber", 3L, 2L, false),
+      ("l_orderkey,l_partkey,l_suppkey,l_linenumber", 3L, 3L, true),
+      ("o_custkey", 3L, 2L, false),
+      ("o_custkey,o_orderdate", 3L, 2L, false),
+      ("o_orderkey", 3L, 3L, true)))
+  }
+
   test("eval_permutation: complete JVM replay on a planted fixture") {
     val d = tmp("perm")
     val users = (1L to 8L).toSeq
