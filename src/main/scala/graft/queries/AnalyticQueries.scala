@@ -1001,5 +1001,82 @@ object AnalyticQueries {
           round(col("n_sampled") / col("n_total").cast("double"), 4)
             .as("rate"))
         .orderBy(col("event_type"))
+    },
+
+    // NEYMAN-ALLOCATION STRATIFIED SAMPLE (Neyman 1934) — the
+    // variance-OPTIMAL upgrade of sample_stratified's fixed rates: a
+    // budget of 1000 rows is allocated across event-type strata
+    // proportional to N_h·S_h (population size × population std of
+    // value), so high-variance strata get more of the budget — the
+    // estimator-variance-minimizing design every metrics platform
+    // wants for expensive human evals. Everything after the one
+    // power-sum scan is EXACT INTEGER arithmetic: the allocation is
+    // floor(1000·w + 1/2) on a double share, the per-stratum keep
+    // threshold is (65536·alloc) // N_h, and the row coin is the
+    // first 4 md5 hex digits of event_id — so realized counts are
+    // bit-identical on any partitioning and engine. Two corpus scans
+    // (stats, then the broadcast-threshold filter + sample rollup).
+    Q("sample_neyman",
+      """WITH st AS (SELECT event_type, count(*) AS nh,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE)
+        |      AS s2
+        |  FROM events GROUP BY 1),
+        |sd AS (SELECT event_type, nh,
+        |    sqrt(s2 / nh - (s1 / nh) * (s1 / nh)) AS sh FROM st),
+        |tot AS (SELECT sum(CAST(round(nh * sh, 6) AS DECIMAL(28,6)))
+        |    AS w FROM sd),
+        |alloc AS (SELECT sd.event_type, sd.nh, sd.sh,
+        |    CAST(floor(1000 * (nh * sh / CAST(tot.w AS DOUBLE)) + 0.5)
+        |      AS BIGINT) AS n_alloc
+        |  FROM sd CROSS JOIN tot),
+        |thr AS (SELECT event_type, nh, sh, n_alloc,
+        |    (65536 * n_alloc) // nh AS keep16 FROM alloc),
+        |smp AS (SELECT e.event_type,
+        |    count(*) AS n_sampled,
+        |    sum(CAST(e.value AS DECIMAL(18,4))) AS sv
+        |  FROM events e JOIN thr t ON t.event_type = e.event_type
+        |  WHERE ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 4))
+        |      ::BIGINT < t.keep16
+        |  GROUP BY 1)
+        |SELECT t.event_type, CAST(t.nh AS BIGINT) AS n_pop,
+        |  round(t.sh, 4) AS sd_pop, t.n_alloc,
+        |  CAST(coalesce(smp.n_sampled, 0) AS BIGINT) AS n_sampled,
+        |  round(CAST(smp.sv AS DOUBLE) / smp.n_sampled, 4)
+        |    AS sample_mean
+        |FROM thr t LEFT JOIN smp ON smp.event_type = t.event_type
+        |ORDER BY t.event_type""") { (s, d) =>
+      val st = Tables.events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nh"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("s1"),
+          sum((col("value") * col("value")).cast("decimal(28,8)"))
+            .cast("double").as("s2"))
+      val sd = st.select(col("event_type"), col("nh"),
+        sqrt(col("s2") / col("nh") -
+          (col("s1") / col("nh")) * (col("s1") / col("nh"))).as("sh"))
+      val tot = sd.agg(sum(round(col("nh") * col("sh"), 6)
+        .cast("decimal(28,6)")).as("w"))
+      val thr = sd.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("nh"), col("sh"),
+          floor(lit(1000) * (col("nh") * col("sh") /
+            col("w").cast("double")) + 0.5).cast("long").as("n_alloc"))
+        .withColumn("keep16",
+          expr("(65536 * n_alloc) div nh"))
+      val smp = Tables.events(s, d)
+        .join(broadcast(thr.select(col("event_type"), col("keep16"))),
+          Seq("event_type"))
+        .filter(expr(
+          "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 4), 16, 10) AS BIGINT)")
+          < col("keep16"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("value").cast("decimal(18,4)")).as("sv"))
+      thr.join(smp, Seq("event_type"), "left_outer")
+        .select(col("event_type"), col("nh").cast("long").as("n_pop"),
+          round(col("sh"), 4).as("sd_pop"), col("n_alloc"),
+          coalesce(col("n_sampled"), lit(0L)).cast("long").as("n_sampled"),
+          round(col("sv").cast("double") / col("n_sampled"), 4)
+            .as("sample_mean"))
+        .orderBy(col("event_type"))
     })
 }

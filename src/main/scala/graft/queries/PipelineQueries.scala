@@ -2551,5 +2551,89 @@ object PipelineQueries {
             .as("uniqueness"),
           (col("n_distinct") === col("n_rows")).as("is_key"))
         .orderBy(col("tbl"), col("key_cols"))
+    },
+
+    // BOX-COX λ SELECTION (Box & Cox 1964) over positive event values —
+    // the variance-stabilizing transform picker that belongs next to
+    // norm_quantile/norm_robust: for each λ in the grid
+    // {-1, 0, 1/2, 1}, the profile log-likelihood
+    // ℓ(λ) = −(n/2)·ln σ̂²_λ + (λ−1)·Σ ln x, maximized over the grid.
+    // The grid avoids pow() entirely — each transform is spelled with
+    // 1/x, sqrt, ln, x (all correctly-rounded or single-libm-call
+    // forms) — and ALL TEN sums land in ONE stacked hash aggregate
+    // over one scan (no per-λ pass, no explode): per-row transform
+    // terms quantize to DECIMAL so the sums are order-free. The argmax
+    // is a rank over the 5-row grid relation.
+    Q("norm_boxcox",
+      """WITH x AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE value > 0),
+        |s AS (SELECT count(*) AS n,
+        |    CAST(sum(CAST(round(ln(v), 12) AS DECIMAL(28,12))) AS DOUBLE)
+        |      AS slx,
+        |    CAST(sum(CAST(round(1 - 1 / v, 10) AS DECIMAL(28,10)))
+        |      AS DOUBLE) AS y1n, CAST(sum(CAST(round((1 - 1 / v)
+        |      * (1 - 1 / v), 10) AS DECIMAL(28,10))) AS DOUBLE)
+        |      AS y2n,
+        |    CAST(sum(CAST(round((sqrt(v) - 1) / 0.5, 10)
+        |      AS DECIMAL(28,10))) AS DOUBLE) AS y1h,
+        |    CAST(sum(CAST(round(((sqrt(v) - 1) / 0.5)
+        |      * ((sqrt(v) - 1) / 0.5), 10) AS DECIMAL(28,10)))
+        |      AS DOUBLE) AS y2h,
+        |    CAST(sum(CAST(round(ln(v) * ln(v), 10) AS DECIMAL(28,10)))
+        |      AS DOUBLE) AS y2l,
+        |    CAST(sum(CAST(round(v - 1, 10) AS DECIMAL(28,10))) AS DOUBLE)
+        |      AS y1i, CAST(sum(CAST(round((v - 1) * (v - 1), 10)
+        |      AS DECIMAL(28,10))) AS DOUBLE) AS y2i
+        |  FROM x),
+        |g AS (
+        |  SELECT CAST(-1.0 AS DOUBLE) AS lambda, n, slx,
+        |    y2n / n - (y1n / n) * (y1n / n) AS var FROM s
+        |  UNION ALL SELECT CAST(0.5 AS DOUBLE), n, slx,
+        |    y2h / n - (y1h / n) * (y1h / n) FROM s
+        |  UNION ALL SELECT CAST(0.0 AS DOUBLE), n, slx,
+        |    y2l / n - (slx / n) * (slx / n) FROM s
+        |  UNION ALL SELECT CAST(1.0 AS DOUBLE), n, slx,
+        |    y2i / n - (y1i / n) * (y1i / n) FROM s),
+        |ll AS (SELECT lambda, n,
+        |    -(n / 2.0) * ln(var) + (lambda - 1) * slx AS loglik
+        |  FROM g),
+        |r AS (SELECT lambda, n, loglik,
+        |    row_number() OVER (ORDER BY loglik DESC, lambda) AS rk
+        |  FROM ll)
+        |SELECT lambda, CAST(n AS BIGINT) AS n,
+        |  round(loglik, 4) AS loglik,
+        |  CAST(rk = 1 AS BOOLEAN) AS is_best
+        |FROM r ORDER BY lambda""") { (s, d) =>
+      val x = Tables.events(s, d).filter(col("value") > 0)
+        .select(col("value").cast("double").as("v"))
+      def qsum(c: org.apache.spark.sql.Column, scale: Int) =
+        sum(round(c, scale).cast(s"decimal(28,$scale)")).cast("double")
+      val yn = lit(1) - lit(1) / col("v")        // λ=-1: (x^-1 - 1)/-1
+      val yh = (sqrt(col("v")) - 1) / 0.5        // λ=1/2
+      val yl = log(col("v"))                     // λ=0
+      val yi = col("v") - 1                      // λ=1
+      val st = x.agg(count(lit(1)).as("n"),
+        qsum(log(col("v")), 12).as("slx"),
+        qsum(yn, 10).as("y1n"), qsum(yn * yn, 10).as("y2n"),
+        qsum(yh, 10).as("y1h"), qsum(yh * yh, 10).as("y2h"),
+        qsum(yl * yl, 10).as("y2l"),
+        qsum(yi, 10).as("y1i"), qsum(yi * yi, 10).as("y2i"))
+      def row(lam: Double, y1: org.apache.spark.sql.Column,
+          y2: org.apache.spark.sql.Column) =
+        st.select(lit(lam).as("lambda"), col("n"), col("slx"),
+          (y2 / col("n") - (y1 / col("n")) * (y1 / col("n"))).as("var"))
+      val g = row(-1.0, col("y1n"), col("y2n"))
+        .unionByName(row(0.5, col("y1h"), col("y2h")))
+        .unionByName(row(0.0, col("slx"), col("y2l")))
+        .unionByName(row(1.0, col("y1i"), col("y2i")))
+      val ll = g.select(col("lambda"), col("n"),
+        (-(col("n") / 2.0) * log(col("var")) +
+          (col("lambda") - 1) * col("slx")).as("loglik"))
+      val w = Window.orderBy(col("loglik").desc, col("lambda"))
+      ll.withColumn("rk", row_number().over(w))
+        .select(col("lambda"), col("n").cast("long").as("n"),
+          round(col("loglik"), 4).as("loglik"),
+          (col("rk") === 1).as("is_best"))
+        .orderBy(col("lambda"))
     })
 }

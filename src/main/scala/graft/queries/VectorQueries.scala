@@ -1697,5 +1697,63 @@ object VectorQueries {
         round(max(col("ratio")), 4).as("max_ratio"),
         round(sum(when(col("ratio").between(0.5, 2), 1).otherwise(0)) /
           count(lit(1)).cast("double"), 4).as("frac_within_2x"))
+    },
+
+    // MUTUAL k-NN GRAPH construction (k = 3) over the cosine-LSH
+    // candidate edges — the graph SemDeDup-style semantic clustering
+    // and manifold methods (UMAP, spectral) all start from. Mutuality
+    // is the standard symmetrization that kills hub noise: the edge
+    // survives only if u ranks in v's top-3 AND v ranks in u's top-3.
+    // Shape at 100 TB: candidates come from the SHARED sign-bucket LSH
+    // relation (cosineEdges — an equi-join, never all-pairs); the
+    // per-node top-3 is a window PARTITIONED BY NODE over candidate
+    // pairs (bounded by bucket co-membership, not the corpus); the
+    // mutual check is one self-join of two ≤3·n-row relations. Label
+    // agreement per surviving edge is the quality readout (a good
+    // embedding's mutual-kNN edges mostly connect same-label points).
+    Q("sim_knn_mutual",
+      """WITH v AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      i -> CASE WHEN embedding[i] > 0 THEN CAST(pow(2, i - 1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) AS cos
+        |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |e AS (SELECT v1, v2, cos FROM p WHERE cos >= 0.4),
+        |sym AS (SELECT v1 AS u, v2 AS v, cos FROM e
+        |  UNION ALL SELECT v2, v1, cos FROM e),
+        |top AS (SELECT u, v, cos FROM (SELECT u, v, cos,
+        |    row_number() OVER (PARTITION BY u ORDER BY cos DESC, v) AS rk
+        |  FROM sym) WHERE rk <= 3),
+        |m AS (SELECT a.u, a.v, a.cos FROM top a
+        |  JOIN top b ON b.u = a.v AND b.v = a.u WHERE a.u < a.v)
+        |SELECT m.u, m.v, round(m.cos, 4) AS cosine,
+        |  CAST(lu.label = lv.label AS BOOLEAN) AS same_label
+        |FROM m JOIN embeddings lu ON lu.vec_id = m.u
+        |JOIN embeddings lv ON lv.vec_id = m.v
+        |ORDER BY m.u, m.v""") { (s, d) =>
+      val e = cosineEdges(s, d)
+      val sym = e.select(col("v1").as("u"), col("v2").as("v"), col("cos"))
+        .unionByName(
+          e.select(col("v2").as("u"), col("v1").as("v"), col("cos")))
+      val wk = Window.partitionBy(col("u"))
+        .orderBy(col("cos").desc, col("v"))
+      val top = sym.withColumn("rk", row_number().over(wk))
+        .filter(col("rk") <= 3).select(col("u"), col("v"), col("cos"))
+      val m = top.as("a").join(top.as("b"),
+          col("b.u") === col("a.v") && col("b.v") === col("a.u"))
+        .filter(col("a.u") < col("a.v"))
+        .select(col("a.u").as("u"), col("a.v").as("v"), col("a.cos")
+          .as("cos"))
+      val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      m.join(lab.select(col("vec_id").as("u"), col("label").as("lu")),
+          Seq("u"))
+        .join(lab.select(col("vec_id").as("v"), col("label").as("lv")),
+          Seq("v"))
+        .select(col("u"), col("v"), round(col("cos"), 4).as("cosine"),
+          (col("lu") === col("lv")).as("same_label"))
+        .orderBy(col("u"), col("v"))
     })
 }

@@ -112,7 +112,11 @@ class DeterminismSpec extends SparkSpec {
       // char-class integer sums
       "text_heaps_law", "text_unicode_census",
       // exact DISTINCT rollups per key probe
-      "dq_key_discovery"))
+      "dq_key_discovery",
+      // round-13 sixth batch: integer keep-thresholds (Neyman), the
+      // stacked DECIMAL transform sums (Box-Cox), and the LSH-bounded
+      // mutual top-k (kNN graph)
+      "sample_neyman", "norm_boxcox", "sim_knn_mutual"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
       assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
     }

@@ -113,8 +113,9 @@ class PlanHygieneSpec extends SparkSpec {
     "text_heaps_law",      // docs x broadcast 1-row max-id + 20-row grid
                            // x broadcast 1-row fit sums
     "graph_butterflies",   // 1-row wedge total x 1-row butterfly total
-    "graph_rich_club"      // 5-row literal k grid x degree histograms
+    "graph_rich_club",     // 5-row literal k grid x degree histograms
                            // (bounded by max degree, not corpus)
+    "sample_neyman"        // 5 stratum rows x broadcast 1-row Σ(N·S)
   )
 
   private def offenders(name: String): Seq[String] = {

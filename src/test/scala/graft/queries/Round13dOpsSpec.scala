@@ -321,6 +321,74 @@ class Round13dOpsSpec extends SparkSpec {
       ("o_orderkey", 3L, 3L, true)))
   }
 
+  test("sample_neyman: zero-variance stratum gets zero budget; the other gets it all") {
+    // Stratum 'view' is constant (S_h = 0 → allocation 0, no rows
+    // sampled, NULL mean); 'click' carries all the variance → the full
+    // 1000 budget, keep16 = 65536·1000 // 4 ≫ 65535 keeps all 4 rows.
+    val d = tmp("neyman")
+    val rows =
+      (1 to 4).map(i => (i.toLong, day(10), i.toLong, "view", 10.0, "{}")) ++
+      (1 to 4).map(i => (10L + i, day(11), 10L + i, "click",
+        i * 10.0, "{}"))
+    writeEvents(d, rows)
+    val out = graft.SparkEntry.queries("sample_neyman")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    val sdB = math.rint(math.sqrt(125.0) * 10000) / 10000.0
+    assert(out.toSeq == Seq(
+      ("click", 4L, sdB, 1000L, 4L, Some(25.0)),
+      ("view", 4L, 0.0, 0L, 0L, None)))
+  }
+
+  test("norm_boxcox: JVM replay of the stacked profile log-likelihood on sf0.001") {
+    val vs = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .select("value").collect().map(_.getDouble(0)).filter(_ > 0)
+    def q(v: Double, s: Int) = {
+      val m = math.pow(10, s)
+      math.rint(v * m) / m
+    }
+    val n = vs.length.toDouble
+    val slx = vs.map(v => q(math.log(v), 12)).sum
+    def ll(y: Double => Double, lam: Double): Double = {
+      val s1 = if (lam == 0.0) slx else vs.map(v => q(y(v), 10)).sum
+      val s2 = vs.map(v => q(y(v) * y(v), 10)).sum
+      val vr = s2 / n - (s1 / n) * (s1 / n)
+      -(n / 2.0) * math.log(vr) + (lam - 1) * slx
+    }
+    val expect = Map(
+      -1.0 -> ll(v => 1 - 1 / v, -1.0),
+      0.0 -> ll(math.log, 0.0),
+      0.5 -> ll(v => (math.sqrt(v) - 1) / 0.5, 0.5),
+      1.0 -> ll(v => v - 1, 1.0))
+    val out = graft.SparkEntry.queries("norm_boxcox")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    for ((lam, e) <- expect)
+      assert(math.abs(out(lam) - math.rint(e * 10000) / 10000.0) < 2e-4,
+        s"lambda $lam: ${out(lam)} vs $e")
+  }
+
+  test("sim_knn_mutual: planted bucket keeps only the above-threshold pair") {
+    // Three vectors share the all-positive first-8 sign bucket;
+    // cos(1,2) = 8/(√8·3) ≈ 0.943 survives, every pair with v3 sits
+    // below 0.4 → the graph is exactly the (1,2) edge, same label.
+    val d = tmp("knng")
+    import spark.implicits._
+    val v1 = Array.fill(8)(1f) ++ Array.fill(56)(0f)
+    val v2 = Array.fill(8)(1f) ++ Array(1f) ++ Array.fill(55)(0f)
+    val v3 = Array.fill(8)(1f) ++ Array(0f) ++ Array.fill(55)(2f)
+    Seq((1L, v1, 7), (2L, v2, 7), (3L, v3, 9))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = graft.SparkEntry.queries("sim_knn_mutual")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    val cos12 = math.rint(8.0 / (math.sqrt(8) * 3) * 10000) / 10000.0
+    assert(out.toSeq == Seq((1L, 2L, cos12, true)))
+  }
+
   test("eval_permutation: complete JVM replay on a planted fixture") {
     val d = tmp("perm")
     val users = (1L to 8L).toSeq
