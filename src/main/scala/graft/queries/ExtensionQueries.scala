@@ -779,5 +779,82 @@ object ExtensionQueries {
           round(sum(col("aspq")).cast("double") / count(lit(1)), 4)
             .as("avg_aspect"))
         .orderBy(col("format"), col("orientation"))
+    },
+
+    // AUDIO FINGERPRINT MATCHING (Shazam-style constellation hashing,
+    // Wang 2003 semantics) — the audio-dedup shape: spectrogram peaks
+    // → (f_anchor, f_target, Δt) landmark hashes → inverted-index join
+    // → shared-hash match scores. The "dominant frequency" per
+    // 32-sample analysis window stays a DETERMINISTIC STUB (window
+    // byte-sum mod 61 — a real FFT peak-picker swaps in with the same
+    // (media, win) → freq signature); everything downstream is the
+    // production plumbing. Scale shape: landmarks are per-media local
+    // (anchor joins only its next 3 windows — an equi-join on
+    // (media, idx+Δt), O(3) fan-out per window); matching is a hash
+    // equi-join with the family's HOT-BUCKET CAP (hashes shared by
+    // > 64 media are dropped — a hash half the corpus emits carries no
+    // match signal, and caps the join fan-out exactly like WedgeCap);
+    // the ≥ 18 shared-hash floor sits far above the chance-collision
+    // band (≤ 15 on this corpus at every SF — see Round13eOpsSpec's
+    // separation law). Never all-pairs.
+    Q("mm_audio_fingerprint",
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |    CAST(length(text) // 32 AS INT) AS wins FROM documents),
+        |f AS (SELECT media_id, CAST(w AS INT) AS idx,
+        |    CAST(list_sum(list_transform(
+        |      range(1, length(substring(text, CAST(w * 32 + 1 AS INT), 32))
+        |        + 1),
+        |      i -> ord(substring(substring(text, CAST(w * 32 + 1 AS INT),
+        |        32), CAST(i AS INT), 1)))) AS BIGINT) % 61 AS fr
+        |  FROM m, unnest(range(0, wins)) t(w) WHERE wins >= 4),
+        |h AS (SELECT a.media_id,
+        |    a.fr * 244 + b.fr * 4 + (b.idx - a.idx) AS hash
+        |  FROM f a JOIN f b ON b.media_id = a.media_id
+        |    AND b.idx - a.idx BETWEEN 1 AND 3),
+        |hd AS (SELECT DISTINCT media_id, hash FROM h),
+        |hot AS (SELECT hash, count(*) AS c FROM hd GROUP BY 1),
+        |pairs AS (SELECT a.media_id AS u, b.media_id AS v,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM hd a JOIN hd b ON a.hash = b.hash
+        |    AND a.media_id < b.media_id
+        |  JOIN hot ON hot.hash = a.hash AND hot.c <= 64
+        |  GROUP BY 1, 2 HAVING count(*) >= 18)
+        |SELECT u, v, n_shared FROM pairs ORDER BY u, v""") { (s, d) =>
+      val m = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"), col("text"),
+          expr("CAST(length(text) div 32 AS INT)").as("wins"))
+        .filter(col("wins") >= 4)
+      val f = m
+        .select(col("media_id"),
+          explode(expr("sequence(0, wins - 1)")).as("idx"), col("text"))
+        .select(col("media_id"), col("idx").cast("int").as("idx"),
+          expr("substring(text, idx * 32 + 1, 32)").as("sl"))
+        .select(col("media_id"), col("idx"),
+          (expr("""CAST(aggregate(transform(sequence(1, length(sl)),
+            |  i -> ascii(substring(sl, i, 1))), 0L,
+            |  (a, x) -> a + x) AS BIGINT)""".stripMargin) % 61).as("fr"))
+      val dts = Seq(1, 2, 3)
+      // anchor → {+1,+2,+3} targets: three equi-joins on the window
+      // index, unioned — O(3) landmark fan-out per window.
+      val h = dts.map { dt =>
+        f.as("a").join(
+            f.select(col("media_id").as("mb"), col("idx").as("ib"),
+              col("fr").as("fb")),
+            col("mb") === col("a.media_id") &&
+              col("ib") === col("a.idx") + dt)
+          .select(col("a.media_id").as("media_id"),
+            (col("a.fr") * 244 + col("fb") * 4 + dt).as("hash"))
+      }.reduce(_ unionByName _)
+      val hd = h.distinct()
+      val hot = hd.groupBy(col("hash")).agg(count(lit(1)).as("c"))
+        .filter(col("c") <= 64).select(col("hash"))
+      val hdk = hd.join(hot, Seq("hash"), "left_semi")
+      hdk.as("a").join(
+          hdk.select(col("hash").as("hb"), col("media_id").as("v")),
+          col("hb") === col("a.hash") && col("v") > col("a.media_id"))
+        .groupBy(col("a.media_id").as("u"), col("v"))
+        .agg(count(lit(1)).cast("long").as("n_shared"))
+        .filter(col("n_shared") >= 18)
+        .orderBy(col("u"), col("v"))
     })
 }

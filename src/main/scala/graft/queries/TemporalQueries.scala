@@ -1858,5 +1858,166 @@ object TemporalQueries {
           round(col("power"), 4).as("power"),
           (col("rk") === 1).as("is_dominant"))
         .orderBy(col("event_type"), col("period"))
+    },
+
+    // SEASONAL-HYBRID ESD ANOMALY DETECTION (Twitter's S-H-ESD shape,
+    // Hochenbaum et al. 2017; simplified to a fixed z-threshold λ = 2
+    // instead of the t-based ESD ladder) — the MASKING-ROBUST upgrade
+    // of ts_zscore/ts_anomaly_mad: one giant spike inflates the global
+    // σ and hides smaller anomalies, so ESD re-estimates mean/σ after
+    // REMOVING each detected point and tests again, three rounds. The
+    // decomposition follows the paper's ROBUSTNESS prescription: the
+    // day-of-week seasonal is the per-(type, dow) MEDIAN of the
+    // MA-detrended counts (a mean seasonal lets one spike pollute its
+    // whole weekday — the pollution then reads as four phantom
+    // negative anomalies), and the level is the per-type MEDIAN of the
+    // raw counts (the paper swaps the trend for exactly this median,
+    // because the centered-MA trend smears a spike into its ±3-day
+    // neighborhood). Both medians are exact (KLL at 100 TB). Each ESD
+    // round is one hash aggregate over the surviving residuals
+    // (quantized power sums → exact mean/σ) plus a per-type rank —
+    // the day grid bounds every window, types scale out. Output: the
+    // removed anomalies with the round that caught them (round 2-3
+    // hits are exactly the points a single-pass z-test MASKS).
+    Q("ts_shesd",
+      """WITH dd AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |tr AS (SELECT event_type, day, n,
+        |    CAST((day - DATE '1970-01-01') + 4 AS BIGINT) % 7 AS dow,
+        |    CASE WHEN count(*) OVER w = 7
+        |      THEN CAST(sum(n) OVER w AS DOUBLE) / 7 END AS trend
+        |  FROM dd
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |de AS (SELECT event_type, day, n, dow, trend,
+        |    CAST(round(n - trend, 6) AS DECIMAL(18,6)) AS detr
+        |  FROM tr),
+        |se AS (SELECT event_type, dow,
+        |    quantile_cont(CAST(detr AS DOUBLE), 0.5) AS seasonal
+        |  FROM de WHERE detr IS NOT NULL GROUP BY 1, 2),
+        |lv AS (SELECT event_type,
+        |    quantile_cont(CAST(n AS DOUBLE), 0.5) AS lev
+        |  FROM de GROUP BY 1),
+        |r0 AS (SELECT de.event_type, de.day, de.n,
+        |    CAST(round(de.n - se.seasonal - lv.lev, 6)
+        |      AS DECIMAL(18,6)) AS resid
+        |  FROM de JOIN se ON se.event_type = de.event_type
+        |    AND se.dow = de.dow
+        |  JOIN lv ON lv.event_type = de.event_type),
+        |s1 AS (SELECT event_type, count(*) AS m,
+        |    CAST(sum(resid) AS DOUBLE) AS a1,
+        |    CAST(sum(CAST(round(CAST(resid AS DOUBLE)
+        |      * CAST(resid AS DOUBLE), 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |      AS a2
+        |  FROM r0 GROUP BY 1),
+        |w1 AS (SELECT r.*, (CAST(r.resid AS DOUBLE) - s.a1 / s.m)
+        |      / nullif(sqrt(s.a2 / s.m - (s.a1 / s.m) * (s.a1 / s.m)), 0)
+        |      AS z,
+        |    row_number() OVER (PARTITION BY r.event_type ORDER BY
+        |      abs((CAST(r.resid AS DOUBLE) - s.a1 / s.m)
+        |        / nullif(sqrt(s.a2 / s.m - (s.a1 / s.m) * (s.a1 / s.m)),
+        |          0)) DESC, r.day) AS rk
+        |  FROM r0 r JOIN s1 s ON s.event_type = r.event_type),
+        |rm1 AS (SELECT event_type, day, n, resid, z, 1 AS esd_round
+        |  FROM w1 WHERE rk = 1 AND abs(z) > 2.0),
+        |r1 AS (SELECT event_type, day, n, resid FROM w1
+        |  WHERE NOT (rk = 1 AND abs(z) > 2.0)),
+        |s2 AS (SELECT event_type, count(*) AS m,
+        |    CAST(sum(resid) AS DOUBLE) AS a1,
+        |    CAST(sum(CAST(round(CAST(resid AS DOUBLE)
+        |      * CAST(resid AS DOUBLE), 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |      AS a2
+        |  FROM r1 GROUP BY 1),
+        |w2 AS (SELECT r.*, (CAST(r.resid AS DOUBLE) - s.a1 / s.m)
+        |      / nullif(sqrt(s.a2 / s.m - (s.a1 / s.m) * (s.a1 / s.m)), 0)
+        |      AS z,
+        |    row_number() OVER (PARTITION BY r.event_type ORDER BY
+        |      abs((CAST(r.resid AS DOUBLE) - s.a1 / s.m)
+        |        / nullif(sqrt(s.a2 / s.m - (s.a1 / s.m) * (s.a1 / s.m)),
+        |          0)) DESC, r.day) AS rk
+        |  FROM r1 r JOIN s2 s ON s.event_type = r.event_type),
+        |rm2 AS (SELECT event_type, day, n, resid, z, 2 AS esd_round
+        |  FROM w2 WHERE rk = 1 AND abs(z) > 2.0),
+        |r2 AS (SELECT event_type, day, n, resid FROM w2
+        |  WHERE NOT (rk = 1 AND abs(z) > 2.0)),
+        |s3 AS (SELECT event_type, count(*) AS m,
+        |    CAST(sum(resid) AS DOUBLE) AS a1,
+        |    CAST(sum(CAST(round(CAST(resid AS DOUBLE)
+        |      * CAST(resid AS DOUBLE), 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |      AS a2
+        |  FROM r2 GROUP BY 1),
+        |w3 AS (SELECT r.*, (CAST(r.resid AS DOUBLE) - s.a1 / s.m)
+        |      / nullif(sqrt(s.a2 / s.m - (s.a1 / s.m) * (s.a1 / s.m)), 0)
+        |      AS z,
+        |    row_number() OVER (PARTITION BY r.event_type ORDER BY
+        |      abs((CAST(r.resid AS DOUBLE) - s.a1 / s.m)
+        |        / nullif(sqrt(s.a2 / s.m - (s.a1 / s.m) * (s.a1 / s.m)),
+        |          0)) DESC, r.day) AS rk
+        |  FROM r2 r JOIN s3 s ON s.event_type = r.event_type),
+        |rm3 AS (SELECT event_type, day, n, resid, z, 3 AS esd_round
+        |  FROM w3 WHERE rk = 1 AND abs(z) > 2.0),
+        |allrm AS (SELECT * FROM rm1 UNION ALL SELECT * FROM rm2
+        |  UNION ALL SELECT * FROM rm3)
+        |SELECT event_type, CAST(day AS VARCHAR) AS day, n,
+        |  round(CAST(resid AS DOUBLE), 4) AS resid, round(z, 4) AS z,
+        |  CAST(esd_round AS INT) AS esd_round
+        |FROM allrm ORDER BY event_type, day""") { (s, d) =>
+      val dd = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-3, 3)
+      val tr = dd.select(col("event_type"), col("day"), col("n"),
+        (datediff(col("day"), lit("1970-01-01").cast("date")) + 4)
+          .cast("long").mod(7).as("dow"),
+        when(count(lit(1)).over(w) === 7,
+          sum(col("n")).over(w).cast("double") / 7).as("trend"))
+      val de = tr.withColumn("detr",
+        round(col("n") - col("trend"), 6).cast("decimal(18,6)"))
+      val se = de.filter(col("detr").isNotNull)
+        .groupBy(col("event_type").as("et"), col("dow").as("sdow"))
+        .agg(expr("percentile(CAST(detr AS DOUBLE), 0.5)").as("seasonal"))
+      val lv = de.groupBy(col("event_type").as("lt"))
+        .agg(expr("percentile(CAST(n AS DOUBLE), 0.5)").as("lev"))
+      val r0 = de.join(se, col("et") === col("event_type") &&
+          col("sdow") === col("dow"))
+        .join(lv, col("lt") === col("event_type"))
+        .select(col("event_type"), col("day"), col("n"),
+          round(col("n") - col("seasonal") - col("lev"), 6)
+            .cast("decimal(18,6)").as("resid"))
+      // One ESD round: quantized power-sum stats per type, the worst
+      // |z| row removed if it clears λ = 2. Returns (removed, kept).
+      def esdRound(r: org.apache.spark.sql.DataFrame, k: Int)
+          : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+        val st = r.groupBy(col("event_type").as("et"))
+          .agg(count(lit(1)).as("m"),
+            sum(col("resid")).cast("double").as("a1"),
+            sum(round(col("resid").cast("double") *
+                col("resid").cast("double"), 6).cast("decimal(28,6)"))
+              .cast("double").as("a2"))
+        val mu = col("a1") / col("m")
+        val z = (col("resid").cast("double") - mu) /
+          nullif(sqrt(col("a2") / col("m") - mu * mu), lit(0d))
+        val wv = r.join(st, col("et") === col("event_type"))
+          .withColumn("z", z)
+        val wr = Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("z")).desc, col("day"))
+        val ranked = wv.withColumn("rk", row_number().over(wr))
+        val hit = col("rk") === 1 && abs(col("z")) > 2.0
+        (ranked.filter(hit)
+           .select(col("event_type"), col("day"), col("n"), col("resid"),
+             col("z"), lit(k).as("esd_round")),
+         ranked.filter(!hit)
+           .select(col("event_type"), col("day"), col("n"), col("resid")))
+      }
+      val (rm1, r1) = esdRound(r0, 1)
+      val (rm2, r2) = esdRound(r1, 2)
+      val (rm3, _) = esdRound(r2, 3)
+      rm1.unionByName(rm2).unionByName(rm3)
+        .select(col("event_type"), col("day").cast("string").as("day"),
+          col("n"), round(col("resid").cast("double"), 4).as("resid"),
+          round(col("z"), 4).as("z"),
+          col("esd_round").cast("int").as("esd_round"))
+        .orderBy(col("event_type"), col("day"))
     })
 }

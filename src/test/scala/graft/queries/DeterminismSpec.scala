@@ -116,7 +116,9 @@ class DeterminismSpec extends SparkSpec {
       // round-13 sixth batch: integer keep-thresholds (Neyman), the
       // stacked DECIMAL transform sums (Box-Cox), and the LSH-bounded
       // mutual top-k (kNN graph)
-      "sample_neyman", "norm_boxcox", "sim_knn_mutual"))
+      "sample_neyman", "norm_boxcox", "sim_knn_mutual",
+      // landmark-hash inventories and median-seasonal ESD rounds
+      "mm_audio_fingerprint", "ts_shesd"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
       assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
     }
