@@ -796,7 +796,13 @@ object ExtensionQueries {
     // match signal, and caps the join fan-out exactly like WedgeCap);
     // the ≥ 18 shared-hash floor sits far above the chance-collision
     // band (≤ 15 on this corpus at every SF — see Round13eOpsSpec's
-    // separation law). Never all-pairs.
+    // separation law). Never all-pairs. SIZING LAW: the landmark hash
+    // space (1021² freqs × 4 Δt ≈ 4.2M) must dwarf the corpus'
+    // landmark volume, or the birthday effect floods every bucket
+    // past the hot cap and matching collapses to zero — a 61-value
+    // freq stub did exactly that on the 10× fixture (Shazam's
+    // production landmarks are ~30-bit for the same reason); with
+    // this space, match volume grows linearly in replicas at 10×.
     Q("mm_audio_fingerprint",
       """WITH m AS (SELECT doc_id AS media_id, text,
         |    CAST(length(text) // 32 AS INT) AS wins FROM documents),
@@ -805,10 +811,10 @@ object ExtensionQueries {
         |      range(1, length(substring(text, CAST(w * 32 + 1 AS INT), 32))
         |        + 1),
         |      i -> ord(substring(substring(text, CAST(w * 32 + 1 AS INT),
-        |        32), CAST(i AS INT), 1)))) AS BIGINT) % 61 AS fr
+        |        32), CAST(i AS INT), 1)))) AS BIGINT) % 1021 AS fr
         |  FROM m, unnest(range(0, wins)) t(w) WHERE wins >= 4),
         |h AS (SELECT a.media_id,
-        |    a.fr * 244 + b.fr * 4 + (b.idx - a.idx) AS hash
+        |    a.fr * 4084 + b.fr * 4 + (b.idx - a.idx) AS hash
         |  FROM f a JOIN f b ON b.media_id = a.media_id
         |    AND b.idx - a.idx BETWEEN 1 AND 3),
         |hd AS (SELECT DISTINCT media_id, hash FROM h),
@@ -832,7 +838,7 @@ object ExtensionQueries {
         .select(col("media_id"), col("idx"),
           (expr("""CAST(aggregate(transform(sequence(1, length(sl)),
             |  i -> ascii(substring(sl, i, 1))), 0L,
-            |  (a, x) -> a + x) AS BIGINT)""".stripMargin) % 61).as("fr"))
+            |  (a, x) -> a + x) AS BIGINT)""".stripMargin) % 1021).as("fr"))
       val dts = Seq(1, 2, 3)
       // anchor → {+1,+2,+3} targets: three equi-joins on the window
       // index, unioned — O(3) landmark fan-out per window.
@@ -843,7 +849,7 @@ object ExtensionQueries {
             col("mb") === col("a.media_id") &&
               col("ib") === col("a.idx") + dt)
           .select(col("a.media_id").as("media_id"),
-            (col("a.fr") * 244 + col("fb") * 4 + dt).as("hash"))
+            (col("a.fr") * 4084 + col("fb") * 4 + dt).as("hash"))
       }.reduce(_ unionByName _)
       val hd = h.distinct()
       val hot = hd.groupBy(col("hash")).agg(count(lit(1)).as("c"))

@@ -40,11 +40,11 @@ class Round13eOpsSpec extends SparkSpec {
     val wins = base.length / 32
     val fr = (0 until wins).map { w =>
       base.substring(w * 32, math.min(w * 32 + 32, base.length))
-        .map(_.toInt.toLong).sum % 61
+        .map(_.toInt.toLong).sum % 1021
     }
     val hashes = (for {
       i <- 0 until wins; dt <- 1 to 3 if i + dt < wins
-    } yield fr(i) * 244 + fr(i + dt) * 4 + dt).toSet
+    } yield fr(i) * 4084 + fr(i + dt) * 4 + dt).toSet
     assert(hashes.size >= 18, "fixture must clear the match floor")
     val out = graft.SparkEntry.queries("mm_audio_fingerprint")(spark, d)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
