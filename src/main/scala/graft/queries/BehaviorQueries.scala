@@ -65,6 +65,129 @@ object BehaviorQueries {
 
   def all: Seq[Q] = Seq(
 
+    // ADJACENT-SEQUENCE PATTERN MINING (MATCH_RECOGNIZE-lite) — counts
+    // STRICTLY CONSECUTIVE event patterns per user journey, the
+    // complement of behavior_window_funnel's skip-tolerant ordering:
+    // "view immediately followed by click immediately followed by
+    // purchase" is a different behavioral signal than "v…c…p
+    // eventually". Each user's journey collapses to a compact
+    // initial-letter string (one ordered listagg — the ONLY
+    // corpus-scale shuffle; journey length is bounded by per-user
+    // activity, the same entity-level contract as behavior_paths),
+    // and the three literal patterns count by non-overlapping regex
+    // extraction — identical RE2/Java semantics on this alphabet.
+    // Ordering ties broken by event_id (unique), so the journey
+    // string is deterministic on any partitioning.
+    Q("behavior_pattern_regex",
+      """WITH j AS (SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+        |      AS journey
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT unnest(['vcp', 'cp', 'pe']) AS pattern),
+        |m AS (SELECT p.pattern, j.user_id,
+        |    len(regexp_extract_all(j.journey, p.pattern)) AS k
+        |  FROM j CROSS JOIN p)
+        |SELECT pattern,
+        |  CAST(sum(CASE WHEN k > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_users,
+        |  CAST(sum(k) AS BIGINT) AS n_matches
+        |FROM m GROUP BY 1 ORDER BY pattern""") { (s, d) =>
+      import s.implicits._
+      val j = Tables.events(s, d)
+        .withColumn("ch", substring(col("event_type"), 1, 1))
+        .groupBy(col("user_id"))
+        .agg(expr("listagg(ch, '') WITHIN GROUP (ORDER BY ts, event_id)")
+          .as("journey"))
+      // Spark's regexp_extract_all needs a FOLDABLE pattern, so the
+      // three literal patterns unroll to three aggregates over the one
+      // shared journey relation (the oracle keeps its cross-join form —
+      // DuckDB's RE2 binding takes column patterns).
+      Seq("vcp", "cp", "pe").map { pat =>
+        j.select(lit(pat).as("pattern"),
+            size(expr(s"regexp_extract_all(journey, '$pat', 0)")).as("k"))
+          .groupBy(col("pattern"))
+          .agg(sum(when(col("k") > 0, 1).otherwise(0)).cast("long")
+              .as("n_users"),
+            sum(col("k")).cast("long").as("n_matches"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("pattern"))
+    },
+
+    // AUGMENTED-DICKEY-FULLER-LITE STATIONARITY TEST (Dickey & Fuller
+    // 1979, lag-0 constant-only form) per event type — the unit-root
+    // check a forecasting pipeline runs before trusting ts_holt /
+    // ts_holt_winters levels: regress Δy_t on y_{t-1}, and a
+    // sufficiently negative t(ρ̂) rejects the random walk. The daily
+    // series lags through a per-type window (day grid bounds it), the
+    // five regression sums quantize to DECIMAL — one hash aggregate —
+    // and ρ̂, se, t derive in closed form; flag at the 5% constant-only
+    // critical value −2.86. Types scale out; nothing global.
+    Q("ts_adf",
+      """WITH y AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS DOUBLE) AS yv
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, yv,
+        |    lag(yv) OVER (PARTITION BY event_type ORDER BY day) AS yl
+        |  FROM y),
+        |t AS (SELECT event_type, yl AS x, yv - yl AS z FROM l
+        |  WHERE yl IS NOT NULL),
+        |s AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(round(z, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sz,
+        |    CAST(sum(CAST(round(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |      AS sxx,
+        |    CAST(sum(CAST(round(x * z, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |      AS sxz,
+        |    CAST(sum(CAST(round(z * z, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |      AS szz
+        |  FROM t GROUP BY 1),
+        |f AS (SELECT event_type, n,
+        |    (sxz - sx * sz / n) / (sxx - sx * sx / n) AS rho,
+        |    (szz - sz * sz / n) - ((sxz - sx * sz / n)
+        |      * (sxz - sx * sz / n)) / (sxx - sx * sx / n) AS sse,
+        |    sxx - sx * sx / n AS sxx_c
+        |  FROM s)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_diffs,
+        |  round(rho, 4) AS rho,
+        |  round(rho / nullif(sqrt((sse / (n - 2)) / sxx_c), 0), 4)
+        |    AS t_stat,
+        |  CAST(rho / nullif(sqrt((sse / (n - 2)) / sxx_c), 0) < -2.86
+        |    AS BOOLEAN) AS stationary
+        |FROM f ORDER BY event_type""") { (s, d) =>
+      val y = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).cast("double").as("yv"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val t = y.withColumn("yl", lag(col("yv"), 1).over(w))
+        .filter(col("yl").isNotNull)
+        .select(col("event_type"), col("yl").as("x"),
+          (col("yv") - col("yl")).as("z"))
+      def qs(c: org.apache.spark.sql.Column, p: Int) =
+        sum(round(c, 6).cast(s"decimal($p,6)")).cast("double")
+      val st = t.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          qs(col("x"), 18).as("sx"), qs(col("z"), 18).as("sz"),
+          qs(col("x") * col("x"), 28).as("sxx"),
+          qs(col("x") * col("z"), 28).as("sxz"),
+          qs(col("z") * col("z"), 28).as("szz"))
+      val sxzc = col("sxz") - col("sx") * col("sz") / col("n")
+      val sxxc = col("sxx") - col("sx") * col("sx") / col("n")
+      val szzc = col("szz") - col("sz") * col("sz") / col("n")
+      val f = st.select(col("event_type"), col("n"),
+        (sxzc / sxxc).as("rho"),
+        (szzc - (sxzc * sxzc) / sxxc).as("sse"),
+        sxxc.as("sxx_c"))
+      // nullif: a perfect fit (SSE = 0, possible on planted series)
+      // yields NULL t in both engines, not an ANSI divide-by-zero.
+      val tstat = col("rho") /
+        nullif(sqrt((col("sse") / (col("n") - 2)) / col("sxx_c")), lit(0d))
+      f.select(col("event_type"), col("n").cast("long").as("n_diffs"),
+          round(col("rho"), 4).as("rho"),
+          round(tstat, 4).as("t_stat"),
+          (tstat < -2.86).as("stationary"))
+        .orderBy(col("event_type"))
+    },
+
     // Conversion funnel view → click → purchase with strict temporal
     // ordering (each stage must happen AFTER the previous stage's first
     // completion). One shuffle: three Window layers over the same

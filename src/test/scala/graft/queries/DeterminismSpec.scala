@@ -118,7 +118,9 @@ class DeterminismSpec extends SparkSpec {
       // mutual top-k (kNN graph)
       "sample_neyman", "norm_boxcox", "sim_knn_mutual",
       // landmark-hash inventories and median-seasonal ESD rounds
-      "mm_audio_fingerprint", "ts_shesd"))
+      "mm_audio_fingerprint", "ts_shesd",
+      // ordered journey listagg and quantized ADF sums
+      "behavior_pattern_regex", "ts_adf"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
       assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
     }

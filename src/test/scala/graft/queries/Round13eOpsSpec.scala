@@ -59,6 +59,72 @@ class Round13eOpsSpec extends SparkSpec {
     assert(rows.forall(_.getLong(2) >= 18))
   }
 
+  test("behavior_pattern_regex: planted journeys count adjacent matches exactly") {
+    // u1 = vcpvcp (vcp×2, cp×2), u2 = pe (pe×1), u3 = cp (cp×1).
+    val d = tmp("patt")
+    val evs = Seq(
+      (1L, Seq("view", "click", "purchase", "view", "click", "purchase")),
+      (2L, Seq("purchase", "error")),
+      (3L, Seq("click", "purchase")))
+    var id = 0L
+    val rows = evs.flatMap { case (u, types) =>
+      types.zipWithIndex.map { case (t, i) =>
+        id += 1
+        (id, Timestamp.valueOf(f"2024-01-10 ${10 + i}%02d:00:00"), u, t,
+          1.0, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = graft.SparkEntry.queries("behavior_pattern_regex")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("cp", 2L, 3L), ("pe", 1L, 1L),
+      ("vcp", 1L, 2L)))
+  }
+
+  test("ts_adf: mean-reverting series rejects the unit root; a trend does not") {
+    val d = tmp("adf")
+    var id = 0L
+    def mk(tpe: String, series: Seq[Int], base: Int) =
+      series.zipWithIndex.flatMap { case (n, i) =>
+        (1 to n).map { _ =>
+          id += 1
+          (id, Timestamp.valueOf(f"2024-01-${base + i}%02d 12:00:00"),
+            id % 97, tpe, 1.0, "{}")
+        }
+      }
+    // 'view' oscillates (strong mean reversion, imperfect fit so
+    // SSE > 0); 'click' grows with noisy steps (unit-root-ish:
+    // Δy carries no level signal — and the noise keeps SSE > 0, a
+    // perfectly linear series would hit the nullif guard instead).
+    val rows = mk("view", Seq(10, 30, 12, 28, 15, 25, 18, 22), 1) ++
+      mk("click", Seq(10, 14, 15, 20, 22, 27, 28, 33), 1)
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = graft.SparkEntry.queries("ts_adf")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    // JVM replay of the closed form on the oscillating series.
+    val ys = Seq(10, 30, 12, 28, 15, 25, 18, 22).map(_.toDouble)
+    val xz = ys.init.zip(ys.tail.zip(ys.init).map { case (a, b) => a - b })
+    val n = xz.length.toDouble
+    val (sx, sz) = (xz.map(_._1).sum, xz.map(_._2).sum)
+    val sxx = xz.map(p => p._1 * p._1).sum
+    val sxz = xz.map(p => p._1 * p._2).sum
+    val szz = xz.map(p => p._2 * p._2).sum
+    val sxxc = sxx - sx * sx / n
+    val rho = (sxz - sx * sz / n) / sxxc
+    val sse = (szz - sz * sz / n) - (sxz - sx * sz / n) *
+      (sxz - sx * sz / n) / sxxc
+    val t = rho / math.sqrt((sse / (n - 2)) / sxxc)
+    assert(out("view")._1 == 7L)
+    assert(math.abs(out("view")._2 - math.rint(rho * 10000) / 10000) < 1e-9)
+    assert(math.abs(out("view")._3 - math.rint(t * 10000) / 10000) < 1e-9)
+    assert(out("view")._4, "oscillation must reject the unit root")
+    assert(!out("click")._4, "a pure trend must not")
+  }
+
   test("ts_shesd: the masked second spike surfaces in a later round") {
     val d = tmp("shesd")
     // 35 flat days of 10 events, day 15 spikes to 200 (the σ bomb),
