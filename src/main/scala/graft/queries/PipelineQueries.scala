@@ -2635,5 +2635,161 @@ object PipelineQueries {
           round(col("loglik"), 4).as("loglik"),
           (col("rk") === 1).as("is_best"))
         .orderBy(col("lambda"))
+    },
+
+    // IN-ENGINE LOGISTIC REGRESSION via IRLS (ridge-regularized
+    // Newton, 3 unrolled rounds) — the quality-classifier TRAINING
+    // step a data pipeline otherwise ships out to a Python job: fit
+    // p(source-group | ln-length, type-token-ratio) entirely as hash
+    // aggregates. Each round is ONE corpus scan producing the 9
+    // weighted sufficient statistics (X'WX upper triangle + gradient
+    // X'(y−p), every term DECIMAL-quantized → order-free), then the
+    // 3×3 ridge system (λ = 1, keeps separation/collinearity finite)
+    // solves in CLOSED FORM by cofactors on the 1-row relation, and
+    // the new β broadcasts into the next round — the exact shape
+    // distributed L-BFGS/Newton solvers use (aggregate sufficient
+    // stats, driver-side tiny solve), with the "driver" here being a
+    // 1-row cross join. β quantizes to 10 dp between rounds so both
+    // engines walk identical IEEE trajectories through exp(). Round 1
+    // starts at β = 0 where the sigmoid is exactly 1/2. Output: the
+    // fitted coefficients and the final-model logloss.
+    Q("pipe_quality_logit", {
+      val fCte =
+        """f AS (SELECT
+          |    CASE WHEN source IN ('src0','src1','src2','src3','src4')
+          |      THEN 1 ELSE 0 END AS y,
+          |    ln(1 + length(text)) AS f1,
+          |    len(list_distinct(string_split(text, ' ')))
+          |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS f2
+          |  FROM documents)""".stripMargin
+      def p(b: String) =
+        s"1 / (1 + exp(-($b.b0 + $b.b1 * f.f1 + $b.b2 * f.f2)))"
+      def sumsCte(i: Int, b: String) = {
+        val pe = p(b)
+        s"""s$i AS (SELECT count(*) AS n,
+           |    CAST(sum(CAST(round(($pe) * (1 - ($pe)), 10)
+           |      AS DECIMAL(28,10))) AS DOUBLE) AS sa,
+           |    CAST(sum(CAST(round(($pe) * (1 - ($pe)) * f.f1, 10)
+           |      AS DECIMAL(28,10))) AS DOUBLE) AS sb,
+           |    CAST(sum(CAST(round(($pe) * (1 - ($pe)) * f.f2, 10)
+           |      AS DECIMAL(28,10))) AS DOUBLE) AS sc,
+           |    CAST(sum(CAST(round(($pe) * (1 - ($pe)) * f.f1 * f.f1, 10)
+           |      AS DECIMAL(28,10))) AS DOUBLE) AS sd,
+           |    CAST(sum(CAST(round(($pe) * (1 - ($pe)) * f.f1 * f.f2, 10)
+           |      AS DECIMAL(28,10))) AS DOUBLE) AS se,
+           |    CAST(sum(CAST(round(($pe) * (1 - ($pe)) * f.f2 * f.f2, 10)
+           |      AS DECIMAL(28,10))) AS DOUBLE) AS sf,
+           |    CAST(sum(CAST(round(f.y - ($pe), 10)
+           |      AS DECIMAL(28,10))) AS DOUBLE) AS g0,
+           |    CAST(sum(CAST(round((f.y - ($pe)) * f.f1, 10)
+           |      AS DECIMAL(28,10))) AS DOUBLE) AS g1,
+           |    CAST(sum(CAST(round((f.y - ($pe)) * f.f2, 10)
+           |      AS DECIMAL(28,10))) AS DOUBLE) AS g2
+           |  FROM f CROSS JOIN $b)""".stripMargin
+      }
+      def betaCte(i: Int, b: String) =
+        s"""b$i AS (SELECT
+           |    round($b.b0 + (
+           |      ((sd + 1) * (sf + 1) - se * se) * g0
+           |      + (sc * se - sb * (sf + 1)) * g1
+           |      + (sb * se - sc * (sd + 1)) * g2)
+           |      / ((sa + 1) * ((sd + 1) * (sf + 1) - se * se)
+           |        - sb * (sb * (sf + 1) - se * sc)
+           |        + sc * (sb * se - (sd + 1) * sc)), 10) AS b0,
+           |    round($b.b1 + (
+           |      (sc * se - sb * (sf + 1)) * g0
+           |      + ((sa + 1) * (sf + 1) - sc * sc) * g1
+           |      + (sc * sb - (sa + 1) * se) * g2)
+           |      / ((sa + 1) * ((sd + 1) * (sf + 1) - se * se)
+           |        - sb * (sb * (sf + 1) - se * sc)
+           |        + sc * (sb * se - (sd + 1) * sc)), 10) AS b1,
+           |    round($b.b2 + (
+           |      (sb * se - sc * (sd + 1)) * g0
+           |      + (sc * sb - (sa + 1) * se) * g1
+           |      + ((sa + 1) * (sd + 1) - sb * sb) * g2)
+           |      / ((sa + 1) * ((sd + 1) * (sf + 1) - se * se)
+           |        - sb * (sb * (sf + 1) - se * sc)
+           |        + sc * (sb * se - (sd + 1) * sc)), 10) AS b2
+           |  FROM s$i CROSS JOIN $b)""".stripMargin
+      val pe3 = p("b3")
+      s"""WITH $fCte,
+         |b0r AS (SELECT CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS b1,
+         |  CAST(0 AS DOUBLE) AS b2),
+         |${sumsCte(1, "b0r")},
+         |${betaCte(1, "b0r")},
+         |${sumsCte(2, "b1")},
+         |${betaCte(2, "b1")},
+         |${sumsCte(3, "b2")},
+         |${betaCte(3, "b2")},
+         |ll AS (SELECT count(*) AS n,
+         |    CAST(sum(CAST(round(-(f.y * ln($pe3)
+         |      + (1 - f.y) * ln(1 - ($pe3))), 10)
+         |      AS DECIMAL(28,10))) AS DOUBLE) AS nll
+         |  FROM f CROSS JOIN b3 GROUP BY ALL)
+         |SELECT CAST(ll.n AS BIGINT) AS n,
+         |  round(b3.b0, 4) AS beta0, round(b3.b1, 4) AS beta1,
+         |  round(b3.b2, 4) AS beta2,
+         |  round(ll.nll / ll.n, 4) AS logloss
+         |FROM ll CROSS JOIN b3""".stripMargin
+    }) { (s, d) =>
+      val f = Tables.documents(s, d).select(
+        when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 1)
+          .otherwise(0).as("y"),
+        log(lit(1) + length(col("text"))).as("f1"),
+        (size(array_distinct(split(col("text"), " "))) /
+          size(split(col("text"), " ")).cast("double")).as("f2"))
+      def q10(c: org.apache.spark.sql.Column) =
+        sum(round(c, 10).cast("decimal(28,10)")).cast("double")
+      // One IRLS round: sufficient statistics under the incoming β,
+      // then the closed-form ridge-Newton step on the 1-row relation.
+      def irlsRound(beta: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val pe = lit(1) / (lit(1) + exp(-(col("b0") + col("b1") * col("f1")
+          + col("b2") * col("f2"))))
+        val wgt = pe * (lit(1) - pe)
+        val st = f.crossJoin(broadcast(beta))
+          .agg(count(lit(1)).as("n"),
+            q10(wgt).as("sa"), q10(wgt * col("f1")).as("sb"),
+            q10(wgt * col("f2")).as("sc"),
+            q10(wgt * col("f1") * col("f1")).as("sd"),
+            q10(wgt * col("f1") * col("f2")).as("se"),
+            q10(wgt * col("f2") * col("f2")).as("sf"),
+            q10(col("y") - pe).as("g0"),
+            q10((col("y") - pe) * col("f1")).as("g1"),
+            q10((col("y") - pe) * col("f2")).as("g2"))
+        val (a11, a12, a13) = (col("sa") + 1, col("sb"), col("sc"))
+        val (a22, a23, a33) = (col("sd") + 1, col("se"), col("sf") + 1)
+        val det = a11 * (a22 * a33 - a23 * a23) -
+          a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13)
+        val d0 = ((a22 * a33 - a23 * a23) * col("g0")
+          + (a13 * a23 - a12 * a33) * col("g1")
+          + (a12 * a23 - a13 * a22) * col("g2")) / det
+        val d1 = ((a13 * a23 - a12 * a33) * col("g0")
+          + (a11 * a33 - a13 * a13) * col("g1")
+          + (a13 * a12 - a11 * a23) * col("g2")) / det
+        val d2 = ((a12 * a23 - a13 * a22) * col("g0")
+          + (a13 * a12 - a11 * a23) * col("g1")
+          + (a11 * a22 - a12 * a12) * col("g2")) / det
+        st.crossJoin(broadcast(beta.select(col("b0").as("p0"),
+            col("b1").as("p1"), col("b2").as("p2"))))
+          .select(round(col("p0") + d0, 10).as("b0"),
+            round(col("p1") + d1, 10).as("b1"),
+            round(col("p2") + d2, 10).as("b2"))
+      }
+      import s.implicits._
+      val beta0 = Seq((0.0, 0.0, 0.0)).toDF("b0", "b1", "b2")
+      val b3 = irlsRound(irlsRound(irlsRound(beta0)))
+      val pe3 = lit(1) / (lit(1) + exp(-(col("b0") + col("b1") * col("f1")
+        + col("b2") * col("f2"))))
+      val ll = f.crossJoin(broadcast(b3))
+        .agg(count(lit(1)).as("n"),
+          q10(-(col("y") * log(pe3) + (lit(1) - col("y")) *
+            log(lit(1) - pe3))).as("nll"),
+          max(col("b0")).as("b0"), max(col("b1")).as("b1"),
+          max(col("b2")).as("b2"))
+      ll.select(col("n").cast("long").as("n"),
+        round(col("b0"), 4).as("beta0"), round(col("b1"), 4).as("beta1"),
+        round(col("b2"), 4).as("beta2"),
+        round(col("nll") / col("n"), 4).as("logloss"))
     })
 }

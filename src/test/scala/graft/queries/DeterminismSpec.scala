@@ -120,7 +120,9 @@ class DeterminismSpec extends SparkSpec {
       // landmark-hash inventories and median-seasonal ESD rounds
       "mm_audio_fingerprint", "ts_shesd",
       // ordered journey listagg and quantized ADF sums
-      "behavior_pattern_regex", "ts_adf"))
+      "behavior_pattern_regex", "ts_adf",
+      // the IRLS sufficient-statistic sums
+      "pipe_quality_logit"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
       assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
     }

@@ -115,7 +115,9 @@ class PlanHygieneSpec extends SparkSpec {
     "graph_butterflies",   // 1-row wedge total x 1-row butterfly total
     "graph_rich_club",     // 5-row literal k grid x degree histograms
                            // (bounded by max degree, not corpus)
-    "sample_neyman"        // 5 stratum rows x broadcast 1-row Σ(N·S)
+    "sample_neyman",       // 5 stratum rows x broadcast 1-row Σ(N·S)
+    "pipe_quality_logit"   // docs x broadcast 1-row β per IRLS round
+                           // (the aggregate-stats/tiny-solve shape)
   )
 
   private def offenders(name: String): Seq[String] = {

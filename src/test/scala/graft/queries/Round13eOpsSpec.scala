@@ -125,6 +125,59 @@ class Round13eOpsSpec extends SparkSpec {
     assert(!out("click")._4, "a pure trend must not")
   }
 
+  test("pipe_quality_logit: full JVM replay of the 3-round ridge IRLS") {
+    // 4 positive docs with TTR 1.0 vs 4 negatives with TTR 0.25 at
+    // equal length: the signal is all in f2, the constant f1 column
+    // would be singular without the ridge — which is the point.
+    val d = tmp("logit")
+    import spark.implicits._
+    val rows = (1 to 4).map(i => (i.toLong, "a b c d", "en", "src0", 0L)) ++
+      (5 to 8).map(i => (i.toLong, "a a a a", "en", "src9", 0L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    def q10(v: Double) = math.rint(v * 1e10) / 1e10
+    val feats = Seq.fill(4)((1.0, math.log(8.0), 1.0)) ++
+      Seq.fill(4)((0.0, math.log(8.0), 0.25))
+    def round3(beta: (Double, Double, Double)): (Double, Double, Double) = {
+      val (b0, b1, b2) = beta
+      var (sa, sb, sc, sd, se, sf) = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+      var (g0, g1, g2) = (0.0, 0.0, 0.0)
+      for ((y, f1, f2) <- feats) {
+        val p = 1.0 / (1.0 + math.exp(-(b0 + b1 * f1 + b2 * f2)))
+        val w = p * (1 - p)
+        sa += q10(w); sb += q10(w * f1); sc += q10(w * f2)
+        sd += q10(w * f1 * f1); se += q10(w * f1 * f2)
+        sf += q10(w * f2 * f2)
+        g0 += q10(y - p); g1 += q10((y - p) * f1); g2 += q10((y - p) * f2)
+      }
+      val (a11, a12, a13) = (sa + 1, sb, sc)
+      val (a22, a23, a33) = (sd + 1, se, sf + 1)
+      val det = a11 * (a22 * a33 - a23 * a23) -
+        a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13)
+      val d0 = ((a22 * a33 - a23 * a23) * g0 + (a13 * a23 - a12 * a33) * g1
+        + (a12 * a23 - a13 * a22) * g2) / det
+      val d1 = ((a13 * a23 - a12 * a33) * g0 + (a11 * a33 - a13 * a13) * g1
+        + (a13 * a12 - a11 * a23) * g2) / det
+      val d2 = ((a12 * a23 - a13 * a22) * g0 + (a13 * a12 - a11 * a23) * g1
+        + (a11 * a22 - a12 * a12) * g2) / det
+      (q10(b0 + d0), q10(b1 + d1), q10(b2 + d2))
+    }
+    val (b0, b1, b2) = round3(round3(round3((0.0, 0.0, 0.0))))
+    val nll = feats.map { case (y, f1, f2) =>
+      val p = 1.0 / (1.0 + math.exp(-(b0 + b1 * f1 + b2 * f2)))
+      q10(-(y * math.log(p) + (1 - y) * math.log(1 - p)))
+    }.sum / feats.size
+    val r = graft.SparkEntry.queries("pipe_quality_logit")(spark, d)
+      .collect().head
+    assert(r.getLong(0) == 8L)
+    def r4(v: Double) = math.rint(v * 10000) / 10000.0
+    assert(r.getDouble(1) == r4(b0), s"beta0 ${r.getDouble(1)} vs ${r4(b0)}")
+    assert(r.getDouble(2) == r4(b1), "beta1")
+    assert(r.getDouble(3) == r4(b2), "beta2")
+    assert(math.abs(r.getDouble(4) - r4(nll)) < 2e-4, "logloss")
+    assert(b2 > 0.5, "the TTR coefficient must carry the signal")
+  }
+
   test("ts_shesd: the masked second spike surfaces in a later round") {
     val d = tmp("shesd")
     // 35 flat days of 10 events, day 15 spikes to 200 (the σ bomb),
