@@ -3548,6 +3548,176 @@ object EvalQueries {
           (prob > 0.95).as("ship_b"))
     },
 
+    // COARSENED EXACT MATCHING ATT (Iacus, King & Porro 2012) — the
+    // observational-causal estimator that actually DISTRIBUTES, unlike
+    // nearest-neighbor propensity matching (whose global score-sorted
+    // sweep is exactly the single-partition shape the window law
+    // bans): confounders coarsen into explicit strata (activity-decile
+    // ln-bins × active-day bins — fixed arithmetic bins, no global
+    // rank), treated and control units match WITHIN a stratum
+    // (one groupBy), strata missing either side drop, and the ATT is
+    // the treated-weighted mean of within-stratum outcome differences.
+    // The naive (unmatched) difference ships alongside so the
+    // confounding correction is visible. Treatment here: the user made
+    // a high-value purchase; outcome: non-purchase engagement spend;
+    // confounders: event volume and active days — deliberately
+    // correlated with treatment so CEM has something to fix. All exact
+    // DECIMAL sums; stratum terms quantize before the final rollup.
+    Q("eval_cem_att",
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150
+        |      THEN 1 ELSE 0 END) AS treat,
+        |    sum(CASE WHEN event_type <> 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0 AS
+        |      DECIMAL(18,4)) END) AS outcome,
+        |    count(*) AS n_ev,
+        |    count(DISTINCT CAST(ts AS DATE)) AS days
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT user_id, treat, outcome,
+        |    CAST(floor(ln(1 + n_ev) / 0.5) AS INT) AS b_ev,
+        |    CAST(least(days, 8) AS INT) AS b_days
+        |  FROM u),
+        |s AS (SELECT b_ev, b_days,
+        |    CAST(sum(treat) AS BIGINT) AS nt,
+        |    CAST(count(*) - sum(treat) AS BIGINT) AS nc,
+        |    sum(CASE WHEN treat = 1 THEN outcome END) AS st,
+        |    sum(CASE WHEN treat = 0 THEN outcome END) AS sc
+        |  FROM c GROUP BY 1, 2),
+        |m AS (SELECT b_ev, b_days, nt, nc,
+        |    CAST(round(nt * (CAST(st AS DOUBLE) / nt
+        |      - CAST(sc AS DOUBLE) / nc), 6) AS DECIMAL(28,6)) AS term
+        |  FROM s WHERE nt > 0 AND nc > 0),
+        |att AS (SELECT CAST(sum(nt) AS BIGINT) AS n_treated_matched,
+        |    CAST(sum(nc) AS BIGINT) AS n_control_matched,
+        |    CAST(count(*) AS BIGINT) AS n_strata,
+        |    CAST(sum(term) AS DOUBLE) / sum(nt) AS att
+        |  FROM m),
+        |naive AS (SELECT
+        |    CAST(sum(CASE WHEN treat = 1 THEN outcome END) AS DOUBLE)
+        |      / sum(treat)
+        |    - CAST(sum(CASE WHEN treat = 0 THEN outcome END) AS DOUBLE)
+        |      / (count(*) - sum(treat)) AS naive_diff
+        |  FROM u)
+        |SELECT att.n_treated_matched, att.n_control_matched,
+        |  att.n_strata, round(att.att, 4) AS att,
+        |  round(naive.naive_diff, 4) AS naive_diff
+        |FROM att CROSS JOIN naive""") { (s, d) =>
+      val u = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "purchase" && col("value") > 150,
+            1).otherwise(0)).as("treat"),
+          sum(when(col("event_type") =!= "purchase",
+            col("value").cast("decimal(18,4)"))
+            .otherwise(lit(0).cast("decimal(18,4)"))).as("outcome"),
+          count(lit(1)).as("n_ev"),
+          countDistinct(col("ts").cast("date")).as("days"))
+      val c = u.select(col("treat"), col("outcome"),
+        floor(log(lit(1) + col("n_ev")) / 0.5).cast("int").as("b_ev"),
+        least(col("days"), lit(8)).cast("int").as("b_days"))
+      val st = c.groupBy(col("b_ev"), col("b_days"))
+        .agg(sum(col("treat")).cast("long").as("nt"),
+          (count(lit(1)) - sum(col("treat"))).cast("long").as("nc"),
+          sum(when(col("treat") === 1, col("outcome"))).as("st"),
+          sum(when(col("treat") === 0, col("outcome"))).as("sc"))
+      val m = st.filter(col("nt") > 0 && col("nc") > 0)
+        .select(col("nt"), col("nc"),
+          round(col("nt") * (col("st").cast("double") / col("nt")
+            - col("sc").cast("double") / col("nc")), 6)
+            .cast("decimal(28,6)").as("term"))
+      val att = m.agg(sum(col("nt")).cast("long").as("n_treated_matched"),
+        sum(col("nc")).cast("long").as("n_control_matched"),
+        count(lit(1)).cast("long").as("n_strata"),
+        (sum(col("term")).cast("double") / sum(col("nt"))).as("att"))
+      val naive = u.agg(
+        (sum(when(col("treat") === 1, col("outcome"))).cast("double") /
+          sum(col("treat")) -
+          sum(when(col("treat") === 0, col("outcome"))).cast("double") /
+            (count(lit(1)) - sum(col("treat")))).as("naive_diff"))
+      att.crossJoin(broadcast(naive))
+        .select(col("n_treated_matched"), col("n_control_matched"),
+          col("n_strata"), round(col("att"), 4).as("att"),
+          round(col("naive_diff"), 4).as("naive_diff"))
+    },
+
+    // SHARP REGRESSION DISCONTINUITY (Thistlethwaite & Campbell 1960;
+    // local-linear form) — the causal estimate at a POLICY CUTOFF:
+    // users crossing total-spend 1000 get "treated" (sharp assignment
+    // by construction), and the effect on engagement volume is the gap
+    // between two local linear fits at the cutoff, each fit from
+    // DECIMAL-quantized OLS sums within the ±600 bandwidth. Everything
+    // is two stacked closed-form regressions on one user rollup — no
+    // windows, no sort, the same sufficient-statistic discipline as
+    // agg_regression/ts_adf. Output: both intercepts/slopes at the
+    // cutoff, the RDD effect, and the side counts.
+    Q("eval_rdd_effect",
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS spend,
+        |    count(*) AS n_ev
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT CASE WHEN spend >= 1000 THEN 1 ELSE 0 END AS side,
+        |    spend - 1000 AS x, CAST(n_ev AS DOUBLE) AS y
+        |  FROM u WHERE spend >= 400 AND spend < 1600),
+        |s AS (SELECT side, count(*) AS n,
+        |    CAST(sum(CAST(round(x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(round(y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(round(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |      AS sxx,
+        |    CAST(sum(CAST(round(x * y, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |      AS sxy
+        |  FROM b GROUP BY 1),
+        |f AS (SELECT side, n,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+        |    (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+        |      AS icept
+        |  FROM s),
+        |w AS (SELECT
+        |    max(CASE WHEN side = 0 THEN n END) AS n_left,
+        |    max(CASE WHEN side = 1 THEN n END) AS n_right,
+        |    max(CASE WHEN side = 0 THEN icept END) AS icept_left,
+        |    max(CASE WHEN side = 1 THEN icept END) AS icept_right,
+        |    max(CASE WHEN side = 0 THEN slope END) AS slope_left,
+        |    max(CASE WHEN side = 1 THEN slope END) AS slope_right
+        |  FROM f)
+        |SELECT CAST(n_left AS BIGINT) AS n_left,
+        |  CAST(n_right AS BIGINT) AS n_right,
+        |  round(icept_left, 4) AS icept_left,
+        |  round(icept_right, 4) AS icept_right,
+        |  round(slope_left, 6) AS slope_left,
+        |  round(slope_right, 6) AS slope_right,
+        |  round(icept_right - icept_left, 4) AS rdd_effect
+        |FROM w""") { (s, d) =>
+      val u = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,4)")).cast("double")
+          .as("spend"), count(lit(1)).as("n_ev"))
+      val b = u.filter(col("spend") >= 400 && col("spend") < 1600)
+        .select(when(col("spend") >= 1000, 1).otherwise(0).as("side"),
+          (col("spend") - 1000).as("x"), col("n_ev").cast("double").as("y"))
+      def qs(c: org.apache.spark.sql.Column) =
+        sum(round(c, 6).cast("decimal(28,6)")).cast("double")
+      val st = b.groupBy(col("side"))
+        .agg(count(lit(1)).as("n"), qs(col("x")).as("sx"),
+          qs(col("y")).as("sy"), qs(col("x") * col("x")).as("sxx"),
+          qs(col("x") * col("y")).as("sxy"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      val f = st.select(col("side"), col("n"), slope.as("slope"),
+        ((col("sy") - slope * col("sx")) / col("n")).as("icept"))
+      f.agg(max(when(col("side") === 0, col("n"))).as("n_left"),
+          max(when(col("side") === 1, col("n"))).as("n_right"),
+          max(when(col("side") === 0, col("icept"))).as("icept_left"),
+          max(when(col("side") === 1, col("icept"))).as("icept_right"),
+          max(when(col("side") === 0, col("slope"))).as("slope_left"),
+          max(when(col("side") === 1, col("slope"))).as("slope_right"))
+        .select(col("n_left").cast("long").as("n_left"),
+          col("n_right").cast("long").as("n_right"),
+          round(col("icept_left"), 4).as("icept_left"),
+          round(col("icept_right"), 4).as("icept_right"),
+          round(col("slope_left"), 6).as("slope_left"),
+          round(col("slope_right"), 6).as("slope_right"),
+          round(col("icept_right") - col("icept_left"), 4)
+            .as("rdd_effect"))
+    },
+
     // PERMUTATION TEST on per-user spend (two-sample mean difference,
     // R = 200 re-randomizations) — the assumption-free significance
     // test for the metrics where eval_ttest_welch's normality and

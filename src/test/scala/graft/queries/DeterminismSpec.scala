@@ -122,7 +122,9 @@ class DeterminismSpec extends SparkSpec {
       // ordered journey listagg and quantized ADF sums
       "behavior_pattern_regex", "ts_adf",
       // the IRLS sufficient-statistic sums
-      "pipe_quality_logit"))
+      "pipe_quality_logit",
+      // stratum terms and bandwidth-windowed OLS sums
+      "eval_cem_att", "eval_rdd_effect"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
       assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
     }

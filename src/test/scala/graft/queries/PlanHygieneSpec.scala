@@ -116,8 +116,9 @@ class PlanHygieneSpec extends SparkSpec {
     "graph_rich_club",     // 5-row literal k grid x degree histograms
                            // (bounded by max degree, not corpus)
     "sample_neyman",       // 5 stratum rows x broadcast 1-row Σ(N·S)
-    "pipe_quality_logit"   // docs x broadcast 1-row β per IRLS round
+    "pipe_quality_logit",  // docs x broadcast 1-row β per IRLS round
                            // (the aggregate-stats/tiny-solve shape)
+    "eval_cem_att"         // 1-row ATT rollup x broadcast 1-row naive
   )
 
   private def offenders(name: String): Seq[String] = {

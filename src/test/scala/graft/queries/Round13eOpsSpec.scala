@@ -25,6 +25,15 @@ class Round13eOpsSpec extends SparkSpec {
   private def tmp(tag: String): String =
     java.nio.file.Files.createTempDirectory(tag).toString
 
+  private def day(dom: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$dom%02d 12:00:00")
+
+  private def writeEvents(
+      d: String, rows: Seq[(Long, Timestamp, Long, String, Double, String)])
+      : Unit =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+
   test("mm_audio_fingerprint: identical payloads share the full landmark inventory; unrelated ones match nobody") {
     val d = tmp("afp")
     // 512 chars = 16 windows of 32 → 15+14+13 = 42 landmarks (pre-dedup).
@@ -176,6 +185,63 @@ class Round13eOpsSpec extends SparkSpec {
     assert(r.getDouble(3) == r4(b2), "beta2")
     assert(math.abs(r.getDouble(4) - r4(nll)) < 2e-4, "logloss")
     assert(b2 > 0.5, "the TTR coefficient must carry the signal")
+  }
+
+  test("eval_cem_att: stratified matching strips the planted confounding") {
+    // Stratum A (4 events → ln-bin 3): 2 treated (outcome 99 = 3×33)
+    // vs 2 controls (90 = 4×22.5) → +9. Stratum B (7 events → bin 4):
+    // 1 treated (24 = 6×4) vs 3 controls (14 = 7×2) → +10. ATT =
+    // (2·9 + 1·10)/3 = 9.3333, while the naive diff = 74 − 44.4 =
+    // 29.6 (treated users concentrate in the high-activity stratum by
+    // construction). Every per-event value is decimal-exact.
+    val d = tmp("cem")
+    var id = 0L
+    def user(u: Long, treat: Boolean, views: Int, viewSum: Double) = {
+      val per = viewSum / views
+      val vs = (1 to views).map { _ =>
+        id += 1; (id, day(10), u, "view", per, "{}")
+      }
+      val t = if (treat) {
+        id += 1; Seq((id, day(10), u, "purchase", 200.0, "{}"))
+      } else Seq.empty
+      vs ++ t
+    }
+    val rows =
+      user(1, treat = true, 3, 99.0) ++ user(2, treat = true, 3, 99.0) ++
+      user(3, treat = false, 4, 90.0) ++ user(4, treat = false, 4, 90.0) ++
+      user(5, treat = true, 6, 24.0) ++
+      user(6, treat = false, 7, 14.0) ++ user(7, treat = false, 7, 14.0) ++
+      user(8, treat = false, 7, 14.0)
+    writeEvents(d, rows)
+    val r = graft.SparkEntry.queries("eval_cem_att")(spark, d)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 5L, 2L)))
+    assert(r.getDouble(3) == 9.3333, "att")
+    assert(r.getDouble(4) == 29.6, "naive_diff")
+  }
+
+  test("eval_rdd_effect: planted step function recovers the jump") {
+    // Left-side users (spend 600-900) have 2 events; right-side
+    // (1000-1300) have 6 — flat within side, so slopes ≈ 0 and the
+    // effect is the 6 − 2 = 4 step at the cutoff.
+    val d = tmp("rdd")
+    var id = 0L
+    def user(u: Long, spend: Double, events: Int) =
+      (1 to events).map { _ =>
+        id += 1; (id, day(10), u, "view", spend / events, "{}")
+      }
+    val rows =
+      Seq(600.0, 700.0, 800.0, 900.0).zipWithIndex.flatMap { case (s, i) =>
+        user(i + 1, s, 2) } ++
+      Seq(1000.0, 1100.0, 1200.0, 1300.0).zipWithIndex.flatMap {
+        case (s, i) => user(10 + i, s, 6) }
+    writeEvents(d, rows)
+    val r = graft.SparkEntry.queries("eval_rdd_effect")(spark, d)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 4L)))
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 6.0)
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0)
+    assert(r.getDouble(6) == 4.0, "rdd_effect")
   }
 
   test("ts_shesd: the masked second spike surfaces in a later round") {
