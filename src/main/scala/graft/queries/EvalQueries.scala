@@ -3718,6 +3718,76 @@ object EvalQueries {
             .as("rdd_effect"))
     },
 
+    // SPLIT-CONFORMAL PREDICTION INTERVALS (Vovk et al.; Lei et al.
+    // 2018 split form) — the distribution-free uncertainty wrapper a
+    // serving pipeline puts around ANY point model: fit on the train
+    // split (here the per-type mean — the model is deliberately
+    // simple; conformal wraps anything), take the 90th percentile of
+    // absolute residuals on the CALIBRATION split, and the interval
+    // μ ± q̂ is guaranteed ≥ 90% coverage on exchangeable test data.
+    // The three splits hash deterministically from event_id (mod 3 —
+    // train/calibrate/test), the calibration quantile is the exact
+    // percentile idiom (KLL at 100 TB), and the coverage check on the
+    // held-out split is the oracle-verifiable readout: per type, the
+    // empirical coverage must straddle the nominal 90%. Three linear
+    // scans, per-type rollups — nothing global.
+    Q("eval_conformal",
+      """WITH tr AS (SELECT event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+        |      AS mu
+        |  FROM events WHERE event_id % 3 = 0 GROUP BY 1),
+        |cal AS (SELECT e.event_type,
+        |    quantile_cont(CAST(abs(e.value - tr.mu) AS DOUBLE), 0.9)
+        |      AS qhat
+        |  FROM events e JOIN tr ON tr.event_type = e.event_type
+        |  WHERE e.event_id % 3 = 1 GROUP BY 1),
+        |tst AS (SELECT e.event_type,
+        |    count(*) AS n_test,
+        |    sum(CASE WHEN abs(e.value - tr.mu) <= cal.qhat
+        |      THEN 1 ELSE 0 END) AS covered
+        |  FROM events e JOIN tr ON tr.event_type = e.event_type
+        |  JOIN cal ON cal.event_type = e.event_type
+        |  WHERE e.event_id % 3 = 2 GROUP BY 1)
+        |SELECT t.event_type, round(tr.mu, 4) AS mu,
+        |  round(cal.qhat, 4) AS q_hat,
+        |  CAST(t.n_test AS BIGINT) AS n_test,
+        |  round(t.covered / CAST(t.n_test AS DOUBLE), 4) AS coverage
+        |FROM tst t JOIN tr ON tr.event_type = t.event_type
+        |JOIN cal ON cal.event_type = t.event_type
+        |ORDER BY t.event_type""") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val tr = ev.filter(col("event_id") % 3 === 0)
+        .groupBy(col("event_type"))
+        .agg((sum(col("value").cast("decimal(18,4)")).cast("double") /
+          count(lit(1))).as("mu"))
+      val cal = ev.filter(col("event_id") % 3 === 1)
+        .join(broadcast(tr.withColumnRenamed("event_type", "et")),
+          col("event_type") === col("et"))
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(CAST(abs(value - mu) AS DOUBLE), 0.9)")
+          .as("qhat"))
+      val tst = ev.filter(col("event_id") % 3 === 2)
+        .join(broadcast(tr.withColumnRenamed("event_type", "et")),
+          col("event_type") === col("et"))
+        .join(broadcast(cal.withColumnRenamed("event_type", "ec")),
+          col("event_type") === col("ec"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(abs(col("value") - col("mu")) <= col("qhat"), 1)
+            .otherwise(0)).as("covered"))
+      tst
+        .join(broadcast(tr.withColumnRenamed("event_type", "et")),
+          col("event_type") === col("et"))
+        .join(broadcast(cal.withColumnRenamed("event_type", "ec")),
+          col("event_type") === col("ec"))
+        .select(col("event_type"), round(col("mu"), 4).as("mu"),
+          round(col("qhat"), 4).as("q_hat"),
+          col("n_test").cast("long").as("n_test"),
+          round(col("covered") / col("n_test").cast("double"), 4)
+            .as("coverage"))
+        .orderBy(col("event_type"))
+    },
+
     // PERMUTATION TEST on per-user spend (two-sample mean difference,
     // R = 200 re-randomizations) — the assumption-free significance
     // test for the metrics where eval_ttest_welch's normality and

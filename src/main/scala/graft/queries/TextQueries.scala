@@ -3352,6 +3352,94 @@ object TextQueries {
         .orderBy(col("bucket"))
     },
 
+    // WINNOWING-STYLE FINGERPRINT MATCHING (Schleimer, Wilkerson &
+    // Aiken 2003 — MOSS — in the local-minimum selection variant) —
+    // the third member of the near-dup triangle next to MinHash
+    // (probabilistic set overlap) and PPJoin (exact verified Jaccard):
+    // POSITION-ROBUST selected fingerprints, the technique plagiarism
+    // and license-scan pipelines use because a selected k-gram
+    // survives any edit outside its ±2 neighborhood. Per doc: token
+    // trigram hashes (48-bit md5 prefix), a position is SELECTED iff
+    // its hash is the strict minimum of the ±2 window (lag/lead only —
+    // per-doc partitioned windows, density ~1/5 like MOSS's w = 4-5);
+    // matching is the family's capped hash join (hot cap 64) gated at
+    // ≥5 shared AND ≥0.8 containment of the smaller fingerprint set —
+    // on this corpus true near-dups sit at containment 1.0 and chance
+    // pairs never clear the gate. Fingerprint volume is n/5 per doc:
+    // the match join carries ~1/5 of dedup_exact's key volume.
+    Q("text_winnowing",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |    ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' '
+        |      || toks[i+2]), 1, 12))::BIGINT AS h
+        |  FROM t, unnest(range(1, greatest(len(toks) - 1, 1))) u(i)
+        |  WHERE len(toks) >= 3),
+        |w AS (SELECT doc_id, pos, h,
+        |    coalesce(lag(h, 1) OVER win, 9223372036854775807) AS l1,
+        |    coalesce(lag(h, 2) OVER win, 9223372036854775807) AS l2,
+        |    coalesce(lead(h, 1) OVER win, 9223372036854775807) AS r1,
+        |    coalesce(lead(h, 2) OVER win, 9223372036854775807) AS r2
+        |  FROM g WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |fp AS (SELECT DISTINCT doc_id, h FROM w
+        |  WHERE h < l1 AND h < l2 AND h < r1 AND h < r2),
+        |cnt AS (SELECT doc_id, count(*) AS nf FROM fp GROUP BY 1),
+        |hot AS (SELECT h FROM fp GROUP BY 1 HAVING count(*) <= 64),
+        |fpk AS (SELECT fp.doc_id, fp.h FROM fp JOIN hot USING (h)),
+        |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v,
+        |    CAST(count(*) AS BIGINT) AS shared
+        |  FROM fpk a JOIN fpk b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT p.u, p.v, p.shared,
+        |  round(p.shared / CAST(least(cu.nf, cv.nf) AS DOUBLE), 4)
+        |    AS containment
+        |FROM pairs p JOIN cnt cu ON cu.doc_id = p.u
+        |JOIN cnt cv ON cv.doc_id = p.v
+        |WHERE p.shared / CAST(least(cu.nf, cv.nf) AS DOUBLE) >= 0.8
+        |ORDER BY p.u, p.v""") { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+      val g = t.select(col("doc_id"),
+          explode(expr("sequence(1, greatest(size(toks) - 2, 1))"))
+            .as("pos"), col("toks"))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          expr("""CAST(conv(substr(md5(concat(toks[pos - 1], ' ',
+            |  toks[pos], ' ', toks[pos + 1])), 1, 12), 16, 10)
+            |  AS BIGINT)""".stripMargin).as("h"))
+      val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val big = lit(Long.MaxValue)
+      val fp = g
+        .withColumn("l1", coalesce(lag(col("h"), 1).over(win), big))
+        .withColumn("l2", coalesce(lag(col("h"), 2).over(win), big))
+        .withColumn("r1", coalesce(lead(col("h"), 1).over(win), big))
+        .withColumn("r2", coalesce(lead(col("h"), 2).over(win), big))
+        .filter(col("h") < col("l1") && col("h") < col("l2") &&
+          col("h") < col("r1") && col("h") < col("r2"))
+        .select(col("doc_id"), col("h")).distinct()
+      val cnt = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+      val hot = fp.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .filter(col("c") <= 64).select(col("h"))
+      val fpk = fp.join(hot, Seq("h"), "left_semi")
+      val pairs = fpk.as("a")
+        .join(fpk.select(col("h").as("hb"), col("doc_id").as("v")),
+          col("hb") === col("a.h") && col("v") > col("a.doc_id"))
+        .groupBy(col("a.doc_id").as("u"), col("v"))
+        .agg(count(lit(1)).cast("long").as("shared"))
+        .filter(col("shared") >= 5)
+      val contain = col("shared") /
+        least(col("nfu"), col("nfv")).cast("double")
+      pairs
+        .join(cnt.select(col("doc_id").as("u"), col("nf").as("nfu")),
+          Seq("u"))
+        .join(cnt.select(col("doc_id").as("v"), col("nf").as("nfv")),
+          Seq("v"))
+        .filter(contain >= 0.8)
+        .select(col("u"), col("v"), col("shared"),
+          round(contain, 4).as("containment"))
+        .orderBy(col("u"), col("v"))
+    },
+
     // CHARACTER-CLASS CENSUS per language — the script-mix profile a
     // multilingual corpus pipeline gates on before tokenizer training
     // (a "lang=en" shard that is 40% digits or 30% non-letter symbols

@@ -244,6 +244,54 @@ class Round13eOpsSpec extends SparkSpec {
     assert(r.getDouble(6) == 4.0, "rdd_effect")
   }
 
+  test("text_winnowing: edit-local damage only; prefix shift keeps the set") {
+    // doc2 = doc1 with one mid-token edited (damage bounded to the ±2
+    // fingerprint neighborhood of the edit); doc4 = doc1 with a
+    // 5-token prefix (interior fingerprints position-shift but
+    // survive); doc3 unrelated. Pairs (1,2) and (1,4) must clear the
+    // 0.8-containment gate; nothing may pair with doc3.
+    val d = tmp("winnow")
+    import spark.implicits._
+    val toks = (1 to 40).map(i => s"w${(i * 13) % 37}x$i")
+    val doc1 = toks.mkString(" ")
+    val doc2 = toks.updated(20, "EDITED").mkString(" ")
+    val doc4 = ((1 to 5).map(i => s"pre$i") ++ toks).mkString(" ")
+    val doc3 = (1 to 40).map(i => s"z${(i * 7) % 31}q$i").mkString(" ")
+    Seq((1L, doc1), (2L, doc2), (3L, doc3), (4L, doc4))
+      .map { case (id, t) => (id, t, "en", "t", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = graft.SparkEntry.queries("text_winnowing")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    assert(out.contains((1L, 2L)), "edited twin must match")
+    assert(out((1L, 2L)) >= 0.8)
+    assert(out.contains((1L, 4L)), "prefix-shifted twin must match")
+    assert(out((1L, 4L)) >= 0.8)
+    assert(!out.keySet.exists(k => k._1 == 3L || k._2 == 3L),
+      "unrelated doc must not pair")
+  }
+
+  test("eval_conformal: planted splits hit q90 = 8.1 and coverage 0.9") {
+    // train (id%3=0): all value 10 → μ = 10. calibration (id%3=1):
+    // values 10..19 → residuals 0..9 → quantile_cont 0.9 = 8.1.
+    // test (id%3=2): values 10..19 → 9 of 10 inside μ ± 8.1.
+    val d = tmp("conf")
+    var rows = Seq.empty[(Long, Timestamp, Long, String, Double, String)]
+    for (i <- 0 until 10) {
+      rows :+= ((3L * i + 3, day(10), i.toLong, "view", 10.0, "{}"))
+      rows :+= ((3L * i + 1, day(11), i.toLong, "view", 10.0 + i, "{}"))
+      rows :+= ((3L * i + 2, day(12), i.toLong, "view", 10.0 + i, "{}"))
+    }
+    writeEvents(d, rows)
+    val r = graft.SparkEntry.queries("eval_conformal")(spark, d)
+      .collect().head
+    assert(r.getString(0) == "view")
+    assert(r.getDouble(1) == 10.0, "mu")
+    assert(r.getDouble(2) == 8.1, "q_hat")
+    assert(r.getLong(3) == 10L && r.getDouble(4) == 0.9, "coverage")
+  }
+
   test("ts_shesd: the masked second spike surfaces in a later round") {
     val d = tmp("shesd")
     // 35 flat days of 10 events, day 15 spikes to 200 (the σ bomb),
