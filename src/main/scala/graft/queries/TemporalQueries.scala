@@ -1860,6 +1860,66 @@ object TemporalQueries {
         .orderBy(col("event_type"), col("period"))
     },
 
+    // FORECAST ACCURACY SCORECARD (MAE / MAPE / sMAPE / bias) for the
+    // seasonal-naive baseline — the backtest every forecasting
+    // pipeline runs BEFORE trusting a fancier model (a model that
+    // can't beat lag-7 naive is noise; ts_forecast_naive produces the
+    // forecast, this scores it). Per type: ŷ_t = y_{t−7} via one
+    // lag-7 window over the day grid, then the four error aggregates
+    // with per-term DECIMAL quantization (MAPE terms guard zero
+    // actuals via nullif; sMAPE's denominator is strictly positive on
+    // count data). Integer counts keep every error term exact until
+    // the final divisions — partition-invariant to the last bit.
+    Q("ts_forecast_accuracy",
+      """WITH y AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS yv
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, yv,
+        |    lag(yv, 7) OVER (PARTITION BY event_type ORDER BY day) AS fc
+        |  FROM y),
+        |e AS (SELECT event_type, yv, fc,
+        |    abs(yv - fc) AS ae, yv - fc AS err
+        |  FROM l WHERE fc IS NOT NULL),
+        |s AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(ae) AS BIGINT) AS sae,
+        |    CAST(sum(err) AS BIGINT) AS serr,
+        |    CAST(sum(CAST(round(ae / CAST(nullif(yv, 0) AS DOUBLE), 10)
+        |      AS DECIMAL(28,10))) AS DOUBLE) AS smape_num_ape,
+        |    CAST(sum(CAST(round(2.0 * ae / CAST(yv + fc AS DOUBLE), 10)
+        |      AS DECIMAL(28,10))) AS DOUBLE) AS ssm
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_scored,
+        |  round(sae / CAST(n AS DOUBLE), 4) AS mae,
+        |  round(serr / CAST(n AS DOUBLE), 4) AS bias,
+        |  round(smape_num_ape / n, 4) AS mape,
+        |  round(ssm / n, 4) AS smape
+        |FROM s ORDER BY event_type""") { (s, d) =>
+      val y = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("yv"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val e = y.withColumn("fc", lag(col("yv"), 7).over(w))
+        .filter(col("fc").isNotNull)
+        .select(col("event_type"), col("yv"), col("fc"),
+          abs(col("yv") - col("fc")).as("ae"),
+          (col("yv") - col("fc")).as("err"))
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("ae")).cast("long").as("sae"),
+          sum(col("err")).cast("long").as("serr"),
+          sum(round(col("ae") / nullif(col("yv"), lit(0)).cast("double"),
+            10).cast("decimal(28,10)")).cast("double").as("sape"),
+          sum(round(lit(2.0) * col("ae") /
+            (col("yv") + col("fc")).cast("double"), 10)
+            .cast("decimal(28,10)")).cast("double").as("ssm"))
+        .select(col("event_type"), col("n").cast("long").as("n_scored"),
+          round(col("sae") / col("n").cast("double"), 4).as("mae"),
+          round(col("serr") / col("n").cast("double"), 4).as("bias"),
+          round(col("sape") / col("n"), 4).as("mape"),
+          round(col("ssm") / col("n"), 4).as("smape"))
+        .orderBy(col("event_type"))
+    },
+
     // SEASONAL-HYBRID ESD ANOMALY DETECTION (Twitter's S-H-ESD shape,
     // Hochenbaum et al. 2017; simplified to a fixed z-threshold λ = 2
     // instead of the t-based ESD ladder) — the MASKING-ROBUST upgrade

@@ -126,7 +126,7 @@ class DeterminismSpec extends SparkSpec {
       // stratum terms and bandwidth-windowed OLS sums
       "eval_cem_att", "eval_rdd_effect",
       // local-min fingerprint selection and split-quantile intervals
-      "text_winnowing", "eval_conformal"))
+      "text_winnowing", "eval_conformal", "ts_forecast_accuracy"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
       assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
     }

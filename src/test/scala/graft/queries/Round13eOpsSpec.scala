@@ -292,6 +292,37 @@ class Round13eOpsSpec extends SparkSpec {
     assert(r.getLong(3) == 10L && r.getDouble(4) == 0.9, "coverage")
   }
 
+  test("ts_forecast_accuracy: two-week planted series hand-computes") {
+    // Week 1 = [10,20,30,40,50,60,70], week 2 = week 1 + [1,2,...,7]:
+    // lag-7 errors are exactly 1..7 → MAE = bias = 4; MAPE = mean of
+    // k/(10k+k) = 1/11; sMAPE = mean of 2k/(2·10k+k... ) computed
+    // per-term below.
+    val d = tmp("fca")
+    var id = 0L
+    val week1 = Seq(10, 20, 30, 40, 50, 60, 70)
+    val week2 = week1.zipWithIndex.map { case (v, i) => v + i + 1 }
+    val rows = (week1 ++ week2).zipWithIndex.flatMap { case (n, i) =>
+      (1 to n).map { _ =>
+        id += 1; (id, day(i + 1), id % 97, "view", 1.0, "{}")
+      }
+    }
+    writeEvents(d, rows)
+    def q10(v: Double) = math.rint(v * 1e10) / 1e10
+    val terms = week1.zip(week2)
+    val mape = terms.map { case (f, y) => q10((y - f).toDouble / y) }
+      .sum / 7
+    val smape = terms.map { case (f, y) =>
+      q10(2.0 * (y - f) / (y + f)) }.sum / 7
+    val r = graft.SparkEntry.queries("ts_forecast_accuracy")(spark, d)
+      .collect().head
+    assert(r.getLong(1) == 7L)
+    assert(r.getDouble(2) == 4.0, "mae")
+    assert(r.getDouble(3) == 4.0, "bias")
+    def r4(v: Double) = math.rint(v * 10000) / 10000.0
+    assert(r.getDouble(4) == r4(mape), "mape")
+    assert(r.getDouble(5) == r4(smape), "smape")
+  }
+
   test("ts_shesd: the masked second spike surfaces in a later round") {
     val d = tmp("shesd")
     // 35 flat days of 10 events, day 15 spikes to 200 (the σ bomb),
