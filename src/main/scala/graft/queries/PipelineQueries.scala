@@ -2491,11 +2491,14 @@ object PipelineQueries {
     // famously is NOT in this fixture (the generator repeats line
     // numbers — the same trap FIXTURES.md documents for row-level
     // lineitem ordering), while the full physical row is. Each probe
-    // is one column-pruned scan + DISTINCT rollup — exact at test
-    // scale; at 100 TB the same census stacks approx_count_distinct
-    // (agg_approx_distinct's machinery, one shared scan) and promotes
-    // only near-1.0 candidates to an exact confirm pass. Counts stay
-    // BIGINT; the ratio is one divide.
+    // is one column-pruned scan + DISTINCT rollup plus a count(*)
+    // aggregate, both IN-PLAN (1-row × 1-row broadcast cross join —
+    // the SQL's scalar subqueries): building/EXPLAINing the plan
+    // costs nothing, mirroring every other lazy builder here. Exact
+    // at test scale; at 100 TB the same census stacks
+    // approx_count_distinct (agg_approx_distinct's machinery, one
+    // shared scan) and promotes only near-1.0 candidates to an exact
+    // confirm pass. Counts stay BIGINT; the ratio is one divide.
     Q("dq_key_discovery",
       """WITH probes AS (
         |  SELECT 'orders' AS tbl, 'o_orderkey' AS key_cols,
@@ -2526,14 +2529,13 @@ object PipelineQueries {
         |  round(n_distinct / CAST(n_rows AS DOUBLE), 4) AS uniqueness,
         |  CAST(n_distinct = n_rows AS BOOLEAN) AS is_key
         |FROM probes ORDER BY tbl, key_cols""") { (s, d) =>
-      def probe(df: DataFrame, tbl: String, cols: Seq[String]): DataFrame = {
-        val n = df.count()
+      def probe(df: DataFrame, tbl: String, cols: Seq[String]): DataFrame =
         df.select(cols.map(col): _*).distinct()
           .agg(count(lit(1)).as("n_distinct"))
+          .crossJoin(broadcast(df.agg(count(lit(1)).as("n_rows"))))
           .select(lit(tbl).as("tbl"),
             lit(cols.mkString(",")).as("key_cols"),
-            lit(n).as("n_rows"), col("n_distinct"))
-      }
+            col("n_rows"), col("n_distinct"))
       val o = Tables.orders(s, d)
       val li = Tables.lineitem(s, d)
       Seq(
@@ -2644,7 +2646,10 @@ object PipelineQueries {
     // aggregates. Each round is ONE corpus scan producing the 9
     // weighted sufficient statistics (X'WX upper triangle + gradient
     // X'(y−p), every term DECIMAL-quantized → order-free), then the
-    // 3×3 ridge system (λ = 1, keeps separation/collinearity finite)
+    // TRUE ridge-Newton system (X'WX + λD)δ = X'(y−p) − λDβ with
+    // D = diag(0,1,1), λ = 1 — slopes penalized, intercept NOT, and
+    // the −λβ gradient term means separable data converges to the
+    // bounded ridge optimum instead of drifting toward the MLE —
     // solves in CLOSED FORM by cofactors on the 1-row relation, and
     // the new β broadcasts into the next round — the exact shape
     // distributed L-BFGS/Newton solvers use (aggregate sufficient
@@ -2691,23 +2696,23 @@ object PipelineQueries {
         s"""b$i AS (SELECT
            |    round($b.b0 + (
            |      ((sd + 1) * (sf + 1) - se * se) * g0
-           |      + (sc * se - sb * (sf + 1)) * g1
-           |      + (sb * se - sc * (sd + 1)) * g2)
-           |      / ((sa + 1) * ((sd + 1) * (sf + 1) - se * se)
+           |      + (sc * se - sb * (sf + 1)) * (g1 - $b.b1)
+           |      + (sb * se - sc * (sd + 1)) * (g2 - $b.b2))
+           |      / (sa * ((sd + 1) * (sf + 1) - se * se)
            |        - sb * (sb * (sf + 1) - se * sc)
            |        + sc * (sb * se - (sd + 1) * sc)), 10) AS b0,
            |    round($b.b1 + (
            |      (sc * se - sb * (sf + 1)) * g0
-           |      + ((sa + 1) * (sf + 1) - sc * sc) * g1
-           |      + (sc * sb - (sa + 1) * se) * g2)
-           |      / ((sa + 1) * ((sd + 1) * (sf + 1) - se * se)
+           |      + (sa * (sf + 1) - sc * sc) * (g1 - $b.b1)
+           |      + (sc * sb - sa * se) * (g2 - $b.b2))
+           |      / (sa * ((sd + 1) * (sf + 1) - se * se)
            |        - sb * (sb * (sf + 1) - se * sc)
            |        + sc * (sb * se - (sd + 1) * sc)), 10) AS b1,
            |    round($b.b2 + (
            |      (sb * se - sc * (sd + 1)) * g0
-           |      + (sc * sb - (sa + 1) * se) * g1
-           |      + ((sa + 1) * (sd + 1) - sb * sb) * g2)
-           |      / ((sa + 1) * ((sd + 1) * (sf + 1) - se * se)
+           |      + (sc * sb - sa * se) * (g1 - $b.b1)
+           |      + (sa * (sd + 1) - sb * sb) * (g2 - $b.b2))
+           |      / (sa * ((sd + 1) * (sf + 1) - se * se)
            |        - sb * (sb * (sf + 1) - se * sc)
            |        + sc * (sb * se - (sd + 1) * sc)), 10) AS b2
            |  FROM s$i CROSS JOIN $b)""".stripMargin
@@ -2757,19 +2762,25 @@ object PipelineQueries {
             q10(col("y") - pe).as("g0"),
             q10((col("y") - pe) * col("f1")).as("g1"),
             q10((col("y") - pe) * col("f2")).as("g2"))
-        val (a11, a12, a13) = (col("sa") + 1, col("sb"), col("sc"))
+        val (a11, a12, a13) = (col("sa"), col("sb"), col("sc"))
         val (a22, a23, a33) = (col("sd") + 1, col("se"), col("sf") + 1)
+        // True ridge Newton step: H = X'WX + λ·diag(0,1,1) and the
+        // gradient carries −λβ on the SLOPES only (intercept
+        // unpenalized) — g − λDβ, so on separable data the slopes
+        // stay bounded by the penalty instead of drifting to the MLE.
+        val h1 = col("g1") - col("p1")
+        val h2 = col("g2") - col("p2")
         val det = a11 * (a22 * a33 - a23 * a23) -
           a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13)
         val d0 = ((a22 * a33 - a23 * a23) * col("g0")
-          + (a13 * a23 - a12 * a33) * col("g1")
-          + (a12 * a23 - a13 * a22) * col("g2")) / det
+          + (a13 * a23 - a12 * a33) * h1
+          + (a12 * a23 - a13 * a22) * h2) / det
         val d1 = ((a13 * a23 - a12 * a33) * col("g0")
-          + (a11 * a33 - a13 * a13) * col("g1")
-          + (a13 * a12 - a11 * a23) * col("g2")) / det
+          + (a11 * a33 - a13 * a13) * h1
+          + (a13 * a12 - a11 * a23) * h2) / det
         val d2 = ((a12 * a23 - a13 * a22) * col("g0")
-          + (a13 * a12 - a11 * a23) * col("g1")
-          + (a11 * a22 - a12 * a12) * col("g2")) / det
+          + (a13 * a12 - a11 * a23) * h1
+          + (a11 * a22 - a12 * a12) * h2) / det
         st.crossJoin(broadcast(beta.select(col("b0").as("p0"),
             col("b1").as("p1"), col("b2").as("p2"))))
           .select(round(col("p0") + d0, 10).as("b0"),

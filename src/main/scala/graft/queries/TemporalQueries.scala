@@ -1866,10 +1866,11 @@ object TemporalQueries {
     // can't beat lag-7 naive is noise; ts_forecast_naive produces the
     // forecast, this scores it). Per type: ŷ_t = y_{t−7} via one
     // lag-7 window over the day grid, then the four error aggregates
-    // with per-term DECIMAL quantization (MAPE terms guard zero
-    // actuals via nullif; sMAPE's denominator is strictly positive on
-    // count data). Integer counts keep every error term exact until
-    // the final divisions — partition-invariant to the last bit.
+    // with per-term DECIMAL quantization (MAPE and sMAPE denominators
+    // are strictly positive by construction — yv is a per-day
+    // count(*) ≥ 1, so no zero guard is needed or present). Integer
+    // counts keep every error term exact until the final divisions —
+    // partition-invariant to the last bit.
     Q("ts_forecast_accuracy",
       """WITH y AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |    count(*) AS yv
@@ -1883,15 +1884,15 @@ object TemporalQueries {
         |s AS (SELECT event_type, count(*) AS n,
         |    CAST(sum(ae) AS BIGINT) AS sae,
         |    CAST(sum(err) AS BIGINT) AS serr,
-        |    CAST(sum(CAST(round(ae / CAST(nullif(yv, 0) AS DOUBLE), 10)
-        |      AS DECIMAL(28,10))) AS DOUBLE) AS smape_num_ape,
+        |    CAST(sum(CAST(round(ae / CAST(yv AS DOUBLE), 10)
+        |      AS DECIMAL(28,10))) AS DOUBLE) AS sape,
         |    CAST(sum(CAST(round(2.0 * ae / CAST(yv + fc AS DOUBLE), 10)
         |      AS DECIMAL(28,10))) AS DOUBLE) AS ssm
         |  FROM e GROUP BY 1)
         |SELECT event_type, CAST(n AS BIGINT) AS n_scored,
         |  round(sae / CAST(n AS DOUBLE), 4) AS mae,
         |  round(serr / CAST(n AS DOUBLE), 4) AS bias,
-        |  round(smape_num_ape / n, 4) AS mape,
+        |  round(sape / n, 4) AS mape,
         |  round(ssm / n, 4) AS smape
         |FROM s ORDER BY event_type""") { (s, d) =>
       val y = Tables.events(s, d)
@@ -1907,7 +1908,7 @@ object TemporalQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("ae")).cast("long").as("sae"),
           sum(col("err")).cast("long").as("serr"),
-          sum(round(col("ae") / nullif(col("yv"), lit(0)).cast("double"),
+          sum(round(col("ae") / col("yv").cast("double"),
             10).cast("decimal(28,10)")).cast("double").as("sape"),
           sum(round(lit(2.0) * col("ae") /
             (col("yv") + col("fc")).cast("double"), 10)

@@ -118,7 +118,9 @@ class PlanHygieneSpec extends SparkSpec {
     "sample_neyman",       // 5 stratum rows x broadcast 1-row Σ(N·S)
     "pipe_quality_logit",  // docs x broadcast 1-row β per IRLS round
                            // (the aggregate-stats/tiny-solve shape)
-    "eval_cem_att"         // 1-row ATT rollup x broadcast 1-row naive
+    "eval_cem_att",        // 1-row ATT rollup x broadcast 1-row naive
+    "dq_key_discovery"     // 1-row DISTINCT rollup x broadcast 1-row
+                           // count(*) per probe (in-plan scalar subquery)
   )
 
   private def offenders(name: String): Seq[String] = {

@@ -159,16 +159,19 @@ class Round13eOpsSpec extends SparkSpec {
         sf += q10(w * f2 * f2)
         g0 += q10(y - p); g1 += q10((y - p) * f1); g2 += q10((y - p) * f2)
       }
-      val (a11, a12, a13) = (sa + 1, sb, sc)
+      val (a11, a12, a13) = (sa, sb, sc)
       val (a22, a23, a33) = (sd + 1, se, sf + 1)
+      // true ridge step: slopes-only penalty in H AND the gradient
+      val h1 = g1 - b1
+      val h2 = g2 - b2
       val det = a11 * (a22 * a33 - a23 * a23) -
         a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13)
-      val d0 = ((a22 * a33 - a23 * a23) * g0 + (a13 * a23 - a12 * a33) * g1
-        + (a12 * a23 - a13 * a22) * g2) / det
-      val d1 = ((a13 * a23 - a12 * a33) * g0 + (a11 * a33 - a13 * a13) * g1
-        + (a13 * a12 - a11 * a23) * g2) / det
-      val d2 = ((a12 * a23 - a13 * a22) * g0 + (a13 * a12 - a11 * a23) * g1
-        + (a11 * a22 - a12 * a12) * g2) / det
+      val d0 = ((a22 * a33 - a23 * a23) * g0 + (a13 * a23 - a12 * a33) * h1
+        + (a12 * a23 - a13 * a22) * h2) / det
+      val d1 = ((a13 * a23 - a12 * a33) * g0 + (a11 * a33 - a13 * a13) * h1
+        + (a13 * a12 - a11 * a23) * h2) / det
+      val d2 = ((a12 * a23 - a13 * a22) * g0 + (a13 * a12 - a11 * a23) * h1
+        + (a11 * a22 - a12 * a12) * h2) / det
       (q10(b0 + d0), q10(b1 + d1), q10(b2 + d2))
     }
     val (b0, b1, b2) = round3(round3(round3((0.0, 0.0, 0.0))))
