@@ -94,6 +94,140 @@ object VectorQueries {
       .select(col("v1"), col("v2"), col("cos"))
   }
 
+  /** WIDTH-SCALED banded sign-LSH — the corpus-scale closure of the
+    * fixed-8-bit cosineEdges class (COVERAGE.md's 100× known-class row:
+    * 256 fixed buckets → density ∝ N → quadratic-within-bucket, killed
+    * at 500k vectors). Three disciplines, all IN-PLAN and mirrored in
+    * the DuckDB oracles:
+    *
+    *  1. WIDTH ∝ N (determinism rule 25 made executable): bits per
+    *     band r comes from an integer CASE ladder on count(*) —
+    *     2^r ≈ N/32, clamped to [8, 16] — so per-band bucket density
+    *     stays ~32 at any corpus size instead of growing linearly.
+    *     The ladder is pure integer comparison (no log2: libm rounding
+    *     at a threshold boundary could disagree across engines).
+    *  2. MEAN-CENTERED hyperplanes: bit b of band k is the sign of
+    *     (e[d] − μ[d]) for dim d = (b−1)·4 + k, where μ is the per-dim
+    *     corpus mean (decimal-quantized sum / n — order-free, both
+    *     engines bit-identical). Raw-sign keys saturate when a corpus
+    *     drifts positive (every vector lands in the all-ones bucket);
+    *     centering puts the hyperplanes through the data centroid, so
+    *     buckets split the corpus by geometry wherever it drifts.
+    *  3. OR-construction (4 bands) + the standard hot-bucket cap
+    *     (> 256 members excised, both dialects): bands multiply recall
+    *     for true near-dups (1−(1−p^r)^4 > p^8 at cos ≥ 0.9) while the
+    *     cap bounds any adversarial bucket at O(cap²).
+    *
+    * At the fixture SFs (N ≤ 8192) the ladder sits at r = 8, keeping
+    * the exemplar contract the oracles check; at the 100× corpus
+    * (500k vectors) r = 14 → 16,384 buckets/band where the legacy
+    * 8-bit form was killed at >600 s. */
+  private val bandedCap = 256
+
+  private def bandKeySpark(k: Int): String =
+    s"""CAST(aggregate(sequence(1, r), CAST(0 AS BIGINT), (acc, b) -> acc +
+       |  CASE WHEN CAST(element_at(e, (b-1)*4 + $k + 1) AS DOUBLE)
+       |      - element_at(mu, (b-1)*4 + $k + 1) > CAST(0 AS DOUBLE)
+       |    THEN shiftleft(CAST(1 AS BIGINT), b-1)
+       |    ELSE CAST(0 AS BIGINT) END) AS BIGINT)""".stripMargin
+
+  private def bandKeySql(k: Int): String =
+    s"""CAST(list_sum(list_transform(range(1, r + 1), b ->
+       |      CASE WHEN CAST(embedding[(b-1)*4 + $k + 1] AS DOUBLE)
+       |          - mu[(b-1)*4 + $k + 1] > 0
+       |        THEN (CAST(1 AS BIGINT) << (b-1))
+       |        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS k$k""".stripMargin
+
+  /** Shared oracle CTE prefix: corpus count, per-dim centered means,
+    * width ladder, the 4 band keys, melted (vec_id, band, key), bucket
+    * occupancy, and the cap-surviving membership. */
+  private def bandedCtesSql: String = {
+    val keys = (0 to 3).map(bandKeySql).mkString(",\n    ")
+    val melt = (0 to 3)
+      .map(k => s"SELECT vec_id, $k AS band, k$k AS key FROM vk")
+      .mkString("\n  UNION ALL ")
+    s"""nn AS (SELECT count(*) AS n FROM embeddings),
+       |ex AS (SELECT CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+       |mud AS (SELECT dim,
+       |    CAST(sum(CAST(round(x, 10) AS DECIMAL(28,10))) AS DOUBLE)
+       |      / count(*) AS mx FROM ex GROUP BY dim),
+       |mua AS (SELECT list(mx ORDER BY dim) AS mu FROM mud),
+       |v AS (SELECT vec_id, embedding, mu,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+       |    CASE WHEN n <= 8192 THEN 8 WHEN n <= 16384 THEN 9
+       |      WHEN n <= 32768 THEN 10 WHEN n <= 65536 THEN 11
+       |      WHEN n <= 131072 THEN 12 WHEN n <= 262144 THEN 13
+       |      WHEN n <= 524288 THEN 14 WHEN n <= 1048576 THEN 15
+       |      ELSE 16 END AS r
+       |  FROM embeddings CROSS JOIN nn CROSS JOIN mua),
+       |vk AS (SELECT vec_id, r,
+       |    $keys
+       |  FROM v),
+       |m AS ($melt),
+       |occ AS (SELECT band, key, count(*) AS occ FROM m GROUP BY 1, 2),
+       |kept AS (SELECT m.vec_id, m.band, m.key FROM m
+       |  JOIN occ ON m.band = occ.band AND m.key = occ.key
+       |  WHERE occ.occ <= $bandedCap)""".stripMargin
+  }
+
+  /** Spark twin of [[bandedCtesSql]]: returns (v, melted) where v =
+    * (vec_id, e, nrm, r) and melted = (vec_id, band, key). */
+  private[queries] def bandedParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("e"))
+    val nn = base.agg(count(lit(1)).as("n"))
+    val mu = base.select(posexplode(col("e")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg((sum(round(col("x").cast("double"), 10).cast("decimal(28,10)"))
+        .cast("double") / count(lit(1))).as("mx"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(dim, mx))), s -> s.mx)")
+        .as("mu"))
+    val v = base.crossJoin(broadcast(nn)).crossJoin(broadcast(mu))
+      .withColumn("r",
+        when(col("n") <= 8192, 8).when(col("n") <= 16384, 9)
+          .when(col("n") <= 32768, 10).when(col("n") <= 65536, 11)
+          .when(col("n") <= 131072, 12).when(col("n") <= 262144, 13)
+          .when(col("n") <= 524288, 14).when(col("n") <= 1048576, 15)
+          .otherwise(16))
+      .withColumn("nrm", expr(normSpark))
+      .withColumn("keys",
+        expr(s"array(${(0 to 3).map(bandKeySpark).mkString(", ")})"))
+    val melted = v.select(col("vec_id"),
+      posexplode(col("keys")).as(Seq("band", "key")))
+    (v.select(col("vec_id"), col("e"), col("nrm"), col("r")), melted)
+  }
+
+  /** Width-scaled cosine edge relation (v1 < v2, cos ≥ 0.4) over the
+    * banded candidates — the 100 TB form of [[cosineEdges]]. */
+  private[queries] def cosineEdgesBanded(s: SparkSession, d: String)
+      : DataFrame = {
+    import graft.functions.GraftFunctions.dot_f
+    val (v, melted) = bandedParts(s, d)
+    val occ = melted.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("occ"))
+    val kept = melted.join(
+      occ.filter(col("occ") <= bandedCap).select("band", "key"),
+      Seq("band", "key"))
+    val cand = kept.select(col("band"), col("key"), col("vec_id").as("v1"))
+      .join(kept.select(col("band"), col("key"), col("vec_id").as("v2")),
+        Seq("band", "key"))
+      .filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2")).distinct()
+    cand
+      .join(v.select(col("vec_id").as("v1"), col("e").as("e1"),
+        col("nrm").as("n1")), Seq("v1"))
+      .join(v.select(col("vec_id").as("v2"), col("e").as("e2"),
+        col("nrm").as("n2")), Seq("v2"))
+      .withColumn("cos",
+        dot_f(col("e1"), col("e2")) / (col("n1") * col("n2")))
+      .filter(col("cos") >= 0.4)
+      .select(col("v1"), col("v2"), col("cos"))
+  }
+
   def all: Seq[Q] = Seq(
 
     // Per-vector L2 norm — the shared building block, checked on its own.
@@ -1735,6 +1869,161 @@ object VectorQueries {
         |JOIN embeddings lv ON lv.vec_id = m.v
         |ORDER BY m.u, m.v""") { (s, d) =>
       val e = cosineEdges(s, d)
+      val sym = e.select(col("v1").as("u"), col("v2").as("v"), col("cos"))
+        .unionByName(
+          e.select(col("v2").as("u"), col("v1").as("v"), col("cos")))
+      val wk = Window.partitionBy(col("u"))
+        .orderBy(col("cos").desc, col("v"))
+      val top = sym.withColumn("rk", row_number().over(wk))
+        .filter(col("rk") <= 3).select(col("u"), col("v"), col("cos"))
+      val m = top.as("a").join(top.as("b"),
+          col("b.u") === col("a.v") && col("b.v") === col("a.u"))
+        .filter(col("a.u") < col("a.v"))
+        .select(col("a.u").as("u"), col("a.v").as("v"), col("a.cos")
+          .as("cos"))
+      val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      m.join(lab.select(col("vec_id").as("u"), col("label").as("lu")),
+          Seq("u"))
+        .join(lab.select(col("vec_id").as("v"), col("label").as("lv")),
+          Seq("v"))
+        .select(col("u"), col("v"), round(col("cos"), 4).as("cosine"),
+          (col("lu") === col("lv")).as("same_label"))
+        .orderBy(col("u"), col("v"))
+    },
+
+    // WIDTH-LAW CENSUS for the banded sign-LSH (see the scaladoc on
+    // [[bandedCap]]) — the readout that PROVES the scale contract on
+    // any corpus: per band, the realized bucket count, the max
+    // occupancy, how many hot buckets the cap excised, and the
+    // surviving candidate-pair mass Σ occ·(occ−1)/2 (exact integers);
+    // the 'union' row adds the de-duplicated cross-band candidate
+    // count and the actual cos ≥ 0.4 edges among them. At 100 TB this
+    // census is the cheap pre-flight a pipeline runs BEFORE the pair
+    // join: cand_pairs is the join's exact cost, so a mis-sized width
+    // ladder is caught from the occupancy table, not a dead executor.
+    Q("vec_cosine_lsh_banded", {
+      s"""WITH $bandedCtesSql,
+         |rr AS (SELECT max(r) AS bits FROM vk),
+         |bs AS (SELECT band, count(*) AS n_buckets, max(occ) AS max_occ,
+         |    sum(CASE WHEN occ > $bandedCap THEN 1 ELSE 0 END) AS n_excised,
+         |    sum(CASE WHEN occ <= $bandedCap
+         |      THEN CAST(occ * (occ - 1) / 2 AS BIGINT)
+         |      ELSE 0 END) AS cand_pairs
+         |  FROM occ GROUP BY 1),
+         |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM kept a JOIN kept b
+         |  ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+         |sc AS (SELECT
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> CAST(x.embedding[i] AS DOUBLE)
+         |         * CAST(y.embedding[i] AS DOUBLE))) / (x.nrm * y.nrm) AS cos
+         |  FROM cand c JOIN v x ON x.vec_id = c.v1
+         |  JOIN v y ON y.vec_id = c.v2),
+         |un AS (SELECT count(*) AS cand_pairs,
+         |    sum(CASE WHEN cos >= 0.4 THEN 1 ELSE 0 END) AS edges FROM sc)
+         |SELECT 'band' || CAST(band AS VARCHAR) AS scope,
+         |  CAST((SELECT bits FROM rr) AS INT) AS bits,
+         |  CAST(n_buckets AS BIGINT) AS n_buckets,
+         |  CAST(max_occ AS BIGINT) AS max_occ,
+         |  CAST(n_excised AS BIGINT) AS n_excised,
+         |  CAST(cand_pairs AS BIGINT) AS cand_pairs,
+         |  CAST(0 AS BIGINT) AS edges
+         |FROM bs
+         |UNION ALL
+         |SELECT 'union', CAST((SELECT bits FROM rr) AS INT),
+         |  (SELECT CAST(sum(n_buckets) AS BIGINT) FROM bs),
+         |  (SELECT CAST(max(max_occ) AS BIGINT) FROM bs),
+         |  (SELECT CAST(sum(n_excised) AS BIGINT) FROM bs),
+         |  CAST(cand_pairs AS BIGINT), CAST(edges AS BIGINT)
+         |FROM un
+         |ORDER BY scope""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.GraftFunctions.dot_f
+      val (v, melted) = bandedParts(s, d)
+      val occ = melted.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("occ"))
+      val bits = v.agg(max(col("r")).as("bits"))
+      val bs = occ.groupBy(col("band"))
+        .agg(count(lit(1)).as("n_buckets"), max(col("occ")).as("max_occ"),
+          sum(when(col("occ") > bandedCap, 1L).otherwise(0L))
+            .as("n_excised"),
+          sum(when(col("occ") <= bandedCap,
+            (col("occ") * (col("occ") - 1) / 2).cast("long"))
+            .otherwise(0L)).as("cand_pairs"))
+      val kept = melted.join(
+        occ.filter(col("occ") <= bandedCap).select("band", "key"),
+        Seq("band", "key"))
+      val cand = kept
+        .select(col("band"), col("key"), col("vec_id").as("v1"))
+        .join(kept.select(col("band"), col("key"), col("vec_id").as("v2")),
+          Seq("band", "key"))
+        .filter(col("v1") < col("v2"))
+        .select(col("v1"), col("v2")).distinct()
+      val sc = cand
+        .join(v.select(col("vec_id").as("v1"), col("e").as("e1"),
+          col("nrm").as("n1")), Seq("v1"))
+        .join(v.select(col("vec_id").as("v2"), col("e").as("e2"),
+          col("nrm").as("n2")), Seq("v2"))
+        .select((dot_f(col("e1"), col("e2")) / (col("n1") * col("n2")))
+          .as("cos"))
+      val un = sc.agg(count(lit(1)).as("cand_pairs"),
+        sum(when(col("cos") >= 0.4, 1L).otherwise(0L)).as("edges"))
+      val bandRows = bs.crossJoin(broadcast(bits))
+        .select(concat(lit("band"), col("band").cast("string")).as("scope"),
+          col("bits").cast("int").as("bits"),
+          col("n_buckets").cast("long").as("n_buckets"),
+          col("max_occ").cast("long").as("max_occ"),
+          col("n_excised").cast("long").as("n_excised"),
+          col("cand_pairs").cast("long").as("cand_pairs"),
+          lit(0L).as("edges"))
+      val unionRow = bs
+        .agg(sum(col("n_buckets")).as("nb"), max(col("max_occ")).as("mo"),
+          sum(col("n_excised")).as("ne"))
+        .crossJoin(broadcast(un)).crossJoin(broadcast(bits))
+        .select(lit("union").as("scope"), col("bits").cast("int").as("bits"),
+          col("nb").cast("long").as("n_buckets"),
+          col("mo").cast("long").as("max_occ"),
+          col("ne").cast("long").as("n_excised"),
+          col("cand_pairs").cast("long").as("cand_pairs"),
+          col("edges").cast("long").as("edges"))
+      bandRows.unionByName(unionRow).orderBy(col("scope"))
+    },
+
+    // MUTUAL top-k kNN graph over the WIDTH-SCALED banded candidates —
+    // the 100× survivor twin of sim_knn_mutual (same downstream
+    // semantics: per-node top-3 by cosine over the edge relation,
+    // mutual = both directions agree; same_label audits the planted
+    // geometry). sim_knn_mutual keeps the fixed-8-bit exemplar its
+    // oracle pins; THIS form is the one a 500k+-vector corpus runs —
+    // the banded relation's bucket density stays ~32 per band at any
+    // N, where the fixed form's self-join went quadratic (killed at
+    // >600 s in COVERAGE.md's 100× table).
+    Q("sim_knn_mutual_banded", {
+      s"""WITH $bandedCtesSql,
+         |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM kept a JOIN kept b
+         |  ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+         |p AS (SELECT c.v1, c.v2,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> CAST(x.embedding[i] AS DOUBLE)
+         |         * CAST(y.embedding[i] AS DOUBLE))) / (x.nrm * y.nrm) AS cos
+         |  FROM cand c JOIN v x ON x.vec_id = c.v1
+         |  JOIN v y ON y.vec_id = c.v2),
+         |e AS (SELECT v1, v2, cos FROM p WHERE cos >= 0.4),
+         |sym AS (SELECT v1 AS u, v2 AS v, cos FROM e
+         |  UNION ALL SELECT v2, v1, cos FROM e),
+         |top AS (SELECT u, v, cos FROM (SELECT u, v, cos,
+         |    row_number() OVER (PARTITION BY u ORDER BY cos DESC, v) AS rk
+         |  FROM sym) WHERE rk <= 3),
+         |mm AS (SELECT a.u, a.v, a.cos FROM top a
+         |  JOIN top b ON b.u = a.v AND b.v = a.u WHERE a.u < a.v)
+         |SELECT mm.u, mm.v, round(mm.cos, 4) AS cosine,
+         |  CAST(lu.label = lv.label AS BOOLEAN) AS same_label
+         |FROM mm JOIN embeddings lu ON lu.vec_id = mm.u
+         |JOIN embeddings lv ON lv.vec_id = mm.v
+         |ORDER BY mm.u, mm.v""".stripMargin
+    }) { (s, d) =>
+      val e = cosineEdgesBanded(s, d)
       val sym = e.select(col("v1").as("u"), col("v2").as("v"), col("cos"))
         .unionByName(
           e.select(col("v2").as("u"), col("v1").as("v"), col("cos")))

@@ -126,7 +126,11 @@ class DeterminismSpec extends SparkSpec {
       // stratum terms and bandwidth-windowed OLS sums
       "eval_cem_att", "eval_rdd_effect",
       // local-min fingerprint selection and split-quantile intervals
-      "text_winnowing", "eval_conformal", "ts_forecast_accuracy"))
+      "text_winnowing", "eval_conformal", "ts_forecast_accuracy",
+      // round-14: the decimal-quantized per-dim means behind the
+      // centered band keys, and the banded mutual graph over them,
+      // are partition-sensitive if the mean discipline slips
+      "vec_cosine_lsh_banded", "sim_knn_mutual_banded"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
       assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
     }

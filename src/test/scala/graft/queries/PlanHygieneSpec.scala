@@ -119,8 +119,11 @@ class PlanHygieneSpec extends SparkSpec {
     "pipe_quality_logit",  // docs x broadcast 1-row β per IRLS round
                            // (the aggregate-stats/tiny-solve shape)
     "eval_cem_att",        // 1-row ATT rollup x broadcast 1-row naive
-    "dq_key_discovery"     // 1-row DISTINCT rollup x broadcast 1-row
+    "dq_key_discovery",    // 1-row DISTINCT rollup x broadcast 1-row
                            // count(*) per probe (in-plan scalar subquery)
+    "vec_cosine_lsh_banded", // vectors x broadcast 1-row n + 1-row
+                           // 64-dim mean array (width ladder + centering)
+    "sim_knn_mutual_banded"  // same banded-parts broadcasts
   )
 
   private def offenders(name: String): Seq[String] = {

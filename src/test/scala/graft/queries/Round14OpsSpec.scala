@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Laws for the round-14 width-scaled banded sign-LSH family
+  * (vec_cosine_lsh_banded / sim_knn_mutual_banded — the corpus-scale
+  * closure of the fixed-8-bit cosineEdges class):
+  *
+  *  - mean-centering: a corpus that drifts entirely positive (where
+  *    raw sign keys collapse into the all-ones bucket) must still
+  *    split into geometry-defined buckets, with the candidate mass
+  *    exactly the within-group pair count.
+  *  - hot-bucket cap: >256 identical vectors excise their bucket in
+  *    every band — candidate mass and edges must come only from the
+  *    survivors.
+  *  - band-OR recall: a true near-dup pair separated by one early-dim
+  *    sign flip (band 0 key differs, bands 1-3 agree) must be found
+  *    by the banded form AND missed by the fixed single-band 8-bit
+  *    exemplar — the measured recall premium of the OR-construction.
+  */
+class Round14OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def writeVecs(d: String, rows: Seq[(Long, Seq[Float], Int)])
+      : Unit =
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+
+  private def census(d: String): Map[String, (Int, Long, Long, Long, Long, Long)] =
+    SparkEntry.queries("vec_cosine_lsh_banded")(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+
+  test("banded LSH: mean-centering splits an all-positive drifted corpus by geometry") {
+    val d = tmp("r14center")
+    // 64 vectors, ALL dims positive: group X = 10.5 on dims 0..31,
+    // group Y = 9.5 there; both 10.0 on dims 32..63. Raw sign keys
+    // would put every vector in the all-ones bucket; the centered
+    // keys (per-dim mean = 10 exactly) split X from Y in every band.
+    val vecs = (0 until 64).map { i =>
+      val hi = i < 32
+      val e = Array.tabulate(64)(dd =>
+        if (dd >= 32) 10.0f else if (hi) 10.5f else 9.5f)
+      (i.toLong, e.toSeq, if (hi) 1 else 0)
+    }
+    writeVecs(d, vecs)
+    val c = census(d)
+    assert(c.keySet == Set("band0", "band1", "band2", "band3", "union"))
+    for (b <- 0 to 3) {
+      val (bits, nb, mo, ne, cand, _) = c(s"band$b")
+      assert(bits == 8, "N=64 sits on the ladder floor")
+      assert(nb == 2, s"band$b must split the drifted corpus in two")
+      assert(mo == 32 && ne == 0)
+      // 2 groups x C(32,2) within-group pairs, exact
+      assert(cand == 2 * 32 * 31 / 2)
+    }
+    // all 4 bands produce the SAME pairs -> union dedups back to 992,
+    // and every within-group pair is an exact duplicate (cos = 1)
+    val (_, _, _, _, candU, edgesU) = c("union")
+    assert(candU == 992 && edgesU == 992)
+  }
+
+  test("banded LSH: a >256-member bucket is excised in every band") {
+    val d = tmp("r14cap")
+    // 300 identical all-negative vectors (one hot bucket per band) +
+    // the 64-vector positive corpus above at vec_ids 1000+. The hot
+    // mass drags the per-dim mean to ~-2.36 on dims 0..31, so the
+    // whole positive corpus centers positive (ONE 64-member kept
+    // bucket per band — X/Y merge; cross-group cos ~0.9988 is still
+    // an edge) while the hot bucket (centered negative) is excised.
+    val hot = (0 until 300).map { i =>
+      (i.toLong, Array.fill(64)(-5.0f).toSeq, 9)
+    }
+    val spread = (0 until 64).map { i =>
+      val hi = i < 32
+      val e = Array.tabulate(64)(dd =>
+        if (dd >= 32) 10.0f else if (hi) 10.5f else 9.5f)
+      ((1000 + i).toLong, e.toSeq, if (hi) 1 else 0)
+    }
+    writeVecs(d, hot ++ spread)
+    val c = census(d)
+    for (b <- 0 to 3) {
+      val (_, nb, mo, ne, cand, _) = c(s"band$b")
+      assert(nb == 2, s"band$b: hot bucket + merged positive bucket")
+      assert(mo == 300, "the hot bucket is visible in max_occ")
+      assert(ne == 1, s"band$b must excise exactly the hot bucket")
+      // candidate mass = the kept 64-member bucket only — the
+      // C(300,2) = 44850 suppressed pairs never enter the join
+      assert(cand == 64 * 63 / 2)
+    }
+    val (_, _, _, _, candU, edgesU) = c("union")
+    assert(candU == 2016 && edgesU == 2016,
+      "no hot-bucket pair survives to the edge scoring")
+  }
+
+  test("banded LSH: band-OR catches a near-dup the single 8-bit band misses") {
+    val d = tmp("r14or")
+    // A and B agree on dims 1..31 (pattern values) and differ ONLY in
+    // the sign of dim 0 (+0.5 vs -0.5). Dim 0 is read by band 0 bit 1
+    // and by NOTHING else ((b-1)*4+k = 0 only at b=1,k=0), so bands
+    // 1-3 bucket A with B while band 0 separates them. cos(A,B) ~= 1.
+    // 18 decoys live on disjoint dim pairs in 32..63 (keys never read
+    // those dims at r=8) in sign-cancelling pairs, so the corpus mean
+    // at dims 32..63 is exactly 0 and every decoy-anything cosine is
+    // 0 or -1 — below the 0.4 edge threshold.
+    def patt(dd: Int): Float = (((dd * 7) % 13) - 6).toFloat
+    val a = Array.tabulate(64)(dd =>
+      if (dd == 0) 0.5f else if (dd < 32) patt(dd) else 0.0f)
+    val b = Array.tabulate(64)(dd =>
+      if (dd == 0) -0.5f else if (dd < 32) patt(dd) else 0.0f)
+    val decoys = (0 until 18).map { j =>
+      val pair = j / 2
+      val sign = if (j % 2 == 0) 3.0f else -3.0f
+      val e = Array.tabulate(64)(dd =>
+        if (dd == 32 + 2 * pair || dd == 33 + 2 * pair) sign else 0.0f)
+      ((3 + j).toLong, e.toSeq, 0)
+    }
+    writeVecs(d, Seq((1L, a.toSeq, 7), (2L, b.toSeq, 7)) ++ decoys)
+    val banded = SparkEntry.queries("sim_knn_mutual_banded")(spark, d)
+      .collect()
+    assert(banded.length == 1, "exactly the planted pair is mutual")
+    assert(banded.head.getLong(0) == 1L && banded.head.getLong(1) == 2L)
+    assert(banded.head.getBoolean(3), "labels agree")
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    assert(math.abs(banded.head.getDouble(2) - dot / (na * nb)) < 1e-4)
+    // the fixed single-band exemplar misses it: raw dim-0 signs land
+    // A and B in different 8-bit buckets, and no decoy pair crosses
+    // the cosine threshold
+    val legacy = SparkEntry.queries("sim_knn_mutual")(spark, d).collect()
+    assert(legacy.isEmpty,
+      "the single-band exemplar must miss the sign-flipped near-dup")
+  }
+
+  test("banded LSH: width ladder sits at 8 bits for fixture-scale corpora") {
+    val c = census("/root/testdata/sf0.001")
+    assert(c("union")._1 == 8)
+    for (b <- 0 to 3) assert(c(s"band$b")._2 <= 256L,
+      "8-bit bands cannot exceed 256 buckets")
+  }
+}
