@@ -3864,6 +3864,382 @@ object EvalQueries {
           round(col("t_obs"), 4).as("t_obs"),
           col("n_extreme"),
           round((lit(1) + col("n_extreme")) / 201.0, 4).as("p_value"))
+    },
+
+    // CRAMÉR'S V (+ the Bergsma 2013 bias-corrected Ṽ) over the same
+    // three feature×label contingency tables eval_chi2 scores — the
+    // EFFECT SIZE the chi-square p-value doesn't give (χ² grows with n
+    // even for a trivial association; V = sqrt(φ²/min(r−1,c−1)) is
+    // scale-free, so it's the number a 100 TB feature screen actually
+    // ranks by). φ̃² subtracts the (r−1)(c−1)/(n−1) chance inflation
+    // and clamps at 0 — small-table Vs otherwise read as association
+    // where there is none. Same quantized-term χ² machinery; the few
+    // extra scalars ride the same per-feature rollup.
+    Q("eval_cramers_v",
+      s"""WITH e AS (SELECT CAST(date_part('isodow', ts) - 1 AS VARCHAR) AS wd,
+         |    CAST(CAST(date_part('hour', ts) AS INT) // 4 AS VARCHAR) AS tod,
+         |    CAST(CAST(floor(least(value, 199.99)) AS INT) // 50 AS VARCHAR) AS vq,
+         |    $lbl AS lbl FROM events),
+         |u AS (SELECT 'weekday' AS feature, wd AS v, lbl FROM e
+         |  UNION ALL SELECT 'tod4h', tod, lbl FROM e
+         |  UNION ALL SELECT 'score_q', vq, lbl FROM e),
+         |cells AS (SELECT feature, v, lbl, count(*) AS c FROM u GROUP BY 1,2,3),
+         |rowm AS (SELECT feature, v, sum(c) AS rc FROM cells GROUP BY 1,2),
+         |colm AS (SELECT feature, lbl, sum(c) AS cc FROM cells GROUP BY 1,2),
+         |tot AS (SELECT feature, sum(c) AS n FROM cells GROUP BY 1),
+         |x AS (SELECT rowm.feature,
+         |    CAST((coalesce(cells.c, 0) - rc * cc / CAST(n AS DOUBLE))
+         |         * (coalesce(cells.c, 0) - rc * cc / CAST(n AS DOUBLE))
+         |         / (rc * cc / CAST(n AS DOUBLE)) AS DECIMAL(28,12)) AS term
+         |  FROM rowm
+         |  JOIN colm ON colm.feature = rowm.feature
+         |  JOIN tot ON tot.feature = rowm.feature
+         |  LEFT JOIN cells ON cells.feature = rowm.feature
+         |    AND cells.v = rowm.v AND cells.lbl = colm.lbl),
+         |k AS (SELECT feature,
+         |    CAST(count(DISTINCT v) AS BIGINT) AS r,
+         |    CAST(count(DISTINCT lbl) AS BIGINT) AS c,
+         |    CAST(sum(c) AS BIGINT) AS n
+         |  FROM cells GROUP BY 1),
+         |s AS (SELECT x.feature, CAST(sum(term) AS DOUBLE) AS chi2
+         |  FROM x GROUP BY 1),
+         |f AS (SELECT k.feature, k.r, k.c, k.n, s.chi2,
+         |    s.chi2 / k.n AS phi2,
+         |    greatest(s.chi2 / k.n
+         |      - (k.r - 1) * (k.c - 1) / CAST(k.n - 1 AS DOUBLE), 0) AS phi2t,
+         |    k.r - (k.r - 1) * (k.r - 1) / CAST(k.n - 1 AS DOUBLE) AS rt,
+         |    k.c - (k.c - 1) * (k.c - 1) / CAST(k.n - 1 AS DOUBLE) AS ct
+         |  FROM k JOIN s ON s.feature = k.feature)
+         |SELECT feature, CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+         |  round(chi2, 4) AS chi2,
+         |  round(sqrt(phi2 / least(r - 1, c - 1)), 4) AS v,
+         |  round(sqrt(phi2t / least(rt - 1, ct - 1)), 4) AS v_corrected
+         |FROM f ORDER BY feature""") { (s, d) =>
+      val e = Tables.events(s, d).select(
+        expr("CAST(weekday(ts) AS STRING)").as("wd"),
+        expr("CAST(CAST(hour(ts) AS INT) DIV 4 AS STRING)").as("tod"),
+        expr("CAST(CAST(floor(least(value, 199.99)) AS INT) DIV 50 AS STRING)").as("vq"),
+        expr(lbl).as("lbl"))
+      val u = e.select(expr(
+        """stack(3, 'weekday', wd, 'tod4h', tod, 'score_q', vq)
+          |  AS (feature, v)""".stripMargin), col("lbl"))
+      val cells = u.groupBy(col("feature"), col("v"), col("lbl"))
+        .agg(count(lit(1)).as("c")).cache()
+      val rowm = cells.groupBy(col("feature"), col("v"))
+        .agg(sum(col("c")).as("rc"))
+      val colm = cells.groupBy(col("feature"), col("lbl"))
+        .agg(sum(col("c")).as("cc"))
+      val tot = cells.groupBy(col("feature")).agg(sum(col("c")).as("n"))
+      val k = cells.groupBy(col("feature"))
+        .agg(countDistinct(col("v")).cast("long").as("r"),
+          countDistinct(col("lbl")).cast("long").as("c"),
+          sum(col("c")).cast("long").as("n"))
+      val chi2 = rowm
+        .join(colm, Seq("feature"))
+        .join(tot, Seq("feature"))
+        .join(cells, Seq("feature", "v", "lbl"), "left")
+        .select(col("feature"),
+          expr("""CAST((coalesce(c, 0) - rc * cc / CAST(n AS DOUBLE))
+                 |     * (coalesce(c, 0) - rc * cc / CAST(n AS DOUBLE))
+                 |     / (rc * cc / CAST(n AS DOUBLE)) AS DECIMAL(28,12))""".stripMargin)
+            .as("term"))
+        .groupBy(col("feature"))
+        .agg(sum(col("term")).cast("double").as("chi2"))
+      k.join(chi2, Seq("feature"))
+        .select(col("feature"), col("r"), col("c"), col("chi2"),
+          (col("chi2") / col("n")).as("phi2"),
+          greatest(col("chi2") / col("n") -
+            (col("r") - 1) * (col("c") - 1) /
+              (col("n") - 1).cast("double"), lit(0)).as("phi2t"),
+          (col("r") - (col("r") - 1) * (col("r") - 1) /
+            (col("n") - 1).cast("double")).as("rt"),
+          (col("c") - (col("c") - 1) * (col("c") - 1) /
+            (col("n") - 1).cast("double")).as("ct"))
+        .select(col("feature"), col("r"), col("c"),
+          round(col("chi2"), 4).as("chi2"),
+          round(sqrt(col("phi2") / least(col("r") - 1, col("c") - 1)), 4)
+            .as("v"),
+          round(sqrt(col("phi2t") / least(col("rt") - 1, col("ct") - 1)), 4)
+            .as("v_corrected"))
+        .orderBy(col("feature"))
+    },
+
+    // GWET'S AC1 (Gwet 2008) on the same two-rater fixture eval_kappa
+    // scores — the agreement coefficient that survives the "kappa
+    // paradox" (skewed marginals drive Cohen's Pe toward Po, so two
+    // raters agreeing 95% of the time can score κ ≈ 0; AC1's chance
+    // term uses the MEAN marginal π_k(1−π_k)/(q−1), which stays small
+    // under skew). Same two hash aggregates over the marginals; the
+    // chance term is a q-row rollup with DECIMAL-quantized π terms.
+    Q("eval_gwet_ac1",
+      s"""WITH e AS (SELECT ${valClass("int")} AS a,
+         |    (instr('0123456789abcdef',
+         |           substring(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1) % 5 AS b
+         |  FROM events),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+         |  FROM e),
+         |pa AS (SELECT a AS k, count(*) AS ca FROM e GROUP BY 1),
+         |pb AS (SELECT b AS k, count(*) AS cb FROM e GROUP BY 1),
+         |ks AS (SELECT coalesce(pa.k, pb.k) AS k,
+         |    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+         |  FROM pa FULL OUTER JOIN pb ON pa.k = pb.k),
+         |pe AS (SELECT CAST(count(*) AS BIGINT) AS q,
+         |    CAST(sum(CAST(round(
+         |      ((ca + cb) / (2.0 * (SELECT n FROM n)))
+         |      * (1 - (ca + cb) / (2.0 * (SELECT n FROM n))), 12)
+         |      AS DECIMAL(28,12))) AS DOUBLE) AS pik
+         |  FROM ks)
+         |SELECT n, q,
+         |  round(agree / CAST(n AS DOUBLE), 4) AS po,
+         |  round(pik / (q - 1), 4) AS pe_gamma,
+         |  round((agree / CAST(n AS DOUBLE) - pik / (q - 1))
+         |        / (1 - pik / (q - 1)), 4) AS ac1
+         |FROM n, pe ORDER BY n""") { (s, d) =>
+      val e = Tables.events(s, d).select(
+        expr(valClass("int")).as("a"),
+        expr("(instr('0123456789abcdef', substring(md5(CAST(event_id AS STRING)), 1, 1)) - 1) % 5").as("b"))
+        .cache()
+      val n = e.agg(count(lit(1)).cast("long").as("n"),
+        sum(expr("CASE WHEN a = b THEN 1 ELSE 0 END")).cast("long")
+          .as("agree"))
+      val pa = e.groupBy(col("a").as("k")).agg(count(lit(1)).as("ca"))
+      val pb = e.groupBy(col("b").as("k")).agg(count(lit(1)).as("cb"))
+      val ks = pa.join(pb, Seq("k"), "full_outer")
+        .select(coalesce(col("ca"), lit(0)).as("ca"),
+          coalesce(col("cb"), lit(0)).as("cb"))
+      val pe = ks.crossJoin(broadcast(n.select(col("n").as("nn"))))
+        .select(
+          round(((col("ca") + col("cb")) / (lit(2.0) * col("nn"))) *
+            (lit(1) - (col("ca") + col("cb")) / (lit(2.0) * col("nn"))), 12)
+            .cast("decimal(28,12)").as("pik_t"))
+        .agg(count(lit(1)).cast("long").as("q"),
+          sum(col("pik_t")).cast("double").as("pik"))
+      n.crossJoin(broadcast(pe))
+        .select(col("n"), col("q"),
+          round(col("agree") / col("n").cast("double"), 4).as("po"),
+          round(col("pik") / (col("q") - 1), 4).as("pe_gamma"),
+          round((col("agree") / col("n").cast("double") -
+            col("pik") / (col("q") - 1)) /
+            (lit(1) - col("pik") / (col("q") - 1)), 4).as("ac1"))
+        .orderBy(col("n"))
+    },
+
+    // SOMERS' D + GOODMAN-KRUSKAL GAMMA per weekday group — the full
+    // concordance census behind eval_auc's rank statistic, as exact
+    // integers: over all (positive, negative) pairs, C = concordant
+    // (positive scored higher), D = discordant, T = score-tied. The
+    // scale move is eval_auc's: collapse to (group, score) counts
+    // first, then ONE window over the distinct scores yields all three
+    // sums analytically — never a pairs join. Laws the spec pins:
+    // C + D + T = pos·neg exactly, and somers_d = 2·AUC − 1.
+    Q("eval_somers_gamma",
+      s"""WITH e AS (SELECT CAST(date_part('isodow', ts) - 1 AS INT) AS grp,
+         |    value AS score, $lbl AS lbl FROM events),
+         |s AS (SELECT grp, score, count(*) AS cnt, sum(lbl) AS pos
+         |  FROM e GROUP BY 1, 2),
+         |r AS (SELECT grp, cnt, pos, cnt - pos AS neg,
+         |    sum(cnt - pos) OVER (PARTITION BY grp ORDER BY score)
+         |      - (cnt - pos) AS neg_below,
+         |    sum(cnt - pos) OVER (PARTITION BY grp) AS neg_all
+         |  FROM s),
+         |a AS (SELECT grp,
+         |    CAST(sum(pos * neg_below) AS BIGINT) AS c_pairs,
+         |    CAST(sum(pos * (neg_all - neg_below - neg)) AS BIGINT) AS d_pairs,
+         |    CAST(sum(pos * neg) AS BIGINT) AS t_pairs
+         |  FROM r GROUP BY 1)
+         |SELECT grp, c_pairs, d_pairs, t_pairs,
+         |  round((c_pairs - d_pairs)
+         |    / CAST(c_pairs + d_pairs + t_pairs AS DOUBLE), 4) AS somers_d,
+         |  round((c_pairs - d_pairs)
+         |    / CAST(c_pairs + d_pairs AS DOUBLE), 4) AS gamma
+         |FROM a ORDER BY grp""") { (s, d) =>
+      val e = Tables.events(s, d).select(
+        expr("weekday(ts)").as("grp"), col("value").as("score"),
+        expr(lbl).as("lbl"))
+      val grouped = e.groupBy(col("grp"), col("score"))
+        .agg(count(lit(1)).as("cnt"), sum(col("lbl")).as("pos"))
+        .withColumn("neg", col("cnt") - col("pos"))
+      val w = Window.partitionBy(col("grp")).orderBy(col("score"))
+      val wa = Window.partitionBy(col("grp"))
+      grouped
+        .withColumn("neg_below", sum(col("neg")).over(w) - col("neg"))
+        .withColumn("neg_all", sum(col("neg")).over(wa))
+        .groupBy(col("grp"))
+        .agg(sum(col("pos") * col("neg_below")).cast("long").as("c_pairs"),
+          sum(col("pos") * (col("neg_all") - col("neg_below") - col("neg")))
+            .cast("long").as("d_pairs"),
+          sum(col("pos") * col("neg")).cast("long").as("t_pairs"))
+        .select(col("grp"), col("c_pairs"), col("d_pairs"), col("t_pairs"),
+          round((col("c_pairs") - col("d_pairs")) /
+            (col("c_pairs") + col("d_pairs") + col("t_pairs"))
+              .cast("double"), 4).as("somers_d"),
+          round((col("c_pairs") - col("d_pairs")) /
+            (col("c_pairs") + col("d_pairs")).cast("double"), 4).as("gamma"))
+        .orderBy(col("grp"))
+    },
+
+    // HOSMER-LEMESHOW goodness-of-fit for the deterministic sigmoid
+    // model eval_brier/eval_calibration score — the single-number
+    // calibration TEST next to their per-bin readouts: over 10
+    // FIXED-WIDTH probability bins (decile-by-count needs a global
+    // rank; fixed bins are the scale-free form and keep the statistic
+    // a pure hash aggregate), Ĉ = Σ (O_b − E_b)² / (E_b (1 − E_b/n_b)),
+    // df = bins − 2. E_b is a DECIMAL-quantized sum of p, and each
+    // bin's term is quantized before the 10-row sum — bit-identical on
+    // any partitioning. The sigmoid keeps p in [0.076, 0.924] on this
+    // fixture, so no bin can zero the denominator.
+    Q("eval_hosmer_lemeshow",
+      s"""WITH e AS (SELECT
+         |    least(CAST(floor((1 / (1 + exp(-(value - 100) / 40.0))) * 10)
+         |      AS INT), 9) AS bin,
+         |    1 / (1 + exp(-(value - 100) / 40.0)) AS p, $lbl AS lbl
+         |  FROM events),
+         |b AS (SELECT bin, count(*) AS n, CAST(sum(lbl) AS BIGINT) AS o,
+         |    CAST(sum(CAST(round(p, 12) AS DECIMAL(28,12))) AS DOUBLE) AS ex
+         |  FROM e GROUP BY 1),
+         |t AS (SELECT bin, n, o, ex,
+         |    CAST(round((o - ex) * (o - ex) / (ex * (1 - ex / n)), 12)
+         |      AS DECIMAL(28,12)) AS term
+         |  FROM b)
+         |SELECT CAST(count(*) AS BIGINT) AS n_bins,
+         |  CAST(count(*) - 2 AS BIGINT) AS df,
+         |  round(CAST(sum(term) AS DOUBLE), 4) AS chi2_hl
+         |FROM t""") { (s, d) =>
+      Tables.events(s, d)
+        .select(
+          least(floor(expr("1 / (1 + exp(-(value - 100) / 40.0))") * 10)
+            .cast("int"), lit(9)).as("bin"),
+          expr("1 / (1 + exp(-(value - 100) / 40.0))").as("p"),
+          expr(lbl).as("lbl"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("lbl")).cast("long").as("o"),
+          sum(round(col("p"), 12).cast("decimal(28,12)")).cast("double")
+            .as("ex"))
+        .select(round((col("o") - col("ex")) * (col("o") - col("ex")) /
+          (col("ex") * (lit(1) - col("ex") / col("n"))), 12)
+          .cast("decimal(28,12)").as("term"))
+        .agg(count(lit(1)).cast("long").as("n_bins"),
+          (count(lit(1)) - 2).cast("long").as("df"),
+          round(sum(col("term")).cast("double"), 4).as("chi2_hl"))
+    },
+
+    // ONE-WAY INTRACLASS CORRELATION ICC(1) (Shrout & Fleiss 1979)
+    // with weekdays as the grouping factor — "how much of the score
+    // variance is BETWEEN days": the random-effects ANOVA decomposition
+    // every hierarchical-data pipeline runs before it decides whether
+    // day must be a blocking factor. Unbalanced-design form: n0 =
+    // (N − Σn_i²/N)/(k−1). Per-group sums ride welch's DECIMAL(18,4)
+    // value quantization; the k-row combine quantizes each group's
+    // s1²/n term before the 7-row sum, so the F-ratio is
+    // partition-invariant to the last bit.
+    Q("eval_icc",
+      """WITH e AS (SELECT CAST(date_part('isodow', ts) - 1 AS INT) AS grp,
+        |    CAST("value" AS DECIMAL(18,4)) AS x FROM events),
+        |g AS (SELECT grp, count(*) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS s1,
+        |    CAST(sum(x * x) AS DOUBLE) AS s2
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(CAST(round(s1, 6) AS DECIMAL(28,6))) AS DOUBLE) AS gs,
+        |    CAST(sum(CAST(round(s1 * s1 / n, 8) AS DECIMAL(28,8)))
+        |      AS DOUBLE) AS ssb_raw,
+        |    CAST(sum(CAST(round(s2 - s1 * s1 / n, 8) AS DECIMAL(28,8)))
+        |      AS DOUBLE) AS ssw,
+        |    CAST(sum(CAST(n AS BIGINT) * CAST(n AS BIGINT)) AS BIGINT) AS sn2
+        |  FROM g),
+        |m AS (SELECT k, nn,
+        |    (ssb_raw - gs * gs / nn) / (k - 1) AS msb,
+        |    ssw / (nn - k) AS msw,
+        |    (nn - sn2 / CAST(nn AS DOUBLE)) / (k - 1) AS n0
+        |  FROM c)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+        |  round(msb, 4) AS msb, round(msw, 4) AS msw,
+        |  round(msb / msw, 4) AS f_stat,
+        |  round((msb - msw) / (msb + (n0 - 1) * msw), 4) AS icc1
+        |FROM m""") { (s, d) =>
+      val e = Tables.events(s, d).select(
+        expr("weekday(ts)").as("grp"),
+        col("value").cast("decimal(18,4)").as("x"))
+      val g = e.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).cast("double").as("s1"),
+          sum(col("x") * col("x")).cast("double").as("s2"))
+      val c = g.agg(count(lit(1)).cast("long").as("k"),
+        sum(col("n")).cast("long").as("nn"),
+        sum(round(col("s1"), 6).cast("decimal(28,6)")).cast("double")
+          .as("gs"),
+        sum(round(col("s1") * col("s1") / col("n"), 8)
+          .cast("decimal(28,8)")).cast("double").as("ssb_raw"),
+        sum(round(col("s2") - col("s1") * col("s1") / col("n"), 8)
+          .cast("decimal(28,8)")).cast("double").as("ssw"),
+        sum(col("n").cast("long") * col("n").cast("long")).cast("long")
+          .as("sn2"))
+      c.select(col("k"), col("nn"),
+          ((col("ssb_raw") - col("gs") * col("gs") / col("nn")) /
+            (col("k") - 1)).as("msb"),
+          (col("ssw") / (col("nn") - col("k"))).as("msw"),
+          ((col("nn") - col("sn2") / col("nn").cast("double")) /
+            (col("k") - 1)).as("n0"))
+        .select(col("k"), col("nn").as("n"),
+          round(col("msb"), 4).as("msb"), round(col("msw"), 4).as("msw"),
+          round(col("msb") / col("msw"), 4).as("f_stat"),
+          round((col("msb") - col("msw")) /
+            (col("msb") + (col("n0") - 1) * col("msw")), 4).as("icc1"))
+    },
+
+    // LIN'S CONCORDANCE CORRELATION COEFFICIENT between two
+    // deterministic score models (the sigmoid eval_brier scores and a
+    // clamped linear value/200) — the agreement-with-the-45°-line
+    // metric model-replacement reviews use where Pearson r is blind to
+    // scale/location shifts: CCC = 2·cov / (var1 + var2 + (m1 − m2)²).
+    // Population (biased) moments from one scan of DECIMAL-quantized
+    // power sums; Pearson r rides the same sums for the comparison.
+    Q("eval_lin_ccc",
+      """WITH e AS (SELECT
+        |    1 / (1 + exp(-("value" - 100) / 40.0)) AS p1,
+        |    least(greatest("value" / 200.0, 0), 1) AS p2
+        |  FROM events),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(p1, 12) AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(round(p2, 12) AS DECIMAL(28,12))) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(round(p1 * p1, 12) AS DECIMAL(28,12))) AS DOUBLE) AS s11,
+        |    CAST(sum(CAST(round(p2 * p2, 12) AS DECIMAL(28,12))) AS DOUBLE) AS s22,
+        |    CAST(sum(CAST(round(p1 * p2, 12) AS DECIMAL(28,12))) AS DOUBLE) AS s12
+        |  FROM e),
+        |m AS (SELECT n, s1 / n AS m1, s2 / n AS m2,
+        |    s11 / n - (s1 / n) * (s1 / n) AS v1,
+        |    s22 / n - (s2 / n) * (s2 / n) AS v2,
+        |    s12 / n - (s1 / n) * (s2 / n) AS cov
+        |  FROM s)
+        |SELECT n, round(m1, 4) AS mean1, round(m2, 4) AS mean2,
+        |  round(cov / sqrt(v1 * v2), 4) AS pearson,
+        |  round(2 * cov / (v1 + v2 + (m1 - m2) * (m1 - m2)), 4) AS ccc
+        |FROM m""") { (s, d) =>
+      def q12(c: org.apache.spark.sql.Column) =
+        sum(round(c, 12).cast("decimal(28,12)")).cast("double")
+      Tables.events(s, d)
+        .select(expr("1 / (1 + exp(-(value - 100) / 40.0))").as("p1"),
+          expr("least(greatest(value / 200.0, 0), 1)").as("p2"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          q12(col("p1")).as("s1"), q12(col("p2")).as("s2"),
+          q12(col("p1") * col("p1")).as("s11"),
+          q12(col("p2") * col("p2")).as("s22"),
+          q12(col("p1") * col("p2")).as("s12"))
+        .select(col("n"),
+          (col("s1") / col("n")).as("m1"), (col("s2") / col("n")).as("m2"),
+          (col("s11") / col("n") - (col("s1") / col("n")) *
+            (col("s1") / col("n"))).as("v1"),
+          (col("s22") / col("n") - (col("s2") / col("n")) *
+            (col("s2") / col("n"))).as("v2"),
+          (col("s12") / col("n") - (col("s1") / col("n")) *
+            (col("s2") / col("n"))).as("cov"))
+        .select(col("n"), round(col("m1"), 4).as("mean1"),
+          round(col("m2"), 4).as("mean2"),
+          round(col("cov") / sqrt(col("v1") * col("v2")), 4).as("pearson"),
+          round(lit(2) * col("cov") / (col("v1") + col("v2") +
+            (col("m1") - col("m2")) * (col("m1") - col("m2"))), 4)
+            .as("ccc"))
     }
   )
 }

@@ -130,7 +130,11 @@ class DeterminismSpec extends SparkSpec {
       // round-14: the decimal-quantized per-dim means behind the
       // centered band keys, and the banded mutual graph over them,
       // are partition-sensitive if the mean discipline slips
-      "vec_cosine_lsh_banded", "sim_knn_mutual_banded"))
+      "vec_cosine_lsh_banded", "sim_knn_mutual_banded",
+      // round-14 stats batch: quantized chi2/pi/HL/ANOVA/moment terms
+      // and the exact concordance census
+      "eval_cramers_v", "eval_gwet_ac1", "eval_somers_gamma",
+      "eval_hosmer_lemeshow", "eval_icc", "eval_lin_ccc"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
       assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
     }

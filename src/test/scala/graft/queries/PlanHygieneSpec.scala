@@ -123,7 +123,9 @@ class PlanHygieneSpec extends SparkSpec {
                            // count(*) per probe (in-plan scalar subquery)
     "vec_cosine_lsh_banded", // vectors x broadcast 1-row n + 1-row
                            // 64-dim mean array (width ladder + centering)
-    "sim_knn_mutual_banded"  // same banded-parts broadcasts
+    "sim_knn_mutual_banded", // same banded-parts broadcasts
+    "eval_gwet_ac1"        // q-row marginal grid x broadcast 1-row n,
+                           // then 1-row Po x 1-row Pe
   )
 
   private def offenders(name: String): Seq[String] = {

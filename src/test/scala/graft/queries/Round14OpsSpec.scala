@@ -142,4 +142,145 @@ class Round14OpsSpec extends SparkSpec {
     for (b <- 0 to 3) assert(c(s"band$b")._2 <= 256L,
       "8-bit bands cannot exceed 256 buckets")
   }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("eval_somers_gamma: census closes (C+D+T = pos*neg) and somers_d = 2*AUC - 1") {
+    val sg = SparkEntry.queries("eval_somers_gamma")(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    val auc = SparkEntry.queries("eval_auc")(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(sg.keySet == auc.keySet && sg.nonEmpty)
+    for ((grp, (c, dd, t, sd)) <- sg) {
+      val (pos, neg, a) = auc(grp)
+      assert(c + dd + t == pos * neg,
+        s"grp $grp: concordance census must close")
+      // both sides independently rounded to 4 dp
+      assert(math.abs(sd - (2 * a - 1)) < 2.5e-4,
+        s"grp $grp: somers_d $sd vs 2*AUC-1 ${2 * a - 1}")
+    }
+  }
+
+  test("eval_cramers_v: a planted decisive 2x2 scores V = 1 exactly") {
+    val d = tmp("r14cv")
+    import java.sql.Timestamp
+    // 50 low-value Monday-morning views vs 50 high-value Tuesday-night
+    // purchases: all three features (weekday, tod4h, score_q) are
+    // perfect 2x2 tables -> chi2 = n, V = sqrt((chi2/n)/1) = 1.
+    val rows = (0 until 50).map(i => (i.toLong,
+        Timestamp.valueOf("2024-01-01 10:00:00"), i.toLong, "view",
+        10.0, "{}")) ++
+      (50 until 100).map(i => (i.toLong,
+        Timestamp.valueOf("2024-01-02 20:00:00"), i.toLong, "purchase",
+        60.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = SparkEntry.queries("eval_cramers_v")(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4),
+        r.getDouble(5)))).toMap
+    assert(out.keySet == Set("weekday", "tod4h", "score_q"))
+    for ((f, (chi2, v, vc)) <- out) {
+      assert(chi2 == 100.0 && v == 1.0, s"$f must be decisive")
+      assert(vc <= 1.0 && vc >= 0.97,
+        s"$f: bias correction shaves, never inflates")
+    }
+  }
+
+  test("eval_gwet_ac1: po matches eval_kappa's and the AC1 algebra closes") {
+    val k = SparkEntry.queries("eval_kappa")(spark, sf).collect().head
+    val g = SparkEntry.queries("eval_gwet_ac1")(spark, sf).collect().head
+    assert(g.getLong(0) == k.getLong(0))
+    assert(g.getDouble(2) == k.getDouble(2), "same observed agreement")
+    val (po, pe, ac1) = (g.getDouble(2), g.getDouble(3), g.getDouble(4))
+    assert(math.abs(ac1 - (po - pe) / (1 - pe)) < 3e-4)
+    assert(g.getLong(1) == 5L, "all five classes observed")
+  }
+
+  test("eval_hosmer_lemeshow: full JVM replay on a crafted fixture") {
+    val d = tmp("r14hl")
+    import java.sql.Timestamp
+    // values spread across sigmoid bins; purchases are the positives
+    val vals = Seq(20.0, 40.0, 60.0, 80.0, 100.0, 120.0, 140.0, 160.0,
+      55.0, 95.0, 135.0, 175.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, Timestamp.valueOf("2024-01-02 09:00:00"), i.toLong,
+        if (i % 3 == 0) "purchase" else "view", v, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    def q12(x: Double) = math.rint(x * 1e12) / 1e12
+    val binned = rows.groupBy { case (_, _, _, _, v, _) =>
+      math.min(math.floor((1.0 / (1 + math.exp(-(v - 100) / 40.0))) * 10)
+        .toInt, 9)
+    }
+    val chi2 = binned.values.map { rs =>
+      val n = rs.size
+      val o = rs.count(_._4 == "purchase")
+      val ex = rs.map(r =>
+        q12(1.0 / (1 + math.exp(-(r._5 - 100) / 40.0)))).sum
+      q12((o - ex) * (o - ex) / (ex * (1 - ex / n)))
+    }.sum
+    val out = SparkEntry.queries("eval_hosmer_lemeshow")(spark, d)
+      .collect().head
+    assert(out.getLong(0) == binned.size.toLong)
+    assert(out.getLong(1) == binned.size.toLong - 2)
+    assert(math.abs(out.getDouble(2) - math.rint(chi2 * 1e4) / 1e4) < 2e-4)
+  }
+
+  test("eval_icc: between-day signal reads ~1, shuffled values read ~0") {
+    import java.sql.Timestamp
+    def write(d: String, shuffled: Boolean): Unit = {
+      // 2024-01-01 is a Monday; 7 consecutive days = 7 weekday groups
+      val rows = for {
+        day <- 0 until 7
+        j <- 0 until 10
+      } yield {
+        val base = if (shuffled) ((day + j * 3) % 7) * 25.0
+          else day * 25.0
+        ((day * 10 + j).toLong,
+          Timestamp.valueOf(f"2024-01-0${day + 1}%d 12:00:00"),
+          (day * 10 + j).toLong, "view", base + (j % 2) * 0.02, "{}")
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+    }
+    val d1 = tmp("r14icc1"); write(d1, shuffled = false)
+    val d2 = tmp("r14icc2"); write(d2, shuffled = true)
+    val hi = SparkEntry.queries("eval_icc")(spark, d1).collect().head
+    val lo = SparkEntry.queries("eval_icc")(spark, d2).collect().head
+    assert(hi.getLong(0) == 7L && hi.getLong(1) == 70L)
+    assert(hi.getDouble(5) > 0.999, s"day-determined values: ${hi.getDouble(5)}")
+    assert(lo.getDouble(5) < 0.1, s"shuffled values: ${lo.getDouble(5)}")
+  }
+
+  test("eval_lin_ccc: |CCC| <= |pearson| (Lin's inequality) and JVM replay") {
+    val row = SparkEntry.queries("eval_lin_ccc")(spark, sf).collect().head
+    val (r, ccc) = (row.getDouble(3), row.getDouble(4))
+    assert(math.abs(ccc) <= math.abs(r) + 1e-9)
+    assert(math.abs(r) <= 1.0 && math.abs(ccc) <= 1.0)
+    // JVM replay on a crafted fixture: p2 affine in p1 with a location
+    // shift -> pearson stays 1, CCC drops below it
+    val d = tmp("r14ccc")
+    import java.sql.Timestamp
+    val rows = Seq(40.0, 80.0, 120.0, 160.0).zipWithIndex.map {
+      case (v, i) => (i.toLong, Timestamp.valueOf("2024-01-03 08:00:00"),
+        i.toLong, "view", v, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = SparkEntry.queries("eval_lin_ccc")(spark, d).collect().head
+    def q12(x: Double) = math.rint(x * 1e12) / 1e12
+    val p1 = rows.map(r => q12(1.0 / (1 + math.exp(-(r._5 - 100) / 40.0))))
+    val p2 = rows.map(r => q12(math.min(math.max(r._5 / 200.0, 0), 1)))
+    val n = p1.size
+    val (m1, m2) = (p1.sum / n, p2.sum / n)
+    val v1 = p1.map(x => q12(x * x)).sum / n - m1 * m1
+    val v2 = p2.map(x => q12(x * x)).sum / n - m2 * m2
+    val cov = p1.zip(p2).map { case (a, b) => q12(a * b) }.sum / n - m1 * m2
+    val expCcc = 2 * cov / (v1 + v2 + (m1 - m2) * (m1 - m2))
+    assert(math.abs(out.getDouble(4) - expCcc) < 2e-4)
+    assert(math.abs(out.getDouble(3) - cov / math.sqrt(v1 * v2)) < 2e-4)
+  }
 }
