@@ -2080,5 +2080,328 @@ object TemporalQueries {
           round(col("z"), 4).as("z"),
           col("esd_round").cast("int").as("esd_round"))
         .orderBy(col("event_type"), col("day"))
+    },
+
+    // AR(2) VIA YULE-WALKER over the per-type day-count series — the
+    // in-engine autoregressive fit next to ts_holt/ts_ses: the lag-1/
+    // lag-2 autocovariance SUMS come from ts_autocorr's machinery
+    // (available-pairs convention, DECIMAL-quantized terms), then the
+    // 2×2 Yule-Walker system solves in closed form on the per-type
+    // 1-row relation: φ1 = r1(1−r2)/(1−r1²), φ2 = (r2−r1²)/(1−r1²).
+    // The 1-step forecast re-centers the last two observations (picked
+    // by a conditional max over the rank window, not a driver sort):
+    // ŷ = μ + φ1(y_n − μ) + φ2(y_{n−1} − μ). Day grids are calendar-
+    // bounded; types scale out.
+    Q("ts_ar2_yw",
+      """WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type,
+        |    sum(c) / CAST(count(*) AS DOUBLE) AS mu FROM dc GROUP BY 1),
+        |x AS (SELECT dc.event_type, day, c, mu,
+        |    lead(c, 1) OVER (PARTITION BY dc.event_type ORDER BY day) AS c1,
+        |    lead(c, 2) OVER (PARTITION BY dc.event_type ORDER BY day) AS c2,
+        |    row_number() OVER (PARTITION BY dc.event_type ORDER BY day DESC)
+        |      AS rk
+        |  FROM dc JOIN m ON m.event_type = dc.event_type),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    max(mu) AS mu,
+        |    max(CASE WHEN rk = 1 THEN c END) AS yn,
+        |    max(CASE WHEN rk = 2 THEN c END) AS yn1,
+        |    CAST(sum(CAST((c - mu) * (c - mu) AS DECIMAL(28,12))) AS DOUBLE) AS s0,
+        |    CAST(sum(CASE WHEN c1 IS NOT NULL
+        |      THEN CAST((c - mu) * (c1 - mu) AS DECIMAL(28,12)) END) AS DOUBLE) AS s1,
+        |    CAST(sum(CASE WHEN c2 IS NOT NULL
+        |      THEN CAST((c - mu) * (c2 - mu) AS DECIMAL(28,12)) END) AS DOUBLE) AS s2
+        |  FROM x GROUP BY 1),
+        |f AS (SELECT event_type, n_days, mu, yn, yn1,
+        |    (s1 / s0) * (1 - s2 / s0) / (1 - (s1 / s0) * (s1 / s0)) AS phi1,
+        |    (s2 / s0 - (s1 / s0) * (s1 / s0))
+        |      / (1 - (s1 / s0) * (s1 / s0)) AS phi2
+        |  FROM a)
+        |SELECT event_type, n_days,
+        |  round(phi1, 4) AS phi1, round(phi2, 4) AS phi2,
+        |  round(mu + phi1 * (yn - mu) + phi2 * (yn1 - mu), 4) AS forecast
+        |FROM f ORDER BY event_type""") { (s, d) =>
+      val dc = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val m = dc.groupBy(col("event_type"))
+        .agg((sum(col("c")) / count(lit(1)).cast("double")).as("mu"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wd = Window.partitionBy(col("event_type"))
+        .orderBy(col("day").desc)
+      val a = dc.join(m, Seq("event_type"))
+        .withColumn("c1", lead(col("c"), 1).over(w))
+        .withColumn("c2", lead(col("c"), 2).over(w))
+        .withColumn("rk", row_number().over(wd))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), max(col("mu")).as("mu"),
+          max(when(col("rk") === 1, col("c"))).as("yn"),
+          max(when(col("rk") === 2, col("c"))).as("yn1"),
+          expr("CAST(sum(CAST((c - mu) * (c - mu) AS DECIMAL(28,12))) AS DOUBLE)").as("s0"),
+          expr("""CAST(sum(CASE WHEN c1 IS NOT NULL
+                 |  THEN CAST((c - mu) * (c1 - mu) AS DECIMAL(28,12)) END) AS DOUBLE)""".stripMargin).as("s1"),
+          expr("""CAST(sum(CASE WHEN c2 IS NOT NULL
+                 |  THEN CAST((c - mu) * (c2 - mu) AS DECIMAL(28,12)) END) AS DOUBLE)""".stripMargin).as("s2"))
+      a.select(col("event_type"), col("n_days"), col("mu"), col("yn"),
+          col("yn1"),
+          ((col("s1") / col("s0")) * (lit(1) - col("s2") / col("s0")) /
+            (lit(1) - (col("s1") / col("s0")) * (col("s1") / col("s0"))))
+            .as("phi1"),
+          ((col("s2") / col("s0") - (col("s1") / col("s0")) *
+            (col("s1") / col("s0"))) /
+            (lit(1) - (col("s1") / col("s0")) * (col("s1") / col("s0"))))
+            .as("phi2"))
+        .select(col("event_type"), col("n_days"),
+          round(col("phi1"), 4).as("phi1"), round(col("phi2"), 4).as("phi2"),
+          round(col("mu") + col("phi1") * (col("yn") - col("mu")) +
+            col("phi2") * (col("yn1") - col("mu")), 4).as("forecast"))
+        .orderBy(col("event_type"))
+    },
+
+    // LJUNG-BOX PORTMANTEAU TEST (lags 1..7) on the per-type day-count
+    // series — "is there ANY autocorrelation left": Q = n(n+2)·
+    // Σ_k ρ_k²/(n−k), df = 7, rejected against the χ²₀.₉₅,₇ = 14.0671
+    // critical value (a literal — no CDF needed at a fixed df). The 7
+    // lag products ride ONE window pass (7 leads over the same day
+    // order), every term DECIMAL-quantized; the per-type statistic is
+    // a single rollup — the standard residual-whiteness gate after
+    // ts_ar2_yw / ts_holt_winters fits.
+    Q("ts_ljung_box", {
+      val leadsSql = (1 to 7).map(k =>
+        s"lead(c, $k) OVER (PARTITION BY dc.event_type ORDER BY day) AS c$k")
+        .mkString(",\n        |    ")
+      val sumsSql = (1 to 7).map(k =>
+        s"""CAST(sum(CASE WHEN c$k IS NOT NULL
+           |      THEN CAST((c - mu) * (c$k - mu) AS DECIMAL(28,12)) END)
+           |      AS DOUBLE) AS s$k""".stripMargin).mkString(",\n    ")
+      val qTerms = (1 to 7).map(k =>
+        s"(s$k / s0) * (s$k / s0) / (n_days - $k)").mkString("\n        |    + ")
+      s"""WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |m AS (SELECT event_type,
+         |    sum(c) / CAST(count(*) AS DOUBLE) AS mu FROM dc GROUP BY 1),
+         |x AS (SELECT dc.event_type, day, c, mu,
+         |    $leadsSql
+         |  FROM dc JOIN m ON m.event_type = dc.event_type),
+         |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         |    CAST(sum(CAST((c - mu) * (c - mu) AS DECIMAL(28,12))) AS DOUBLE) AS s0,
+         |    $sumsSql
+         |  FROM x GROUP BY 1)
+         |SELECT event_type, n_days,
+         |  round(n_days * (n_days + 2.0) * ($qTerms), 4) AS q_stat,
+         |  CAST(7 AS INT) AS df,
+         |  CAST(n_days * (n_days + 2.0) * ($qTerms) > 14.0671 AS BOOLEAN)
+         |    AS reject_white
+         |FROM a ORDER BY event_type""".stripMargin
+    }) { (s, d) =>
+      val dc = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val m = dc.groupBy(col("event_type"))
+        .agg((sum(col("c")) / count(lit(1)).cast("double")).as("mu"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      var x = dc.join(m, Seq("event_type"))
+      for (k <- 1 to 7) x = x.withColumn(s"c$k", lead(col("c"), k).over(w))
+      val aggs = count(lit(1)).as("n_days") +:
+        expr("CAST(sum(CAST((c - mu) * (c - mu) AS DECIMAL(28,12))) AS DOUBLE)").as("s0") +:
+        (1 to 7).map(k => expr(
+          s"""CAST(sum(CASE WHEN c$k IS NOT NULL
+             |  THEN CAST((c - mu) * (c$k - mu) AS DECIMAL(28,12)) END)
+             |  AS DOUBLE)""".stripMargin).as(s"s$k"))
+      val a = x.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+      val qTerms = (1 to 7).map(k =>
+        s"(s$k / s0) * (s$k / s0) / (n_days - $k)").mkString(" + ")
+      a.select(col("event_type"), col("n_days"),
+          round(expr(s"n_days * (n_days + 2.0) * ($qTerms)"), 4)
+            .as("q_stat"),
+          lit(7).as("df"),
+          expr(s"n_days * (n_days + 2.0) * ($qTerms) > 14.0671")
+            .as("reject_white"))
+        .orderBy(col("event_type"))
+    },
+
+    // LTTB DOWNSAMPLING (largest-triangle-three-buckets, Steinarsson
+    // 2013; PARALLEL centroid variant) of the per-type day series to
+    // 20 points — the chart-decimation operator every dashboard layer
+    // runs before plotting a year of per-minute data. The sequential
+    // original anchors each bucket's triangle on the PREVIOUS
+    // SELECTION (an inherently serial chain); the variant every
+    // distributed downsampler ships anchors on the neighbor buckets'
+    // CENTROIDS instead, which drops the serial dependency at a
+    // negligible visual cost — each bucket's argmax is then one
+    // window rank, fully parallel. First/last points are kept
+    // verbatim (the LTTB convention). Centroids are integer-sum /
+    // count divisions — exact. Buckets are by row_number over the
+    // calendar-bounded day grid, so the global window is bounded by
+    // days, never corpus rows.
+    Q("ts_lttb",
+      """WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |ix AS (SELECT event_type, day, c,
+        |    CAST(datediff('day', min(day) OVER (PARTITION BY event_type),
+        |      day) AS BIGINT) AS xi,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM dc),
+        |bk AS (SELECT event_type, day, c, xi,
+        |    least(CAST(rn * 20 // nd AS INT), 19) AS b, rn, nd
+        |  FROM ix),
+        |cen AS (SELECT event_type, b,
+        |    sum(xi) / CAST(count(*) AS DOUBLE) AS cx,
+        |    sum(c) / CAST(count(*) AS DOUBLE) AS cy
+        |  FROM bk GROUP BY 1, 2),
+        |ar AS (SELECT bk.event_type, bk.b, bk.day, bk.c, bk.rn, bk.nd,
+        |    abs((p.cx - q.cx) * (bk.c - p.cy)
+        |      - (p.cx - bk.xi) * (q.cy - p.cy)) AS area
+        |  FROM bk
+        |  LEFT JOIN cen p ON p.event_type = bk.event_type
+        |    AND p.b = bk.b - 1
+        |  LEFT JOIN cen q ON q.event_type = bk.event_type
+        |    AND q.b = bk.b + 1),
+        |rk AS (SELECT event_type, b, day, c, rn, nd,
+        |    row_number() OVER (PARTITION BY event_type, b
+        |      ORDER BY CASE WHEN rn = 0 OR rn = nd - 1 THEN 1 ELSE 0 END
+        |        DESC, area DESC NULLS LAST, day) AS pick
+        |  FROM ar)
+        |SELECT event_type, CAST(b AS INT) AS bucket,
+        |  CAST(day AS VARCHAR) AS day, c AS yv
+        |FROM rk WHERE pick = 1
+        |ORDER BY event_type, bucket""") { (s, d) =>
+      val dc = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val wt = Window.partitionBy(col("event_type"))
+      val wo = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val bk = dc
+        .withColumn("xi",
+          datediff(col("day"), min(col("day")).over(wt)).cast("long"))
+        .withColumn("rn", row_number().over(wo) - 1)
+        .withColumn("nd", count(lit(1)).over(wt))
+        .withColumn("b",
+          least((col("rn") * 20).cast("long").divide(col("nd"))
+            .cast("int"), lit(19)))
+      val cen = bk.groupBy(col("event_type"), col("b"))
+        .agg((sum(col("xi")) / count(lit(1)).cast("double")).as("cx"),
+          (sum(col("c")) / count(lit(1)).cast("double")).as("cy"))
+      val ar = bk
+        .join(cen.select(col("event_type"), (col("b") + 1).as("b"),
+          col("cx").as("pcx"), col("cy").as("pcy")),
+          Seq("event_type", "b"), "left")
+        .join(cen.select(col("event_type"), (col("b") - 1).as("b"),
+          col("cx").as("qcx"), col("cy").as("qcy")),
+          Seq("event_type", "b"), "left")
+        .withColumn("area",
+          abs((col("pcx") - col("qcx")) * (col("c") - col("pcy")) -
+            (col("pcx") - col("xi")) * (col("qcy") - col("pcy"))))
+      val wp = Window.partitionBy(col("event_type"), col("b"))
+        .orderBy(
+          when(col("rn") === 0 || col("rn") === col("nd") - 1, 1)
+            .otherwise(0).desc,
+          col("area").desc_nulls_last, col("day"))
+      ar.withColumn("pick", row_number().over(wp))
+        .filter(col("pick") === 1)
+        .select(col("event_type"), col("b").cast("int").as("bucket"),
+          col("day").cast("string").as("day"), col("c").as("yv"))
+        .orderBy(col("event_type"), col("bucket"))
+    },
+
+    // HURST EXPONENT via rescaled-range (R/S) analysis over block
+    // sizes {8, 16, 32} — the long-memory census (H > 0.5 persistent,
+    // < 0.5 mean-reverting) run on the per-type day series: complete
+    // blocks of w days get an in-block cumulative-deviation window
+    // (max − min = R) over the block mean, S is the in-block
+    // population σ from quantized power sums, mean R/S per (type, w)
+    // (σ = 0 blocks drop via nullif), and H is the closed-form
+    // 3-point log-log OLS slope. Every window is (type, w, block)-
+    // partitioned — calendar-bounded; types scale out.
+    Q("ts_hurst",
+      """WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |ix AS (SELECT event_type, day, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+        |      AS rn
+        |  FROM dc),
+        |g AS (SELECT w, event_type, CAST(rn // w AS BIGINT) AS blk, day, c
+        |  FROM ix CROSS JOIN (SELECT unnest([8, 16, 32]) AS w)),
+        |bstat AS (SELECT w, event_type, blk, count(*) AS bn,
+        |    sum(c) / CAST(count(*) AS DOUBLE) AS bmu,
+        |    CAST(sum(CAST(c AS DECIMAL(28,6))) AS DOUBLE) AS bs1,
+        |    CAST(sum(CAST(c * c AS DECIMAL(28,6))) AS DOUBLE) AS bs2
+        |  FROM g GROUP BY 1, 2, 3),
+        |z AS (SELECT g.w, g.event_type, g.blk, bn, bmu, bs1, bs2,
+        |    sum(CAST(round(g.c - bmu, 8) AS DECIMAL(28,8)))
+        |      OVER (PARTITION BY g.w, g.event_type, g.blk ORDER BY g.day)
+        |      AS cum
+        |  FROM g JOIN bstat ON bstat.w = g.w
+        |    AND bstat.event_type = g.event_type AND bstat.blk = g.blk),
+        |rs AS (SELECT w, event_type, blk, max(bn) AS bn,
+        |    CAST(max(cum) - min(cum) AS DOUBLE) AS r,
+        |    sqrt((max(bs2) - max(bs1) * max(bs1) / max(bn)) / max(bn)) AS sd
+        |  FROM z GROUP BY 1, 2, 3),
+        |mrs AS (SELECT event_type, w,
+        |    CAST(sum(CAST(round(r / nullif(sd, 0), 10) AS DECIMAL(28,10)))
+        |      AS DOUBLE)
+        |      / count(CASE WHEN sd > 0 THEN 1 END) AS mean_rs
+        |  FROM rs WHERE bn = w GROUP BY 1, 2),
+        |pt AS (SELECT event_type, ln(CAST(w AS DOUBLE)) AS lx,
+        |    ln(mean_rs) AS ly FROM mrs),
+        |ols AS (SELECT event_type, count(*) AS k,
+        |    CAST(sum(CAST(round(lx * ly, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(round(lx * lx, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(round(lx, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(round(ly, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sy
+        |  FROM pt GROUP BY 1)
+        |SELECT event_type,
+        |  round((sxy - sx * sy / k) / (sxx - sx * sx / k), 4) AS hurst
+        |FROM ols ORDER BY event_type""") { (s, d) =>
+      import s.implicits._
+      val dc = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val wo = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val ix = dc.withColumn("rn", row_number().over(wo) - 1)
+      val ws = Seq(8, 16, 32).toDF("w")
+      val g = ix.crossJoin(broadcast(ws))
+        .withColumn("blk", (col("rn") / col("w")).cast("long"))
+      val bstat = g.groupBy(col("w"), col("event_type"), col("blk"))
+        .agg(count(lit(1)).as("bn"),
+          (sum(col("c")) / count(lit(1)).cast("double")).as("bmu"),
+          sum(col("c").cast("decimal(28,6)")).cast("double").as("bs1"),
+          sum((col("c") * col("c")).cast("decimal(28,6)")).cast("double")
+            .as("bs2"))
+      val wz = Window.partitionBy(col("w"), col("event_type"), col("blk"))
+        .orderBy(col("day"))
+      val z = g.join(bstat, Seq("w", "event_type", "blk"))
+        .withColumn("cum",
+          sum(round(col("c") - col("bmu"), 8).cast("decimal(28,8)"))
+            .over(wz))
+      val rs = z.groupBy(col("w"), col("event_type"), col("blk"))
+        .agg(max(col("bn")).as("bn"),
+          (max(col("cum")) - min(col("cum"))).cast("double").as("r"),
+          sqrt((max(col("bs2")) - max(col("bs1")) * max(col("bs1")) /
+            max(col("bn"))) / max(col("bn"))).as("sd"))
+      val mrs = rs.filter(col("bn") === col("w"))
+        .groupBy(col("event_type"), col("w"))
+        .agg((sum(round(col("r") / nullif(col("sd"), lit(0)), 10)
+          .cast("decimal(28,10)")).cast("double") /
+          count(when(col("sd") > 0, 1))).as("mean_rs"))
+      val pt = mrs.select(col("event_type"),
+        log(col("w").cast("double")).as("lx"), log(col("mean_rs")).as("ly"))
+      def q12(c: org.apache.spark.sql.Column) =
+        sum(round(c, 12).cast("decimal(28,12)")).cast("double")
+      pt.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("k"), q12(col("lx")).as("sx"),
+          q12(col("ly")).as("sy"), q12(col("lx") * col("ly")).as("sxy"),
+          q12(col("lx") * col("lx")).as("sxx"))
+        .select(col("event_type"),
+          round((col("sxy") - col("sx") * col("sy") / col("k")) /
+            (col("sxx") - col("sx") * col("sx") / col("k")), 4).as("hurst"))
+        .orderBy(col("event_type"))
     })
 }

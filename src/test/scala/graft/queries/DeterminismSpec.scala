@@ -134,7 +134,10 @@ class DeterminismSpec extends SparkSpec {
       // round-14 stats batch: quantized chi2/pi/HL/ANOVA/moment terms
       // and the exact concordance census
       "eval_cramers_v", "eval_gwet_ac1", "eval_somers_gamma",
-      "eval_hosmer_lemeshow", "eval_icc", "eval_lin_ccc"))
+      "eval_hosmer_lemeshow", "eval_icc", "eval_lin_ccc",
+      // round-14 temporal batch: quantized lag products, block
+      // cumulative-deviation windows, and the 3-point log-log OLS
+      "ts_ar2_yw", "ts_ljung_box", "ts_lttb", "ts_hurst"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
       assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
     }

@@ -283,4 +283,85 @@ class Round14OpsSpec extends SparkSpec {
     assert(math.abs(out.getDouble(4) - expCcc) < 2e-4)
     assert(math.abs(out.getDouble(3) - cov / math.sqrt(v1 * v2)) < 2e-4)
   }
+
+  import java.sql.Timestamp
+
+  /** One 'view' event per unit of count on consecutive January days. */
+  private def writeDayCounts(d: String, counts: Seq[Int]): Unit = {
+    var id = 0L
+    val rows = counts.zipWithIndex.flatMap { case (c, day) =>
+      val date = java.time.LocalDate.of(2024, 1, 1).plusDays(day.toLong)
+      (0 until c).map { _ =>
+        id += 1
+        (id, Timestamp.valueOf(date.atTime(12, 0)), id, "view", 1.0, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+  }
+
+  test("ts_ar2_yw + ts_ljung_box: full JVM replay on an integer-mean fixture") {
+    val d = tmp("r14ar2")
+    // 12 days, total 48 -> mu = 4 exactly; every (c-mu) product is an
+    // integer, so the DECIMAL quantization is exact and the JVM replay
+    // walks the identical arithmetic.
+    val counts = Seq(3, 5, 2, 7, 4, 6, 3, 8, 2, 5, 2, 1)
+    writeDayCounts(d, counts)
+    val n = counts.size
+    val mu = counts.sum.toDouble / n
+    def s(k: Int): Double = (0 until n - k)
+      .map(i => (counts(i) - mu) * (counts(i + k) - mu)).sum
+    val (s0, s1, s2) = (s(0), s(1), s(2))
+    val (r1, r2) = (s1 / s0, s2 / s0)
+    val phi1 = r1 * (1 - r2) / (1 - r1 * r1)
+    val phi2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    val fc = mu + phi1 * (counts(n - 1) - mu) + phi2 * (counts(n - 2) - mu)
+    val ar = SparkEntry.queries("ts_ar2_yw")(spark, d).collect().head
+    assert(ar.getLong(1) == n.toLong)
+    assert(math.abs(ar.getDouble(2) - phi1) < 1e-4, "phi1")
+    assert(math.abs(ar.getDouble(3) - phi2) < 1e-4, "phi2")
+    assert(math.abs(ar.getDouble(4) - fc) < 1e-4, "forecast")
+    val q = n * (n + 2.0) *
+      (1 to 7).map(k => (s(k) / s0) * (s(k) / s0) / (n - k)).sum
+    val lb = SparkEntry.queries("ts_ljung_box")(spark, d).collect().head
+    assert(math.abs(lb.getDouble(2) - q) < 1e-4, "ljung-box Q")
+    assert(lb.getBoolean(4) == (q > 14.0671))
+  }
+
+  test("ts_ljung_box: a strong weekly pattern rejects whiteness") {
+    val d = tmp("r14lbw")
+    // 42 days of a hard period-7 cycle
+    writeDayCounts(d, (0 until 42).map(i => 2 + (i % 7) * 4))
+    val lb = SparkEntry.queries("ts_ljung_box")(spark, d).collect().head
+    assert(lb.getDouble(2) > 14.0671 && lb.getBoolean(4),
+      s"periodic series must reject: Q=${lb.getDouble(2)}")
+  }
+
+  test("ts_lttb: keeps endpoints, catches the planted spike, 20 rows") {
+    val d = tmp("r14lttb")
+    // 60 flat days with one interior spike at day 31
+    writeDayCounts(d, (0 until 60).map(i => if (i == 30) 50 else 5))
+    val out = SparkEntry.queries("ts_lttb")(spark, d).collect()
+    assert(out.length == 20, "one point per bucket")
+    val days = out.map(_.getString(2)).toSet
+    assert(days.contains("2024-01-01"), "first point kept")
+    assert(days.contains("2024-02-29"), "last point kept")
+    assert(days.contains("2024-01-31"), "the spike dominates its bucket")
+    val yv = out.map(r => r.getString(2) -> r.getLong(3)).toMap
+    assert(yv("2024-01-31") == 50L)
+  }
+
+  test("ts_hurst: trending series reads persistent, alternating reads anti-persistent") {
+    val d1 = tmp("r14h1")
+    writeDayCounts(d1, (0 until 64).map(i => 1 + i)) // pure trend
+    val d2 = tmp("r14h2")
+    writeDayCounts(d2, (0 until 64).map(i => if (i % 2 == 0) 5 else 15))
+    val hi = SparkEntry.queries("ts_hurst")(spark, d1).collect().head
+      .getDouble(1)
+    val lo = SparkEntry.queries("ts_hurst")(spark, d2).collect().head
+      .getDouble(1)
+    assert(hi > 0.8, s"trend must read persistent: $hi")
+    assert(lo < 0.3, s"alternation must read anti-persistent: $lo")
+    assert(hi > lo + 0.4)
+  }
 }
