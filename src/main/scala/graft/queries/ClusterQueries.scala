@@ -1795,5 +1795,84 @@ object ClusterQueries {
             nullif(col("n_k") * (col("n_k") - 1), lit(0L)).cast("double"),
             4).as("phi"))
         .orderBy(col("k"))
+    },
+
+    // 4-TRUSS PEEL CENSUS over the co-purchase graph — the
+    // cohesive-subgraph extractor one level above graph_kcore (a
+    // k-truss edge sits in ≥ k−2 triangles of the surviving subgraph;
+    // trusses are the standard community cores because they demand
+    // TRIANGLES, not just degree). Each round is graph_triangles'
+    // oriented wedge join scoped to the surviving edge set, a per-edge
+    // support rollup, and the support ≥ 2 cut; two unrolled rounds
+    // with a converged flag (the full peel iterates to fixpoint — the
+    // same unrolled-round convention as ts_shesd/pipe_quality_logit,
+    // and round 2 removing nothing IS the fixpoint certificate on this
+    // fixture). Edges are the memoized support-thresholded relation;
+    // wedge joins are degree-capped by construction of that relation.
+    Q("graph_ktruss",
+      """WITH e0 AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |t1 AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        |  FROM e0 e1
+        |  JOIN e0 e2 ON e2.p1 = e1.p2
+        |  JOIN e0 e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+        |s1 AS (SELECT p1, p2, count(*) AS sup FROM (
+        |    SELECT a AS p1, b AS p2 FROM t1
+        |    UNION ALL SELECT b, c FROM t1
+        |    UNION ALL SELECT a, c FROM t1) GROUP BY 1, 2),
+        |k1 AS (SELECT e0.p1, e0.p2 FROM e0
+        |  JOIN s1 ON s1.p1 = e0.p1 AND s1.p2 = e0.p2 WHERE s1.sup >= 2),
+        |t2 AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        |  FROM k1 e1
+        |  JOIN k1 e2 ON e2.p1 = e1.p2
+        |  JOIN k1 e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+        |s2 AS (SELECT p1, p2, count(*) AS sup FROM (
+        |    SELECT a AS p1, b AS p2 FROM t2
+        |    UNION ALL SELECT b, c FROM t2
+        |    UNION ALL SELECT a, c FROM t2) GROUP BY 1, 2),
+        |k2 AS (SELECT k1.p1, k1.p2 FROM k1
+        |  JOIN s2 ON s2.p1 = k1.p1 AND s2.p2 = k1.p2 WHERE s2.sup >= 2),
+        |c AS (SELECT (SELECT count(*) FROM e0) AS n0,
+        |    (SELECT count(*) FROM k1) AS n1,
+        |    (SELECT count(*) FROM k2) AS n2)
+        |SELECT 1 AS round, CAST(n0 AS BIGINT) AS edges_in,
+        |  CAST(n1 AS BIGINT) AS edges_kept,
+        |  CAST(n1 = n0 AS BOOLEAN) AS converged FROM c
+        |UNION ALL
+        |SELECT 2, CAST(n1 AS BIGINT), CAST(n2 AS BIGINT),
+        |  CAST(n2 = n1 AS BOOLEAN) FROM c
+        |ORDER BY round""") { (s, d) =>
+      def tri(e: DataFrame): DataFrame = e.as("e1")
+        .join(e.as("e2"), col("e2.p1") === col("e1.p2"))
+        .join(e.as("e3"),
+          col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
+        .select(col("e1.p1").as("a"), col("e1.p2").as("b"),
+          col("e2.p2").as("c"))
+      def keep(e: DataFrame): DataFrame = {
+        val t = tri(e)
+        val sup = t.select(col("a").as("p1"), col("b").as("p2"))
+          .unionByName(t.select(col("b").as("p1"), col("c").as("p2")))
+          .unionByName(t.select(col("a").as("p1"), col("c").as("p2")))
+          .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("sup"))
+        e.join(sup.filter(col("sup") >= 2), Seq("p1", "p2"))
+          .select(col("p1"), col("p2"))
+      }
+      val e0 = coPurchaseEdges(s, d).localCheckpoint(true)
+      val k1 = keep(e0).localCheckpoint(true)
+      val k2 = keep(k1)
+      val n0 = e0.agg(count(lit(1)).as("n0"))
+      val n1 = k1.agg(count(lit(1)).as("n1"))
+      val n2 = k2.agg(count(lit(1)).as("n2"))
+      val c = n0.crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      c.select(lit(1).as("round"), col("n0").cast("long").as("edges_in"),
+          col("n1").cast("long").as("edges_kept"),
+          (col("n1") === col("n0")).as("converged"))
+        .unionByName(
+          c.select(lit(2).as("round"), col("n1").cast("long").as("edges_in"),
+            col("n2").cast("long").as("edges_kept"),
+            (col("n2") === col("n1")).as("converged")))
+        .orderBy(col("round"))
     })
 }

@@ -2802,5 +2802,199 @@ object PipelineQueries {
         round(col("b0"), 4).as("beta0"), round(col("b1"), 4).as("beta1"),
         round(col("b2"), 4).as("beta2"),
         round(col("nll") / col("n"), 4).as("logloss"))
+    },
+
+    // FUNCTIONAL-DEPENDENCY CENSUS — the sibling of dq_key_discovery a
+    // schema-inference pass runs next: for each declared A → B probe,
+    // does every A value map to exactly one B? Violations = LHS groups
+    // with >1 distinct RHS; max_rhs is the worst fan-out (the repair
+    // cost estimate). Each probe is ONE column-pruned groupBy with a
+    // distinct-count — no joins, no driver work; at 100 TB the same
+    // census runs approx_count_distinct first and exact-confirms only
+    // the near-1 probes (dq_key_discovery's documented pattern).
+    Q("dq_functional_deps",
+      """WITH probes AS (
+        |  SELECT 'customer' AS tbl, 'c_custkey->c_nationkey' AS fd,
+        |    count(*) AS n_lhs,
+        |    sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violating,
+        |    max(nd) AS max_rhs
+        |  FROM (SELECT c_custkey, count(DISTINCT c_nationkey) AS nd
+        |    FROM customer GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'customer', 'c_nationkey->c_mktsegment', count(*),
+        |    sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), max(nd)
+        |  FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS nd
+        |    FROM customer GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'nation', 'n_nationkey->n_regionkey', count(*),
+        |    sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), max(nd)
+        |  FROM (SELECT n_nationkey, count(DISTINCT n_regionkey) AS nd
+        |    FROM nation GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'orders', 'o_custkey->o_orderpriority', count(*),
+        |    sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), max(nd)
+        |  FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd
+        |    FROM orders GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_orderkey->l_returnflag', count(*),
+        |    sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), max(nd)
+        |  FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS nd
+        |    FROM lineitem GROUP BY 1))
+        |SELECT tbl, fd, CAST(n_lhs AS BIGINT) AS n_lhs,
+        |  CAST(n_violating AS BIGINT) AS n_violating,
+        |  CAST(max_rhs AS BIGINT) AS max_rhs,
+        |  CAST(n_violating = 0 AS BOOLEAN) AS holds
+        |FROM probes ORDER BY tbl, fd""") { (s, d) =>
+      def probe(df: DataFrame, tbl: String, lhs: String, rhs: String)
+          : DataFrame =
+        df.groupBy(col(lhs))
+          .agg(countDistinct(col(rhs)).as("nd"))
+          .agg(count(lit(1)).as("n_lhs"),
+            sum(when(col("nd") > 1, 1).otherwise(0)).as("n_violating"),
+            max(col("nd")).as("max_rhs"))
+          .select(lit(tbl).as("tbl"), lit(s"$lhs->$rhs").as("fd"),
+            col("n_lhs"), col("n_violating"), col("max_rhs"))
+      Seq(
+        probe(Tables.customer(s, d), "customer", "c_custkey", "c_nationkey"),
+        probe(Tables.customer(s, d), "customer", "c_nationkey",
+          "c_mktsegment"),
+        probe(Tables.nation(s, d), "nation", "n_nationkey", "n_regionkey"),
+        probe(Tables.orders(s, d), "orders", "o_custkey",
+          "o_orderpriority"),
+        probe(Tables.lineitem(s, d), "lineitem", "l_orderkey",
+          "l_returnflag"))
+        .reduce(_ unionByName _)
+        .select(col("tbl"), col("fd"), col("n_lhs").cast("long").as("n_lhs"),
+          col("n_violating").cast("long").as("n_violating"),
+          col("max_rhs").cast("long").as("max_rhs"),
+          (col("n_violating") === 0).as("holds"))
+        .orderBy(col("tbl"), col("fd"))
+    },
+
+    // FORMAT-CLASS CENSUS over string columns — the regex-type
+    // inference a pipeline runs on a NEW feed before writing parsers:
+    // each value classifies into the FIRST matching class of a fixed
+    // ladder (id_hash 'Word#digits', alpha_space, code_upper
+    // 'd-UPPER', numeric, other), and the census reports per-class
+    // counts and the column's dominant-class conformance share. One
+    // stacked scan per column; regex classes are anchored literals —
+    // identical RE2/Java semantics. A conformance share < 1.0 on a
+    // column the schema declares uniform IS the data-quality alert.
+    Q("dq_format_census", {
+      val ladder =
+        """CASE
+          |      WHEN regexp_matches(v, '^[A-Za-z]+#[0-9]+$') THEN 'id_hash'
+          |      WHEN regexp_matches(v, '^[a-z ]+$') THEN 'alpha_space'
+          |      WHEN regexp_matches(v, '^[0-9]-[A-Z ]+$') THEN 'code_upper'
+          |      WHEN regexp_matches(v, '^[0-9]+$') THEN 'numeric'
+          |      ELSE 'other' END""".stripMargin
+      s"""WITH u AS (
+         |  SELECT 'c_name' AS col, c_name AS v FROM customer
+         |  UNION ALL SELECT 'p_name', p_name FROM part
+         |  UNION ALL SELECT 'p_brand', p_brand FROM part
+         |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders),
+         |c AS (SELECT col, $ladder AS cls, count(*) AS n
+         |  FROM u GROUP BY 1, 2),
+         |t AS (SELECT col, cls, n, sum(n) OVER (PARTITION BY col) AS tot,
+         |    max(n) OVER (PARTITION BY col) AS top
+         |  FROM c)
+         |SELECT col, cls, CAST(n AS BIGINT) AS n,
+         |  round(n / CAST(tot AS DOUBLE), 4) AS share,
+         |  CAST(n = top AS BOOLEAN) AS dominant
+         |FROM t ORDER BY col, cls""".stripMargin
+    }) { (s, d) =>
+      val ladder =
+        """CASE
+          |  WHEN v RLIKE '^[A-Za-z]+#[0-9]+$' THEN 'id_hash'
+          |  WHEN v RLIKE '^[a-z ]+$' THEN 'alpha_space'
+          |  WHEN v RLIKE '^[0-9]-[A-Z ]+$' THEN 'code_upper'
+          |  WHEN v RLIKE '^[0-9]+$' THEN 'numeric'
+          |  ELSE 'other' END""".stripMargin
+      val u = Tables.customer(s, d)
+        .select(lit("c_name").as("col"), col("c_name").as("v"))
+        .unionByName(Tables.part(s, d)
+          .select(lit("p_name").as("col"), col("p_name").as("v")))
+        .unionByName(Tables.part(s, d)
+          .select(lit("p_brand").as("col"), col("p_brand").as("v")))
+        .unionByName(Tables.orders(s, d)
+          .select(lit("o_orderpriority").as("col"),
+            col("o_orderpriority").as("v")))
+      val c = u.select(col("col"), expr(ladder).as("cls"))
+        .groupBy(col("col"), col("cls")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("col"))
+      c.withColumn("tot", sum(col("n")).over(w))
+        .withColumn("top", max(col("n")).over(w))
+        .select(col("col"), col("cls"), col("n").cast("long").as("n"),
+          round(col("n") / col("tot").cast("double"), 4).as("share"),
+          (col("n") === col("top")).as("dominant"))
+        .orderBy(col("col"), col("cls"))
+    },
+
+    // MIXTURE DIVERSITY READOUT — entropy / effective-source-count /
+    // max-share of the corpus source mixture, raw AND after the τ=0.5
+    // temperature reweight (pipe_domain_temperature's sqrt idiom, so
+    // no libm pow at a threshold): the one-row-per-mix summary a
+    // data-mixing review reads before committing sampling weights.
+    // Effective sources e^H is the "how many sources does this mix
+    // really have" number; temperature must raise it (flatten) —
+    // the spec law. Terms DECIMAL-quantized; sources are a bounded
+    // vocabulary, so everything after the first rollup is tiny.
+    Q("pipe_mix_effective_sources",
+      """WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_docs) AS total FROM n),
+        |w AS (SELECT source, n_docs,
+        |    n_docs / CAST(t.total AS DOUBLE) AS p,
+        |    CAST(round(sqrt(n_docs / CAST(t.total AS DOUBLE)), 12)
+        |      AS DECIMAL(18,12)) AS wq
+        |  FROM n CROSS JOIN t),
+        |z AS (SELECT sum(wq) AS zq FROM w),
+        |q AS (SELECT source, p,
+        |    CAST(wq AS DOUBLE) / CAST(z.zq AS DOUBLE) AS pt
+        |  FROM w CROSS JOIN z),
+        |m AS (
+        |  SELECT 'raw' AS mix, count(*) AS n_sources,
+        |    CAST(sum(CAST(round(-(p * ln(p)), 12) AS DECIMAL(28,12)))
+        |      AS DOUBLE) AS h,
+        |    max(p) AS max_share
+        |  FROM q
+        |  UNION ALL
+        |  SELECT 'tempered', count(*),
+        |    CAST(sum(CAST(round(-(pt * ln(pt)), 12) AS DECIMAL(28,12)))
+        |      AS DOUBLE),
+        |    max(pt)
+        |  FROM q)
+        |SELECT mix, CAST(n_sources AS BIGINT) AS n_sources,
+        |  round(h, 4) AS entropy,
+        |  round(exp(h), 4) AS effective_sources,
+        |  round(max_share, 4) AS max_share
+        |FROM m ORDER BY mix""") { (s, d) =>
+      val n = Tables.documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val t = n.agg(sum(col("n_docs")).as("total"))
+      val w = n.crossJoin(broadcast(t))
+        .select(col("source"), col("n_docs"),
+          (col("n_docs") / col("total").cast("double")).as("p"),
+          round(sqrt(col("n_docs") / col("total").cast("double")), 12)
+            .cast("decimal(18,12)").as("wq"))
+      val z = w.agg(sum(col("wq")).as("zq"))
+      val q = w.crossJoin(broadcast(z))
+        .select(col("source"), col("p"),
+          (col("wq").cast("double") / col("zq").cast("double")).as("pt"))
+        .cache()
+      def mixRow(name: String, pc: org.apache.spark.sql.Column) =
+        q.agg(count(lit(1)).as("n_sources"),
+          sum(round(-(pc * log(pc)), 12).cast("decimal(28,12)"))
+            .cast("double").as("h"),
+          max(pc).as("max_share"))
+          .select(lit(name).as("mix"),
+            col("n_sources").cast("long").as("n_sources"), col("h"),
+            col("max_share"))
+      mixRow("raw", col("p")).unionByName(mixRow("tempered", col("pt")))
+        .select(col("mix"), col("n_sources"),
+          round(col("h"), 4).as("entropy"),
+          round(exp(col("h")), 4).as("effective_sources"),
+          round(col("max_share"), 4).as("max_share"))
+        .orderBy(col("mix"))
     })
 }

@@ -3490,5 +3490,46 @@ object TextQueries {
             - sum(col("spaces"))) / sum(col("n")).cast("double"), 4)
             .as("other_ratio"))
         .orderBy(col("lang"))
+    },
+
+    // LEXICAL-RICHNESS INDICES — Yule's K, Simpson's D, Herdan's C —
+    // the corpus-level vocabulary-concentration scorecard next to
+    // text_heaps_law/text_zipf: K = 10⁴·(Σf² − N)/N² and D =
+    // Σf(f−1)/(N(N−1)) are repeat-rate measures (higher = fewer types
+    // dominate; robust to corpus size, unlike raw TTR), C = lnV/lnN is
+    // the Heaps-slope point estimate. Everything is integer sums over
+    // the one term-frequency rollup — exact at any partitioning, one
+    // token-explode shuffle bounded by vocabulary.
+    Q("text_yule_k",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tc AS (SELECT term, CAST(count(*) AS BIGINT) AS f
+        |  FROM tok GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS v,
+        |    CAST(sum(f) AS BIGINT) AS n,
+        |    CAST(sum(f * f) AS BIGINT) AS sf2,
+        |    CAST(sum(f * (f - 1)) AS BIGINT) AS sff
+        |  FROM tc)
+        |SELECT n AS n_tokens, v AS vocab,
+        |  round(10000.0 * (sf2 - n) / (CAST(n AS DOUBLE) * n), 4)
+        |    AS yule_k,
+        |  round(sff / (CAST(n AS DOUBLE) * (n - 1)), 4) AS simpson_d,
+        |  round(ln(CAST(v AS DOUBLE)) / ln(CAST(n AS DOUBLE)), 4)
+        |    AS herdan_c
+        |FROM s""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("f"))
+        .agg(count(lit(1)).cast("long").as("v"),
+          sum(col("f")).cast("long").as("n"),
+          sum(col("f") * col("f")).cast("long").as("sf2"),
+          sum(col("f") * (col("f") - 1)).cast("long").as("sff"))
+        .select(col("n").as("n_tokens"), col("v").as("vocab"),
+          round(lit(10000.0) * (col("sf2") - col("n")) /
+            (col("n").cast("double") * col("n")), 4).as("yule_k"),
+          round(col("sff") / (col("n").cast("double") * (col("n") - 1)), 4)
+            .as("simpson_d"),
+          round(log(col("v").cast("double")) / log(col("n").cast("double")),
+            4).as("herdan_c"))
     })
 }

@@ -137,7 +137,12 @@ class DeterminismSpec extends SparkSpec {
       "eval_hosmer_lemeshow", "eval_icc", "eval_lin_ccc",
       // round-14 temporal batch: quantized lag products, block
       // cumulative-deviation windows, and the 3-point log-log OLS
-      "ts_ar2_yw", "ts_ljung_box", "ts_lttb", "ts_hurst"))
+      "ts_ar2_yw", "ts_ljung_box", "ts_lttb", "ts_hurst",
+      // round-14 dq/pipe/graph/text batch: distinct rollups, regex
+      // ladders, quantized entropy terms, peel-round edge census,
+      // integer frequency-spectrum sums
+      "dq_functional_deps", "dq_format_census",
+      "pipe_mix_effective_sources", "graph_ktruss", "text_yule_k"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
       assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
     }

@@ -124,8 +124,14 @@ class PlanHygieneSpec extends SparkSpec {
     "vec_cosine_lsh_banded", // vectors x broadcast 1-row n + 1-row
                            // 64-dim mean array (width ladder + centering)
     "sim_knn_mutual_banded", // same banded-parts broadcasts
-    "eval_gwet_ac1"        // q-row marginal grid x broadcast 1-row n,
+    "eval_gwet_ac1",       // q-row marginal grid x broadcast 1-row n,
                            // then 1-row Po x 1-row Pe
+    "pipe_mix_effective_sources", // source rollup x broadcast 1-row
+                           // total + 1-row temperature normalizer
+    "graph_ktruss",        // 1-row per-round edge counts cross-joined
+                           // into the 2-row census
+    "ts_hurst"             // day-level rollup x 3-row literal block-
+                           // size grid (ts_periodogram's shape)
   )
 
   private def offenders(name: String): Seq[String] = {

@@ -364,4 +364,124 @@ class Round14OpsSpec extends SparkSpec {
     assert(lo < 0.3, s"alternation must read anti-persistent: $lo")
     assert(hi > lo + 0.4)
   }
+
+  test("dq_functional_deps: planted violation and planted hold read exactly") {
+    val d = tmp("r14fd")
+    // customer: custkey->nationkey holds (unique keys); nationkey 7
+    // maps to TWO segments (one violating LHS group, max fan-out 2)
+    Seq((1L, "Customer#1", 7L, 1.0, "AUTO"),
+        (2L, "Customer#2", 7L, 1.0, "BIKE"),
+        (3L, "Customer#3", 8L, 1.0, "AUTO"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    Seq((7L, "GERMANY", 1L), (8L, "FRANCE", 1L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$d/nation.parquet")
+    Seq((1L, 1L, "F", 10.0, java.sql.Date.valueOf("2024-01-01"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq((1L, 1L, 1L, 1L, 1.0, 1.0, 0.0, 0.0, "N", "O",
+        java.sql.Date.valueOf("2024-01-02")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val out = SparkEntry.queries("dq_functional_deps")(spark, d).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out("c_custkey->c_nationkey") == ((3L, 0L, 1L, true)))
+    assert(out("c_nationkey->c_mktsegment") == ((2L, 1L, 2L, false)))
+    assert(out("n_nationkey->n_regionkey")._4)
+  }
+
+  test("dq_format_census: a corrupted value splits its column's class census") {
+    val d = tmp("r14fmt")
+    Seq((1L, "Customer#001", 1L, 1.0, "AUTO"),
+        (2L, "Customer#002", 1L, 1.0, "AUTO"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    // 3 clean alpha_space names + 1 corrupted (digit inside)
+    Seq((1L, "cold widget", "Brand#1", "ECONOMY", 1L, 1.0),
+        (2L, "small bolt", "Brand#2", "PROMO", 1L, 1.0),
+        (3L, "large gear", "Brand#3", "PROMO", 1L, 1.0),
+        (4L, "w1dget oops", "Brand#4", "PROMO", 1L, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .write.mode("overwrite").parquet(s"$d/part.parquet")
+    Seq((1L, 1L, "F", 10.0, java.sql.Date.valueOf("2024-01-01"),
+        "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val out = SparkEntry.queries("dq_format_census")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(("p_name", "alpha_space")) == ((3L, 0.75, true)))
+    assert(out(("p_name", "other")) == ((1L, 0.25, false)))
+    assert(out(("c_name", "id_hash")) == ((2L, 1.0, true)))
+    assert(out(("o_orderpriority", "code_upper"))._2 == 1.0)
+  }
+
+  test("pipe_mix_effective_sources: temperature flattens the mix (JVM replay)") {
+    val d = tmp("r14mix")
+    // 90/10 two-source corpus
+    val rows = (0 until 90).map(i => (i.toLong, s"doc $i", "en", "srcA",
+      5L)) ++ (90 until 100).map(i => (i.toLong, s"doc $i", "en", "srcB", 5L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("pipe_mix_effective_sources")(spark, d)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    def q12(x: Double) = math.rint(x * 1e12) / 1e12
+    val hRaw = q12(-(0.9 * math.log(0.9))) + q12(-(0.1 * math.log(0.1)))
+    val (nR, eR, effR, msR) = out("raw")
+    assert(nR == 2L && math.abs(eR - hRaw) < 2e-4 && msR == 0.9)
+    assert(math.abs(effR - math.exp(hRaw)) < 2e-3)
+    val (_, eT, effT, msT) = out("tempered")
+    assert(effT > effR && msT < msR, "temperature must flatten")
+    assert(effT <= 2.0 + 1e-9)
+  }
+
+  test("text_yule_k: all-distinct tokens score K = 0; a single type scores 10^4(1-1/N)") {
+    val d1 = tmp("r14yk1")
+    Seq((1L, "a b c d", "en", "s", 7L), (2L, "e f g h", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d1/documents.parquet")
+    val o1 = SparkEntry.queries("text_yule_k")(spark, d1).collect().head
+    assert(o1.getLong(0) == 8L && o1.getLong(1) == 8L)
+    assert(o1.getDouble(2) == 0.0 && o1.getDouble(3) == 0.0)
+    val d2 = tmp("r14yk2")
+    Seq((1L, "x x x x x x x x x x", "en", "s", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val o2 = SparkEntry.queries("text_yule_k")(spark, d2).collect().head
+    assert(o2.getLong(1) == 1L)
+    assert(o2.getDouble(2) == math.rint(10000.0 * 0.9 * 10000) / 10000)
+    assert(o2.getDouble(3) == 1.0, "single type: Simpson D = 1")
+  }
+
+  test("graph_ktruss: a 4-clique survives the peel, a lone triangle does not") {
+    val d = tmp("r14truss")
+    // two orders over parts {1,2,3,4} (every pair support 2 -> a
+    // 4-clique; each clique edge sits in 2 triangles) and two orders
+    // over {5,6,7} (a lone triangle; each edge in 1 triangle)
+    val rows = for {
+      (ok, parts) <- Seq((1L, Seq(1L, 2L, 3L, 4L)), (2L, Seq(1L, 2L, 3L, 4L)),
+        (3L, Seq(5L, 6L, 7L)), (4L, Seq(5L, 6L, 7L)))
+      (p, i) <- parts.zipWithIndex
+    } yield (ok, p, 1L, (i + 1).toLong, 1.0, 1.0, 0.0, 0.0, "N", "O",
+      java.sql.Date.valueOf("2024-01-02"))
+    rows.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val out = SparkEntry.queries("graph_ktruss")(spark, d).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(out(1) == ((9L, 6L, false)), "round 1 peels the lone triangle")
+    assert(out(2) == ((6L, 6L, true)), "round 2 certifies the fixpoint")
+  }
 }
