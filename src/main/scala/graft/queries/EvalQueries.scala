@@ -4240,6 +4240,77 @@ object EvalQueries {
           round(lit(2) * col("cov") / (col("v1") + col("v2") +
             (col("m1") - col("m2")) * (col("m1") - col("m2"))), 4)
             .as("ccc"))
+    },
+
+    // CROSS-VALIDATED METRIC STABILITY — AUC per md5-hash USER fold
+    // (grouped assignment: all of a user's events share a fold, the
+    // CV discipline that keeps per-user correlation from leaking
+    // between folds), plus the across-fold mean ± sd on every row.
+    // The fold dispersion is the error bar a model-selection review
+    // trusts when the DeLong assumptions don't hold; folds reuse
+    // eval_auc's tie-corrected rank machinery (collapse to
+    // (fold, score) counts, ONE window over distinct scores). The sd
+    // combine quantizes the 5 per-fold AUCs before the 5-row moment
+    // sums.
+    Q("eval_auc_by_fold",
+      s"""WITH e AS (SELECT
+         |    (instr('0123456789abcdef',
+         |      substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 5
+         |      AS fold,
+         |    value AS score, $lbl AS lbl FROM events),
+         |s AS (SELECT fold, score, count(*) AS cnt, sum(lbl) AS pos
+         |  FROM e GROUP BY 1, 2),
+         |r AS (SELECT fold, cnt, pos,
+         |    sum(cnt) OVER (PARTITION BY fold ORDER BY score) - cnt
+         |      AS cum_before
+         |  FROM s),
+         |a AS (SELECT fold,
+         |    CAST(sum(pos) AS BIGINT) AS p_cnt,
+         |    CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_cnt,
+         |    CAST(sum(pos * (2 * cum_before + cnt + 1)) AS BIGINT) AS two_s
+         |  FROM r GROUP BY 1),
+         |f AS (SELECT fold, p_cnt, n_cnt,
+         |    (two_s / 2.0 - p_cnt * (p_cnt + 1) / 2.0)
+         |      / (p_cnt * CAST(n_cnt AS DOUBLE)) AS auc
+         |  FROM a),
+         |m AS (SELECT count(*) AS k,
+         |    CAST(sum(CAST(round(auc, 10) AS DECIMAL(28,10))) AS DOUBLE)
+         |      AS s1,
+         |    CAST(sum(CAST(round(auc * auc, 10) AS DECIMAL(28,10)))
+         |      AS DOUBLE) AS s2
+         |  FROM f)
+         |SELECT fold, p_cnt, n_cnt, round(auc, 4) AS auc,
+         |  round(s1 / k, 4) AS mean_auc,
+         |  round(sqrt((s2 - s1 * s1 / k) / (k - 1)), 4) AS sd_auc
+         |FROM f CROSS JOIN m ORDER BY fold""") { (s, d) =>
+      val e = Tables.events(s, d).select(
+        expr("(instr('0123456789abcdef', substring(md5(CAST(user_id AS STRING)), 1, 1)) - 1) % 5").as("fold"),
+        col("value").as("score"), expr(lbl).as("lbl"))
+      val grouped = e.groupBy(col("fold"), col("score"))
+        .agg(count(lit(1)).as("cnt"), sum(col("lbl")).as("pos"))
+      val w = Window.partitionBy(col("fold")).orderBy(col("score"))
+      val f = grouped
+        .withColumn("cum_before", sum(col("cnt")).over(w) - col("cnt"))
+        .groupBy(col("fold"))
+        .agg(sum(col("pos")).cast("long").as("p_cnt"),
+          (sum(col("cnt")) - sum(col("pos"))).cast("long").as("n_cnt"),
+          sum(col("pos") * (lit(2) * col("cum_before") + col("cnt") + 1))
+            .cast("long").as("two_s"))
+        .select(col("fold"), col("p_cnt"), col("n_cnt"),
+          ((col("two_s") / 2.0 - col("p_cnt") * (col("p_cnt") + 1) / 2.0) /
+            (col("p_cnt") * col("n_cnt").cast("double"))).as("auc"))
+      val m = f.agg(count(lit(1)).as("k"),
+        sum(round(col("auc"), 10).cast("decimal(28,10)")).cast("double")
+          .as("s1"),
+        sum(round(col("auc") * col("auc"), 10).cast("decimal(28,10)"))
+          .cast("double").as("s2"))
+      f.crossJoin(broadcast(m))
+        .select(col("fold"), col("p_cnt"), col("n_cnt"),
+          round(col("auc"), 4).as("auc"),
+          round(col("s1") / col("k"), 4).as("mean_auc"),
+          round(sqrt((col("s2") - col("s1") * col("s1") / col("k")) /
+            (col("k") - 1)), 4).as("sd_auc"))
+        .orderBy(col("fold"))
     }
   )
 }

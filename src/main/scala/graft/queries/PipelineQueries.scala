@@ -2639,6 +2639,108 @@ object PipelineQueries {
         .orderBy(col("lambda"))
     },
 
+    // YEO-JOHNSON λ SELECTION (Yeo & Johnson 2000) — norm_boxcox's
+    // sibling for SIGNED data (here value − 100, so both branches are
+    // genuinely exercised): positives transform like Box-Cox on x+1,
+    // negatives mirror with exponent 2−λ, and the profile
+    // log-likelihood adds the Jacobian term (λ−1)·Σ sgn(x)·ln(1+|x|).
+    // The λ grid {0, 1/2, 1, 2} keeps every power a sqrt/product chain
+    // (no libm pow — determinism rule 22); one stacked power-sum scan,
+    // every term DECIMAL-quantized.
+    Q("norm_yeo_johnson",
+      """WITH x AS (SELECT CAST(value AS DOUBLE) - 100 AS v FROM events),
+        |s AS (SELECT count(*) AS n,
+        |    CAST(sum(CAST(round(CASE WHEN v >= 0 THEN ln(1 + v)
+        |      ELSE -ln(1 - v) END, 12) AS DECIMAL(28,12))) AS DOUBLE)
+        |      AS slx,
+        |    CAST(sum(CAST(round(CASE WHEN v >= 0 THEN ln(v + 1)
+        |      ELSE -(((1 - v) * (1 - v)) - 1) / 2 END, 10)
+        |      AS DECIMAL(28,10))) AS DOUBLE) AS y10,
+        |    CAST(sum(CAST(round((CASE WHEN v >= 0 THEN ln(v + 1)
+        |      ELSE -(((1 - v) * (1 - v)) - 1) / 2 END)
+        |      * (CASE WHEN v >= 0 THEN ln(v + 1)
+        |      ELSE -(((1 - v) * (1 - v)) - 1) / 2 END), 10)
+        |      AS DECIMAL(28,10))) AS DOUBLE) AS y20,
+        |    CAST(sum(CAST(round(CASE WHEN v >= 0 THEN 2 * (sqrt(v + 1) - 1)
+        |      ELSE -(((1 - v) * sqrt(1 - v)) - 1) / 1.5 END, 10)
+        |      AS DECIMAL(28,10))) AS DOUBLE) AS y1h,
+        |    CAST(sum(CAST(round((CASE WHEN v >= 0 THEN 2 * (sqrt(v + 1) - 1)
+        |      ELSE -(((1 - v) * sqrt(1 - v)) - 1) / 1.5 END)
+        |      * (CASE WHEN v >= 0 THEN 2 * (sqrt(v + 1) - 1)
+        |      ELSE -(((1 - v) * sqrt(1 - v)) - 1) / 1.5 END), 10)
+        |      AS DECIMAL(28,10))) AS DOUBLE) AS y2h,
+        |    CAST(sum(CAST(round(v, 10) AS DECIMAL(28,10))) AS DOUBLE)
+        |      AS y1i,
+        |    CAST(sum(CAST(round(v * v, 10) AS DECIMAL(28,10))) AS DOUBLE)
+        |      AS y2i,
+        |    CAST(sum(CAST(round(CASE WHEN v >= 0
+        |      THEN ((v + 1) * (v + 1) - 1) / 2
+        |      ELSE -ln(1 - v) END, 10) AS DECIMAL(28,10))) AS DOUBLE)
+        |      AS y1t,
+        |    CAST(sum(CAST(round((CASE WHEN v >= 0
+        |      THEN ((v + 1) * (v + 1) - 1) / 2
+        |      ELSE -ln(1 - v) END) * (CASE WHEN v >= 0
+        |      THEN ((v + 1) * (v + 1) - 1) / 2
+        |      ELSE -ln(1 - v) END), 10) AS DECIMAL(28,10))) AS DOUBLE)
+        |      AS y2t
+        |  FROM x),
+        |g AS (
+        |  SELECT CAST(0.0 AS DOUBLE) AS lambda, n, slx,
+        |    y20 / n - (y10 / n) * (y10 / n) AS var FROM s
+        |  UNION ALL SELECT CAST(0.5 AS DOUBLE), n, slx,
+        |    y2h / n - (y1h / n) * (y1h / n) FROM s
+        |  UNION ALL SELECT CAST(1.0 AS DOUBLE), n, slx,
+        |    y2i / n - (y1i / n) * (y1i / n) FROM s
+        |  UNION ALL SELECT CAST(2.0 AS DOUBLE), n, slx,
+        |    y2t / n - (y1t / n) * (y1t / n) FROM s),
+        |ll AS (SELECT lambda, n,
+        |    -(n / 2.0) * ln(var) + (lambda - 1) * slx AS loglik
+        |  FROM g),
+        |r AS (SELECT lambda, n, loglik,
+        |    row_number() OVER (ORDER BY loglik DESC, lambda) AS rk
+        |  FROM ll)
+        |SELECT lambda, CAST(n AS BIGINT) AS n,
+        |  round(loglik, 4) AS loglik,
+        |  CAST(rk = 1 AS BOOLEAN) AS is_best
+        |FROM r ORDER BY lambda""") { (s, d) =>
+      val x = Tables.events(s, d)
+        .select((col("value").cast("double") - 100).as("v"))
+      def qsum(c: org.apache.spark.sql.Column, scale: Int) =
+        sum(round(c, scale).cast(s"decimal(28,$scale)")).cast("double")
+      val sgnLn = expr(
+        "CASE WHEN v >= 0 THEN ln(1 + v) ELSE -ln(1 - v) END")
+      val y0 = expr("""CASE WHEN v >= 0 THEN ln(v + 1)
+        |  ELSE -(((1 - v) * (1 - v)) - 1) / 2 END""".stripMargin)
+      val yh = expr("""CASE WHEN v >= 0 THEN 2 * (sqrt(v + 1) - 1)
+        |  ELSE -(((1 - v) * sqrt(1 - v)) - 1) / 1.5 END""".stripMargin)
+      val yi = col("v")
+      val yt = expr("""CASE WHEN v >= 0 THEN ((v + 1) * (v + 1) - 1) / 2
+        |  ELSE -ln(1 - v) END""".stripMargin)
+      val st = x.agg(count(lit(1)).as("n"),
+        qsum(sgnLn, 12).as("slx"),
+        qsum(y0, 10).as("y10"), qsum(y0 * y0, 10).as("y20"),
+        qsum(yh, 10).as("y1h"), qsum(yh * yh, 10).as("y2h"),
+        qsum(yi, 10).as("y1i"), qsum(yi * yi, 10).as("y2i"),
+        qsum(yt, 10).as("y1t"), qsum(yt * yt, 10).as("y2t"))
+      def row(lam: Double, y1: org.apache.spark.sql.Column,
+          y2: org.apache.spark.sql.Column) =
+        st.select(lit(lam).as("lambda"), col("n"), col("slx"),
+          (y2 / col("n") - (y1 / col("n")) * (y1 / col("n"))).as("var"))
+      val g = row(0.0, col("y10"), col("y20"))
+        .unionByName(row(0.5, col("y1h"), col("y2h")))
+        .unionByName(row(1.0, col("y1i"), col("y2i")))
+        .unionByName(row(2.0, col("y1t"), col("y2t")))
+      val ll = g.select(col("lambda"), col("n"),
+        (-(col("n") / 2.0) * log(col("var")) +
+          (col("lambda") - 1) * col("slx")).as("loglik"))
+      val w = Window.orderBy(col("loglik").desc, col("lambda"))
+      ll.withColumn("rk", row_number().over(w))
+        .select(col("lambda"), col("n").cast("long").as("n"),
+          round(col("loglik"), 4).as("loglik"),
+          (col("rk") === 1).as("is_best"))
+        .orderBy(col("lambda"))
+    },
+
     // IN-ENGINE LOGISTIC REGRESSION via IRLS (ridge-regularized
     // Newton, 3 unrolled rounds) — the quality-classifier TRAINING
     // step a data pipeline otherwise ships out to a Python job: fit

@@ -2403,5 +2403,56 @@ object TemporalQueries {
           round((col("sxy") - col("sx") * col("sy") / col("k")) /
             (col("sxx") - col("sx") * col("sx") / col("k")), 4).as("hurst"))
         .orderBy(col("event_type"))
+    },
+
+    // TIME-WEIGHTED AVERAGE — the correct mean for an IRREGULARLY
+    // SAMPLED step signal (prices, gauge readings, config values): a
+    // value "holds" until the next observation, so the mean weights
+    // each value by its holding interval instead of giving a burst of
+    // rapid-fire samples a burst of influence. Per type: one lead()
+    // window over (ts, event_id) — the composite break ties
+    // deterministically — then an integer-second interval, a
+    // DECIMAL-quantized value·dt sum, and one divide. The simple mean
+    // rides the same scan; the gap between the two IS the sampling-
+    // bias readout. Zero-length intervals (same-timestamp bursts)
+    // contribute zero weight by construction.
+    Q("ts_time_weighted_avg",
+      """WITH e AS (SELECT event_type, ts, event_id, CAST(value AS DOUBLE) AS v
+        |  FROM events),
+        |l AS (SELECT event_type, v,
+        |    CAST(date_diff('second', ts,
+        |      lead(ts) OVER (PARTITION BY event_type
+        |        ORDER BY ts, event_id)) AS BIGINT) AS dt
+        |  FROM e),
+        |a AS (SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n_intervals,
+        |    CAST(sum(dt) AS BIGINT) AS total_seconds,
+        |    CAST(sum(CAST(round(v * dt, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |      AS swv,
+        |    CAST(sum(CAST(round(v, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sv
+        |  FROM l WHERE dt IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_intervals, total_seconds,
+        |  round(swv / total_seconds, 4) AS twa,
+        |  round(sv / n_intervals, 4) AS simple_avg
+        |FROM a ORDER BY event_type""") { (s, d) =>
+      val e = Tables.events(s, d).select(col("event_type"), col("ts"),
+        col("event_id"), col("value").cast("double").as("v"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      e.withColumn("dt",
+          (unix_timestamp(lead(col("ts"), 1).over(w)) -
+            unix_timestamp(col("ts"))).cast("long"))
+        .filter(col("dt").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_intervals"),
+          sum(col("dt")).cast("long").as("total_seconds"),
+          sum(round(col("v") * col("dt"), 6).cast("decimal(28,6)"))
+            .cast("double").as("swv"),
+          sum(round(col("v"), 6).cast("decimal(28,6)")).cast("double")
+            .as("sv"))
+        .select(col("event_type"), col("n_intervals"), col("total_seconds"),
+          round(col("swv") / col("total_seconds"), 4).as("twa"),
+          round(col("sv") / col("n_intervals"), 4).as("simple_avg"))
+        .orderBy(col("event_type"))
     })
 }

@@ -1891,6 +1891,143 @@ object VectorQueries {
         .orderBy(col("u"), col("v"))
     },
 
+    // IVF-PQ WITH ADC — the composed index structure production ANN
+    // systems actually ship (FAISS IVFPQ): the IVF coarse quantizer
+    // (label centroids, as sim_knn_ivf) prunes the search to ONE cell,
+    // and product quantization runs on the RESIDUAL e − centroid(cell)
+    // (residuals are near-zero-mean, so the shared 16-codeword book
+    // spends its bits on local structure instead of re-encoding the
+    // centroid — the whole point of the composition). Encoding is the
+    // sim_pq_adc argmin fold per 16-dim block; the query builds its
+    // residual against the ASSIGNED cell's centroid, a 4×16 distance
+    // table, and ADC scans only the probed cell's codes: at 100 TB
+    // that is a broadcast dtab × one cell partition — never the
+    // corpus. Distances quantize to DECIMAL(18,6) before every argmin
+    // / sum, so rank order is bit-identical across engines.
+    Q("sim_ivfpq_adc",
+      """WITH ex AS (SELECT vec_id, label,
+        |    CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |c AS (SELECT label, dim, avg(x) AS cx FROM ex GROUP BY label, dim),
+        |cl AS (SELECT label, list(cx ORDER BY dim) AS cv FROM c GROUP BY label),
+        |v AS (SELECT vec_id, label, embedding AS e FROM embeddings),
+        |res AS (SELECT v.vec_id, v.label,
+        |    list_transform(range(1, 65),
+        |      i -> CAST(e[i] AS DOUBLE) - cv[i]) AS rv
+        |  FROM v JOIN cl ON cl.label = v.label),
+        |cbv AS (SELECT vec_id AS cb_id, rv AS ce FROM res WHERE vec_id < 16),
+        |encd AS (SELECT res.vec_id, res.label, b.b, cbv.cb_id AS c,
+        |    CAST(round(list_sum(list_transform(range(1, 17), j ->
+        |      (rv[CAST(16*b.b + j AS INT)] - ce[CAST(16*b.b + j AS INT)]) *
+        |      (rv[CAST(16*b.b + j AS INT)] - ce[CAST(16*b.b + j AS INT)]))), 6)
+        |      AS DECIMAL(18,6)) AS dq
+        |  FROM res, range(0, 4) b(b), cbv),
+        |codes AS (SELECT vec_id, label, b, c FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, b
+        |      ORDER BY dq, c) AS rk FROM encd) WHERE rk = 1),
+        |qa AS (SELECT e.vec_id AS qid, c.label AS cell,
+        |    sum((e.x - c.cx) * (e.x - c.cx)) AS d2
+        |  FROM ex e JOIN c ON e.dim = c.dim
+        |  WHERE e.vec_id < 8 GROUP BY 1, 2),
+        |assign AS (SELECT qid, cell FROM (SELECT qid, cell,
+        |    row_number() OVER (PARTITION BY qid ORDER BY d2, cell) AS rn
+        |  FROM qa) WHERE rn = 1),
+        |qres AS (SELECT a.qid, a.cell,
+        |    list_transform(range(1, 65),
+        |      i -> CAST(v.e[i] AS DOUBLE) - cl.cv[i]) AS qrv
+        |  FROM assign a JOIN v ON v.vec_id = a.qid
+        |  JOIN cl ON cl.label = a.cell),
+        |dtab AS (SELECT q.qid, q.cell, b.b, cbv.cb_id AS c,
+        |    CAST(round(list_sum(list_transform(range(1, 17), j ->
+        |      (qrv[CAST(16*b.b + j AS INT)] - ce[CAST(16*b.b + j AS INT)]) *
+        |      (qrv[CAST(16*b.b + j AS INT)] - ce[CAST(16*b.b + j AS INT)]))), 6)
+        |      AS DECIMAL(18,6)) AS dq
+        |  FROM qres q, range(0, 4) b(b), cbv),
+        |adc AS (SELECT d.qid, s.vec_id AS vid, sum(d.dq) AS adc
+        |  FROM codes s JOIN dtab d ON d.b = s.b AND d.c = s.c
+        |    AND d.cell = s.label AND d.qid <> s.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT qid, vid, adc, row_number() OVER (PARTITION BY qid
+        |    ORDER BY adc, vid) AS rk FROM adc)
+        |SELECT qid, vid, CAST(rk AS INT) AS rk,
+        |  round(CAST(adc AS DOUBLE), 4) AS adc
+        |FROM r WHERE rk <= 3
+        |ORDER BY qid, rk""") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val exploded = e.select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("x", col("x").cast("double"))
+      val centroids = exploded.groupBy(col("label").as("cell"), col("dim"))
+        .agg(avg(col("x")).as("cx"))
+      val cl = centroids.groupBy(col("cell"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(dim, cx))), s -> s.cx)")
+          .as("cv"))
+      val v = e.select(col("vec_id"), col("label"), col("embedding").as("e"))
+      val res = v.join(broadcast(cl), col("label") === col("cell"))
+        .withColumn("rv", expr(
+          """transform(sequence(1, 64),
+            |  i -> CAST(element_at(e, i) AS DOUBLE) - element_at(cv, i))"""
+            .stripMargin))
+        .select(col("vec_id"), col("label"), col("rv"))
+      val cbDf = res.filter(col("vec_id") < 16)
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(vec_id, rv))), t -> t.rv)")
+          .as("cb"))
+      def dsub(vec: String): String = {
+        val diff = s"(element_at($vec, CAST(16*b + j AS INT)) - " +
+          s"element_at(element_at(cb, c + 1), CAST(16*b + j AS INT)))"
+        s"CAST(round(aggregate(sequence(1, 16), CAST(0.0 AS DOUBLE), " +
+          s"(acc, j) -> acc + $diff * $diff), 6) AS DECIMAL(18,6))"
+      }
+      val enc = res.crossJoin(broadcast(cbDf)).withColumn("codes", expr(
+        s"""transform(sequence(0, 3), b ->
+           |  aggregate(sequence(0, 15),
+           |    named_struct('d', CAST(999999 AS DECIMAL(18,6)), 'c', -1),
+           |    (acc, c) -> IF(${dsub("rv")} < acc.d,
+           |      named_struct('d', ${dsub("rv")}, 'c', c), acc),
+           |    acc -> acc.c))""".stripMargin))
+        .select(col("vec_id"), col("label"), col("codes"))
+      val qa = exploded.filter(col("vec_id") < 8)
+        .join(broadcast(centroids), Seq("dim"))
+        .withColumn("sq", (col("x") - col("cx")) * (col("x") - col("cx")))
+        .groupBy(col("vec_id").as("qid"), col("cell"))
+        .agg(sum(col("sq")).as("d2"))
+      val wA = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cell"))
+      val assign = qa.withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1).select(col("qid"), col("cell"))
+      val qres = assign
+        .join(v.select(col("vec_id").as("qid"), col("e").as("qe")),
+          Seq("qid"))
+        .join(broadcast(cl), Seq("cell"))
+        .withColumn("qrv", expr(
+          """transform(sequence(1, 64),
+            |  i -> CAST(element_at(qe, i) AS DOUBLE) - element_at(cv, i))"""
+            .stripMargin))
+        .select(col("qid"), col("cell"), col("qrv"))
+      val qdtab = qres.crossJoin(broadcast(cbDf))
+        .withColumn("dtab", expr(
+          s"""transform(sequence(0, 3), b ->
+             |  transform(sequence(0, 15), c -> ${dsub("qrv")}))"""
+            .stripMargin))
+        .select(col("qid"), col("cell"), col("dtab"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+      enc.join(broadcast(qdtab),
+          col("label") === col("cell") && col("qid") =!= col("vec_id"))
+        .withColumn("adc", expr(
+          """aggregate(sequence(0, 3), CAST(0 AS DECIMAL(38,6)), (acc, b) ->
+            |  CAST(acc + element_at(element_at(dtab, b + 1),
+            |    element_at(codes, b + 1) + 1) AS DECIMAL(38,6)))"""
+            .stripMargin))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("vec_id").as("vid"),
+          col("rk").cast("int").as("rk"),
+          round(col("adc").cast("double"), 4).as("adc"))
+        .orderBy(col("qid"), col("rk"))
+    },
+
     // WIDTH-LAW CENSUS for the banded sign-LSH (see the scaladoc on
     // [[bandedCap]]) — the readout that PROVES the scale contract on
     // any corpus: per band, the realized bucket count, the max

@@ -142,7 +142,11 @@ class DeterminismSpec extends SparkSpec {
       // ladders, quantized entropy terms, peel-round edge census,
       // integer frequency-spectrum sums
       "dq_functional_deps", "dq_format_census",
-      "pipe_mix_effective_sources", "graph_ktruss", "text_yule_k"))
+      "pipe_mix_effective_sources", "graph_ktruss", "text_yule_k",
+      // round-14 fourth batch: decimal-quantized residual-PQ argmins,
+      // signed-branch YJ power sums, fold-AUC moments, dt-weighted sums
+      "sim_ivfpq_adc", "norm_yeo_johnson", "eval_auc_by_fold",
+      "ts_time_weighted_avg"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
       assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
     }

@@ -130,8 +130,11 @@ class PlanHygieneSpec extends SparkSpec {
                            // total + 1-row temperature normalizer
     "graph_ktruss",        // 1-row per-round edge counts cross-joined
                            // into the 2-row census
-    "ts_hurst"             // day-level rollup x 3-row literal block-
+    "ts_hurst",            // day-level rollup x 3-row literal block-
                            // size grid (ts_periodogram's shape)
+    "sim_ivfpq_adc",       // corpus x broadcast 1-row residual codebook
+                           // + 8-query dtab (sim_pq_adc's shape)
+    "eval_auc_by_fold"     // 5 fold rows x broadcast 1-row dispersion
   )
 
   private def offenders(name: String): Seq[String] = {

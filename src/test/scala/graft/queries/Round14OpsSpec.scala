@@ -484,4 +484,99 @@ class Round14OpsSpec extends SparkSpec {
     assert(out(1) == ((9L, 6L, false)), "round 1 peels the lone triangle")
     assert(out(2) == ((6L, 6L, true)), "round 2 certifies the fixpoint")
   }
+
+  test("sim_ivfpq_adc: an exact duplicate ranks first; other cells are pruned") {
+    val d = tmp("r14ivfpq")
+    // label 0: query vec 0, its exact duplicate 20, and far decoys
+    // 21-25; ids 1-15 (label 1) anchor the residual codebook; id 30
+    // duplicates the query but lives in cell 1 -> IVF must prune it.
+    def vec(seed: Int): Seq[Float] =
+      Array.tabulate(64)(j => (((seed * 13 + j * 7) % 17) - 8).toFloat).toSeq
+    val q0 = vec(99)
+    val rows =
+      Seq((0L, q0, 0), (20L, q0, 0), (30L, q0, 1)) ++
+      (21 to 25).map(i => (i.toLong, vec(i), 0)) ++
+      (1 to 15).map(i => (i.toLong, vec(i * 3 + 1), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = SparkEntry.queries("sim_ivfpq_adc")(spark, d).collect()
+    val q0rows = out.filter(_.getLong(0) == 0L)
+    assert(q0rows.nonEmpty)
+    assert(q0rows.head.getLong(1) == 20L,
+      s"duplicate must rank first, got ${q0rows.head.getLong(1)}")
+    assert(!q0rows.map(_.getLong(1)).contains(30L),
+      "the other cell's duplicate must be pruned by the IVF stage")
+  }
+
+  test("norm_yeo_johnson: full JVM replay of the profile log-likelihood grid") {
+    val d = tmp("r14yj")
+    // signed data around the 100 pivot: both YJ branches exercised
+    val vals = Seq(60.0, 80.0, 95.0, 100.0, 103.0, 120.0, 150.0, 190.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, Timestamp.valueOf("2024-01-05 10:00:00"), i.toLong,
+        "view", v, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    def q(x: Double, s: Int) = {
+      val f = math.pow(10, s)
+      math.rint(x * f) / f
+    }
+    val xs = vals.map(_ - 100)
+    def yj(lam: Double)(x: Double): Double =
+      if (lam == 0.0) { if (x >= 0) math.log(x + 1)
+        else -(((1 - x) * (1 - x)) - 1) / 2 }
+      else if (lam == 0.5) { if (x >= 0) 2 * (math.sqrt(x + 1) - 1)
+        else -(((1 - x) * math.sqrt(1 - x)) - 1) / 1.5 }
+      else if (lam == 1.0) x
+      else { if (x >= 0) ((x + 1) * (x + 1) - 1) / 2
+        else -math.log(1 - x) }
+    val slx = xs.map(x => q(if (x >= 0) math.log(1 + x)
+      else -math.log(1 - x), 12)).sum
+    val n = xs.size
+    val expected = Seq(0.0, 0.5, 1.0, 2.0).map { lam =>
+      val ys = xs.map(yj(lam))
+      val s1 = ys.map(q(_, 10)).sum
+      val s2 = ys.map(y => q(y * y, 10)).sum
+      val v = s2 / n - (s1 / n) * (s1 / n)
+      lam -> (-(n / 2.0) * math.log(v) + (lam - 1) * slx)
+    }.toMap
+    val out = SparkEntry.queries("norm_yeo_johnson")(spark, d).collect()
+    assert(out.length == 4)
+    for (r <- out) {
+      val lam = r.getDouble(0)
+      assert(math.abs(r.getDouble(2) - expected(lam)) < 2e-4,
+        s"lambda $lam: ${r.getDouble(2)} vs ${expected(lam)}")
+    }
+    assert(out.count(_.getBoolean(3)) == 1, "exactly one winner")
+  }
+
+  test("eval_auc_by_fold: five folds, dispersion consistent with the fold AUCs") {
+    val out = SparkEntry.queries("eval_auc_by_fold")(spark, sf).collect()
+    assert(out.map(_.getInt(0)).toSet == Set(0, 1, 2, 3, 4))
+    val aucs = out.map(_.getDouble(3))
+    assert(aucs.forall(a => a >= 0.0 && a <= 1.0))
+    val mean = aucs.sum / aucs.length
+    assert(math.abs(out.head.getDouble(4) - mean) < 1e-3,
+      "mean_auc tracks the per-fold AUCs")
+    assert(out.map(_.getDouble(5)).distinct.length == 1,
+      "sd_auc is one number repeated")
+  }
+
+  test("ts_time_weighted_avg: holding intervals weight the mean (exact fixture)") {
+    val d = tmp("r14twa")
+    // v=10 held 300 s, v=40 held 100 s, terminal point unweighted:
+    // TWA = (10*300 + 40*100)/400 = 17.5; simple mean = (10+40)/2 = 25
+    val base = Timestamp.valueOf("2024-01-06 00:00:00").getTime
+    val rows = Seq((1L, 0L, 10.0), (2L, 300L, 40.0), (3L, 400L, 99.0))
+      .map { case (id, off, v) =>
+        (id, new Timestamp(base + off * 1000), id, "view", v, "{}")
+      }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = SparkEntry.queries("ts_time_weighted_avg")(spark, d)
+      .collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 400L)
+    assert(r.getDouble(3) == 17.5 && r.getDouble(4) == 25.0)
+  }
 }
