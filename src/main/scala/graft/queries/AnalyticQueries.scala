@@ -1078,5 +1078,59 @@ object AnalyticQueries {
           round(col("sv").cast("double") / col("n_sampled"), 4)
             .as("sample_mean"))
         .orderBy(col("event_type"))
+    },
+
+    // INEQUALITY-INDEX SUITE (Theil T / Theil L (MLD) / Atkinson ε=½ /
+    // Hoover) over positive event values — the concentration readouts
+    // next to agg_gini_entropy that decompose (Theil is the one that
+    // ADDS across subgroups, which is why pipelines prefer it to Gini
+    // at scale). Two scans: one for the mean, one for the quantized
+    // index terms against the broadcast 1-row μ; ε=½ keeps Atkinson a
+    // sqrt (no libm pow). All terms DECIMAL-quantized → order-free.
+    Q("agg_inequality",
+      """WITH x AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE value > 0),
+        |m AS (SELECT count(*) AS n,
+        |    CAST(sum(CAST(round(v, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |      / count(*) AS mu
+        |  FROM x),
+        |t AS (SELECT n, mu,
+        |    CAST(sum(CAST(round((v / mu) * ln(v / mu), 12)
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS st,
+        |    CAST(sum(CAST(round(ln(mu / v), 12) AS DECIMAL(28,12)))
+        |      AS DOUBLE) AS sl,
+        |    CAST(sum(CAST(round(sqrt(v), 10) AS DECIMAL(28,10)))
+        |      AS DOUBLE) AS ss,
+        |    CAST(sum(CAST(round(abs(v - mu), 8) AS DECIMAL(28,8)))
+        |      AS DOUBLE) AS sa
+        |  FROM x CROSS JOIN m GROUP BY n, mu)
+        |SELECT CAST(n AS BIGINT) AS n, round(mu, 4) AS mean,
+        |  round(st / n, 4) AS theil_t,
+        |  round(sl / n, 4) AS theil_l,
+        |  round(1 - ((ss / n) * (ss / n)) / mu, 4) AS atkinson_05,
+        |  round(sa / (2 * n * mu), 4) AS hoover
+        |FROM t""") { (s, d) =>
+      val x = Tables.events(s, d).filter(col("value") > 0)
+        .select(col("value").cast("double").as("v"))
+      val m = x.agg((sum(round(col("v"), 6).cast("decimal(28,6)"))
+        .cast("double") / count(lit(1))).as("mu"),
+        count(lit(1)).as("n"))
+      def qs(c: org.apache.spark.sql.Column, scale: Int) =
+        sum(round(c, scale).cast(s"decimal(28,$scale)")).cast("double")
+      x.crossJoin(broadcast(m))
+        .groupBy(col("n"), col("mu"))
+        .agg(qs((col("v") / col("mu")) * log(col("v") / col("mu")), 12)
+          .as("st"),
+          qs(log(col("mu") / col("v")), 12).as("sl"),
+          qs(sqrt(col("v")), 10).as("ss"),
+          qs(abs(col("v") - col("mu")), 8).as("sa"))
+        .select(col("n").cast("long").as("n"), round(col("mu"), 4)
+          .as("mean"),
+          round(col("st") / col("n"), 4).as("theil_t"),
+          round(col("sl") / col("n"), 4).as("theil_l"),
+          round(lit(1) - ((col("ss") / col("n")) * (col("ss") / col("n")))
+            / col("mu"), 4).as("atkinson_05"),
+          round(col("sa") / (lit(2) * col("n") * col("mu")), 4)
+            .as("hoover"))
     })
 }

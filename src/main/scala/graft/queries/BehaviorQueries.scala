@@ -1711,6 +1711,67 @@ object BehaviorQueries {
           round(col("n_customers") / col("rn").cast("double"), 4)
             .as("row_share"))
         .orderBy(col("q_before"), col("q_after"))
+    },
+
+    // PRICE ELASTICITY per brand — the ln-ln demand regression retail
+    // analytics runs on every assortment review: slope of ln(quantity)
+    // on ln(unit price) over the brand's line items (unit price =
+    // extended/quantity). One lineitem×part equi-join (part is the
+    // small dim — broadcastable at any scale), per-brand
+    // DECIMAL-quantized OLS moment sums, closed-form slope + R². A
+    // slope near −1 is unit-elastic; this fixture's synthetic prices
+    // make the readout a determinism exercise, which is the point —
+    // the estimator's plan shape is what scales.
+    Q("behavior_price_elasticity",
+      """WITH j AS (SELECT p.p_brand AS brand,
+        |    ln(l_extendedprice / CAST(l_quantity AS DOUBLE)) AS x,
+        |    ln(CAST(l_quantity AS DOUBLE)) AS y
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE l_quantity > 0 AND l_extendedprice > 0),
+        |s AS (SELECT brand, count(*) AS n,
+        |    CAST(sum(CAST(round(x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(round(y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(round(x * y, 12) AS DECIMAL(28,12))) AS DOUBLE)
+        |      AS sxy,
+        |    CAST(sum(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS DOUBLE)
+        |      AS sxx,
+        |    CAST(sum(CAST(round(y * y, 12) AS DECIMAL(28,12))) AS DOUBLE)
+        |      AS syy
+        |  FROM j GROUP BY 1),
+        |f AS (SELECT brand, n,
+        |    (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope,
+        |    (sxy - sx * sy / n) * (sxy - sx * sy / n)
+        |      / ((sxx - sx * sx / n) * (syy - sy * sy / n)) AS r2
+        |  FROM s)
+        |SELECT brand, CAST(n AS BIGINT) AS n,
+        |  round(slope, 4) AS elasticity, round(r2, 4) AS r2
+        |FROM f ORDER BY brand""") { (s, d) =>
+      val j = Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("p_partkey") === col("l_partkey"))
+        .select(col("p_brand").as("brand"),
+          log(col("l_extendedprice") / col("l_quantity").cast("double"))
+            .as("x"),
+          log(col("l_quantity").cast("double")).as("y"))
+      def q12(c: org.apache.spark.sql.Column) =
+        sum(round(c, 12).cast("decimal(28,12)")).cast("double")
+      j.groupBy(col("brand"))
+        .agg(count(lit(1)).as("n"), q12(col("x")).as("sx"),
+          q12(col("y")).as("sy"), q12(col("x") * col("y")).as("sxy"),
+          q12(col("x") * col("x")).as("sxx"),
+          q12(col("y") * col("y")).as("syy"))
+        .select(col("brand"), col("n").cast("long").as("n"),
+          round((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("sxx") - col("sx") * col("sx") / col("n")), 4)
+            .as("elasticity"),
+          round((col("sxy") - col("sx") * col("sy") / col("n")) *
+            (col("sxy") - col("sx") * col("sy") / col("n")) /
+            ((col("sxx") - col("sx") * col("sx") / col("n")) *
+              (col("syy") - col("sy") * col("sy") / col("n"))), 4)
+            .as("r2"))
+        .orderBy(col("brand"))
     }
   )
 }

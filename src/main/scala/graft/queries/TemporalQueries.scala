@@ -2454,5 +2454,55 @@ object TemporalQueries {
           round(col("swv") / col("total_seconds"), 4).as("twa"),
           round(col("sv") / col("n_intervals"), 4).as("simple_avg"))
         .orderBy(col("event_type"))
+    },
+
+    // POISSON + GAMMA DEVIANCE of the seasonal-naive forecast — the
+    // COUNT-DATA scorecard next to ts_forecast_accuracy's MAE/MAPE:
+    // squared error treats a miss of 5 on a mean of 10 like a miss of
+    // 5 on a mean of 10,000; the Poisson deviance
+    // 2Σ[y·ln(y/μ) − (y−μ)] is the likelihood-correct loss for counts
+    // (and the gamma deviance 2Σ[−ln(y/μ) + (y−μ)/μ] the
+    // multiplicative-error twin). Same lag-7 window over the day
+    // grid; y and μ are counts ≥ 1 so every log is finite. Per-term
+    // DECIMAL quantization → partition-invariant.
+    Q("ts_forecast_deviance",
+      """WITH y AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS yv
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, yv,
+        |    lag(yv, 7) OVER (PARTITION BY event_type ORDER BY day) AS fc
+        |  FROM y),
+        |e AS (SELECT event_type, yv, fc FROM l WHERE fc IS NOT NULL),
+        |s AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(round(yv * ln(yv / CAST(fc AS DOUBLE))
+        |      - (yv - fc), 10) AS DECIMAL(28,10))) AS DOUBLE) AS pd,
+        |    CAST(sum(CAST(round(-ln(yv / CAST(fc AS DOUBLE))
+        |      + (yv - fc) / CAST(fc AS DOUBLE), 10) AS DECIMAL(28,10)))
+        |      AS DOUBLE) AS gd
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_scored,
+        |  round(2 * pd, 4) AS poisson_dev,
+        |  round(2 * pd / n, 4) AS poisson_dev_mean,
+        |  round(2 * gd, 4) AS gamma_dev
+        |FROM s ORDER BY event_type""") { (s, d) =>
+      val y = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("yv"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      y.withColumn("fc", lag(col("yv"), 7).over(w))
+        .filter(col("fc").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("yv") * log(col("yv") / col("fc").cast("double")) -
+            (col("yv") - col("fc")), 10).cast("decimal(28,10)"))
+            .cast("double").as("pd"),
+          sum(round(-log(col("yv") / col("fc").cast("double")) +
+            (col("yv") - col("fc")) / col("fc").cast("double"), 10)
+            .cast("decimal(28,10)")).cast("double").as("gd"))
+        .select(col("event_type"), col("n").cast("long").as("n_scored"),
+          round(lit(2) * col("pd"), 4).as("poisson_dev"),
+          round(lit(2) * col("pd") / col("n"), 4).as("poisson_dev_mean"),
+          round(lit(2) * col("gd"), 4).as("gamma_dev"))
+        .orderBy(col("event_type"))
     })
 }

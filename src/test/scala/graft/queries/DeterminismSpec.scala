@@ -146,7 +146,11 @@ class DeterminismSpec extends SparkSpec {
       // round-14 fourth batch: decimal-quantized residual-PQ argmins,
       // signed-branch YJ power sums, fold-AUC moments, dt-weighted sums
       "sim_ivfpq_adc", "norm_yeo_johnson", "eval_auc_by_fold",
-      "ts_time_weighted_avg"))
+      "ts_time_weighted_avg",
+      // round-14 fifth batch: two-scan quantized inequality terms,
+      // count-likelihood deviances, per-brand ln-ln OLS moments
+      "agg_inequality", "ts_forecast_deviance",
+      "behavior_price_elasticity"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
       assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
     }

@@ -134,7 +134,8 @@ class PlanHygieneSpec extends SparkSpec {
                            // size grid (ts_periodogram's shape)
     "sim_ivfpq_adc",       // corpus x broadcast 1-row residual codebook
                            // + 8-query dtab (sim_pq_adc's shape)
-    "eval_auc_by_fold"     // 5 fold rows x broadcast 1-row dispersion
+    "eval_auc_by_fold",    // 5 fold rows x broadcast 1-row dispersion
+    "agg_inequality"       // events x broadcast 1-row mean (two-scan)
   )
 
   private def offenders(name: String): Seq[String] = {

@@ -579,4 +579,64 @@ class Round14OpsSpec extends SparkSpec {
     assert(r.getLong(1) == 2L && r.getLong(2) == 400L)
     assert(r.getDouble(3) == 17.5 && r.getDouble(4) == 25.0)
   }
+
+  test("agg_inequality: equality reads 0 everywhere; a two-point split replays") {
+    val d1 = tmp("r14ineq1")
+    val eq = (0 until 20).map(i => (i.toLong,
+      Timestamp.valueOf("2024-01-07 10:00:00"), i.toLong, "view", 5.0, "{}"))
+    eq.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d1/events.parquet")
+    val r1 = SparkEntry.queries("agg_inequality")(spark, d1).collect().head
+    for (i <- 2 to 5)
+      assert(math.abs(r1.getDouble(i)) < 1e-4, s"equality index $i must be 0")
+    val d2 = tmp("r14ineq2")
+    val half = (0 until 10).map(i => (i.toLong,
+        Timestamp.valueOf("2024-01-07 10:00:00"), i.toLong, "view", 1.0,
+        "{}")) ++
+      (10 until 20).map(i => (i.toLong,
+        Timestamp.valueOf("2024-01-07 10:00:00"), i.toLong, "view", 3.0,
+        "{}"))
+    half.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d2/events.parquet")
+    val r2 = SparkEntry.queries("agg_inequality")(spark, d2).collect().head
+    // mu = 2: Hoover = (10*1 + 10*1)/(2*20*2) = 0.25 exactly
+    assert(r2.getDouble(5) == 0.25)
+    val theilT = (0.5 * math.log(0.5) + 1.5 * math.log(1.5)) / 2
+    assert(math.abs(r2.getDouble(2) - theilT) < 2e-4)
+    val theilL = (math.log(2.0) + math.log(2.0 / 3)) / 2
+    assert(math.abs(r2.getDouble(3) - theilL) < 2e-4)
+  }
+
+  test("ts_forecast_deviance: an exact period-7 series scores zero deviance") {
+    val d = tmp("r14dev")
+    writeDayCounts(d, (0 until 28).map(i => 2 + (i % 7) * 3))
+    val r = SparkEntry.queries("ts_forecast_deviance")(spark, d)
+      .collect().head
+    assert(r.getLong(1) == 21L)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(4) == 0.0,
+      "perfect seasonal-naive forecast: zero Poisson and gamma deviance")
+  }
+
+  test("behavior_price_elasticity: a planted ln-ln line reads slope -2, R2 = 1") {
+    val d = tmp("r14elas")
+    // unit prices 1 and 2, quantities 8 and 2: ln q = 3ln2 - 2 ln u
+    val li = Seq((1L, 1L, 1L, 1L, 8.0, 8.0), (2L, 1L, 1L, 2L, 2.0, 4.0))
+      .map { case (ok, pk, sk, ln, q, ep) =>
+        (ok, pk, sk, ln, q, ep, 0.0, 0.0, "N", "O",
+          java.sql.Date.valueOf("2024-01-02"))
+      }
+    li.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    Seq((1L, "cold widget", "Brand#1", "ECONOMY", 1L, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .write.mode("overwrite").parquet(s"$d/part.parquet")
+    val r = SparkEntry.queries("behavior_price_elasticity")(spark, d)
+      .collect().head
+    assert(r.getString(0) == "Brand#1" && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - (-2.0)) < 1e-4)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-4)
+  }
 }
