@@ -4311,6 +4311,52 @@ object EvalQueries {
           round(sqrt((col("s2") - col("s1") * col("s1") / col("k")) /
             (col("k") - 1)), 4).as("sd_auc"))
         .orderBy(col("fold"))
+    },
+
+    // COST-OPTIMAL DECISION THRESHOLD — the step after
+    // eval_pr_thresholds that operations actually cares about: with
+    // asymmetric error costs (FP = 1, FN = 5 — the "missed conversion
+    // is 5× worse" contract), sweep the 9-point threshold grid over
+    // the deterministic sigmoid score and pick argmin expected cost.
+    // One scan × a 9-row literal grid (broadcast), exact integer
+    // FP/FN counts, ties broken toward the LOWER threshold (prefer
+    // recall when costs tie). The curve itself ships so the argmin is
+    // auditable from the same readout.
+    Q("eval_cost_threshold",
+      s"""WITH g AS (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7,
+         |    0.8, 0.9]) AS t),
+         |e AS (SELECT 1 / (1 + exp(-(value - 100) / 40.0)) AS p, $lbl AS lbl
+         |  FROM events),
+         |c AS (SELECT g.t,
+         |    CAST(sum(CASE WHEN e.p >= g.t AND e.lbl = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN e.p < g.t AND e.lbl = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fn
+         |  FROM e CROSS JOIN g GROUP BY 1),
+         |r AS (SELECT t, fp, fn, fp + 5 * fn AS cost,
+         |    row_number() OVER (ORDER BY fp + 5 * fn, t) AS rk
+         |  FROM c)
+         |SELECT round(CAST(t AS DOUBLE), 1) AS threshold, fp, fn,
+         |  CAST(cost AS BIGINT) AS cost,
+         |  CAST(rk = 1 AS BOOLEAN) AS is_optimal
+         |FROM r ORDER BY threshold""") { (s, d) =>
+      import s.implicits._
+      val g = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9).toDF("t")
+      val e = Tables.events(s, d).select(
+        expr("1 / (1 + exp(-(value - 100) / 40.0))").as("p"),
+        expr(lbl).as("lbl"))
+      val c = e.crossJoin(broadcast(g))
+        .groupBy(col("t"))
+        .agg(sum(when(col("p") >= col("t") && col("lbl") === 0, 1)
+          .otherwise(0)).cast("long").as("fp"),
+          sum(when(col("p") < col("t") && col("lbl") === 1, 1)
+            .otherwise(0)).cast("long").as("fn"))
+      val w = Window.orderBy(col("fp") + lit(5) * col("fn"), col("t"))
+      c.withColumn("rk", row_number().over(w))
+        .select(round(col("t"), 1).as("threshold"), col("fp"), col("fn"),
+          (col("fp") + lit(5) * col("fn")).cast("long").as("cost"),
+          (col("rk") === 1).as("is_optimal"))
+        .orderBy(col("threshold"))
     }
   )
 }

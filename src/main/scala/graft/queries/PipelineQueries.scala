@@ -3098,5 +3098,52 @@ object PipelineQueries {
           round(exp(col("h")), 4).as("effective_sources"),
           round(col("max_share"), 4).as("max_share"))
         .orderBy(col("mix"))
+    },
+
+    // VALUE-SET DRIFT census — the SET-membership twin of eval_psi's
+    // distribution drift: per event type, which value BUCKETS exist in
+    // the reference window (day ≤ 15) vs the current one, how many are
+    // NEW (the schema-drift smell: a code nobody mapped), how many
+    // VANISHED (the dead-feed smell), and the Jaccard overlap. One
+    // (type, bucket) rollup with per-window presence flags — exact
+    // integers end to end; buckets bound the relation, not rows.
+    Q("dq_value_drift",
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN CAST(date_part('day', ts) AS INT) <= 15
+        |      THEN 'ref' ELSE 'cur' END AS win,
+        |    CAST(floor(value / 10) AS BIGINT) AS b
+        |  FROM events),
+        |p AS (SELECT event_type, b,
+        |    max(CASE WHEN win = 'ref' THEN 1 ELSE 0 END) AS in_ref,
+        |    max(CASE WHEN win = 'cur' THEN 1 ELSE 0 END) AS in_cur
+        |  FROM e GROUP BY 1, 2),
+        |a AS (SELECT event_type,
+        |    CAST(sum(in_ref) AS BIGINT) AS n_ref,
+        |    CAST(sum(in_cur) AS BIGINT) AS n_cur,
+        |    CAST(sum(in_ref * in_cur) AS BIGINT) AS n_shared,
+        |    CAST(count(*) AS BIGINT) AS n_union
+        |  FROM p GROUP BY 1)
+        |SELECT event_type, n_ref, n_cur, n_shared,
+        |  n_cur - n_shared AS n_new, n_ref - n_shared AS n_gone,
+        |  round(n_shared / CAST(n_union AS DOUBLE), 4) AS jaccard
+        |FROM a ORDER BY event_type""") { (s, d) =>
+      val e = Tables.events(s, d).select(col("event_type"),
+        when(dayofmonth(col("ts")) <= 15, "ref").otherwise("cur").as("win"),
+        floor(col("value") / 10).cast("long").as("b"))
+      e.groupBy(col("event_type"), col("b"))
+        .agg(max(when(col("win") === "ref", 1).otherwise(0)).as("in_ref"),
+          max(when(col("win") === "cur", 1).otherwise(0)).as("in_cur"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("in_ref")).cast("long").as("n_ref"),
+          sum(col("in_cur")).cast("long").as("n_cur"),
+          sum(col("in_ref") * col("in_cur")).cast("long").as("n_shared"),
+          count(lit(1)).cast("long").as("n_union"))
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          col("n_shared"),
+          (col("n_cur") - col("n_shared")).as("n_new"),
+          (col("n_ref") - col("n_shared")).as("n_gone"),
+          round(col("n_shared") / col("n_union").cast("double"), 4)
+            .as("jaccard"))
+        .orderBy(col("event_type"))
     })
 }

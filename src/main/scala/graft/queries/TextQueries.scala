@@ -3531,5 +3531,73 @@ object TextQueries {
             .as("simpson_d"),
           round(log(col("v").cast("double")) / log(col("n").cast("double")),
             4).as("herdan_c"))
+    },
+
+    // JELINEK-MERCER INTERPOLATED bigram LM perplexity per language —
+    // the third smoothing family next to text_bigram_ppl's add-one and
+    // text_kn_bigram's Kneser-Ney: p̂(w2|w1) = λ·c(w1w2)/c(w1) +
+    // (1−λ)·c(w2)/N with λ = 0.75 (JM's fixed-weight form — the
+    // production default when there's no held-out set to tune
+    // discounts on). Same tokenize-once bigram rollups; the mixture
+    // means an UNSEEN bigram still scores through its unigram mass,
+    // so no add-one distortion of frequent events. Per-bigram NLL
+    // terms DECIMAL-quantized; per-language rollup.
+    Q("text_lm_interp_ppl",
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |bg AS (SELECT lang, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM t, unnest(range(1, len(toks))) u(i)),
+        |cb AS (SELECT lang, w1, w2, count(*) AS cab FROM bg GROUP BY 1,2,3),
+        |cu AS (SELECT lang, w, count(*) AS ca FROM
+        |  (SELECT lang, unnest(toks) AS w FROM t) GROUP BY 1, 2),
+        |nn AS (SELECT lang, CAST(sum(ca) AS BIGINT) AS n FROM cu GROUP BY 1),
+        |sc AS (SELECT cb.lang, cb.cab,
+        |    CAST(cb.cab * -ln(0.75 * (cb.cab / CAST(c1.ca AS DOUBLE))
+        |      + 0.25 * (c2.ca / CAST(nn.n AS DOUBLE)))
+        |      AS DECIMAL(28,12)) AS nll
+        |  FROM cb
+        |  JOIN cu c1 ON c1.lang = cb.lang AND c1.w = cb.w1
+        |  JOIN cu c2 ON c2.lang = cb.lang AND c2.w = cb.w2
+        |  JOIN nn ON nn.lang = cb.lang),
+        |agg AS (SELECT lang, CAST(sum(cab) AS BIGINT) AS n_bigrams,
+        |    CAST(floor(CAST(sum(nll) AS DOUBLE) / sum(cab) * 10000 + 0.5)
+        |      / 10000.0 AS DOUBLE) AS avg_nll
+        |  FROM sc GROUP BY 1)
+        |SELECT lang, n_bigrams, avg_nll,
+        |  CAST(floor(exp(avg_nll) * 10000 + 0.5) / 10000.0 AS DOUBLE)
+        |    AS ppl
+        |FROM agg ORDER BY lang""") { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("lang"), split(col("text"), " ").as("toks"))
+      val bg = t.select(col("lang"), explode(expr(
+          """transform(if(size(toks) >= 2, sequence(1, size(toks) - 1),
+            |  array()), i -> named_struct('w1', element_at(toks, i),
+            |  'w2', element_at(toks, i + 1)))""".stripMargin)).as("b"))
+        .select(col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val cb = bg.groupBy(col("lang"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cab"))
+      val cu = t.select(col("lang"), explode(col("toks")).as("w"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("ca"))
+      val nn = cu.groupBy(col("lang")).agg(sum(col("ca")).cast("long")
+        .as("n"))
+      cb
+        .join(cu.select(col("lang"), col("w").as("w1"),
+          col("ca").as("ca1")), Seq("lang", "w1"))
+        .join(cu.select(col("lang"), col("w").as("w2"),
+          col("ca").as("ca2")), Seq("lang", "w2"))
+        .join(nn, Seq("lang"))
+        .withColumn("nll", expr(
+          """CAST(cab * -ln(0.75 * (cab / CAST(ca1 AS DOUBLE))
+            |  + 0.25 * (ca2 / CAST(n AS DOUBLE))) AS DECIMAL(28,12))"""
+            .stripMargin))
+        .groupBy(col("lang"))
+        .agg(sum(col("cab")).cast("long").as("n_bigrams"),
+          expr("""CAST(floor(CAST(sum(nll) AS DOUBLE) / sum(cab)
+            |  * 10000 + 0.5) / 10000.0 AS DOUBLE)""".stripMargin)
+            .as("avg_nll"))
+        .select(col("lang"), col("n_bigrams"), col("avg_nll"),
+          expr("CAST(floor(exp(avg_nll) * 10000 + 0.5) / 10000.0 AS DOUBLE)")
+            .as("ppl"))
+        .orderBy(col("lang"))
     })
 }

@@ -150,7 +150,10 @@ class DeterminismSpec extends SparkSpec {
       // round-14 fifth batch: two-scan quantized inequality terms,
       // count-likelihood deviances, per-brand ln-ln OLS moments
       "agg_inequality", "ts_forecast_deviance",
-      "behavior_price_elasticity"))
+      "behavior_price_elasticity",
+      // round-14 sixth batch: exact confusion counts on a literal
+      // grid, presence-flag rollups, quantized JM-mixture NLL terms
+      "eval_cost_threshold", "dq_value_drift", "text_lm_interp_ppl"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
       assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
     }

@@ -135,7 +135,8 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_ivfpq_adc",       // corpus x broadcast 1-row residual codebook
                            // + 8-query dtab (sim_pq_adc's shape)
     "eval_auc_by_fold",    // 5 fold rows x broadcast 1-row dispersion
-    "agg_inequality"       // events x broadcast 1-row mean (two-scan)
+    "agg_inequality",      // events x broadcast 1-row mean (two-scan)
+    "eval_cost_threshold"  // events x broadcast 9-row literal grid
   )
 
   private def offenders(name: String): Seq[String] = {

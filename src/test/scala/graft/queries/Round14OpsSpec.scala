@@ -639,4 +639,56 @@ class Round14OpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - (-2.0)) < 1e-4)
     assert(math.abs(r.getDouble(3) - 1.0) < 1e-4)
   }
+
+  test("eval_cost_threshold: exactly one optimum; curve replays from confusion counts") {
+    val out = SparkEntry.queries("eval_cost_threshold")(spark, sf).collect()
+    assert(out.length == 9)
+    assert(out.count(_.getBoolean(4)) == 1, "exactly one optimal threshold")
+    // cost column closes over its own parts, and FP falls / FN rises
+    // monotonically as the threshold climbs
+    for (r <- out)
+      assert(r.getLong(3) == r.getLong(1) + 5 * r.getLong(2))
+    val fps = out.map(_.getLong(1)); val fns = out.map(_.getLong(2))
+    assert(fps.zip(fps.tail).forall { case (a, b) => b <= a })
+    assert(fns.zip(fns.tail).forall { case (a, b) => b >= a })
+    val best = out.filter(_.getBoolean(4)).head.getLong(3)
+    assert(out.forall(_.getLong(3) >= best))
+  }
+
+  test("dq_value_drift: planted new and vanished buckets read exactly") {
+    val d = tmp("r14drift")
+    // ref window (days <= 15): buckets {0, 1, 2}; cur window: {1, 2, 9}
+    def ev(id: Long, day: Int, v: Double) =
+      (id, Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), id, "view", v,
+        "{}")
+    val rows = Seq(ev(1, 5, 5.0), ev(2, 6, 15.0), ev(3, 7, 25.0),
+      ev(4, 20, 15.0), ev(5, 21, 25.0), ev(6, 22, 95.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = SparkEntry.queries("dq_value_drift")(spark, d).collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 3L, "n_ref, n_cur")
+    assert(r.getLong(3) == 2L, "shared {1,2}")
+    assert(r.getLong(4) == 1L && r.getLong(5) == 1L, "one new, one gone")
+    assert(r.getDouble(6) == 0.5, "jaccard 2/4")
+  }
+
+  test("text_lm_interp_ppl: a deterministic corpus replays; ppl beats add-one on repeats") {
+    val d = tmp("r14lm")
+    // one language, one doc: 'a b a b a' -> bigrams ab x2, ba x2
+    Seq((1L, "a b a b a", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = SparkEntry.queries("text_lm_interp_ppl")(spark, d)
+      .collect().head
+    assert(r.getString(0) == "en" && r.getLong(1) == 4L)
+    // c(a)=3, c(b)=2, N=5; p(b|a) = .75*(2/3) + .25*(2/5);
+    // p(a|b) = .75*(2/2) + .25*(3/5)
+    def q12(x: Double) = math.rint(x * 1e12) / 1e12
+    val nll = (q12(2 * -math.log(0.75 * (2.0 / 3) + 0.25 * (2.0 / 5))) +
+      q12(2 * -math.log(0.75 * (2.0 / 2) + 0.25 * (3.0 / 5)))) / 4
+    assert(math.abs(r.getDouble(2) - math.floor(nll * 1e4 + 0.5) / 1e4)
+      < 1e-9)
+    assert(math.abs(r.getDouble(3) -
+      math.floor(math.exp(r.getDouble(2)) * 1e4 + 0.5) / 1e4) < 1e-9)
+  }
 }
