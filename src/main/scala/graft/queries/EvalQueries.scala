@@ -4357,6 +4357,69 @@ object EvalQueries {
           (col("fp") + lit(5) * col("fn")).cast("long").as("cost"),
           (col("rk") === 1).as("is_optimal"))
         .orderBy(col("threshold"))
+    },
+
+    // MATTHEWS CORRELATION + BALANCED ACCURACY at the 0.5 threshold —
+    // the two IMBALANCE-ROBUST single numbers missing from
+    // eval_confusion's grid: accuracy rewards predicting the majority
+    // class; MCC = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)) is
+    // the ±1-bounded correlation of the confusion matrix, and
+    // balanced accuracy = (TPR + TNR)/2 its rate-space sibling. All
+    // four cells are exact integers from ONE scan; the only floats
+    // are the final divisions (the √ runs on an exact integer
+    // product — DOUBLE-cast first so a 100 TB cell product cannot
+    // overflow BIGINT).
+    Q("eval_mcc",
+      s"""WITH e AS (SELECT
+         |    CASE WHEN 1 / (1 + exp(-(value - 100) / 40.0)) >= 0.5
+         |      THEN 1 ELSE 0 END AS pred,
+         |    $lbl AS lbl FROM events),
+         |c AS (SELECT
+         |    CAST(sum(CASE WHEN pred = 1 AND lbl = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN pred = 1 AND lbl = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN pred = 0 AND lbl = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN pred = 0 AND lbl = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tn
+         |  FROM e)
+         |SELECT tp, fp, fn, tn,
+         |  round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+         |    / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+         |         * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)),
+         |    4) AS mcc,
+         |  round((tp / CAST(tp + fn AS DOUBLE)
+         |       + tn / CAST(tn + fp AS DOUBLE)) / 2, 4)
+         |    AS balanced_accuracy,
+         |  round((tp + tn) / CAST(tp + fp + fn + tn AS DOUBLE), 4)
+         |    AS accuracy
+         |FROM c""") { (s, d) =>
+      Tables.events(s, d)
+        .select(when(expr("1 / (1 + exp(-(value - 100) / 40.0))") >= 0.5, 1)
+          .otherwise(0).as("pred"), expr(lbl).as("lbl"))
+        .agg(
+          sum(when(col("pred") === 1 && col("lbl") === 1, 1).otherwise(0))
+            .cast("long").as("tp"),
+          sum(when(col("pred") === 1 && col("lbl") === 0, 1).otherwise(0))
+            .cast("long").as("fp"),
+          sum(when(col("pred") === 0 && col("lbl") === 1, 1).otherwise(0))
+            .cast("long").as("fn"),
+          sum(when(col("pred") === 0 && col("lbl") === 0, 1).otherwise(0))
+            .cast("long").as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          round((col("tp").cast("double") * col("tn") -
+            col("fp").cast("double") * col("fn")) /
+            sqrt((col("tp") + col("fp")).cast("double") *
+              (col("tp") + col("fn")).cast("double") *
+              (col("tn") + col("fp")).cast("double") *
+              (col("tn") + col("fn")).cast("double")), 4).as("mcc"),
+          round((col("tp") / (col("tp") + col("fn")).cast("double") +
+            col("tn") / (col("tn") + col("fp")).cast("double")) / 2, 4)
+            .as("balanced_accuracy"),
+          round((col("tp") + col("tn")) /
+            (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"),
+            4).as("accuracy"))
     }
   )
 }

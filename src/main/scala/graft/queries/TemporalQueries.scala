@@ -2504,5 +2504,80 @@ object TemporalQueries {
           round(lit(2) * col("pd") / col("n"), 4).as("poisson_dev_mean"),
           round(lit(2) * col("gd"), 4).as("gamma_dev"))
         .orderBy(col("event_type"))
+    },
+
+    // PARTIAL AUTOCORRELATION (lags 1-3) via Durbin-Levinson — the
+    // AR-order picker next to ts_autocorr/ts_ar2_yw: ACF says "is
+    // there memory", PACF says "at which LAG does new memory stop"
+    // (an AR(p) cuts off after lag p). The three lag-covariance sums
+    // ride ts_autocorr's quantized machinery; the recursion is pure
+    // closed-form scalar algebra on the per-type 1-row relation:
+    // φ11 = r1; φ22 = (r2 − r1²)/(1 − r1²); φ21 = r1(1 − φ22);
+    // φ33 = (r3 − φ21·r2 − φ22·r1)/(1 − φ21·r1 − φ22·r2). Spelled
+    // identically in both dialects via the staged intermediates.
+    Q("ts_pacf",
+      """WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type,
+        |    sum(c) / CAST(count(*) AS DOUBLE) AS mu FROM dc GROUP BY 1),
+        |x AS (SELECT dc.event_type, day, c, mu,
+        |    lead(c, 1) OVER (PARTITION BY dc.event_type ORDER BY day) AS c1,
+        |    lead(c, 2) OVER (PARTITION BY dc.event_type ORDER BY day) AS c2,
+        |    lead(c, 3) OVER (PARTITION BY dc.event_type ORDER BY day) AS c3
+        |  FROM dc JOIN m ON m.event_type = dc.event_type),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(CAST((c - mu) * (c - mu) AS DECIMAL(28,12))) AS DOUBLE) AS s0,
+        |    CAST(sum(CASE WHEN c1 IS NOT NULL
+        |      THEN CAST((c - mu) * (c1 - mu) AS DECIMAL(28,12)) END) AS DOUBLE) AS s1,
+        |    CAST(sum(CASE WHEN c2 IS NOT NULL
+        |      THEN CAST((c - mu) * (c2 - mu) AS DECIMAL(28,12)) END) AS DOUBLE) AS s2,
+        |    CAST(sum(CASE WHEN c3 IS NOT NULL
+        |      THEN CAST((c - mu) * (c3 - mu) AS DECIMAL(28,12)) END) AS DOUBLE) AS s3
+        |  FROM x GROUP BY 1),
+        |r AS (SELECT event_type, n_days,
+        |    s1 / s0 AS r1, s2 / s0 AS r2, s3 / s0 AS r3 FROM a),
+        |d2 AS (SELECT event_type, n_days, r1, r2, r3,
+        |    (r2 - r1 * r1) / (1 - r1 * r1) AS p22 FROM r),
+        |d3 AS (SELECT event_type, n_days, r1, r2, r3, p22,
+        |    r1 * (1 - p22) AS p21 FROM d2)
+        |SELECT event_type, n_days,
+        |  round(r1, 4) AS pacf1,
+        |  round(p22, 4) AS pacf2,
+        |  round((r3 - p21 * r2 - p22 * r1)
+        |    / (1 - p21 * r1 - p22 * r2), 4) AS pacf3
+        |FROM d3 ORDER BY event_type""") { (s, d) =>
+      val dc = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val m = dc.groupBy(col("event_type"))
+        .agg((sum(col("c")) / count(lit(1)).cast("double")).as("mu"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      var x = dc.join(m, Seq("event_type"))
+      for (k <- 1 to 3) x = x.withColumn(s"c$k", lead(col("c"), k).over(w))
+      val a = x.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          expr("CAST(sum(CAST((c - mu) * (c - mu) AS DECIMAL(28,12))) AS DOUBLE)").as("s0"),
+          expr("""CAST(sum(CASE WHEN c1 IS NOT NULL
+                 |  THEN CAST((c - mu) * (c1 - mu) AS DECIMAL(28,12)) END) AS DOUBLE)""".stripMargin).as("s1"),
+          expr("""CAST(sum(CASE WHEN c2 IS NOT NULL
+                 |  THEN CAST((c - mu) * (c2 - mu) AS DECIMAL(28,12)) END) AS DOUBLE)""".stripMargin).as("s2"),
+          expr("""CAST(sum(CASE WHEN c3 IS NOT NULL
+                 |  THEN CAST((c - mu) * (c3 - mu) AS DECIMAL(28,12)) END) AS DOUBLE)""".stripMargin).as("s3"))
+      a.select(col("event_type"), col("n_days"),
+          (col("s1") / col("s0")).as("r1"), (col("s2") / col("s0")).as("r2"),
+          (col("s3") / col("s0")).as("r3"))
+        .withColumn("p22",
+          (col("r2") - col("r1") * col("r1")) /
+            (lit(1) - col("r1") * col("r1")))
+        .withColumn("p21", col("r1") * (lit(1) - col("p22")))
+        .select(col("event_type"), col("n_days"),
+          round(col("r1"), 4).as("pacf1"),
+          round(col("p22"), 4).as("pacf2"),
+          round((col("r3") - col("p21") * col("r2") -
+            col("p22") * col("r1")) /
+            (lit(1) - col("p21") * col("r1") - col("p22") * col("r2")), 4)
+            .as("pacf3"))
+        .orderBy(col("event_type"))
     })
 }

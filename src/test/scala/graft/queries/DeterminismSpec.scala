@@ -153,7 +153,10 @@ class DeterminismSpec extends SparkSpec {
       "behavior_price_elasticity",
       // round-14 sixth batch: exact confusion counts on a literal
       // grid, presence-flag rollups, quantized JM-mixture NLL terms
-      "eval_cost_threshold", "dq_value_drift", "text_lm_interp_ppl"))
+      "eval_cost_threshold", "dq_value_drift", "text_lm_interp_ppl",
+      // round-14 seventh batch: exact confusion cells, staged
+      // Durbin-Levinson scalars over quantized lag sums
+      "eval_mcc", "ts_pacf"))
     test(s"$q: identical rows at 3 and 29 shuffle partitions (sf0.001)") {
       assert(rowsAtSf(q, 3) == rowsAtSf(q, 29))
     }

@@ -691,4 +691,47 @@ class Round14OpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) -
       math.floor(math.exp(r.getDouble(2)) * 1e4 + 0.5) / 1e4) < 1e-9)
   }
+
+  test("eval_mcc: a perfect classifier reads 1.0, an inverted one -1.0") {
+    def write(d: String, inverted: Boolean): Unit = {
+      // value 160 -> p ~ 0.82 (pred 1); value 40 -> p ~ 0.18 (pred 0)
+      val rows = (0 until 10).map { i =>
+        val pos = i < 5
+        val v = if (pos ^ inverted) 160.0 else 40.0
+        (i.toLong, Timestamp.valueOf("2024-01-08 09:00:00"), i.toLong,
+          if (pos) "purchase" else "view", v, "{}")
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+    }
+    val d1 = tmp("r14mcc1"); write(d1, inverted = false)
+    val d2 = tmp("r14mcc2"); write(d2, inverted = true)
+    val perf = SparkEntry.queries("eval_mcc")(spark, d1).collect().head
+    assert(perf.getLong(0) == 5L && perf.getLong(3) == 5L)
+    assert(perf.getDouble(4) == 1.0 && perf.getDouble(5) == 1.0 &&
+      perf.getDouble(6) == 1.0)
+    val inv = SparkEntry.queries("eval_mcc")(spark, d2).collect().head
+    assert(inv.getDouble(4) == -1.0 && inv.getDouble(5) == 0.0 &&
+      inv.getDouble(6) == 0.0)
+  }
+
+  test("ts_pacf: an AR(1)-like signal's pacf2/pacf3 collapse; pacf1 = r1 against ts_autocorr machinery") {
+    val d = tmp("r14pacf")
+    // the integer-mean replay fixture: recompute r1/phi22/phi33 in JVM
+    val counts = Seq(3, 5, 2, 7, 4, 6, 3, 8, 2, 5, 2, 1)
+    writeDayCounts(d, counts)
+    val n = counts.size
+    val mu = counts.sum.toDouble / n
+    def s(k: Int): Double = (0 until n - k)
+      .map(i => (counts(i) - mu) * (counts(i + k) - mu)).sum
+    val (r1, r2, r3) = (s(1) / s(0), s(2) / s(0), s(3) / s(0))
+    val p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    val p21 = r1 * (1 - p22)
+    val p33 = (r3 - p21 * r2 - p22 * r1) / (1 - p21 * r1 - p22 * r2)
+    val out = SparkEntry.queries("ts_pacf")(spark, d).collect().head
+    assert(out.getLong(1) == n.toLong)
+    assert(math.abs(out.getDouble(2) - r1) < 1e-4)
+    assert(math.abs(out.getDouble(3) - p22) < 1e-4)
+    assert(math.abs(out.getDouble(4) - p33) < 1e-4)
+  }
 }
