@@ -986,7 +986,8 @@ object EvalQueries {
     Q("eval_chi2",
       s"""WITH e AS (SELECT CAST(date_part('isodow', ts) - 1 AS VARCHAR) AS wd,
          |    CAST(CAST(date_part('hour', ts) AS INT) // 4 AS VARCHAR) AS tod,
-         |    CAST(CAST(floor(least(value, 199.99)) AS INT) // 50 AS VARCHAR) AS vq,
+         |    CAST(CAST(floor(least(greatest(value, 0), 199.99)) AS INT)
+         |      // 50 AS VARCHAR) AS vq,
          |    $lbl AS lbl FROM events),
          |u AS (SELECT 'weekday' AS feature, wd AS v, lbl FROM e
          |  UNION ALL SELECT 'tod4h', tod, lbl FROM e
@@ -1015,7 +1016,11 @@ object EvalQueries {
       val e = Tables.events(s, d).select(
         expr("CAST(weekday(ts) AS STRING)").as("wd"),
         expr("CAST(CAST(hour(ts) AS INT) DIV 4 AS STRING)").as("tod"),
-        expr("CAST(CAST(floor(least(value, 199.99)) AS INT) DIV 50 AS STRING)").as("vq"),
+        // greatest(value, 0): Spark DIV truncates toward zero while
+        // DuckDB // floors — they diverge on negatives, so the bucket
+        // is clamped non-negative in BOTH dialects (round-13 ANSI-div
+        // discipline) instead of silently relying on the fixture's min.
+        expr("CAST(CAST(floor(least(greatest(value, 0), 199.99)) AS INT) DIV 50 AS STRING)").as("vq"),
         expr(lbl).as("lbl"))
       val u = e.select(expr(
         """stack(3, 'weekday', wd, 'tod4h', tod, 'score_q', vq)
@@ -3878,7 +3883,8 @@ object EvalQueries {
     Q("eval_cramers_v",
       s"""WITH e AS (SELECT CAST(date_part('isodow', ts) - 1 AS VARCHAR) AS wd,
          |    CAST(CAST(date_part('hour', ts) AS INT) // 4 AS VARCHAR) AS tod,
-         |    CAST(CAST(floor(least(value, 199.99)) AS INT) // 50 AS VARCHAR) AS vq,
+         |    CAST(CAST(floor(least(greatest(value, 0), 199.99)) AS INT)
+         |      // 50 AS VARCHAR) AS vq,
          |    $lbl AS lbl FROM events),
          |u AS (SELECT 'weekday' AS feature, wd AS v, lbl FROM e
          |  UNION ALL SELECT 'tod4h', tod, lbl FROM e
@@ -3918,7 +3924,11 @@ object EvalQueries {
       val e = Tables.events(s, d).select(
         expr("CAST(weekday(ts) AS STRING)").as("wd"),
         expr("CAST(CAST(hour(ts) AS INT) DIV 4 AS STRING)").as("tod"),
-        expr("CAST(CAST(floor(least(value, 199.99)) AS INT) DIV 50 AS STRING)").as("vq"),
+        // greatest(value, 0): Spark DIV truncates toward zero while
+        // DuckDB // floors — they diverge on negatives, so the bucket
+        // is clamped non-negative in BOTH dialects (round-13 ANSI-div
+        // discipline) instead of silently relying on the fixture's min.
+        expr("CAST(CAST(floor(least(greatest(value, 0), 199.99)) AS INT) DIV 50 AS STRING)").as("vq"),
         expr(lbl).as("lbl"))
       val u = e.select(expr(
         """stack(3, 'weekday', wd, 'tod4h', tod, 'score_q', vq)
@@ -4052,7 +4062,7 @@ object EvalQueries {
          |  round((c_pairs - d_pairs)
          |    / CAST(c_pairs + d_pairs + t_pairs AS DOUBLE), 4) AS somers_d,
          |  round((c_pairs - d_pairs)
-         |    / CAST(c_pairs + d_pairs AS DOUBLE), 4) AS gamma
+         |    / CAST(nullif(c_pairs + d_pairs, 0) AS DOUBLE), 4) AS gamma
          |FROM a ORDER BY grp""") { (s, d) =>
       val e = Tables.events(s, d).select(
         expr("weekday(ts)").as("grp"), col("value").as("score"),
@@ -4075,7 +4085,8 @@ object EvalQueries {
             (col("c_pairs") + col("d_pairs") + col("t_pairs"))
               .cast("double"), 4).as("somers_d"),
           round((col("c_pairs") - col("d_pairs")) /
-            (col("c_pairs") + col("d_pairs")).cast("double"), 4).as("gamma"))
+            nullif((col("c_pairs") + col("d_pairs")).cast("double"), lit(0d)),
+            4).as("gamma"))
         .orderBy(col("grp"))
     },
 

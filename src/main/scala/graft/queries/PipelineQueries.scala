@@ -3102,9 +3102,14 @@ object PipelineQueries {
 
     // VALUE-SET DRIFT census — the SET-membership twin of eval_psi's
     // distribution drift: per event type, which value BUCKETS exist in
-    // the reference window (day ≤ 15) vs the current one, how many are
-    // NEW (the schema-drift smell: a code nobody mapped), how many
-    // VANISHED (the dead-feed smell), and the Jaccard overlap. One
+    // the 'ref' window vs the 'cur' one, how many are NEW (the
+    // schema-drift smell: a code nobody mapped), how many VANISHED
+    // (the dead-feed smell), and the Jaccard overlap. NOTE the split
+    // is DAY-OF-MONTH (day ≤ 15), fixture-scoped: on a corpus spanning
+    // several months the two windows INTERLEAVE across months rather
+    // than forming a before/after time split — a production run would
+    // swap the CASE for a real cutoff (min(ts) + INTERVAL); the census
+    // machinery downstream is unchanged by the window predicate. One
     // (type, bucket) rollup with per-window presence flags — exact
     // integers end to end; buckets bound the relation, not rows.
     Q("dq_value_drift",

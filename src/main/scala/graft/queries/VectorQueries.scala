@@ -1903,7 +1903,10 @@ object VectorQueries {
     // table, and ADC scans only the probed cell's codes: at 100 TB
     // that is a broadcast dtab × one cell partition — never the
     // corpus. Distances quantize to DECIMAL(18,6) before every argmin
-    // / sum, so rank order is bit-identical across engines.
+    // / sum — INCLUDING the IVF coarse-assignment d2, so a near-tie
+    // between cells cannot flip the probed cell across engines or
+    // partitionings (the centroids themselves stay DOUBLE avg(x):
+    // they feed subtraction, not an argmin).
     Q("sim_ivfpq_adc",
       """WITH ex AS (SELECT vec_id, label,
         |    CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
@@ -1927,7 +1930,8 @@ object VectorQueries {
         |    SELECT *, row_number() OVER (PARTITION BY vec_id, b
         |      ORDER BY dq, c) AS rk FROM encd) WHERE rk = 1),
         |qa AS (SELECT e.vec_id AS qid, c.label AS cell,
-        |    sum((e.x - c.cx) * (e.x - c.cx)) AS d2
+        |    CAST(round(sum((e.x - c.cx) * (e.x - c.cx)), 6)
+        |      AS DECIMAL(18,6)) AS d2
         |  FROM ex e JOIN c ON e.dim = c.dim
         |  WHERE e.vec_id < 8 GROUP BY 1, 2),
         |assign AS (SELECT qid, cell FROM (SELECT qid, cell,
@@ -1993,7 +1997,7 @@ object VectorQueries {
         .join(broadcast(centroids), Seq("dim"))
         .withColumn("sq", (col("x") - col("cx")) * (col("x") - col("cx")))
         .groupBy(col("vec_id").as("qid"), col("cell"))
-        .agg(sum(col("sq")).as("d2"))
+        .agg(expr("CAST(round(sum(sq), 6) AS DECIMAL(18,6))").as("d2"))
       val wA = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cell"))
       val assign = qa.withColumn("rn", row_number().over(wA))
         .filter(col("rn") === 1).select(col("qid"), col("cell"))
