@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -50,7 +50,9 @@ class K8sServiceSource extends TableProvider {
       Option(properties.get("namespace")).filter(_.nonEmpty),
       resource,
       Option(properties.get("relistIntervalMs")).filter(_.nonEmpty)
-        .map(_.toLong).getOrElse(Long.MaxValue))
+        .map(_.toLong).getOrElse(Long.MaxValue),
+      Option(properties.get("maxEventsPerTrigger")).filter(_.nonEmpty)
+        .map(_.toInt))
   }
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -61,7 +63,8 @@ object K8sServiceSource {
 
 private[k8s] class K8sServiceTable(endpoint: String,
     token: Option[String], namespace: Option[String], resource: String,
-    relistIntervalMs: Long = Long.MaxValue)
+    relistIntervalMs: Long = Long.MaxValue,
+    maxEventsPerTrigger: Option[Int] = None)
     extends Table with SupportsRead {
   override def name(): String = s"k8s_$resource($endpoint)"
   override def schema(): StructType = K8sServiceSource.schema
@@ -73,15 +76,16 @@ private[k8s] class K8sServiceTable(endpoint: String,
         override def readSchema(): StructType = K8sServiceSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new K8sServiceMicroBatchStream(endpoint, token, namespace, resource,
-            relistIntervalMs)
+            relistIntervalMs, maxEventsPerTrigger)
       }
     }
 }
 
 private[k8s] class K8sServiceMicroBatchStream(endpoint: String,
     token: Option[String], namespace: Option[String], resource: String,
-    relistIntervalMs: Long = Long.MaxValue)
-    extends MicroBatchStream {
+    relistIntervalMs: Long = Long.MaxValue,
+    maxEventsPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
   private val client =
     if (resource == "deployments")
       HttpWatchClient.deployments(endpoint, token, namespace,
@@ -89,7 +93,23 @@ private[k8s] class K8sServiceMicroBatchStream(endpoint: String,
     else HttpWatchClient.services(endpoint, token, namespace,
       relistIntervalMs = relistIntervalMs)
   override def initialOffset(): Offset = K8sOffset(0L)
-  override def latestOffset(): Offset = K8sOffset(client.latestRv())
+  // Admission control, same contract as K8sHttpMicroBatchStream: a
+  // catch-up batch after downtime (a resync replays the whole service
+  // LIST) must not swallow the backlog in one plan — the fMGWS version
+  // gate's state shuffle scales with batch size.
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this")
+  override def getDefaultReadLimit: ReadLimit =
+    maxEventsPerTrigger.map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[K8sOffset].rv
+    limit match {
+      case mr: ReadMaxRows => K8sOffset(client.rvAfter(from, mr.maxRows().toInt))
+      case _ => K8sOffset(client.latestRv())
+    }
+  }
   override def deserializeOffset(json: String): Offset = K8sOffset(json.toLong)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     Array(K8sServiceBufferPartition(client.fetch(

@@ -21,9 +21,15 @@ object SoakBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ev = LiveSoak.runEvents(spark, nEvents)
-    println(s"events: landed=${ev.landed}/${ev.offered} secs=${ev.secs} eps=${ev.eps}")
-    val sv = LiveSoak.runServices(spark, nServices)
-    println(s"services: landed=${sv.landed}/${sv.offered} secs=${sv.secs} eps=${sv.eps}")
+    println(s"events: landed=${ev.landed}/${ev.offered} secs=${ev.secs} " +
+      s"eps=${ev.eps} sustained_eps=${ev.sustainedEps} " +
+      s"ramp=[n=${ev.firstN} secs=${ev.firstSecs}]")
+    if (nServices > 0) {
+      val sv = LiveSoak.runServices(spark, nServices)
+      println(s"services: landed=${sv.landed}/${sv.offered} secs=${sv.secs} " +
+        s"eps=${sv.eps} sustained_eps=${sv.sustainedEps} " +
+        s"ramp=[n=${sv.firstN} secs=${sv.firstSecs}]")
+    }
     spark.stop()
   }
 }

@@ -572,4 +572,31 @@ class K8sSourceSpec extends SparkSpec {
       assert(sel == Map("app" -> "web"))
     } finally { q.stop(); srv.stop() }
   }
+
+  test("service source admission control: maxEventsPerTrigger caps each " +
+    "micro-batch; every update still lands exactly once") {
+    val srv = new StubServiceServer
+    for (i <- 1 to 6) srv.put(i.toLong, s"s$i", s"svc$i")
+    val q = spark.readStream
+      .format("graft.sources.k8s.K8sServiceSource")
+      .option("endpoint", srv.url)
+      .option("maxEventsPerTrigger", "2")
+      .load()
+      .writeStream.format("memory").queryName("svccapped")
+      .start()
+    try {
+      assert(awaitTrue(30000) {
+        q.processAllAvailable()
+        spark.table("svccapped").count() == 6L
+      }, "all 6 service updates should land across capped batches")
+      val batchRows = q.recentProgress.toSeq.map(_.numInputRows)
+      assert(batchRows.forall(_ <= 2),
+        s"a batch exceeded maxEventsPerTrigger=2: ${batchRows.mkString(",")}")
+      assert(batchRows.count(_ > 0) >= 3,
+        s"expected >=3 non-empty batches, got ${batchRows.mkString(",")}")
+      val uids = spark.table("svccapped").select("uid")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(uids == (1 to 6).map(i => s"s$i").sorted)
+    } finally { q.stop(); srv.stop() }
+  }
 }
