@@ -638,27 +638,31 @@ object StreamingQueries {
     // event_id)), so emitted intervals are exactly the batch build's
     // CLOSED intervals — open (current-state) intervals live in state and
     // are never emitted, matching the oracle's valid_to IS NOT NULL cut.
-    Q("stream_scd2",
-      """WITH o AS (SELECT user_id, event_type, ts, event_id,
-        |    lag(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS prev_type
-        |  FROM events),
-        |chg AS (SELECT user_id, event_type, epoch_us(ts) AS valid_from, event_id
-        |  FROM o WHERE prev_type IS NULL OR prev_type <> event_type),
-        |iv AS (SELECT user_id, event_type, valid_from,
-        |    lead(valid_from) OVER (PARTITION BY user_id
-        |      ORDER BY valid_from, event_id) AS valid_to
-        |  FROM chg)
-        |SELECT user_id, event_type, CAST(valid_from AS BIGINT) AS valid_from,
-        |  CAST(valid_to AS BIGINT) AS valid_to
-        |FROM iv
-        |WHERE valid_to IS NOT NULL
-        |ORDER BY user_id, valid_from, event_type""") { (s0, d) =>
+    Q("stream_scd2", Scd2OracleSql) { (s0, d) =>
       val name = "st_" + math.abs(scala.util.Random.nextLong()).toString
       val s = graft.Sessions.withShufflePartitions(s0, 8) // see runToTable note
       val src = readEventsReplay(s, timeOrderedReplayDir(s, d), Some(1))
       val scd = scd2Stream(s, src)
       val q = scd.writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table(name)
+        .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+    },
+
+    // Streaming SCD2 on the v2 state API — same contract and oracle as
+    // stream_scd2, but the per-user (current type, since) state rides
+    // transformWithState on the RocksDB provider (Scd2Processor) instead
+    // of fMGWS: native state TTL/timers available, state-store reader
+    // introspectable, and the RocksDB backend is the 100 TB-cardinality
+    // posture for a user-keyed dimension.
+    Q("stream_scd2_tws", Scd2OracleSql) { (s0, d) =>
+      val name = "st_" + math.abs(scala.util.Random.nextLong()).toString
+      val s = graft.Sessions.withShufflePartitions(s0, 8)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val src = readEventsReplay(s, timeOrderedReplayDir(s, d), Some(1))
+      val q = scd2StreamTws(s, src).writeStream
         .format("memory").queryName(name).outputMode("append").start()
       try { q.processAllAvailable() } finally { q.stop() }
       s.table(name)
@@ -724,6 +728,30 @@ object StreamingQueries {
       // Update mode emits one snapshot per touched user per batch; the
       // slots are monotone (set once, never cleared) so max() recovers
       // the final state of each user.
+      s.table(name)
+        .groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+        .agg(count(col("t1")).as("s1"), count(col("t2")).as("s2"),
+          count(col("t3")).as("s3"))
+        .selectExpr(
+          """stack(3, 'step1_view', s1, 'step2_click', s2,
+            |'step3_purchase', s3) AS (step, users)""".stripMargin)
+        .orderBy("step")
+    },
+
+    // The funnel's v2-state twin (FunnelProcessor on transformWithState
+    // + RocksDB): same monotone per-user slots and update-mode snapshot
+    // emission as stream_funnel, same oracle, same max()-rollup recovery
+    // of the final state — only the state API differs.
+    Q("stream_funnel_tws", BehaviorQueries.FunnelOracleSql) { (s0, d) =>
+      val name = "st_" + math.abs(scala.util.Random.nextLong()).toString
+      val s = graft.Sessions.withShufflePartitions(s0, 8)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val src = readEventsReplay(s, timeOrderedReplayDir(s, d), Some(1))
+      val q = funnelStreamTws(s, src).writeStream
+        .format("memory").queryName(name).outputMode("update").start()
+      try { q.processAllAvailable() } finally { q.stop() }
       s.table(name)
         .groupBy("user_id")
         .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
@@ -1467,6 +1495,55 @@ object StreamingQueries {
       Files.createFile(done)
     }
     dir.toString
+  }
+
+  /** SCD2 oracle, shared by stream_scd2 (fMGWS) and stream_scd2_tws
+    * (v2 state API): closed intervals from the lag-window batch build. */
+  private[graft] val Scd2OracleSql: String =
+    """WITH o AS (SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |chg AS (SELECT user_id, event_type, epoch_us(ts) AS valid_from, event_id
+      |  FROM o WHERE prev_type IS NULL OR prev_type <> event_type),
+      |iv AS (SELECT user_id, event_type, valid_from,
+      |    lead(valid_from) OVER (PARTITION BY user_id
+      |      ORDER BY valid_from, event_id) AS valid_to
+      |  FROM chg)
+      |SELECT user_id, event_type, CAST(valid_from AS BIGINT) AS valid_from,
+      |  CAST(valid_to AS BIGINT) AS valid_to
+      |FROM iv
+      |WHERE valid_to IS NOT NULL
+      |ORDER BY user_id, valid_from, event_type""".stripMargin
+
+  /** stream_scd2_tws's transform, factored for the recovery spec: the
+    * v2-state twin of [[scd2Stream]] (Scd2Processor holds the per-user
+    * (current type, since) pair). */
+  private[graft] def scd2StreamTws(s: SparkSession, src: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import s.implicits._
+    src.select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"), col("event_type"))
+      .as[graft.streaming.Scd2Rec]
+      .groupByKey(_.user_id)
+      .transformWithState(new graft.streaming.Scd2Processor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** stream_funnel_tws's transform, factored for the recovery spec: the
+    * v2-state twin of [[funnelStream]] (FunnelProcessor holds the
+    * monotone slots; emits one snapshot per touched user per batch). */
+  private[graft] def funnelStreamTws(s: SparkSession, src: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import s.implicits._
+    src.select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"), col("event_type"))
+      .as[graft.streaming.Scd2Rec]
+      .groupByKey(_.user_id)
+      .transformWithState(new graft.streaming.FunnelProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
   }
 
   /** The stream_scd2 transform, factored for the recovery spec: per-user
