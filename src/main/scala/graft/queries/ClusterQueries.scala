@@ -138,6 +138,7 @@ object ClusterQueries {
     var cur = fingerprint(edges)
     var rounds = 0
     while (cur != prev && rounds < 50) {
+      val tRound = System.nanoTime()
       // Large-star: every edge lives in its SMALLER endpoint's group
       // (sym carries both directions; the v > u half selects them);
       // each strictly-larger neighbor re-attaches to the group's min.
@@ -148,7 +149,13 @@ object ClusterQueries {
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
+      // NO distinct here (r15): ls only feeds ss's keyed-min window, where
+      // duplicate (u, m) rows can't change the min, and ss's own distinct
+      // canonicalizes the round's output — the intermediate dedup paid a
+      // full extra shuffle per round for nothing (the rows reach ss's
+      // exchange either way; dropping it shuffles the multiset once
+      // instead of dedup-shuffle + shuffle). Fingerprints are computed on
+      // ss only, so convergence and round counts are bit-identical.
       // Small-star: group by the larger endpoint; smaller neighbors
       // (all of them, b < a) re-attach to the min; the row that IS the
       // min re-emits the center's own edge (a, m).
@@ -166,7 +173,7 @@ object ClusterQueries {
       edges = ss
       rounds += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(s"[cc2] round $rounds fp=$cur")
+        println(f"[cc2] round $rounds fp=$cur ${(System.nanoTime() - tRound) / 1e3}%.0fus")
     }
     lastStarRounds.set(rounds) // observable by the skew-stress spec
     // Fixpoint = disjoint stars centered at each component's min:
@@ -443,17 +450,25 @@ object ClusterQueries {
       val s = graft.Sessions.withShufflePartitions(s0, 8)
       val e = candidateEdges(s, d)
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      // Fold the out-degree ONTO the persisted edge relation (r15): the
+      // old loop re-joined deg to sym every iteration — 3 identical
+      // join stages for a value that never changes. (u, v, d) is the
+      // standard degree-annotated adjacency a cluster materializes once;
+      // r / d stays the same IEEE division, so the DECIMAL(38,15)
+      // quantized sums are bit-identical to the oracle's.
+      val symd = sym
+        .join(sym.groupBy(col("u").as("x"))
+            .agg(count(lit(1)).cast("double").as("d"))
+            .select(col("x").as("u"), col("d")),
+          Seq("u"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      sym.count()
+      symd.count()
       e.unpersist(blocking = false)
-      val deg = sym.groupBy(col("u").as("x"))
-        .agg(count(lit(1)).cast("double").as("d"))
       val docs = Tables.documents(s, d).select(col("doc_id").as("x"))
       var r = docs.select(col("x"), lit(1.0).as("r"))
       for (_ <- 1 to 3) {
-        val contrib = sym
+        val contrib = symd
           .join(r.select(col("x").as("u"), col("r")), Seq("u"))
-          .join(deg.select(col("x").as("u"), col("d")), Seq("u"))
           .groupBy(col("v").as("x"))
           .agg(expr("CAST(sum(CAST(r / d AS DECIMAL(38,15))) AS DOUBLE)")
             .as("m"))
@@ -466,7 +481,7 @@ object ClusterQueries {
             .as("rank"))
         .orderBy(col("doc_id"))
       val res = out.localCheckpoint(true) // materialize, then release edges
-      sym.unpersist(blocking = false)
+      symd.unpersist(blocking = false)
       res
     },
 
@@ -1474,11 +1489,18 @@ object ClusterQueries {
         |FROM r3 WHERE r > 0 ORDER BY partkey""") { (s0, d) =>
       val s = graft.Sessions.withShufflePartitions(s0, 8)
       val e0 = coPurchaseEdges(s, d)
-      val e = e0.unionByName(e0.select(col("p2").as("p1"), col("p1").as("p2")))
+      val sym = e0.unionByName(e0.select(col("p2").as("p1"), col("p1").as("p2")))
+      // Degree-annotated adjacency, persisted ONCE (r15): the loop used
+      // to re-join deg onto the edge relation every iteration. Same
+      // r / dg IEEE division, same DECIMAL(38,15) quantization — the
+      // oracle sums are bit-identical.
+      val e = sym
+        .join(sym.groupBy(col("p1").as("x"))
+            .agg(count(lit(1)).cast("double").as("dg"))
+            .select(col("x").as("p1"), col("dg")),
+          Seq("p1"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       e.count()
-      val deg = e.groupBy(col("p1").as("x"))
-        .agg(count(lit(1)).cast("double").as("dg"))
       val parts = Tables.part(s, d).select(col("p_partkey").as("x"))
       val sn = parts.filter(col("x") % 100 === 0)
         .agg(count(lit(1)).as("ns"))
@@ -1490,7 +1512,6 @@ object ClusterQueries {
         val contrib = r.filter(col("r") =!= 0)
           .select(col("x").as("p1"), col("r"))
           .join(e, Seq("p1"))
-          .join(deg.select(col("x").as("p1"), col("dg")), Seq("p1"))
           .groupBy(col("p2").as("x"))
           .agg(expr("CAST(sum(CAST(r / dg AS DECIMAL(38,15))) AS DOUBLE)")
             .as("m"))

@@ -839,18 +839,27 @@ object ExtensionQueries {
           (expr("""CAST(aggregate(transform(sequence(1, length(sl)),
             |  i -> ascii(substring(sl, i, 1))), 0L,
             |  (a, x) -> a + x) AS BIGINT)""".stripMargin) % 1021).as("fr"))
-      val dts = Seq(1, 2, 3)
-      // anchor → {+1,+2,+3} targets: three equi-joins on the window
-      // index, unioned — O(3) landmark fan-out per window.
-      val h = dts.map { dt =>
-        f.as("a").join(
-            f.select(col("media_id").as("mb"), col("idx").as("ib"),
-              col("fr").as("fb")),
-            col("mb") === col("a.media_id") &&
-              col("ib") === col("a.idx") + dt)
-          .select(col("a.media_id").as("media_id"),
-            (col("a.fr") * 4084 + col("fb") * 4 + dt).as("hash"))
-      }.reduce(_ unionByName _)
+      // anchor → {+1,+2,+3} targets. Window indices are contiguous
+      // (0..wins-1 by construction), so the dt-offset partner of a
+      // window IS lead(fr, dt) over (media, idx) — ONE media-keyed sort
+      // instead of three self-joins (each of which re-derived the whole
+      // per-window fingerprint relation on both sides: 6 document scans
+      // + 12 exchanges in the old plan). Tail windows with no dt-partner
+      // surface as NULL leads and are filtered — exactly the rows the
+      // equi-join dropped.
+      val wl = Window.partitionBy(col("media_id")).orderBy(col("idx"))
+      val h = f
+        .select(col("media_id"), col("fr"),
+          lead(col("fr"), 1).over(wl).as("f1"),
+          lead(col("fr"), 2).over(wl).as("f2"),
+          lead(col("fr"), 3).over(wl).as("f3"))
+        .select(col("media_id"), explode(expr(
+          """filter(array(named_struct('fb', f1, 'dt', 1),
+            |  named_struct('fb', f2, 'dt', 2),
+            |  named_struct('fb', f3, 'dt', 3)), x -> x.fb IS NOT NULL)"""
+            .stripMargin)).as("t"), col("fr"))
+        .select(col("media_id"),
+          (col("fr") * 4084 + col("t.fb") * 4 + col("t.dt")).as("hash"))
       val hd = h.distinct()
       val hot = hd.groupBy(col("hash")).agg(count(lit(1)).as("c"))
         .filter(col("c") <= 64).select(col("hash"))

@@ -625,9 +625,11 @@ object PipelineQueries {
         |FROM rk WHERE rk <= 4 ORDER BY o_orderkey, rk""") { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val mp = Tables.part(s, d).agg(max(col("p_partkey")).as("mp"))
+      // NO distinct (r15): left-anti probes an existence set — the join
+      // dedups by construction, and the distinct paid a full extra
+      // exchange + aggregate over the fact table before the join.
       val pos = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
       val cand = Tables.orders(s, d)
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey").as("ok"))
@@ -636,10 +638,13 @@ object PipelineQueries {
         .withColumn("pk", lit(1) +
           expr("CAST(conv(substr(md5(concat(CAST(ok AS STRING), ':', CAST(j AS STRING))), 1, 12), 16, 10) AS BIGINT)")
             % col("mp"))
+      // dup-cut as a keyed MIN, not a row_number window: each j maps to
+      // exactly one pk, so min(j) per (ok, pk) IS the dup=1 row and the
+      // j values surviving per ok stay pairwise distinct (row_number
+      // over them is unambiguous). Hash aggregate with map-side partials
+      // replaces a full sort — same rows, same order, one less sort.
       cand.join(pos, Seq("ok", "pk"), "left_anti")
-        .withColumn("dup", row_number().over(
-          Window.partitionBy(col("ok"), col("pk")).orderBy(col("j"))))
-        .filter(col("dup") === 1)
+        .groupBy(col("ok"), col("pk")).agg(min(col("j")).as("j"))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("ok")).orderBy(col("j"))))
         .filter(col("rk") <= 4)
