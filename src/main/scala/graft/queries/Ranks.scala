@@ -44,10 +44,34 @@ private[queries] object Ranks {
   final case class Layout(parted: DataFrame, offsets: Seq[(Int, Long, Long)],
       nRows: Long, valueTotal: Long)
 
+  /** Size-adaptive partition count for the range exchange (r15, guide
+    * §2: derive partitioning from input size instead of pinning a
+    * constant): ceil(optimizer size estimate / 64 MB per partition),
+    * clamped to [1, max(requested, session shuffle partitions)]. A
+    * 10k-row quantile input collapses to one range partition (the 32
+    * near-empty sort tasks were pure scheduling overhead), while a
+    * cluster run with shuffle.partitions sized to the job scales the
+    * same exchange up past the 32 default. Global rank/ntile/cumsum
+    * are partitioning-invariant by construction (offset arithmetic on
+    * contiguous ranges), so results are identical at any count. */
+  private def adaptiveParts(df: DataFrame, requested: Int): Int = {
+    val bytes =
+      try BigInt(df.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
+      catch { case _: Throwable => BigInt(-1) }
+    if (bytes <= 0) requested
+    else {
+      val cap = math.max(requested,
+        try df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+        catch { case _: Throwable => requested })
+      val want = (bytes / (64L << 20)) + 1
+      want.min(BigInt(cap)).max(BigInt(1)).toInt
+    }
+  }
+
   private def layout(df: DataFrame, order: Seq[Column], numParts: Int,
       value: Option[Column]): Layout = {
     val parted = df
-      .repartitionByRange(numParts, order: _*)
+      .repartitionByRange(adaptiveParts(df, numParts), order: _*)
       .withColumn("__gr_pid", spark_partition_id())
       .localCheckpoint()
     val rolled = parted.groupBy(col("__gr_pid"))
