@@ -123,21 +123,25 @@ object ClusterQueries {
     * Returns the converged (doc_id, rep) labels for every edge-touched
     * vertex (singletons absent — the caller self-labels them). Each
     * half-round is one window aggregation + one distinct (plain keyed
-    * shuffles, no adjacency materialization); convergence when the edge
-    * set's (count, bit_xor of per-edge xxhash64) fingerprint stops moving
-    * — order-insensitive, overflow-free under ANSI (a SUM of 2^63-range
-    * hashes would throw), and valid because the edge set is distinct. */
+    * shuffles, no adjacency materialization).
+    *
+    * Convergence (r15): the contraction's fixpoint is EXACTLY a set of
+    * disjoint min-centered stars (Kiveris Thm 1), and star-shape is
+    * directly testable on the round's output: every member u carries
+    * exactly one edge (count == count distinct u) and no center v is
+    * itself a member (v-set ∩ u-set = ∅). Testing that detects the
+    * fixpoint in the round it is REACHED, where the previous
+    * (count, bit_xor-hash) fingerprint-equality check had to run one
+    * full extra contraction round — two window shuffles plus a distinct
+    * over the whole edge set — just to observe that nothing moved. The
+    * test costs one aggregate scan of the just-checkpointed round, plus
+    * one semi-join gated behind the count equality (which transitional
+    * rounds usually fail for free). */
   private[queries] def starLabels(edges0: DataFrame): DataFrame = {
     var edges = edges0
-    def fingerprint(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)).as("c"),
-        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    var prev = (-1L, -1L)
-    var cur = fingerprint(edges)
+    var converged = false
     var rounds = 0
-    while (cur != prev && rounds < 50) {
+    while (!converged && rounds < 50) {
       val tRound = System.nanoTime()
       // Large-star: every edge lives in its SMALLER endpoint's group
       // (sym carries both directions; the v > u half selects them);
@@ -167,13 +171,20 @@ object ClusterQueries {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint(true) // reset the plan; the loop grows it otherwise
-      prev = cur
-      cur = fingerprint(ss)
+      // Star test on the materialized round (see scaladoc). The count
+      // gate makes the semi-join conditional: while members still carry
+      // multiple edges the single aggregate scan settles non-convergence.
+      val agg = ss.agg(count(lit(1)).as("c"),
+        count_distinct(col("u")).as("du")).head()
+      val (c, du) = (agg.getLong(0), agg.getLong(1))
+      converged = c == du && (c == 0L ||
+        ss.select(col("v")).distinct()
+          .join(ss.select(col("u").as("v")), Seq("v"), "left_semi").isEmpty)
       releaseCheckpoint(edges) // superseded by ss's checkpoint
       edges = ss
       rounds += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(f"[cc2] round $rounds fp=$cur ${(System.nanoTime() - tRound) / 1e3}%.0fus")
+        println(f"[cc2] round $rounds n=$c converged=$converged ${(System.nanoTime() - tRound) / 1e3}%.0fus")
     }
     lastStarRounds.set(rounds) // observable by the skew-stress spec
     // Fixpoint = disjoint stars centered at each component's min:
