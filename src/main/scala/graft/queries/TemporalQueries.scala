@@ -2040,15 +2040,28 @@ object TemporalQueries {
         .agg(expr("percentile(CAST(detr AS DOUBLE), 0.5)").as("seasonal"))
       val lv = de.groupBy(col("event_type").as("lt"))
         .agg(expr("percentile(CAST(n AS DOUBLE), 0.5)").as("lev"))
+      // The residual day-grid is tiny (types × days) while its lineage
+      // holds the full event scan + three aggregation branches; every
+      // ESD round reads its input TWICE (power-sum stats + the join
+      // probe) and the final rm1∪rm2∪rm3 union re-evaluates every
+      // earlier round's branch. Materialize the grid once (eager
+      // localCheckpoint) and each round's surviving rows likewise, so
+      // the event table is scanned exactly once and the ladder iterates
+      // over materialized day-grid rows — the S-H-ESD paper's shape
+      // (guide §1.2/§2.4: one pass over the big input, iterate on the
+      // small residual state). Values are unchanged: resid is
+      // DECIMAL-quantized before any order-sensitive use.
       val r0 = de.join(se, col("et") === col("event_type") &&
           col("sdow") === col("dow"))
         .join(lv, col("lt") === col("event_type"))
         .select(col("event_type"), col("day"), col("n"),
           round(col("n") - col("seasonal") - col("lev"), 6)
             .cast("decimal(18,6)").as("resid"))
+        .localCheckpoint(true)
       // One ESD round: quantized power-sum stats per type, the worst
       // |z| row removed if it clears λ = 2. Returns (removed, kept).
-      def esdRound(r: org.apache.spark.sql.DataFrame, k: Int)
+      def esdRound(r: org.apache.spark.sql.DataFrame, k: Int,
+          keepSurvivors: Boolean = true)
           : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
         val st = r.groupBy(col("event_type").as("et"))
           .agg(count(lit(1)).as("m"),
@@ -2068,12 +2081,16 @@ object TemporalQueries {
         (ranked.filter(hit)
            .select(col("event_type"), col("day"), col("n"), col("resid"),
              col("z"), lit(k).as("esd_round")),
-         ranked.filter(!hit)
-           .select(col("event_type"), col("day"), col("n"), col("resid")))
+         {
+           val kept = ranked.filter(!hit)
+             .select(col("event_type"), col("day"), col("n"), col("resid"))
+           // the last round's survivors feed nothing — skip the job
+           if (keepSurvivors) kept.localCheckpoint(true) else kept
+         })
       }
       val (rm1, r1) = esdRound(r0, 1)
       val (rm2, r2) = esdRound(r1, 2)
-      val (rm3, _) = esdRound(r2, 3)
+      val (rm3, _) = esdRound(r2, 3, keepSurvivors = false)
       rm1.unionByName(rm2).unionByName(rm3)
         .select(col("event_type"), col("day").cast("string").as("day"),
           col("n"), round(col("resid").cast("double"), 4).as("resid"),
