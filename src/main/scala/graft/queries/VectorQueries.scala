@@ -752,12 +752,20 @@ object VectorQueries {
       val cbDf = v.filter(col("vec_id") < 16)
         .agg(expr("transform(array_sort(collect_list(struct(vec_id, e))), t -> t.e)")
           .as("cb"))
+      // Each codeword distance is computed ONCE into a struct and the
+      // argmin folds over the 16 structs — the previous fold evaluated
+      // the 16-dim dsub aggregate twice per codeword (comparison +
+      // selected struct), doubling the encode stage's dominant
+      // expression (guide §1.2 per-task work). Traversal order and the
+      // strict-< first-min tie rule are unchanged, so codes are
+      // bit-identical.
       val enc = v.crossJoin(broadcast(cbDf)).withColumn("codes", expr(
         s"""transform(sequence(0, 3), b ->
-           |  aggregate(sequence(0, 15),
+           |  aggregate(
+           |    transform(sequence(0, 15), c ->
+           |      named_struct('d', ${dsub("e")}, 'c', c)),
            |    named_struct('d', CAST(999999 AS DECIMAL(18,6)), 'c', -1),
-           |    (acc, c) -> IF(${dsub("e")} < acc.d,
-           |      named_struct('d', ${dsub("e")}, 'c', c), acc),
+           |    (acc, s) -> IF(s.d < acc.d, s, acc),
            |    acc -> acc.c))""".stripMargin))
         .select(col("vec_id"), col("codes"))
       val qdtab = v.filter(col("vec_id") < 8)
@@ -1874,8 +1882,13 @@ object VectorQueries {
           e.select(col("v2").as("u"), col("v1").as("v"), col("cos")))
       val wk = Window.partitionBy(col("u"))
         .orderBy(col("cos").desc, col("v"))
+      // The mutual check self-joins top on MIRRORED keys ((a.v,a.u) vs
+      // (b.u,b.v)) — two different exchanges, so without materialization
+      // the whole candidate-edge derivation and top-3 window run TWICE.
+      // top is <=3 rows per vertex: checkpoint it once (guide §2.4).
       val top = sym.withColumn("rk", row_number().over(wk))
         .filter(col("rk") <= 3).select(col("u"), col("v"), col("cos"))
+        .localCheckpoint(true)
       val m = top.as("a").join(top.as("b"),
           col("b.u") === col("a.v") && col("b.v") === col("a.u"))
         .filter(col("a.u") < col("a.v"))
@@ -1985,12 +1998,15 @@ object VectorQueries {
         s"CAST(round(aggregate(sequence(1, 16), CAST(0.0 AS DOUBLE), " +
           s"(acc, j) -> acc + $diff * $diff), 6) AS DECIMAL(18,6))"
       }
+      // Distances once per codeword, argmin over structs — halves the
+      // residual-encode fold (see sim_pq_adc); identical tie semantics.
       val enc = res.crossJoin(broadcast(cbDf)).withColumn("codes", expr(
         s"""transform(sequence(0, 3), b ->
-           |  aggregate(sequence(0, 15),
+           |  aggregate(
+           |    transform(sequence(0, 15), c ->
+           |      named_struct('d', ${dsub("rv")}, 'c', c)),
            |    named_struct('d', CAST(999999 AS DECIMAL(18,6)), 'c', -1),
-           |    (acc, c) -> IF(${dsub("rv")} < acc.d,
-           |      named_struct('d', ${dsub("rv")}, 'c', c), acc),
+           |    (acc, s) -> IF(s.d < acc.d, s, acc),
            |    acc -> acc.c))""".stripMargin))
         .select(col("vec_id"), col("label"), col("codes"))
       val qa = exploded.filter(col("vec_id") < 8)
@@ -2170,8 +2186,13 @@ object VectorQueries {
           e.select(col("v2").as("u"), col("v1").as("v"), col("cos")))
       val wk = Window.partitionBy(col("u"))
         .orderBy(col("cos").desc, col("v"))
+      // The mutual check self-joins top on MIRRORED keys ((a.v,a.u) vs
+      // (b.u,b.v)) — two different exchanges, so without materialization
+      // the whole candidate-edge derivation and top-3 window run TWICE.
+      // top is <=3 rows per vertex: checkpoint it once (guide §2.4).
       val top = sym.withColumn("rk", row_number().over(wk))
         .filter(col("rk") <= 3).select(col("u"), col("v"), col("cos"))
+        .localCheckpoint(true)
       val m = top.as("a").join(top.as("b"),
           col("b.u") === col("a.v") && col("b.v") === col("a.u"))
         .filter(col("a.u") < col("a.v"))
