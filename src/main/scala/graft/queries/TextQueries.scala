@@ -3254,7 +3254,11 @@ object TextQueries {
         .agg(expr("array_join(transform(array_sort(" +
             "collect_list(struct(pos, w))), x -> x.w), ' ')").as("phrase"),
           count(lit(1)).as("plen"))
+      // mem feeds the word-score aggregate (keyed w) and the phrase-score
+      // join (keyed w then phrase) — two differently-keyed consumers that
+      // would each re-run the double-window phrase segmentation.
       val mem = ph.join(pid, Seq("doc_id", "grp", "chunk"))
+        .localCheckpoint(true)
       val ws = mem.groupBy(col("w"))
         .agg((sum(col("plen")).cast("double") / count(lit(1)))
           .as("wscore"))
@@ -3417,6 +3421,12 @@ object TextQueries {
         .filter(col("h") < col("l1") && col("h") < col("l2") &&
           col("h") < col("r1") && col("h") < col("r2"))
         .select(col("doc_id"), col("h")).distinct()
+        // Selected fingerprints feed THREE differently-keyed consumers
+        // (per-doc counts, hot-hash cut, the pair join) — without
+        // materialization the trigram-hash window pass re-runs for each
+        // (guide §2.4). The winnowed set is a small fraction of the
+        // trigram stream: checkpoint it once.
+        .localCheckpoint(true)
       val cnt = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
       val hot = fp.groupBy(col("h")).agg(count(lit(1)).as("c"))
         .filter(col("c") <= 64).select(col("h"))
