@@ -125,20 +125,41 @@ object ClusterQueries {
     * half-round is one window aggregation + one distinct (plain keyed
     * shuffles, no adjacency materialization).
     *
-    * Convergence (r15): the contraction's fixpoint is EXACTLY a set of
-    * disjoint min-centered stars (Kiveris Thm 1), and star-shape is
-    * directly testable on the round's output: every member u carries
-    * exactly one edge (count == count distinct u) and no center v is
-    * itself a member (v-set ∩ u-set = ∅). Testing that detects the
-    * fixpoint in the round it is REACHED, where the previous
-    * (count, bit_xor-hash) fingerprint-equality check had to run one
-    * full extra contraction round — two window shuffles plus a distinct
-    * over the whole edge set — just to observe that nothing moved. The
-    * test costs one aggregate scan of the just-checkpointed round, plus
-    * one semi-join gated behind the count equality (which transitional
-    * rounds usually fail for free). */
+    * Convergence (r15, measured hybrid): two complementary checks.
+    * (a) The (count, bit_xor-hash) fingerprint of each round — a plain
+    * scan of the checkpointed output, no shuffle — detects both an
+    * already-canonical INPUT (pre-loop fingerprint) and any repeated
+    * round, but structurally one round late: a full extra contraction
+    * (two window shuffles + a distinct) just to observe nothing moved.
+    * (b) The contraction's fixpoint is EXACTLY a set of disjoint
+    * min-centered stars (Kiveris Thm 1), directly testable on the
+    * round's own output — every member u carries exactly one edge and
+    * no center v is itself a member — which detects the fixpoint in
+    * the round it is REACHED, but costs two keyed probes of the edge
+    * set. The hybrid runs (b) ONLY when the round's edge count equals
+    * the previous round's while the hash still moved — exactly the
+    * stabilized tail where (a) is about to waste a round; rounds that
+    * still shrink the edge set pay nothing beyond the scan. Measured
+    * (sf0.1, warm): one-round graphs keep the fingerprint fast path
+    * (dedup_semantic_cc 1.05 s — the always-on star test cost +0.25 s
+    * there), multi-round graphs save their trailing no-op round
+    * (skew stress 4→3 rounds). */
   private[queries] def starLabels(edges0: DataFrame): DataFrame = {
     var edges = edges0
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("c"),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // Star test on a materialized round (rows are distinct by
+    // construction): no member u holds two edges, and no center v is
+    // itself a member. Both probes early-exit via isEmpty.
+    def isStarShaped(ss: DataFrame): Boolean =
+      ss.groupBy(col("u")).agg(count(lit(1)).as("k"))
+        .filter(col("k") > 1).isEmpty &&
+      ss.select(col("v")).distinct()
+        .join(ss.select(col("u").as("v")), Seq("v"), "left_semi").isEmpty
+    var prev = fingerprint(edges)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -171,20 +192,18 @@ object ClusterQueries {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint(true) // reset the plan; the loop grows it otherwise
-      // Star test on the materialized round (see scaladoc). The count
-      // gate makes the semi-join conditional: while members still carry
-      // multiple edges the single aggregate scan settles non-convergence.
-      val agg = ss.agg(count(lit(1)).as("c"),
-        count_distinct(col("u")).as("du")).head()
-      val (c, du) = (agg.getLong(0), agg.getLong(1))
-      converged = c == du && (c == 0L ||
-        ss.select(col("v")).distinct()
-          .join(ss.select(col("u").as("v")), Seq("v"), "left_semi").isEmpty)
+      val cur = fingerprint(ss)
+      // Hybrid convergence (see scaladoc): identical fingerprint is the
+      // free fast path; the star test runs only on the stabilized-count
+      // tail where the fingerprint alone would burn one more round.
+      converged = cur == prev ||
+        (cur._1 == prev._1 && isStarShaped(ss))
+      prev = cur
       releaseCheckpoint(edges) // superseded by ss's checkpoint
       edges = ss
       rounds += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(f"[cc2] round $rounds n=$c converged=$converged ${(System.nanoTime() - tRound) / 1e3}%.0fus")
+        println(f"[cc2] round $rounds n=${cur._1} converged=$converged ${(System.nanoTime() - tRound) / 1e3}%.0fus")
     }
     lastStarRounds.set(rounds) // observable by the skew-stress spec
     // Fixpoint = disjoint stars centered at each component's min:

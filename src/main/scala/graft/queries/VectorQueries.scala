@@ -1099,8 +1099,11 @@ object VectorQueries {
           |    CAST(floor((CAST(element_at(e, j) AS DOUBLE) - element_at(mns, j)) /
           |      (element_at(mxs, j) - element_at(mns, j)) * 255) AS BIGINT),
           |    CAST(0 AS BIGINT)))""".stripMargin).as("c"))
+      // 8 query codes feed the scoring broadcast and the final id frame —
+      // each would re-run the SQ8 stats + encode; pin the 8 rows once.
       val q = codes.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("c").as("qc"))
+        .localCheckpoint(true)
       val wd = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
       val sq = codes.crossJoin(broadcast(q))
@@ -1447,12 +1450,16 @@ object VectorQueries {
           col("nrm").as("qn"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      // Ground truth (a full-corpus dot-product pass reduced to
+      // 3 rows/query) feeds BOTH nprobe tiers — checkpoint it so the
+      // brute-force pass runs once, not once per tier (guide §2.4).
       val truth = v.crossJoin(broadcast(qv))
         .filter(col("qid") =!= col("vec_id"))
         .withColumn("cos", expr(dotSpark) / (col("qn") * col("nrm")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("qid"), col("vec_id").as("vid"))
+        .localCheckpoint(true)
       val queries = Tables.embeddings(s, d)
         .filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
