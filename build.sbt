@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout/stderr through unchanged instead of
+// routing them through sbt's logger. The logger prefixes every line with
+// "[info] "/"[error] ", so the one-line JSON contract of graft.Bench /
+// graft.Verify reached the driver as `[info] {"metric":...}` — a line
+// that is not valid JSON on its own. Every BENCH_r*.json artifact
+// (r01-r15) shows parsed:null for exactly this reason. With
+// StdoutOutput the JSON line is emitted verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
