@@ -1545,7 +1545,14 @@ object ClusterQueries {
           .groupBy(col("p2").as("x"))
           .agg(expr("CAST(sum(CAST(r / dg AS DECIMAL(38,15))) AS DOUBLE)")
             .as("m"))
-        r = r.select(col("x")).join(contrib, Seq("x"), "left_outer")
+        // r's key set IS the part universe (never changes across
+        // rounds): completing against `parts` instead of r.select(x)
+        // keeps each round's lineage LINEAR — the old form consumed r
+        // twice per round (contrib + the key frame), so round k
+        // re-evaluated every earlier round's join+rollup ladder 2^k
+        // times (guide §2.4; the ts_shesd ladder rule). Same rows,
+        // same values — parts is exactly r's key column.
+        r = parts.join(contrib, Seq("x"), "left_outer")
           .crossJoin(broadcast(sn))
           .select(col("x"),
             (lit(0.15) * seedMass +

@@ -860,7 +860,17 @@ object ExtensionQueries {
             .stripMargin)).as("t"), col("fr"))
         .select(col("media_id"),
           (col("fr") * 4084 + col("t.fb") * 4 + col("t.dt")).as("hash"))
-      val hd = h.distinct()
+      // The distinct landmark relation is 2 narrow longs per row while
+      // its lineage holds the whole per-window fingerprint derivation
+      // (scan → window explode → 32-char byte-sum per window → lead
+      // window → landmark explode). It feeds FOUR consumers — the hot-
+      // bucket rollup and both self-join sides each rebuild it (the
+      // join keys differ from the distinct's grouping, so exchange
+      // reuse cannot fire: 4 scans / 4 windows in the r16 before-plan).
+      // One eager checkpoint ⇒ the derivation runs once (guide §2.4 —
+      // the winnowing/top-list rule: materialize only when the relation
+      // is far smaller than its derivation).
+      val hd = h.distinct().localCheckpoint(true)
       val hot = hd.groupBy(col("hash")).agg(count(lit(1)).as("c"))
         .filter(col("c") <= 64).select(col("hash"))
       val hdk = hd.join(hot, Seq("hash"), "left_semi")

@@ -196,8 +196,18 @@ object VectorQueries {
       .withColumn("nrm", expr(normSpark))
       .withColumn("keys",
         expr(s"array(${(0 to 3).map(bandKeySpark).mkString(", ")})"))
+    // melted is 3 narrow columns per (vector, band) while its lineage
+    // holds the corpus scan + the nn/mu broadcasts + the 4-band r-bit
+    // centered-sign fold per row — and every consumer reads it under a
+    // DIFFERENT key (occupancy rollup on (band,key), both self-join
+    // sides, the census rollup), so nothing shares the derivation.
+    // One eager checkpoint ⇒ the fold runs once per query instead of
+    // 3-4× (guide §2.4). v itself is NOT materialized: it carries the
+    // full embedding payload (the "not small relative to its
+    // derivation" case — r15's negative-result rule).
     val melted = v.select(col("vec_id"),
       posexplode(col("keys")).as(Seq("band", "key")))
+      .localCheckpoint(true)
     (v.select(col("vec_id"), col("e"), col("nrm"), col("r")), melted)
   }
 
