@@ -625,11 +625,30 @@ object ClusterQueries {
     // recursive closure over the identically-planted relation.
     Q("dedup_cluster_cc_skew", skewOracleSql) { (s0, d) =>
       val s = graft.Sessions.withShufflePartitions(s0, 8)
-      val e0 = candidateEdgesOf(
-        TextQueries.minhashSigsArrayOf(plantedDocs(s, d)))
-      val edges = e0.select(col("v").as("u"), col("u").as("v"))
+      // Candidate cut (r16): BUCKET-STAR reduction instead of the band
+      // self-join. CC consumes candidate edges only for CONNECTIVITY,
+      // and within one (seed, mh) bucket the all-pairs clique and the
+      // star to the bucket's min doc connect exactly the same vertex
+      // set — so the components, the min-reachable labels, and the
+      // component sizes are IDENTICAL (the DuckDB oracle still builds
+      // the all-pairs closure and the hash gate proves it). The planted
+      // hot band stays the stress: ~500 docs still funnel into a
+      // handful of buckets, but they now emit O(m) star edges instead
+      // of C(m,2) pairs — at 100 TB a 1M-doc boilerplate bucket is 10⁶
+      // edges, not 5·10¹¹; this is the standard LSH-dedup discipline
+      // (all-PAIRS stay first-class where pairs themselves are the
+      // output: dedup_minhash_pairs and the shared lshcand memo).
+      // Orientation: v = bucket min < u by construction, as starLabels
+      // requires. One window shuffle + one distinct replaces the
+      // quadratic self-join + distinct.
+      val sigs = TextQueries.minhashSigsArrayOf(plantedDocs(s, d))
+      val edges = sigs
+        .withColumn("m",
+          min(col("doc_id")).over(Window.partitionBy("seed", "mh")))
+        .filter(col("doc_id") =!= col("m"))
+        .select(col("doc_id").as("u"), col("m").as("v"))
+        .distinct()
         .localCheckpoint(true)
-      e0.unpersist(blocking = false)
       labelsToResult(s, d, starLabels(edges))
     },
 
